@@ -1,0 +1,244 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+
+/** Relational substrate: the reference's operator inventory (SURVEY.md §2)
+  * re-expressed as declarative DataFrame programs over the TESTDATA tables,
+  * plus TPC-H-shaped headline queries for the bench.
+  *
+  * Scale notes (100 TB):
+  *  - every dimension join (`nation`, `region`, `customer` at small SF) is
+  *    broadcast-hinted; fact-fact joins shuffle on their equi-keys and rely
+  *    on AQE for skew handling;
+  *  - aggregates are partial (map-side combine) by construction — plain
+  *    `groupBy().agg()` of algebraic functions;
+  *  - filters/projections are plain `Column` expressions so they reach the
+  *    parquet scan (PushedFilters / ReadSchema).
+  *
+  * Money/quantity aggregates go through `decimal(18,2)` so that sums are
+  * exact and engine-order-independent (double summation order differs
+  * between partitions/engines); results are surfaced as rounded doubles.
+  */
+object Relational {
+
+  private def dec(c: Column): Column = c.cast("decimal(18,2)")
+  private def asDouble(c: Column): Column = round(c, 2).cast("double")
+
+  // ---------------------------------------------------------------------
+  // Headline TPC-H-shaped queries (bench + correctness)
+  // ---------------------------------------------------------------------
+
+  /** Q1-shaped pricing summary: single scan, partial+final hash agg.
+    * Ref analogue: A1/A2 size+count aggregation (scicat_dataset.py:907-910).
+    */
+  def q1Pricing(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.lineitem(spark, sfDir)
+      .filter(col("l_shipdate") <= lit("1998-09-02"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        asDouble(sum(dec(col("l_quantity")))).as("sum_qty"),
+        asDouble(sum(dec(col("l_extendedprice")))).as("sum_base_price"),
+        asDouble(sum(dec(col("l_extendedprice")) * (lit(1).cast("decimal(18,2)") - dec(col("l_discount"))))).as("sum_disc_price"),
+        round(sum(dec(col("l_quantity"))).cast("double") / count(lit(1)), 2).as("avg_qty"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+
+  /** Q3-shaped shipping priority: broadcast dim filter, two shuffles, top-k.
+    * Deterministic top-k: tie-break on o_orderkey.
+    */
+  def q3Shipping(spark: SparkSession, sfDir: String): DataFrame = {
+    val cust = Tables.customer(spark, sfDir).filter(col("c_mktsegment") === "BUILDING")
+    val ord = Tables.orders(spark, sfDir).filter(col("o_orderdate") < lit("1995-03-15"))
+    val li = Tables.lineitem(spark, sfDir).filter(col("l_shipdate") > lit("1995-03-15"))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"))
+      .agg(asDouble(sum(dec(col("l_extendedprice")) * (lit(1).cast("decimal(18,2)") - dec(col("l_discount"))))).as("revenue"))
+      .select(col("l_orderkey"), asDate(col("o_orderdate")).as("o_orderdate"), col("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  /** Q5-shaped local-supplier volume: star join, dims broadcast. */
+  def q5Region(spark: SparkSession, sfDir: String): DataFrame = {
+    val cust = Tables.customer(spark, sfDir)
+    val ord = Tables.orders(spark, sfDir)
+      .filter(col("o_orderdate") >= lit("1994-01-01") && col("o_orderdate") < lit("1996-01-01"))
+    val li = Tables.lineitem(spark, sfDir)
+    val sup = Tables.supplier(spark, sfDir)
+    val nat = Tables.nation(spark, sfDir)
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(cust.select(col("c_custkey"), col("c_nationkey"))), col("o_custkey") === col("c_custkey"))
+      .filter(col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(asDouble(sum(dec(col("l_extendedprice")) * (lit(1).cast("decimal(18,2)") - dec(col("l_discount"))))).as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  private def asDate(c: Column): Column = date_format(c, "yyyy-MM-dd")
+
+  // ---------------------------------------------------------------------
+  // §2.2 Filters / predicates
+  // ---------------------------------------------------------------------
+
+  /** F1: message-type byte-slice filter (scicat_kafka.py:89-96) —
+    * prefix predicate on the payload discriminator, pushed to the scan. */
+  def f1TypeFilter(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .filter(substring(col("event_type"), 1, 2) === "cl")
+      .select(col("event_id"), col("event_type"), col("user_id"))
+
+  /** F2: error filter (scicat_kafka.py:99-110) — drop error records. */
+  def f2ErrorFilter(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .filter(col("event_type") =!= "error")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), asDouble(sum(dec(col("value")))).as("total_value"))
+
+  /** F3/F4: schema-selector cascade (scicat_metadata.py:349-447) —
+    * first-match `when` cascade over starts_with/contains/wildcard,
+    * constant-foldable per row; `otherwise` = fallback schema. */
+  def f3SelectorCascade(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(
+        col("doc_id"),
+        col("source"),
+        when(col("source").startsWith("src1"), "schema_src1")
+          .when(col("source").contains("2"), "schema_has2")
+          .when(col("lang") === "en", "schema_en")
+          .otherwise("fallback").as("schema_id"))
+
+  /** F6/F7: dedup exists-by-key as a left-anti join
+    * (scicat_communication.py:161-236 → left_anti). Customers with no
+    * orders = "new keys not yet in catalog". */
+  def f6DedupAnti(spark: SparkSession, sfDir: String): DataFrame = {
+    val cust = Tables.customer(spark, sfDir)
+    val ord = Tables.orders(spark, sfDir)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_custkey"))
+    cust.join(ord, col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"))
+  }
+
+  // ---------------------------------------------------------------------
+  // §2.3 Projections / scalar transforms (VALUE-operator registry analogues)
+  // ---------------------------------------------------------------------
+
+  /** P2/P3/P7/P9: array_join, basename, literal replace, case fold
+    * (scicat_dataset.py:156-234) composed in one projection. */
+  def pValueOps(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(
+        col("doc_id"),
+        array_join(slice(split(col("text"), " "), 1, 5), ", ").as("first_words"),
+        upper(col("lang")).as("lang_upper"),
+        substring(regexp_replace(col("text"), "the", "THE"), 1, 40).as("replaced_head"),
+        element_at(split(col("source"), "/"), -1).as("basename"))
+
+  /** P10/A4: `sum` value-operator — higher-order array fold
+    * (scicat_dataset.py:237-242 → aggregate()). */
+  def p10ArrayFold(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(
+        col("doc_id"),
+        aggregate(
+          transform(split(col("text"), " "), w => length(w)),
+          lit(0L),
+          (acc, x) => acc + x.cast("long")).as("word_chars"),
+        size(split(col("text"), " ")).cast("long").as("n_words"))
+
+  /** P12: type-cast registry analogue (scicat_dataset.py:119-145) —
+    * string/long/double/date casts in one projection. */
+  def p12Casts(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .filter(col("l_orderkey") < 100)
+      .select(
+        col("l_orderkey"),
+        col("l_linenumber").cast("long").as("line_no"),
+        col("l_quantity").cast("long").as("qty_int"),
+        col("l_quantity").cast("string").as("qty_str"),
+        date_format(col("l_shipdate"), "yyyy-MM-dd").as("ship_day"))
+
+  // ---------------------------------------------------------------------
+  // §2.4 Joins / lookups
+  // ---------------------------------------------------------------------
+
+  /** J1: enrichment lookup — broadcast left join against a small catalog
+    * (scicat_dataset.py:393-407 → broadcast hash join, no shuffle of the
+    * fact side). */
+  def j1EnrichLookup(spark: SparkSession, sfDir: String): DataFrame = {
+    val ord = Tables.orders(spark, sfDir)
+    val cust = Tables.customer(spark, sfDir)
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+    ord.join(broadcast(cust), col("o_custkey") === col("c_custkey"), "left")
+      .select(col("o_orderkey"), col("o_custkey"), col("c_name"), col("c_mktsegment"))
+  }
+
+  /** J2: two-key equi-join returning a collected list
+    * (scicat_communication.py:134-158 → groupBy + sort_array(collect_list)).
+    * sort_array makes the list deterministic across partition orders. */
+  def j2CollectList(spark: SparkSession, sfDir: String): DataFrame = {
+    val sup = Tables.supplier(spark, sfDir)
+    val nat = Tables.nation(spark, sfDir)
+    sup.join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(sort_array(collect_list(col("s_name"))).as("supplier_names"),
+        count(lit(1)).as("n_suppliers"))
+  }
+
+  /** J4: sampleId merge — array union + distinct (scicat_dataset.py:980-991). */
+  def j4ArrayMerge(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(
+        col("doc_id"),
+        array_sort(array_distinct(concat(
+          slice(split(col("text"), " "), 1, 4),
+          slice(split(col("text"), " "), 3, 4)))).as("merged_tokens"))
+
+  // ---------------------------------------------------------------------
+  // §2.5-adjacent substrate: windows, set ops, rollup, time windows
+  // ---------------------------------------------------------------------
+
+  /** Window functions over the event stream table: per-user ordering,
+    * running aggregates (substrate capability, SURVEY §2.5 note). */
+  def wRunning(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.events(spark, sfDir)
+      .withColumn("rn", row_number().over(w))
+      .withColumn("running_value",
+        round(sum(col("value")).over(w.rowsBetween(Window.unboundedPreceding, 0)), 2))
+      .select(col("event_id"), col("user_id"), col("rn"), col("running_value"))
+  }
+
+  /** Set operation: EXCEPT (distinct) — substrate capability. */
+  def setExcept(spark: SparkSession, sfDir: String): DataFrame = {
+    val allCust = Tables.customer(spark, sfDir).select(col("c_custkey"))
+    val urgentBuyers = Tables.orders(spark, sfDir)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_custkey").as("c_custkey"))
+    allCust.except(urgentBuyers)
+  }
+
+  /** Event-time tumbling window aggregation (batch analogue of the
+    * Structured Streaming pipeline in graft.streaming; SURVEY §2.7). */
+  def tumblingWindow(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy(date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss").as("hour_start"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"), asDouble(sum(dec(col("value")))).as("total_value"))
+
+  /** JSON projection (get_json_object analogue of P6 getitem on dicts,
+    * scicat_dataset.py:192-197). */
+  def p6JsonGetItem(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .select(
+        col("event_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .filter(col("k") > 90)
+}
