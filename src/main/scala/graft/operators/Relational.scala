@@ -102,17 +102,22 @@ object Relational {
       .agg(count(lit(1)).as("n"), asDouble(sum(dec(col("value")))).as("total_value"))
 
   /** F3/F4: schema-selector cascade (scicat_metadata.py:349-447) —
-    * first-match `when` cascade over starts_with/contains/wildcard,
-    * constant-foldable per row; `otherwise` = fallback schema. */
-  def f3SelectorCascade(spark: SparkSession, sfDir: String): DataFrame =
+    * selectors compiled by the engine's [[graft.expr.SelectorCompiler]]
+    * into a first-match `when` cascade; `otherwise` = fallback schema. */
+  def f3SelectorCascade(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.expr.SelectorCompiler
+    import graft.schema.ConfigValue._
+    val selectors = Seq( // (schema_id, selector) in (order, name) order
+      "schema_src1" -> CStr("filename:starts_with:src1"),
+      "schema_has2" -> CStr("filename:contains:2"))
+    val src = col("source")
+    val cascade = selectors.foldRight(
+      when(col("lang") === "en", "schema_en").otherwise("fallback")) {
+      case ((id, sel), rest) => when(SelectorCompiler.compile(sel, src), id).otherwise(rest)
+    }
     Tables.documents(spark, sfDir)
-      .select(
-        col("doc_id"),
-        col("source"),
-        when(col("source").startsWith("src1"), "schema_src1")
-          .when(col("source").contains("2"), "schema_has2")
-          .when(col("lang") === "en", "schema_en")
-          .otherwise("fallback").as("schema_id"))
+      .select(col("doc_id"), col("source"), cascade.as("schema_id"))
+  }
 
   /** F6/F7: dedup exists-by-key as a left-anti join
     * (scicat_communication.py:161-236 → left_anti). Customers with no
@@ -131,15 +136,26 @@ object Relational {
   // ---------------------------------------------------------------------
 
   /** P2/P3/P7/P9: array_join, basename, literal replace, case fold
-    * (scicat_dataset.py:156-234) composed in one projection. */
-  def pValueOps(spark: SparkSession, sfDir: String): DataFrame =
+    * (scicat_dataset.py:156-234) composed in one projection via the
+    * engine's VALUE-operator registry ([[graft.expr.ValueOperators]]). */
+  def pValueOps(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.expr.{ValueOperators, VarCol}
+    import graft.expr.ValueOperators.OpSpec
+    import graft.functions.DslCasts._
+    def op(name: String, v: VarCol, spec: OpSpec = OpSpec()) =
+      ValueOperators(Some(name), v, spec).value
+    val words = VarCol(slice(split(col("text"), " "), 1, 5), lit(""), Some(DStringArr))
+    val textCol = VarCol(col("text"), lit(""), Some(DString))
+    val langCol = VarCol(col("lang"), lit(""), Some(DString))
     Tables.documents(spark, sfDir)
       .select(
         col("doc_id"),
-        array_join(slice(split(col("text"), " "), 1, 5), ", ").as("first_words"),
-        upper(col("lang")).as("lang_upper"),
-        substring(regexp_replace(col("text"), "the", "THE"), 1, 40).as("replaced_head"),
-        element_at(split(col("source"), "/"), -1).as("basename"))
+        op("join_with_space", words).as("first_words"),
+        op("to-upper", langCol).as("lang_upper"),
+        substring(op("str-replace", textCol,
+          OpSpec(pattern = Some("the"), replacement = Some("THE"))), 1, 40).as("replaced_head"),
+        op("filename", VarCol(col("source"), lit(""), Some(DString))).as("basename"))
+  }
 
   /** P10/A4: `sum` value-operator — higher-order array fold
     * (scicat_dataset.py:237-242 → aggregate()). */
