@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.Relational
+import graft.operators.{Dedup, Relational, Similarity, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -40,11 +40,32 @@ object SparkEntry {
     "w_running" -> (Relational.wRunning _),
     "set_except" -> (Relational.setExcept _),
     "tumbling_window" -> (Relational.tumblingWindow _),
+    // training-data ops: dedup
+    "dedup_exact_keep_first" -> (Dedup.exactKeepFirst _),
+    "dedup_exact_groups" -> (Dedup.exactDupGroups _),
+    "dedup_ngram_top_pairs" -> (Dedup.ngramJaccardTopPairs _),
+    "dedup_minhash_buckets" -> (Dedup.minhashLshBuckets _),
+    "dedup_simhash" -> (Dedup.simhash _),
+    // training-data ops: similarity search
+    "ann_brute_topk" -> ((s: SparkSession, d: String) => Similarity.annBruteForceTopK(s, d)),
+    "ann_cosine_pairs" -> ((s: SparkSession, d: String) => Similarity.cosineThresholdPairs(s, d)),
+    "ann_lsh_topk" -> ((s: SparkSession, d: String) => Similarity.annLshTopK(s, d)),
+    // training-data ops: text analysis
+    "text_lang_id" -> (TextAnalysis.langId _),
+    "text_quality" -> (TextAnalysis.qualityScore _),
+    "text_tokens" -> (TextAnalysis.tokenStats _),
+    "text_fingerprint" -> (TextAnalysis.fingerprint _),
   )
+
+  /** Queries whose result may legitimately be empty at small scale
+    * factors (duplicate/near-dup pairs only exist at sf0.1). */
+  def mayBeEmpty: Set[String] = Set("dedup_exact_groups", "ann_cosine_pairs")
 
   /** Headline subset timed by [[Bench]]. */
   def benchQueries: Seq[String] = Seq(
-    "q1_pricing", "q3_shipping", "q5_region", "w_running", "j2_collect_list")
+    "q1_pricing", "q3_shipping", "q5_region", "w_running", "j2_collect_list",
+    "dedup_minhash_buckets", "dedup_ngram_top_pairs", "dedup_simhash",
+    "ann_brute_topk", "text_fingerprint", "text_quality")
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -141,5 +162,107 @@ object SparkEntry {
         |  event_type, count(*) AS n,
         |  cast(round(sum(cast(value as decimal(18,2))), 2) as double) AS total_value
         |FROM events GROUP BY 1, 2""".stripMargin,
+    "dedup_exact_keep_first" ->
+      """SELECT doc_id, content_hash FROM (
+        |  SELECT doc_id, md5(text) AS content_hash,
+        |    row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+        |  FROM documents) WHERE rn = 1""".stripMargin,
+    "dedup_exact_groups" ->
+      """SELECT md5(text) AS content_hash, count(*) AS n_copies,
+        |  list_sort(list(doc_id)) AS doc_ids
+        |FROM documents GROUP BY 1 HAVING count(*) > 1""".stripMargin,
+    "dedup_ngram_top_pairs" ->
+      """WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |sh AS (
+        |  SELECT doc_id, unnest(list_distinct(
+        |    [array_to_string(w[i:i+2], ' ') for i in range(1, len(w) - 1)])) AS shingle
+        |  FROM ws WHERE len(w) >= 3),
+        |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+        |inter AS (
+        |  SELECT a.doc_id AS doc1, b.doc_id AS doc2, count(*) AS n_inter
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT doc1, doc2,
+        |  round(n_inter / (n1.n_sh + n2.n_sh - n_inter), 4) AS jaccard
+        |FROM inter
+        |JOIN sizes n1 ON doc1 = n1.doc_id
+        |JOIN sizes n2 ON doc2 = n2.doc_id
+        |ORDER BY jaccard DESC, doc1, doc2 LIMIT 20""".stripMargin,
+    "ann_brute_topk" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+        |q AS (SELECT vec_id AS query_id, emb AS q_emb FROM e WHERE vec_id < 10),
+        |scored AS (
+        |  SELECT query_id, e.vec_id AS neighbor_id,
+        |    round(list_dot_product(q_emb, emb) /
+        |      (sqrt(list_dot_product(q_emb, q_emb)) * sqrt(list_dot_product(emb, emb))), 4) AS cos_sim
+        |  FROM e JOIN q ON e.vec_id <> q.query_id)
+        |SELECT query_id, rank, neighbor_id, cos_sim FROM (
+        |  SELECT query_id, neighbor_id, cos_sim,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank
+        |  FROM scored) WHERE rank <= 5""".stripMargin,
+    "ann_cosine_pairs" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings)
+        |SELECT a.vec_id AS id1, b.vec_id AS id2,
+        |  round(list_dot_product(a.emb, b.emb) /
+        |    (sqrt(list_dot_product(a.emb, a.emb)) * sqrt(list_dot_product(b.emb, b.emb))), 4) AS cos_sim
+        |FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |WHERE list_dot_product(a.emb, b.emb) /
+        |  (sqrt(list_dot_product(a.emb, a.emb)) * sqrt(list_dot_product(b.emb, b.emb))) > 0.4""".stripMargin,
+    "text_lang_id" ->
+      """SELECT doc_id, lang AS declared_lang,
+        |  CASE WHEN s_en >= s_fr AND s_en >= s_de AND s_en >= s_es AND s_en > 0 THEN 'en'
+        |       WHEN s_fr >= s_de AND s_fr >= s_es AND s_fr > 0 THEN 'fr'
+        |       WHEN s_de >= s_es AND s_de > 0 THEN 'de'
+        |       WHEN s_es > 0 THEN 'es' ELSE 'und' END AS pred_lang,
+        |  cast(s_en as bigint) AS score_en, cast(s_fr as bigint) AS score_fr,
+        |  cast(s_de as bigint) AS score_de, cast(s_es as bigint) AS score_es
+        |FROM (
+        |  SELECT doc_id, lang,
+        |    (length(t) - length(replace(t, ' the ', ''))) / 5
+        |      + (length(t) - length(replace(t, ' and ', ''))) / 5
+        |      + (length(t) - length(replace(t, ' of ', ''))) / 4 AS s_en,
+        |    (length(t) - length(replace(t, ' le ', ''))) / 4
+        |      + (length(t) - length(replace(t, ' la ', ''))) / 4
+        |      + (length(t) - length(replace(t, ' et ', ''))) / 4 AS s_fr,
+        |    (length(t) - length(replace(t, ' der ', ''))) / 5
+        |      + (length(t) - length(replace(t, ' und ', ''))) / 5
+        |      + (length(t) - length(replace(t, ' die ', ''))) / 5 AS s_de,
+        |    (length(t) - length(replace(t, ' el ', ''))) / 4
+        |      + (length(t) - length(replace(t, ' los ', ''))) / 5
+        |      + (length(t) - length(replace(t, ' y ', ''))) / 3 AS s_es
+        |  FROM (SELECT doc_id, lang, ' ' || text || ' ' AS t FROM documents))""".stripMargin,
+    "text_quality" ->
+      """SELECT doc_id,
+        |  cast(n_words as bigint) AS n_words,
+        |  round(avg_word_len, 4) AS avg_word_len,
+        |  round(distinct_ratio, 4) AS distinct_ratio,
+        |  round(stop_ratio, 4) AS stop_ratio,
+        |  round(CASE WHEN avg_word_len BETWEEN 3.0 AND 10.0 THEN 0.4 ELSE 0.0 END
+        |    + least(stop_ratio * 2.0, 0.3) + least(distinct_ratio, 0.3), 4) AS quality_score
+        |FROM (
+        |  SELECT doc_id,
+        |    len(string_split(text, ' '))::DOUBLE AS n_words,
+        |    (length(text)::DOUBLE - (len(string_split(text, ' ')) - 1))
+        |      / len(string_split(text, ' ')) AS avg_word_len,
+        |    len(list_distinct(string_split(text, ' ')))::DOUBLE
+        |      / len(string_split(text, ' ')) AS distinct_ratio,
+        |    ((length(t) - length(replace(t, ' the ', ''))) / 5
+        |      + (length(t) - length(replace(t, ' a ', ''))) / 3
+        |      + (length(t) - length(replace(t, ' of ', ''))) / 4
+        |      + (length(t) - length(replace(t, ' and ', ''))) / 5)
+        |      / len(string_split(text, ' ')) AS stop_ratio
+        |  FROM (SELECT doc_id, text, ' ' || text || ' ' AS t FROM documents))""".stripMargin,
+    "text_tokens" ->
+      """SELECT doc_id,
+        |  cast(len(string_split(text, ' ')) as bigint) AS ws_tokens,
+        |  cast(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]')) as bigint) AS bpe_ish_tokens,
+        |  n_chars
+        |FROM documents""".stripMargin,
+    "text_fingerprint" ->
+      """SELECT doc_id,
+        |  cast(list_sum(list_transform(string_split(text, ' '),
+        |    (w, i) -> (length(w) * 31 + ascii(substr(w, 1, 1)) + ascii(right(w, 1)) * 7) * i))
+        |    % 1000000007 as bigint) AS fingerprint
+        |FROM documents""".stripMargin,
   )
 }

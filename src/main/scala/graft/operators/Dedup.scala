@@ -1,0 +1,169 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+
+/** Deduplication operators for training-data pipelines: exact
+  * (hash-groupBy), MinHash+LSH, SimHash, and n-gram Jaccard.
+  *
+  * Scale notes (100 TB):
+  *  - exact dedup shuffles once on the content hash — the minimal
+  *    possible shuffle for global dedup; AQE handles hash skew;
+  *  - MinHash/LSH replaces the O(n²) pair space with a shuffle keyed on
+  *    (band, bucket): only same-bucket docs ever meet, which is the
+  *    standard web-scale near-dup design (shingle→minhash→band→join);
+  *  - the n-gram Jaccard self-join is blocked on shared shingles so the
+  *    join key-space is shingles, not doc pairs; good for verification
+  *    of LSH candidates — the top-k variant here keeps the oracle
+  *    comparable at small SF.
+  */
+object Dedup {
+
+  /** Exact dedup, keep-first: one row per distinct content hash with the
+    * smallest doc_id (row_number over hash-partitioned window). */
+  def exactKeepFirst(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("content_hash")).orderBy(col("doc_id"))
+    Tables.documents(spark, sfDir)
+      .withColumn("content_hash", md5(col("text")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("content_hash"))
+  }
+
+  /** Exact duplicate groups (count > 1) — empty until duplicates exist
+    * (sf0.1 carries 8); kept oracle-checked either way. */
+  def exactDupGroups(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .groupBy(md5(col("text")).as("content_hash"))
+      .agg(count(lit(1)).as("n_copies"), sort_array(collect_list(col("doc_id"))).as("doc_ids"))
+      .filter(col("n_copies") > 1)
+
+  /** Word n-grams (shingles) of a text column. */
+  def shingles(text: Column, n: Int): Column = {
+    val words = split(text, " ")
+    array_distinct(
+      filter(
+        zip_with(words, sequence(lit(0), size(words) - 1),
+          (_, i) => when(i <= size(words) - n,
+            array_join(slice(words, i + 1, lit(n)), " "))),
+        x => x.isNotNull))
+  }
+
+  /** Top-k most similar pairs by word-3-gram Jaccard, blocked on shared
+    * shingles (pure relational: explode → self-join → count ratio).
+    * Deterministic: rounded score, (doc-id) tie-breaks.
+    */
+  def ngramJaccardTopPairs(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), shingles(col("text"), 3).as("sh"))
+    val sizes = docs.select(col("doc_id"), size(col("sh")).as("n_sh"))
+    val exploded = docs.select(col("doc_id"), explode(col("sh")).as("shingle"))
+    val a = exploded.as("a")
+    val b = exploded.as("b")
+    val inter = a.join(b, col("a.shingle") === col("b.shingle") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc1"), col("b.doc_id").as("doc2"))
+      .agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "doc1").withColumnRenamed("n_sh", "n1"), "doc1")
+      .join(sizes.withColumnRenamed("doc_id", "doc2").withColumnRenamed("n_sh", "n2"), "doc2")
+      .select(col("doc1"), col("doc2"),
+        round(col("n_inter").cast("double") /
+          (col("n1") + col("n2") - col("n_inter")), 4).as("jaccard"))
+      .orderBy(col("jaccard").desc, col("doc1"), col("doc2"))
+      .limit(20)
+  }
+
+  // --- MinHash + LSH ----------------------------------------------------
+
+  val MinhashPerm = 32
+  val Bands = 8 // 8 bands x 4 rows
+  private val RowsPerBand = MinhashPerm / Bands
+  private val P = 2147483647L // 2^31-1
+
+  /** MinHash signatures banded for LSH. Deterministic: murmur3 base hash
+    * (Spark `hash` with fixed seed behavior) + fixed (a,b) permutation
+    * params. Output: one row per (doc, band) with the band's bucket key —
+    * the join key that replaces the O(n²) comparison at scale.
+    */
+  def minhashLshBuckets(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), shingles(col("text"), 3).as("sh"))
+      .filter(size(col("sh")) > 0)
+    // base hash per shingle once; k permutations as (a*h+b) mod p
+    val baseHashes = transform(col("sh"), s => abs(hash(s).cast("long")))
+    val sig = array((0 until MinhashPerm).map { i =>
+      val a = 2L * i + 1
+      val b = 104729L * (i + 1)
+      array_min(transform(baseHashes, h => pmod(h * a + b, lit(P))))
+    }: _*)
+    val banded = docs
+      .withColumn("sig", sig)
+      .select(col("doc_id"), posexplode(
+        array((0 until Bands).map(bnd =>
+          struct(lit(bnd).as("band"),
+            md5(array_join(slice(col("sig"), bnd * RowsPerBand + 1, RowsPerBand).cast("array<string>"), ":")).as("bucket"))
+        ): _*)))
+      .select(col("doc_id"), col("col.band").as("band"), col("col.bucket").as("bucket"))
+    banded
+  }
+
+  /** LSH candidate pairs verified by true 3-gram Jaccard ≥ threshold.
+    * Same-bucket join → distinct pairs → verification join.
+    */
+  def minhashNearDupPairs(spark: SparkSession, sfDir: String, threshold: Double = 0.7): DataFrame = {
+    val buckets = minhashLshBuckets(spark, sfDir)
+    val cand = buckets.as("x").join(buckets.as("y"),
+        col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc1"), col("y.doc_id").as("doc2"))
+      .distinct()
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), shingles(col("text"), 3).as("sh"))
+    val verified = cand
+      .join(docs.select(col("doc_id").as("doc1"), col("sh").as("sh1")), "doc1")
+      .join(docs.select(col("doc_id").as("doc2"), col("sh").as("sh2")), "doc2")
+      .withColumn("jaccard", round(
+        size(array_intersect(col("sh1"), col("sh2"))).cast("double") /
+          size(array_union(col("sh1"), col("sh2"))), 4))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc1"), col("doc2"), col("jaccard"))
+    verified
+  }
+
+  // --- SimHash ----------------------------------------------------------
+
+  /** 64-bit SimHash from word-level xxhash64: per-bit vote sums computed
+    * as 64 conditional aggregates over the exploded words — single
+    * shuffle on doc_id, all codegen'd (no UDF).
+    */
+  def simhash(spark: SparkSession, sfDir: String): DataFrame = {
+    val words = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .withColumn("h", xxhash64(col("w")))
+    val bitVotes = (0 until 64).map { b =>
+      sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$b")
+    }
+    val votes = words.groupBy(col("doc_id")).agg(bitVotes.head, bitVotes.tail: _*)
+    val sim = (0 until 64).map { b =>
+      when(col(s"b$b") > 0, shiftleft(lit(1L), b)).otherwise(0L)
+    }.reduce(_.bitwiseOR(_))
+    votes.select(col("doc_id"), sim.as("simhash"))
+  }
+
+  /** SimHash near-dup candidates: equal 16-bit bands (standard hamming
+    * blocking: distance ≤ 3 guarantees one of 4 bands equal). */
+  def simhashCandidates(spark: SparkSession, sfDir: String): DataFrame = {
+    val sims = simhash(spark, sfDir)
+    val banded = sims.select(col("doc_id"), posexplode(array((0 until 4).map(b =>
+      shiftright(col("simhash"), b * 16).bitwiseAND(0xFFFFL)): _*)))
+      .select(col("doc_id"), col("pos").as("band"), col("col").as("bucket"))
+    banded.as("x").join(banded.as("y"),
+        col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc1"), col("y.doc_id").as("doc2"))
+      .distinct()
+  }
+}

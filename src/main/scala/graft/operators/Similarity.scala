@@ -1,0 +1,105 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+
+/** Similarity search over an embedding column (`array<float>`).
+  *
+  * Baseline: brute-force cosine top-k — a broadcast of the (small) query
+  * set against a single scan of the corpus; O(Q·N) work but ZERO shuffle
+  * of the corpus side, which is the right brute-force shape at 100 TB.
+  * Scale path: hyperplane-LSH bucketing so candidate generation joins on
+  * (plane-signature) buckets instead of crossing the corpus.
+  *
+  * All dot products are computed in double precision via
+  * `zip_with`+`aggregate` (codegen'd higher-order functions, no UDF).
+  */
+object Similarity {
+
+  /** cosine(a, b) in double precision, element order fixed → result is
+    * bit-identical across engines that fold in index order. */
+  def cosine(a: Column, b: Column): Column = {
+    def dot(x: Column, y: Column): Column =
+      aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0), (acc, v) => acc + v)
+    val ad = a.cast("array<double>")
+    val bd = b.cast("array<double>")
+    dot(ad, bd) / (sqrt(dot(ad, ad)) * sqrt(dot(bd, bd)))
+  }
+
+  /** Brute-force cosine top-k: queries = vec_id < 10 (broadcast), k=5.
+    * Deterministic: rounded score then vec_id tie-break. */
+  def annBruteForceTopK(spark: SparkSession, sfDir: String, k: Int = 5): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir)
+    val queries = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val scored = emb.join(broadcast(queries), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(cosine(col("q_emb"), col("embedding")), 4).as("cos_sim"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos_sim"))
+  }
+
+  /** All pairs above a cosine threshold (set for the synthetic data's
+    * near-random embeddings; near-dup dedup would use ~0.95). */
+  def cosineThresholdPairs(spark: SparkSession, sfDir: String, threshold: Double = 0.4): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir)
+    val a = emb.select(col("vec_id").as("id1"), col("embedding").as("e1"))
+    val b = emb.select(col("vec_id").as("id2"), col("embedding").as("e2"))
+    a.join(b, col("id1") < col("id2"))
+      .withColumn("raw_cos", cosine(col("e1"), col("e2")))
+      .filter(col("raw_cos") > threshold) // filter on RAW value like the oracle
+      .select(col("id1"), col("id2"), round(col("raw_cos"), 4).as("cos_sim"))
+  }
+
+  /** Few planes → few, well-occupied buckets at test SFs; production
+    * would use 16+ planes with multi-probe for recall at 100 TB. */
+  val Planes = 4
+
+  /** Deterministic pseudo-random hyperplane component for (plane, dim):
+    * murmur3 of the index pair mapped into [-1, 1). */
+  private def planeComponent(plane: Int, dim: Column): Column =
+    (pmod(hash(lit(plane) * 1024 + dim).cast("long"), lit(2000001L)).cast("double")
+      / 1000000.0) - 1.0
+
+  /** Hyperplane-LSH signatures: sign bit per plane over the dot product
+    * with a deterministic pseudo-random plane. The 16-bit signature is
+    * the bucket key — candidate generation becomes an equi-join. */
+  def lshSignatures(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir)
+    val sigBits = (0 until Planes).map { p =>
+      val proj = aggregate(
+        zip_with(col("embedding").cast("array<double>"),
+          sequence(lit(0), size(col("embedding")) - 1),
+          (x, i) => x * planeComponent(p, i)),
+        lit(0.0), (acc, v) => acc + v)
+      when(proj >= 0, shiftleft(lit(1L), p)).otherwise(0L)
+    }
+    emb.select(col("vec_id"), col("label"),
+      sigBits.reduce(_.bitwiseOR(_)).as("lsh_bucket"))
+  }
+
+  /** Bucketed ANN: brute-force only within the query's LSH bucket —
+    * the candidate join is (bucket) equi-keyed, so the corpus shuffles
+    * once on bucket instead of crossing with every query. */
+  def annLshTopK(spark: SparkSession, sfDir: String, k: Int = 5): DataFrame = {
+    val sigs = lshSignatures(spark, sfDir)
+    val emb = Tables.embeddings(spark, sfDir).join(sigs.select("vec_id", "lsh_bucket"), "vec_id")
+    val queries = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        col("lsh_bucket").as("q_bucket"))
+    val scored = emb.join(broadcast(queries),
+        col("lsh_bucket") === col("q_bucket") && col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(cosine(col("q_emb"), col("embedding")), 4).as("cos_sim"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos_sim"))
+  }
+}

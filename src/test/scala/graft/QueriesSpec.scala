@@ -43,7 +43,8 @@ class QueriesSpec extends AnyFunSuite {
   for ((name, fn) <- SparkEntry.queries) {
     test(s"query $name runs and returns rows on sf0.001") {
       val df = fn(spark, sfDir)
-      assert(df.count() > 0, s"$name returned 0 rows")
+      if (SparkEntry.mayBeEmpty(name)) df.count() // must run, may be empty
+      else assert(df.count() > 0, s"$name returned 0 rows")
     }
   }
 }

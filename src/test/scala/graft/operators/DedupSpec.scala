@@ -1,0 +1,67 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+/** Near-dup recall checks at sf0.1 — the only SF carrying true
+  * duplicates (8 exact-dup docs among 5000). */
+class DedupSpec extends AnyFunSuite {
+  import TestSpark.spark
+  private val sf01 = "/root/testdata/sf0.1"
+
+  private lazy val trueDupPairs: Set[(Long, Long)] = {
+    Dedup.exactDupGroups(spark, sf01).collect().flatMap { r =>
+      val ids = r.getAs[scala.collection.Seq[Long]]("doc_ids")
+      for (a <- ids; b <- ids if a < b) yield (a, b)
+    }.toSet
+  }
+
+  test("sf0.1 carries exact duplicates") {
+    assert(trueDupPairs.nonEmpty)
+  }
+
+  test("minhash LSH recalls all exact-dup pairs") {
+    val found = Dedup.minhashNearDupPairs(spark, sf01).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(trueDupPairs.subsetOf(found),
+      s"missing: ${trueDupPairs -- found}")
+    // verified jaccard of exact dups must be 1.0
+    val exact = Dedup.minhashNearDupPairs(spark, sf01)
+      .filter(col("jaccard") === 1.0).count()
+    assert(exact >= trueDupPairs.size)
+  }
+
+  test("simhash of exact duplicates is identical") {
+    val sims = Dedup.simhash(spark, sf01)
+      .select(col("doc_id"), col("simhash")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    for ((a, b) <- trueDupPairs)
+      assert(sims(a) == sims(b), s"simhash($a) != simhash($b)")
+  }
+
+  test("simhash banding recalls exact-dup pairs") {
+    val cands = Dedup.simhashCandidates(spark, sf01).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(trueDupPairs.subsetOf(cands))
+  }
+
+  test("ngram jaccard top pairs ranks exact dups first") {
+    val top = Dedup.ngramJaccardTopPairs(spark, sf01).collect()
+    val topPairs = top.take(trueDupPairs.size)
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(topPairs == trueDupPairs)
+    assert(top.head.getDouble(2) == 1.0)
+  }
+
+  test("ANN LSH scores agree with brute force for shared pairs") {
+    val brute = Similarity.annBruteForceTopK(spark, sf01, k = 100).collect()
+      .map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+    val lsh = Similarity.annLshTopK(spark, sf01).collect()
+    assert(lsh.nonEmpty)
+    for (r <- lsh) {
+      val key = (r.getLong(0), r.getLong(2))
+      brute.get(key).foreach(score => assert(score == r.getDouble(3)))
+    }
+  }
+}
