@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{Dedup, Relational, Similarity, TextAnalysis}
+import graft.operators.{Dedup, IngestDemo, Relational, Similarity, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -40,6 +40,8 @@ object SparkEntry {
     "w_running" -> (Relational.wRunning _),
     "set_except" -> (Relational.setExcept _),
     "tumbling_window" -> (Relational.tumblingWindow _),
+    // full imsc ingestion pipeline (SURVEY §3.2) as one relational query
+    "imsc_pipeline" -> (IngestDemo.pipelineQuery _),
     // training-data ops: dedup
     "dedup_exact_keep_first" -> (Dedup.exactKeepFirst _),
     "dedup_exact_groups" -> (Dedup.exactDupGroups _),
@@ -162,6 +164,7 @@ object SparkEntry {
         |  event_type, count(*) AS n,
         |  cast(round(sum(cast(value as decimal(18,2))), 2) as double) AS total_value
         |FROM events GROUP BY 1, 2""".stripMargin,
+    "imsc_pipeline" -> IngestDemo.oracle,
     "dedup_exact_keep_first" ->
       """SELECT doc_id, content_hash FROM (
         |  SELECT doc_id, md5(text) AS content_hash,

@@ -1,0 +1,52 @@
+package graft.catalog
+
+import graft.schema.ConfigValue
+import graft.schema.ConfigValue._
+
+/** In-memory stand-in for the SciCat REST catalog used by SC-variable
+  * lookups, dedup checks and sample queries
+  * (ref: src/scicat_communication.py:14-24,134-236).
+  *
+  * Keys are rendered endpoint URLs (the engine's analogue of
+  * `render_full_url`); values are the JSON documents the REST call would
+  * return. Serializable so it broadcasts to executors — the engine-side
+  * equivalent of a broadcast-DataFrame lookup join; production would
+  * swap in an HTTP client inside `foreachBatch` (same interface).
+  */
+final case class LocalCatalog(entries: Map[String, String]) extends Serializable {
+
+  /** GET + optional single-field projection
+    * (ref: retrieve_value_from_scicat, scicat_communication.py:14-24).
+    * Returns the result as JSON text. */
+  def lookupJson(url: String, field: String): Option[String] =
+    entries.get(url).flatMap { doc =>
+      if (field == null || field.isEmpty) Some(doc)
+      else ConfigValue.fromJson(doc) match {
+        case m: CMap => m.get(field).map(render)
+        case _ => None
+      }
+    }
+
+  private def render(c: ConfigValue): String = c match {
+    case CStr(s) => graft.sources.NexusExtractor.jsonStr(s)
+    case CLong(v) => v.toString
+    case CDouble(v) => v.toString
+    case CBool(b) => b.toString
+    case CNull => "null"
+    case CSeq(items) => items.map(render).mkString("[", ",", "]")
+    case m: CMap => m.items.map { case (k, v) =>
+      graft.sources.NexusExtractor.jsonStr(k) + ":" + render(v)
+    }.mkString("{", ",", "}")
+  }
+
+  /** Existing dataset pids — the dedup anti-join side
+    * (ref: check_dataset_by_pid, scicat_communication.py:161-193). */
+  def datasetPids: Set[String] =
+    entries.keysIterator.collect {
+      case k if k.startsWith("datasets/") => k.stripPrefix("datasets/")
+    }.toSet
+}
+
+object LocalCatalog {
+  val empty: LocalCatalog = LocalCatalog(Map.empty)
+}

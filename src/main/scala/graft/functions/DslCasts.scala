@@ -16,7 +16,7 @@ import PyLiteral._
   */
 object DslCasts {
 
-  sealed abstract class DslType(val name: String)
+  sealed abstract class DslType(val name: String) extends Serializable
   case object DString extends DslType("string")
   case object DStringArr extends DslType("string[]")
   case object DInteger extends DslType("integer")
