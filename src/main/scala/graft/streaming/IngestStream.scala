@@ -1,0 +1,139 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.assemble.DatasetAssembly
+import graft.catalog.LocalCatalog
+import graft.expr.{ImscCompiler, SelectorCompiler}
+import graft.schema.ImscSchema
+
+/** The streaming driver: the reference's online-ingestor daemon as one
+  * Structured Streaming program (ref: SURVEY §3.1/§3.3).
+  *
+  * Shape: `readStream (kafka/memory) → F1 byte-slice type filter →
+  * decode → F2 error filter → foreachBatch { schema selection →
+  * imsc pipeline → F6 dedup anti-join → sink }`.
+  *
+  * Delivery: checkpointed micro-batches + the dedup anti-join give
+  * effective exactly-once (the reference's per-message commit + catalog
+  * dedup reproduce the same guarantee, ref §2.7). Per-instrument
+  * ordering for sample get-or-create is a repartition by
+  * `instrument_name` — ordering within a key, no global lock.
+  */
+object IngestStream {
+
+  val wrdnBodySchema: StructType = StructType(Seq(
+    StructField("service_id", StringType), StructField("job_id", StringType),
+    StructField("error_encountered", BooleanType),
+    StructField("file_name", StringType), StructField("metadata", StringType),
+    StructField("message", StringType)))
+
+  val pl72BodySchema: StructType = StructType(Seq(
+    StructField("job_id", StringType), StructField("filename", StringType),
+    StructField("instrument_name", StringType)))
+
+  /** F1+decode: keep payloads whose bytes [4:8] match the schema id,
+    * parse the JSON body. `value` is the raw binary column. */
+  def typed(messages: DataFrame, schemaId: String, bodySchema: StructType): DataFrame =
+    messages
+      .filter(substring(col("value"), 5, 4) === lit(schemaId.getBytes("UTF-8")))
+      .select(from_json(
+        substring(col("value"), 9, Int.MaxValue).cast("string"), bodySchema).as("m"))
+      .select(col("m.*"))
+
+  /** wrdn stream with the F2 error filter
+    * (ref: scicat_kafka.py:99-110 drops error_encountered). */
+  def wrdnStream(messages: DataFrame): DataFrame =
+    typed(messages, Messages.WrdnId, wrdnBodySchema)
+      .filter(!coalesce(col("error_encountered"), lit(false)))
+
+  def runStartStream(messages: DataFrame): DataFrame =
+    typed(messages, Messages.Pl72Id, pl72BodySchema)
+
+  final case class Config(
+      schemas: Seq[ImscSchema],
+      fallback: Option[ImscSchema] = None,
+      catalog: LocalCatalog = LocalCatalog.empty,
+      options: DatasetAssembly.Options = DatasetAssembly.Options(),
+      fileReader: String => Option[String] = _ => None,
+      fileLister: String => Seq[FileIngest.FileStats] =
+        p => Seq(FileIngest.stat(p)))
+
+  /** Process one micro-batch of wrdn records end-to-end: per-row schema
+    * selection (first-match cascade), per-schema imsc pipeline, F6 pid
+    * dedup anti-join. Returns the closed dataset rows.
+    */
+  def processBatch(batch: DataFrame, cfg: Config): DataFrame = {
+    val spark = batch.sparkSession
+    import spark.implicits._
+
+    // schema selection as a first-match when-cascade (F3/F4)
+    val ordered = ImscSchema.sortSchemas(cfg.schemas)
+    val fallbackId = cfg.fallback.map(s => lit(s.id))
+      .getOrElse(lit(null).cast("string"))
+    val cascade = ordered.foldRight(fallbackId) { (s, rest) =>
+      when(SelectorCompiler.compile(s.selector, col("file_name")), s.id).otherwise(rest)
+    }
+
+    val reader = cfg.fileReader
+    val lister = cfg.fileLister
+    val readUdf = udf((p: String) => reader(p))
+    val listUdf = udf((p: String) => lister(p).map(f =>
+      (f.path, f.size.map(Long.box).orNull, f.time, f.chk.orNull,
+        f.uid.orNull, f.gid.orNull, f.perm.orNull)))
+
+    val withInputs = batch
+      .withColumn("schema_id", cascade)
+      .withColumn("data_file_path", col("file_name"))
+      .withColumn("nexus_json", readUdf(col("file_name")))
+      .withColumn("files", listUdf(col("file_name"))
+        .cast(ArrayType(DatasetAssembly.FilesSchema)))
+
+    val allSchemas = ordered ++ cfg.fallback
+    val perSchema = allSchemas.flatMap { s =>
+      val subset = withInputs.filter(col("schema_id") === s.id)
+      try Some(DatasetAssembly.pipeline(
+        s, ImscCompiler.Context(catalog = cfg.catalog), cfg.options)(subset))
+      catch { case _: Exception => None } // schema-level failure isolation
+    }
+
+    val assembled = perSchema.reduceOption(_.unionByName(_))
+      .getOrElse(spark.emptyDataFrame)
+
+    // F6: dedup against existing catalog pids (left-anti join)
+    val existing = cfg.catalog.datasetPids.toSeq.toDF("existing_pid")
+    assembled.join(broadcast(existing),
+      assembled("pid") === existing("existing_pid"), "left_anti")
+  }
+
+  /** Wire a streaming query: wrdn filter/decode → foreachBatch(process →
+    * sink). `sink` receives the deduped dataset rows of each batch. */
+  def ingestQuery(
+      messages: DataFrame,
+      cfg: Config,
+      sink: (DataFrame, Long) => Unit,
+      checkpointDir: Option[String] = None) = {
+    val stream = wrdnStream(messages)
+    val writer = stream.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        sink(processBatch(batch.toDF(), cfg), id)
+      }
+    checkpointDir.fold(writer)(d => writer.option("checkpointLocation", d)).start()
+  }
+
+  /** §3.3 sample pipeline: pl72 stream partitioned by instrument, new
+    * (sample, proposal) pairs discovered via anti-join (get-or-create). */
+  def samplePipeline(pl72Batch: DataFrame, existingSamples: DataFrame): DataFrame = {
+    val candidates = pl72Batch
+      .repartition(col("instrument_name")) // per-instrument ordering domain
+      .select(col("job_id"), col("filename"), col("instrument_name"))
+      .dropDuplicates("filename", "instrument_name")
+    candidates.join(existingSamples,
+      candidates("filename") === existingSamples("sample_name") &&
+        candidates("instrument_name") === existingSamples("instrument"),
+      "left_anti")
+  }
+}
