@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{Dedup, IngestDemo, Relational, Similarity, TextAnalysis}
+import graft.operators.{Dedup, IngestDemo, Multimodal, Relational, Similarity, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -52,6 +52,11 @@ object SparkEntry {
     "ann_brute_topk" -> ((s: SparkSession, d: String) => Similarity.annBruteForceTopK(s, d)),
     "ann_cosine_pairs" -> ((s: SparkSession, d: String) => Similarity.cosineThresholdPairs(s, d)),
     "ann_lsh_topk" -> ((s: SparkSession, d: String) => Similarity.annLshTopK(s, d)),
+    // training-data ops: multimodal binary columns
+    "mm_meta_stats" -> (Multimodal.metaStats _),
+    "mm_frame_sample" -> ((s: SparkSession, d: String) => Multimodal.frameSample(s, d)),
+    "mm_decode_stats" -> (Multimodal.decodeStub _),
+    "mm_resize_plan" -> ((s: SparkSession, d: String) => Multimodal.resizePlan(s, d)),
     // training-data ops: text analysis
     "text_lang_id" -> (TextAnalysis.langId _),
     "text_quality" -> (TextAnalysis.qualityScore _),
@@ -211,6 +216,30 @@ object SparkEntry {
         |FROM e a JOIN e b ON a.vec_id < b.vec_id
         |WHERE list_dot_product(a.emb, b.emb) /
         |  (sqrt(list_dot_product(a.emb, a.emb)) * sqrt(list_dot_product(b.emb, b.emb))) > 0.4""".stripMargin,
+    "mm_meta_stats" ->
+      """SELECT modality, count(*) AS n,
+        |  cast(sum(32) as bigint) AS total_bytes,
+        |  cast(sum(CASE WHEN modality = 'image'
+        |    THEN (n_chars % 64 + 16) * (n_chars % 48 + 16) ELSE 0 END) as bigint) AS total_pixels,
+        |  cast(sum(CASE WHEN modality = 'video'
+        |    THEN n_chars % 240 + 24 ELSE 0 END) as bigint) AS total_frames
+        |FROM (SELECT CASE WHEN doc_id % 3 = 0 THEN 'image'
+        |             WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS modality,
+        |        n_chars FROM documents)
+        |GROUP BY modality""".stripMargin,
+    "mm_frame_sample" ->
+      """SELECT doc_id, cast(n_chars % 240 + 24 as int) AS n_frames,
+        |  (range(0, n_chars % 240 + 24, 10))[1:8] AS sampled_frames
+        |FROM documents WHERE doc_id % 3 = 2""".stripMargin,
+    "mm_resize_plan" ->
+      """SELECT doc_id,
+        |  cast(n_chars % 64 + 16 as int) AS width,
+        |  cast(n_chars % 48 + 16 as int) AS height,
+        |  cast(floor((n_chars % 64 + 16) *
+        |    least(1.0, 32.0 / greatest(n_chars % 64 + 16, n_chars % 48 + 16))) as int) AS new_width,
+        |  cast(floor((n_chars % 48 + 16) *
+        |    least(1.0, 32.0 / greatest(n_chars % 64 + 16, n_chars % 48 + 16))) as int) AS new_height
+        |FROM documents WHERE doc_id % 3 = 0""".stripMargin,
     "text_lang_id" ->
       """SELECT doc_id, lang AS declared_lang,
         |  CASE WHEN s_en >= s_fr AND s_en >= s_de AND s_en >= s_es AND s_en > 0 THEN 'en'

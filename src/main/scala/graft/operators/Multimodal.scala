@@ -1,0 +1,118 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Tables
+
+/** Multimodal columns for training-data pipelines: image/audio/video as
+  * opaque `binary` columns with typed metadata, plus decode /
+  * feature-extract / resize / frame-sample stages.
+  *
+  * The actual media codecs are STUBBED (no image/audio libraries in this
+  * environment): [[decodeStub]] derives deterministic "pixels" from the
+  * payload bytes. Everything Spark-side is real and tested — schema,
+  * partitioning, the mapPartitions batch shape (the Scala analogue of
+  * `mapInPandas`: one iterator per partition, vectorizable per batch),
+  * and the pure-Column metadata paths.
+  *
+  * Scale notes: blobs travel as single binary cells; feature extraction
+  * is a narrow mapPartitions (no shuffle) so it scales linearly with
+  * partitions; skew from variable blob sizes is handled by range
+  * repartitioning on the declared byte size BEFORE the expensive decode.
+  */
+object Multimodal {
+
+  val MetadataSchema: StructType = StructType(Seq(
+    StructField("modality", StringType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("sample_rate", IntegerType),
+    StructField("n_frames", IntegerType)))
+
+  /** Deterministic synthetic blobs from the documents table — the
+    * stand-in for a real binary source (S7-style scan of media files).
+    * Metadata derives arithmetically from doc fields so the DuckDB
+    * oracle can replicate it. */
+  def blobs(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .withColumn("modality",
+        when(col("doc_id") % 3 === 0, "image")
+          .when(col("doc_id") % 3 === 1, "audio")
+          .otherwise("video"))
+      .withColumn("payload", to_binary(sha2(col("text"), 256), lit("hex")))
+      .withColumn("meta", struct(
+        col("modality"),
+        when(col("modality") === "image", (col("n_chars") % 64 + 16).cast("int"))
+          .otherwise(lit(null).cast("int")).as("width"),
+        when(col("modality") === "image", (col("n_chars") % 48 + 16).cast("int"))
+          .otherwise(lit(null).cast("int")).as("height"),
+        when(col("modality") === "audio", lit(16000)).otherwise(lit(null).cast("int")).as("sample_rate"),
+        when(col("modality") === "video", (col("n_chars") % 240 + 24).cast("int"))
+          .otherwise(lit(null).cast("int")).as("n_frames")))
+      .select(col("doc_id"), col("payload"), col("meta"))
+
+  /** Metadata statistics — pure Column path over the typed meta struct. */
+  def metaStats(spark: SparkSession, sfDir: String): DataFrame =
+    blobs(spark, sfDir)
+      .groupBy(col("meta.modality").as("modality"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(length(col("payload"))).as("total_bytes"),
+        sum(coalesce(col("meta.width").cast("long") * col("meta.height"), lit(0L))).as("total_pixels"),
+        sum(coalesce(col("meta.n_frames").cast("long"), lit(0L))).as("total_frames"))
+
+  /** Frame sampling: pick every k-th frame index up to a cap — pure
+    * Column arithmetic on metadata (no decode needed for planning). */
+  def frameSample(spark: SparkSession, sfDir: String, every: Int = 10, cap: Int = 8): DataFrame =
+    blobs(spark, sfDir)
+      .filter(col("meta.modality") === "video")
+      .select(col("doc_id"), col("meta.n_frames").as("n_frames"),
+        slice(sequence(lit(0), col("meta.n_frames") - 1, lit(every)), 1, cap)
+          .as("sampled_frames"))
+
+  /** "Decoded" pixel statistics via mapPartitions — the mapInPandas
+    * batch shape: one iterator per partition, decode stub per element.
+    * The STUB: features derive from payload bytes deterministically
+    * (a real build would call an image codec here — the Spark plumbing
+    * around it is unchanged).
+    */
+  def decodeStub(spark: SparkSession, sfDir: String): DataFrame = {
+    val input = blobs(spark, sfDir)
+      // balance decode cost before the expensive stage: skewed blob
+      // sizes would straggle a partition at scale
+      .repartitionByRange(col("doc_id"))
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("modality", StringType),
+      StructField("n_bytes", IntegerType),
+      StructField("mean_byte", DoubleType),
+      StructField("byte_entropy_bucket", IntegerType)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
+    input.mapPartitions { rows =>
+      rows.map { r =>
+        val docId = r.getAs[Long]("doc_id")
+        val payload = r.getAs[Array[Byte]]("payload")
+        val modality = r.getAs[Row]("meta").getAs[String]("modality")
+        // --- stubbed decode: deterministic byte statistics ---
+        val mean = if (payload.isEmpty) 0.0
+          else payload.map(b => (b & 0xff).toDouble).sum / payload.length
+        val distinct = payload.map(_ & 0xff).toSet.size
+        Row(docId, modality, payload.length, math.rint(mean * 100) / 100, distinct / 8)
+      }
+    }(enc)
+  }
+
+  /** Resize planning: new dims as metadata transform (the byte-level
+    * resample is part of the stubbed codec). */
+  def resizePlan(spark: SparkSession, sfDir: String, maxSide: Int = 32): DataFrame =
+    blobs(spark, sfDir)
+      .filter(col("meta.modality") === "image")
+      .withColumn("scale",
+        least(lit(1.0), lit(maxSide) / greatest(col("meta.width"), col("meta.height"))))
+      .select(col("doc_id"),
+        col("meta.width").as("width"), col("meta.height").as("height"),
+        floor(col("meta.width") * col("scale")).cast("int").as("new_width"),
+        floor(col("meta.height") * col("scale")).cast("int").as("new_height"))
+}
