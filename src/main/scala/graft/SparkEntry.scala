@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{Dedup, IngestDemo, Multimodal, Relational, Similarity, TextAnalysis}
+import graft.operators.{Dedup, IngestDemo, Multimodal, Relational, Similarity, Substrate, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -40,6 +40,15 @@ object SparkEntry {
     "w_running" -> (Relational.wRunning _),
     "set_except" -> (Relational.setExcept _),
     "tumbling_window" -> (Relational.tumblingWindow _),
+    // substrate: grouping sets / joins / dates / SQL text / extensions
+    "sub_rollup" -> (Substrate.rollup _),
+    "sub_semi_join" -> (Substrate.semiJoin _),
+    "sub_ilike_join" -> (Substrate.ilikeJoin _),
+    "sub_date_ops" -> (Substrate.dateOps _),
+    "sql_top_customers" -> (Substrate.sqlTopCustomers _),
+    "sub_extractor_stats" -> (Substrate.extractorStats _),
+    "sub_common_path" -> (Substrate.commonPathByLang _),
+    "sub_blake2b" -> (Substrate.blake2bChecksums _),
     // full imsc ingestion pipeline (SURVEY §3.2) as one relational query
     "imsc_pipeline" -> (IngestDemo.pipelineQuery _),
     // training-data ops: dedup
@@ -216,6 +225,45 @@ object SparkEntry {
         |FROM e a JOIN e b ON a.vec_id < b.vec_id
         |WHERE list_dot_product(a.emb, b.emb) /
         |  (sqrt(list_dot_product(a.emb, a.emb)) * sqrt(list_dot_product(b.emb, b.emb))) > 0.4""".stripMargin,
+    "sub_rollup" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+        |  cast(round(sum(cast(o_totalprice as decimal(18,2))), 2) as double) AS total
+        |FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)""".stripMargin,
+    "sub_semi_join" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')""".stripMargin,
+    "sub_ilike_join" ->
+      """SELECT n_name, count(*) AS n_suppliers
+        |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |WHERE n_name ILIKE '%ation_1%' GROUP BY n_name""".stripMargin,
+    "sub_date_ops" ->
+      """SELECT o_orderkey,
+        |  cast(year(o_orderdate) as int) AS y,
+        |  cast(month(o_orderdate) as int) AS m,
+        |  cast(dayofweek(o_orderdate) + 1 as int) AS dow,
+        |  strftime(o_orderdate + INTERVAL 30 DAY, '%Y-%m-%d') AS due_day,
+        |  cast(date_diff('day', cast(o_orderdate as date), DATE '1998-12-31') as int) AS age_days
+        |FROM orders WHERE o_orderkey < 500""".stripMargin,
+    "sql_top_customers" ->
+      """SELECT c_custkey, c_name, count(*) AS n_orders,
+        |  cast(round(sum(cast(o_totalprice as decimal(18,2))), 2) as double) AS spend
+        |FROM customer JOIN orders ON o_custkey = c_custkey
+        |GROUP BY c_custkey, c_name
+        |ORDER BY spend DESC, c_custkey LIMIT 25""".stripMargin,
+    "sub_extractor_stats" ->
+      """SELECT vec_id,
+        |  round(cast(list_max(embedding) as double), 4) AS emb_max,
+        |  round(cast(list_min(embedding) as double), 4) AS emb_min,
+        |  round(list_sum(embedding::DOUBLE[]) / len(embedding), 4) AS emb_mean,
+        |  cast(len(embedding) as bigint) AS emb_dim
+        |FROM embeddings""".stripMargin,
+    "sub_common_path" ->
+      """SELECT lang,
+        |  CASE WHEN count(distinct source) > 1 THEN '/data/' || lang
+        |       ELSE min('/data/' || lang || '/' || source || '/run.nxs') END AS common_path,
+        |  count(*) AS n_docs
+        |FROM documents GROUP BY lang""".stripMargin,
     "mm_meta_stats" ->
       """SELECT modality, count(*) AS n,
         |  cast(sum(32) as bigint) AS total_bytes,

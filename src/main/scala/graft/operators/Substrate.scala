@@ -1,0 +1,101 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.Extractors
+
+/** Additional relational-substrate coverage: grouping sets, semi joins,
+  * pattern joins, date arithmetic, SQL-text entry, extractor registry,
+  * common-path aggregation, checksum surface. Everything here is a
+  * single declarative plan — Catalyst picks broadcast vs shuffle and
+  * keeps aggregates partial.
+  */
+object Substrate {
+
+  /** ROLLUP aggregation (grouping-set substrate; free per SURVEY §2.5). */
+  def rollup(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.orders(spark, sfDir)
+      .rollup(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("o_totalprice").cast("decimal(18,2)")), 2).cast("double").as("total"))
+
+  /** LEFT SEMI join (EXISTS shape — F6's complement). */
+  def semiJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val urgent = Tables.orders(spark, sfDir)
+      .filter(col("o_orderpriority") === "1-URGENT").select(col("o_custkey"))
+    Tables.customer(spark, sfDir)
+      .join(urgent, col("c_custkey") === col("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+  }
+
+  /** ilike pattern join — the J1 lookup variant
+    * (ref: resources/small-ymir.imsc.yml.example:56 uses an ilike
+    * filter in the instrument lookup). */
+  def ilikeJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val nations = Tables.nation(spark, sfDir)
+    Tables.supplier(spark, sfDir)
+      .join(broadcast(nations), col("s_nationkey") === col("n_nationkey"))
+      .filter(col("n_name").ilike("%ation_1%"))
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n_suppliers"))
+  }
+
+  /** Date arithmetic substrate: extraction, truncation, intervals. */
+  def dateOps(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.orders(spark, sfDir)
+      .filter(col("o_orderkey") < 500)
+      .select(
+        col("o_orderkey"),
+        year(col("o_orderdate")).as("y"),
+        month(col("o_orderdate")).as("m"),
+        dayofweek(col("o_orderdate")).as("dow"),
+        date_format(date_add(col("o_orderdate").cast("date"), 30), "yyyy-MM-dd").as("due_day"),
+        datediff(lit("1998-12-31").cast("date"), col("o_orderdate").cast("date")).as("age_days"))
+
+  /** SQL-text entry point: the same engine drives spark.sql over
+    * registered views (API-surface parity for SQL users). */
+  def sqlTopCustomers(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.customer(spark, sfDir).createOrReplaceTempView("v_customer")
+    Tables.orders(spark, sfDir).createOrReplaceTempView("v_orders")
+    spark.sql(
+      """SELECT c_custkey, c_name,
+        |  count(*) AS n_orders,
+        |  cast(round(sum(cast(o_totalprice as decimal(18,2))), 2) as double) AS spend
+        |FROM v_customer JOIN v_orders ON o_custkey = c_custkey
+        |GROUP BY c_custkey, c_name
+        |ORDER BY spend DESC, c_custkey LIMIT 25""".stripMargin)
+  }
+
+  /** A7: pluggable extractor aggregates applied by NAME over an array
+    * column (max/min/mean goldens of the reference's extractor tests). */
+  def extractorStats(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.embeddings(spark, sfDir)
+      .select(
+        col("vec_id"),
+        round(Extractors("max")(col("embedding")).cast("double"), 4).as("emb_max"),
+        round(Extractors("min")(col("embedding")).cast("double"), 4).as("emb_min"),
+        round(Extractors("mean")(col("embedding")), 4).as("emb_mean"),
+        Extractors("count")(col("embedding")).as("emb_dim"))
+
+  /** A3 as a groupBy aggregate via the typed CommonPathAggregator. */
+  def commonPathByLang(spark: SparkSession, sfDir: String): DataFrame = {
+    val agg = udaf(new graft.plans.CommonPathAggregator)
+    Tables.documents(spark, sfDir)
+      .select(col("lang"),
+        concat(lit("/data/"), col("lang"), lit("/"), col("source"), lit("/run.nxs")).as("p"))
+      .groupBy(col("lang"))
+      .agg(agg(col("p")).as("common_path"), count(lit(1)).as("n_docs"))
+  }
+
+  /** S8 checksum surface: blake2b-512 hex over document bytes (UDF —
+    * no DuckDB analogue, validated against RFC 7693 vectors in specs). */
+  def blake2bChecksums(spark: SparkSession, sfDir: String): DataFrame = {
+    val b2b = udf((s: String) =>
+      if (s == null) null
+      else graft.functions.Blake2b.hashHex(s.getBytes("UTF-8")))
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), b2b(col("text")).as("blake2b"))
+  }
+}
