@@ -18,9 +18,16 @@ import graft.Tables
   */
 object Similarity {
 
-  /** cosine(a, b) in double precision, element order fixed → result is
-    * bit-identical across engines that fold in index order. */
-  def cosine(a: Column, b: Column): Column = {
+  /** cosine(a, b) via the native codegen'd [[graft.plans.CosineSimilarity]]
+    * expression (registered per session). Double precision, index-order
+    * accumulation → bit-identical to [[cosineFold]] and the DuckDB oracle.
+    */
+  def cosine(a: Column, b: Column): Column =
+    call_function("cosine_sim", a.cast("array<double>"), b.cast("array<double>"))
+
+  /** Built-in higher-order-function formulation (interpreted lambdas) —
+    * kept as the cross-validation twin of the native expression. */
+  def cosineFold(a: Column, b: Column): Column = {
     def dot(x: Column, y: Column): Column =
       aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0), (acc, v) => acc + v)
     val ad = a.cast("array<double>")
@@ -31,6 +38,7 @@ object Similarity {
   /** Brute-force cosine top-k: queries = vec_id < 10 (broadcast), k=5.
     * Deterministic: rounded score then vec_id tie-break. */
   def annBruteForceTopK(spark: SparkSession, sfDir: String, k: Int = 5): DataFrame = {
+    graft.plans.CosineSimilarity.register(spark)
     val emb = Tables.embeddings(spark, sfDir)
     val queries = emb.filter(col("vec_id") < 10)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
@@ -47,6 +55,7 @@ object Similarity {
   /** All pairs above a cosine threshold (set for the synthetic data's
     * near-random embeddings; near-dup dedup would use ~0.95). */
   def cosineThresholdPairs(spark: SparkSession, sfDir: String, threshold: Double = 0.4): DataFrame = {
+    graft.plans.CosineSimilarity.register(spark)
     val emb = Tables.embeddings(spark, sfDir)
     val a = emb.select(col("vec_id").as("id1"), col("embedding").as("e1"))
     val b = emb.select(col("vec_id").as("id2"), col("embedding").as("e2"))
@@ -87,6 +96,7 @@ object Similarity {
     * the candidate join is (bucket) equi-keyed, so the corpus shuffles
     * once on bucket instead of crossing with every query. */
   def annLshTopK(spark: SparkSession, sfDir: String, k: Int = 5): DataFrame = {
+    graft.plans.CosineSimilarity.register(spark)
     val sigs = lshSignatures(spark, sfDir)
     val emb = Tables.embeddings(spark, sfDir).join(sigs.select("vec_id", "lsh_bucket"), "vec_id")
     val queries = emb.filter(col("vec_id") < 10)
