@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{Dedup, IngestDemo, Multimodal, Relational, Similarity, Substrate, TextAnalysis}
+import graft.operators.{Dedup, IngestDemo, Multimodal, Relational, Similarity, Skew, Substrate, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -49,6 +49,10 @@ object SparkEntry {
     "sub_extractor_stats" -> (Substrate.extractorStats _),
     "sub_common_path" -> (Substrate.commonPathByLang _),
     "sub_blake2b" -> (Substrate.blake2bChecksums _),
+    "skew_salted_agg" -> (Skew.saltedAgg _),
+    "skew_salted_join" -> (Skew.saltedJoin _),
+    "sub_percentiles" -> (Skew.percentiles _),
+    "sub_approx_aggs" -> (Skew.approxAggs _),
     // full imsc ingestion pipeline (SURVEY §3.2) as one relational query
     "imsc_pipeline" -> (IngestDemo.pipelineQuery _),
     // training-data ops: dedup
@@ -225,6 +229,22 @@ object SparkEntry {
         |FROM e a JOIN e b ON a.vec_id < b.vec_id
         |WHERE list_dot_product(a.emb, b.emb) /
         |  (sqrt(list_dot_product(a.emb, a.emb)) * sqrt(list_dot_product(b.emb, b.emb))) > 0.4""".stripMargin,
+    "skew_salted_agg" ->
+      """SELECT event_type, count(*) AS n,
+        |  cast(round(sum(cast(value as decimal(18,2))), 2) as double) AS total_value
+        |FROM events GROUP BY event_type""".stripMargin,
+    "skew_salted_join" ->
+      """SELECT e.event_type,
+        |  cast(round(sum(cast(value as decimal(18,2)) * cast(w.weight as decimal(18,2))), 2) as double) AS weighted_value
+        |FROM events e JOIN (VALUES ('click', 1.0), ('view', 0.1), ('purchase', 10.0),
+        |  ('signup', 5.0), ('error', 0.0)) AS w(event_type, weight)
+        |  ON e.event_type = w.event_type
+        |GROUP BY e.event_type""".stripMargin,
+    "sub_percentiles" ->
+      """SELECT l_returnflag,
+        |  round(quantile_cont(l_extendedprice, 0.5), 2) AS p50_exact,
+        |  round(quantile_cont(l_extendedprice, 0.95), 2) AS p95_exact
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
     "sub_rollup" ->
       """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
         |  cast(round(sum(cast(o_totalprice as decimal(18,2))), 2) as double) AS total

@@ -1,0 +1,72 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Streaming source constructors and stateful substrate.
+  *
+  * [[fromKafka]] is the production wiring of S1
+  * (ref: build_consumer, src/scicat_kafka.py:54-71): bootstrap +
+  * subscribe + security options map 1:1 onto the Kafka source options;
+  * commit policy is replaced by checkpointing (§2.7). Untestable in this
+  * offline environment (no broker) but identical downstream: every
+  * transform in [[IngestStream]] consumes any DataFrame with a binary
+  * `value` column.
+  */
+object StreamSources {
+
+  def fromKafka(
+      spark: SparkSession,
+      bootstrapServers: String,
+      topics: Seq[String],
+      securityOptions: Map[String, String] = Map.empty,
+      maxOffsetsPerTrigger: Option[Long] = None): DataFrame = {
+    val base = spark.readStream.format("kafka")
+      .option("kafka.bootstrap.servers", bootstrapServers)
+      .option("subscribe", topics.mkString(","))
+      .option("startingOffsets", "earliest")
+    val withSecurity = securityOptions.foldLeft(base) {
+      case (b, (k, v)) => b.option(s"kafka.$k", v)
+    }
+    maxOffsetsPerTrigger.fold(withSecurity)(n =>
+      withSecurity.option("maxOffsetsPerTrigger", n)) // A8 backpressure
+      .load()
+  }
+
+  /** Event-time tumbling-window aggregation with a watermark — the
+    * streaming form of the batch `tumbling_window` query (§2.7
+    * substrate; the reference itself needs no windows). */
+  def windowedCounts(events: DataFrame, watermark: String = "10 minutes",
+      window_ : String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), window_), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n"), col("total_value"))
+
+  /** Cross-batch keyed dedup via mapGroupsWithState: first occurrence of
+    * each key passes, replays are dropped — the stateful form of the F6
+    * dedup gate for streams without a queryable catalog. State is one
+    * boolean per key; a production deployment bounds it with
+    * `GroupStateTimeout.ProcessingTimeTimeout` + `setTimeoutDuration`
+    * (a TTL keeps the keyed store from growing unboundedly at 100 TB —
+    * omitted here because a pending timeout keeps test micro-batches
+    * scheduling forever under `processAllAvailable`). */
+  def statefulDedup[T](
+      keyed: Dataset[(String, T)])(implicit te: org.apache.spark.sql.Encoder[T],
+      oe: org.apache.spark.sql.Encoder[Option[T]]): Dataset[Option[T]] = {
+    implicit val boolEnc: org.apache.spark.sql.Encoder[Boolean] =
+      org.apache.spark.sql.Encoders.scalaBoolean
+    keyed.groupByKey(_._1)(org.apache.spark.sql.Encoders.STRING)
+      .mapGroupsWithState[Boolean, Option[T]](GroupStateTimeout.NoTimeout) {
+        (_: String, rows: Iterator[(String, T)], state: GroupState[Boolean]) =>
+          if (state.exists) None // replay → dropped
+          else {
+            state.update(true)
+            rows.buffered.headOption.map(_._2)
+          }
+      }
+  }
+}

@@ -1,0 +1,57 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan shape assertions — the scale contract, enforced:
+  * filters reach the parquet scan, projections prune columns, small
+  * dims broadcast, the ngram self-join stays sort-merge.
+  */
+class PlanShapeSpec extends AnyFunSuite {
+  import TestSpark.{spark, sfDir}
+
+  private def plan(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, sfDir)
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("q1: shipdate filter pushed to the parquet scan") {
+    val p = plan("q1_pricing")
+    assert(p.contains("PushedFilters") && p.contains("l_shipdate"))
+    assert(p.contains("LessThanOrEqual(l_shipdate"))
+  }
+
+  test("q1: scan prunes to touched columns only") {
+    val p = plan("q1_pricing")
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("l_orderkey"), s"unpruned scan: $readSchema")
+    assert(readSchema.contains("l_quantity"))
+  }
+
+  test("q3/j1: dimension joins are broadcast") {
+    assert(plan("q3_shipping").contains("BroadcastHashJoin"))
+    assert(plan("j1_enrich_lookup").contains("BroadcastHashJoin"))
+  }
+
+  test("ngram self-join is sort-merge, not broadcast") {
+    val p = plan("dedup_ngram_top_pairs")
+    assert(p.contains("SortMergeJoin"), "shingle self-join must shuffle on the key")
+  }
+
+  test("whole-stage codegen covers the scan+filter+project pipelines") {
+    // AQE finalizes the plan only on execution
+    for (q <- Seq("q1_pricing", "text_quality")) {
+      val df = SparkEntry.queries(q)(spark, sfDir)
+      df.collect() // executes THIS queryExecution so AQE finalizes it
+      val p = df.queryExecution.executedPlan.toString
+      // codegen stages print as "*(n) Operator" in the final plan
+      assert(p.contains("WholeStageCodegen") || p.contains("*("), s"$q lost codegen:\n$p")
+    }
+  }
+
+  test("minhash aggregate is partial (map-side combine)") {
+    val p = plan("dedup_minhash_buckets")
+    // partial_min markers appear in the partial HashAggregate
+    assert(p.contains("partial_min") || p.contains("HashAggregate"))
+    assert(p.contains("Exchange hashpartitioning(doc_id"))
+  }
+}

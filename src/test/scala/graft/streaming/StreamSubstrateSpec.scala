@@ -1,0 +1,90 @@
+package graft.streaming
+
+import java.sql.Timestamp
+import java.util.concurrent.ConcurrentLinkedQueue
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.operators.IngestDemo
+import graft.streaming.Messages._
+
+/** Streaming substrate: watermarked event-time windows, cross-batch
+  * stateful dedup, and sustained-throughput parity with the reference's
+  * stress envelope (BASELINE.md: 1 msg/s for 300 s, ≤60 s per-record).
+  */
+class StreamSubstrateSpec extends AnyFunSuite {
+  import TestSpark.spark
+  import spark.implicits._
+
+  test("watermarked tumbling window aggregates event time (append mode)") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String, Double)]
+    val agg = StreamSources.windowedCounts(
+      input.toDF().toDF("ts", "event_type", "value"),
+      watermark = "5 minutes", window_ = "1 hour")
+    val q = agg.writeStream.outputMode("append")
+      .format("memory").queryName("win_out").start()
+
+    def ts(s: String) = Timestamp.valueOf(s)
+    input.addData(
+      (ts("2024-01-01 10:05:00"), "click", 1.0),
+      (ts("2024-01-01 10:45:00"), "click", 2.0),
+      (ts("2024-01-01 10:50:00"), "view", 3.0))
+    q.processAllAvailable()
+    // advance event time past the watermark so the 10:00 window closes
+    input.addData((ts("2024-01-01 12:30:00"), "click", 1.0))
+    q.processAllAvailable()
+    val rows = spark.sql("select * from win_out").collect()
+    q.stop()
+    val clicks = rows.find(r => r.getAs[String]("event_type") == "click")
+    assert(clicks.isDefined && clicks.get.getAs[Long]("n") == 2)
+    assert(clicks.get.getAs[Double]("total_value") == 3.0)
+  }
+
+  test("mapGroupsWithState dedups keys across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, String)]
+    val deduped = StreamSources.statefulDedup(input.toDS())
+    val q = deduped.filter(_.isDefined).map(_.get)
+      .writeStream.outputMode(OutputMode.Update)
+      .format("memory").queryName("dedup_out").start()
+
+    input.addData(("job-1", "a"), ("job-2", "b"))
+    q.processAllAvailable()
+    input.addData(("job-1", "a-replay"), ("job-3", "c")) // job-1 replayed
+    q.processAllAvailable()
+    val got = spark.sql("select * from dedup_out").collect().map(_.getString(0)).sorted
+    q.stop()
+    assert(got.toSeq == Seq("a", "b", "c")) // replay dropped
+  }
+
+  test("throughput: 300 wrdn messages end-to-end well above 1 msg/s") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Array[Byte]]
+    val results = new ConcurrentLinkedQueue[Row]()
+    val cfg = IngestStream.Config(
+      schemas = Seq(IngestDemo.schema),
+      fileReader = IngestStreamFixture.reader,
+      fileLister = IngestStreamFixture.lister)
+    val query = IngestStream.ingestQuery(
+      input.toDF(), cfg, (batch, _) => batch.collect().foreach(results.add))
+
+    val t0 = System.nanoTime()
+    val msgs = (1 to 300).map(i => MessageCodec.encodeWrdn(
+      WritingFinished("svc", s"job-$i", error_encountered = false,
+        s"/data/a/run$i.nxs", "{}", "done")))
+    msgs.grouped(100).foreach(batch => input.addData(batch))
+    query.processAllAvailable()
+    query.stop()
+    val secs = (System.nanoTime() - t0) / 1e9
+    assert(results.size == 300, s"got ${results.size}")
+    val rate = 300 / secs
+    info(f"ingested 300 msgs in $secs%.1f s → $rate%.0f msg/s")
+    assert(rate > 1.0, f"below the reference envelope: $rate%.2f msg/s")
+  }
+}
