@@ -127,3 +127,41 @@ class IngestStreamSpec extends AnyFunSuite {
     assert(slept.toSeq == Seq(1000L)) // 0.001 clamped up to 1 s; second delay unused
   }
 }
+
+class SinksSpec extends AnyFunSuite {
+  import TestSpark.spark
+  import spark.implicits._
+
+  test("K1/K2/F10: dataset sink writes null-stripped JSON lines; K5 dry-run skips") {
+    val out = java.nio.file.Files.createTempDirectory("graft_sink").toString
+    val batch = Seq(("svc", "j1", false, "/data/a/r.nxs", "{}", "ok"))
+      .toDF("service_id", "job_id", "error_encountered", "file_name", "metadata", "message")
+    val cfg = IngestStream.Config(
+      schemas = Seq(IngestDemo.schema),
+      fileReader = IngestStreamFixture.reader,
+      fileLister = IngestStreamFixture.lister)
+    val datasets = IngestStream.processBatch(batch, cfg)
+    Sinks.jsonDatasetSink(out)(datasets, 0L)
+    val ds = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(out, "datasets_00000.jsonl"))
+    assert(ds.contains("\"datasetName\":\"ds_stream run\""))
+    assert(!ds.contains("\"pid\"")) // null pid stripped (F10)
+    val db = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(out, "origdatablocks_00000.jsonl"))
+    assert(db.contains("\"chkAlg\":\"blake2b\""))
+
+    val dry = java.nio.file.Files.createTempDirectory("graft_dry").toString
+    Sinks.jsonDatasetSink(dry + "/sub", dryRun = true)(datasets, 0L)
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(dry, "sub")))
+  }
+
+  test("K3: raw message dump writes one JSON per file") {
+    val out = java.nio.file.Files.createTempDirectory("graft_dump").toString
+    val batch = Seq(("svc", "j1", false, "/data/a/r.nxs", "{\"k\":1}", "ok"))
+      .toDF("service_id", "job_id", "error_encountered", "file_name", "metadata", "message")
+    Sinks.dumpMessages(batch, out)
+    val body = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(out, "r.nxs.json"))
+    assert(body.contains("\"job_id\":\"j1\"") && body.contains("{\\\"k\\\":1}"))
+  }
+}
