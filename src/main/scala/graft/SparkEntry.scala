@@ -65,6 +65,8 @@ object SparkEntry {
     "ann_brute_topk" -> ((s: SparkSession, d: String) => Similarity.annBruteForceTopK(s, d)),
     "ann_cosine_pairs" -> ((s: SparkSession, d: String) => Similarity.cosineThresholdPairs(s, d)),
     "ann_lsh_topk" -> ((s: SparkSession, d: String) => Similarity.annLshTopK(s, d)),
+    "ann_ivf_topk" -> ((s: SparkSession, d: String) => Similarity.annIvfTopK(s, d)),
+    "sub_intersect" -> (Substrate.intersectOp _),
     // training-data ops: multimodal binary columns
     "mm_meta_stats" -> (Multimodal.metaStats _),
     "mm_frame_sample" -> ((s: SparkSession, d: String) => Multimodal.frameSample(s, d)),
@@ -217,6 +219,39 @@ object SparkEntry {
         |    round(list_dot_product(q_emb, emb) /
         |      (sqrt(list_dot_product(q_emb, q_emb)) * sqrt(list_dot_product(emb, emb))), 4) AS cos_sim
         |  FROM e JOIN q ON e.vec_id <> q.query_id)
+        |SELECT query_id, rank, neighbor_id, cos_sim FROM (
+        |  SELECT query_id, neighbor_id, cos_sim,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank
+        |  FROM scored) WHERE rank <= 5""".stripMargin,
+    "sub_intersect" ->
+      """SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+        |INTERSECT
+        |SELECT o_custkey FROM orders WHERE o_orderpriority = '5-LOW'""".stripMargin,
+    "ann_ivf_topk" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+        |c AS (SELECT vec_id AS cent_id, emb AS c_emb FROM e WHERE vec_id % 50 = 0),
+        |assigned AS (
+        |  SELECT vec_id, emb, cent_id FROM (
+        |    SELECT e.vec_id, e.emb, c.cent_id,
+        |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |        list_dot_product(e.emb, c.c_emb) /
+        |          (sqrt(list_dot_product(e.emb, e.emb)) * sqrt(list_dot_product(c.c_emb, c.c_emb))) DESC,
+        |        c.cent_id) AS rn
+        |    FROM e CROSS JOIN c) WHERE rn = 1),
+        |q AS (SELECT vec_id AS query_id, emb AS q_emb FROM e WHERE vec_id < 10),
+        |probed AS (
+        |  SELECT query_id, q_emb, cent_id FROM (
+        |    SELECT q.query_id, q.q_emb, c.cent_id,
+        |      row_number() OVER (PARTITION BY q.query_id ORDER BY
+        |        list_dot_product(q.q_emb, c.c_emb) /
+        |          (sqrt(list_dot_product(q.q_emb, q.q_emb)) * sqrt(list_dot_product(c.c_emb, c.c_emb))) DESC,
+        |        c.cent_id) AS rn
+        |    FROM q CROSS JOIN c) WHERE rn <= 2),
+        |scored AS (
+        |  SELECT p.query_id, a.vec_id AS neighbor_id,
+        |    round(list_dot_product(p.q_emb, a.emb) /
+        |      (sqrt(list_dot_product(p.q_emb, p.q_emb)) * sqrt(list_dot_product(a.emb, a.emb))), 4) AS cos_sim
+        |  FROM probed p JOIN assigned a ON p.cent_id = a.cent_id AND a.vec_id <> p.query_id)
         |SELECT query_id, rank, neighbor_id, cos_sim FROM (
         |  SELECT query_id, neighbor_id, cos_sim,
         |    row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank

@@ -92,6 +92,59 @@ object Similarity {
       sigBits.reduce(_.bitwiseOR(_)).as("lsh_bucket"))
   }
 
+  /** IVF (inverted-file) ANN: deterministic "centroids" (every
+    * `stride`-th vector — a real build would k-means them), each vector
+    * assigned to its nearest centroid, queries probe the `nprobe`
+    * nearest cells. The candidate join is (cluster) equi-keyed — the
+    * IVF counterpart of the LSH bucket join; at 100 TB the assignment
+    * is a broadcast of the centroid set against one corpus scan.
+    */
+  def ivfAssignments(spark: SparkSession, sfDir: String, stride: Int = 50): DataFrame = {
+    graft.plans.CosineSimilarity.register(spark)
+    val emb = Tables.embeddings(spark, sfDir)
+    val centroids = emb.filter(col("vec_id") % stride === 0)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("c_emb"))
+    val scored = emb.crossJoin(broadcast(centroids))
+      .select(col("vec_id"), col("embedding"), col("cent_id"),
+        cosine(col("embedding"), col("c_emb")).as("cos_c"))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cos_c").desc, col("cent_id"))
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("embedding"), col("cent_id"))
+  }
+
+  def annIvfTopK(spark: SparkSession, sfDir: String, k: Int = 5,
+      nprobe: Int = 2, stride: Int = 50): DataFrame = {
+    graft.plans.CosineSimilarity.register(spark)
+    val emb = Tables.embeddings(spark, sfDir)
+    val centroids = emb.filter(col("vec_id") % stride === 0)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("c_emb"))
+    val assigned = ivfAssignments(spark, sfDir, stride)
+    val queries = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    // nprobe nearest cells per query
+    val wq = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_c").desc, col("cent_id"))
+    val probed = queries.crossJoin(broadcast(centroids))
+      .select(col("query_id"), col("q_emb"), col("cent_id"),
+        cosine(col("q_emb"), col("c_emb")).as("cos_c"))
+      .withColumn("rn", row_number().over(wq))
+      .filter(col("rn") <= nprobe)
+      .select(col("query_id"), col("q_emb"), col("cent_id"))
+    // candidates = vectors assigned to the probed cells
+    val scored = probed.join(assigned, Seq("cent_id"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(cosine(col("q_emb"), col("embedding")), 4).as("cos_sim"))
+      .dropDuplicates("query_id", "neighbor_id")
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos_sim"))
+  }
+
   /** Bucketed ANN: brute-force only within the query's LSH bucket —
     * the candidate join is (bucket) equi-keyed, so the corpus shuffles
     * once on bucket instead of crossing with every query. */

@@ -42,6 +42,15 @@ object Substrate {
       .agg(count(lit(1)).as("n_suppliers"))
   }
 
+  /** INTERSECT set op: customers buying at both priority extremes. */
+  def intersectOp(spark: SparkSession, sfDir: String): DataFrame = {
+    val urgent = Tables.orders(spark, sfDir)
+      .filter(col("o_orderpriority") === "1-URGENT").select(col("o_custkey"))
+    val low = Tables.orders(spark, sfDir)
+      .filter(col("o_orderpriority") === "5-LOW").select(col("o_custkey"))
+    urgent.intersect(low)
+  }
+
   /** Date arithmetic substrate: extraction, truncation, intervals. */
   def dateOps(spark: SparkSession, sfDir: String): DataFrame =
     Tables.orders(spark, sfDir)
