@@ -97,7 +97,7 @@ object SparkEntry {
         |  cast(round(sum(cast(l_quantity as decimal(18,2))), 2) as double) AS sum_qty,
         |  cast(round(sum(cast(l_extendedprice as decimal(18,2))), 2) as double) AS sum_base_price,
         |  cast(round(sum(cast(l_extendedprice as decimal(18,2)) * (cast(1 as decimal(18,2)) - cast(l_discount as decimal(18,2)))), 2) as double) AS sum_disc_price,
-        |  round(cast(sum(cast(l_quantity as decimal(18,2))) as double) / count(*), 2) AS avg_qty,
+        |  floor((cast(sum(cast(l_quantity as decimal(18,2))) as double) / count(*)) * 100 + 0.5) / 100 AS avg_qty,
         |  count(*) AS count_order
         |FROM lineitem WHERE l_shipdate <= '1998-09-02'
         |GROUP BY l_returnflag, l_linestatus
@@ -173,8 +173,8 @@ object SparkEntry {
     "w_running" ->
       """SELECT event_id, user_id,
         |  row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
-        |  round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_value
+        |  floor((sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) * 100 + 0.5) / 100 AS running_value
         |FROM events""".stripMargin,
     "set_except" ->
       """SELECT c_custkey FROM customer EXCEPT
@@ -206,7 +206,7 @@ object SparkEntry {
         |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
         |  GROUP BY 1, 2)
         |SELECT doc1, doc2,
-        |  round(n_inter / (n1.n_sh + n2.n_sh - n_inter), 4) AS jaccard
+        |  floor((n_inter / (n1.n_sh + n2.n_sh - n_inter)) * 10000 + 0.5) / 10000 AS jaccard
         |FROM inter
         |JOIN sizes n1 ON doc1 = n1.doc_id
         |JOIN sizes n2 ON doc2 = n2.doc_id
@@ -216,8 +216,8 @@ object SparkEntry {
         |q AS (SELECT vec_id AS query_id, emb AS q_emb FROM e WHERE vec_id < 10),
         |scored AS (
         |  SELECT query_id, e.vec_id AS neighbor_id,
-        |    round(list_dot_product(q_emb, emb) /
-        |      (sqrt(list_dot_product(q_emb, q_emb)) * sqrt(list_dot_product(emb, emb))), 4) AS cos_sim
+        |    floor((list_dot_product(q_emb, emb) /
+        |      (sqrt(list_dot_product(q_emb, q_emb)) * sqrt(list_dot_product(emb, emb)))) * 10000 + 0.5) / 10000 AS cos_sim
         |  FROM e JOIN q ON e.vec_id <> q.query_id)
         |SELECT query_id, rank, neighbor_id, cos_sim FROM (
         |  SELECT query_id, neighbor_id, cos_sim,
@@ -249,8 +249,8 @@ object SparkEntry {
         |    FROM q CROSS JOIN c) WHERE rn <= 2),
         |scored AS (
         |  SELECT p.query_id, a.vec_id AS neighbor_id,
-        |    round(list_dot_product(p.q_emb, a.emb) /
-        |      (sqrt(list_dot_product(p.q_emb, p.q_emb)) * sqrt(list_dot_product(a.emb, a.emb))), 4) AS cos_sim
+        |    floor((list_dot_product(p.q_emb, a.emb) /
+        |      (sqrt(list_dot_product(p.q_emb, p.q_emb)) * sqrt(list_dot_product(a.emb, a.emb)))) * 10000 + 0.5) / 10000 AS cos_sim
         |  FROM probed p JOIN assigned a ON p.cent_id = a.cent_id AND a.vec_id <> p.query_id)
         |SELECT query_id, rank, neighbor_id, cos_sim FROM (
         |  SELECT query_id, neighbor_id, cos_sim,
@@ -259,8 +259,8 @@ object SparkEntry {
     "ann_cosine_pairs" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings)
         |SELECT a.vec_id AS id1, b.vec_id AS id2,
-        |  round(list_dot_product(a.emb, b.emb) /
-        |    (sqrt(list_dot_product(a.emb, a.emb)) * sqrt(list_dot_product(b.emb, b.emb))), 4) AS cos_sim
+        |  floor((list_dot_product(a.emb, b.emb) /
+        |    (sqrt(list_dot_product(a.emb, a.emb)) * sqrt(list_dot_product(b.emb, b.emb)))) * 10000 + 0.5) / 10000 AS cos_sim
         |FROM e a JOIN e b ON a.vec_id < b.vec_id
         |WHERE list_dot_product(a.emb, b.emb) /
         |  (sqrt(list_dot_product(a.emb, a.emb)) * sqrt(list_dot_product(b.emb, b.emb))) > 0.4""".stripMargin,
@@ -276,10 +276,28 @@ object SparkEntry {
         |  ON e.event_type = w.event_type
         |GROUP BY e.event_type""".stripMargin,
     "sub_percentiles" ->
-      """SELECT l_returnflag,
-        |  round(quantile_cont(l_extendedprice, 0.5), 2) AS p50_exact,
-        |  round(quantile_cont(l_extendedprice, 0.95), 2) AS p95_exact
-        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+      """WITH ranked AS (
+        |  SELECT l_returnflag, l_extendedprice,
+        |    row_number() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice) AS rn,
+        |    count(*) OVER (PARTITION BY l_returnflag) AS n
+        |  FROM lineitem),
+        |marks AS (
+        |  SELECT *,
+        |    floor(cast(n - 1 as double) * 0.5 + 1.0) AS lo_50,
+        |    ceil(cast(n - 1 as double) * 0.5 + 1.0) AS hi_50,
+        |    (cast(n - 1 as double) * 0.5 + 1.0) - floor(cast(n - 1 as double) * 0.5 + 1.0) AS frac_50,
+        |    floor(cast(n - 1 as double) * 0.95 + 1.0) AS lo_95,
+        |    ceil(cast(n - 1 as double) * 0.95 + 1.0) AS hi_95,
+        |    (cast(n - 1 as double) * 0.95 + 1.0) - floor(cast(n - 1 as double) * 0.95 + 1.0) AS frac_95
+        |  FROM ranked)
+        |SELECT l_returnflag,
+        |  floor((max(CASE WHEN rn = lo_50 THEN l_extendedprice END)
+        |    + (max(CASE WHEN rn = hi_50 THEN l_extendedprice END)
+        |       - max(CASE WHEN rn = lo_50 THEN l_extendedprice END)) * max(frac_50)) * 100 + 0.5) / 100 AS p50_exact,
+        |  floor((max(CASE WHEN rn = lo_95 THEN l_extendedprice END)
+        |    + (max(CASE WHEN rn = hi_95 THEN l_extendedprice END)
+        |       - max(CASE WHEN rn = lo_95 THEN l_extendedprice END)) * max(frac_95)) * 100 + 0.5) / 100 AS p95_exact
+        |FROM marks GROUP BY l_returnflag""".stripMargin,
     "sub_rollup" ->
       """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
         |  cast(round(sum(cast(o_totalprice as decimal(18,2))), 2) as double) AS total
@@ -308,9 +326,9 @@ object SparkEntry {
         |ORDER BY spend DESC, c_custkey LIMIT 25""".stripMargin,
     "sub_extractor_stats" ->
       """SELECT vec_id,
-        |  round(cast(list_max(embedding) as double), 4) AS emb_max,
-        |  round(cast(list_min(embedding) as double), 4) AS emb_min,
-        |  round(list_sum(embedding::DOUBLE[]) / len(embedding), 4) AS emb_mean,
+        |  floor((cast(list_max(embedding) as double)) * 10000 + 0.5) / 10000 AS emb_max,
+        |  floor((cast(list_min(embedding) as double)) * 10000 + 0.5) / 10000 AS emb_min,
+        |  floor((list_sum(embedding::DOUBLE[]) / len(embedding)) * 10000 + 0.5) / 10000 AS emb_mean,
         |  cast(len(embedding) as bigint) AS emb_dim
         |FROM embeddings""".stripMargin,
     "sub_common_path" ->
@@ -369,11 +387,11 @@ object SparkEntry {
     "text_quality" ->
       """SELECT doc_id,
         |  cast(n_words as bigint) AS n_words,
-        |  round(avg_word_len, 4) AS avg_word_len,
-        |  round(distinct_ratio, 4) AS distinct_ratio,
-        |  round(stop_ratio, 4) AS stop_ratio,
-        |  round(CASE WHEN avg_word_len BETWEEN 3.0 AND 10.0 THEN 0.4 ELSE 0.0 END
-        |    + least(stop_ratio * 2.0, 0.3) + least(distinct_ratio, 0.3), 4) AS quality_score
+        |  floor((avg_word_len) * 10000 + 0.5) / 10000 AS avg_word_len,
+        |  floor((distinct_ratio) * 10000 + 0.5) / 10000 AS distinct_ratio,
+        |  floor((stop_ratio) * 10000 + 0.5) / 10000 AS stop_ratio,
+        |  floor((CASE WHEN avg_word_len BETWEEN 3.0 AND 10.0 THEN 0.4 ELSE 0.0 END
+        |    + least(stop_ratio * 2.0, 0.3) + least(distinct_ratio, 0.3)) * 10000 + 0.5) / 10000 AS quality_score
         |FROM (
         |  SELECT doc_id,
         |    len(string_split(text, ' '))::DOUBLE AS n_words,

@@ -99,7 +99,7 @@ object Dedup {
       .join(sizes.withColumnRenamed("doc_id", "doc1").withColumnRenamed("n_sh", "n1"), "doc1")
       .join(sizes.withColumnRenamed("doc_id", "doc2").withColumnRenamed("n_sh", "n2"), "doc2")
       .select(col("doc1"), col("doc2"),
-        round(col("n_inter").cast("double") /
+        PortableRound.pround(col("n_inter").cast("double") /
           (col("n1") + col("n2") - col("n_inter")), 4).as("jaccard"))
       .orderBy(col("jaccard").desc, col("doc1"), col("doc2"))
       .limit(20)

@@ -42,7 +42,7 @@ object Relational {
         asDouble(sum(dec(col("l_quantity")))).as("sum_qty"),
         asDouble(sum(dec(col("l_extendedprice")))).as("sum_base_price"),
         asDouble(sum(dec(col("l_extendedprice")) * (lit(1).cast("decimal(18,2)") - dec(col("l_discount"))))).as("sum_disc_price"),
-        round(sum(dec(col("l_quantity"))).cast("double") / count(lit(1)), 2).as("avg_qty"),
+        PortableRound.pround(sum(dec(col("l_quantity"))).cast("double") / count(lit(1)), 2).as("avg_qty"),
         count(lit(1)).as("count_order"))
       .orderBy(col("l_returnflag"), col("l_linestatus"))
   }
@@ -228,7 +228,7 @@ object Relational {
     Tables.events(spark, sfDir)
       .withColumn("rn", row_number().over(w))
       .withColumn("running_value",
-        round(sum(col("value")).over(w.rowsBetween(Window.unboundedPreceding, 0)), 2))
+        PortableRound.pround(sum(col("value")).over(w.rowsBetween(Window.unboundedPreceding, 0)), 2))
       .select(col("event_id"), col("user_id"), col("rn"), col("running_value"))
   }
 

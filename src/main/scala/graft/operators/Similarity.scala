@@ -44,7 +44,7 @@ object Similarity {
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
     val scored = emb.join(broadcast(queries), col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        round(cosine(col("q_emb"), col("embedding")), 4).as("cos_sim"))
+        PortableRound.pround(cosine(col("q_emb"), col("embedding")), 4).as("cos_sim"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos_sim").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w))
@@ -62,7 +62,7 @@ object Similarity {
     a.join(b, col("id1") < col("id2"))
       .withColumn("raw_cos", cosine(col("e1"), col("e2")))
       .filter(col("raw_cos") > threshold) // filter on RAW value like the oracle
-      .select(col("id1"), col("id2"), round(col("raw_cos"), 4).as("cos_sim"))
+      .select(col("id1"), col("id2"), PortableRound.pround(col("raw_cos"), 4).as("cos_sim"))
   }
 
   /** Few planes → few, well-occupied buckets at test SFs; production
@@ -136,7 +136,7 @@ object Similarity {
     val scored = probed.join(assigned, Seq("cent_id"))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        round(cosine(col("q_emb"), col("embedding")), 4).as("cos_sim"))
+        PortableRound.pround(cosine(col("q_emb"), col("embedding")), 4).as("cos_sim"))
       .dropDuplicates("query_id", "neighbor_id")
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos_sim").desc, col("neighbor_id"))
@@ -158,7 +158,7 @@ object Similarity {
     val scored = emb.join(broadcast(queries),
         col("lsh_bucket") === col("q_bucket") && col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        round(cosine(col("q_emb"), col("embedding")), 4).as("cos_sim"))
+        PortableRound.pround(cosine(col("q_emb"), col("embedding")), 4).as("cos_sim"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos_sim").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w))

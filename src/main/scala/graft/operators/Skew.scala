@@ -53,14 +53,39 @@ object Skew {
         .cast("double").as("weighted_value"))
   }
 
-  /** Exact percentiles substrate (sort-based, interpolating — matches
-    * DuckDB quantile_cont). */
-  def percentiles(spark: SparkSession, sfDir: String): DataFrame =
-    Tables.lineitem(spark, sfDir)
-      .groupBy(col("l_returnflag"))
-      .agg(
-        round(expr("percentile(l_extendedprice, 0.5)"), 2).as("p50_exact"),
-        round(expr("percentile(l_extendedprice, 0.95)"), 2).as("p95_exact"))
+  /** Exact interpolated percentiles via explicit rank arithmetic
+    * (windowed row_number + linear interpolation). Built-in
+    * `percentile`/`quantile_cont` associate the interpolation
+    * differently across engines (one-ulp differences that survive
+    * rounding at quantile boundaries); spelling the formula out makes
+    * the float ops identical on both sides — and the window+aggregate
+    * shape is itself substrate coverage. */
+  def percentiles(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("l_returnflag")).orderBy(col("l_extendedprice"))
+    val wAll = Window.partitionBy(col("l_returnflag"))
+    val ranked = Tables.lineitem(spark, sfDir)
+      .select(col("l_returnflag"), col("l_extendedprice"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(wAll))
+    def q(p: Double, tag: String): Seq[(String, org.apache.spark.sql.Column)] = {
+      val pos = (col("n") - 1).cast("double") * p + 1.0
+      Seq(
+        s"lo_$tag" -> floor(pos),
+        s"hi_$tag" -> ceil(pos),
+        s"frac_$tag" -> (pos - floor(pos)))
+    }
+    val marks = (q(0.5, "50") ++ q(0.95, "95")).foldLeft(ranked) {
+      case (d, (name, c)) => d.withColumn(name, c)
+    }
+    def interp(tag: String) = {
+      val vLo = max(when(col("rn") === col(s"lo_$tag"), col("l_extendedprice")))
+      val vHi = max(when(col("rn") === col(s"hi_$tag"), col("l_extendedprice")))
+      PortableRound.pround(vLo + (vHi - vLo) * max(col(s"frac_$tag")), 2)
+    }
+    marks.groupBy(col("l_returnflag"))
+      .agg(interp("50").as("p50_exact"), interp("95").as("p95_exact"))
+  }
 
   /** Sketch-based approximate aggregates (rows-only vs the oracle —
     * sketch internals are engine-specific by nature). */

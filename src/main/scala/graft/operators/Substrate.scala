@@ -83,9 +83,9 @@ object Substrate {
     Tables.embeddings(spark, sfDir)
       .select(
         col("vec_id"),
-        round(Extractors("max")(col("embedding")).cast("double"), 4).as("emb_max"),
-        round(Extractors("min")(col("embedding")).cast("double"), 4).as("emb_min"),
-        round(Extractors("mean")(col("embedding")), 4).as("emb_mean"),
+        PortableRound.pround(Extractors("max")(col("embedding")).cast("double"), 4).as("emb_max"),
+        PortableRound.pround(Extractors("min")(col("embedding")).cast("double"), 4).as("emb_min"),
+        PortableRound.pround(Extractors("mean")(col("embedding")), 4).as("emb_mean"),
         Extractors("count")(col("embedding")).as("emb_dim"))
 
   /** A3 as a groupBy aggregate via the typed CommonPathAggregator. */

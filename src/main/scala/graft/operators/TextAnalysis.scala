@@ -52,16 +52,16 @@ object TextAnalysis {
     val avgWordLen = (nChars - (nWords - 1)) / nWords
     val distinctRatio = size(array_distinct(words)).cast("double") / nWords
     val stopRatio = stopHits / nWords
-    val score = round(
+    val score = PortableRound.pround(
       when(avgWordLen.between(3.0, 10.0), 0.4).otherwise(0.0)
         + least(stopRatio * lit(2.0), lit(0.3))
         + least(distinctRatio, lit(0.3)), 4)
     Tables.documents(spark, sfDir)
       .select(col("doc_id"),
         nWords.cast("long").as("n_words"),
-        round(avgWordLen, 4).as("avg_word_len"),
-        round(distinctRatio, 4).as("distinct_ratio"),
-        round(stopRatio, 4).as("stop_ratio"),
+        PortableRound.pround(avgWordLen, 4).as("avg_word_len"),
+        PortableRound.pround(distinctRatio, 4).as("distinct_ratio"),
+        PortableRound.pround(stopRatio, 4).as("stop_ratio"),
         score.as("quality_score"))
   }
 

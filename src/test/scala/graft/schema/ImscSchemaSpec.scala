@@ -66,3 +66,22 @@ class ImscSchemaSpec extends AnyFunSuite {
       errs.exists(_.contains(m))))
   }
 }
+
+class SchemaDiscoverySpec extends AnyFunSuite {
+  test("S9: discovers imsc files, skips dotfiles and others, orders collection") {
+    val dir = java.nio.file.Files.createTempDirectory("imsc")
+    def write(name: String, body: String) =
+      java.nio.file.Files.writeString(dir.resolve(name), body)
+    def schema(id: String, name: String, order: Int) =
+      s"""{"id": "$id", "name": "$name", "order": $order,
+         |"instrument": "", "selector": "*", "variables": {}, "schema": {}}""".stripMargin
+    write("b.imsc.yml", s"id: b-schema\nname: Beta\norder: 2\nselector: '*'\n")
+    write("a.imsc.json", schema("a-schema", "alpha", 2))
+    write("c.imsc.yaml", schema("c-schema", "Zulu", 1))
+    write(".hidden.imsc.yml", schema("hidden", "H", 0))
+    write("notes.txt", "not a schema")
+    val got = graft.schema.ImscSchema.collectSchemas(dir)
+    assert(got.map(_._1) == Vector("c-schema", "a-schema", "b-schema"))
+    assert(got.head._2.name == "Zulu")
+  }
+}
