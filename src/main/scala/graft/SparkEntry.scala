@@ -22,6 +22,7 @@ object SparkEntry {
     "q1_pricing" -> (Relational.q1Pricing _),
     "q3_shipping" -> (Relational.q3Shipping _),
     "q5_region" -> (Relational.q5Region _),
+    "q14_promo" -> (Relational.q14Promo _),
     // §2.2 filters
     "f1_type_filter" -> (Relational.f1TypeFilter _),
     "f2_error_filter" -> (Relational.f2ErrorFilter _),
@@ -85,9 +86,10 @@ object SparkEntry {
 
   /** Headline subset timed by [[Bench]]. */
   def benchQueries: Seq[String] = Seq(
-    "q1_pricing", "q3_shipping", "q5_region", "w_running", "j2_collect_list",
-    "dedup_minhash_buckets", "dedup_ngram_top_pairs", "dedup_simhash",
-    "ann_brute_topk", "text_fingerprint", "text_quality")
+    "q1_pricing", "q3_shipping", "q5_region", "q14_promo", "w_running",
+    "j2_collect_list", "dedup_minhash_buckets", "dedup_ngram_top_pairs",
+    "dedup_simhash", "ann_brute_topk", "ann_ivf_topk", "text_fingerprint",
+    "text_quality", "imsc_pipeline", "mm_decode_stats")
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -111,15 +113,27 @@ object SparkEntry {
         |GROUP BY l_orderkey, o_orderdate
         |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
     "q5_region" ->
-      """SELECT n_name,
+      """SELECT r_name, n_name,
         |  cast(round(sum(cast(l_extendedprice as decimal(18,2)) * (cast(1 as decimal(18,2)) - cast(l_discount as decimal(18,2)))), 2) as double) AS revenue
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
         |JOIN supplier ON l_suppkey = s_suppkey
         |JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
         |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
         |WHERE o_orderdate >= '1994-01-01' AND o_orderdate < '1996-01-01'
-        |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin,
+        |  AND r_name IN ('ASIA', 'EUROPE')
+        |GROUP BY r_name, n_name ORDER BY revenue DESC, n_name""".stripMargin,
+    "q14_promo" ->
+      """SELECT p_brand,
+        |  cast(round(sum(CASE WHEN p_type LIKE 'PROMO%'
+        |    THEN cast(l_extendedprice as decimal(18,2)) * (cast(1 as decimal(18,2)) - cast(l_discount as decimal(18,2)))
+        |    ELSE cast(0 as decimal(18,2)) END), 2) as double) AS promo_revenue,
+        |  cast(round(sum(cast(l_extendedprice as decimal(18,2)) * (cast(1 as decimal(18,2)) - cast(l_discount as decimal(18,2)))), 2) as double) AS total_revenue,
+        |  count(*) AS n_items
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE l_shipdate >= '1995-01-01' AND l_shipdate < '1995-07-01'
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
     "f1_type_filter" ->
       "SELECT event_id, event_type, user_id FROM events WHERE substr(event_type, 1, 2) = 'cl'",
     "f2_error_filter" ->

@@ -63,7 +63,8 @@ object Relational {
       .limit(10)
   }
 
-  /** Q5-shaped local-supplier volume: star join, dims broadcast. */
+  /** Q5-shaped local-supplier volume: full star join through
+    * nation→region, all dims broadcast. */
   def q5Region(spark: SparkSession, sfDir: String): DataFrame = {
     val cust = Tables.customer(spark, sfDir)
     val ord = Tables.orders(spark, sfDir)
@@ -71,14 +72,32 @@ object Relational {
     val li = Tables.lineitem(spark, sfDir)
     val sup = Tables.supplier(spark, sfDir)
     val nat = Tables.nation(spark, sfDir)
+    val reg = Tables.region(spark, sfDir).filter(col("r_name").isin("ASIA", "EUROPE"))
     li.join(ord, col("l_orderkey") === col("o_orderkey"))
       .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
       .join(broadcast(cust.select(col("c_custkey"), col("c_nationkey"))), col("o_custkey") === col("c_custkey"))
       .filter(col("c_nationkey") === col("s_nationkey"))
       .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
-      .groupBy(col("n_name"))
+      .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
       .agg(asDouble(sum(dec(col("l_extendedprice")) * (lit(1).cast("decimal(18,2)") - dec(col("l_discount"))))).as("revenue"))
       .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  /** Q14-shaped promo revenue: lineitem × part with conditional
+    * aggregation (covers the `part` table + case-aggregate shape). */
+  def q14Promo(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+      .filter(col("l_shipdate") >= lit("1995-01-01") && col("l_shipdate") < lit("1995-07-01"))
+    val part = Tables.part(spark, sfDir)
+    val rev = dec(col("l_extendedprice")) * (lit(1).cast("decimal(18,2)") - dec(col("l_discount")))
+    li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(
+        asDouble(sum(when(col("p_type").startsWith("PROMO"), rev).otherwise(lit(0).cast("decimal(18,2)")))).as("promo_revenue"),
+        asDouble(sum(rev)).as("total_revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("p_brand"))
   }
 
   private def asDate(c: Column): Column = date_format(c, "yyyy-MM-dd")

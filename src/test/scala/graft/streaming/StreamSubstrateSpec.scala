@@ -88,3 +88,37 @@ class StreamSubstrateSpec extends AnyFunSuite {
     assert(rate > 1.0, f"below the reference envelope: $rate%.2f msg/s")
   }
 }
+
+class CheckpointRecoverySpec extends AnyFunSuite {
+  import TestSpark.spark
+  import spark.implicits._
+
+  test("restart from checkpoint resumes offsets — no reprocessing (§2.7)") {
+    implicit val sqlCtx = spark.sqlContext
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    val input = MemoryStream[Array[Byte]]
+    val results = new ConcurrentLinkedQueue[String]()
+    val cfg = IngestStream.Config(
+      schemas = Seq(IngestDemo.schema),
+      fileReader = IngestStreamFixture.reader,
+      fileLister = IngestStreamFixture.lister)
+    def sink(batch: org.apache.spark.sql.DataFrame, id: Long): Unit =
+      batch.select("runNumber").collect().foreach(r => results.add(r.getString(0)))
+
+    def wrdn(i: Int) = MessageCodec.encodeWrdn(WritingFinished(
+      "svc", s"j$i", error_encountered = false, s"/data/a/r$i.nxs", "{}", "ok"))
+
+    val q1 = IngestStream.ingestQuery(input.toDF(), cfg, sink, Some(ckpt))
+    input.addData(wrdn(1), wrdn(2), wrdn(3))
+    q1.processAllAvailable()
+    q1.stop()
+    assert(results.size == 3)
+
+    // restart against the same checkpoint: only NEW offsets process
+    input.addData(wrdn(4), wrdn(5))
+    val q2 = IngestStream.ingestQuery(input.toDF(), cfg, sink, Some(ckpt))
+    q2.processAllAvailable()
+    q2.stop()
+    assert(results.size == 5, s"expected no reprocessing, got ${results.size}")
+  }
+}
