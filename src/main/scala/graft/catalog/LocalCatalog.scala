@@ -45,6 +45,41 @@ final case class LocalCatalog(entries: Map[String, String]) extends Serializable
     entries.keysIterator.collect {
       case k if k.startsWith("datasets/") => k.stripPrefix("datasets/")
     }.toSet
+
+  /** F7: existing values of `scientificMetadata.<key>.value` across the
+    * catalog's datasets — the exists-by-metadata dedup side
+    * (ref: check_dataset_by_metadata, scicat_communication.py:196-236,
+    * Mongo filter {"where": {"scientificMetadata.<key>.value": v}}). */
+  def metadataValues(key: String): Set[String] =
+    entries.iterator.collect {
+      case (k, doc) if k.startsWith("datasets/") =>
+        ConfigValue.fromJson(doc) match {
+          case m: CMap => m.get("scientificMetadata") match {
+            case Some(sm: CMap) => sm.get(key) match {
+              case Some(item: CMap) => item.get("value").map {
+                case CStr(s) => s
+                case CLong(v) => v.toString
+                case CDouble(v) => v.toString
+                case other => other.toString
+              }
+              case _ => None
+            }
+            case _ => None
+          }
+          case _ => None
+        }
+    }.flatten.toSet
+
+  /** J2: sample query by (name, proposalId) → sampleId list
+    * (ref: query_sample, scicat_communication.py:134-158). Entries keyed
+    * `samples/<name>/<proposalId>` hold a JSON array of sampleIds. */
+  def querySamples(name: String, proposalId: String): Seq[String] =
+    entries.get(s"samples/$name/$proposalId").toSeq.flatMap { doc =>
+      ConfigValue.fromJson(doc) match {
+        case CSeq(items) => items.collect { case CStr(s) => s }
+        case _ => Seq.empty
+      }
+    }
 }
 
 object LocalCatalog {

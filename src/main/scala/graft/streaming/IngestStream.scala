@@ -52,6 +52,14 @@ object IngestStream {
   def runStartStream(messages: DataFrame): DataFrame =
     typed(messages, Messages.Pl72Id, pl72BodySchema)
 
+  /** P19: sample-attachment reads from fixed NeXus paths
+    * (ref: SampleAttachmentConfig, scicat_metadata.py:174-217 — defaults
+    * `/entry/sample/name` and `/entry/experiment_identifier`). */
+  final case class SampleAttachment(
+      querySampleName: Boolean = false,
+      sampleNamePath: String = "/entry/sample/name",
+      proposalIdPath: String = "/entry/experiment_identifier")
+
   final case class Config(
       schemas: Seq[ImscSchema],
       fallback: Option[ImscSchema] = None,
@@ -59,7 +67,11 @@ object IngestStream {
       options: DatasetAssembly.Options = DatasetAssembly.Options(),
       fileReader: String => Option[String] = _ => None,
       fileLister: String => Seq[FileIngest.FileStats] =
-        p => Seq(FileIngest.stat(p)))
+        p => Seq(FileIngest.stat(p)),
+      /** F7: dedup on `scientificMetadata.<key>.value` when set
+        * (ref default key `job_id`, scicat_configuration.py:326-328). */
+      dedupMetadataKey: Option[String] = None,
+      sampleAttachment: SampleAttachment = SampleAttachment())
 
   /** Process one micro-batch of wrdn records end-to-end: per-row schema
     * selection (first-match cascade), per-schema imsc pipeline, F6 pid
@@ -84,12 +96,32 @@ object IngestStream {
       (f.path, f.size.map(Long.box).orNull, f.time, f.chk.orNull,
         f.uid.orNull, f.gid.orNull, f.perm.orNull)))
 
-    val withInputs = batch
+    var withInputs = batch
       .withColumn("schema_id", cascade)
       .withColumn("data_file_path", col("file_name"))
       .withColumn("nexus_json", readUdf(col("file_name")))
       .withColumn("files", listUdf(col("file_name"))
         .cast(ArrayType(DatasetAssembly.FilesSchema)))
+
+    // P19 + J2: read (sample name, proposal id) from the fixed NeXus
+    // paths and query the catalog for matching sampleIds — feeds the J4
+    // sampleId merge in assembly (ref: maybe_sample_dataset_pid,
+    // scicat_offline_ingestor.py:164-191)
+    if (cfg.sampleAttachment.querySampleName) {
+      val att = cfg.sampleAttachment
+      val catalogForSamples = cfg.catalog
+      val sampleUdf = udf { (nexusJson: String) =>
+        val rootOpt =
+          if (nexusJson == null) None
+          else scala.util.Try(graft.sources.NexusTree.fromJson(nexusJson)).toOption
+        (for {
+          root <- rootOpt
+          name <- graft.sources.NexusTree.readString(root, att.sampleNamePath)
+          proposal <- graft.sources.NexusTree.readString(root, att.proposalIdPath)
+        } yield catalogForSamples.querySamples(name, proposal)).getOrElse(Seq.empty[String])
+      }
+      withInputs = withInputs.withColumn("sample_pids", sampleUdf(col("nexus_json")))
+    }
 
     val allSchemas = ordered ++ cfg.fallback
     val perSchema = allSchemas.flatMap { s =>
@@ -104,8 +136,16 @@ object IngestStream {
 
     // F6: dedup against existing catalog pids (left-anti join)
     val existing = cfg.catalog.datasetPids.toSeq.toDF("existing_pid")
-    assembled.join(broadcast(existing),
+    val afterPid = assembled.join(broadcast(existing),
       assembled("pid") === existing("existing_pid"), "left_anti")
+
+    // F7: dedup on scientificMetadata.<key>.value (left-anti join)
+    cfg.dedupMetadataKey.fold(afterPid) { key =>
+      val values = cfg.catalog.metadataValues(key).toSeq.toDF("existing_value")
+      val keyValue = element_at(col("scientificMetadata"), key).getField("value")
+      afterPid.join(broadcast(values),
+        keyValue === values("existing_value"), "left_anti")
+    }
   }
 
   /** Wire a streaming query: wrdn filter/decode → foreachBatch(process →

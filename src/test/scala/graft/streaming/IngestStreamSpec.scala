@@ -165,3 +165,49 @@ class SinksSpec extends AnyFunSuite {
     assert(body.contains("\"job_id\":\"j1\"") && body.contains("{\\\"k\\\":1}"))
   }
 }
+
+class DedupAndSampleSpec extends AnyFunSuite {
+  import TestSpark.spark
+  import spark.implicits._
+
+  private def batchDf = Seq(("svc", "j1", false, "/data/a/r.nxs", "{}", "ok"))
+    .toDF("service_id", "job_id", "error_encountered", "file_name", "metadata", "message")
+
+  private def baseCfg = IngestStream.Config(
+    schemas = Seq(IngestDemo.schema),
+    fileReader = IngestStreamFixture.reader,
+    fileLister = IngestStreamFixture.lister)
+
+  test("F7: dedup by scientificMetadata key value") {
+    // IngestDemo schema writes sample_temperature value "42.0"
+    val existing = graft.catalog.LocalCatalog(Map(
+      "datasets/other-pid" ->
+        """{"scientificMetadata": {"sample_temperature": {"value": "42.0", "unit": "K"}}}"""))
+    val deduped = IngestStream.processBatch(batchDf,
+      baseCfg.copy(catalog = existing, dedupMetadataKey = Some("sample_temperature")))
+    assert(deduped.count() == 0) // same metadata value exists → skipped
+
+    val kept = IngestStream.processBatch(batchDf,
+      baseCfg.copy(catalog = existing, dedupMetadataKey = Some("other_key")))
+    assert(kept.count() == 1) // different key → no match → ingested
+  }
+
+  test("P19+J2+J4: sample attachment reads fixed paths, queries catalog, merges") {
+    val nexusWithSample =
+      """{"entry": {
+        |  "doc_id": {"__value": ["7"]},
+        |  "title": {"__value": ["stream run"]},
+        |  "temperature": {"__value": [42.0], "__attrs": {"units": "K"}},
+        |  "sample": {"name": {"__value": ["crystal-A"]}},
+        |  "experiment_identifier": {"__value": ["prop-9"]}}}""".stripMargin
+    val catalog = graft.catalog.LocalCatalog(Map(
+      "samples/crystal-A/prop-9" -> """["sample-pid-1", "sample-pid-2"]"""))
+    val out = IngestStream.processBatch(batchDf, baseCfg.copy(
+      catalog = catalog,
+      fileReader = (_: String) => Some(nexusWithSample),
+      sampleAttachment = IngestStream.SampleAttachment(querySampleName = true)))
+    val row = out.collect()(0)
+    val ids = row.getAs[scala.collection.Seq[String]]("sampleId")
+    assert(ids != null && ids.sorted.toSeq == Seq("sample-pid-1", "sample-pid-2"))
+  }
+}
