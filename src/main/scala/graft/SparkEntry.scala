@@ -178,11 +178,11 @@ object SparkEntry {
       """SELECT o_orderkey, o_custkey, c_name, c_mktsegment
         |FROM orders LEFT JOIN customer ON o_custkey = c_custkey""".stripMargin,
     "j2_collect_list" ->
-      """SELECT n_name, list_sort(list(s_name)) AS supplier_names, count(*) AS n_suppliers
+      """SELECT n_name, array_to_string(list_sort(list(s_name)), ',') AS supplier_names, count(*) AS n_suppliers
         |FROM supplier JOIN nation ON s_nationkey = n_nationkey GROUP BY n_name""".stripMargin,
     "j4_array_merge" ->
       """SELECT doc_id,
-        |  list_sort(list_distinct(string_split(text, ' ')[1:4] || string_split(text, ' ')[3:6])) AS merged_tokens
+        |  array_to_string(list_sort(list_distinct(string_split(text, ' ')[1:4] || string_split(text, ' ')[3:6])), ',') AS merged_tokens
         |FROM documents""".stripMargin,
     "w_running" ->
       """SELECT event_id, user_id,
@@ -364,7 +364,7 @@ object SparkEntry {
         |GROUP BY modality""".stripMargin,
     "mm_frame_sample" ->
       """SELECT doc_id, cast(n_chars % 240 + 24 as int) AS n_frames,
-        |  (range(0, n_chars % 240 + 24, 10))[1:8] AS sampled_frames
+        |  array_to_string((range(0, n_chars % 240 + 24, 10))[1:8], ',') AS sampled_frames
         |FROM documents WHERE doc_id % 3 = 2""".stripMargin,
     "mm_resize_plan" ->
       """SELECT doc_id,

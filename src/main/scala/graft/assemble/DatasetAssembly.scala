@@ -239,6 +239,32 @@ object DatasetAssembly {
     "instrumentId", "proposalId", "ownerGroup", "accessGroups",
     "startTime", "endTime", "runNumber", "keywords", "origDataBlock")
 
+  val ScientificMetadataType: MapType = MapType(StringType, StructType(Seq(
+    StructField("value", StringType), StructField("unit", StringType),
+    StructField("human_name", StringType), StructField("type", StringType))))
+
+  /** Static output schema matching [[OutputColumns]] — used to build a
+    * well-typed EMPTY result when every schema's pipeline fails, so
+    * downstream joins on `pid` etc. stay analyzable. */
+  val OutputSchema: StructType = {
+    val hl = HighLevelFields.toMap
+    StructType(OutputColumns.map {
+      case "size" => StructField("size", LongType)
+      case "numberOfFiles" => StructField("numberOfFiles", LongType)
+      case "isPublished" => StructField("isPublished", BooleanType)
+      case "scientificMetadata" => StructField("scientificMetadata", ScientificMetadataType)
+      case "techniques" => StructField("techniques",
+        ArrayType(StructType(Seq(StructField("pid", StringType), StructField("name", StringType)))))
+      case "origDataBlock" => StructField("origDataBlock", StructType(Seq(
+        StructField("datasetId", StringType), StructField("size", LongType),
+        StructField("chkAlg", StringType),
+        StructField("dataFileList", ArrayType(FilesSchema)),
+        StructField("ownerGroup", StringType),
+        StructField("accessGroups", ArrayType(StringType)))))
+      case n => StructField(n, hl.getOrElse(n, StringType))
+    })
+  }
+
   /** Full pipeline: variable compilation + assembly in ONE plan — the
     * engine's analogue of the offline ingestor's per-file program
     * (ref: scicat_offline_ingestor.py:194-348). Input columns:

@@ -69,7 +69,9 @@ object Multimodal {
     blobs(spark, sfDir)
       .filter(col("meta.modality") === "video")
       .select(col("doc_id"), col("meta.n_frames").as("n_frames"),
-        slice(sequence(lit(0), col("meta.n_frames") - 1, lit(every)), 1, cap)
+        array_join(
+          slice(sequence(lit(0), col("meta.n_frames") - 1, lit(every)), 1, cap)
+            .cast("array<string>"), ",")
           .as("sampled_frames"))
 
   /** "Decoded" pixel statistics via mapPartitions — the mapInPandas

@@ -217,24 +217,27 @@ object Relational {
 
   /** J2: two-key equi-join returning a collected list
     * (scicat_communication.py:134-158 → groupBy + sort_array(collect_list)).
-    * sort_array makes the list deterministic across partition orders. */
+    * sort_array makes the list deterministic across partition orders; the
+    * list is surfaced joined to a scalar string so the result set is
+    * sortable by any downstream harness. */
   def j2CollectList(spark: SparkSession, sfDir: String): DataFrame = {
     val sup = Tables.supplier(spark, sfDir)
     val nat = Tables.nation(spark, sfDir)
     sup.join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
       .groupBy(col("n_name"))
-      .agg(sort_array(collect_list(col("s_name"))).as("supplier_names"),
+      .agg(array_join(sort_array(collect_list(col("s_name"))), ",").as("supplier_names"),
         count(lit(1)).as("n_suppliers"))
   }
 
-  /** J4: sampleId merge — array union + distinct (scicat_dataset.py:980-991). */
+  /** J4: sampleId merge — array union + distinct (scicat_dataset.py:980-991).
+    * Output joined to a scalar string (see [[j2CollectList]]). */
   def j4ArrayMerge(spark: SparkSession, sfDir: String): DataFrame =
     Tables.documents(spark, sfDir)
       .select(
         col("doc_id"),
-        array_sort(array_distinct(concat(
+        array_join(array_sort(array_distinct(concat(
           slice(split(col("text"), " "), 1, 4),
-          slice(split(col("text"), " "), 3, 4)))).as("merged_tokens"))
+          slice(split(col("text"), " "), 3, 4)))), ",").as("merged_tokens"))
 
   // ---------------------------------------------------------------------
   // §2.5-adjacent substrate: windows, set ops, rollup, time windows

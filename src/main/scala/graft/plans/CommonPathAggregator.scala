@@ -41,25 +41,37 @@ object CommonPath {
   }
 }
 
-/** groupBy-able common-path aggregate; buffer = the running common
-  * segment prefix (empty Vector = no input yet, a non-path sentinel). */
-class CommonPathAggregator extends Aggregator[String, Vector[String], String] {
-  private val Empty: Vector[String] = Vector.empty
+/** groupBy-able common-path aggregate. The buffer is Option-wrapped so
+  * the no-input-yet zero is distinct from a legitimately empty common
+  * prefix (relative paths with disjoint roots): with a bare
+  * empty-Vector sentinel, merge would resurrect a path after the common
+  * prefix collapsed — reduce('a/x','b/y','a/z') must yield "" (no
+  * common segments), not 'a/z'. */
+class CommonPathAggregator extends Aggregator[String, Option[Vector[String]], String] {
 
-  override def zero: Vector[String] = Empty
+  override def zero: Option[Vector[String]] = None
 
-  override def reduce(buf: Vector[String], path: String): Vector[String] =
+  override def reduce(buf: Option[Vector[String]], path: String): Option[Vector[String]] =
     if (path == null || path.isEmpty) buf
-    else if (buf.isEmpty) CommonPath.split(path)
-    else CommonPath.commonSegments(buf, CommonPath.split(path))
+    else buf match {
+      case None => Some(CommonPath.split(path))
+      case Some(segs) => Some(CommonPath.commonSegments(segs, CommonPath.split(path)))
+    }
 
-  override def merge(a: Vector[String], b: Vector[String]): Vector[String] =
-    if (a.isEmpty) b else if (b.isEmpty) a else CommonPath.commonSegments(a, b)
+  override def merge(a: Option[Vector[String]], b: Option[Vector[String]]): Option[Vector[String]] =
+    (a, b) match {
+      case (None, x) => x
+      case (x, None) => x
+      case (Some(x), Some(y)) => Some(CommonPath.commonSegments(x, y))
+    }
 
-  override def finish(buf: Vector[String]): String =
-    if (buf.isEmpty) null else CommonPath.join(buf)
+  override def finish(buf: Option[Vector[String]]): String =
+    buf match {
+      case None => null
+      case Some(segs) => CommonPath.join(segs)
+    }
 
-  override def bufferEncoder: Encoder[Vector[String]] =
+  override def bufferEncoder: Encoder[Option[Vector[String]]] =
     org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
   override def outputEncoder: Encoder[String] = Encoders.STRING
 }

@@ -43,6 +43,7 @@ case class CosineSimilarity(left: Expression, right: Expression)
     var ny = 0.0
     var i = 0
     while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
       val xi = x.getDouble(i)
       val yi = y.getDouble(i)
       dot += xi * yi
@@ -51,9 +52,15 @@ case class CosineSimilarity(left: Expression, right: Expression)
       i += 1
     }
     var j = n
-    while (j < x.numElements()) { val v = x.getDouble(j); nx += v * v; j += 1 }
+    while (j < x.numElements()) {
+      if (x.isNullAt(j)) return null
+      val v = x.getDouble(j); nx += v * v; j += 1
+    }
     j = n
-    while (j < y.numElements()) { val v = y.getDouble(j); ny += v * v; j += 1 }
+    while (j < y.numElements()) {
+      if (y.isNullAt(j)) return null
+      val v = y.getDouble(j); ny += v * v; j += 1
+    }
     val denom = math.sqrt(nx) * math.sqrt(ny)
     if (denom == 0.0) null else java.lang.Double.valueOf(dot / denom)
   }
@@ -68,22 +75,27 @@ case class CosineSimilarity(left: Expression, right: Expression)
       val xi = ctx.freshName("xi")
       val yi = ctx.freshName("yi")
       val denom = ctx.freshName("denom")
+      val bad = ctx.freshName("hasNullElem")
       s"""
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |double $dot = 0.0; double $nx = 0.0; double $ny = 0.0;
+         |boolean $bad = false;
          |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.isNullAt($i) || $b.isNullAt($i)) { $bad = true; break; }
          |  double $xi = $a.getDouble($i);
          |  double $yi = $b.getDouble($i);
          |  $dot += $xi * $yi; $nx += $xi * $xi; $ny += $yi * $yi;
          |}
-         |for (int $i = $n; $i < $a.numElements(); $i++) {
+         |for (int $i = $n; !$bad && $i < $a.numElements(); $i++) {
+         |  if ($a.isNullAt($i)) { $bad = true; break; }
          |  double $xi = $a.getDouble($i); $nx += $xi * $xi;
          |}
-         |for (int $i = $n; $i < $b.numElements(); $i++) {
+         |for (int $i = $n; !$bad && $i < $b.numElements(); $i++) {
+         |  if ($b.isNullAt($i)) { $bad = true; break; }
          |  double $yi = $b.getDouble($i); $ny += $yi * $yi;
          |}
          |double $denom = java.lang.Math.sqrt($nx) * java.lang.Math.sqrt($ny);
-         |if ($denom == 0.0) { ${ev.isNull} = true; }
+         |if ($bad || $denom == 0.0) { ${ev.isNull} = true; }
          |else { ${ev.value} = $dot / $denom; }
        """.stripMargin
     })
@@ -97,8 +109,14 @@ object CosineSimilarity {
   /** Register `cosine_sim` in a session's function registry so it is
     * callable via `call_function` / SQL — the engine's extension hook
     * (SparkSessionExtensions.injectFunction would do the same for a
-    * permanent build). */
-  def register(spark: org.apache.spark.sql.SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "cosine_sim", exprs => CosineSimilarity(exprs(0), exprs(1)), "built-in")
+    * permanent build). Idempotent: re-registering an already-registered
+    * session is a no-op, so repeated query builds stay warning-free. */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val registry = spark.sessionState.functionRegistry
+    val ident = org.apache.spark.sql.catalyst.FunctionIdentifier("cosine_sim")
+    if (!registry.functionExists(ident)) {
+      registry.createOrReplaceTempFunction(
+        "cosine_sim", exprs => CosineSimilarity(exprs(0), exprs(1)), "built-in")
+    }
+  }
 }

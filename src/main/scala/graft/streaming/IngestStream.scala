@@ -128,11 +128,22 @@ object IngestStream {
       val subset = withInputs.filter(col("schema_id") === s.id)
       try Some(DatasetAssembly.pipeline(
         s, ImscCompiler.Context(catalog = cfg.catalog), cfg.options)(subset))
-      catch { case _: Exception => None } // schema-level failure isolation
+      catch {
+        // schema-level failure isolation: one bad schema drops only its
+        // rows (F11 contract), but the failure must be visible, not silent
+        case e: Exception =>
+          org.apache.log4j.Logger.getLogger(getClass)
+            .warn(s"imsc schema '${s.id}' failed to compile, rows skipped: ${e.getMessage}")
+          None
+      }
     }
 
+    // all-schemas-failed fallback keeps the full output schema so the F6
+    // anti-join on `pid` (and any sink select) stays well-typed
     val assembled = perSchema.reduceOption(_.unionByName(_))
-      .getOrElse(spark.emptyDataFrame)
+      .getOrElse(spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        DatasetAssembly.OutputSchema))
 
     // F6: dedup against existing catalog pids (left-anti join)
     val existing = cfg.catalog.datasetPids.toSeq.toDF("existing_pid")

@@ -142,12 +142,10 @@ class SinksSpec extends AnyFunSuite {
       fileLister = IngestStreamFixture.lister)
     val datasets = IngestStream.processBatch(batch, cfg)
     Sinks.jsonDatasetSink(out)(datasets, 0L)
-    val ds = java.nio.file.Files.readString(
-      java.nio.file.Paths.get(out, "datasets_00000.jsonl"))
+    val ds = Sinks.readJsonLines(s"$out/datasets_00000")
     assert(ds.contains("\"datasetName\":\"ds_stream run\""))
     assert(!ds.contains("\"pid\"")) // null pid stripped (F10)
-    val db = java.nio.file.Files.readString(
-      java.nio.file.Paths.get(out, "origdatablocks_00000.jsonl"))
+    val db = Sinks.readJsonLines(s"$out/origdatablocks_00000")
     assert(db.contains("\"chkAlg\":\"blake2b\""))
 
     val dry = java.nio.file.Files.createTempDirectory("graft_dry").toString
