@@ -37,6 +37,10 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // queries that are rows-only BY DESIGN, with the reason
+    val rowsOnly = SparkEntry.rowsOnly
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/rows_only.json"), rowsOnly)
     spark.stop()
   }
 }

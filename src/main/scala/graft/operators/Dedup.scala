@@ -112,10 +112,12 @@ object Dedup {
   private val RowsPerBand = MinhashPerm / Bands
   private val P = 2147483647L // 2^31-1
 
-  /** MinHash signatures banded for LSH. Deterministic: murmur3 base hash
-    * (Spark `hash` with fixed seed behavior) + fixed (a,b) permutation
-    * params. Output: one row per (doc, band) with the band's bucket key —
-    * the join key that replaces the O(n²) comparison at scale.
+  /** MinHash signatures banded for LSH. Deterministic AND
+    * engine-portable: the base hash is [[graft.functions.PortableHash]]
+    * (md5-derived 48-bit) + fixed (a,b) permutation params, so the
+    * DuckDB oracle replicates every signature bit-for-bit. Output: one
+    * row per (doc, band) with the band's bucket key — the join key that
+    * replaces the O(n²) comparison at scale.
     */
   def minhashLshBuckets(spark: SparkSession, sfDir: String): DataFrame = {
     // Relational formulation: explode shingles, hash once, take the k
@@ -126,7 +128,7 @@ object Dedup {
     val exploded = withShingles(Tables.documents(spark, sfDir))
       .select(col("doc_id"), explode_outer(col("sh")).as("s")) // see ngram note
       .filter(col("s").isNotNull)
-      .withColumn("h", abs(hash(col("s")).cast("long")))
+      .withColumn("h", graft.functions.PortableHash.md5Hash48(col("s")))
     val mins = (0 until MinhashPerm).map { i =>
       min(pmod(col("h") * (2L * i + 1) + 104729L * (i + 1), lit(P))).as(s"m$i")
     }
@@ -166,29 +168,41 @@ object Dedup {
 
   // --- SimHash ----------------------------------------------------------
 
-  /** 64-bit SimHash from word-level xxhash64: per-bit vote sums computed
-    * as 64 conditional aggregates over the exploded words — single
-    * shuffle on doc_id, all codegen'd (no UDF).
+  val SimhashBits = 48 // width of the portable md5-derived word hash
+
+  /** 48-bit SimHash from the engine-portable word hash
+    * ([[graft.functions.PortableHash]] — oracle-replicable, unlike
+    * xxhash64). Two-level aggregation:
+    *   1. `(doc_id, word_hash) → count` — shrinks the bit-vote input by
+    *      the word-repeat factor and hashes each distinct (doc, word)
+    *      once (was the bench hotspot: 48-64 conditional aggregates over
+    *      every word occurrence);
+    *   2. 48 conditional vote sums weighted by count — codegen'd partial
+    *      aggregates, single logical shuffle on doc_id (level 1's
+    *      (doc_id, h) shuffle co-partitions level 2 by prefix).
     */
   def simhash(spark: SparkSession, sfDir: String): DataFrame = {
-    val words = Tables.documents(spark, sfDir)
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
-      .withColumn("h", xxhash64(col("w")))
-    val bitVotes = (0 until 64).map { b =>
-      sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$b")
+    val counts = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), explode_outer(split(col("text"), " ")).as("w"))
+      .filter(col("w").isNotNull)
+      .groupBy(col("doc_id"), graft.functions.PortableHash.md5Hash48(col("w")).as("h"))
+      .agg(count(lit(1)).as("cnt"))
+    val bitVotes = (0 until SimhashBits).map { b =>
+      sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, col("cnt"))
+        .otherwise(-col("cnt"))).as(s"b$b")
     }
-    val votes = words.groupBy(col("doc_id")).agg(bitVotes.head, bitVotes.tail: _*)
-    val sim = (0 until 64).map { b =>
+    val votes = counts.groupBy(col("doc_id")).agg(bitVotes.head, bitVotes.tail: _*)
+    val sim = (0 until SimhashBits).map { b =>
       when(col(s"b$b") > 0, shiftleft(lit(1L), b)).otherwise(0L)
     }.reduce(_.bitwiseOR(_))
     votes.select(col("doc_id"), sim.as("simhash"))
   }
 
   /** SimHash near-dup candidates: equal 16-bit bands (standard hamming
-    * blocking: distance ≤ 3 guarantees one of 4 bands equal). */
+    * blocking: 48 bits / 3 bands — distance ≤ 2 guarantees a band equal). */
   def simhashCandidates(spark: SparkSession, sfDir: String): DataFrame = {
     val sims = simhash(spark, sfDir)
-    val banded = sims.select(col("doc_id"), posexplode(array((0 until 4).map(b =>
+    val banded = sims.select(col("doc_id"), posexplode(array((0 until 3).map(b =>
       shiftright(col("simhash"), b * 16).bitwiseAND(0xFFFFL)): _*)))
       .select(col("doc_id"), col("pos").as("band"), col("col").as("bucket"))
     banded.as("x").join(banded.as("y"),

@@ -101,7 +101,9 @@ object Multimodal {
         val mean = if (payload.isEmpty) 0.0
           else payload.map(b => (b & 0xff).toDouble).sum / payload.length
         val distinct = payload.map(_ & 0xff).toSet.size
-        Row(docId, modality, payload.length, math.rint(mean * 100) / 100, distinct / 8)
+        // floor(x*100+0.5)/100: portable round-half-up — same IEEE ops
+        // as the oracle (rint is banker's rounding, engines disagree)
+        Row(docId, modality, payload.length, math.floor(mean * 100 + 0.5) / 100, distinct / 8)
       }
     }(enc)
   }

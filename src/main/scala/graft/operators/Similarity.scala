@@ -70,10 +70,17 @@ object Similarity {
   val Planes = 4
 
   /** Deterministic pseudo-random hyperplane component for (plane, dim):
-    * murmur3 of the index pair mapped into [-1, 1). */
-  private def planeComponent(plane: Int, dim: Column): Column =
-    (pmod(hash(lit(plane) * 1024 + dim).cast("long"), lit(2000001L)).cast("double")
-      / 1000000.0) - 1.0
+    * Knuth multiplicative mix of the index pair mapped into [-1, 1).
+    * Engine-portable (plain integer arithmetic — the murmur3 `hash` it
+    * replaces was Spark-private and blocked the DuckDB oracle); the
+    * double ops are in fixed order so the projection sums bit-match. */
+  private[operators] def planeComponent(plane: Int, dim: Column): Column =
+    ((lit(1024L * plane) + dim) * lit(2654435761L) % lit(1000003L)).cast("double") /
+      1000003.0 * 2.0 - 1.0
+
+  /** DuckDB replica of [[planeComponent]] over index expression `i`. */
+  private[graft] def sqlPlaneComponent(plane: Int, i: String): String =
+    s"(((${1024L * plane} + $i) * 2654435761) % 1000003) / 1000003.0 * 2.0 - 1.0"
 
   /** Hyperplane-LSH signatures: sign bit per plane over the dot product
     * with a deterministic pseudo-random plane. The 16-bit signature is
