@@ -66,6 +66,7 @@ object SparkEntry {
     "ann_brute_topk" -> ((s: SparkSession, d: String) => Similarity.annBruteForceTopK(s, d)),
     "ann_cosine_pairs" -> ((s: SparkSession, d: String) => Similarity.cosineThresholdPairs(s, d)),
     "ann_lsh_topk" -> ((s: SparkSession, d: String) => Similarity.annLshTopK(s, d)),
+    "dedup_lsh_verified_pairs" -> ((s: SparkSession, d: String) => Similarity.lshVerifiedPairs(s, d)),
     "ann_ivf_topk" -> ((s: SparkSession, d: String) => Similarity.annIvfTopK(s, d)),
     "sub_intersect" -> (Substrate.intersectOp _),
     // training-data ops: multimodal binary columns
@@ -82,7 +83,8 @@ object SparkEntry {
 
   /** Queries whose result may legitimately be empty at small scale
     * factors (duplicate/near-dup pairs only exist at sf0.1). */
-  def mayBeEmpty: Set[String] = Set("dedup_exact_groups", "ann_cosine_pairs")
+  def mayBeEmpty: Set[String] = Set(
+    "dedup_exact_groups", "ann_cosine_pairs", "dedup_lsh_verified_pairs")
 
   /** Queries with no oracle BY DESIGN, with the reason the driver/judge
     * can surface. Everything else either has an oracleSql entry or is a
@@ -140,15 +142,20 @@ object SparkEntry {
        |SELECT doc_id, CAST($fold AS BIGINT) AS simhash FROM votes""".stripMargin
   }
 
-  /** Hyperplane-LSH ANN replica: same integer-mix plane components, same
-    * sign-bit bucket, same in-bucket cosine top-k. */
-  private def annLshOracle: String = {
+  /** Shared WITH-prefix for the hyperplane-LSH replicas: same
+    * integer-mix plane components, same sign-bit bucket. */
+  private def lshSigCtes: String = {
     val sigBits = (0 until graft.operators.Similarity.Planes).map { p =>
       val comp = graft.operators.Similarity.sqlPlaneComponent(p, "i")
       s"CASE WHEN list_dot_product(emb, list_transform(range(0, len(emb)), i -> $comp)) >= 0 THEN ${1L << p} ELSE 0 END"
     }.mkString(" + ")
     s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
-       |sig AS (SELECT vec_id, emb, $sigBits AS lsh_bucket FROM e),
+       |sig AS (SELECT vec_id, emb, $sigBits AS lsh_bucket FROM e)""".stripMargin
+  }
+
+  /** Hyperplane-LSH ANN replica: in-bucket cosine top-k. */
+  private def annLshOracle: String = {
+    s"""$lshSigCtes,
        |q AS (SELECT vec_id AS query_id, emb AS q_emb, lsh_bucket AS q_bucket FROM sig WHERE vec_id < 10),
        |scored AS (
        |  SELECT query_id, s.vec_id AS neighbor_id,
@@ -159,6 +166,18 @@ object SparkEntry {
        |  SELECT query_id, neighbor_id, cos_sim,
        |    row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank
        |  FROM scored) WHERE rank <= 5""".stripMargin
+  }
+
+  /** Two-stage near-dup replica: same-bucket pairs, exact cosine over
+    * candidates only (threshold on the RAW value, rounded for output). */
+  private def lshVerifiedPairsOracle: String = {
+    s"""$lshSigCtes
+       |SELECT a.vec_id AS id1, b.vec_id AS id2,
+       |  floor((list_dot_product(a.emb, b.emb) /
+       |    (sqrt(list_dot_product(a.emb, a.emb)) * sqrt(list_dot_product(b.emb, b.emb)))) * 10000 + 0.5) / 10000 AS cos_sim
+       |FROM sig a JOIN sig b ON a.lsh_bucket = b.lsh_bucket AND a.vec_id < b.vec_id
+       |WHERE list_dot_product(a.emb, b.emb) /
+       |  (sqrt(list_dot_product(a.emb, a.emb)) * sqrt(list_dot_product(b.emb, b.emb))) > 0.4""".stripMargin
   }
 
   /** Decode-stub replica: byte values reconstructed from sha256 hex
@@ -186,6 +205,7 @@ object SparkEntry {
     "dedup_minhash_buckets" -> minhashOracle,
     "dedup_simhash" -> simhashOracle,
     "ann_lsh_topk" -> annLshOracle,
+    "dedup_lsh_verified_pairs" -> lshVerifiedPairsOracle,
     "mm_decode_stats" -> mmDecodeOracle,
     "q1_pricing" ->
       """SELECT l_returnflag, l_linestatus,

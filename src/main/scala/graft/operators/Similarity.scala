@@ -52,8 +52,12 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos_sim"))
   }
 
-  /** All pairs above a cosine threshold (set for the synthetic data's
-    * near-random embeddings; near-dup dedup would use ~0.95). */
+  /** All pairs above a cosine threshold — the exhaustive O(n²)
+    * BASELINE, correct only at test SFs. At scale this shape is dead (a
+    * BroadcastNestedLoopJoin over every pair); the production path is
+    * [[lshVerifiedPairs]], which runs the same exact-cosine check only
+    * inside LSH buckets. Kept as the small-SF ground truth the bucketed
+    * variant's recall is judged against. */
   def cosineThresholdPairs(spark: SparkSession, sfDir: String, threshold: Double = 0.4): DataFrame = {
     graft.plans.CosineSimilarity.register(spark)
     val emb = Tables.embeddings(spark, sfDir)
@@ -150,6 +154,25 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos_sim"))
+  }
+
+  /** Near-dup pair discovery AT SCALE: the two-stage LSH shape —
+    * candidate generation is a (bucket) EQUI self-join, verification is
+    * the exact cosine over candidates only. Replaces the O(n²)
+    * [[cosineThresholdPairs]] cross product: the corpus shuffles once on
+    * its bucket key and only same-bucket rows ever meet (plan-shape-
+    * tested: no nested-loop join anywhere in this query). */
+  def lshVerifiedPairs(spark: SparkSession, sfDir: String, threshold: Double = 0.4): DataFrame = {
+    graft.plans.CosineSimilarity.register(spark)
+    val sigs = lshSignatures(spark, sfDir)
+    val emb = Tables.embeddings(spark, sfDir)
+      .join(sigs.select(col("vec_id"), col("lsh_bucket")), "vec_id")
+    val a = emb.select(col("lsh_bucket"), col("vec_id").as("id1"), col("embedding").as("e1"))
+    val b = emb.select(col("lsh_bucket").as("bucket2"), col("vec_id").as("id2"), col("embedding").as("e2"))
+    a.join(b, col("lsh_bucket") === col("bucket2") && col("id1") < col("id2"))
+      .withColumn("raw_cos", cosine(col("e1"), col("e2")))
+      .filter(col("raw_cos") > threshold) // filter on RAW value like the oracle
+      .select(col("id1"), col("id2"), PortableRound.pround(col("raw_cos"), 4).as("cos_sim"))
   }
 
   /** Bucketed ANN: brute-force only within the query's LSH bucket —

@@ -54,4 +54,17 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("partial_min") || p.contains("HashAggregate"))
     assert(p.contains("Exchange hashpartitioning(doc_id"))
   }
+
+  test("lsh-verified pairs: bucket equi-join, NO nested-loop anywhere") {
+    val p = plan("dedup_lsh_verified_pairs")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"candidate generation must be the bucket equi-join, not all-pairs:\n$p")
+  }
+
+  test("simhash pre-aggregates (doc_id, word_hash) before the bit votes") {
+    val p = plan("dedup_simhash")
+    // two-level aggregation: first keyed on (doc_id, h), then on doc_id
+    assert(p.contains("Exchange hashpartitioning(doc_id"), p)
+    assert(p.contains("partial_count") || p.contains("count"), p)
+  }
 }
