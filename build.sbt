@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked `run` output normally passes through sbt's logger, which wraps
+// every stdout line in "[info] " — that prefix made the driver's bench
+// JSON capture unparseable for two rounds. StdoutOutput inherits sbt's
+// raw stdout instead, so Bench/Verify JSON lines arrive bare.
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
