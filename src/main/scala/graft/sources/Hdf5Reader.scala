@@ -32,7 +32,15 @@ object Hdf5Reader {
   final case class Hdf5Error(msg: String) extends Exception(msg)
 
   def read(path: String): NexusGroup = {
-    val bytes = Files.readAllBytes(Paths.get(path))
+    val p = Paths.get(path)
+    // All internal addresses flow through Int offsets into one mapped
+    // array; refuse anything close to 2 GiB instead of mis-parsing.
+    // Facility NeXus files that big carry chunked event data this
+    // reader doesn't decode anyway (out of scope, see header).
+    val size = Files.size(p)
+    if (size > Int.MaxValue - 8)
+      throw Hdf5Error(s"file too large for in-memory reader: $size bytes")
+    val bytes = Files.readAllBytes(p)
     val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
     new Parser(buf).rootGroup()
   }
@@ -40,6 +48,17 @@ object Hdf5Reader {
   /** Read + render in the engine's JSON tree encoding — the checked-in
     * converter path: `fileReader = p => Some(Hdf5Reader.readJson(p))`. */
   def readJson(path: String): String = toJson(read(path))
+
+  /** The IngestStream wiring (F11-safe): HDF5/NeXus extensions parse
+    * via [[readJson]]; a corrupt or unreadable file yields None so the
+    * pipeline nulls the row's variables out instead of failing the
+    * batch (a bare `Some(readJson(p))` would let Hdf5Error/IOException
+    * escape through the read UDF and abort the whole micro-batch). */
+  val fileReader: String => Option[String] = { p =>
+    val lower = if (p == null) "" else p.toLowerCase
+    val looksHdf5 = Seq(".hdf", ".hdf5", ".h5", ".nxs").exists(lower.endsWith)
+    if (looksHdf5) scala.util.Try(readJson(p)).toOption else None
+  }
 
   def toJson(node: NexusNode): String = node match {
     case NexusGroup(children) =>
@@ -196,12 +215,18 @@ object Hdf5Reader {
             val fheapAddr = addr(q)
             val nameBtree = addr(q + 8)
             if (fheapAddr != Undef && nameBtree != Undef)
-              links ++= denseLinks(fheapAddr, nameBtree)
+              // F11 degrade: an unsupported dense-link layout (e.g. a
+              // multi-level v2 btree) drops this group's links rather
+              // than aborting the file
+              links ++= scala.util.Try(denseLinks(fheapAddr, nameBtree))
+                .getOrElse(Vector.empty)
           case _ => ()
         }
       }
       val children = links.result().sortBy(_._1).flatMap { case (name, hdr) =>
-        readNodeAt(hdr, seen).map(name -> _)
+        // F11 degrade: a child whose header uses unsupported features
+        // becomes an absent node; its siblings still resolve
+        scala.util.Try(readNodeAt(hdr, seen)).toOption.flatten.map(name -> _)
       }
       NexusGroup(children)
     }

@@ -65,7 +65,11 @@ object IngestStream {
       fallback: Option[ImscSchema] = None,
       catalog: LocalCatalog = LocalCatalog.empty,
       options: DatasetAssembly.Options = DatasetAssembly.Options(),
-      fileReader: String => Option[String] = _ => None,
+      /** S4: the default reader opens real NeXus/HDF5 files via the
+        * pure-JVM [[graft.sources.Hdf5Reader]]; Try-wrapped so corrupt
+        * or missing files null out (F11) instead of failing the batch.
+        * Tests inject JSON-tree readers here. */
+      fileReader: String => Option[String] = graft.sources.Hdf5Reader.fileReader,
       fileLister: String => Seq[FileIngest.FileStats] =
         p => Seq(FileIngest.stat(p)),
       /** F7: dedup on `scientificMetadata.<key>.value` when set
