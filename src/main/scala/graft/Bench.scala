@@ -39,19 +39,49 @@ object Bench {
     (System.nanoTime() - t0) / 1e9
   }
 
-  /** Median-of-N for one query; -1.0 if any run fails. */
-  def run(spark: SparkSession, sfDir: String, name: String): Double = {
-    val times = (1 to Repeats).map(_ => once(spark, sfDir, name))
-    if (times.exists(_ < 0)) -1.0 else median(times)
-  }
+  /** All N timed repeats for one query (any may be -1.0 on failure). */
+  def repeats(spark: SparkSession, sfDir: String, name: String): Seq[Double] =
+    (1 to Repeats).map(_ => once(spark, sfDir, name))
 
-  def buildLine(results: Seq[(String, Double)], sfDir: String): String = {
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+  /** Median-of-N for one query; -1.0 if any run fails. */
+  def summarize(times: Seq[Double]): Double =
+    if (times.exists(_ < 0)) -1.0 else median(times)
+
+  /** Median-of-N for one query; -1.0 if any run fails. */
+  def run(spark: SparkSession, sfDir: String, name: String): Double =
+    summarize(repeats(spark, sfDir, name))
+
+  /** 1/5/15-minute load averages, so a contended driver machine is
+    * self-evident in the bench line (VERDICT r3 "What's wrong" #1: a
+    * recorded 61.9 s total vs an idle-machine 10.9 s was
+    * indistinguishable from a real regression without this). */
+  def loadAvg(): Seq[Double] =
+    try java.nio.file.Files.readString(java.nio.file.Paths.get("/proc/loadavg"))
+      .split("\\s+").take(3).toSeq.map(_.toDouble)
+    catch { case _: Throwable => Seq.empty }
+
+  private def jsonEscape(s: String): String =
+    graft.sources.NexusExtractor.jsonStr(s)
+
+  private def numArr(xs: Seq[Double]): String =
+    xs.map(x => f"$x%.4f".toDouble.toString).mkString("[", ",", "]")
+
+  def buildLine(
+      results: Seq[(String, Seq[Double])],
+      sfDir: String,
+      loadStart: Seq[Double] = Seq.empty,
+      loadEnd: Seq[Double] = Seq.empty): String = {
+    val medians = results.map { case (k, ts) => k -> summarize(ts) }
+    val qs = medians.map { case (k, v) => jsonEscape(k) + ":" + v }
       .mkString("{", ",", "}")
-    val failed = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
+    val reps = results.map { case (k, ts) => jsonEscape(k) + ":" + numArr(ts) }
+      .mkString("{", ",", "}")
+    val failed = medians.collect { case (k, v) if v < 0 => jsonEscape(k) }
       .mkString("[", ",", "]")
-    val total = results.map(_._2).filter(_ >= 0).sum
-    s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}"""
+    val total = medians.map(_._2).filter(_ >= 0).sum
+    s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+      s""""repeats":$reps,"failed":$failed,"sf":${jsonEscape(sfDir)},""" +
+      s""""loadavg_start":${numArr(loadStart)},"loadavg_end":${numArr(loadEnd)}}"""
   }
 
   def main(args: Array[String]): Unit = {
@@ -69,8 +99,9 @@ object Bench {
     // JVM/codegen warm-up on the first headline query (not reported).
     once(spark, sfDir, SparkEntry.benchQueries.head)
 
-    val results = SparkEntry.benchQueries.map(n => n -> run(spark, sfDir, n))
-    val line = buildLine(results, sfDir)
+    val loadStart = loadAvg()
+    val results = SparkEntry.benchQueries.map(n => n -> repeats(spark, sfDir, n))
+    val line = buildLine(results, sfDir, loadStart, loadAvg())
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), line + "\n")
     catch { case e: Throwable => System.err.println(s"[bench] file write failed: ${e.getMessage}") }

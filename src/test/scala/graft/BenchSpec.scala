@@ -11,20 +11,41 @@ import org.scalatest.funsuite.AnyFunSuite
 class BenchSpec extends AnyFunSuite {
   import TestSpark.{spark, sfDir}
 
-  test("buildLine emits driver-parseable JSON with metric/value/queries/failed/sf") {
-    val line = Bench.buildLine(Seq("q1_pricing" -> 1.25, "bad_query" -> -1.0), sfDir)
+  test("buildLine emits driver-parseable JSON with metric/value/queries/repeats/failed/sf/loadavg") {
+    val line = Bench.buildLine(
+      Seq("q1_pricing" -> Seq(1.5, 1.25, 1.3), "bad_query" -> Seq(0.4, -1.0, 0.5)),
+      sfDir, loadStart = Seq(1.0, 2.0, 3.0), loadEnd = Seq(4.0, 5.0, 6.0))
     assert(!line.contains("\n"))
     // Parse with the JSON parser that ships in the Spark jars.
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     val node = mapper.readTree(line)
     assert(node.get("metric").asText() == "total")
     assert(node.get("unit").asText() == "sec")
-    assert(math.abs(node.get("value").asDouble() - 1.25) < 1e-9,
+    assert(math.abs(node.get("value").asDouble() - 1.3) < 1e-9,
       "failed queries must not shrink or inflate the total")
-    assert(node.get("queries").get("q1_pricing").asDouble() == 1.25)
+    assert(node.get("queries").get("q1_pricing").asDouble() == 1.3)
     assert(node.get("queries").get("bad_query").asDouble() == -1.0)
+    // per-repeat spread: a contended run is self-evident (VERDICT r3 #1)
+    assert(node.get("repeats").get("q1_pricing").size() == 3)
+    assert(node.get("repeats").get("q1_pricing").get(1).asDouble() == 1.25)
+    assert(node.get("repeats").get("bad_query").get(1).asDouble() == -1.0)
     assert(node.get("failed").get(0).asText() == "bad_query")
     assert(node.get("sf").asText() == sfDir)
+    assert(node.get("loadavg_start").get(0).asDouble() == 1.0)
+    assert(node.get("loadavg_end").get(2).asDouble() == 6.0)
+  }
+
+  test("buildLine escapes quotes/backslashes in sf dir and query names") {
+    val line = Bench.buildLine(
+      Seq("""od"d\name""" -> Seq(1.0, 1.0, 1.0)), """/tmp/sf"0.1\x""")
+    val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(line)
+    assert(node.get("sf").asText() == """/tmp/sf"0.1\x""")
+    assert(node.get("queries").get("""od"d\name""").asDouble() == 1.0)
+  }
+
+  test("loadAvg reads three non-negative values on linux") {
+    val l = Bench.loadAvg()
+    assert(l.isEmpty || (l.length == 3 && l.forall(_ >= 0.0)))
   }
 
   test("median of 3 is the middle value") {
