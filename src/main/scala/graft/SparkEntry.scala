@@ -28,6 +28,7 @@ object SparkEntry {
     "f2_error_filter" -> (Relational.f2ErrorFilter _),
     "f3_selector_cascade" -> (Relational.f3SelectorCascade _),
     "f6_dedup_anti" -> (Relational.f6DedupAnti _),
+    "f7_meta_anti" -> (Relational.f7MetaAnti _),
     // §2.3 projections
     "p_value_ops" -> (Relational.pValueOps _),
     "p6_json_getitem" -> (Relational.p6JsonGetItem _),
@@ -62,6 +63,7 @@ object SparkEntry {
     "dedup_ngram_top_pairs" -> (Dedup.ngramJaccardTopPairs _),
     "dedup_minhash_buckets" -> (Dedup.minhashLshBuckets _),
     "dedup_simhash" -> (Dedup.simhash _),
+    "dedup_simhash_pairs" -> (Dedup.simhashCandidates _),
     // training-data ops: similarity search
     "ann_brute_topk" -> ((s: SparkSession, d: String) => Similarity.annBruteForceTopK(s, d)),
     "ann_cosine_pairs" -> ((s: SparkSession, d: String) => Similarity.cosineThresholdPairs(s, d)),
@@ -142,6 +144,17 @@ object SparkEntry {
        |SELECT doc_id, CAST($fold AS BIGINT) AS simhash FROM votes""".stripMargin
   }
 
+  /** SimHash banded-candidates replica: same 48-bit simhash, same
+    * 3×16-bit hamming-blocking bands, same `<` pair ordering. */
+  private def simhashPairsOracle: String = {
+    s"""WITH sims AS ($simhashOracle),
+       |banded AS (SELECT doc_id, band, (simhash >> (band * 16)) & 65535 AS bucket
+       |  FROM sims CROSS JOIN (VALUES (0),(1),(2)) AS b(band))
+       |SELECT DISTINCT x.doc_id AS doc1, y.doc_id AS doc2
+       |FROM banded x JOIN banded y
+       |  ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id""".stripMargin
+  }
+
   /** Shared WITH-prefix for the hyperplane-LSH replicas: same
     * integer-mix plane components, same sign-bit bucket. */
   private def lshSigCtes: String = {
@@ -204,6 +217,7 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     "dedup_minhash_buckets" -> minhashOracle,
     "dedup_simhash" -> simhashOracle,
+    "dedup_simhash_pairs" -> simhashPairsOracle,
     "ann_lsh_topk" -> annLshOracle,
     "dedup_lsh_verified_pairs" -> lshVerifiedPairsOracle,
     "mm_decode_stats" -> mmDecodeOracle,
@@ -264,6 +278,14 @@ object SparkEntry {
       """SELECT c_custkey, c_name FROM customer
         |WHERE NOT EXISTS (SELECT 1 FROM orders
         |  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')""".stripMargin,
+    "f7_meta_anti" ->
+      """WITH m AS (SELECT doc_id,
+        |    source || '-' || CAST(doc_id % 300 AS VARCHAR) AS meta_value
+        |  FROM documents),
+        |ex AS (SELECT DISTINCT source || '-' || CAST(doc_id % 300 AS VARCHAR) AS v
+        |  FROM documents WHERE doc_id < 100)
+        |SELECT doc_id, meta_value FROM m
+        |WHERE NOT EXISTS (SELECT 1 FROM ex WHERE ex.v = m.meta_value)""".stripMargin,
     "p_value_ops" ->
       """SELECT doc_id,
         |  array_to_string(string_split(text, ' ')[1:5], ', ') AS first_words,

@@ -150,6 +150,31 @@ object Relational {
       .select(col("c_custkey"), col("c_name"))
   }
 
+  /** F7: dedup on `scientificMetadata.<key>.value` — the same left-anti
+    * shape [[graft.streaming.IngestStream.processBatch]] applies when
+    * `dedupMetadataKey` is set (ref: scicat_communication.py:196-236
+    * `check_dataset_by_metadata`; default key `job_id`,
+    * scicat_configuration.py:326-328). Here the metadata map is derived
+    * from `documents` and the "existing catalog" side is the values held
+    * by the first 100 docs, so the DuckDB oracle can replicate it. */
+  def f7MetaAnti(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val jobId = concat(col("source"), lit("-"), (col("doc_id") % 300).cast("string"))
+    val withMeta = docs.select(
+      col("doc_id"),
+      map(
+        lit("job_id"), struct(jobId.as("value"), lit("").as("unit")),
+        lit("lang"), struct(col("lang").as("value"), lit("").as("unit"))
+      ).as("scientificMetadata"))
+    val existing = docs.filter(col("doc_id") < 100)
+      .select(jobId.as("existing_value")).distinct()
+    val keyValue =
+      element_at(col("scientificMetadata"), "job_id").getField("value")
+    withMeta
+      .join(broadcast(existing), keyValue === col("existing_value"), "left_anti")
+      .select(col("doc_id"), keyValue.as("meta_value"))
+  }
+
   // ---------------------------------------------------------------------
   // §2.3 Projections / scalar transforms (VALUE-operator registry analogues)
   // ---------------------------------------------------------------------
