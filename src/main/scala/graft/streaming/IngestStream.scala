@@ -34,23 +34,41 @@ object IngestStream {
     StructField("job_id", StringType), StructField("filename", StringType),
     StructField("instrument_name", StringType)))
 
+  /** F1: the byte-slice type predicate stays a plain Column program so
+    * it runs codegen'd BEFORE the decode UDF — only matching payloads
+    * pay the per-row decode (ref: scicat_kafka.py:89-96 checks [4:8]
+    * before deserialising). */
+  private def typeFiltered(messages: DataFrame, schemaId: String): DataFrame =
+    messages.filter(substring(col("value"), 5, 4) === lit(schemaId.getBytes("UTF-8")))
+
+  private val wrdnUdf = udf(MessageCodec.decodeWrdn _)
+  private val pl72Udf = udf(MessageCodec.decodePl72 _)
+
   /** F1+decode: keep payloads whose bytes [4:8] match the schema id,
-    * parse the JSON body. `value` is the raw binary column. */
+    * parse the JSON body. Retained for schema-explicit JSON pipelines;
+    * the production streams below decode via [[MessageCodec]], which
+    * also accepts real FlatBuffers buffers. */
   def typed(messages: DataFrame, schemaId: String, bodySchema: StructType): DataFrame =
-    messages
-      .filter(substring(col("value"), 5, 4) === lit(schemaId.getBytes("UTF-8")))
+    typeFiltered(messages, schemaId)
       .select(from_json(
         substring(col("value"), 9, Int.MaxValue).cast("string"), bodySchema).as("m"))
       .select(col("m.*"))
 
-  /** wrdn stream with the F2 error filter
-    * (ref: scicat_kafka.py:99-110 drops error_encountered). */
+  /** wrdn stream — FlatBuffers or JSON framing — with the F2 error
+    * filter (ref: scicat_kafka.py:99-110 drops error_encountered;
+    * undecodable payloads → None → dropped, :180-190). */
   def wrdnStream(messages: DataFrame): DataFrame =
-    typed(messages, Messages.WrdnId, wrdnBodySchema)
+    typeFiltered(messages, Messages.WrdnId)
+      .select(wrdnUdf(col("value")).as("m"))
+      .filter(col("m").isNotNull)
+      .select(col("m.*"))
       .filter(!coalesce(col("error_encountered"), lit(false)))
 
   def runStartStream(messages: DataFrame): DataFrame =
-    typed(messages, Messages.Pl72Id, pl72BodySchema)
+    typeFiltered(messages, Messages.Pl72Id)
+      .select(pl72Udf(col("value")).as("m"))
+      .filter(col("m").isNotNull)
+      .select(col("m.*"))
 
   /** P19: sample-attachment reads from fixed NeXus paths
     * (ref: SampleAttachmentConfig, scicat_metadata.py:174-217 — defaults

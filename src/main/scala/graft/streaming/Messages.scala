@@ -6,12 +6,18 @@ import java.nio.charset.StandardCharsets.UTF_8
   *
   * The reference consumes FlatBuffer-encoded messages whose schema id
   * sits at payload bytes [4:8] — `"wrdn"` = writing finished, `"pl72"` =
-  * run start (ref: src/scicat_kafka.py:89-96,198-205). The FlatBuffers
-  * toolchain isn't available in this environment, so the engine uses the
-  * same framing (4 reserved bytes + 4-byte schema id) with a JSON body;
-  * the byte-slice type filter — the part with streaming semantics — is
-  * identical, and a FlatBuffers body codec would slot into
-  * [[MessageCodec.decodeJson]] unchanged.
+  * run start (ref: src/scicat_kafka.py:89-96,198-205, deserialised via
+  * the public streaming-data-types package). [[MessageCodec]] decodes
+  * BOTH wire forms through one entry point:
+  *
+  *  - real FlatBuffers buffers, read field-by-field with the hand-rolled
+  *    [[FlatBuf]] vtable reader against the public schemas
+  *    (FinishedWriting.fbs / RunStart.fbs from ess-dmsc
+  *    streaming-data-types) — this is what an actual reference-produced
+  *    Kafka stream carries;
+  *  - the JSON test-harness framing (4 zero bytes + schema id + JSON
+  *    body), distinguishable because a valid FlatBuffers root offset is
+  *    never 0.
   */
 object Messages {
 
@@ -61,4 +67,88 @@ object MessageCodec {
   def body(payload: Array[Byte]): String =
     if (payload == null || payload.length <= 8) "{}"
     else new String(payload, 8, payload.length - 8, UTF_8)
+
+  /** JSON framing marks itself with a zeroed [0:4]; a FlatBuffers root
+    * offset there is always ≥ 8. */
+  def isJsonFramed(payload: Array[Byte]): Boolean =
+    payload.length >= 4 &&
+      payload(0) == 0 && payload(1) == 0 && payload(2) == 0 && payload(3) == 0
+
+  // --- FlatBuffers encode (field ids per the public .fbs schemas) -----
+
+  /** wrdn = FinishedWriting.fbs: service_id(0), job_id(1),
+    * error_encountered(2), file_name(3), metadata(4), message(5). */
+  def encodeWrdnFb(m: WritingFinished): Array[Byte] = {
+    import FlatBuf._
+    writeTable(WrdnId, Seq(
+      FStr(m.service_id), FStr(m.job_id), FBool(m.error_encountered),
+      FStr(m.file_name), FStr(m.metadata), FStr(m.message)))
+  }
+
+  /** pl72 = RunStart.fbs: start_time(0), stop_time(1), run_name(2),
+    * instrument_name(3), nexus_structure(4), job_id(5), broker(6),
+    * service_id(7), filename(8), n_periods(9),
+    * detector_spectrum_map(10), control_topic(11), metadata(12). Only
+    * the fields the engine models are populated; the rest stay absent
+    * (reader defaults), which is legal FlatBuffers. */
+  def encodePl72Fb(m: RunStartInfo, startTime: Long = 0L): Array[Byte] = {
+    import FlatBuf._
+    writeTable(Pl72Id, Seq(
+      if (startTime == 0L) FAbsent else FU64(startTime), FAbsent, FAbsent,
+      FStr(m.instrument_name), FAbsent, FStr(m.job_id), FAbsent, FAbsent,
+      FStr(m.filename)))
+  }
+
+  // --- decode: one entry point per type, both framings ----------------
+
+  private def parseJson(body: String): Option[com.fasterxml.jackson.databind.JsonNode] =
+    scala.util.Try(new com.fasterxml.jackson.databind.ObjectMapper().readTree(body)).toOption
+
+  private def jStr(n: com.fasterxml.jackson.databind.JsonNode, f: String): String = {
+    val v = n.get(f); if (v == null || v.isNull) "" else v.asText()
+  }
+
+  /** Decode a wrdn payload of either wire form; None on wrong type or
+    * corrupt bytes (the caller treats None as "skip", matching the
+    * reference's deserialise-failure path, scicat_kafka.py:180-190). */
+  def decodeWrdn(payload: Array[Byte]): Option[WritingFinished] =
+    schemaId(payload) match {
+      case Some(WrdnId) if isJsonFramed(payload) =>
+        parseJson(body(payload)).map { n =>
+          WritingFinished(jStr(n, "service_id"), jStr(n, "job_id"),
+            { val v = n.get("error_encountered"); v != null && v.asBoolean() },
+            jStr(n, "file_name"), jStr(n, "metadata"), jStr(n, "message"))
+        }
+      case Some(WrdnId) => scala.util.Try {
+        val t = FlatBuf.root(payload)
+        WritingFinished(
+          service_id = t.string(0).getOrElse(""),
+          job_id = t.string(1).getOrElse(""),
+          error_encountered = t.bool(2, default = false),
+          file_name = t.string(3).getOrElse(""),
+          metadata = t.string(4).getOrElse(""),
+          message = t.string(5).getOrElse(""))
+      }.toOption
+      case _ => None
+    }
+
+  /** Decode a pl72 payload of either wire form (fields the reference
+    * reads: job_id, filename, instrument_name —
+    * scicat_sample_ingestor.py:186-188,211). */
+  def decodePl72(payload: Array[Byte]): Option[RunStartInfo] =
+    schemaId(payload) match {
+      case Some(Pl72Id) if isJsonFramed(payload) =>
+        parseJson(body(payload)).map { n =>
+          RunStartInfo(jStr(n, "job_id"), jStr(n, "filename"),
+            jStr(n, "instrument_name"))
+        }
+      case Some(Pl72Id) => scala.util.Try {
+        val t = FlatBuf.root(payload)
+        RunStartInfo(
+          job_id = t.string(5).getOrElse(""),
+          filename = t.string(8).getOrElse(""),
+          instrument_name = t.string(3).getOrElse(""))
+      }.toOption
+      case _ => None
+    }
 }
