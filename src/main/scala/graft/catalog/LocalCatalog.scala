@@ -13,7 +13,7 @@ import graft.schema.ConfigValue._
   * equivalent of a broadcast-DataFrame lookup join; production would
   * swap in an HTTP client inside `foreachBatch` (same interface).
   */
-final case class LocalCatalog(entries: Map[String, String]) extends Serializable {
+final case class LocalCatalog(entries: Map[String, String]) extends Catalog {
 
   /** GET + optional single-field projection
     * (ref: retrieve_value_from_scicat, scicat_communication.py:14-24).
@@ -22,22 +22,27 @@ final case class LocalCatalog(entries: Map[String, String]) extends Serializable
     entries.get(url).flatMap { doc =>
       if (field == null || field.isEmpty) Some(doc)
       else ConfigValue.fromJson(doc) match {
-        case m: CMap => m.get(field).map(render)
+        case m: CMap => m.get(field).map(Catalog.renderJson)
         case _ => None
       }
     }
 
-  private def render(c: ConfigValue): String = c match {
-    case CStr(s) => graft.sources.NexusExtractor.jsonStr(s)
-    case CLong(v) => v.toString
-    case CDouble(v) => v.toString
-    case CBool(b) => b.toString
-    case CNull => "null"
-    case CSeq(items) => items.map(render).mkString("[", ",", "]")
-    case m: CMap => m.items.map { case (k, v) =>
-      graft.sources.NexusExtractor.jsonStr(k) + ":" + render(v)
-    }.mkString("{", ",", "}")
-  }
+  override def datasetExists(pid: String): Boolean = datasetPids.contains(pid)
+
+  override def metadataValueExists(key: String, value: String): Boolean =
+    metadataValues(key).contains(value)
+
+  override def enumeratePids: Option[Set[String]] = Some(datasetPids)
+
+  override def enumerateMetadataValues(key: String): Option[Set[String]] =
+    Some(metadataValues(key))
+
+  /** In-memory creation is a dry-run: the document is returned
+    * unchanged (the JSON-file sink is the inspectable K1/K2 surface for
+    * tests; [[HttpScicatCatalog]] is the real POST path). */
+  override def createDataset(datasetJson: String): String = datasetJson
+
+  override def createOrigDatablock(datablockJson: String): String = datablockJson
 
   /** Existing dataset pids — the dedup anti-join side
     * (ref: check_dataset_by_pid, scicat_communication.py:161-193). */

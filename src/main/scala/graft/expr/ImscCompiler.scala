@@ -33,7 +33,7 @@ import ValueOperators.OpSpec
 object ImscCompiler {
 
   final case class Context(
-      catalog: LocalCatalog = LocalCatalog.empty,
+      catalog: graft.catalog.Catalog = LocalCatalog.empty,
       ingestorFilesDirectory: String = "",
       runIdColumn: Option[Column] = None)
 

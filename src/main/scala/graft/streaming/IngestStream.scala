@@ -81,7 +81,7 @@ object IngestStream {
   final case class Config(
       schemas: Seq[ImscSchema],
       fallback: Option[ImscSchema] = None,
-      catalog: LocalCatalog = LocalCatalog.empty,
+      catalog: graft.catalog.Catalog = LocalCatalog.empty,
       options: DatasetAssembly.Options = DatasetAssembly.Options(),
       /** S4: the default reader opens real NeXus/HDF5 files via the
         * pure-JVM [[graft.sources.Hdf5Reader]]; Try-wrapped so corrupt
@@ -167,17 +167,34 @@ object IngestStream {
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         DatasetAssembly.OutputSchema))
 
-    // F6: dedup against existing catalog pids (left-anti join)
-    val existing = cfg.catalog.datasetPids.toSeq.toDF("existing_pid")
-    val afterPid = assembled.join(broadcast(existing),
-      assembled("pid") === existing("existing_pid"), "left_anti")
+    // F6: dedup against existing catalog pids. An enumerable catalog
+    // (in-memory) becomes the broadcast side of a left-anti join — zero
+    // per-row probes; a REST catalog is probed per row on the EXECUTORS
+    // (the reference's per-record check_dataset_by_pid, parallelized —
+    // no driver funnel, no whole-catalog download).
+    val cat = cfg.catalog
+    val afterPid = cat.enumeratePids match {
+      case Some(pids) =>
+        val existing = pids.toSeq.toDF("existing_pid")
+        assembled.join(broadcast(existing),
+          assembled("pid") === existing("existing_pid"), "left_anti")
+      case None =>
+        val existsUdf = udf((pid: String) => cat.datasetExists(pid))
+        assembled.filter(col("pid").isNull || !existsUdf(col("pid")))
+    }
 
-    // F7: dedup on scientificMetadata.<key>.value (left-anti join)
+    // F7: dedup on scientificMetadata.<key>.value (same two paths)
     cfg.dedupMetadataKey.fold(afterPid) { key =>
-      val values = cfg.catalog.metadataValues(key).toSeq.toDF("existing_value")
       val keyValue = element_at(col("scientificMetadata"), key).getField("value")
-      afterPid.join(broadcast(values),
-        keyValue === values("existing_value"), "left_anti")
+      cat.enumerateMetadataValues(key) match {
+        case Some(vals) =>
+          val values = vals.toSeq.toDF("existing_value")
+          afterPid.join(broadcast(values),
+            keyValue === values("existing_value"), "left_anti")
+        case None =>
+          val existsUdf = udf((v: String) => cat.metadataValueExists(key, v))
+          afterPid.filter(keyValue.isNull || !existsUdf(keyValue))
+      }
     }
   }
 

@@ -45,6 +45,27 @@ object Sinks {
     } finally datasetJson.unpersist()
   }
 
+  /** K1/K2 over REST: POST each dataset row and its origdatablock to
+    * the catalog (ref: ingest_message, src/scicat_online_ingestor.py —
+    * dataset first, then datablock, raising on non-OK so the batch
+    * fails loudly rather than half-ingesting). POSTs run inside
+    * `foreachPartition` on the EXECUTORS; the serializable catalog
+    * re-creates its HTTP client per executor. Dry-run (K5) skips. */
+  def restDatasetSink(catalog: graft.catalog.Catalog, dryRun: Boolean = false)(
+      batch: DataFrame, batchId: Long): Unit = {
+    if (dryRun) return
+    batch.select(
+      to_json(struct(DatasetAssembly.OutputColumns.filterNot(_ == "origDataBlock").map(col): _*),
+        Map("ignoreNullFields" -> "true")).as("dataset"),
+      to_json(col("origDataBlock"), Map("ignoreNullFields" -> "true")).as("datablock"))
+      .foreachPartition { rows: Iterator[Row] =>
+        rows.foreach { r =>
+          catalog.createDataset(r.getAs[String]("dataset"))
+          catalog.createOrigDatablock(r.getAs[String]("datablock"))
+        }
+      }
+  }
+
   /** Read back every line written by [[jsonDatasetSink]] for one batch —
     * test/inspection helper (small data only). */
   def readJsonLines(dir: String): String = {
