@@ -49,16 +49,71 @@ object Hdf5Reader {
     * converter path: `fileReader = p => Some(Hdf5Reader.readJson(p))`. */
   def readJson(path: String): String = toJson(read(path))
 
-  /** The IngestStream wiring (F11-safe): HDF5/NeXus extensions parse
-    * via [[readJson]]; a corrupt or unreadable file yields None so the
-    * pipeline nulls the row's variables out instead of failing the
-    * batch (a bare `Some(readJson(p))` would let Hdf5Error/IOException
-    * escape through the read UDF and abort the whole micro-batch). */
-  val fileReader: String => Option[String] = { p =>
-    val lower = if (p == null) "" else p.toLowerCase
-    val looksHdf5 = Seq(".hdf", ".hdf5", ".h5", ".nxs").exists(lower.endsWith)
-    if (looksHdf5) scala.util.Try(readJson(p)).toOption else None
+  /** HDF5 format signature (File Format Spec §II.A.1). The parser only
+    * handles superblocks at offset 0 (what h5py writes), so the probe
+    * checks offset 0 too. */
+  private val Magic: Array[Byte] =
+    Array(0x89, 'H', 'D', 'F', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+
+  /** One classified read attempt. Left(reason) prefixes:
+    *  - `io:` transient filesystem failure (missing/locked/unreadable) —
+    *    the RETRYABLE class, the filewriter may still hold the file
+    *    (ref: _open_h5file retries OSError/BlockingIOError,
+    *    src/scicat_nexus_helper.py:14-59);
+    *  - `too_large:` over the in-memory reader's 2 GiB guard — NOT the
+    *    same as corrupt, and logged distinctly (VERDICT r3 #4);
+    *  - `not_hdf5:` magic-byte probe failed — any extension is
+    *    attempted (the reference opens any path via h5py), garbage is
+    *    rejected after an 8-byte read;
+    *  - `parse:` real HDF5 signature but undecodable content. */
+  def readClassified(path: String): Either[String, String] =
+    try {
+      if (path == null) return Left("io: null path")
+      val p = Paths.get(path)
+      if (!Files.isRegularFile(p)) return Left(s"io: no such file")
+      val size = Files.size(p)
+      if (size > Int.MaxValue - 8)
+        return Left(s"too_large: $size bytes exceeds the in-memory reader limit")
+      val head = new Array[Byte](8)
+      val in = Files.newInputStream(p)
+      val n = try in.read(head) finally in.close()
+      if (n < 8 || !java.util.Arrays.equals(head, Magic))
+        return Left("not_hdf5: missing HDF5 signature")
+      Right(readJson(path))
+    } catch {
+      case e: Hdf5Error => Left(s"parse: ${e.msg}")
+      case e: java.io.IOException => Left(s"io: ${e.getMessage}")
+      case scala.util.control.NonFatal(e) => Left(s"parse: ${e.getMessage}")
+    }
+
+  /** The IngestStream wiring (F11-safe): every failure class yields
+    * None so the pipeline nulls the row's variables out instead of
+    * failing the batch — but the classes are logged DISTINCTLY (a file
+    * that is merely too big must not read as corrupt, and transient IO
+    * failures retry first, delays clamped to [1, 120] s like S10). */
+  def fileReaderWith(
+      retryDelaysSeconds: Seq[Double],
+      sleeper: Long => Unit = Thread.sleep): String => Option[String] = { p =>
+    var attempt = readClassified(p)
+    val delays = retryDelaysSeconds.iterator
+    while (attempt.fold(_.startsWith("io:"), (_: String) => false) && delays.hasNext) {
+      val d = math.min(math.max(delays.next(), 1.0), 120.0)
+      sleeper((d * 1000).toLong)
+      attempt = readClassified(p)
+    }
+    attempt match {
+      case Right(json) => Some(json)
+      case Left(reason) =>
+        org.apache.log4j.Logger.getLogger(getClass)
+          .warn(s"hdf5 read skipped ($reason): $p")
+        None
+    }
   }
+
+  /** Production default: 3 attempts total with the reference's default
+    * 3 s delay (ref: _DEFAULT_DELAY × data_file_open_max_tries=3,
+    * src/scicat_nexus_helper.py:62-95). */
+  val fileReader: String => Option[String] = fileReaderWith(Seq(3.0, 3.0))
 
   def toJson(node: NexusNode): String = node match {
     case NexusGroup(children) =>

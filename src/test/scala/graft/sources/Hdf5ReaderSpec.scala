@@ -80,6 +80,7 @@ class Hdf5ReaderSpec extends AnyFunSuite {
   }
 
   test("F11: corrupt, truncated, missing, or non-HDF5 files yield None") {
+    val noRetry = Hdf5Reader.fileReaderWith(Seq.empty)
     val dir = java.nio.file.Files.createTempDirectory("graft_hdf5")
     val truncated = dir.resolve("trunc.hdf")
     val all = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(ymir))
@@ -87,12 +88,60 @@ class Hdf5ReaderSpec extends AnyFunSuite {
     val garbage = dir.resolve("garbage.nxs")
     java.nio.file.Files.write(garbage, "not an hdf5 file at all".getBytes)
 
-    assert(Hdf5Reader.fileReader(truncated.toString).isEmpty)
-    assert(Hdf5Reader.fileReader(garbage.toString).isEmpty)
-    assert(Hdf5Reader.fileReader(dir.resolve("missing.hdf").toString).isEmpty)
-    assert(Hdf5Reader.fileReader("/etc/hostname").isEmpty) // wrong extension
-    assert(Hdf5Reader.fileReader(null).isEmpty)
+    assert(noRetry(truncated.toString).isEmpty)
+    assert(noRetry(garbage.toString).isEmpty)
+    assert(noRetry(dir.resolve("missing.hdf").toString).isEmpty)
+    assert(noRetry("/etc/hostname").isEmpty)
+    assert(noRetry(null).isEmpty)
     // and the real fixtures DO read through the same entry point
     assert(Hdf5Reader.fileReader(ymir).nonEmpty)
+  }
+
+  test("failure classes are distinguished: io vs not_hdf5 vs parse vs too_large") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_hdf5c")
+    val all = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(ymir))
+    val truncated = dir.resolve("trunc.hdf")
+    java.nio.file.Files.write(truncated, all.take(600).toArray) // real magic, cut body
+    val garbage = dir.resolve("garbage.nxs")
+    java.nio.file.Files.write(garbage, "plain text".getBytes)
+    // sparse file over the 2 GiB guard: instant to create, ~0 disk
+    val big = dir.resolve("big.hdf")
+    val raf = new java.io.RandomAccessFile(big.toFile, "rw")
+    try raf.setLength(Int.MaxValue.toLong + 100) finally raf.close()
+
+    assert(Hdf5Reader.readClassified(truncated.toString).swap.exists(_.startsWith("parse:")))
+    assert(Hdf5Reader.readClassified(garbage.toString).swap.exists(_.startsWith("not_hdf5:")))
+    assert(Hdf5Reader.readClassified(dir.resolve("nope.hdf").toString).swap.exists(_.startsWith("io:")))
+    assert(Hdf5Reader.readClassified(big.toString).swap.exists(_.startsWith("too_large:")),
+      "a merely-too-big file must NOT read as corrupt")
+    assert(Hdf5Reader.readClassified(ymir).isRight)
+  }
+
+  test("any extension is attempted: magic bytes decide, not the file name") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_hdf5e")
+    val odd = dir.resolve("run0001.nexus-data") // extension the old gate skipped
+    java.nio.file.Files.copy(java.nio.file.Paths.get(ymir), odd)
+    assert(Hdf5Reader.fileReaderWith(Seq.empty)(odd.toString).nonEmpty)
+  }
+
+  test("transient IO failures retry with clamped delays; parse failures do not") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_hdf5r")
+    val appearing = dir.resolve("late.hdf")
+    val slept = scala.collection.mutable.ArrayBuffer.empty[Long]
+    // the file "arrives" during the first retry sleep (filewriter just
+    // finished moving it into place)
+    val reader = Hdf5Reader.fileReaderWith(Seq(0.001, 60.0), sleeper = { ms =>
+      slept += ms
+      java.nio.file.Files.copy(java.nio.file.Paths.get(ymir), appearing)
+    })
+    assert(reader(appearing.toString).nonEmpty)
+    assert(slept.toSeq == Seq(1000L)) // 0.001 clamped up to 1 s; no second retry
+
+    // non-IO failures never retry
+    val garbage = dir.resolve("g.hdf")
+    java.nio.file.Files.write(garbage, "junk".getBytes)
+    val sleeps2 = scala.collection.mutable.ArrayBuffer.empty[Long]
+    assert(Hdf5Reader.fileReaderWith(Seq(1.0), sleeper = sleeps2 += _)(garbage.toString).isEmpty)
+    assert(sleeps2.isEmpty)
   }
 }
