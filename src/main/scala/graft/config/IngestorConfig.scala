@@ -103,12 +103,21 @@ object IngestorConfig {
         timeoutMs = if (timeout <= 0) 10000L else timeout * 1000L)
   }
 
-  /** ref: LoggingOptions (scicat_configuration.py:200-222); only the
-    * fields that change engine behavior (verbosity/prefix) are kept. */
+  /** ref: LoggingOptions (scicat_configuration.py:200-222); the fields
+    * with an engine behavior (level/prefix/file handler) are typed,
+    * syslog/graylog remain tolerated-only. */
   final case class LoggingConfig(
       verbose: Boolean = false,
       loggingLevel: String = "INFO",
-      logMessagePrefix: String = "SFI")
+      logMessagePrefix: String = "SFI",
+      fileLog: Boolean = false,
+      fileLogBaseName: String = "scicat_ingestor_log",
+      fileLogTimestamp: Boolean = false)
+
+  /** ref: HealthCheckOptions (scicat_configuration.py:226-229). */
+  final case class HealthCheckConfig(
+      host: String = "0.0.0.0",
+      port: Int = 8080)
 
   /** ref: OnlineIngestorConfig (scicat_configuration.py:480-476). */
   final case class Config(
@@ -118,7 +127,8 @@ object IngestorConfig {
       ingestion: IngestionConfig = IngestionConfig(),
       logging: LoggingConfig = LoggingConfig(),
       kafka: KafkaConfig = KafkaConfig(),
-      scicat: SciCatConfig = SciCatConfig()) {
+      scicat: SciCatConfig = SciCatConfig(),
+      healthCheck: HealthCheckConfig = HealthCheckConfig()) {
 
     /** Bridge into the assembly pipeline's runtime options. */
     def toAssemblyOptions: graft.assemble.DatasetAssembly.Options =
@@ -221,14 +231,13 @@ object IngestorConfig {
   }
 
   // reference-only options accepted without an engine meaning
-  private val toleratedTop = Set("nexus_file", "done_writing_message_file", "health_check")
+  private val toleratedTop = Set("nexus_file", "done_writing_message_file")
   private val toleratedIngestion = Set(
     "offline_ingestor_executable", "max_offline_ingestors",
     "offline_ingestors_wait_time")
   private val toleratedLogging = Set(
-    "file_log", "file_log_base_name", "file_log_timestamp", "system_log",
-    "system_log_facility", "graylog", "graylog_host", "graylog_port",
-    "graylog_facility")
+    "system_log", "system_log_facility", "graylog", "graylog_host",
+    "graylog_port", "graylog_facility")
   private val toleratedScicat = Set("additional_headers", "health_endpoint", "api_endpoints")
 
   /** Build the typed config from a parsed tree; strict = unknown keys
@@ -283,8 +292,17 @@ object IngestorConfig {
     val logging = LoggingConfig(
       verbose = lg.bool("verbose", false),
       loggingLevel = lg.str("logging_level", "INFO"),
-      logMessagePrefix = lg.str("log_message_prefix", "SFI"))
+      logMessagePrefix = lg.str("log_message_prefix", "SFI"),
+      fileLog = lg.bool("file_log", false),
+      fileLogBaseName = lg.str("file_log_base_name", "scicat_ingestor_log"),
+      fileLogTimestamp = lg.bool("file_log_timestamp", false))
     errors ++= lg.finish()
+
+    val hc = new Section(t.sub("health_check"), "health_check", Set.empty)
+    val healthCheck = HealthCheckConfig(
+      host = hc.str("host", "0.0.0.0"),
+      port = hc.int("port", 8080))
+    errors ++= hc.finish()
 
     val kf = new Section(t.sub("kafka"), "kafka", Set.empty)
     val kafka = KafkaConfig(
@@ -314,7 +332,7 @@ object IngestorConfig {
       configFile = t.str("config_file", ""),
       id = t.str("id", ""),
       dataset = dataset, ingestion = ingestion, logging = logging,
-      kafka = kafka, scicat = scicat)
+      kafka = kafka, scicat = scicat, healthCheck = healthCheck)
     errors ++= t.finish()
 
     if (strict && errors.nonEmpty)

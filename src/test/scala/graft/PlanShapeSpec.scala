@@ -61,6 +61,20 @@ class PlanShapeSpec extends AnyFunSuite {
       s"candidate generation must be the bucket equi-join, not all-pairs:\n$p")
   }
 
+  test("f7 anti-join broadcasts the existing-values side") {
+    val p = plan("f7_meta_anti")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
+      s"existing catalog values must broadcast, the documents side must not shuffle:\n$p")
+  }
+
+  test("simhash banded candidates: band-bucket equi-join, NO nested loop") {
+    val p = plan("dedup_simhash_pairs")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"candidate generation must be the band-bucket equi-join, not all-pairs:\n$p")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), p)
+  }
+
   test("simhash pre-aggregates (doc_id, word_hash) before the bit votes") {
     val p = plan("dedup_simhash")
     // two-level aggregation: first keyed on (doc_id, h), then on doc_id
