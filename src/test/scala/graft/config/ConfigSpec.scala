@@ -121,6 +121,23 @@ class ConfigSpec extends AnyFunSuite {
     assert(!cfg.kafka.describe.contains("s3cret"))
   }
 
+  test("json-to-yaml devtool: converts, preserves key order, refuses overwrite") {
+    val yaml = JsonToYaml.convertText("""{"b": 1, "a": {"x": [1, 2]}, "c": "s"}""")
+    assert(yaml.indexOf("b:") < yaml.indexOf("a:") && yaml.indexOf("a:") < yaml.indexOf("c:"))
+    // converted YAML loads through the config path
+    val cfg = IngestorConfig.load(JsonToYaml.convertText("""{"ingestion": {"dry_run": true}}"""))
+    assert(cfg.ingestion.dryRun)
+
+    val dir = java.nio.file.Files.createTempDirectory("graft_j2y")
+    val in = dir.resolve("legacy.json")
+    java.nio.file.Files.writeString(in, """{"k": 1}""")
+    val out = JsonToYaml.convertFile(in.toString)
+    assert(out.getFileName.toString == "legacy.yml") // default .json → .yml
+    assert(java.nio.file.Files.readString(out).contains("k: 1"))
+    intercept[IllegalStateException] { JsonToYaml.convertFile(in.toString) }
+    JsonToYaml.convertFile(in.toString, overwrite = true) // forced is fine
+  }
+
   test("missing config file raises; empty text gives pure defaults") {
     intercept[ConfigError] { IngestorConfig.loadFile("/no/such/file.yml") }
     assert(IngestorConfig.load("") == Config())
