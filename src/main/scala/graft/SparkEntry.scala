@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{Dedup, IngestDemo, Multimodal, Relational, Similarity, Skew, Substrate, TextAnalysis}
+import graft.operators.{Corpus, Dedup, IngestDemo, Multimodal, Relational, Similarity, Skew, Substrate, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -64,6 +64,10 @@ object SparkEntry {
     "dedup_minhash_buckets" -> (Dedup.minhashLshBuckets _),
     "dedup_simhash" -> (Dedup.simhash _),
     "dedup_simhash_pairs" -> (Dedup.simhashCandidates _),
+    "dedup_cluster_labels" -> (Dedup.clusterLabels _),
+    // training-data ops: corpus preparation
+    "corpus_split" -> (Corpus.stratifiedSplit _),
+    "corpus_pack_bins" -> ((s: SparkSession, d: String) => Corpus.packTokenBins(s, d)),
     // training-data ops: similarity search
     "ann_brute_topk" -> ((s: SparkSession, d: String) => Similarity.annBruteForceTopK(s, d)),
     "ann_cosine_pairs" -> ((s: SparkSession, d: String) => Similarity.cosineThresholdPairs(s, d)),
@@ -193,6 +197,24 @@ object SparkEntry {
        |  (sqrt(list_dot_product(a.emb, a.emb)) * sqrt(list_dot_product(b.emb, b.emb))) > 0.4""".stripMargin
   }
 
+  /** Connected-components replica: same verified-pair edges, transitive
+    * closure via recursive reachability, cluster = min reachable id. */
+  private def clusterLabelsOracle: String = {
+    val ctes = lshSigCtes.replaceFirst("WITH ", "WITH RECURSIVE ")
+    s"""$ctes,
+       |pairs AS (
+       |  SELECT a.vec_id AS id1, b.vec_id AS id2
+       |  FROM sig a JOIN sig b ON a.lsh_bucket = b.lsh_bucket AND a.vec_id < b.vec_id
+       |  WHERE list_dot_product(a.emb, b.emb) /
+       |    (sqrt(list_dot_product(a.emb, a.emb)) * sqrt(list_dot_product(b.emb, b.emb))) > 0.4),
+       |ed AS (SELECT id1 AS a, id2 AS b FROM pairs UNION ALL SELECT id2 AS a, id1 AS b FROM pairs),
+       |reach AS (
+       |  SELECT vec_id AS src, vec_id AS dst FROM e
+       |  UNION
+       |  SELECT r.src, ed.b AS dst FROM reach r JOIN ed ON r.dst = ed.a)
+       |SELECT src AS vec_id, CAST(min(dst) AS BIGINT) AS cluster FROM reach GROUP BY src""".stripMargin
+  }
+
   /** Decode-stub replica: byte values reconstructed from sha256 hex
     * pairs; mean via the portable floor-round. */
   private def mmDecodeOracle: String = {
@@ -218,6 +240,26 @@ object SparkEntry {
     "dedup_minhash_buckets" -> minhashOracle,
     "dedup_simhash" -> simhashOracle,
     "dedup_simhash_pairs" -> simhashPairsOracle,
+    "dedup_cluster_labels" -> clusterLabelsOracle,
+    "corpus_split" -> {
+      val h = graft.functions.PortableHash.sqlH48("concat('split:', CAST(doc_id AS VARCHAR))")
+      s"""WITH b AS (SELECT doc_id, lang, $h % 100 AS split_bucket FROM documents)
+         |SELECT doc_id, lang, split_bucket,
+         |  CASE WHEN split_bucket < 80 THEN 'train'
+         |       WHEN split_bucket < 90 THEN 'validation'
+         |       ELSE 'test' END AS split
+         |FROM b""".stripMargin
+    },
+    "corpus_pack_bins" ->
+      """WITH t AS (SELECT doc_id, lang, doc_id % 8 AS shard,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS tokens
+        |  FROM documents),
+        |c AS (SELECT doc_id, lang, shard, tokens,
+        |    sum(tokens) OVER (PARTITION BY lang, shard ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM t)
+        |SELECT doc_id, lang, shard, tokens,
+        |  CAST(floor((cum - tokens) / 2048) AS BIGINT) AS bin_id FROM c""".stripMargin,
     "ann_lsh_topk" -> annLshOracle,
     "dedup_lsh_verified_pairs" -> lshVerifiedPairsOracle,
     "mm_decode_stats" -> mmDecodeOracle,

@@ -1,0 +1,56 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.Tables
+import graft.functions.PortableHash
+
+/** Corpus-preparation operators a large-scale training-data pipeline
+  * needs downstream of dedup/quality: deterministic dataset splits and
+  * token-budget sequence packing.
+  *
+  * Scale notes (100 TB):
+  *  - the split is a pure map over a content-independent portable hash:
+  *    no shuffle, no RNG state, stable under re-runs and re-partitions
+  *    (the property that actually matters — a `rand()` split silently
+  *    reshuffles train/test on every retry);
+  *  - packing windows are keyed (lang, shard) where shard is a hash of
+  *    the doc id: per-key data stays executor-local and the key space
+  *    scales with the corpus instead of the ~20 languages (a
+  *    partition-by-lang-only window is the skew trap at 100 TB).
+  */
+object Corpus {
+
+  /** Deterministic stratified train/validation/test split: the md5-based
+    * portable hash of the doc id modulo 100 buckets → 80/10/10. The
+    * salt prefix decorrelates this hash from any other doc_id-keyed
+    * hashing in the pipeline. */
+  def stratifiedSplit(spark: SparkSession, sfDir: String): DataFrame = {
+    val bucket = PortableHash.md5Hash48(
+      concat(lit("split:"), col("doc_id").cast("string"))) % 100
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"), bucket.as("split_bucket"),
+        when(bucket < 80, "train").when(bucket < 90, "validation")
+          .otherwise("test").as("split"))
+  }
+
+  /** Streaming sequence packing: per (lang, shard) stream ordered by
+    * doc_id, documents concatenate into fixed token-budget bins; a
+    * document lands in the bin its preceding cumulative fills
+    * (GPT-style concat-then-chunk pretraining batches). Pure window
+    * program — one shuffle on the window key, no UDF. */
+  def packTokenBins(spark: SparkSession, sfDir: String, budget: Long = 2048,
+      shards: Int = 8): DataFrame = {
+    val w = Window.partitionBy(col("lang"), col("shard")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"),
+        pmod(col("doc_id"), lit(shards)).as("shard"),
+        size(split(col("text"), " ")).cast("long").as("tokens"))
+      .withColumn("cum_tokens", sum(col("tokens")).over(w))
+      .select(col("doc_id"), col("lang"), col("shard"), col("tokens"),
+        floor((col("cum_tokens") - col("tokens")) / budget).as("bin_id"))
+  }
+}

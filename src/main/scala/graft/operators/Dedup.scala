@@ -198,6 +198,60 @@ object Dedup {
     votes.select(col("doc_id"), sim.as("simhash"))
   }
 
+  /** Connected components by iterative min-label propagation: every
+    * node starts as its own cluster, then repeatedly takes the minimum
+    * label over its neighborhood until fixpoint. The standard final
+    * step of a near-dup pipeline — candidate PAIRS are not enough, the
+    * pipeline needs one representative per transitive CLUSTER.
+    *
+    * Scale notes (100 TB):
+    *  - each iteration is one equi-join (edges × labels) + one
+    *    min-aggregate — both shuffle on node id and co-partition;
+    *  - iteration count = graph diameter, tiny for near-dup clusters
+    *    (dozens of docs, not chains of millions); the bound caps
+    *    pathological chains and the convergence check is O(1) driver
+    *    data (labels only ever DECREASE, so the label sum is a strictly
+    *    decreasing fixpoint witness — no row-wise diff join needed);
+    *  - `localCheckpoint` truncates the per-iteration lineage so the
+    *    loop doesn't compound plan depth (the classic iterative-Spark
+    *    trap); production at extreme diameters would switch to the
+    *    alternating large-star/small-star formulation, same join shape.
+    *
+    * `nodes` = single id column; `edges` = (id1, id2) undirected. */
+  def connectedComponents(nodes: DataFrame, edges: DataFrame, maxIter: Int = 20): DataFrame = {
+    val idCol = nodes.columns.head
+    val bidir = edges.toDF("a", "b")
+      .unionByName(edges.toDF("b", "a").select(col("a"), col("b")))
+      .localCheckpoint()
+    var labels = nodes.select(col(idCol).as("node"), col(idCol).cast("long").as("cluster"))
+      .localCheckpoint()
+    var prevSum = labels.agg(sum(col("cluster")).cast("decimal(38,0)")).head.getDecimal(0)
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      val neighborMin = bidir.join(labels, col("b") === col("node"))
+        .groupBy(col("a")).agg(min(col("cluster")).as("nmin"))
+      labels = labels.join(neighborMin, col("node") === col("a"), "left")
+        .select(col("node"),
+          least(col("cluster"), coalesce(col("nmin"), col("cluster"))).as("cluster"))
+        .localCheckpoint()
+      val curSum = labels.agg(sum(col("cluster")).cast("decimal(38,0)")).head.getDecimal(0)
+      converged = curSum.compareTo(prevSum) == 0
+      prevSum = curSum
+      iter += 1
+    }
+    labels.select(col("node").as(idCol), col("cluster"))
+  }
+
+  /** Near-dup cluster labels over the verified LSH pair graph
+    * (the production two-stage path: bucket candidates → exact cosine →
+    * transitive clusters). Singletons keep their own id as cluster. */
+  def clusterLabels(spark: SparkSession, sfDir: String): DataFrame = {
+    val nodes = Tables.embeddings(spark, sfDir).select(col("vec_id"))
+    val edges = Similarity.lshVerifiedPairs(spark, sfDir).select(col("id1"), col("id2"))
+    connectedComponents(nodes, edges)
+  }
+
   /** SimHash near-dup candidates: equal 16-bit bands (standard hamming
     * blocking: 48 bits / 3 bands — distance ≤ 2 guarantees a band equal). */
   def simhashCandidates(spark: SparkSession, sfDir: String): DataFrame = {

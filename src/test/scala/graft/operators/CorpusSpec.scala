@@ -1,0 +1,59 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Corpus-prep + clustering unit semantics (the DuckDB oracle covers
+  * the full queries; these pin the operator cores on known inputs).
+  */
+class CorpusSpec extends AnyFunSuite {
+  import TestSpark.{spark, sfDir}
+  import spark.implicits._
+
+  test("connectedComponents: chain, triangle, and singletons converge to min labels") {
+    val nodes = (0L to 9L).toDF("id")
+    // chain 1-2-3-4, triangle 5-6-7 (+redundant edge), 0/8/9 singletons
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (5L, 6L), (6L, 7L), (5L, 7L))
+      .toDF("id1", "id2")
+    val labels = Dedup.connectedComponents(nodes, edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels == Map(0L -> 0L, 1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      5L -> 5L, 6L -> 5L, 7L -> 5L, 8L -> 8L, 9L -> 9L))
+  }
+
+  test("connectedComponents converges within the diameter bound on a long chain") {
+    val n = 12L
+    val nodes = (0L until n).toDF("id")
+    val edges = (0L until n - 1).map(i => (i, i + 1)).toDF("id1", "id2")
+    val labels = Dedup.connectedComponents(nodes, edges, maxIter = 15)
+      .collect().map(r => r.getLong(1)).distinct
+    assert(labels.toSeq == Seq(0L)) // one component, min label 0
+  }
+
+  test("stratified split is deterministic and ~80/10/10") {
+    val a = Corpus.stratifiedSplit(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getString(3)).toMap
+    val b = Corpus.stratifiedSplit(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(a == b, "split must be stable across runs")
+    val frac = a.values.groupBy(identity).view.mapValues(_.size.toDouble / a.size).toMap
+    assert(math.abs(frac("train") - 0.8) < 0.06, frac)
+    assert(math.abs(frac("test") - 0.1) < 0.05, frac)
+  }
+
+  test("token packing: bins respect the budget boundary per (lang, shard)") {
+    val rows = Corpus.packTokenBins(spark, sfDir, budget = 100).collect()
+      .map(r => (r.getString(1), r.getLong(2), r.getLong(0), r.getLong(3), r.getLong(4)))
+    // within each (lang, shard): bin ids are non-decreasing in doc order,
+    // and each doc's bin equals its preceding cumulative / budget
+    rows.groupBy(t => (t._1, t._2)).foreach { case (_, group) =>
+      val ordered = group.sortBy(_._3)
+      var cum = 0L
+      ordered.foreach { case (_, _, _, tokens, bin) =>
+        assert(bin == cum / 100, s"doc bin $bin != ${cum / 100}")
+        cum += tokens
+      }
+    }
+  }
+}
