@@ -55,6 +55,11 @@ trait Catalog extends Serializable {
   /** K2: create an origdatablock document; raises on non-OK
     * (ref: scicat_communication.py:89-122 ScicatOrigDatablockAPIError). */
   def createOrigDatablock(datablockJson: String): String
+
+  /** J5: create a sample for (name, proposalId). Unlike the dataset
+    * POSTs this only WARNS on failure (ref: post_sample,
+    * src/scicat_sample_ingestor.py:96-115). */
+  def createSample(sampleName: String, proposalId: String): Unit = ()
 }
 
 object Catalog {

@@ -167,5 +167,20 @@ final case class HttpScicatCatalog(
           s"Error creating new origdatablock: ${e.getMessage}")
     }
 
+  /** ref body: ownerGroup/accessGroups = proposalId, isPublished false
+    * (src/scicat_sample_ingestor.py:99-106); non-OK warns, not raises. */
+  override def createSample(sampleName: String, proposalId: String): Unit = {
+    val body =
+      s"""{"ownerGroup":${jstr(proposalId)},"accessGroups":[${jstr(proposalId)}],""" +
+        s""""description":${jstr(sampleName)},"proposalId":${jstr(proposalId)},""" +
+        s""""isPublished":false}"""
+    post(base + "samples", body) match {
+      case Success((status, _)) if ok(status) => ()
+      case Success((status, resp)) =>
+        log.warn(s"Posting a sample failed (status $status): $resp")
+      case Failure(e) => log.warn(s"Posting a sample failed: ${e.getMessage}")
+    }
+  }
+
   private def jstr(s: String): String = graft.sources.NexusExtractor.jsonStr(s)
 }

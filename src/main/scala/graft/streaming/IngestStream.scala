@@ -183,9 +183,22 @@ object IngestStream {
         assembled.filter(col("pid").isNull || !existsUdf(col("pid")))
     }
 
-    // F7: dedup on scientificMetadata.<key>.value (same two paths)
+    // F7: dedup on scientificMetadata.<key>.value (same two paths).
+    // A schema with no scientific_metadata items leaves the column
+    // VOID-typed (or an empty map with VOID values) — element_at/
+    // getField would fail ANALYSIS, so the probe column degrades to
+    // null = "key absent, nothing to match" (the reference's filter
+    // query simply matches nothing there).
     cfg.dedupMetadataKey.fold(afterPid) { key =>
-      val keyValue = element_at(col("scientificMetadata"), key).getField("value")
+      import org.apache.spark.sql.types.{MapType, StructType}
+      val hasItemStructs = afterPid.schema.find(_.name == "scientificMetadata")
+        .map(_.dataType).exists {
+          case m: MapType => m.valueType.isInstanceOf[StructType]
+          case _ => false
+        }
+      val keyValue =
+        if (hasItemStructs) element_at(col("scientificMetadata"), key).getField("value")
+        else lit(null).cast("string")
       cat.enumerateMetadataValues(key) match {
         case Some(vals) =>
           val values = vals.toSeq.toDF("existing_value")

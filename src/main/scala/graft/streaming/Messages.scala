@@ -108,17 +108,23 @@ object MessageCodec {
     val v = n.get(f); if (v == null || v.isNull) "" else v.asText()
   }
 
+  /** Parse a bare wrdn JSON body (the form [[graft.streaming.Sinks
+    * .dumpMessages]] writes and the reference's offline ingestor reads
+    * back as done_writing_message_file). */
+  def wrdnFromJsonBody(bodyText: String): Option[WritingFinished] =
+    parseJson(bodyText).filter(_.isObject).map { n =>
+      WritingFinished(jStr(n, "service_id"), jStr(n, "job_id"),
+        { val v = n.get("error_encountered"); v != null && v.asBoolean() },
+        jStr(n, "file_name"), jStr(n, "metadata"), jStr(n, "message"))
+    }
+
   /** Decode a wrdn payload of either wire form; None on wrong type or
     * corrupt bytes (the caller treats None as "skip", matching the
     * reference's deserialise-failure path, scicat_kafka.py:180-190). */
   def decodeWrdn(payload: Array[Byte]): Option[WritingFinished] =
     schemaId(payload) match {
       case Some(WrdnId) if isJsonFramed(payload) =>
-        parseJson(body(payload)).map { n =>
-          WritingFinished(jStr(n, "service_id"), jStr(n, "job_id"),
-            { val v = n.get("error_encountered"); v != null && v.asBoolean() },
-            jStr(n, "file_name"), jStr(n, "metadata"), jStr(n, "message"))
-        }
+        wrdnFromJsonBody(body(payload))
       case Some(WrdnId) => scala.util.Try {
         val t = FlatBuf.root(payload)
         WritingFinished(
