@@ -163,6 +163,31 @@ class Hdf5IngestSpec extends AnyFunSuite {
       "90d87f9a-950f-11ef-9101-fa163e943f63")
   }
 
+  test("FlatBuffers wrdn naming the real fixture → dataset row via a STREAMING query") {
+    // the complete reference-production shape: a real FlatBuffers
+    // payload on a streaming source, byte-slice type filter, codec
+    // decode, binary HDF5 read, imsc pipeline, sink — nothing injected
+    implicit val sqlCtx = spark.sqlContext
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Array[Byte]]
+    val results = new java.util.concurrent.ConcurrentLinkedQueue[org.apache.spark.sql.Row]()
+    val cfg = IngestStream.Config(schemas = Seq(ImscSchema.fromYamlOrJson(schemaYaml)))
+    val query = IngestStream.ingestQuery(
+      input.toDF(), cfg, (batch, _) => batch.collect().foreach(results.add))
+    input.addData(
+      MessageCodec.encodeWrdnFb(Messages.WritingFinished(
+        "filewriter", "job-fb-1", error_encountered = false, ymir, "{}", "done")),
+      MessageCodec.encodeWrdnFb(Messages.WritingFinished(
+        "filewriter", "job-fb-2", error_encountered = true, ymir, "{}", "boom")),
+      MessageCodec.encodePl72Fb(Messages.RunStartInfo("j", ymir, "ymir")))
+    query.processAllAvailable()
+    query.stop()
+    val rows = results.toArray(Array.empty[org.apache.spark.sql.Row])
+    assert(rows.length == 1) // error + pl72 dropped, good wrdn ingested
+    assert(rows.head.getAs[String]("pid") ==
+      "20.500.12269/90d87f9a-950f-11ef-9101-fa163e943f63")
+    assert(rows.head.getAs[Long]("size") == 17782L)
+  }
+
   test("wrdn naming a corrupt hdf file nulls out instead of failing the batch") {
     val dir = java.nio.file.Files.createTempDirectory("graft_corrupt")
     val bad = dir.resolve("small-ymir-corrupt.hdf")
