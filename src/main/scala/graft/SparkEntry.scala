@@ -42,6 +42,7 @@ object SparkEntry {
     "w_running" -> (Relational.wRunning _),
     "set_except" -> (Relational.setExcept _),
     "tumbling_window" -> (Relational.tumblingWindow _),
+    "sub_sessionize" -> ((s: SparkSession, d: String) => Relational.sessionize(s, d)),
     // substrate: grouping sets / joins / dates / SQL text / extensions
     "sub_rollup" -> (Substrate.rollup _),
     "sub_semi_join" -> (Substrate.semiJoin _),
@@ -85,6 +86,7 @@ object SparkEntry {
     "text_quality" -> (TextAnalysis.qualityScore _),
     "text_tokens" -> (TextAnalysis.tokenStats _),
     "text_fingerprint" -> (TextAnalysis.fingerprint _),
+    "text_redact_pii" -> (TextAnalysis.redactPii _),
   )
 
   /** Queries whose result may legitimately be empty at small scale
@@ -376,6 +378,35 @@ object SparkEntry {
         |  cast(round(sum(cast(value as decimal(18,2))), 2) as double) AS total_value
         |FROM events GROUP BY 1, 2""".stripMargin,
     "imsc_pipeline" -> IngestDemo.oracle,
+    "sub_sessionize" ->
+      """WITH e AS (SELECT user_id, event_id, ts,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS sec FROM events),
+        |f AS (SELECT user_id, event_id, ts, sec,
+        |    CASE WHEN lag(sec) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+        |              OR sec - lag(sec) OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800
+        |         THEN 1 ELSE 0 END AS new_s
+        |  FROM e),
+        |g AS (SELECT user_id, sec,
+        |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+        |  FROM f)
+        |SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+        |  count(*) AS n_events, max(sec) - min(sec) AS duration_s, min(sec) AS start_s
+        |FROM g GROUP BY user_id, session_idx""".stripMargin,
+    "text_redact_pii" ->
+      """WITH p AS (SELECT doc_id,
+        |    text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com from 10.1.' ||
+        |    CAST(doc_id % 256 AS VARCHAR) || '.7 id ' ||
+        |    lpad(CAST(doc_id AS VARCHAR), 8, '0') || '77' AS withpii
+        |  FROM documents),
+        |r AS (SELECT doc_id, withpii,
+        |    regexp_replace(regexp_replace(regexp_replace(withpii,
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+', '<EMAIL>', 'g'),
+        |      '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g'),
+        |      '\b[0-9]{8,}\b', '<NUM>', 'g') AS redacted
+        |  FROM p)
+        |SELECT doc_id, redacted,
+        |  CAST(length(withpii) - length(redacted) AS INT) AS chars_removed FROM r""".stripMargin,
     "dedup_exact_keep_first" ->
       """SELECT doc_id, content_hash FROM (
         |  SELECT doc_id, md5(text) AS content_hash,

@@ -279,6 +279,27 @@ object Relational {
       .select(col("event_id"), col("user_id"), col("rn"), col("running_value"))
   }
 
+  /** Sessionization: gap-based session windows per user (30-minute
+    * inactivity closes a session) — the classic event-analytics shape
+    * Structured Streaming models with session_window; here as the
+    * batch window program (lag → new-session flag → running sum), one
+    * shuffle on user_id shared by both windows. Timestamps compare as
+    * floor-seconds on BOTH engines so the gap predicate is portable. */
+  def sessionize(spark: SparkSession, sfDir: String, gapSeconds: Long = 1800): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val sec = col("ts").cast("long")
+    val newSession = when(
+      lag(sec, 1).over(w).isNull || sec - lag(sec, 1).over(w) > gapSeconds, 1L)
+      .otherwise(0L)
+    Tables.events(spark, sfDir)
+      .withColumn("session_idx",
+        sum(newSession).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"), col("session_idx"))
+      .agg(count(lit(1)).as("n_events"),
+        (max(sec) - min(sec)).as("duration_s"),
+        min(sec).as("start_s"))
+  }
+
   /** Set operation: EXCEPT (distinct) — substrate capability. */
   def setExcept(spark: SparkSession, sfDir: String): DataFrame = {
     val allCust = Tables.customer(spark, sfDir).select(col("c_custkey"))

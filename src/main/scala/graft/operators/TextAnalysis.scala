@@ -74,6 +74,30 @@ object TextAnalysis {
         regexp_count(col("text"), lit("[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]")).as("bpe_ish_tokens"),
         col("n_chars"))
 
+  /** PII redaction: emails, IPv4 addresses, and long digit runs are
+    * masked with typed placeholders — the standard scrub pass before
+    * training-data release. Pure regexp_replace chain, single scan, no
+    * UDF; the regexes stay in the RE2-compatible subset so the engine
+    * and the DuckDB oracle agree. The synthetic contact line makes the
+    * redaction observable on the wordlist-only test corpus. */
+  def redactPii(spark: SparkSession, sfDir: String): DataFrame = {
+    val withPii = concat(col("text"),
+      lit(" contact user"), col("doc_id").cast("string"),
+      lit("@example.com from 10.1."), (col("doc_id") % 256).cast("string"),
+      lit(".7 id "), lpad(col("doc_id").cast("string"), 8, "0"), lit("77"))
+    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z][A-Za-z]+"
+    val ipv4 = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+    val digitRun = "\\b[0-9]{8,}\\b"
+    val redacted = regexp_replace(
+      regexp_replace(
+        regexp_replace(withPii, email, "<EMAIL>"),
+        ipv4, "<IP>"),
+      digitRun, "<NUM>")
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), redacted.as("redacted"),
+        (length(withPii) - length(redacted)).as("chars_removed"))
+  }
+
   /** Document fingerprinting: position-weighted rolling hash over words,
     * engine-agnostic word hash (length/ascii arithmetic). Single scan,
     * map-side array fold — no shuffle, no UDF.
