@@ -96,11 +96,20 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // JVM/codegen warm-up on the first headline query (not reported).
-    once(spark, sfDir, SparkEntry.benchQueries.head)
+    // Optional override for ad-hoc sweeps: comma-separated names, or
+    // "ALL" for every declared query. Default stays the headline set so
+    // driver-recorded BENCH_r{N} numbers remain comparable across rounds.
+    val queryNames = sys.env.get("SPARK_GRAFT_BENCH_QUERIES") match {
+      case Some("ALL") => SparkEntry.queries.keys.toSeq.sorted
+      case Some(list) => list.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+      case None => SparkEntry.benchQueries
+    }
+
+    // JVM/codegen warm-up on the first query (not reported).
+    once(spark, sfDir, queryNames.head)
 
     val loadStart = loadAvg()
-    val results = SparkEntry.benchQueries.map(n => n -> repeats(spark, sfDir, n))
+    val results = queryNames.map(n => n -> repeats(spark, sfDir, n))
     val line = buildLine(results, sfDir, loadStart, loadAvg())
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), line + "\n")

@@ -97,6 +97,35 @@ class FlatBufSpec extends AnyFunSuite {
       "/f.nxs", "", ""))) // trimmed fields read as defaults
   }
 
+  test("property: wrdn/pl72 round-trip holds for arbitrary field content") {
+    import org.scalacheck.{Gen, Prop}
+    import org.scalacheck.Test.{check, Parameters}
+    // strings across the interesting classes: empty, whitespace, ascii,
+    // multi-byte UTF-8, embedded quotes/backslashes/newlines, long
+    val strGen = Gen.oneOf(
+      Gen.const(""),
+      Gen.asciiPrintableStr,
+      Gen.listOf(Gen.oneOf('Ω', 'ä', '✓', '中', '"', '\\', '\n', 'a', ' '))
+        .map(_.mkString),
+      Gen.listOfN(2000, Gen.alphaNumChar).map(_.mkString))
+    val wrdnGen = for {
+      svc <- strGen; job <- strGen; err <- Gen.oneOf(true, false)
+      file <- strGen; meta <- strGen; msg <- strGen
+    } yield WritingFinished(svc, job, err, file, meta, msg)
+    val pl72Gen = for {
+      job <- strGen; file <- strGen; inst <- strGen
+    } yield RunStartInfo(job, file, inst)
+
+    val prop = Prop.forAll(wrdnGen) { m =>
+      MessageCodec.decodeWrdn(MessageCodec.encodeWrdnFb(m)).contains(m) &&
+        MessageCodec.decodeWrdn(MessageCodec.encodeWrdn(m)).contains(m)
+    } && Prop.forAll(pl72Gen) { m =>
+      MessageCodec.decodePl72(MessageCodec.encodePl72Fb(m)).contains(m)
+    }
+    val result = check(Parameters.default.withMinSuccessfulTests(200), prop)
+    assert(result.passed, result.status.toString)
+  }
+
   test("wrdnStream decodes a mixed FlatBuffers/JSON binary stream end-to-end") {
     val spark = TestSpark.spark
     import spark.implicits._
