@@ -22,6 +22,14 @@ object PortableHash {
   def md5Hash48(c: Column): Column =
     conv(substring(md5(c), 1, 12), 16, 10).cast("long")
 
+  /** Native codegen'd form (identical values — the hex round-trip is
+    * skipped, see [[graft.plans.Md5Hash48]]); needs the session because
+    * custom expressions enter plans through the function registry. */
+  def md5Hash48Native(spark: org.apache.spark.sql.SparkSession, c: Column): Column = {
+    graft.plans.Md5Hash48.register(spark)
+    call_function("md5_hash48", c)
+  }
+
   /** DuckDB replica of [[md5Hash48]] over SQL expression `e` —
     * hex digits via strpos, positional weights via pow(16, k) (exact:
     * 16^11 < 2^53). */
