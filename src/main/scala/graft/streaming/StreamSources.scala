@@ -84,4 +84,42 @@ object StreamSources {
           }
       }
   }
+
+  /** The TTL'd state-update for [[statefulDedupTtl]], visible so specs
+    * drive it directly through Spark's public `TestGroupState` (a live
+    * query with pending timeouts never quiesces under
+    * `processAllAvailable`, which is why the no-TTL variant exists for
+    * tests). Semantics: first occurrence passes and arms the TTL;
+    * replays inside the TTL drop; when the key times out its state is
+    * evicted, so a LATER replay is re-admitted — the bounded-memory
+    * trade-off, backstopped by the F6/F7 catalog dedup which is not
+    * time-bounded. */
+  def dedupTtlUpdate[T](
+      rows: Iterator[(String, T)],
+      state: GroupState[Boolean],
+      ttlMs: Long): Option[T] = {
+    if (state.hasTimedOut) { state.remove(); None }
+    else if (state.exists) None
+    else {
+      state.update(true)
+      state.setTimeoutDuration(ttlMs)
+      rows.buffered.headOption.map(_._2)
+    }
+  }
+
+  /** [[statefulDedup]] with a processing-time TTL per key — the
+    * production form: keyed store size is bounded by (arrival rate ×
+    * TTL) instead of growing with every key ever seen. */
+  def statefulDedupTtl[T](
+      keyed: Dataset[(String, T)], ttlMs: Long)(
+      implicit te: org.apache.spark.sql.Encoder[T],
+      oe: org.apache.spark.sql.Encoder[Option[T]]): Dataset[Option[T]] = {
+    implicit val boolEnc: org.apache.spark.sql.Encoder[Boolean] =
+      org.apache.spark.sql.Encoders.scalaBoolean
+    keyed.groupByKey(_._1)(org.apache.spark.sql.Encoders.STRING)
+      .mapGroupsWithState[Boolean, Option[T]](GroupStateTimeout.ProcessingTimeTimeout) {
+        (_: String, rows: Iterator[(String, T)], state: GroupState[Boolean]) =>
+          dedupTtlUpdate(rows, state, ttlMs)
+      }
+  }
 }

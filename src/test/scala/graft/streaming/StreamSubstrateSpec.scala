@@ -72,6 +72,37 @@ class StreamSubstrateSpec extends AnyFunSuite {
     assert(rows.count(_.getAs[Long]("user_id") == 2L) == 1)
   }
 
+  test("TTL'd dedup state: first passes + arms TTL, replay drops, timeout evicts") {
+    import org.apache.spark.sql.streaming.TestGroupState
+    // first occurrence: passes, state armed with the TTL
+    val fresh = TestGroupState.create[Boolean](
+      optionalState = org.apache.spark.api.java.Optional.empty[Boolean](), timeoutConf = org.apache.spark.sql.streaming
+        .GroupStateTimeout.ProcessingTimeTimeout,
+      batchProcessingTimeMs = 1000L, eventTimeWatermarkMs = org.apache.spark.api.java.Optional.empty[Long](), hasTimedOut = false)
+    val out = StreamSources.dedupTtlUpdate(
+      Iterator(("job-1", "payload")), fresh, ttlMs = 60000L)
+    assert(out.contains("payload"))
+    assert(fresh.get && fresh.getTimeoutTimestampMs.isPresent)
+    assert(fresh.getTimeoutTimestampMs.get() == 61000L) // now + ttl
+
+    // replay inside the TTL: dropped
+    val seen = TestGroupState.create[Boolean](
+      optionalState = org.apache.spark.api.java.Optional.of(true), timeoutConf = org.apache.spark.sql.streaming
+        .GroupStateTimeout.ProcessingTimeTimeout,
+      batchProcessingTimeMs = 2000L, eventTimeWatermarkMs = org.apache.spark.api.java.Optional.empty[Long](), hasTimedOut = false)
+    assert(StreamSources.dedupTtlUpdate(
+      Iterator(("job-1", "replay")), seen, 60000L).isEmpty)
+
+    // TTL expiry: state evicted (bounded store), nothing emitted
+    val expired = TestGroupState.create[Boolean](
+      optionalState = org.apache.spark.api.java.Optional.of(true), timeoutConf = org.apache.spark.sql.streaming
+        .GroupStateTimeout.ProcessingTimeTimeout,
+      batchProcessingTimeMs = 100000L, eventTimeWatermarkMs = org.apache.spark.api.java.Optional.empty[Long](), hasTimedOut = true)
+    assert(StreamSources.dedupTtlUpdate(
+      Iterator.empty[(String, String)], expired, 60000L).isEmpty)
+    assert(expired.isRemoved)
+  }
+
   test("mapGroupsWithState dedups keys across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(String, String)]
