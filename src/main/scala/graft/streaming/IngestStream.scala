@@ -90,6 +90,10 @@ object IngestStream {
       fileReader: String => Option[String] = graft.sources.Hdf5Reader.fileReader,
       fileLister: String => Seq[FileIngest.FileStats] =
         p => Seq(FileIngest.stat(p)),
+      /** F6 toggle (ref: check_if_dataset_exists_by_pid,
+        * scicat_configuration.py:326-328 + offline gate
+        * scicat_offline_ingestor.py:67-85). */
+      dedupByPid: Boolean = true,
       /** F7: dedup on `scientificMetadata.<key>.value` when set
         * (ref default key `job_id`, scicat_configuration.py:326-328). */
       dedupMetadataKey: Option[String] = None,
@@ -173,15 +177,17 @@ object IngestStream {
     // (the reference's per-record check_dataset_by_pid, parallelized —
     // no driver funnel, no whole-catalog download).
     val cat = cfg.catalog
-    val afterPid = cat.enumeratePids match {
-      case Some(pids) =>
-        val existing = pids.toSeq.toDF("existing_pid")
-        assembled.join(broadcast(existing),
-          assembled("pid") === existing("existing_pid"), "left_anti")
-      case None =>
-        val existsUdf = udf((pid: String) => cat.datasetExists(pid))
-        assembled.filter(col("pid").isNull || !existsUdf(col("pid")))
-    }
+    val afterPid =
+      if (!cfg.dedupByPid) assembled
+      else cat.enumeratePids match {
+        case Some(pids) =>
+          val existing = pids.toSeq.toDF("existing_pid")
+          assembled.join(broadcast(existing),
+            assembled("pid") === existing("existing_pid"), "left_anti")
+        case None =>
+          val existsUdf = udf((pid: String) => cat.datasetExists(pid))
+          assembled.filter(col("pid").isNull || !existsUdf(col("pid")))
+      }
 
     // F7: dedup on scientificMetadata.<key>.value (same two paths).
     // A schema with no scientific_metadata items leaves the column

@@ -58,6 +58,7 @@ object OnlineIngestor {
       options = cfg.toAssemblyOptions,
       fileReader = fileReader.getOrElse(
         graft.sources.Hdf5Reader.fileReaderWith(retries)),
+      dedupByPid = cfg.ingestion.checkIfDatasetExistsByPid,
       dedupMetadataKey =
         if (cfg.ingestion.checkIfDatasetExistsByMetadata)
           Some(cfg.ingestion.checkIfDatasetExistsByMetadataKey)

@@ -145,6 +145,14 @@ class OfflineIngestorSpec extends AnyFunSuite {
     val pid = OfflineIngestor.run(spark, cfg, ymir).collect().head.getAs[String]("pid")
     val existing = graft.catalog.LocalCatalog(Map(s"datasets/$pid" -> "{}"))
     assert(OfflineIngestor.run(spark, cfg, ymir, catalog = Some(existing)).count() == 0)
+
+    // check_if_dataset_exists_by_pid=false disables the F6 gate entirely
+    val noGate = IngestorConfig.load(
+      s"""ingestion:
+         |  schemas_directory: "${cfg.ingestion.schemasDirectory}"
+         |  check_if_dataset_exists_by_pid: false
+         |""".stripMargin)
+    assert(OfflineIngestor.run(spark, noGate, ymir, catalog = Some(existing)).count() == 1)
   }
 
   test("sample get-or-create: dedups in batch, probes catalog, POSTs the rest") {
