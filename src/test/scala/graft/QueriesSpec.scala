@@ -35,6 +35,12 @@ class QueriesSpec extends AnyFunSuite {
     assert(missing.isEmpty, s"oracle without query: $missing")
   }
 
+  test("every query has an oracle or a declared rows-only reason") {
+    val uncovered = SparkEntry.queries.keySet --
+      SparkEntry.oracleSql.keySet -- SparkEntry.rowsOnly.keySet
+    assert(uncovered.isEmpty, s"no oracle and no rows-only reason: $uncovered")
+  }
+
   test("benchQueries exist") {
     val missing = SparkEntry.benchQueries.toSet -- SparkEntry.queries.keySet
     assert(missing.isEmpty, s"bench without query: $missing")
