@@ -27,6 +27,34 @@ class PyLiteralSpec extends AnyFunSuite {
       Right(PyList(Vector(PyList(Vector(PyInt(1))), PyList(Vector(PyInt(2)))))))
   }
 
+  test("property: pyRepr → parse round-trips arbitrary nested literals") {
+    import org.scalacheck.{Gen, Prop}
+    import org.scalacheck.Test.{check, Parameters}
+    val strGen: Gen[PyValue] = Gen.oneOf(
+      Gen.const(""),
+      Gen.asciiPrintableStr,
+      Gen.listOf(Gen.oneOf('\'', '"', '\\', '\n', '\t', 'Ω', '中', 'a', ' ', ':'))
+        .map(_.mkString)).map(PyStr(_))
+    val scalarGen: Gen[PyValue] = Gen.oneOf(
+      strGen,
+      Gen.chooseNum(-1000000000000L, 1000000000000L).map(PyInt(_)),
+      Gen.chooseNum(-1e12, 1e12).map(PyFloat(_)),
+      Gen.double.map(d => PyFloat(d * 1e-5)), // small fractions
+      Gen.oneOf(PyBool(true), PyBool(false), PyNone))
+    def valueGen(depth: Int): Gen[PyValue] =
+      if (depth == 0) scalarGen
+      else Gen.frequency(
+        3 -> scalarGen,
+        1 -> Gen.listOf(Gen.lzy(valueGen(depth - 1))).map(l => PyList(l.toVector)),
+        1 -> Gen.listOf(Gen.zip(scalarGen, Gen.lzy(valueGen(depth - 1))))
+          .map(kvs => PyDict(kvs.toVector)))
+    val prop = Prop.forAll(valueGen(3)) { v =>
+      parse(pyRepr(v)) == Right(v)
+    }
+    val result = check(Parameters.default.withMinSuccessfulTests(300), prop)
+    assert(result.passed, result.status.toString)
+  }
+
   test("rejects malformed input") {
     assert(parse("[1,").isLeft)
     assert(parse("hello").isLeft)
