@@ -1,0 +1,29 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** The permanent-build registration path for the engine's custom
+  * Catalyst expressions: users launch with
+  * `--conf spark.sql.extensions=graft.plans.GraftExtensions` and the
+  * functions exist in every session from the start — the production
+  * twin of the per-session `register(spark)` helpers the query
+  * builders call (SURVEY §2.8 / §4.3 extension surface).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def info(name: String, usage: String): ExpressionInfo =
+    new ExpressionInfo(classOf[GraftExtensions].getName, name)
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("cosine_sim"),
+      info("cosine_sim", "cosine_sim(a, b) - cosine similarity of two double arrays"),
+      (exprs: Seq[Expression]) => CosineSimilarity(exprs(0), exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("md5_hash48"),
+      info("md5_hash48", "md5_hash48(s) - portable 48-bit md5-derived hash"),
+      (exprs: Seq[Expression]) => Md5Hash48(exprs.head)))
+  }
+}
