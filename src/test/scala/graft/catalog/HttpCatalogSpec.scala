@@ -156,6 +156,32 @@ class HttpCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
       cfgNoPid.copy(dedupMetadataKey = Some("unknown_key"))).count() == 1)
   }
 
+  test("full streaming loop: FlatBuffers wrdn → HTTP-probed dedup → REST POST") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    import graft.streaming.{IngestStream, MessageCodec, Messages, Sinks}
+    posted.clear()
+    implicit val sqlCtx = spark.sqlContext
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Array[Byte]]
+    val cfg = IngestStream.Config(
+      schemas = Seq(IngestDemo.schema), catalog = catalog,
+      fileReader = IngestStreamFixture.reader,
+      fileLister = IngestStreamFixture.lister)
+    val query = IngestStream.ingestQuery(
+      input.toDF(), cfg, Sinks.restDatasetSink(catalog))
+    input.addData(
+      MessageCodec.encodeWrdnFb(Messages.WritingFinished(
+        "fw", "j-http-1", false, "/data/a/http1.nxs", "{}", "ok")),
+      MessageCodec.encodeWrdnFb(Messages.WritingFinished(
+        "fw", "j-http-2", true, "/data/a/http2.nxs", "{}", "boom"))) // error → dropped
+    query.processAllAvailable()
+    query.stop()
+    val kinds = posted.toArray(Array.empty[(String, String)])
+    assert(kinds.map(_._1).sorted.toSeq == Seq("datablock", "dataset"),
+      s"exactly the good message should POST, got: ${kinds.map(_._1).toSeq}")
+    assert(kinds.find(_._1 == "dataset").get._2.contains("\"datasetName\""))
+  }
+
   test("restDatasetSink POSTs dataset + datablock from executors; dry-run skips") {
     val spark = TestSpark.spark
     import spark.implicits._
