@@ -69,6 +69,7 @@ object SparkEntry {
     // training-data ops: corpus preparation
     "corpus_split" -> (Corpus.stratifiedSplit _),
     "corpus_pack_bins" -> ((s: SparkSession, d: String) => Corpus.packTokenBins(s, d)),
+    "corpus_clean" -> (Corpus.cleanPipeline _),
     // training-data ops: similarity search
     "ann_brute_topk" -> ((s: SparkSession, d: String) => Similarity.annBruteForceTopK(s, d)),
     "ann_cosine_pairs" -> ((s: SparkSession, d: String) => Similarity.cosineThresholdPairs(s, d)),

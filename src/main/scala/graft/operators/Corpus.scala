@@ -36,6 +36,31 @@ object Corpus {
           .otherwise("test").as("split"))
   }
 
+  /** The composed cleaning pipeline a corpus release actually runs:
+    * language filter → quality gate (length + lexical diversity) →
+    * exact dedup keep-first → redaction, in one DataFrame program.
+    * Each stage is the already-oracled operator; composing them stays
+    * a single scan + one window shuffle (the dedup) — Catalyst fuses
+    * the filters and projections around it. */
+  def cleanPipeline(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("content_hash")).orderBy(col("doc_id"))
+    val words = split(col("text"), " ")
+    TextAnalysis.redactPii(spark, sfDir)
+      .join(Tables.documents(spark, sfDir), "doc_id")
+      .filter(col("lang").isin("en", "de", "fr"))
+      .withColumn("n_words", size(words))
+      .withColumn("distinct_ratio",
+        size(array_distinct(words)).cast("double") / size(words))
+      .filter(col("n_words") >= 5 && col("distinct_ratio") > 0.3)
+      .withColumn("content_hash", md5(col("text")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("lang"), col("n_words"),
+        graft.operators.PortableRound.pround(col("distinct_ratio"), 4).as("distinct_ratio"),
+        col("redacted"))
+  }
+
   /** Streaming sequence packing: per (lang, shard) stream ordered by
     * doc_id, documents concatenate into fixed token-budget bins; a
     * document lands in the bin its preceding cumulative fills
