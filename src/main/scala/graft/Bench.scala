@@ -10,6 +10,9 @@ import org.apache.spark.sql.SparkSession
   * Methodology (round-3 fixes, see VERDICT.md r2 "What's wrong" #1-3):
   *   - per-query MEDIAN of 3 timed runs, so JIT/GC noise can't masquerade
   *     as a regression (r2 saw 4.2x swings on unchanged code with 1-shot);
+  *   - repeats run as 3 round-robin PASSES over all queries (round-5
+  *     fix): a single machine-wide contention burst then hits at most
+  *     one repeat per query instead of all three of one query;
   *   - failures are reported as -1 AND listed under a "failed" key so a
   *     crashing query can never make the total look better;
   *   - the JSON line is printed as the FINAL stdout line after
@@ -42,6 +45,20 @@ object Bench {
   /** All N timed repeats for one query (any may be -1.0 on failure). */
   def repeats(spark: SparkSession, sfDir: String, name: String): Seq[Double] =
     (1 to Repeats).map(_ => once(spark, sfDir, name))
+
+  /** N round-robin passes over ALL queries (pass 1: q1..qn, pass 2:
+    * q1..qn, ...) instead of N consecutive repeats per query. A
+    * machine-wide contention burst (the BENCH_r04 recording: one query's
+    * repeats [1.4, 22.5, 13.9] while its idle-machine time is <1 s) then
+    * lands on at most ONE repeat of each query and the median rejects
+    * it; consecutive repeats let a single multi-second burst poison all
+    * N repeats of whichever query it straddles. Pure so the ordering is
+    * unit-testable: `runOne` is (passIndex, name) => seconds. */
+  def interleaved(names: Seq[String], passes: Int,
+      runOne: (Int, String) => Double): Seq[(String, Seq[Double])] = {
+    val times = (0 until passes).map(p => names.map(n => runOne(p, n)))
+    names.zipWithIndex.map { case (n, i) => n -> times.map(_(i)) }
+  }
 
   /** Median-of-N for one query; -1.0 if any run fails. */
   def summarize(times: Seq[Double]): Double =
@@ -109,7 +126,7 @@ object Bench {
     once(spark, sfDir, queryNames.head)
 
     val loadStart = loadAvg()
-    val results = queryNames.map(n => n -> repeats(spark, sfDir, n))
+    val results = interleaved(queryNames, Repeats, (_, n) => once(spark, sfDir, n))
     val line = buildLine(results, sfDir, loadStart, loadAvg())
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), line + "\n")

@@ -263,6 +263,32 @@ object SparkEntry {
         |  FROM t)
         |SELECT doc_id, lang, shard, tokens,
         |  CAST(floor((cum - tokens) / 2048) AS BIGINT) AS bin_id FROM c""".stripMargin,
+    // Composed pipeline: the redaction CTE is the text_redact_pii oracle,
+    // then the lang filter, length/diversity gate, and content-hash
+    // keep-first dedup mirror Corpus.cleanPipeline stage for stage.
+    "corpus_clean" ->
+      """WITH p AS (SELECT doc_id,
+        |    text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com from 10.1.' ||
+        |    CAST(doc_id % 256 AS VARCHAR) || '.7 id ' ||
+        |    lpad(CAST(doc_id AS VARCHAR), 8, '0') || '77' AS withpii
+        |  FROM documents),
+        |red AS (SELECT doc_id,
+        |    regexp_replace(regexp_replace(regexp_replace(withpii,
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+', '<EMAIL>', 'g'),
+        |      '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g'),
+        |      '\b[0-9]{8,}\b', '<NUM>', 'g') AS redacted
+        |  FROM p),
+        |st AS (SELECT d.doc_id, d.lang, r.redacted, md5(d.text) AS content_hash,
+        |    len(string_split(d.text, ' ')) AS n_words,
+        |    len(list_distinct(string_split(d.text, ' ')))::DOUBLE
+        |      / len(string_split(d.text, ' ')) AS dr
+        |  FROM documents d JOIN red r ON d.doc_id = r.doc_id
+        |  WHERE d.lang IN ('en', 'de', 'fr')),
+        |f AS (SELECT *, row_number() OVER (PARTITION BY content_hash ORDER BY doc_id) AS rn
+        |  FROM st WHERE n_words >= 5 AND dr > 0.3)
+        |SELECT doc_id, lang, CAST(n_words AS INT) AS n_words,
+        |  floor((dr) * 10000 + 0.5) / 10000 AS distinct_ratio, redacted
+        |FROM f WHERE rn = 1""".stripMargin,
     "ann_lsh_topk" -> annLshOracle,
     "dedup_lsh_verified_pairs" -> lshVerifiedPairsOracle,
     "mm_decode_stats" -> mmDecodeOracle,

@@ -48,6 +48,19 @@ class BenchSpec extends AnyFunSuite {
     assert(l.isEmpty || (l.length == 3 && l.forall(_ >= 0.0)))
   }
 
+  test("interleaved runs round-robin passes, not consecutive per-query repeats") {
+    val order = scala.collection.mutable.ArrayBuffer.empty[(Int, String)]
+    val results = Bench.interleaved(Seq("a", "b", "c"), 3, (p, n) => {
+      order += ((p, n)); p * 10.0 + n.head.toDouble
+    })
+    // execution order is pass-major: a,b,c then a,b,c then a,b,c
+    assert(order.toSeq == Seq((0, "a"), (0, "b"), (0, "c"),
+      (1, "a"), (1, "b"), (1, "c"), (2, "a"), (2, "b"), (2, "c")))
+    // per-query repeat vectors come back in pass order
+    assert(results.map(_._1) == Seq("a", "b", "c"))
+    assert(results.head._2 == Seq('a'.toDouble, 10 + 'a'.toDouble, 20 + 'a'.toDouble))
+  }
+
   test("median of 3 is the middle value") {
     assert(Bench.median(Seq(5.0, 1.0, 2.0)) == 2.0)
     assert(Bench.median(Seq(3.0)) == 3.0)
