@@ -88,6 +88,9 @@ object SparkEntry {
     "text_tokens" -> (TextAnalysis.tokenStats _),
     "text_fingerprint" -> (TextAnalysis.fingerprint _),
     "text_redact_pii" -> (TextAnalysis.redactPii _),
+    "text_repetition" -> (TextAnalysis.repetitionStats _),
+    "text_tfidf_topk" -> ((s: SparkSession, d: String) => TextAnalysis.tfidfTopTerms(s, d)),
+    "ann_centroid_outliers" -> ((s: SparkSession, d: String) => Similarity.centroidOutliers(s, d)),
   )
 
   /** Queries whose result may legitimately be empty at small scale
@@ -110,7 +113,10 @@ object SparkEntry {
     "q1_pricing", "q3_shipping", "q5_region", "q14_promo", "w_running",
     "j2_collect_list", "dedup_minhash_buckets", "dedup_ngram_top_pairs",
     "dedup_simhash", "ann_brute_topk", "ann_ivf_topk", "text_fingerprint",
-    "text_quality", "imsc_pipeline", "mm_decode_stats")
+    "text_quality", "imsc_pipeline", "mm_decode_stats",
+    // round-5 additions (totals across rounds compare per-query, not
+    // by the grand total, which grows when the set widens):
+    "text_repetition", "text_tfidf_topk", "ann_centroid_outliers")
 
   // --- generated DuckDB replicas of the portable-hash queries ----------
 
@@ -289,6 +295,75 @@ object SparkEntry {
         |SELECT doc_id, lang, CAST(n_words AS INT) AS n_words,
         |  floor((dr) * 10000 + 0.5) / 10000 AS distinct_ratio, redacted
         |FROM f WHERE rn = 1""".stripMargin,
+    // Gopher-style repetition signals: 1/2/3-gram instance counts per
+    // doc; struct max picks the top bigram with the same (count, then
+    // lexicographically largest gram) tie-break as Spark's max(struct).
+    "text_repetition" ->
+      """WITH ws AS (SELECT doc_id, n_chars, string_split(text, ' ') AS w FROM documents),
+        |g AS (
+        |  SELECT doc_id, n_chars, 1 AS g, unnest(w) AS gram FROM ws
+        |  UNION ALL
+        |  SELECT doc_id, n_chars, 2, unnest([array_to_string(w[i:i+1], ' ') for i in range(1, len(w))])
+        |  FROM ws WHERE len(w) >= 2
+        |  UNION ALL
+        |  SELECT doc_id, n_chars, 3, unnest([array_to_string(w[i:i+2], ' ') for i in range(1, len(w) - 1)])
+        |  FROM ws WHERE len(w) >= 3),
+        |c AS (SELECT doc_id, g, gram, count(*) AS cnt, any_value(n_chars) AS n_chars
+        |  FROM g GROUP BY 1, 2, 3),
+        |p AS (SELECT doc_id, g, sum(cnt) AS total,
+        |    sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS dup_inst,
+        |    max({'cnt': cnt, 'gram': gram}) AS top,
+        |    any_value(n_chars) AS n_chars
+        |  FROM c GROUP BY 1, 2),
+        |d AS (SELECT doc_id,
+        |    max(CASE WHEN g = 1 THEN dup_inst::DOUBLE / total END) AS dw,
+        |    max(CASE WHEN g = 2 THEN top.gram END) AS top_bigram_raw,
+        |    max(CASE WHEN g = 2 THEN (top.cnt * length(top.gram))::DOUBLE / n_chars END) AS tb,
+        |    max(CASE WHEN g = 3 THEN dup_inst::DOUBLE / total END) AS dt
+        |  FROM p GROUP BY doc_id)
+        |SELECT doc_id,
+        |  floor((coalesce(dw, 0)) * 10000 + 0.5) / 10000 AS dup_word_frac,
+        |  coalesce(top_bigram_raw, '') AS top_bigram,
+        |  floor((coalesce(tb, 0)) * 10000 + 0.5) / 10000 AS top_bigram_char_frac,
+        |  floor((coalesce(dt, 0)) * 10000 + 0.5) / 10000 AS dup_trigram_frac
+        |FROM d""".stripMargin,
+    // Rational BM25-shaped idf — no log, so the raw double score is
+    // bit-identical across engines and safe to rank on.
+    "text_tfidf_topk" ->
+      """WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |tfc AS (SELECT doc_id, term, count(*) AS tf
+        |  FROM (SELECT doc_id, unnest(w) AS term FROM ws) GROUP BY 1, 2),
+        |dfc AS (SELECT term, count(*) AS df FROM tfc GROUP BY 1),
+        |n AS (SELECT count(*) AS n_docs FROM documents),
+        |s AS (SELECT doc_id, term,
+        |    tf::DOUBLE * (n_docs - df + 0.5) / (df + 0.5) AS score
+        |  FROM tfc JOIN dfc USING (term) CROSS JOIN n),
+        |r AS (SELECT doc_id, term, score,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rank
+        |  FROM s)
+        |SELECT doc_id, CAST(rank AS INT) AS rank, term,
+        |  floor((score) * 10000 + 0.5) / 10000 AS score
+        |FROM r WHERE rank <= 5""".stripMargin,
+    // Per-dimension sums in DECIMAL(38,30) (exact, order-independent);
+    // dist2 = list_dot_product(diff, diff) matches Spark's index-order
+    // zip_with fold bit for bit (same pattern as the cosine oracles).
+    "ann_centroid_outliers" ->
+      """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS emb FROM embeddings),
+        |ex AS (SELECT label, unnest(emb) AS x, generate_subscripts(emb, 1) AS pos FROM e),
+        |m AS (SELECT label, pos,
+        |    sum(CAST(x AS DECIMAL(38,30)))::DOUBLE / count(*) AS m
+        |  FROM ex GROUP BY 1, 2),
+        |c AS (SELECT label, list(m ORDER BY pos) AS c FROM m GROUP BY 1),
+        |d0 AS (SELECT e.vec_id, e.label,
+        |    [e.emb[i] - c.c[i] for i in range(1, len(e.emb) + 1)] AS diff
+        |  FROM e JOIN c USING (label)),
+        |d AS (SELECT vec_id, label, list_dot_product(diff, diff) AS dist2 FROM d0),
+        |r AS (SELECT label, vec_id, dist2,
+        |    row_number() OVER (PARTITION BY label ORDER BY dist2 DESC, vec_id) AS rank
+        |  FROM d)
+        |SELECT label, CAST(rank AS INT) AS rank, vec_id,
+        |  floor((dist2) * 10000 + 0.5) / 10000 AS dist2
+        |FROM r WHERE rank <= 10""".stripMargin,
     "ann_lsh_topk" -> annLshOracle,
     "dedup_lsh_verified_pairs" -> lshVerifiedPairsOracle,
     "mm_decode_stats" -> mmDecodeOracle,

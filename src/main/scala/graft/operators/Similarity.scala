@@ -175,6 +175,48 @@ object Similarity {
       .select(col("id1"), col("id2"), PortableRound.pround(col("raw_cos"), 4).as("cos_sim"))
   }
 
+  /** Per-label centroid distance outliers: element-wise mean embedding
+    * per label, then each vector's squared euclidean distance to its
+    * label centroid, top-k outliers per label — the standard "mislabeled
+    * / off-distribution sample" sweep before training.
+    *
+    * Scale shape:
+    *  - centroid sums go through `posexplode` + a (label, pos)-keyed
+    *    aggregate: the explode is NARROW and map-side combine collapses
+    *    it, so the shuffle carries only labels × dims rows;
+    *  - per-dimension sums are DECIMAL(38,30) so they are exact and
+    *    order-independent — a double sum would depend on partition
+    *    order and break both determinism and the oracle (at 100 TB
+    *    the 8 integer digits bound the per-cell row count; widen the
+    *    scale trade-off there);
+    *  - centroids broadcast back; dist² is the index-order
+    *    `zip_with`+fold (bit-identical to DuckDB's list_dot_product
+    *    of the diff with itself, like [[cosine]]);
+    *  - top-k is TWO-STAGE (per (label, salt) partial top-k, then
+    *    per-label final): a single per-label window is the skew trap
+    *    when one label dominates the corpus. */
+  def centroidOutliers(spark: SparkSession, sfDir: String, k: Int = 10): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("label"), col("embedding").cast("array<double>").as("e"))
+    val ex = emb.select(col("label"), posexplode(col("e")).as(Seq("pos", "x")))
+    val means = ex.groupBy(col("label"), col("pos"))
+      .agg((sum(col("x").cast("decimal(38,30)")).cast("double") / count(lit(1))).as("m"))
+    val cent = means.groupBy(col("label"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+      .select(col("label"), transform(col("pm"), s => s.getField("m")).as("c"))
+    val dist = emb.join(broadcast(cent), "label")
+      .withColumn("dist2",
+        aggregate(zip_with(col("e"), col("c"), (x, m) => (x - m) * (x - m)),
+          lit(0.0), (acc, v) => acc + v))
+    val w1 = Window.partitionBy(col("label"), pmod(col("vec_id"), lit(64)))
+      .orderBy(col("dist2").desc, col("vec_id"))
+    val w2 = Window.partitionBy(col("label")).orderBy(col("dist2").desc, col("vec_id"))
+    dist.withColumn("r1", row_number().over(w1)).filter(col("r1") <= k)
+      .withColumn("rank", row_number().over(w2)).filter(col("rank") <= k)
+      .select(col("label"), col("rank"), col("vec_id"),
+        PortableRound.pround(col("dist2"), 4).as("dist2"))
+  }
+
   /** Bucketed ANN: brute-force only within the query's LSH bucket —
     * the candidate join is (bucket) equi-keyed, so the corpus shuffles
     * once on bucket instead of crossing with every query. */

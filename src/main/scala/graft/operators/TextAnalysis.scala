@@ -98,6 +98,86 @@ object TextAnalysis {
         (length(withPii) - length(redacted)).as("chars_removed"))
   }
 
+  /** Gopher-style repetition signals (Rae et al. 2021 §A1.1 shape):
+    * per-document duplicate-word instance fraction, the character
+    * fraction covered by the single most frequent word-bigram, and the
+    * duplicate-trigram instance fraction. Heavily repeated boilerplate
+    * (nav bars, templated spam) scores high on all three.
+    *
+    * Scale shape: ONE scan; 1/2/3-grams are built as an array of
+    * (gram_size, gram) structs and exploded together, so the only
+    * shuffle is the (doc_id, g, gram)-keyed count with map-side
+    * combine; the per-doc rollup then re-aggregates on doc_id. The
+    * top-bigram pick is `max(struct(cnt, gram))` — deterministic
+    * (count, then lexicographically largest gram on ties) and
+    * identical to DuckDB's struct max ordering.
+    */
+  def repetitionStats(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("n_chars"), split(col("text"), " ").as("w"))
+      .withColumn("n_words", size(col("w")))
+    def grams(n: Int): Column =
+      when(col("n_words") >= n,
+        transform(sequence(lit(1), col("n_words") - (n - 1)),
+          i => struct(lit(n).as("g"),
+            concat_ws(" ", (0 until n).map(k => element_at(col("w"), i + k)): _*).as("gram"))))
+        .otherwise(array().cast("array<struct<g:int,gram:string>>"))
+    val ex = docs
+      .select(col("doc_id"), col("n_chars"), col("n_words"),
+        explode_outer(concat(grams(1), grams(2), grams(3))).as("t"))
+      .filter(col("t").isNotNull)
+    val counted = ex.groupBy(col("doc_id"), col("t.g"), col("t.gram"))
+      .agg(count(lit(1)).as("cnt"),
+        first(col("n_chars")).as("n_chars"))
+    val perG = counted.groupBy(col("doc_id"), col("g"))
+      .agg(sum(col("cnt")).as("total"),
+        sum(when(col("cnt") > 1, col("cnt")).otherwise(0L)).as("dup_inst"),
+        max(struct(col("cnt"), col("gram"))).as("top"),
+        first(col("n_chars")).as("n_chars"))
+    val byDoc = perG.groupBy(col("doc_id")).agg(
+      max(when(col("g") === 1,
+        col("dup_inst").cast("double") / col("total"))).as("dw"),
+      max(when(col("g") === 2, col("top.gram"))).as("top_bigram_raw"),
+      max(when(col("g") === 2,
+        (col("top.cnt") * length(col("top.gram"))).cast("double") / col("n_chars"))).as("tb"),
+      max(when(col("g") === 3,
+        col("dup_inst").cast("double") / col("total"))).as("dt"))
+    byDoc.select(col("doc_id"),
+      PortableRound.pround(coalesce(col("dw"), lit(0.0)), 4).as("dup_word_frac"),
+      coalesce(col("top_bigram_raw"), lit("")).as("top_bigram"),
+      PortableRound.pround(coalesce(col("tb"), lit(0.0)), 4).as("top_bigram_char_frac"),
+      PortableRound.pround(coalesce(col("dt"), lit(0.0)), 4).as("dup_trigram_frac"))
+  }
+
+  /** TF-IDF top-k terms per document, with a RATIONAL idf
+    * (BM25-shaped `(N - df + 0.5) / (df + 0.5)` instead of its log):
+    * monotone in df like the classic form, but free of transcendental
+    * functions, so the score is bit-identical across engines and the
+    * DuckDB oracle can rank on the RAW double (ties broken by term).
+    *
+    * Scale shape: tf = one (doc_id, term) count with map-side combine;
+    * df = a second count over the already-collapsed tf rows; the
+    * tf⋈df equi-join shuffles on term (Zipf head skew is AQE
+    * skew-join territory at 100 TB); N arrives as a broadcast
+    * single-row aggregate, never a driver-side collect. */
+  def tfidfTopTerms(spark: SparkSession, sfDir: String, k: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+    val tf = docs.select(col("doc_id"), explode_outer(col("w")).as("term"))
+      .filter(col("term").isNotNull)
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val dft = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val scored = tf.join(dft, "term").crossJoin(broadcast(n))
+      .withColumn("score",
+        col("tf").cast("double") * (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("score").desc, col("term"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select(col("doc_id"), col("rank"), col("term"),
+        PortableRound.pround(col("score"), 4).as("score"))
+  }
+
   /** Document fingerprinting: position-weighted rolling hash over words,
     * engine-agnostic word hash (length/ascii arithmetic). Single scan,
     * map-side array fold — no shuffle, no UDF.

@@ -81,4 +81,24 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("Exchange hashpartitioning(doc_id"), p)
     assert(p.contains("partial_count") || p.contains("count"), p)
   }
+
+  test("centroid outliers: centroids broadcast back, no nested loop") {
+    val p = plan("ann_centroid_outliers")
+    assert(p.contains("BroadcastHashJoin"),
+      s"labels×dims centroid table must broadcast against the corpus scan:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+  }
+
+  test("tfidf: term join is equi-keyed and N arrives as a broadcast, not a collect") {
+    val p = plan("text_tfidf_topk")
+    assert(!p.contains("CartesianProduct"), s"N must broadcast-nested-loop a single row, never cartesian:\n$p")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), s"tf⋈df must be an equi-join:\n$p")
+  }
+
+  test("repetition: gram counts partially aggregate before the shuffle") {
+    val p = plan("text_repetition")
+    assert(p.contains("partial_count") || p.contains("HashAggregate"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
 }

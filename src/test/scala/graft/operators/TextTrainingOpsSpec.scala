@@ -1,0 +1,90 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+/** Semantic invariants for the round-5 training-data operators:
+  * repetition signals, TF-IDF top terms, centroid outliers. The
+  * hash-level correctness gate is the DuckDB oracle (SparkEntry
+  * .oracleSql); these tests pin the properties a hash compare can't
+  * explain when it breaks.
+  */
+class TextTrainingOpsSpec extends AnyFunSuite {
+  import TestSpark.{spark, sfDir}
+
+  test("repetition fractions are in [0,1] and cover every document") {
+    val rows = TextAnalysis.repetitionStats(spark, sfDir).collect()
+    val nDocs = graft.Tables.documents(spark, sfDir).count()
+    assert(rows.length == nDocs)
+    for (r <- rows; c <- Seq("dup_word_frac", "top_bigram_char_frac", "dup_trigram_frac")) {
+      val v = r.getAs[Double](c)
+      assert(v >= 0.0 && v <= 1.0, s"doc ${r.getAs[Long]("doc_id")} $c=$v")
+    }
+  }
+
+  test("a fully-repeated doc maxes dup fractions; top bigram really is most frequent") {
+    // word soup corpus repeats heavily: at least one doc must show
+    // duplicate words, and the reported top bigram must match a direct
+    // per-doc recount for a sample doc.
+    val df = TextAnalysis.repetitionStats(spark, sfDir)
+    assert(df.filter(col("dup_word_frac") > 0).count() > 0)
+    val sample = df.filter(col("doc_id") === 0).head()
+    val text = graft.Tables.documents(spark, sfDir)
+      .filter(col("doc_id") === 0).head().getAs[String]("text")
+    val words = text.split(" ")
+    val bigrams = words.sliding(2).map(_.mkString(" ")).toSeq
+    val counts = bigrams.groupBy(identity).view.mapValues(_.size)
+    val best = counts.toSeq.map { case (g, c) => (c, g) }.max // (count, lexicographically largest)
+    assert(sample.getAs[String]("top_bigram") == best._2)
+  }
+
+  test("tfidf returns k=5 ranked terms per doc, rare terms outscore common ones") {
+    val df = TextAnalysis.tfidfTopTerms(spark, sfDir)
+    val perDoc = df.groupBy("doc_id").agg(count(lit(1)).as("n"), max("rank").as("mr"))
+    assert(perDoc.filter(col("n") =!= col("mr")).count() == 0)
+    assert(perDoc.agg(max("n")).head().getLong(0) <= 5)
+    // scores strictly ordered by rank within a doc (ties broken by term)
+    val bad = df.as("a").join(df.as("b"),
+        col("a.doc_id") === col("b.doc_id") &&
+        col("a.rank") + 1 === col("b.rank") &&
+        col("a.score") < col("b.score"))
+      .count()
+    assert(bad == 0, "rank order must follow score order")
+  }
+
+  test("centroid outliers: 10 per label, distances ranked, centroid is the mean") {
+    val df = Similarity.centroidOutliers(spark, sfDir)
+    val labels = graft.Tables.embeddings(spark, sfDir).select("label").distinct().count()
+    assert(df.count() == labels * 10)
+    assert(df.filter(col("dist2") < 0).count() == 0)
+    // rank 1 has the max dist2 within its label
+    val top = df.filter(col("rank") === 1).as("t")
+    val viol = top.join(df.as("o"), col("t.label") === col("o.label") &&
+      col("o.dist2") > col("t.dist2")).count()
+    assert(viol == 0)
+  }
+
+  test("two-stage top-k equals the single-window top-k") {
+    // the salted partial pass must not lose any global top-10 row
+    import org.apache.spark.sql.expressions.Window
+    val emb = graft.Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("label"), col("embedding").cast("array<double>").as("e"))
+    val ex = emb.select(col("label"), posexplode(col("e")).as(Seq("pos", "x")))
+    val means = ex.groupBy(col("label"), col("pos"))
+      .agg((sum(col("x").cast("decimal(38,30)")).cast("double") / count(lit(1))).as("m"))
+    val cent = means.groupBy(col("label"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+      .select(col("label"), transform(col("pm"), s => s.getField("m")).as("c"))
+    val dist = emb.join(broadcast(cent), "label")
+      .withColumn("dist2",
+        aggregate(zip_with(col("e"), col("c"), (x, m) => (x - m) * (x - m)),
+          lit(0.0), (acc, v) => acc + v))
+    val w = Window.partitionBy(col("label")).orderBy(col("dist2").desc, col("vec_id"))
+    val direct = dist.withColumn("rank", row_number().over(w)).filter(col("rank") <= 10)
+      .select(col("label"), col("rank"), col("vec_id"),
+        PortableRound.pround(col("dist2"), 4).as("dist2"))
+    val twoStage = Similarity.centroidOutliers(spark, sfDir)
+    assert(twoStage.exceptAll(direct).count() == 0 && direct.exceptAll(twoStage).count() == 0)
+  }
+}
