@@ -76,6 +76,7 @@ object SparkEntry {
     "ann_lsh_topk" -> ((s: SparkSession, d: String) => Similarity.annLshTopK(s, d)),
     "dedup_lsh_verified_pairs" -> ((s: SparkSession, d: String) => Similarity.lshVerifiedPairs(s, d)),
     "ann_ivf_topk" -> ((s: SparkSession, d: String) => Similarity.annIvfTopK(s, d)),
+    "ann_ivf_kmeans_topk" -> ((s: SparkSession, d: String) => Similarity.kmeansIvfTopK(s, d)),
     "sub_intersect" -> (Substrate.intersectOp _),
     // training-data ops: multimodal binary columns
     "mm_meta_stats" -> (Multimodal.metaStats _),
@@ -116,7 +117,8 @@ object SparkEntry {
     "text_quality", "imsc_pipeline", "mm_decode_stats",
     // round-5 additions (totals across rounds compare per-query, not
     // by the grand total, which grows when the set widens):
-    "text_repetition", "text_tfidf_topk", "ann_centroid_outliers")
+    "text_repetition", "text_tfidf_topk", "ann_centroid_outliers",
+    "ann_ivf_kmeans_topk")
 
   // --- generated DuckDB replicas of the portable-hash queries ----------
 
@@ -177,6 +179,47 @@ object SparkEntry {
     }.mkString(" + ")
     s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
        |sig AS (SELECT vec_id, emb, $sigBits AS lsh_bucket FROM e)""".stripMargin
+  }
+
+  /** Trained-IVF replica: the two Lloyd iterations unroll into CTE
+    * pairs (assign via struct-max argmax — ties to the LARGEST
+    * cent_id, matching Spark's max(struct) — then exact DECIMAL
+    * per-dimension means), then the standard IVF probe over the
+    * final centroids. Mirrors [[graft.operators.Similarity.kmeansIvfTopK]]. */
+  private def ivfKmeansOracle: String = {
+    def cos(a: String, b: String) =
+      s"list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b)))"
+    val iters = 2
+    def assignCte(name: String, centCte: String) =
+      s"""$name AS (SELECT e.vec_id, any_value(e.emb) AS emb,
+         |  (max({'c': ${cos("e.emb", "cc.c")}, 'id': cc.cent_id})).id AS cent_id
+         |  FROM e CROSS JOIN $centCte cc GROUP BY e.vec_id)""".stripMargin
+    val training = (1 to iters).map { i =>
+      s"""${assignCte(s"a$i", s"c${i - 1}")},
+         |m$i AS (SELECT cent_id, pos,
+         |  sum(CAST(x AS DECIMAL(38,30)))::DOUBLE / count(*) AS m
+         |  FROM (SELECT a.cent_id, unnest(a.emb) AS x,
+         |        generate_subscripts(a.emb, 1) AS pos FROM a$i a)
+         |  GROUP BY 1, 2),
+         |c$i AS (SELECT cent_id, list(m ORDER BY pos) AS c FROM m$i GROUP BY 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+       |c0 AS (SELECT vec_id AS cent_id, emb AS c FROM e WHERE vec_id % 50 = 0),
+       |$training,
+       |${assignCte("af", s"c$iters")},
+       |q AS (SELECT vec_id AS query_id, emb AS q_emb FROM e WHERE vec_id < 10),
+       |pr AS (SELECT query_id, q_emb, cent_id FROM (
+       |  SELECT q.query_id, q.q_emb, cc.cent_id,
+       |    row_number() OVER (PARTITION BY q.query_id
+       |      ORDER BY ${cos("q.q_emb", "cc.c")} DESC, cc.cent_id) AS rn
+       |  FROM q CROSS JOIN c$iters cc) WHERE rn <= 2),
+       |sc AS (SELECT pr.query_id, af.vec_id AS neighbor_id,
+       |    floor((${cos("pr.q_emb", "af.emb")}) * 10000 + 0.5) / 10000 AS cos_sim
+       |  FROM pr JOIN af USING (cent_id) WHERE af.vec_id <> pr.query_id)
+       |SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, cos_sim FROM (
+       |  SELECT query_id, neighbor_id, cos_sim,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank
+       |  FROM sc) WHERE rank <= 5""".stripMargin
   }
 
   /** Hyperplane-LSH ANN replica: in-bucket cosine top-k. */
@@ -364,6 +407,7 @@ object SparkEntry {
         |SELECT label, CAST(rank AS INT) AS rank, vec_id,
         |  floor((dist2) * 10000 + 0.5) / 10000 AS dist2
         |FROM r WHERE rank <= 10""".stripMargin,
+    "ann_ivf_kmeans_topk" -> ivfKmeansOracle,
     "ann_lsh_topk" -> annLshOracle,
     "dedup_lsh_verified_pairs" -> lshVerifiedPairsOracle,
     "mm_decode_stats" -> mmDecodeOracle,

@@ -133,14 +133,40 @@ object Dedup {
       min(pmod(col("h") * (2L * i + 1) + 104729L * (i + 1), lit(P))).as(s"m$i")
     }
     val sig = exploded.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
-    sig
-      .select(col("doc_id"), posexplode(
-        array((0 until Bands).map(bnd =>
-          struct(lit(bnd).as("band"),
-            md5(concat_ws(":", (0 until RowsPerBand).map(k =>
-              col(s"m${bnd * RowsPerBand + k}").cast("string")): _*)).as("bucket"))
-        ): _*)))
+    bandSignature(sig)
+  }
+
+  /** Bands the m0..m31 signature columns into (doc_id, band, bucket)
+    * rows — shared by the grouped (batch) and per-row (streaming)
+    * formulations so both produce identical bucket keys. */
+  private def bandSignature(sig: DataFrame): DataFrame =
+    sig.select(col("doc_id"), posexplode(
+      array((0 until Bands).map(bnd =>
+        struct(lit(bnd).as("band"),
+          md5(concat_ws(":", (0 until RowsPerBand).map(k =>
+            col(s"m${bnd * RowsPerBand + k}").cast("string")): _*)).as("bucket"))
+      ): _*)))
       .select(col("doc_id"), col("col.band").as("band"), col("col.bucket").as("bucket"))
+
+  /** STREAMING-SAFE minhash banding: identical signatures and buckets
+    * to [[minhashLshBuckets]], computed per row (array HOFs over the
+    * shingle array — no explode/groupBy, so no streaming-aggregation
+    * state or watermark needed). The batch path keeps the
+    * explode+partial-agg formulation: HOF lambdas are interpreted,
+    * which is fine per arriving row but slower over a whole corpus.
+    * Docs with no 3-grams (<3 words) produce no buckets, matching the
+    * grouped path. Input: any frame (static or streaming) with
+    * `doc_id` and `textCol`. */
+  def minhashBucketsPerRow(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val hashed = withShingles(docs, textCol)
+      .filter(size(col("sh")) > 0)
+      .withColumn("__hs", transform(col("sh"),
+        s => graft.functions.PortableHash.md5Hash48(s)))
+    val mins = (0 until MinhashPerm).map { i =>
+      array_min(transform(col("__hs"), h =>
+        pmod(h * (2L * i + 1) + 104729L * (i + 1), lit(P)))).as(s"m$i")
+    }
+    bandSignature(hashed.select((col("doc_id") +: mins): _*))
   }
 
   /** LSH candidate pairs verified by true 3-gram Jaccard ≥ threshold.

@@ -156,6 +156,74 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos_sim"))
   }
 
+  /** One Lloyd assignment pass: each vector to its nearest centroid by
+    * cosine (spherical k-means — cosine is scale-invariant in the
+    * centroid, so un-renormalized means assign correctly). The argmax
+    * is `max(struct(cos, cent_id))` under a groupBy(vec_id): with the
+    * centroid side BROADCAST, all k candidate rows of a vector sit in
+    * the same input partition, so partial aggregation collapses them
+    * map-side and the shuffle carries ONE row per vector — strictly
+    * better than the window-rank formulation in [[ivfAssignments]],
+    * which shuffles all k rows per vector. Ties (only possible for
+    * duplicate centroids) go to the LARGEST cent_id, same as DuckDB's
+    * struct max. */
+  private def kmeansAssign(e: DataFrame, cent: DataFrame): DataFrame =
+    e.crossJoin(broadcast(cent))
+      .withColumn("cos_c", cosine(col("emb"), col("c")))
+      .groupBy(col("vec_id"))
+      .agg(max(struct(col("cos_c"), col("cent_id"))).as("b"),
+        first(col("emb")).as("emb"))
+      .select(col("vec_id"), col("emb"), col("b.cent_id").as("cent_id"))
+
+  /** IVF with a TRAINED coarse quantizer: `iters` unrolled Lloyd
+    * iterations (seed = every `stride`-th vector, assign by cosine,
+    * recompute means), then the standard IVF probe over the trained
+    * cells. Each iteration is one broadcast of the centroid set + one
+    * narrow corpus scan + a map-side-collapsed argmax + a
+    * (cent_id, pos)-keyed mean whose shuffle carries only cells × dims
+    * rows — the per-dimension sums are exact DECIMAL(38,30) (order-
+    * independent), which is what lets the DuckDB oracle replay the
+    * training bit-for-bit with unrolled CTEs. Clusters that lose all
+    * members simply drop out (both engines agree). */
+  def kmeansIvfTopK(spark: SparkSession, sfDir: String, k: Int = 5,
+      nprobe: Int = 2, stride: Int = 50, iters: Int = 2): DataFrame = {
+    graft.plans.CosineSimilarity.register(spark)
+    val e = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+    var cent = e.filter(col("vec_id") % stride === 0)
+      .select(col("vec_id").as("cent_id"), col("emb").as("c"))
+    for (_ <- 1 to iters) {
+      val assigned = kmeansAssign(e, cent)
+      cent = assigned
+        .select(col("cent_id"), posexplode(col("emb")).as(Seq("pos", "x")))
+        .groupBy(col("cent_id"), col("pos"))
+        .agg((sum(col("x").cast("decimal(38,30)")).cast("double") / count(lit(1))).as("m"))
+        .groupBy(col("cent_id"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+        .select(col("cent_id"), transform(col("pm"), s => s.getField("m")).as("c"))
+    }
+    val assignedF = kmeansAssign(e, cent)
+    val queries = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("emb").as("q_emb"))
+    val wq = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_c").desc, col("cent_id"))
+    val probed = queries.crossJoin(broadcast(cent))
+      .select(col("query_id"), col("q_emb"), col("cent_id"),
+        cosine(col("q_emb"), col("c")).as("cos_c"))
+      .withColumn("rn", row_number().over(wq))
+      .filter(col("rn") <= nprobe)
+      .select(col("query_id"), col("q_emb"), col("cent_id"))
+    val scored = probed.join(assignedF, Seq("cent_id"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        PortableRound.pround(cosine(col("q_emb"), col("emb")), 4).as("cos_sim"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos_sim"))
+  }
+
   /** Near-dup pair discovery AT SCALE: the two-stage LSH shape —
     * candidate generation is a (bucket) EQUI self-join, verification is
     * the exact cosine over candidates only. Replaces the O(n²)
