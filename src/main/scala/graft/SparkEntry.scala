@@ -63,6 +63,7 @@ object SparkEntry {
     "dedup_exact_groups" -> (Dedup.exactDupGroups _),
     "dedup_ngram_top_pairs" -> (Dedup.ngramJaccardTopPairs _),
     "dedup_minhash_buckets" -> (Dedup.minhashLshBuckets _),
+    "dedup_minhash_keep_first" -> (Dedup.minhashKeepFirst _),
     "dedup_simhash" -> (Dedup.simhash _),
     "dedup_simhash_pairs" -> (Dedup.simhashCandidates _),
     "dedup_cluster_labels" -> (Dedup.clusterLabels _),
@@ -290,6 +291,17 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] = Map(
     "dedup_minhash_buckets" -> minhashOracle,
+    // Keep-first at the minhash level: dominated = any band-bucket
+    // collision with a smaller doc_id; survivors via anti-join.
+    "dedup_minhash_keep_first" ->
+      s"""WITH bk AS (
+         |$minhashOracle),
+         |dom AS (SELECT DISTINCT x.doc_id FROM bk x
+         |  JOIN bk y ON x.band = y.band AND x.bucket = y.bucket
+         |    AND y.doc_id < x.doc_id)
+         |SELECT d.doc_id, d.lang FROM documents d
+         |LEFT JOIN dom ON d.doc_id = dom.doc_id
+         |WHERE dom.doc_id IS NULL""".stripMargin,
     "dedup_simhash" -> simhashOracle,
     "dedup_simhash_pairs" -> simhashPairsOracle,
     "dedup_cluster_labels" -> clusterLabelsOracle,

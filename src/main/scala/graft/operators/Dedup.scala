@@ -169,6 +169,23 @@ object Dedup {
     bandSignature(hashed.select((col("doc_id") +: mins): _*))
   }
 
+  /** Near-dup KEEP-FIRST at the minhash level: a document survives
+    * unless one of its band buckets collides with a SMALLER doc_id —
+    * the release-pipeline twin of [[exactKeepFirst]] one level up the
+    * fuzziness ladder. One bucket-keyed self-join (candidates only,
+    * never the pair space) then a broadcast-able left-anti against the
+    * corpus; both shuffles are (band, bucket)/doc_id equi-keys. */
+  def minhashKeepFirst(spark: SparkSession, sfDir: String): DataFrame = {
+    val buckets = minhashLshBuckets(spark, sfDir)
+    val dominated = buckets.as("x").join(buckets.as("y"),
+        col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
+          col("y.doc_id") < col("x.doc_id"))
+      .select(col("x.doc_id").as("doc_id")).distinct()
+    Tables.documents(spark, sfDir)
+      .join(dominated, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("lang"))
+  }
+
   /** LSH candidate pairs verified by true 3-gram Jaccard ≥ threshold.
     * Same-bucket join → distinct pairs → verification join.
     */

@@ -54,6 +54,19 @@ class DedupSpec extends AnyFunSuite {
     assert(top.head.getDouble(2) == 1.0)
   }
 
+  test("minhash keep-first drops the later copy of every exact dup") {
+    val survivors = Dedup.minhashKeepFirst(spark, sf01)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    for ((a, b) <- trueDupPairs) {
+      assert(!survivors.contains(b), s"doc $b duplicates $a but survived")
+    }
+    // doc 0 has no smaller id to be dominated by — always survives
+    assert(survivors.contains(0L))
+    // keep-first drops near-dup collisions too, but never the majority
+    val total = graft.Tables.documents(spark, sf01).count()
+    assert(survivors.size < total && survivors.size > total / 2)
+  }
+
   test("ANN LSH scores agree with brute force for shared pairs") {
     val brute = Similarity.annBruteForceTopK(spark, sf01, k = 100).collect()
       .map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
