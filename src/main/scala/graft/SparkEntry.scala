@@ -71,6 +71,7 @@ object SparkEntry {
     "corpus_split" -> (Corpus.stratifiedSplit _),
     "corpus_pack_bins" -> ((s: SparkSession, d: String) => Corpus.packTokenBins(s, d)),
     "corpus_clean" -> (Corpus.cleanPipeline _),
+    "corpus_decontaminate" -> ((s: SparkSession, d: String) => Corpus.decontaminate(s, d)),
     // training-data ops: similarity search
     "ann_brute_topk" -> ((s: SparkSession, d: String) => Similarity.annBruteForceTopK(s, d)),
     "ann_cosine_pairs" -> ((s: SparkSession, d: String) => Similarity.cosineThresholdPairs(s, d)),
@@ -420,6 +421,18 @@ object SparkEntry {
         |  floor((dist2) * 10000 + 0.5) / 10000 AS dist2
         |FROM r WHERE rank <= 10""".stripMargin,
     "ann_ivf_kmeans_topk" -> ivfKmeansOracle,
+    // Same distinct-3-gram shingles as the dedup family; eval set =
+    // doc_id < 20, contamination = >= 3 shared shingles.
+    "corpus_decontaminate" ->
+      """WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |sh AS (SELECT doc_id, unnest(list_distinct(
+        |    [array_to_string(w[i:i+2], ' ') for i in range(1, len(w) - 1)])) AS s
+        |  FROM ws WHERE len(w) >= 3),
+        |tr AS (SELECT doc_id AS train_doc, s FROM sh WHERE doc_id >= 20),
+        |ev AS (SELECT doc_id AS eval_doc, s FROM sh WHERE doc_id < 20)
+        |SELECT train_doc, eval_doc, count(*) AS n_shared
+        |FROM tr JOIN ev USING (s)
+        |GROUP BY 1, 2 HAVING count(*) >= 3""".stripMargin,
     "ann_lsh_topk" -> annLshOracle,
     "dedup_lsh_verified_pairs" -> lshVerifiedPairsOracle,
     "mm_decode_stats" -> mmDecodeOracle,

@@ -61,6 +61,30 @@ object Corpus {
         col("redacted"))
   }
 
+  /** Benchmark decontamination: flag training documents that share
+    * ≥ `minShared` distinct word-3-grams with any eval-set document
+    * (the overlap check run before training so test sets don't leak
+    * into the corpus). Eval membership here is doc_id < `evalMax` —
+    * a stand-in for the real eval-set table.
+    *
+    * Scale shape: the eval side is a benchmark (tiny, fixed) — its
+    * shingles BROADCAST, so the 100 TB training side never shuffles:
+    * one narrow scan + broadcast hash join + a (train,eval)-keyed
+    * count with map-side combine. */
+  def decontaminate(spark: SparkSession, sfDir: String, evalMax: Long = 20,
+      minShared: Long = 3): DataFrame = {
+    val docs = Dedup.withShingles(Tables.documents(spark, sfDir))
+    def shingleRows(df: DataFrame, idCol: String) = df
+      .select(col("doc_id").as(idCol), explode_outer(col("sh")).as("s"))
+      .filter(col("s").isNotNull)
+    val trainSh = shingleRows(docs.filter(col("doc_id") >= evalMax), "train_doc")
+    val evalSh = shingleRows(docs.filter(col("doc_id") < evalMax), "eval_doc")
+    trainSh.join(broadcast(evalSh), "s")
+      .groupBy(col("train_doc"), col("eval_doc"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** Streaming sequence packing: per (lang, shard) stream ordered by
     * doc_id, documents concatenate into fixed token-budget bins; a
     * document lands in the bin its preceding cumulative fills

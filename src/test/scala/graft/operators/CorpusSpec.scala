@@ -42,6 +42,23 @@ class CorpusSpec extends AnyFunSuite {
     assert(math.abs(frac("test") - 0.1) < 0.05, frac)
   }
 
+  test("decontaminate: flags only train-eval pairs over the shared-shingle floor") {
+    import org.apache.spark.sql.functions.col
+    val rows = Corpus.decontaminate(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      assert(r.getAs[Long]("train_doc") >= 20 && r.getAs[Long]("eval_doc") < 20)
+      assert(r.getAs[Long]("n_shared") >= 3)
+    }
+    // spot-check one flagged pair by direct recount
+    val h = rows.head
+    val docs = graft.Tables.documents(spark, sfDir)
+    def sh(id: Long) = docs.filter(col("doc_id") === id).head()
+      .getAs[String]("text").split(" ").sliding(3).map(_.mkString(" ")).toSet
+    assert((sh(h.getAs[Long]("train_doc")) & sh(h.getAs[Long]("eval_doc"))).size
+      == h.getAs[Long]("n_shared"))
+  }
+
   test("token packing: bins respect the budget boundary per (lang, shard)") {
     val rows = Corpus.packTokenBins(spark, sfDir, budget = 100).collect()
       .map(r => (r.getString(1), r.getLong(2), r.getLong(0), r.getLong(3), r.getLong(4)))
