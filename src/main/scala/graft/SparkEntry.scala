@@ -64,6 +64,7 @@ object SparkEntry {
     "dedup_ngram_top_pairs" -> (Dedup.ngramJaccardTopPairs _),
     "dedup_minhash_buckets" -> (Dedup.minhashLshBuckets _),
     "dedup_minhash_keep_first" -> (Dedup.minhashKeepFirst _),
+    "dedup_normalized_keep_first" -> (Dedup.normalizedKeepFirst _),
     "dedup_simhash" -> (Dedup.simhash _),
     "dedup_simhash_pairs" -> (Dedup.simhashCandidates _),
     "dedup_cluster_labels" -> (Dedup.clusterLabels _),
@@ -72,6 +73,7 @@ object SparkEntry {
     "corpus_pack_bins" -> ((s: SparkSession, d: String) => Corpus.packTokenBins(s, d)),
     "corpus_clean" -> (Corpus.cleanPipeline _),
     "corpus_decontaminate" -> ((s: SparkSession, d: String) => Corpus.decontaminate(s, d)),
+    "corpus_lang_balance" -> ((s: SparkSession, d: String) => Corpus.langBalance(s, d)),
     // training-data ops: similarity search
     "ann_brute_topk" -> ((s: SparkSession, d: String) => Similarity.annBruteForceTopK(s, d)),
     "ann_cosine_pairs" -> ((s: SparkSession, d: String) => Similarity.cosineThresholdPairs(s, d)),
@@ -79,6 +81,7 @@ object SparkEntry {
     "dedup_lsh_verified_pairs" -> ((s: SparkSession, d: String) => Similarity.lshVerifiedPairs(s, d)),
     "ann_ivf_topk" -> ((s: SparkSession, d: String) => Similarity.annIvfTopK(s, d)),
     "ann_ivf_kmeans_topk" -> ((s: SparkSession, d: String) => Similarity.kmeansIvfTopK(s, d)),
+    "embed_quantize_int8" -> (Similarity.quantizeInt8 _),
     "sub_intersect" -> (Substrate.intersectOp _),
     // training-data ops: multimodal binary columns
     "mm_meta_stats" -> (Multimodal.metaStats _),
@@ -589,6 +592,40 @@ object SparkEntry {
         |  FROM p)
         |SELECT doc_id, redacted,
         |  CAST(length(withpii) - length(redacted) AS INT) AS chars_removed FROM r""".stripMargin,
+    // Normalized keep-first: same regex program (DuckDB needs the 'g'
+    // flag to match Spark's replace-all default), same window dedup.
+    "dedup_normalized_keep_first" ->
+      """WITH n AS (SELECT doc_id, lang,
+        |    md5(trim(regexp_replace(regexp_replace(lower(text),
+        |      '[.,;:!?''"()-]', '', 'g'), ' +', ' ', 'g'))) AS norm_hash
+        |  FROM documents),
+        |r AS (SELECT doc_id, lang, norm_hash,
+        |    row_number() OVER (PARTITION BY norm_hash ORDER BY doc_id) AS rn
+        |  FROM n)
+        |SELECT doc_id, lang, norm_hash FROM r WHERE rn = 1""".stripMargin,
+    // Language rebalance: integer cross-multiplied hash threshold —
+    // no division anywhere, so both engines compare exactly.
+    "corpus_lang_balance" -> {
+      val h = graft.functions.PortableHash.sqlH48("concat('bal:', CAST(doc_id AS VARCHAR))")
+      s"""WITH c AS (SELECT lang, count(*) AS n_lang FROM documents GROUP BY 1),
+         |cap AS (SELECT min(n_lang) AS cap FROM c)
+         |SELECT d.doc_id, d.lang
+         |FROM documents d JOIN c ON d.lang = c.lang CROSS JOIN cap
+         |WHERE ($h % 1000000) * n_lang < cap * 1000000""".stripMargin
+    },
+    // Int8 quantization: float→double widening, abs/max, one divide and
+    // one multiply are bit-deterministic IEEE ops — codes compare with
+    // no rounding discipline; only the displayed scale is pround'd.
+    "embed_quantize_int8" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ed FROM embeddings),
+         |m AS (SELECT vec_id, ed,
+         |    list_max(list_transform(ed, v -> abs(v))) AS max_abs FROM e),
+         |s AS (SELECT vec_id, ed,
+         |    CASE WHEN max_abs > 0 THEN CAST(127 AS DOUBLE) / max_abs
+         |         ELSE 0.0 END AS qs FROM m)
+         |SELECT vec_id, ${graft.operators.PortableRound.sql("qs", 6)} AS qscale,
+         |  list_transform(ed, v -> CAST(floor(v * qs + 0.5) AS INT)) AS codes
+         |FROM s""".stripMargin,
     "dedup_exact_keep_first" ->
       """SELECT doc_id, content_hash FROM (
         |  SELECT doc_id, md5(text) AS content_hash,

@@ -85,6 +85,32 @@ object Corpus {
       .filter(col("n_shared") >= minShared)
   }
 
+  /** Language rebalancing: deterministically downsample every language
+    * to (approximately) the size of the smallest one — the mixture-
+    * flattening pass run before training so a 90%-English crawl doesn't
+    * produce a 90%-English model. A document survives iff
+    * `hash(doc_id) mod M  <  M · cap / n_lang`, spelled as the integer
+    * cross-multiplication `(h mod M) · n_lang < cap · M` so neither
+    * engine ever rounds a division.
+    *
+    * Scale shape: the per-language counts are a ~|languages|-key
+    * aggregate (map-side combine collapses it to one row per lang per
+    * partition) whose result BROADCASTS back; the main pass is then a
+    * narrow scan + filter — the 100 TB side never shuffles. The
+    * hash-threshold keeps the sample deterministic under retries and
+    * repartitions, unlike `rand()`-based sampling. */
+  def langBalance(spark: SparkSession, sfDir: String, mod: Long = 1000000L): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val counts = docs.groupBy(col("lang")).agg(count(lit(1)).as("n_lang"))
+    val cap = counts.agg(min(col("n_lang")).as("cap"))
+    val h = PortableHash.md5Hash48(
+      concat(lit("bal:"), col("doc_id").cast("string")))
+    docs.join(broadcast(counts), "lang")
+      .crossJoin(broadcast(cap))
+      .filter(pmod(h, lit(mod)) * col("n_lang") < col("cap") * mod)
+      .select(col("doc_id"), col("lang"))
+  }
+
   /** Streaming sequence packing: per (lang, shard) stream ordered by
     * doc_id, documents concatenate into fixed token-budget bins; a
     * document lands in the bin its preceding cumulative fills

@@ -32,6 +32,30 @@ object Dedup {
       .select(col("doc_id"), col("content_hash"))
   }
 
+  /** Exact dedup after text NORMALIZATION — catches the formatting
+    * variants plain [[exactKeepFirst]] misses (case, punctuation,
+    * whitespace runs): lowercase → strip ASCII punctuation → collapse
+    * spaces → trim, then keep-first on the md5 of the normal form.
+    * The punctuation class is an explicit ASCII set so the Java-regex
+    * (Spark) and RE2 (oracle) interpretations are identical; unicode
+    * letters pass through untouched, so non-Latin corpora don't
+    * collapse to one group.
+    *
+    * Scale: identical to exact dedup — one shuffle on the normal-form
+    * hash; the normalization itself is a narrow codegen'd projection. */
+  def normalizeText(c: Column): Column =
+    trim(regexp_replace(regexp_replace(lower(c), "[.,;:!?'\"()-]", ""), " +", " "))
+
+  def normalizedKeepFirst(spark: SparkSession, sfDir: String): DataFrame = {
+    val norm = normalizeText(col("text"))
+    val w = Window.partitionBy(col("norm_hash")).orderBy(col("doc_id"))
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"), md5(norm).as("norm_hash"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("lang"), col("norm_hash"))
+  }
+
   /** Exact duplicate groups (count > 1) — empty until duplicates exist
     * (sf0.1 carries 8); kept oracle-checked either way. */
   def exactDupGroups(spark: SparkSession, sfDir: String): DataFrame =

@@ -285,6 +285,36 @@ object Similarity {
         PortableRound.pround(col("dist2"), 4).as("dist2"))
   }
 
+  /** Int8 scalar quantization of the embedding column — the memory-
+    * compression step an ANN index runs before serving (4× smaller than
+    * float32, 8× than the double working form). Per-vector max-abs
+    * scaling: `code = floor(v * 127/max|v| + 0.5)`, so the largest
+    * component maps to ±127 and reconstruction error is ≤ max|v|/254
+    * per component.
+    *
+    * Scale shape: NARROW — one scan, zero shuffle; each vector
+    * quantizes independently, so the operator pipelines with whatever
+    * scan feeds it. `max_abs`/`qscale` are materialized columns
+    * referenced by both outputs, which keeps CollapseProject from
+    * re-inlining the `array_max` fold per element inside the transform
+    * lambda (the measured HOF re-evaluation trap).
+    *
+    * Oracle determinism: float→double widening, abs/max, one division
+    * and one multiply are all exact or bit-deterministic IEEE ops, so
+    * codes match DuckDB exactly with no rounding discipline; the
+    * reported scale goes through [[PortableRound.pround]] only for
+    * display. */
+  def quantizeInt8(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.embeddings(spark, sfDir)
+      .withColumn("ed", col("embedding").cast("array<double>"))
+      .withColumn("max_abs", array_max(transform(col("ed"), v => abs(v))))
+      .withColumn("qscale",
+        when(col("max_abs") > 0, lit(127.0) / col("max_abs")).otherwise(lit(0.0)))
+      .select(col("vec_id"),
+        PortableRound.pround(col("qscale"), 6).as("qscale"),
+        transform(col("ed"), v => floor(v * col("qscale") + lit(0.5)).cast("int"))
+          .as("codes"))
+
   /** Bucketed ANN: brute-force only within the query's LSH bucket —
     * the candidate join is (bucket) equi-keyed, so the corpus shuffles
     * once on bucket instead of crossing with every query. */

@@ -101,4 +101,26 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("partial_count") || p.contains("HashAggregate"), p)
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
+
+  test("int8 quantization is shuffle-free: one narrow scan, no Exchange") {
+    val p = plan("embed_quantize_int8")
+    assert(!p.contains("Exchange"),
+      s"per-vector quantization must pipeline with the scan, never shuffle:\n$p")
+  }
+
+  test("lang balance: counts broadcast back, corpus side never shuffles") {
+    val p = plan("corpus_lang_balance")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the per-lang count table must broadcast against the main scan:\n$p")
+    // the only Exchanges allowed feed the tiny counts aggregate, never
+    // repartition the documents scan (it has no hash-partitioning on doc
+    // columns other than lang's pre-agg)
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+  }
+
+  test("normalized dedup: exactly one shuffle, keyed on the norm hash") {
+    val p = plan("dedup_normalized_keep_first")
+    val exchanges = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges == 1, s"expected the single norm-hash shuffle, got $exchanges:\n$p")
+  }
 }

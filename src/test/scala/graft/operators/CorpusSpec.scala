@@ -31,6 +31,27 @@ class CorpusSpec extends AnyFunSuite {
     assert(labels.toSeq == Seq(0L)) // one component, min label 0
   }
 
+  test("lang balance: every language downsamples to ≈ the smallest one") {
+    import org.apache.spark.sql.functions.col
+    val docs = graft.Tables.documents(spark, sfDir)
+    val before = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val cap = before.values.min
+    val after = Corpus.langBalance(spark, sfDir).groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(after.keySet == before.keySet, "no language may vanish")
+    for ((lang, n) <- after) {
+      assert(n <= before(lang))
+      // hash-binomial around cap·(n_lang·cap/n_lang)/n_lang = cap: allow 4·sqrt
+      val tol = 4 * math.sqrt(cap.toDouble) + 1
+      assert(math.abs(n - cap) <= tol, s"$lang kept $n, expected ≈$cap")
+    }
+    // deterministic: second run is identical row-for-row
+    val a = Corpus.langBalance(spark, sfDir).collect().map(_.getLong(0)).sorted
+    val b = Corpus.langBalance(spark, sfDir).collect().map(_.getLong(0)).sorted
+    assert(a.sameElements(b))
+  }
+
   test("stratified split is deterministic and ~80/10/10") {
     val a = Corpus.stratifiedSplit(spark, sfDir).collect()
       .map(r => r.getLong(0) -> r.getString(3)).toMap

@@ -81,6 +81,25 @@ class DedupSpec extends AnyFunSuite {
     assert(Dedup.oversizedBuckets(buckets, 1024).count() == 0)
   }
 
+  test("normalized dedup: formatting variants collapse, survivors are min doc_id") {
+    import spark.implicits._
+    val norms = Seq("Hello,  World!! (test)", "hello world test", "你好。世界",
+      "  spaced   out  ").toDF("text")
+      .select(Dedup.normalizeText(col("text")).as("n")).collect().map(_.getString(0))
+    assert(norms(0) == "hello world test" && norms(1) == "hello world test")
+    assert(norms(2) == "你好。世界", "non-ASCII text must pass through untouched")
+    assert(norms(3) == "spaced out")
+    // table-level: exactly one survivor per norm_hash, and it's the min doc_id
+    val all = graft.Tables.documents(spark, sf01)
+      .select(col("doc_id"), Dedup.normalizeText(col("text")).as("n"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val expected = all.groupBy(_._2).map(_._2.map(_._1).min).toSet
+    val got = Dedup.normalizedKeepFirst(spark, sf01).collect().map(_.getLong(0)).toSet
+    assert(got == expected)
+    // strictly more merging than (or equal to) exact dedup
+    assert(got.size <= Dedup.exactKeepFirst(spark, sf01).count())
+  }
+
   test("ANN LSH scores agree with brute force for shared pairs") {
     val brute = Similarity.annBruteForceTopK(spark, sf01, k = 100).collect()
       .map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap

@@ -82,6 +82,32 @@ class TextTrainingOpsSpec extends AnyFunSuite {
     assert(mass0 > 0)
   }
 
+  test("int8 quantization: codes bounded, reconstruction within half a step") {
+    val emb = graft.Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+      .collect().map(r => r.getLong(0) ->
+        r.getAs[scala.collection.Seq[Double]]("e")).toMap
+    val q = Similarity.quantizeInt8(spark, sfDir).collect()
+    assert(q.length == emb.size)
+    for (r <- q) {
+      val id = r.getLong(0)
+      val scale = r.getDouble(1)
+      val codes = r.getAs[scala.collection.Seq[Int]]("codes")
+      val orig = emb(id)
+      assert(codes.length == orig.length)
+      assert(codes.forall(c => c >= -127 && c <= 127))
+      if (scale > 0) {
+        // max component must hit ±127; every component reconstructs
+        // within half a quantization step
+        assert(codes.map(math.abs).max == 127)
+        val step = 1.0 / scale
+        for ((c, v) <- codes.zip(orig))
+          assert(math.abs(c * step - v) <= step / 2 + 1e-6,
+            s"vec $id: code $c deviates from $v by more than $step/2")
+      }
+    }
+  }
+
   test("two-stage top-k equals the single-window top-k") {
     // the salted partial pass must not lose any global top-10 row
     import org.apache.spark.sql.expressions.Window
