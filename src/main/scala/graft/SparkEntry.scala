@@ -74,6 +74,7 @@ object SparkEntry {
     "corpus_clean" -> (Corpus.cleanPipeline _),
     "corpus_decontaminate" -> ((s: SparkSession, d: String) => Corpus.decontaminate(s, d)),
     "corpus_lang_balance" -> ((s: SparkSession, d: String) => Corpus.langBalance(s, d)),
+    "corpus_temperature_sample" -> ((s: SparkSession, d: String) => Corpus.temperatureSample(s, d)),
     // training-data ops: similarity search
     "ann_brute_topk" -> ((s: SparkSession, d: String) => Similarity.annBruteForceTopK(s, d)),
     "ann_cosine_pairs" -> ((s: SparkSession, d: String) => Similarity.cosineThresholdPairs(s, d)),
@@ -82,6 +83,7 @@ object SparkEntry {
     "ann_ivf_topk" -> ((s: SparkSession, d: String) => Similarity.annIvfTopK(s, d)),
     "ann_ivf_kmeans_topk" -> ((s: SparkSession, d: String) => Similarity.kmeansIvfTopK(s, d)),
     "embed_quantize_int8" -> (Similarity.quantizeInt8 _),
+    "ann_pq_adc_topk" -> ((s: SparkSession, d: String) => Similarity.pqAdcTopK(s, d)),
     "sub_intersect" -> (Substrate.intersectOp _),
     // training-data ops: multimodal binary columns
     "mm_meta_stats" -> (Multimodal.metaStats _),
@@ -124,7 +126,9 @@ object SparkEntry {
     // round-5 additions (totals across rounds compare per-query, not
     // by the grand total, which grows when the set widens):
     "text_repetition", "text_tfidf_topk", "ann_centroid_outliers",
-    "ann_ivf_kmeans_topk")
+    "ann_ivf_kmeans_topk", "dedup_normalized_keep_first",
+    "corpus_lang_balance", "corpus_temperature_sample",
+    "embed_quantize_int8", "ann_pq_adc_topk")
 
   // --- generated DuckDB replicas of the portable-hash queries ----------
 
@@ -613,6 +617,50 @@ object SparkEntry {
          |FROM documents d JOIN c ON d.lang = c.lang CROSS JOIN cap
          |WHERE ($h % 1000000) * n_lang < cap * 1000000""".stripMargin
     },
+    // τ=0.5 temperature sampling: the sqrt comparison is squared into
+    // pure integer arithmetic — (h mod M)²·n_lang < cap·M² — exact in
+    // both engines, no pow/sqrt anywhere.
+    "corpus_temperature_sample" -> {
+      val h = graft.functions.PortableHash.sqlH48("concat('temp:', CAST(doc_id AS VARCHAR))")
+      s"""WITH c AS (SELECT lang, count(*) AS n_lang FROM documents GROUP BY 1),
+         |cap AS (SELECT min(n_lang) AS cap FROM c),
+         |hh AS (SELECT doc_id, lang, ($h % 1000000) AS hm FROM documents)
+         |SELECT d.doc_id, d.lang
+         |FROM hh d JOIN c ON d.lang = c.lang CROSS JOIN cap
+         |WHERE hm * hm * n_lang < cap * 1000000 * 1000000""".stripMargin
+    },
+    // PQ-ADC: slice → stride-sampled codewords → struct-min argmin
+    // encode → query↔codeword LUT join → fixed-order 4-cell sum. The
+    // subspace distances are index-order folds (list_dot_product of the
+    // diff with itself), the argmin is a lexicographic struct min, and
+    // the ADC total is four single-row sums added in fixed syntactic
+    // order — every step bit-deterministic on both engines.
+    "ann_pq_adc_topk" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ed FROM embeddings),
+        |sub AS (SELECT vec_id, s, ed[s*16+1 : s*16+16] AS sv
+        |  FROM e, range(0, 4) t(s)),
+        |cw AS (SELECT CAST(vec_id // 8 AS INT) AS cw_id, s, sv AS cw_sv
+        |  FROM sub WHERE vec_id % 8 = 0 AND vec_id < 128),
+        |enc0 AS (SELECT x.vec_id, x.s, c.cw_id,
+        |    list_dot_product(list_transform(range(1,17), i -> x.sv[i] - c.cw_sv[i]),
+        |                     list_transform(range(1,17), i -> x.sv[i] - c.cw_sv[i])) AS d2
+        |  FROM sub x JOIN cw c USING (s)),
+        |codes AS (SELECT vec_id, s, min({'d': d2, 'c': cw_id}).c AS code
+        |  FROM enc0 GROUP BY 1, 2),
+        |lut AS (SELECT q.vec_id AS query_id, q.s, c.cw_id,
+        |    list_dot_product(list_transform(range(1,17), i -> q.sv[i] - c.cw_sv[i]),
+        |                     list_transform(range(1,17), i -> q.sv[i] - c.cw_sv[i])) AS qd2
+        |  FROM sub q JOIN cw c USING (s) WHERE q.vec_id < 10),
+        |sc AS (SELECT l.query_id, cd.vec_id AS neighbor_id,
+        |    sum(CASE WHEN cd.s = 0 THEN l.qd2 END) + sum(CASE WHEN cd.s = 1 THEN l.qd2 END)
+        |      + sum(CASE WHEN cd.s = 2 THEN l.qd2 END) + sum(CASE WHEN cd.s = 3 THEN l.qd2 END) AS approx
+        |  FROM codes cd JOIN lut l ON cd.s = l.s AND cd.code = l.cw_id
+        |  WHERE cd.vec_id <> l.query_id GROUP BY 1, 2)
+        |SELECT query_id, rank, neighbor_id,
+        |  floor(approx * 1000000 + 0.5) / 1000000 AS approx_d2
+        |FROM (SELECT query_id, neighbor_id, approx,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY approx, neighbor_id) AS rank
+        |  FROM sc) WHERE rank <= 5""".stripMargin,
     // Int8 quantization: float→double widening, abs/max, one divide and
     // one multiply are bit-deterministic IEEE ops — codes compare with
     // no rounding discipline; only the displayed scale is pround'd.

@@ -111,6 +111,33 @@ object Corpus {
       .select(col("doc_id"), col("lang"))
   }
 
+  /** Temperature-flattened language sampling (τ = 0.5): keep probability
+    * `p_l = sqrt(cap / n_l)`, so a language's expected share scales with
+    * `sqrt(n_l)` — the standard multilingual-pretraining compromise
+    * between the raw crawl mixture (τ=1, big languages drown the rest)
+    * and full flattening (τ=0, [[langBalance]], small languages repeat
+    * too often downstream). No `pow`/`sqrt` is ever evaluated: the
+    * survival test `h/M < sqrt(cap/n_l)` is squared into the pure
+    * integer comparison `(h mod M)² · n_l < cap · M²`, which both
+    * engines compute exactly. `(h mod M)² · n_l` needs headroom — with
+    * M = 10⁶ it fits a long up to n_l ≈ 9·10⁵; beyond that (the 100 TB
+    * mixture) widen the cross-multiply to DECIMAL(38,0) or drop M to
+    * 10⁴ — the comparison stays exact either way.
+    *
+    * Scale shape: same as [[langBalance]] — tiny per-lang count agg
+    * broadcast back, then a narrow filter scan; zero corpus shuffle. */
+  def temperatureSample(spark: SparkSession, sfDir: String, mod: Long = 1000000L): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val counts = docs.groupBy(col("lang")).agg(count(lit(1)).as("n_lang"))
+    val cap = counts.agg(min(col("n_lang")).as("cap"))
+    val h = pmod(PortableHash.md5Hash48(
+      concat(lit("temp:"), col("doc_id").cast("string"))), lit(mod))
+    docs.join(broadcast(counts), "lang")
+      .crossJoin(broadcast(cap))
+      .filter(h * h * col("n_lang") < col("cap") * mod * mod)
+      .select(col("doc_id"), col("lang"))
+  }
+
   /** Streaming sequence packing: per (lang, shard) stream ordered by
     * doc_id, documents concatenate into fixed token-budget bins; a
     * document lands in the bin its preceding cumulative fills

@@ -315,6 +315,70 @@ object Similarity {
         transform(col("ed"), v => floor(v * col("qscale") + lit(0.5)).cast("int"))
           .as("codes"))
 
+  /** Product-quantization ANN with asymmetric distance (ADC): vectors
+    * are encoded as `subspaces` small codes (nearest codeword per
+    * 16-dim slice), and a query scores a vector by summing its
+    * precomputed query↔codeword distances — the IVF-PQ memory layout
+    * (here: 4 bytes/vector vs 256 for float32) behind every billion-
+    * scale vector index. Codewords are stride-sampled corpus vectors
+    * (deterministic; a trained variant would reuse the
+    * [[kmeansIvfTopK]] Lloyd machinery per subspace).
+    *
+    * Scale shape:
+    *  - the codebook (subspaces × 16 codewords) and the query LUT
+    *    (queries × subspaces × 16 cells) are tiny and BROADCAST — the
+    *    corpus never shuffles during encoding or scoring;
+    *  - encoding's argmin is a (vec_id, s)-keyed min that collapses
+    *    fully map-side (all 16 candidate rows of a key are generated
+    *    from the same input row, so the shuffle carries `subspaces`
+    *    rows per vector);
+    *  - the ADC sum is four single-row sums in fixed syntactic order
+    *    (`s0+s1+s2+s3`) — order-independent, so the oracle compares
+    *    bit-exactly with no decimal widening. */
+  def pqAdcTopK(spark: SparkSession, sfDir: String, k: Int = 5,
+      subspaces: Int = 4, subDim: Int = 16, codebook: Int = 16,
+      stride: Int = 8): DataFrame = {
+    val e = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("ed"))
+    def subRows(df: DataFrame, idAlias: String) = df
+      .select(col("vec_id").as(idAlias),
+        explode_outer(sequence(lit(0), lit(subspaces - 1))).as("s"), col("ed"))
+      .filter(col("s").isNotNull)
+      .select(col(idAlias), col("s"),
+        slice(col("ed"), col("s") * subDim + 1, lit(subDim)).as("sv"))
+    val cw = subRows(
+        e.filter(col("vec_id") % stride === 0 && col("vec_id") < codebook * stride),
+        "cw_vec")
+      .select((col("cw_vec") / stride).cast("int").as("cw_id"), col("s"),
+        col("sv").as("cw_sv"))
+    def d2(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+        lit(0.0), (acc, v) => acc + v)
+    val codes = subRows(e, "vec_id").join(broadcast(cw), "s")
+      .groupBy(col("vec_id"), col("s"))
+      .agg(min(struct(d2(col("sv"), col("cw_sv")).as("d"), col("cw_id").as("c"))).as("m"))
+      .select(col("vec_id"), col("s"), col("m.c").as("code"))
+    val lut = subRows(e.filter(col("vec_id") < 10), "query_id")
+      .join(broadcast(cw), "s")
+      .select(col("query_id"), col("s").as("ls"), col("cw_id"),
+        d2(col("sv"), col("cw_sv")).as("qd2"))
+    val scored = codes
+      .join(broadcast(lut), col("s") === col("ls") && col("code") === col("cw_id"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(sum(when(col("s") === 0, col("qd2"))).as("d0"),
+        (1 until subspaces).map(i =>
+          sum(when(col("s") === i, col("qd2"))).as(s"d$i")): _*)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        (0 until subspaces).map(i => col(s"d$i")).reduce(_ + _).as("approx"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("approx"), col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        PortableRound.pround(col("approx"), 6).as("approx_d2"))
+  }
+
   /** Bucketed ANN: brute-force only within the query's LSH bucket —
     * the candidate join is (bucket) equi-keyed, so the corpus shuffles
     * once on bucket instead of crossing with every query. */

@@ -123,4 +123,18 @@ class PlanShapeSpec extends AnyFunSuite {
     val exchanges = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
     assert(exchanges == 1, s"expected the single norm-hash shuffle, got $exchanges:\n$p")
   }
+
+  test("temperature sample: counts broadcast back, no corpus-side sort-merge") {
+    val p = plan("corpus_temperature_sample")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+  }
+
+  test("pq-adc: codebook and LUT broadcast; scoring never nested-loops") {
+    val p = plan("ann_pq_adc_topk")
+    assert(p.contains("BroadcastHashJoin"),
+      s"codebook/LUT joins must broadcast against the corpus:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"ADC scoring must stay equi-keyed:\n$p")
+  }
 }

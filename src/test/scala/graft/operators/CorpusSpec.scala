@@ -52,6 +52,25 @@ class CorpusSpec extends AnyFunSuite {
     assert(a.sameElements(b))
   }
 
+  test("temperature sample: kept share scales with sqrt(n_lang)") {
+    val docs = graft.Tables.documents(spark, sfDir)
+    val before = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val cap = before.values.min
+    val after = Corpus.temperatureSample(spark, sfDir).groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(after.keySet == before.keySet)
+    for ((lang, n) <- after) {
+      val expected = math.sqrt(cap.toDouble * before(lang))
+      assert(math.abs(n - expected) <= 4 * math.sqrt(expected) + 1,
+        s"$lang kept $n, expected ≈$expected")
+    }
+    // strictly between full flattening and the raw mixture for the
+    // largest language
+    val big = before.maxBy(_._2)._1
+    assert(after(big) > cap && after(big) < before(big))
+  }
+
   test("stratified split is deterministic and ~80/10/10") {
     val a = Corpus.stratifiedSplit(spark, sfDir).collect()
       .map(r => r.getLong(0) -> r.getString(3)).toMap

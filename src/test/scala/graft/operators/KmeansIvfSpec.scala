@@ -36,6 +36,34 @@ class KmeansIvfSpec extends AnyFunSuite {
       s"training regressed recall: trained=$rTrained stride=$rStride")
   }
 
+  test("pq-adc: dense ranks, ascending distances, and the ADC estimate " +
+      "approximates the true distance") {
+    val rows = Similarity.pqAdcTopK(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    val byQuery = rows.groupBy(_._1)
+    assert(byQuery.size == 10)
+    for ((q, rs) <- byQuery) {
+      val sorted = rs.sortBy(_._2)
+      assert(sorted.map(_._2).sameElements(1 to 5), s"query $q ranks not dense")
+      assert(sorted.map(_._4).sliding(2).forall(p => p(0) <= p(1)),
+        s"query $q approx distances must ascend with rank")
+      assert(rs.forall(_._3 != q))
+    }
+    // ADC vs true L2²: the quantization error is bounded by the codebook
+    // granularity; on the PQ top-1 pick they must at least be the same
+    // order of magnitude (catches sign/slice/indexing bugs, not recall)
+    val emb = graft.Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+      .collect().map(r => r.getLong(0) ->
+        r.getAs[scala.collection.Seq[Double]]("e").toArray).toMap
+    for ((q, rs) <- byQuery) {
+      val (_, _, n, approx) = rs.minBy(_._2)
+      val truth = emb(q).zip(emb(n)).map { case (a, b) => (a - b) * (a - b) }.sum
+      assert(approx > 0 && approx < truth * 10 + 1,
+        s"query $q: ADC $approx implausible vs true $truth")
+    }
+  }
+
   test("result shape: k ranked neighbors per query, ranks dense") {
     val df = Similarity.kmeansIvfTopK(spark, sfDir)
     val perQ = df.groupBy("query_id")
