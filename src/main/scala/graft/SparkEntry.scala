@@ -75,6 +75,9 @@ object SparkEntry {
     "corpus_decontaminate" -> ((s: SparkSession, d: String) => Corpus.decontaminate(s, d)),
     "corpus_lang_balance" -> ((s: SparkSession, d: String) => Corpus.langBalance(s, d)),
     "corpus_temperature_sample" -> ((s: SparkSession, d: String) => Corpus.temperatureSample(s, d)),
+    "corpus_vocab_topk" -> ((s: SparkSession, d: String) => Corpus.vocabTopK(s, d)),
+    "corpus_bpe_merges" -> ((s: SparkSession, d: String) => Corpus.bpeFirstMerges(s, d)),
+    "corpus_pmi_topk" -> ((s: SparkSession, d: String) => Corpus.pmiTopK(s, d)),
     // training-data ops: similarity search
     "ann_brute_topk" -> ((s: SparkSession, d: String) => Similarity.annBruteForceTopK(s, d)),
     "ann_cosine_pairs" -> ((s: SparkSession, d: String) => Similarity.cosineThresholdPairs(s, d)),
@@ -629,6 +632,44 @@ object SparkEntry {
          |FROM hh d JOIN c ON d.lang = c.lang CROSS JOIN cap
          |WHERE hm * hm * n_lang < cap * 1000000 * 1000000""".stripMargin
     },
+    // Vocabulary head: integer counts, total (n desc, w) order — the
+    // LIMIT boundary is deterministic because w is the group key.
+    "corpus_vocab_topk" ->
+      """SELECT w, count(*) AS n
+        |FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        |WHERE w <> '' GROUP BY 1 HAVING count(*) >= 2
+        |ORDER BY n DESC, w LIMIT 100""".stripMargin,
+    // BPE first merges: [a-z]+ words only so per-character slicing is
+    // engine-unambiguous; weighted pair counts are exact integers.
+    "corpus_bpe_merges" ->
+      """WITH t AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+        |f AS (SELECT w, count(*) AS freq FROM t
+        |  WHERE regexp_matches(w, '^[a-z]+$') AND len(w) >= 2 GROUP BY 1),
+        |p AS (SELECT unnest(list_transform(range(1, len(w)), i -> w[i:i+1])) AS pair,
+        |    freq FROM f)
+        |SELECT pair, sum(freq) AS n FROM p GROUP BY 1
+        |ORDER BY n DESC, pair LIMIT 50""".stripMargin,
+    // PMI collocations: rank by the rational score N·c_xy/(c_x·c_y)
+    // (log is monotone — never evaluated); one exact integer product
+    // per side, one IEEE division, ORDER BY the rounded score so the
+    // boundary matches the Spark plan exactly.
+    "corpus_pmi_topk" ->
+      s"""WITH ws AS (SELECT string_split(text, ' ') AS ws FROM documents),
+         |uni AS (SELECT w, count(*) AS c
+         |  FROM (SELECT unnest(ws) AS w FROM ws) WHERE w <> '' GROUP BY 1),
+         |tot AS (SELECT sum(c) AS n_tokens FROM uni),
+         |pr AS (SELECT p.w1 AS w1, p.w2 AS w2, count(*) AS c_pair FROM (
+         |    SELECT unnest(list_transform(range(1, len(ws)),
+         |      i -> {'w1': ws[i], 'w2': ws[i+1]})) AS p
+         |    FROM ws WHERE len(ws) >= 2)
+         |  WHERE p.w1 <> '' AND p.w2 <> '' GROUP BY 1, 2 HAVING count(*) >= 5),
+         |sc AS (SELECT w1, w2, c_pair,
+         |    ${graft.operators.PortableRound.sql(
+              "(c_pair * n_tokens) / (u1.c * u2.c)", 6)} AS pmi_score
+         |  FROM pr JOIN uni u1 ON pr.w1 = u1.w JOIN uni u2 ON pr.w2 = u2.w
+         |  CROSS JOIN tot)
+         |SELECT w1, w2, c_pair, pmi_score FROM sc
+         |ORDER BY pmi_score DESC, w1, w2 LIMIT 50""".stripMargin,
     // PQ-ADC: slice → stride-sampled codewords → struct-min argmin
     // encode → query↔codeword LUT join → fixed-order 4-cell sum. The
     // subspace distances are index-order folds (list_dot_product of the

@@ -138,6 +138,87 @@ object Corpus {
       .select(col("doc_id"), col("lang"))
   }
 
+  /** One row per token instance (split on single space, empties from
+    * leading/double spaces dropped — mirrored exactly in the oracles). */
+  private def tokenRows(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(explode_outer(split(col("text"), " ")).as("w"))
+      .filter(col("w").isNotNull && col("w") =!= "")
+
+  /** Vocabulary head: global top-k words by instance count — the
+    * tokenizer-training vocabulary seed. Deterministic boundary:
+    * (count desc, word) is a total order because the word is the group
+    * key. Scale: one map-side-combined count shuffle, then Spark's
+    * distributed top-k (`TakeOrderedAndProject` — each partition keeps
+    * k, the driver merges k·partitions rows, never the full vocab). */
+  def vocabTopK(spark: SparkSession, sfDir: String, k: Int = 100,
+      minCount: Long = 2L): DataFrame =
+    tokenRows(spark, sfDir)
+      .groupBy(col("w")).agg(count(lit(1)).as("n"))
+      .filter(col("n") >= minCount)
+      .orderBy(col("n").desc, col("w")).limit(k)
+
+  /** First-round BPE merge candidates: adjacent character-pair counts
+    * weighted by word frequency — exactly the statistic byte-pair
+    * encoding maximizes on its first merge. Restricted to `^[a-z]+$`
+    * words so character indexing is unambiguous in every engine
+    * (multibyte grapheme slicing differs; byte-level BPE would make the
+    * same restriction by construction).
+    *
+    * Scale: the corpus collapses to the DISTINCT-WORD table first
+    * (Heaps' law: vocab ≪ corpus), so the char-pair explode runs over
+    * vocabulary entries, not the 100 TB token stream; two map-side-
+    * combined shuffles end-to-end, then distributed top-k. */
+  def bpeFirstMerges(spark: SparkSession, sfDir: String, k: Int = 50): DataFrame =
+    tokenRows(spark, sfDir)
+      .filter(col("w").rlike("^[a-z]+$") && length(col("w")) >= 2)
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+      .select(col("freq"), explode_outer(transform(
+        sequence(lit(1), length(col("w")) - 1),
+        i => col("w").substr(i, lit(2)))).as("pair"))
+      .filter(col("pair").isNotNull)
+      .groupBy(col("pair")).agg(sum(col("freq")).as("n"))
+      .orderBy(col("n").desc, col("pair")).limit(k)
+
+  /** Collocation mining: top word bigrams by PMI. The log in
+    * `pmi = log(N·c_xy / (c_x·c_y))` is monotone, so ranking by the
+    * rational score `N·c_xy / (c_x·c_y)` is ranking by PMI without ever
+    * evaluating a transcendental the two engines could disagree on; the
+    * score itself is one exact integer product per side and a single
+    * IEEE division, bit-equal everywhere (the integer cross-products
+    * need DECIMAL headroom beyond ~2⁵³ tokens). `minPair` is the
+    * standard guard against rare-pair PMI blowup.
+    *
+    * Scale: bigram counts collapse map-side; the `minPair` filter runs
+    * BEFORE the unigram joins, so the joined table is the collocation
+    * candidates, not the full bigram space; the totals row broadcasts. */
+  def pmiTopK(spark: SparkSession, sfDir: String, k: Int = 50,
+      minPair: Long = 5L): DataFrame = {
+    val uni = tokenRows(spark, sfDir)
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+    val totals = uni.agg(sum(col("c")).as("n_tokens"))
+    val ws = Tables.documents(spark, sfDir)
+      .select(split(col("text"), " ").as("ws"))
+      .filter(size(col("ws")) >= 2)
+    val pairs = ws.select(explode_outer(transform(
+        sequence(lit(1), size(col("ws")) - 1),
+        i => struct(element_at(col("ws"), i).as("w1"),
+          element_at(col("ws"), i + 1).as("w2")))).as("p"))
+      .select(col("p.w1"), col("p.w2"))
+      .filter(col("w1") =!= "" && col("w2") =!= "")
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c_pair"))
+      .filter(col("c_pair") >= minPair)
+    pairs
+      .join(uni.select(col("w").as("w1"), col("c").as("c1")), "w1")
+      .join(uni.select(col("w").as("w2"), col("c").as("c2")), "w2")
+      .crossJoin(broadcast(totals))
+      .select(col("w1"), col("w2"), col("c_pair"),
+        PortableRound.pround(
+          (col("c_pair") * col("n_tokens")).cast("double") / (col("c1") * col("c2")),
+          6).as("pmi_score"))
+      .orderBy(col("pmi_score").desc, col("w1"), col("w2")).limit(k)
+  }
+
   /** Streaming sequence packing: per (lang, shard) stream ordered by
     * doc_id, documents concatenate into fixed token-budget bins; a
     * document lands in the bin its preceding cumulative fills

@@ -130,6 +130,19 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
   }
 
+  test("vocab top-k is TakeOrderedAndProject, never a global sort") {
+    val p = plan("corpus_vocab_topk")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-k must keep k rows per partition, not sort the vocabulary:\n$p")
+  }
+
+  test("bpe merges: char explode runs over the distinct-word table") {
+    val p = plan("corpus_bpe_merges")
+    // the word-frequency aggregate must appear BELOW the generator
+    assert(p.contains("Generate") && p.contains("HashAggregate"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
   test("pq-adc: codebook and LUT broadcast; scoring never nested-loops") {
     val p = plan("ann_pq_adc_topk")
     assert(p.contains("BroadcastHashJoin"),

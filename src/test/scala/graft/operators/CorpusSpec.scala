@@ -71,6 +71,41 @@ class CorpusSpec extends AnyFunSuite {
     assert(after(big) > cap && after(big) < before(big))
   }
 
+  test("vocab/bpe/pmi: counts recount, pairs well-formed, scores consistent") {
+    import org.apache.spark.sql.functions.col
+    val toks = graft.Tables.documents(spark, sfDir)
+      .select(org.apache.spark.sql.functions.explode(
+        org.apache.spark.sql.functions.split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "").collect().map(_.getString(0))
+    val counts = toks.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    // vocab: descending, boundary-correct, counts exact
+    val vocab = Corpus.vocabTopK(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+    assert(vocab.map(_._2).sliding(2).forall(p => p.length < 2 || p(0) >= p(1)))
+    for ((w, n) <- vocab) assert(counts(w) == n, s"vocab count mismatch for '$w'")
+    // bpe: every pair is two chars from an [a-z]+ word; recount one pair
+    val merges = Corpus.bpeFirstMerges(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+    assert(merges.nonEmpty && merges.forall { case (p, n) =>
+      p.length == 2 && p.forall(c => c >= 'a' && c <= 'z') && n > 0 })
+    val (topPair, topN) = merges.head
+    val expectedTopN = counts.iterator.collect { case (w, f)
+      if w.matches("^[a-z]+$") && w.length >= 2 =>
+        f * w.sliding(2).count(_ == topPair) }.sum
+    assert(expectedTopN == topN, s"pair '$topPair': $topN vs recount $expectedTopN")
+    // pmi: recompute the rational score for every returned row
+    val nTokens = toks.length.toLong
+    val pmi = Corpus.pmiTopK(spark, sfDir).collect()
+    assert(pmi.nonEmpty)
+    for (r <- pmi) {
+      val (w1, w2, cp, score) =
+        (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3))
+      assert(cp >= 5)
+      val expect = (cp * nTokens).toDouble / (counts(w1) * counts(w2))
+      assert(math.abs(score - expect) < 1e-5, s"($w1,$w2): $score vs $expect")
+    }
+  }
+
   test("stratified split is deterministic and ~80/10/10") {
     val a = Corpus.stratifiedSplit(spark, sfDir).collect()
       .map(r => r.getLong(0) -> r.getString(3)).toMap
