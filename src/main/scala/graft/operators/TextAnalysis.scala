@@ -41,6 +41,26 @@ object TextAnalysis {
         sDe.cast("long").as("score_de"), sEs.cast("long").as("score_es"))
   }
 
+  /** The combined Gopher/C4-style quality score as a reusable Column
+    * over any frame with a `text` column — shared by the batch
+    * [[qualityScore]] query and the streaming admission gate
+    * ([[graft.streaming.CorpusAdmission]]), so both paths score
+    * identically by construction. */
+  def qualityScoreCol: Column = {
+    val words = split(col("text"), " ")
+    val nWords = size(words).cast("double")
+    val t = concat(lit(" "), col("text"), lit(" "))
+    val stopHits = cnt(t, " the ") + cnt(t, " a ") + cnt(t, " of ") + cnt(t, " and ")
+    val nChars = length(col("text")).cast("double")
+    val avgWordLen = (nChars - (nWords - 1)) / nWords
+    val distinctRatio = size(array_distinct(words)).cast("double") / nWords
+    val stopRatio = stopHits / nWords
+    PortableRound.pround(
+      when(avgWordLen.between(3.0, 10.0), 0.4).otherwise(0.0)
+        + least(stopRatio * lit(2.0), lit(0.3))
+        + least(distinctRatio, lit(0.3)), 4)
+  }
+
   /** Quality scoring: length / stopword / repetition features with a
     * combined score — the shape of Gopher/C4-style quality filters. */
   def qualityScore(spark: SparkSession, sfDir: String): DataFrame = {
@@ -52,10 +72,7 @@ object TextAnalysis {
     val avgWordLen = (nChars - (nWords - 1)) / nWords
     val distinctRatio = size(array_distinct(words)).cast("double") / nWords
     val stopRatio = stopHits / nWords
-    val score = PortableRound.pround(
-      when(avgWordLen.between(3.0, 10.0), 0.4).otherwise(0.0)
-        + least(stopRatio * lit(2.0), lit(0.3))
-        + least(distinctRatio, lit(0.3)), 4)
+    val score = qualityScoreCol
     Tables.documents(spark, sfDir)
       .select(col("doc_id"),
         nWords.cast("long").as("n_words"),
