@@ -87,6 +87,7 @@ object SparkEntry {
     "ann_ivf_kmeans_topk" -> ((s: SparkSession, d: String) => Similarity.kmeansIvfTopK(s, d)),
     "embed_quantize_int8" -> (Similarity.quantizeInt8 _),
     "ann_pq_adc_topk" -> ((s: SparkSession, d: String) => Similarity.pqAdcTopK(s, d)),
+    "ann_ivf_pq_topk" -> ((s: SparkSession, d: String) => Similarity.ivfPqTopK(s, d)),
     "sub_intersect" -> (Substrate.intersectOp _),
     // training-data ops: multimodal binary columns
     "mm_meta_stats" -> (Multimodal.metaStats _),
@@ -696,6 +697,58 @@ object SparkEntry {
         |    sum(CASE WHEN cd.s = 0 THEN l.qd2 END) + sum(CASE WHEN cd.s = 1 THEN l.qd2 END)
         |      + sum(CASE WHEN cd.s = 2 THEN l.qd2 END) + sum(CASE WHEN cd.s = 3 THEN l.qd2 END) AS approx
         |  FROM codes cd JOIN lut l ON cd.s = l.s AND cd.code = l.cw_id
+        |  WHERE cd.vec_id <> l.query_id GROUP BY 1, 2)
+        |SELECT query_id, rank, neighbor_id,
+        |  floor(approx * 1000000 + 0.5) / 1000000 AS approx_d2
+        |FROM (SELECT query_id, neighbor_id, approx,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY approx, neighbor_id) AS rank
+        |  FROM sc) WHERE rank <= 5""".stripMargin,
+    // IVF-PQ: coarse L2 assignment (struct-min argmin over the centroid
+    // cross), residual slicing, PQ encode, probed-cell LUT join, and the
+    // fixed-order ADC sum — every arithmetic step the bit-deterministic
+    // patterns already proven in ann_ivf_topk and ann_pq_adc_topk.
+    "ann_ivf_pq_topk" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ed FROM embeddings),
+        |cent AS (SELECT vec_id AS cent_id, ed AS c FROM e WHERE vec_id % 50 = 0),
+        |asg0 AS (SELECT e.vec_id, c.cent_id,
+        |    list_dot_product(list_transform(range(1,65), i -> e.ed[i] - c.c[i]),
+        |                     list_transform(range(1,65), i -> e.ed[i] - c.c[i])) AS d2
+        |  FROM e CROSS JOIN cent c),
+        |asg AS (SELECT vec_id, min({'d': d2, 'c': cent_id}).c AS cent_id
+        |  FROM asg0 GROUP BY 1),
+        |res AS (SELECT a.vec_id, a.cent_id,
+        |    list_transform(range(1,65), i -> e.ed[i] - c.c[i]) AS r
+        |  FROM asg a JOIN e USING (vec_id) JOIN cent c USING (cent_id)),
+        |sub AS (SELECT vec_id, cent_id, s, r[s*16+1 : s*16+16] AS sv
+        |  FROM res, range(0, 4) t(s)),
+        |cw AS (SELECT CAST(vec_id // 8 AS INT) AS cw_id, s, sv AS cw_sv
+        |  FROM sub WHERE vec_id % 8 = 0 AND vec_id < 128),
+        |enc0 AS (SELECT x.vec_id, x.cent_id, x.s, c.cw_id,
+        |    list_dot_product(list_transform(range(1,17), i -> x.sv[i] - c.cw_sv[i]),
+        |                     list_transform(range(1,17), i -> x.sv[i] - c.cw_sv[i])) AS d2
+        |  FROM sub x JOIN cw c USING (s)),
+        |codes AS (SELECT vec_id, cent_id, s, min({'d': d2, 'c': cw_id}).c AS code
+        |  FROM enc0 GROUP BY 1, 2, 3),
+        |qp0 AS (SELECT e.vec_id AS query_id, e.ed AS qe, c.cent_id,
+        |    list_dot_product(list_transform(range(1,65), i -> e.ed[i] - c.c[i]),
+        |                     list_transform(range(1,65), i -> e.ed[i] - c.c[i])) AS d
+        |  FROM e CROSS JOIN cent c WHERE e.vec_id < 10),
+        |qp AS (SELECT query_id, qe, cent_id FROM (SELECT query_id, qe, cent_id,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY d, cent_id) AS rn
+        |  FROM qp0) WHERE rn <= 2),
+        |qres AS (SELECT p.query_id, p.cent_id,
+        |    list_transform(range(1,65), i -> p.qe[i] - c.c[i]) AS qr
+        |  FROM qp p JOIN cent c USING (cent_id)),
+        |qsub AS (SELECT query_id, cent_id, s, qr[s*16+1 : s*16+16] AS qsv
+        |  FROM qres, range(0, 4) t(s)),
+        |lut AS (SELECT q.query_id, q.cent_id, q.s, c.cw_id,
+        |    list_dot_product(list_transform(range(1,17), i -> q.qsv[i] - c.cw_sv[i]),
+        |                     list_transform(range(1,17), i -> q.qsv[i] - c.cw_sv[i])) AS qd2
+        |  FROM qsub q JOIN cw c USING (s)),
+        |sc AS (SELECT l.query_id, cd.vec_id AS neighbor_id,
+        |    sum(CASE WHEN cd.s = 0 THEN l.qd2 END) + sum(CASE WHEN cd.s = 1 THEN l.qd2 END)
+        |      + sum(CASE WHEN cd.s = 2 THEN l.qd2 END) + sum(CASE WHEN cd.s = 3 THEN l.qd2 END) AS approx
+        |  FROM codes cd JOIN lut l ON cd.cent_id = l.cent_id AND cd.s = l.s AND cd.code = l.cw_id
         |  WHERE cd.vec_id <> l.query_id GROUP BY 1, 2)
         |SELECT query_id, rank, neighbor_id,
         |  floor(approx * 1000000 + 0.5) / 1000000 AS approx_d2

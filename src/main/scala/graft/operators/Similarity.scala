@@ -315,6 +315,101 @@ object Similarity {
         transform(col("ed"), v => floor(v * col("qscale") + lit(0.5)).cast("int"))
           .as("codes"))
 
+  /** Squared L2 distance, index-order fold — bit-identical to the
+    * oracle's `list_dot_product` of the element diff with itself. */
+  private def l2d2(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, v) => acc + v)
+
+  /** IVF-PQ: the full billion-scale ANN serving architecture — a coarse
+    * inverted-file quantizer (stride-sampled centroids, L2 assignment)
+    * over RESIDUAL product-quantization codes, scored with asymmetric
+    * distance against only the `nprobe` probed cells.
+    *
+    * Composition of the already-proven pieces: [[annIvfTopK]]'s cell
+    * structure (by L2 here, PQ-consistent) + [[pqAdcTopK]]'s
+    * encode/LUT, except codewords and codes live in residual space
+    * (`v − centroid`), which is what makes PQ codes sharp enough to
+    * rank inside a cell.
+    *
+    * Scale shape:
+    *  - centroids, codebook, and the (query × probed-cell × 16)-entry
+    *    LUT all BROADCAST;
+    *  - assignment + encoding collapse map-side (struct-min argmin);
+    *    the one corpus-keyed shuffle is the vec_id re-join that
+    *    attaches the assigned centroid back to the vector;
+    *  - scoring joins on (cent_id, s, code) — the IVF property: only
+    *    same-cell candidates ever meet the LUT, unprobed cells are
+    *    never read. */
+  def ivfPqTopK(spark: SparkSession, sfDir: String, k: Int = 5,
+      nprobe: Int = 2, centStride: Int = 50, subspaces: Int = 4,
+      subDim: Int = 16, codebook: Int = 16, cwStride: Int = 8): DataFrame = {
+    val e = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("ed"))
+    val cent = e.filter(col("vec_id") % centStride === 0)
+      .select(col("vec_id").as("cent_id"), col("ed").as("c"))
+    // coarse assignment: argmin L2 over the broadcast centroid set
+    val asg = e.crossJoin(broadcast(cent))
+      .groupBy(col("vec_id"))
+      .agg(min(struct(l2d2(col("ed"), col("c")).as("d"),
+        col("cent_id").as("cc"))).as("m"))
+      .select(col("vec_id"), col("m.cc").as("cent_id"))
+    // residuals, sliced into subspaces
+    val resid = asg.join(e, "vec_id").join(broadcast(cent), "cent_id")
+      .select(col("vec_id"), col("cent_id"),
+        zip_with(col("ed"), col("c"), (a, b) => a - b).as("r"))
+    def subRows(df: DataFrame, vec: String) = df
+      .select(df.columns.map(col) :+
+        explode_outer(sequence(lit(0), lit(subspaces - 1))).as("s"): _*)
+      .filter(col("s").isNotNull)
+      .withColumn("sv", slice(col(vec), col("s") * subDim + 1, lit(subDim)))
+      .drop(vec)
+    val sub = subRows(resid, "r")
+    val cw = sub.filter(col("vec_id") % cwStride === 0 &&
+        col("vec_id") < codebook * cwStride)
+      .select((col("vec_id") / cwStride).cast("int").as("cw_id"), col("s"),
+        col("sv").as("cw_sv"))
+    val codes = sub.join(broadcast(cw), "s")
+      .groupBy(col("vec_id"), col("cent_id"), col("s"))
+      .agg(min(struct(l2d2(col("sv"), col("cw_sv")).as("d"),
+        col("cw_id").as("c"))).as("m"))
+      .select(col("vec_id"), col("cent_id"), col("s"), col("m.c").as("code"))
+    // query side: probe nprobe nearest cells, LUT over residual space
+    val wp = Window.partitionBy(col("query_id")).orderBy(col("d"), col("cent_id"))
+    val qprobe = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("ed").as("qe"))
+      .crossJoin(broadcast(cent))
+      .select(col("query_id"), col("qe"), col("cent_id"),
+        l2d2(col("qe"), col("c")).as("d"))
+      .withColumn("rn", row_number().over(wp))
+      .filter(col("rn") <= nprobe)
+      .select(col("query_id"), col("qe"), col("cent_id"))
+    val qsub = subRows(
+      qprobe.join(broadcast(cent), "cent_id")
+        .select(col("query_id"), col("cent_id"),
+          zip_with(col("qe"), col("c"), (a, b) => a - b).as("qr")),
+      "qr")
+    val lut = qsub.join(broadcast(cw), "s")
+      .select(col("query_id"), col("cent_id").as("lc"), col("s").as("ls"),
+        col("cw_id"), l2d2(col("sv"), col("cw_sv")).as("qd2"))
+    val scored = codes
+      .join(broadcast(lut), col("cent_id") === col("lc") &&
+        col("s") === col("ls") && col("code") === col("cw_id"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(sum(when(col("s") === 0, col("qd2"))).as("d0"),
+        (1 until subspaces).map(i =>
+          sum(when(col("s") === i, col("qd2"))).as(s"d$i")): _*)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        (0 until subspaces).map(i => col(s"d$i")).reduce(_ + _).as("approx"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("approx"), col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        PortableRound.pround(col("approx"), 6).as("approx_d2"))
+  }
+
   /** Product-quantization ANN with asymmetric distance (ADC): vectors
     * are encoded as `subspaces` small codes (nearest codeword per
     * 16-dim slice), and a query scores a vector by summing its

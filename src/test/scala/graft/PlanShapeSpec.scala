@@ -150,4 +150,12 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
       s"ADC scoring must stay equi-keyed:\n$p")
   }
+
+  test("ivf-pq: equi-keyed scoring; the only cross product is the tiny " +
+      "broadcast centroid set") {
+    val p = plan("ann_ivf_pq_topk")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"),
+      s"assignment must broadcast the centroids, never shuffle a cross:\n$p")
+  }
 }

