@@ -78,6 +78,7 @@ object SparkEntry {
     "corpus_vocab_topk" -> ((s: SparkSession, d: String) => Corpus.vocabTopK(s, d)),
     "corpus_bpe_merges" -> ((s: SparkSession, d: String) => Corpus.bpeFirstMerges(s, d)),
     "corpus_pmi_topk" -> ((s: SparkSession, d: String) => Corpus.pmiTopK(s, d)),
+    "corpus_context_windows" -> ((s: SparkSession, d: String) => Corpus.contextWindows(s, d)),
     // training-data ops: similarity search
     "ann_brute_topk" -> ((s: SparkSession, d: String) => Similarity.annBruteForceTopK(s, d)),
     "ann_cosine_pairs" -> ((s: SparkSession, d: String) => Similarity.cosineThresholdPairs(s, d)),
@@ -132,7 +133,9 @@ object SparkEntry {
     "text_repetition", "text_tfidf_topk", "ann_centroid_outliers",
     "ann_ivf_kmeans_topk", "dedup_normalized_keep_first",
     "corpus_lang_balance", "corpus_temperature_sample",
-    "embed_quantize_int8", "ann_pq_adc_topk")
+    "embed_quantize_int8", "ann_pq_adc_topk", "ann_ivf_pq_topk",
+    "corpus_vocab_topk", "corpus_bpe_merges", "corpus_pmi_topk",
+    "corpus_context_windows")
 
   // --- generated DuckDB replicas of the portable-hash queries ----------
 
@@ -633,6 +636,17 @@ object SparkEntry {
          |FROM hh d JOIN c ON d.lang = c.lang CROSS JOIN cap
          |WHERE hm * hm * n_lang < cap * 1000000 * 1000000""".stripMargin
     },
+    // Context windows: pure integer manifest; ceil-division spelled as
+    // (x + stride − 1) // stride on exact small integers.
+    "corpus_context_windows" ->
+      """WITH d AS (SELECT doc_id, len(string_split(text, ' ')) AS n_tokens
+        |  FROM documents),
+        |w AS (SELECT doc_id, n_tokens,
+        |    CASE WHEN n_tokens <= 64 THEN 1
+        |         ELSE (n_tokens - 64 + 47) // 48 + 1 END AS n_win FROM d)
+        |SELECT doc_id, window_id, window_id * 48 AS start_tok,
+        |  least(64, n_tokens - window_id * 48) AS n_tok
+        |FROM w, LATERAL (SELECT unnest(range(0, n_win)) AS window_id) t""".stripMargin,
     // Vocabulary head: integer counts, total (n desc, w) order — the
     // LIMIT boundary is deterministic because w is the group key.
     "corpus_vocab_topk" ->

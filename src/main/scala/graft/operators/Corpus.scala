@@ -219,6 +219,34 @@ object Corpus {
       .orderBy(col("pmi_score").desc, col("w1"), col("w2")).limit(k)
   }
 
+  /** Context-window chunking: split each document's token stream into
+    * overlapping windows of `window` tokens advancing by `stride`
+    * (stride < window ⇒ the standard pretraining overlap so no span is
+    * seen only at a window edge). Emits the window MANIFEST
+    * (doc, window_id, start, length) rather than materialized token
+    * slices — the downstream reader slices lazily, so the 100 TB text
+    * is never duplicated ~1.33× through a shuffle. All integer
+    * arithmetic; the ceil-division is spelled `(x + stride − 1) ∕
+    * stride` on exact small integers in both engines.
+    *
+    * Scale: one narrow scan + a bounded explode (≤ n/stride rows per
+    * doc), zero shuffle. */
+  def contextWindows(spark: SparkSession, sfDir: String, window: Int = 64,
+      stride: Int = 48): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), size(split(col("text"), " ")).as("n_tokens"))
+    val nWin = when(col("n_tokens") <= window, lit(1L)).otherwise(
+      ((col("n_tokens") - window + stride - 1) / stride).cast("long") + 1L)
+    docs
+      .select(col("doc_id"), col("n_tokens"),
+        explode_outer(sequence(lit(0L), nWin - 1L)).as("window_id"))
+      .filter(col("window_id").isNotNull)
+      .select(col("doc_id"), col("window_id"),
+        (col("window_id") * stride).as("start_tok"),
+        least(lit(window.toLong),
+          col("n_tokens") - col("window_id") * stride).as("n_tok"))
+  }
+
   /** Streaming sequence packing: per (lang, shard) stream ordered by
     * doc_id, documents concatenate into fixed token-budget bins; a
     * document lands in the bin its preceding cumulative fills

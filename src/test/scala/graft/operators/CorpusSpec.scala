@@ -106,6 +106,27 @@ class CorpusSpec extends AnyFunSuite {
     }
   }
 
+  test("context windows: full coverage, fixed stride, bounded length") {
+    import org.apache.spark.sql.functions.{col, size, split}
+    val nTok = graft.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), size(split(col("text"), " ")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val wins = Corpus.contextWindows(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .groupBy(_._1)
+    assert(wins.keySet == nTok.keySet)
+    for ((doc, ws) <- wins) {
+      val sorted = ws.sortBy(_._2)
+      assert(sorted.head._3 == 0, s"doc $doc: first window must start at 0")
+      assert(sorted.map(_._2).sameElements(sorted.indices.map(_.toLong)))
+      assert(sorted.forall { case (_, wid, start, len) =>
+        start == wid * 48 && len > 0 && len <= 64 })
+      val (_, _, lastStart, lastLen) = sorted.last
+      assert(lastStart + lastLen == nTok(doc),
+        s"doc $doc: windows must cover exactly to the last token")
+    }
+  }
+
   test("stratified split is deterministic and ~80/10/10") {
     val a = Corpus.stratifiedSplit(spark, sfDir).collect()
       .map(r => r.getLong(0) -> r.getString(3)).toMap
