@@ -264,6 +264,7 @@ object Similarity {
     *    per-label final): a single per-label window is the skew trap
     *    when one label dominates the corpus. */
   def centroidOutliers(spark: SparkSession, sfDir: String, k: Int = 10): DataFrame = {
+    graft.plans.L2Distance.register(spark)
     val emb = Tables.embeddings(spark, sfDir)
       .select(col("vec_id"), col("label"), col("embedding").cast("array<double>").as("e"))
     val ex = emb.select(col("label"), posexplode(col("e")).as(Seq("pos", "x")))
@@ -273,9 +274,7 @@ object Similarity {
       .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
       .select(col("label"), transform(col("pm"), s => s.getField("m")).as("c"))
     val dist = emb.join(broadcast(cent), "label")
-      .withColumn("dist2",
-        aggregate(zip_with(col("e"), col("c"), (x, m) => (x - m) * (x - m)),
-          lit(0.0), (acc, v) => acc + v))
+      .withColumn("dist2", l2d2(col("e"), col("c")))
     val w1 = Window.partitionBy(col("label"), pmod(col("vec_id"), lit(64)))
       .orderBy(col("dist2").desc, col("vec_id"))
     val w2 = Window.partitionBy(col("label")).orderBy(col("dist2").desc, col("vec_id"))
@@ -315,9 +314,15 @@ object Similarity {
         transform(col("ed"), v => floor(v * col("qscale") + lit(0.5)).cast("int"))
           .as("codes"))
 
-  /** Squared L2 distance, index-order fold — bit-identical to the
-    * oracle's `list_dot_product` of the element diff with itself. */
-  private def l2d2(a: Column, b: Column): Column =
+  /** Squared L2 distance via the native codegen'd
+    * [[graft.plans.L2Distance]] expression (registered per session).
+    * Index-order accumulation — bit-identical to [[l2d2Fold]] and to
+    * the oracle's `list_dot_product` of the element diff with itself. */
+  def l2d2(a: Column, b: Column): Column = call_function("l2_dist2", a, b)
+
+  /** Higher-order-function twin of [[l2d2]] (interpreted lambdas) —
+    * kept as the cross-validation reference, like [[cosineFold]]. */
+  def l2d2Fold(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
       lit(0.0), (acc, v) => acc + v)
 
@@ -344,6 +349,7 @@ object Similarity {
   def ivfPqTopK(spark: SparkSession, sfDir: String, k: Int = 5,
       nprobe: Int = 2, centStride: Int = 50, subspaces: Int = 4,
       subDim: Int = 16, codebook: Int = 16, cwStride: Int = 8): DataFrame = {
+    graft.plans.L2Distance.register(spark)
     val e = Tables.embeddings(spark, sfDir)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("ed"))
     val cent = e.filter(col("vec_id") % centStride === 0)
@@ -433,6 +439,7 @@ object Similarity {
   def pqAdcTopK(spark: SparkSession, sfDir: String, k: Int = 5,
       subspaces: Int = 4, subDim: Int = 16, codebook: Int = 16,
       stride: Int = 8): DataFrame = {
+    graft.plans.L2Distance.register(spark)
     val e = Tables.embeddings(spark, sfDir)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("ed"))
     def subRows(df: DataFrame, idAlias: String) = df
@@ -446,9 +453,7 @@ object Similarity {
         "cw_vec")
       .select((col("cw_vec") / stride).cast("int").as("cw_id"), col("s"),
         col("sv").as("cw_sv"))
-    def d2(a: Column, b: Column): Column =
-      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
-        lit(0.0), (acc, v) => acc + v)
+    def d2(a: Column, b: Column): Column = l2d2(a, b)
     val codes = subRows(e, "vec_id").join(broadcast(cw), "s")
       .groupBy(col("vec_id"), col("s"))
       .agg(min(struct(d2(col("sv"), col("cw_sv")).as("d"), col("cw_id").as("c"))).as("m"))
