@@ -25,5 +25,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("md5_hash48"),
       info("md5_hash48", "md5_hash48(s) - portable 48-bit md5-derived hash"),
       (exprs: Seq[Expression]) => Md5Hash48(exprs.head)))
+    ext.injectFunction((
+      FunctionIdentifier("l2_dist2"),
+      info("l2_dist2", "l2_dist2(a, b) - squared L2 distance of two double arrays"),
+      (exprs: Seq[Expression]) => L2Distance(exprs(0), exprs(1))))
   }
 }

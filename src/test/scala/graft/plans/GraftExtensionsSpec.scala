@@ -34,6 +34,9 @@ class GraftExtensionsSpec extends AnyFunSuite {
       assert(math.abs(cos - 1.0) < 1e-12)
       val h = spark.sql("SELECT md5_hash48('') AS h").head.getLong(0)
       assert(h == java.lang.Long.parseLong("d41d8cd98f00", 16))
+      val d2 = spark.sql(
+        "SELECT l2_dist2(array(1.0d, 2.0d), array(4.0d, 6.0d)) AS d").head.getDouble(0)
+      assert(d2 == 25.0)
       // same value as the composed formulation inside the same session
       val composed = spark.sql(
         "SELECT cast(conv(substring(md5(''), 1, 12), 16, 10) as bigint)").head.getLong(0)
