@@ -79,6 +79,7 @@ object SparkEntry {
     "corpus_bpe_merges" -> ((s: SparkSession, d: String) => Corpus.bpeFirstMerges(s, d)),
     "corpus_pmi_topk" -> ((s: SparkSession, d: String) => Corpus.pmiTopK(s, d)),
     "corpus_context_windows" -> ((s: SparkSession, d: String) => Corpus.contextWindows(s, d)),
+    "corpus_shuffle_order" -> ((s: SparkSession, d: String) => Corpus.shuffleOrder(s, d)),
     // training-data ops: similarity search
     "ann_brute_topk" -> ((s: SparkSession, d: String) => Similarity.annBruteForceTopK(s, d)),
     "ann_cosine_pairs" -> ((s: SparkSession, d: String) => Similarity.cosineThresholdPairs(s, d)),
@@ -635,6 +636,18 @@ object SparkEntry {
          |SELECT d.doc_id, d.lang
          |FROM hh d JOIN c ON d.lang = c.lang CROSS JOIN cap
          |WHERE hm * hm * n_lang < cap * 1000000 * 1000000""".stripMargin
+    },
+    // Deterministic shuffle order: shard + second-order key from the
+    // same salted portable hash; h < 2^48 so h/shards is exact in
+    // double and the truncating cast equals DuckDB's // floor-div.
+    "corpus_shuffle_order" -> {
+      val h = graft.functions.PortableHash.sqlH48("concat('shuf:', CAST(doc_id AS VARCHAR))")
+      s"""WITH k AS (SELECT doc_id, $h % 16 AS shard, $h // 16 AS shuffle_key
+         |  FROM documents)
+         |SELECT doc_id, shard,
+         |  row_number() OVER (PARTITION BY shard ORDER BY shuffle_key, doc_id)
+         |    AS pos_in_shard
+         |FROM k""".stripMargin
     },
     // Context windows: pure integer manifest; ceil-division spelled as
     // (x + stride − 1) // stride on exact small integers.

@@ -247,6 +247,30 @@ object Corpus {
           col("n_tokens") - col("window_id") * stride).as("n_tok"))
   }
 
+  /** Deterministic training-order shuffle: every document gets a
+    * (shard, pos_in_shard) — shard from one salted portable hash,
+    * position by a second-order hash within the shard. The standard
+    * write layout before training: S shard files, each internally
+    * shuffled, reproducible bit-for-bit across retries (a `rand()`
+    * shuffle silently re-orders every epoch on recompute).
+    *
+    * Scale: ONE shuffle keyed on shard (the window partition), and the
+    * shard count is chosen so a shard fits a writer task; the position
+    * window sorts within a shard only — there is no global total order
+    * anywhere (a global `row_number` would serialize on one partition
+    * at 100 TB). */
+  def shuffleOrder(spark: SparkSession, sfDir: String, shards: Int = 16): DataFrame = {
+    val h = PortableHash.md5Hash48(
+      concat(lit("shuf:"), col("doc_id").cast("string")))
+    val w = Window.partitionBy(col("shard"))
+      .orderBy(col("shuffle_key"), col("doc_id"))
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), pmod(h, lit(shards)).as("shard"),
+        (h / shards).cast("long").as("shuffle_key"))
+      .withColumn("pos_in_shard", row_number().over(w))
+      .select(col("doc_id"), col("shard"), col("pos_in_shard"))
+  }
+
   /** Streaming sequence packing: per (lang, shard) stream ordered by
     * doc_id, documents concatenate into fixed token-budget bins; a
     * document lands in the bin its preceding cumulative fills

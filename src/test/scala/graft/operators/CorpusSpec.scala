@@ -127,6 +127,25 @@ class CorpusSpec extends AnyFunSuite {
     }
   }
 
+  test("shuffle order: dense per-shard positions, reproducible, not id-ordered") {
+    val rows = Corpus.shuffleOrder(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    val byShard = rows.groupBy(_._2)
+    assert(byShard.keySet.forall(s => s >= 0 && s < 16))
+    for ((_, rs) <- byShard)
+      assert(rs.map(_._3).sorted.sameElements(1 to rs.length), "positions must be dense")
+    // reproducible bit-for-bit
+    val again = Corpus.shuffleOrder(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(rows.toSet == again.toSet)
+    // and actually shuffled: within some shard, doc_id order != position order
+    val scrambled = byShard.values.exists { rs =>
+      val byPos = rs.sortBy(_._3).map(_._1)
+      !byPos.sorted.sameElements(byPos)
+    }
+    assert(scrambled, "hash order must not degenerate to doc_id order")
+  }
+
   test("stratified split is deterministic and ~80/10/10") {
     val a = Corpus.stratifiedSplit(spark, sfDir).collect()
       .map(r => r.getLong(0) -> r.getString(3)).toMap
