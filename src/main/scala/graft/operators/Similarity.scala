@@ -366,6 +366,10 @@ object Similarity {
       .agg(min(struct(l2d2(col("ed"), col("c")).as("d"),
         col("cent_id").as("cc"))).as("m"))
       .select(col("vec_id"), col("m.cc").as("cent_id"))
+      // the assignment aggregate feeds BOTH the residual/codes branch
+      // and (via sub) the codebook branch — checkpoint so the corpus ×
+      // centroids argmin runs once per action, not once per consumer
+      .localCheckpoint()
     // residuals, sliced into subspaces
     val resid = asg.join(e, "vec_id").join(broadcast(cent), "cent_id")
       .select(col("vec_id"), col("cent_id"),
