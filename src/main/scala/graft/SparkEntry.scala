@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{Corpus, Dedup, IngestDemo, Multimodal, Relational, Similarity, Skew, Substrate, TextAnalysis}
+import graft.operators.{Corpus, Dedup, IngestDemo, Multimodal, Relational, Similarity, Skew, Sketches, Substrate, Temporal, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -106,6 +106,12 @@ object SparkEntry {
     "text_hash_embed" -> ((s: SparkSession, d: String) => TextAnalysis.hashEmbed(s, d)),
     "text_tfidf_topk" -> ((s: SparkSession, d: String) => TextAnalysis.tfidfTopTerms(s, d)),
     "ann_centroid_outliers" -> ((s: SparkSession, d: String) => Similarity.centroidOutliers(s, d)),
+    // temporal joins Spark has no built-in operator for
+    "asof_last_click" -> (Temporal.asofLastClick _),
+    "range_incident_stats" -> (Temporal.rangeIncidentStats _),
+    // bounded-state custom aggregates (TypedImperativeAggregate)
+    "sketch_kmv_distinct" -> (Sketches.kmvDistinct _),
+    "topk_per_group" -> (Sketches.topKPerGroup _),
   )
 
   /** Queries whose result may legitimately be empty at small scale
@@ -136,7 +142,9 @@ object SparkEntry {
     "corpus_lang_balance", "corpus_temperature_sample",
     "embed_quantize_int8", "ann_pq_adc_topk", "ann_ivf_pq_topk",
     "corpus_vocab_topk", "corpus_bpe_merges", "corpus_pmi_topk",
-    "corpus_context_windows")
+    "corpus_context_windows",
+    "asof_last_click", "range_incident_stats",
+    "sketch_kmv_distinct", "topk_per_group")
 
   // --- generated DuckDB replicas of the portable-hash queries ----------
 
@@ -1027,5 +1035,51 @@ object SparkEntry {
         |    (w, i) -> (length(w) * 31 + ascii(substr(w, 1, 1)) + ascii(right(w, 1)) * 7) * i))
         |    % 1000000007 as bigint) AS fingerprint
         |FROM documents""".stripMargin,
+    // Independent formulation on purpose: the engine computes the as-of
+    // via union+window (no join operator); the oracle uses DuckDB's
+    // native ASOF JOIN. Agreement checks the SEMANTICS, not the plan.
+    "asof_last_click" ->
+      """WITH clicks AS (SELECT user_id, ts, max(value) AS click_value
+        |    FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+        |errs AS (SELECT event_id, user_id, ts, value AS err_value
+        |    FROM events WHERE event_type = 'error')
+        |SELECT e.event_id, e.user_id, epoch_us(e.ts) AS err_us, e.err_value,
+        |  epoch_us(c.ts) AS click_us, c.click_value
+        |FROM errs e ASOF LEFT JOIN clicks c
+        |  ON e.user_id = c.user_id AND e.ts >= c.ts""".stripMargin,
+    // Oracle uses the plain inequality join the engine deliberately
+    // avoids (nested-loop at scale); bin-blocking must not change results.
+    "range_incident_stats" ->
+      """WITH w AS (SELECT event_id AS incident_id, ts AS start_ts,
+        |    ts + INTERVAL 10 MINUTE AS end_ts
+        |  FROM events WHERE event_type = 'error')
+        |SELECT w.incident_id, count(*) AS n_events,
+        |  count(DISTINCT e.user_id) AS n_users,
+        |  cast(sum(cast(e.value as decimal(18,2))) as double) AS total_value
+        |FROM w JOIN events e
+        |  ON e.ts >= w.start_ts AND e.ts < w.end_ts AND e.event_id <> w.incident_id
+        |GROUP BY w.incident_id""".stripMargin,
+    // Rank-k SQL replica of the KMV sketch: same portable hash, same
+    // k minima, same estimator arithmetic (63·2^48 is an exact double).
+    "sketch_kmv_distinct" ->
+      s"""WITH h AS (SELECT DISTINCT event_type,
+         |    ${graft.functions.PortableHash.sqlH48("cast(user_id as varchar)")} AS h
+         |  FROM events),
+         |r AS (SELECT event_type, h,
+         |    row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn FROM h)
+         |SELECT event_type, count(*) AS k_used, max(h) AS kth_min,
+         |  CASE WHEN count(*) < 64 THEN cast(count(*) as double)
+         |       ELSE ${graft.operators.PortableRound.sql(
+                  // explicit DOUBLE casts: bare x.0 literals are DECIMAL
+                  // in DuckDB and their product overflows DECIMAL(18)
+                  "CAST(63.0 AS DOUBLE) * CAST(281474976710656.0 AS DOUBLE) / max(h)", 4)} END AS est_distinct
+         |FROM r WHERE rn <= 64 GROUP BY event_type""".stripMargin,
+    // The window formulation the bounded aggregate replaces at scale.
+    "topk_per_group" ->
+      """WITH r AS (SELECT event_type, event_id, value,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY value DESC, event_id) AS rank
+        |  FROM events)
+        |SELECT event_type, rank, event_id, value FROM r WHERE rank <= 5""".stripMargin,
   )
 }

@@ -1,0 +1,114 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Temporal join operators Spark has no built-in form of: backward
+  * AS-OF join and interval (range) join.
+  *
+  * Both are expressed as compositions of shuffle-friendly primitives
+  * rather than the naive inequality join (which Spark can only plan as
+  * a broadcast-nested-loop — O(n·m) compares and a single-executor
+  * bottleneck once the build side stops fitting in memory):
+  *
+  *  - AS-OF: union both sides, one window pass per key — a SINGLE
+  *    shuffle on the join key, no join operator at all. The running
+  *    `last(_, ignoreNulls)` over (ts, side) ordering is exactly the
+  *    merge step of a sort-merge as-of join, but planned as a window
+  *    so Spark handles spill/sort per key group. This is the shape
+  *    that survives 100 TB: cost = one repartition + per-partition
+  *    sort, identical to what any hand-written mergesort-join would
+  *    pay, with no driver-side state.
+  *  - RANGE: quantize time into fixed-width bins; intervals explode to
+  *    the bins they cover, points map to exactly one bin, equi-join on
+  *    the bin key, then re-check the precise predicate. Turns the
+  *    nested loop into a hash/sort-merge equi-join whose key space is
+  *    time bins — the standard interval-join design in streaming
+  *    engines. Bin width is chosen ≈ interval length so each interval
+  *    covers ≤ 2 bins (duplication factor ≤ 2); AQE splits hot bins.
+  */
+object Temporal {
+
+  /** Backward as-of join: for each `left` row, attach the payload of
+    * the LATEST `right` row with the same `keys` and `right.tsCol <=
+    * left.tsCol` (nulls when no such row). Right payload = every right
+    * column except keys/ts, plus the matched timestamp as
+    * `matched_<tsCol>`; callers rename collisions beforehand.
+    *
+    * `right` must be unique per (keys, ts) — pre-aggregate if not —
+    * which makes the result deterministic: ties between a right and a
+    * left row at the same ts resolve right-first (>= semantics, same
+    * as DuckDB/Pandas ASOF).
+    */
+  def asofJoin(left: DataFrame, right: DataFrame, keys: Seq[String], tsCol: String): DataFrame = {
+    val payload = right.columns.filterNot(c => keys.contains(c) || c == tsCol).toSeq
+    require(payload.nonEmpty, "right side needs at least one payload column")
+    val rv = struct((col(tsCol).as("__rts") +: payload.map(col)): _*)
+    val r = right.select(keys.map(col) ++ Seq(col(tsCol), rv.as("__rv"), lit(0).as("__side")): _*)
+    val l = left.withColumn("__side", lit(1))
+    val u = r.unionByName(l, allowMissingColumns = true)
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(tsCol).asc, col("__side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    u.withColumn("__m", last(col("__rv"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+      .select(left.columns.map(col) ++
+        (col("__m.__rts").as(s"matched_$tsCol") +: payload.map(p => col(s"__m.$p").as(p))): _*)
+  }
+
+  /** Interval (range) join via time-bin blocking: every `points` row
+    * whose `ptsCol` falls in `[startCol, endCol)` of an `intervals`
+    * row. Output = interval columns ++ point columns (inner join).
+    * `binSeconds` should be ≈ the typical interval length (see object
+    * doc); correctness does not depend on it, only the duplication
+    * factor of the exploded interval side.
+    */
+  def rangeJoinBinned(points: DataFrame, intervals: DataFrame, ptsCol: String,
+      startCol: String, endCol: String, binSeconds: Long): DataFrame = {
+    val binUs = binSeconds * 1000000L
+    val p = points.withColumn("__bin", floor(unix_micros(col(ptsCol)) / binUs))
+    val i = intervals.withColumn("__bin", explode(sequence(
+      floor(unix_micros(col(startCol)) / binUs),
+      // end is exclusive: the last covered bin holds end - 1µs
+      floor((unix_micros(col(endCol)) - 1) / binUs))))
+    i.join(p, Seq("__bin"))
+      .filter(col(ptsCol) >= col(startCol) && col(ptsCol) < col(endCol))
+      .drop("__bin")
+  }
+
+  /** Declared query: for each error event, the most recent click by the
+    * same user at-or-before it (clicks pre-deduped to one per (user,
+    * ts) so the match is unique). Timestamps emitted as epoch µs. */
+  def asofLastClick(spark: SparkSession, sfDir: String): DataFrame = {
+    val events = Tables.events(spark, sfDir)
+    val errors = events.filter(col("event_type") === "error")
+      .select(col("event_id"), col("user_id"), col("ts"), col("value").as("err_value"))
+    val clicks = events.filter(col("event_type") === "click")
+      .groupBy(col("user_id"), col("ts"))
+      .agg(max(col("value")).as("click_value"))
+    asofJoin(errors, clicks, Seq("user_id"), "ts")
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("err_us"), col("err_value"),
+        unix_micros(col("matched_ts")).as("click_us"), col("click_value"))
+  }
+
+  /** Declared query: each error event opens a 10-minute incident
+    * window; count/aggregate the OTHER events falling inside it
+    * (exact-decimal sum so the oracle matches bit-for-bit). Incidents
+    * with no other events drop (inner join). */
+  def rangeIncidentStats(spark: SparkSession, sfDir: String): DataFrame = {
+    val events = Tables.events(spark, sfDir)
+    val windowUs = 600L * 1000000L
+    val incidents = events.filter(col("event_type") === "error")
+      .select(col("event_id").as("incident_id"), col("ts").as("start_ts"),
+        timestamp_micros(unix_micros(col("ts")) + windowUs).as("end_ts"))
+    rangeJoinBinned(events, incidents, "ts", "start_ts", "end_ts", binSeconds = 600)
+      .filter(col("event_id") =!= col("incident_id"))
+      .groupBy(col("incident_id"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
+  }
+}

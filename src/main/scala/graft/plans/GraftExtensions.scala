@@ -29,5 +29,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("l2_dist2"),
       info("l2_dist2", "l2_dist2(a, b) - squared L2 distance of two double arrays"),
       (exprs: Seq[Expression]) => L2Distance(exprs(0), exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("kmv_sketch"),
+      info("kmv_sketch", "kmv_sketch(h, k) - k smallest distinct longs (KMV distinct sketch)"),
+      (exprs: Seq[Expression]) => KmvSketch(exprs(0), litInt(exprs(1)))))
+    ext.injectFunction((
+      FunctionIdentifier("topk_by"),
+      info("topk_by", "topk_by(value, id, k) - bounded top-k (value desc, id asc) pairs"),
+      (exprs: Seq[Expression]) => TopKBy(exprs(0), exprs(1), litInt(exprs(2)))))
   }
+
+  private def litInt(e: Expression): Int = e.eval().asInstanceOf[Int]
 }

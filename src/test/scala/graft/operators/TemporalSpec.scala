@@ -1,0 +1,94 @@
+package graft.operators
+
+import java.sql.Timestamp
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+/** Semantics + plan shape of the temporal joins: backward as-of (>=,
+  * right-first on ties, null when no prior row) and the bin-blocked
+  * interval join (boundary inclusivity, bin-width independence). */
+class TemporalSpec extends AnyFunSuite {
+  import TestSpark.{spark, sfDir}
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private lazy val left = Seq(
+    (1L, 10L, ts("2024-01-01 10:00:00"), 1.0), // after two quotes
+    (2L, 10L, ts("2024-01-01 08:59:59"), 2.0), // before any quote
+    (3L, 10L, ts("2024-01-01 09:30:00"), 3.0), // EXACTLY at a quote ts
+    (4L, 20L, ts("2024-01-01 12:00:00"), 4.0), // other key
+    (5L, 30L, ts("2024-01-01 12:00:00"), 5.0)  // key with no right rows
+  ).toDF("event_id", "user_id", "ts", "err_value")
+
+  private lazy val right = Seq(
+    (10L, ts("2024-01-01 09:00:00"), 100.0),
+    (10L, ts("2024-01-01 09:30:00"), 130.0),
+    (20L, ts("2024-01-01 11:00:00"), 200.0)
+  ).toDF("user_id", "ts", "click_value")
+
+  test("asof: latest right row at-or-before, per key") {
+    val out = Temporal.asofJoin(left, right, Seq("user_id"), "ts")
+      .select("event_id", "click_value").as[(Long, Option[Double])]
+      .collect().toMap
+    assert(out(1L).contains(130.0)) // 10:00 sees the 09:30 quote
+    assert(out(2L).isEmpty)         // nothing before 08:59:59
+    assert(out(3L).contains(130.0)) // tie: right row at same ts IS visible
+    assert(out(4L).contains(200.0))
+    assert(out(5L).isEmpty)         // key absent from right side
+  }
+
+  test("asof: matched timestamp is carried through") {
+    val m = Temporal.asofJoin(left, right, Seq("user_id"), "ts")
+      .filter(col("event_id") === 1L).select("matched_ts")
+      .as[Timestamp].head()
+    assert(m == ts("2024-01-01 09:30:00"))
+  }
+
+  test("asof: no join operator — single window pass (union trick)") {
+    val p = Temporal.asofLastClick(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Join"), s"as-of must not plan a join:\n$p")
+    assert(p.contains("Window"))
+  }
+
+  test("range: boundaries are [start, end) and bin width is semantics-free") {
+    val points = Seq(
+      (1L, ts("2024-01-01 10:00:00")), // == start: in
+      (2L, ts("2024-01-01 10:09:59")), // just inside
+      (3L, ts("2024-01-01 10:10:00")), // == end: out
+      (4L, ts("2024-01-01 09:59:59"))  // just before: out
+    ).toDF("point_id", "ts")
+    val intervals = Seq(
+      (100L, ts("2024-01-01 10:00:00"), ts("2024-01-01 10:10:00"))
+    ).toDF("interval_id", "start_ts", "end_ts")
+    for (bin <- Seq(60L, 600L, 7L)) { // intervals spanning 1, 2, many bins
+      val got = Temporal.rangeJoinBinned(points, intervals, "ts", "start_ts", "end_ts", bin)
+        .select("point_id").as[Long].collect().toSet
+      assert(got == Set(1L, 2L), s"bin=$bin gave $got")
+    }
+  }
+
+  test("range: no duplicate pairs when an interval spans many bins") {
+    val points = Seq((1L, ts("2024-01-01 10:05:00"))).toDF("point_id", "ts")
+    val intervals = Seq(
+      (100L, ts("2024-01-01 10:00:00"), ts("2024-01-01 10:10:00"))
+    ).toDF("interval_id", "start_ts", "end_ts")
+    // 7s bins: the interval explodes to ~86 bins; the point matches once
+    val n = Temporal.rangeJoinBinned(points, intervals, "ts", "start_ts", "end_ts", 7L).count()
+    assert(n == 1L)
+  }
+
+  test("range: plans as an equi-join on the bin key, not nested loop") {
+    val p = Temporal.rangeIncidentStats(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"interval join degenerated to a nested loop:\n$p")
+  }
+
+  test("declared queries return rows at sf0.001") {
+    assert(Temporal.asofLastClick(spark, sfDir).count() > 0)
+    assert(Temporal.rangeIncidentStats(spark, sfDir).count() > 0)
+  }
+}

@@ -1,0 +1,118 @@
+package graft.plans
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+import graft.operators.Sketches
+
+/** Bounded-aggregate semantics: KMV = k smallest DISTINCT hashes with
+  * associative merge; TopKBy = (value desc, id asc) with dedup; both
+  * must plan as partial ObjectHashAggregate (the O(k) shuffle claim).
+  */
+class BoundedAggregatesSpec extends AnyFunSuite {
+  import TestSpark.{spark, sfDir}
+  import spark.implicits._
+
+  test("kmv buffer keeps the k smallest distinct values") {
+    val b = new KmvBuffer(3)
+    Seq(9L, 5L, 7L, 5L, 1L, 8L, 2L).foreach(b.add)
+    assert(b.set.toArray.toSeq == Seq(1L, 2L, 5L))
+  }
+
+  test("kmv merge == single-pass build (associativity)") {
+    val vals = (1 to 100).map(i => (i * 37 % 101).toLong)
+    val one = new KmvBuffer(8); vals.foreach(one.add)
+    val (l, r) = vals.splitAt(40)
+    val a = new KmvBuffer(8); l.foreach(a.add)
+    val c = new KmvBuffer(8); r.foreach(c.add)
+    val merged = KmvSketch(null, 8).merge(a, c)
+    assert(merged.set.toArray.toSeq == one.set.toArray.toSeq)
+  }
+
+  test("kmv serialize round-trip") {
+    val agg = KmvSketch(null, 4)
+    val b = new KmvBuffer(4); Seq(3L, 1L, 4L, 1L, 5L).foreach(b.add)
+    val back = agg.deserialize(agg.serialize(b))
+    assert(back.set.toArray.toSeq == b.set.toArray.toSeq)
+  }
+
+  test("topk buffer orders by value desc then id asc, dedups, caps at k") {
+    val b = new TopKBuffer(3)
+    Seq((1.0, 10L), (5.0, 2L), (5.0, 1L), (5.0, 2L), (3.0, 7L), (4.0, 9L))
+      .foreach { case (v, id) => b.add(v, id) }
+    assert(b.set.toArray.toSeq == Seq((5.0, 1L), (5.0, 2L), (4.0, 9L)))
+  }
+
+  test("topk serialize round-trip and merge") {
+    val agg = TopKBy(null, null, 2)
+    val a = new TopKBuffer(2); a.add(1.0, 1L); a.add(2.0, 2L)
+    val c = agg.deserialize(agg.serialize(a))
+    val d = new TopKBuffer(2); d.add(3.0, 3L)
+    val m = agg.merge(c, d)
+    assert(m.set.toArray.toSeq == Seq((3.0, 3L), (2.0, 2L)))
+  }
+
+  test("kmv estimate is within 25% of the true distinct count (sf events)") {
+    val rows = Sketches.kmvDistinct(spark, sfDir).collect()
+    val truth = graft.Tables.events(spark, sfDir)
+      .groupBy(col("event_type")).agg(countDistinct(col("user_id")).as("n"))
+      .as[(String, Long)].collect().toMap
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      val t = truth(r.getAs[String]("event_type")).toDouble
+      val est = r.getAs[Double]("est_distinct")
+      assert(math.abs(est - t) / t < 0.25, s"${r.getAs[String]("event_type")}: est=$est true=$t")
+    }
+  }
+
+  test("topk query matches the window formulation exactly") {
+    val viaAgg = Sketches.topKPerGroup(spark, sfDir)
+      .select("event_type", "rank", "event_id").as[(String, Long, Long)]
+      .collect().toSet
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type")).orderBy(col("value").desc, col("event_id"))
+    val viaWindow = graft.Tables.events(spark, sfDir)
+      .withColumn("rank", row_number().over(w)).filter(col("rank") <= 5)
+      .select(col("event_type"), col("rank").cast("long"), col("event_id"))
+      .as[(String, Long, Long)].collect().toSet
+    assert(viaAgg == viaWindow)
+  }
+
+  test("both aggregates plan as partial ObjectHashAggregate") {
+    for (q <- Seq(Sketches.kmvDistinct(spark, sfDir), Sketches.topKPerGroup(spark, sfDir))) {
+      val p = q.queryExecution.executedPlan.toString
+      assert(p.contains("ObjectHashAggregate"), s"not object-hash-aggregated:\n$p")
+      // two-phase: a partial aggregate below the exchange
+      assert(p.contains("partial_"), s"no map-side partial:\n$p")
+    }
+  }
+
+  test("functions are reachable through the SparkSessionExtensions path") {
+    // same session plumbing as GraftExtensionsSpec: new session over the
+    // shared context via the public withExtensions hook
+    graft.TestSpark.spark
+    val prevDefault = org.apache.spark.sql.SparkSession.getDefaultSession
+    val prevActive = org.apache.spark.sql.SparkSession.getActiveSession
+    org.apache.spark.sql.SparkSession.clearDefaultSession()
+    org.apache.spark.sql.SparkSession.clearActiveSession()
+    try {
+      val s2 = org.apache.spark.sql.SparkSession.builder()
+        .withExtensions(new GraftExtensions()(_))
+        .getOrCreate()
+      val ids = s2.sql(
+        "SELECT transform(topk_by(v, id, 2), e -> e.id) AS ids " +
+          "FROM VALUES (1.0d, 1L), (3.0d, 2L), (2.0d, 3L) AS x(v, id)")
+        .collect().head.getAs[scala.collection.Seq[Long]]("ids")
+      assert(ids == Seq(2L, 3L))
+      val kmv = s2.sql(
+        "SELECT kmv_sketch(h, 2) AS m FROM VALUES (5L), (1L), (3L), (1L) AS x(h)")
+        .collect().head.getAs[scala.collection.Seq[Long]]("m")
+      assert(kmv == Seq(1L, 3L))
+    } finally {
+      org.apache.spark.sql.SparkSession.clearDefaultSession()
+      org.apache.spark.sql.SparkSession.clearActiveSession()
+      prevDefault.foreach(org.apache.spark.sql.SparkSession.setDefaultSession)
+      prevActive.foreach(org.apache.spark.sql.SparkSession.setActiveSession)
+    }
+  }
+}

@@ -103,6 +103,53 @@ class StreamSubstrateSpec extends AnyFunSuite {
     assert(expired.isRemoved)
   }
 
+  test("streaming KMV: cross-batch fold == single-pass batch sketch") {
+    import org.apache.spark.sql.streaming.TestGroupState
+    val batch1 = Seq(900L, 100L, 500L, 100L)
+    val batch2 = Seq(50L, 700L, 200L, 500L)
+    val k = 4
+    // single-pass reference over the union
+    val ref = new graft.plans.KmvBuffer(k)
+    (batch1 ++ batch2).foreach(ref.add)
+    // two micro-batches through the state-update function
+    val s1 = TestGroupState.create[Array[Long]](
+      optionalState = org.apache.spark.api.java.Optional.empty[Array[Long]](),
+      timeoutConf = org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout,
+      batchProcessingTimeMs = 1000L,
+      eventTimeWatermarkMs = org.apache.spark.api.java.Optional.empty[Long](),
+      hasTimedOut = false)
+    StreamSources.kmvUpdate("t", k, batch1.iterator, s1)
+    val s2 = TestGroupState.create[Array[Long]](
+      optionalState = org.apache.spark.api.java.Optional.of(s1.get),
+      timeoutConf = org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout,
+      batchProcessingTimeMs = 2000L,
+      eventTimeWatermarkMs = org.apache.spark.api.java.Optional.empty[Long](),
+      hasTimedOut = false)
+    val (_, kUsed, kthMin, est) = StreamSources.kmvUpdate("t", k, batch2.iterator, s2)
+    assert(s2.get.toSeq == ref.toArray.toSeq) // {50,100,200,500}
+    assert(kUsed == 4 && kthMin == 500L)
+    assert(est == graft.plans.KmvBuffer.estimate(k, ref.toArray))
+  }
+
+  test("streaming KMV end-to-end: estimate refreshes across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, Long)]
+    val sketched = StreamSources.streamingKmv(input.toDS(), k = 2)
+    val q = sketched.writeStream.outputMode(OutputMode.Update)
+      .format("memory").queryName("kmv_out").start()
+    input.addData(("a", 30L), ("a", 10L), ("b", 5L))
+    q.processAllAvailable()
+    input.addData(("a", 20L), ("a", 10L))
+    q.processAllAvailable()
+    val rows = spark.sql("select * from kmv_out").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    q.stop()
+    // final state for key a = two smallest distinct of {30,10,20,10}
+    val aFinal = rows.filter(_._1 == "a").maxBy(r => -r._3) // smallest kth = latest
+    assert(aFinal == (("a", 2, 20L, graft.plans.KmvBuffer.estimate(2, Array(10L, 20L)))))
+    assert(rows.contains(("b", 1, 5L, 1.0))) // not full → exact
+  }
+
   test("mapGroupsWithState dedups keys across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(String, String)]
