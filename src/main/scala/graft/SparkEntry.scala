@@ -68,6 +68,8 @@ object SparkEntry {
     "dedup_simhash" -> (Dedup.simhash _),
     "dedup_simhash_pairs" -> (Dedup.simhashCandidates _),
     "dedup_cluster_labels" -> (Dedup.clusterLabels _),
+    "dedup_chunks_global" -> ((s: SparkSession, d: String) => Dedup.chunksGlobal(s, d)),
+    "dedup_semantic_keep_first" -> ((s: SparkSession, d: String) => Similarity.semanticDedup(s, d)),
     // training-data ops: corpus preparation
     "corpus_split" -> (Corpus.stratifiedSplit _),
     "corpus_pack_bins" -> ((s: SparkSession, d: String) => Corpus.packTokenBins(s, d)),
@@ -80,6 +82,7 @@ object SparkEntry {
     "corpus_pmi_topk" -> ((s: SparkSession, d: String) => Corpus.pmiTopK(s, d)),
     "corpus_context_windows" -> ((s: SparkSession, d: String) => Corpus.contextWindows(s, d)),
     "corpus_shuffle_order" -> ((s: SparkSession, d: String) => Corpus.shuffleOrder(s, d)),
+    "corpus_source_cap" -> ((s: SparkSession, d: String) => Corpus.sourceCap(s, d)),
     // training-data ops: similarity search
     "ann_brute_topk" -> ((s: SparkSession, d: String) => Similarity.annBruteForceTopK(s, d)),
     "ann_cosine_pairs" -> ((s: SparkSession, d: String) => Similarity.cosineThresholdPairs(s, d)),
@@ -112,6 +115,8 @@ object SparkEntry {
     // bounded-state custom aggregates (TypedImperativeAggregate)
     "sketch_kmv_distinct" -> (Sketches.kmvDistinct _),
     "topk_per_group" -> (Sketches.topKPerGroup _),
+    // explicit bloom semi-join reduction (runtime-filter plan shape)
+    "j_bloom_prefilter" -> (Relational.bloomPrefilterJoin _),
   )
 
   /** Queries whose result may legitimately be empty at small scale
@@ -144,7 +149,9 @@ object SparkEntry {
     "corpus_vocab_topk", "corpus_bpe_merges", "corpus_pmi_topk",
     "corpus_context_windows",
     "asof_last_click", "range_incident_stats",
-    "sketch_kmv_distinct", "topk_per_group")
+    "sketch_kmv_distinct", "topk_per_group",
+    "j_bloom_prefilter", "dedup_semantic_keep_first",
+    "dedup_chunks_global", "corpus_source_cap")
 
   // --- generated DuckDB replicas of the portable-hash queries ----------
 
@@ -874,6 +881,56 @@ object SparkEntry {
         |  SELECT query_id, neighbor_id, cos_sim,
         |    row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank
         |  FROM scored) WHERE rank <= 5""".stripMargin,
+    "dedup_semantic_keep_first" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+        |c AS (SELECT vec_id AS cent_id, emb AS c_emb FROM e WHERE vec_id % 50 = 0),
+        |assigned AS (
+        |  SELECT vec_id, emb, cent_id FROM (
+        |    SELECT e.vec_id, e.emb, c.cent_id,
+        |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |        list_dot_product(e.emb, c.c_emb) /
+        |          (sqrt(list_dot_product(e.emb, e.emb)) * sqrt(list_dot_product(c.c_emb, c.c_emb))) DESC,
+        |        c.cent_id) AS rn
+        |    FROM e CROSS JOIN c) WHERE rn = 1),
+        |dups AS (
+        |  SELECT DISTINCT b.vec_id
+        |  FROM assigned a JOIN assigned b ON a.cent_id = b.cent_id AND a.vec_id < b.vec_id
+        |  WHERE list_dot_product(a.emb, b.emb) /
+        |    (sqrt(list_dot_product(a.emb, a.emb)) * sqrt(list_dot_product(b.emb, b.emb))) > 0.4)
+        |SELECT vec_id, cent_id FROM assigned
+        |WHERE vec_id NOT IN (SELECT vec_id FROM dups)""".stripMargin,
+    "dedup_chunks_global" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |ch AS (SELECT doc_id, unnest([{'pos': i, 'chunk': array_to_string(w[i*4+1:i*4+4], ' ')}
+        |    for i in range(0, CAST(ceil(len(w)/4.0) AS BIGINT))], recursive := true) FROM w),
+        |bp AS (SELECT chunk FROM ch GROUP BY chunk HAVING count(DISTINCT doc_id) >= 2),
+        |pd AS (SELECT doc_id, count(*) AS n_chunks FROM ch GROUP BY doc_id),
+        |kept AS (SELECT * FROM ch ANTI JOIN bp USING (chunk))
+        |SELECT doc_id, pd.n_chunks, count(*) AS n_kept,
+        |  string_agg(chunk, ' ' ORDER BY pos) AS clean_text
+        |FROM kept JOIN pd USING (doc_id)
+        |GROUP BY doc_id, pd.n_chunks""".stripMargin,
+    "corpus_source_cap" ->
+      """WITH d AS (SELECT doc_id, source,
+        |    CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) /
+        |      len(string_split(text, ' ')) AS q
+        |  FROM documents),
+        |r AS (SELECT doc_id, source, q,
+        |    row_number() OVER (PARTITION BY source ORDER BY q DESC, doc_id) AS rank
+        |  FROM d)
+        |SELECT doc_id, source, CAST(rank AS INT) AS rank,
+        |  floor(q * 10000 + 0.5) / 10000 AS quality
+        |FROM r WHERE rank <= 10""".stripMargin,
+    // the bloom prefilter is semantics-transparent (no false negatives;
+    // false positives die in the real join), so the oracle is the PLAIN
+    // join — the bloom may only change performance, never the result
+    "j_bloom_prefilter" ->
+      """SELECT strftime(o_orderdate, '%Y-%m-%d') AS order_day, count(*) AS n_items,
+        |  cast(round(sum(cast(l_extendedprice as decimal(18,2)) * (cast(1 as decimal(18,2)) - cast(l_discount as decimal(18,2)))), 2) as double) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderpriority = '1-URGENT'
+        |  AND o_orderdate >= '1995-03-01' AND o_orderdate < '1995-04-01'
+        |GROUP BY 1""".stripMargin,
     "ann_cosine_pairs" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings)
         |SELECT a.vec_id AS id1, b.vec_id AS id2,

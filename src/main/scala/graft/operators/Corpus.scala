@@ -288,4 +288,34 @@ object Corpus {
       .select(col("doc_id"), col("lang"), col("shard"), col("tokens"),
         floor((col("cum_tokens") - col("tokens")) / budget).as("bin_id"))
   }
+
+  /** Per-source document cap: keep the `cap` highest-quality documents
+    * of every source (quality = lexical diversity, the same
+    * distinct-word ratio the cleaning gate uses; ties break on
+    * doc_id). The C4/RefinedWeb-style anti-spam pass — one domain
+    * mirroring itself a million times must not dominate the mixture.
+    *
+    * Scale shape: per-source top-k via TWO windows — a partial top-k
+    * per (source, salt) first, then the final per-source rank over at
+    * most `salts × cap` survivors. A single per-source window is the
+    * skew trap: one giant domain serializes into one task at 100 TB,
+    * while the salted pre-pass bounds every final partition. The
+    * partial pass is correct because the per-source top-`cap` is a
+    * subset of every salt-slice's top-`cap`. */
+  def sourceCap(spark: SparkSession, sfDir: String,
+      cap: Int = 10, salts: Int = 8): DataFrame = {
+    val words = split(col("text"), " ")
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"),
+        (size(array_distinct(words)).cast("double") / size(words)).as("q"),
+        pmod(col("doc_id"), lit(salts)).as("salt"))
+    val w1 = Window.partitionBy(col("source"), col("salt"))
+      .orderBy(col("q").desc, col("doc_id"))
+    val w2 = Window.partitionBy(col("source"))
+      .orderBy(col("q").desc, col("doc_id"))
+    docs.withColumn("r1", row_number().over(w1)).filter(col("r1") <= cap)
+      .withColumn("rank", row_number().over(w2)).filter(col("rank") <= cap)
+      .select(col("doc_id"), col("source"), col("rank"),
+        PortableRound.pround(col("q"), 4).as("quality"))
+  }
 }

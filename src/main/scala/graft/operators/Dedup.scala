@@ -356,4 +356,48 @@ object Dedup {
       .select(col("x.doc_id").as("doc1"), col("y.doc_id").as("doc2"))
       .distinct()
   }
+
+  /** Global repeated-chunk removal — the sub-document dedup pass
+    * (RefinedWeb/CCNet-style "drop duplicated lines across the
+    * corpus"): texts are cut into fixed-width word chunks (the
+    * separator-free stand-in for lines — real corpora would split on
+    * '\n'), any chunk appearing in ≥ `minDocs` DISTINCT documents is
+    * corpus-boilerplate, and every document is re-assembled from its
+    * surviving chunks in original order. Documents whose every chunk
+    * is boilerplate drop out entirely (a pure-header/footer page).
+    *
+    * Scale shape (100 TB):
+    *  - chunking is a narrow codegen'd projection + posexplode;
+    *  - the boilerplate census is ONE (chunk)-keyed aggregate with
+    *    map-side combine (count-distinct over doc_id is exact but
+    *    bounded: it only needs to count to `minDocs`, and the chunk
+    *    key space is what shuffles, not doc pairs);
+    *  - the removal is a LEFT ANTI equi-join on the chunk key;
+    *  - re-assembly shuffles (doc_id)-keyed rows once —
+    *    `array_sort(collect_list(struct(pos, chunk)))` restores order
+    *    without a window. */
+  def chunksGlobal(spark: SparkSession, sfDir: String,
+      width: Int = 4, minDocs: Int = 2): DataFrame = {
+    val words = split(col("text"), " ")
+    val nChunks = ceil(size(words).cast("double") / width).cast("int")
+    val chunks = Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), nChunks - 1),
+          i => array_join(slice(words, i * width + 1, lit(width)), " ")))
+          .as(Seq("pos", "chunk")))
+    val boilerplate = chunks
+      .groupBy(col("chunk"))
+      .agg(count_distinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= minDocs)
+      .select(col("chunk"))
+    val perDoc = chunks.groupBy(col("doc_id")).agg(count(lit(1)).as("n_chunks"))
+    chunks.join(boilerplate, Seq("chunk"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("chunk")))),
+          s => s.getField("chunk")), " ").as("clean_text"))
+      .join(perDoc, Seq("doc_id"))
+      .select(col("doc_id"), col("n_chunks"), col("n_kept"), col("clean_text"))
+  }
 }

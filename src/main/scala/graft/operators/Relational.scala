@@ -325,4 +325,49 @@ object Relational {
         col("event_id"),
         get_json_object(col("props"), "$.k").cast("long").as("k"))
       .filter(col("k") > 90)
+
+  /** Bloom-prefiltered shuffle join — the semi-join reduction Spark's
+    * own runtime filter (`spark.sql.optimizer.runtime.bloomFilter.*`)
+    * injects once the probe side crosses its 10 GiB threshold, built
+    * explicitly via [[graft.plans.BloomFns]] so the plan shape is
+    * deterministic at every scale factor:
+    *
+    *  1. the SELECTIVE side (urgent March-1995 orders) aggregates its
+    *     join keys into ONE bloom filter row (a few KiB regardless of
+    *     input size — map-side partial blooms OR-merge);
+    *  2. the bloom reaches the probe side as a SCALAR SUBQUERY —
+    *     `BloomFilterMightContain` requires a constant or scalar
+    *     subquery bloom (analysis-enforced), the exact shape
+    *     InjectRuntimeFilter itself builds; the subquery result
+    *     broadcasts once per executor, not per row;
+    *  3. the 100 TB side drops non-matching rows BEFORE its join
+    *     shuffle: `bloom_contains` has no false negatives, so the
+    *     equi-join result is exactly the plain join's (the oracle),
+    *     while shuffle bytes scale with the MATCHING subset.
+    *
+    * At sf0.1 the filter passes ~1/40 of lineitem into the shuffle. */
+  def bloomPrefilterJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.plans.BloomFns.register(spark)
+    Tables.orders(spark, sfDir).createOrReplaceTempView("graft_bloom_orders")
+    Tables.lineitem(spark, sfDir).createOrReplaceTempView("graft_bloom_lineitem")
+    spark.sql(
+      """WITH urgent AS (
+        |  SELECT o_orderkey, o_orderdate FROM graft_bloom_orders
+        |  WHERE o_orderpriority = '1-URGENT'
+        |    AND o_orderdate >= '1995-03-01' AND o_orderdate < '1995-04-01'),
+        |prefiltered AS (
+        |  SELECT l_orderkey, l_extendedprice, l_discount
+        |  FROM graft_bloom_lineitem
+        |  WHERE bloom_contains(
+        |    (SELECT bloom_agg(xxhash64(o_orderkey),
+        |       CAST(100000 AS BIGINT), CAST(800000 AS BIGINT)) FROM urgent),
+        |    xxhash64(l_orderkey)))
+        |SELECT date_format(o_orderdate, 'yyyy-MM-dd') AS order_day,
+        |  count(*) AS n_items,
+        |  cast(round(sum(cast(l_extendedprice as decimal(18,2)) *
+        |    (cast(1 as decimal(18,2)) - cast(l_discount as decimal(18,2)))), 2)
+        |    as double) AS revenue
+        |FROM prefiltered JOIN urgent ON l_orderkey = o_orderkey
+        |GROUP BY 1""".stripMargin)
+  }
 }

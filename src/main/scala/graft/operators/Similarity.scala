@@ -509,4 +509,37 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos_sim"))
   }
+
+  /** SemDeDup-style semantic dedup (Abbas et al. 2023,
+    * arXiv:2303.09540): cluster the embedding space into IVF cells,
+    * compare pairs ONLY within a cell, and drop every vector that has
+    * a lower-id cell-mate above the cosine threshold (the engine's
+    * deterministic keep-first rule, same convention as
+    * [[graft.operators.Dedup.exactKeepFirst]]; the paper keeps the
+    * member farthest from the centroid — swap the keep key for that
+    * policy, the plan shape is identical).
+    *
+    * Scale shape (the paper's own argument): clustering makes the
+    * pair space Σ|cell|² instead of n² — cells are bounded by the
+    * centroid count, which scales with the corpus. Here:
+    *  - assignment reuses [[ivfAssignments]] (broadcast centroid set,
+    *    one corpus scan);
+    *  - the candidate join is (cent_id) EQUI-keyed self-join — no
+    *    nested loop (plan-shape-tested);
+    *  - the survivor set is a LEFT ANTI join on vec_id: dup discovery
+    *    shuffles only the (id1 < id2, cos > τ) pair ids, never the
+    *    embeddings twice. */
+  def semanticDedup(spark: SparkSession, sfDir: String,
+      threshold: Double = 0.4, stride: Int = 50): DataFrame = {
+    val assigned = ivfAssignments(spark, sfDir, stride)
+    val a = assigned.select(col("cent_id"), col("vec_id").as("id1"),
+      col("embedding").as("e1"))
+    val b = assigned.select(col("cent_id").as("c2"), col("vec_id").as("id2"),
+      col("embedding").as("e2"))
+    val dupIds = a.join(b, col("cent_id") === col("c2") && col("id1") < col("id2"))
+      .filter(cosine(col("e1"), col("e2")) > threshold)
+      .select(col("id2").as("vec_id")).distinct()
+    assigned.join(dupIds, Seq("vec_id"), "left_anti")
+      .select(col("vec_id"), col("cent_id"))
+  }
 }

@@ -158,4 +158,47 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"),
       s"assignment must broadcast the centroids, never shuffle a cross:\n$p")
   }
+
+  test("bloom prefilter: might_contain filters the probe side BELOW the join") {
+    val df = SparkEntry.queries("j_bloom_prefilter")(TestSpark.spark, TestSpark.sfDir)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("might_contain"), s"bloom filter missing from plan:\n$p")
+    // the bloom test must sit on the lineitem scan side, not above the join:
+    // every join operator line must come BEFORE the might_contain line
+    // (executedPlan prints top-down, children below parents)
+    val lines = p.linesIterator.toSeq
+    val joinIdx = lines.indexWhere(l => l.contains("HashJoin") || l.contains("SortMergeJoin"))
+    val bloomIdx = lines.indexWhere(_.contains("might_contain"))
+    assert(joinIdx >= 0 && bloomIdx > joinIdx,
+      s"bloom_contains must be pushed below the join:\n$p")
+  }
+
+  test("semantic dedup: cell equi-join candidates; only the broadcast " +
+      "centroid assignment crosses") {
+    val p = plan("dedup_semantic_keep_first")
+    assert(!p.contains("CartesianProduct"),
+      s"assignment must broadcast the centroids, never shuffle a cross:\n$p")
+    // the pair join itself is equi-keyed on cent_id
+    assert(p.linesIterator.exists(l =>
+      (l.contains("SortMergeJoin") || l.contains("ShuffledHashJoin")) &&
+        l.contains("cent_id")),
+      s"within-cell pairs must come from the cent_id equi-join:\n$p")
+    assert(p.contains("LeftAnti"), s"survivor set must be a left-anti join:\n$p")
+  }
+
+  test("chunk dedup: boilerplate census aggregates with map-side combine") {
+    val p = plan("dedup_chunks_global")
+    assert(p.contains("LeftAnti"), s"chunk removal must be a left-anti join:\n$p")
+    assert(p.contains("HashAggregate"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("source cap: salted partial top-k precedes the per-source window") {
+    val p = plan("corpus_source_cap")
+    // two row_number windows: (source, salt) then (source) —
+    // matching "Window [row_number()" excludes the WindowGroupLimit
+    // helper operators each window adds
+    val windows = p.linesIterator.count(_.contains("Window [row_number()"))
+    assert(windows == 2, s"expected salted pre-pass + final window, got $windows:\n$p")
+  }
 }
