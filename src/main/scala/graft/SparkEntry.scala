@@ -69,6 +69,7 @@ object SparkEntry {
     "dedup_simhash_pairs" -> (Dedup.simhashCandidates _),
     "dedup_cluster_labels" -> (Dedup.clusterLabels _),
     "dedup_chunks_global" -> ((s: SparkSession, d: String) => Dedup.chunksGlobal(s, d)),
+    "dedup_fuzzy_neighbors" -> (Dedup.fuzzyNeighbors _),
     "dedup_semantic_keep_first" -> ((s: SparkSession, d: String) => Similarity.semanticDedup(s, d)),
     // training-data ops: corpus preparation
     "corpus_split" -> (Corpus.stratifiedSplit _),
@@ -108,6 +109,7 @@ object SparkEntry {
     "text_repetition" -> (TextAnalysis.repetitionStats _),
     "text_hash_embed" -> ((s: SparkSession, d: String) => TextAnalysis.hashEmbed(s, d)),
     "text_tfidf_topk" -> ((s: SparkSession, d: String) => TextAnalysis.tfidfTopTerms(s, d)),
+    "text_quality_model" -> ((s: SparkSession, d: String) => TextAnalysis.qualityModelScore(s, d)),
     "ann_centroid_outliers" -> ((s: SparkSession, d: String) => Similarity.centroidOutliers(s, d)),
     // temporal joins Spark has no built-in operator for
     "asof_last_click" -> (Temporal.asofLastClick _),
@@ -151,7 +153,8 @@ object SparkEntry {
     "asof_last_click", "range_incident_stats",
     "sketch_kmv_distinct", "topk_per_group",
     "j_bloom_prefilter", "dedup_semantic_keep_first",
-    "dedup_chunks_global", "corpus_source_cap")
+    "dedup_chunks_global", "corpus_source_cap",
+    "dedup_fuzzy_neighbors", "text_quality_model")
 
   // --- generated DuckDB replicas of the portable-hash queries ----------
 
@@ -881,6 +884,28 @@ object SparkEntry {
         |  SELECT query_id, neighbor_id, cos_sim,
         |    row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank
         |  FROM scored) WHERE rank <= 5""".stripMargin,
+    "dedup_fuzzy_neighbors" ->
+      """WITH n AS (SELECT c_custkey, c_name FROM customer),
+        |v AS (SELECT c_custkey, c_name, unnest(list_distinct([c_name] ||
+        |    [c_name[1:i-1] || c_name[i+1:len(c_name)] for i in range(1, len(c_name)+1)])) AS variant
+        |  FROM n),
+        |cand AS (
+        |  SELECT DISTINCT a.c_custkey AS id1, b.c_custkey AS id2,
+        |    a.c_name AS name1, b.c_name AS name2
+        |  FROM v a JOIN v b ON a.variant = b.variant AND a.c_custkey < b.c_custkey)
+        |SELECT id1, count(*) AS n_matches, min(id2) AS min_id2
+        |FROM cand WHERE levenshtein(name1, name2) <= 1
+        |GROUP BY id1""".stripMargin,
+    "text_quality_model" -> {
+      val hw = graft.functions.PortableHash.sqlH48("'qw:' || w")
+      val hb = graft.functions.PortableHash.sqlH48("'w:' || CAST(bucket AS VARCHAR)")
+      s"""WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+         |b AS (SELECT doc_id, $hw % 1024 AS bucket FROM t),
+         |s AS (SELECT doc_id, $hb % 2001 - 1000 AS wm FROM b)
+         |SELECT doc_id, CAST(sum(wm) AS BIGINT) AS score_milli,
+         |  sum(wm) > 0 AS keep, count(*) AS n_tokens
+         |FROM s GROUP BY doc_id""".stripMargin
+    },
     "dedup_semantic_keep_first" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
         |c AS (SELECT vec_id AS cent_id, emb AS c_emb FROM e WHERE vec_id % 50 = 0),

@@ -400,4 +400,39 @@ object Dedup {
       .join(perDoc, Seq("doc_id"))
       .select(col("doc_id"), col("n_chunks"), col("n_kept"), col("clean_text"))
   }
+
+  /** Fuzzy duplicate neighbors (edit distance ≤ 1) via FastSS
+    * deletion-neighborhood blocking (Bocek et al. 2007): every string
+    * emits itself plus each single-character deletion; two strings
+    * within edit distance 1 necessarily SHARE a variant (substitution →
+    * both drop the differing position; insert/delete → the longer drops
+    * the extra char and meets the shorter's identity variant), so the
+    * candidate join is a (variant) EQUI self-join — never the O(n²)
+    * all-pairs Levenshtein. Shared variants can still join strings at
+    * distance 2 (different deletions landing on the same string), so
+    * candidates are verified with the real `levenshtein` — the same
+    * two-stage candidates→verify shape as [[Similarity.lshVerifiedPairs]].
+    *
+    * Scale notes: the variant key space is Σ|s| per row (bounded by
+    * string length); per-row duplicate variants (runs of equal chars)
+    * collapse with array_distinct before the explode; candidate DISTINCT
+    * runs BEFORE the verify so each pair pays one Levenshtein. Run here
+    * over customer names, whose numbered structure is dense in
+    * distance-1 pairs; output aggregates to one row per left id. */
+  def fuzzyNeighbors(spark: SparkSession, sfDir: String): DataFrame = {
+    val cust = Tables.customer(spark, sfDir).select(col("c_custkey"), col("c_name"))
+    val n = length(col("c_name"))
+    val variants = array_distinct(concat(
+      array(col("c_name")),
+      transform(sequence(lit(1), n), i =>
+        concat(col("c_name").substr(lit(1), i - 1), col("c_name").substr(i + 1, n)))))
+    val v = cust.select(col("c_custkey"), col("c_name"), explode(variants).as("variant"))
+    val a = v.select(col("variant"), col("c_custkey").as("id1"), col("c_name").as("name1"))
+    val b = v.select(col("variant").as("v2"), col("c_custkey").as("id2"), col("c_name").as("name2"))
+    a.join(b, col("variant") === col("v2") && col("id1") < col("id2"))
+      .select(col("id1"), col("id2"), col("name1"), col("name2")).distinct()
+      .filter(levenshtein(col("name1"), col("name2")) <= 1)
+      .groupBy(col("id1"))
+      .agg(count(lit(1)).as("n_matches"), min(col("id2")).as("min_id2"))
+  }
 }

@@ -241,4 +241,34 @@ object TextAnalysis {
     Tables.documents(spark, sfDir)
       .select(col("doc_id"), fp.as("fingerprint"))
   }
+
+  /** Model-based quality scoring — the fastText-shaped linear
+    * classifier pass (hash every token into `buckets` features, dot
+    * the term frequencies with a weight vector, threshold): the
+    * standard learned quality gate run over a whole crawl before
+    * training. The weight vector here is derived from a seeded hash
+    * (a deterministic stand-in for learned parameters — in production
+    * the weights arrive as a broadcast array; the plan is identical).
+    *
+    * Everything stays in INTEGER space (milli-weights in
+    * [-1000, 1000], exact long sums), so the score is bit-identical
+    * across engines and partition orders — no float summation order
+    * to disagree on. Scale shape: narrow scan + explode + ONE
+    * (doc_id)-keyed aggregate with map-side combine; weights are
+    * computed per-token (pure hash arithmetic, codegen'd), so there
+    * is no weight-table join at all. */
+  def qualityModelScore(spark: SparkSession, sfDir: String,
+      buckets: Int = 1024): DataFrame = {
+    import graft.functions.PortableHash.md5Hash48
+    val bucket = pmod(md5Hash48(concat(lit("qw:"), col("w"))), lit(buckets))
+    val weightMilli = md5Hash48(concat(lit("w:"), bucket.cast("string"))) % 2001L - 1000L
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), explode_outer(split(col("text"), " ")).as("w"))
+      .filter(col("w").isNotNull)
+      .select(col("doc_id"), weightMilli.as("wm"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("wm")).as("score_milli"), count(lit(1)).as("n_tokens"))
+      .select(col("doc_id"), col("score_milli"),
+        (col("score_milli") > 0).as("keep"), col("n_tokens"))
+  }
 }
