@@ -113,6 +113,7 @@ object SparkEntry {
     "ann_centroid_outliers" -> ((s: SparkSession, d: String) => Similarity.centroidOutliers(s, d)),
     // temporal joins Spark has no built-in operator for
     "asof_last_click" -> (Temporal.asofLastClick _),
+    "asof_join_native" -> (Temporal.asofLastClickNative _),
     "range_incident_stats" -> (Temporal.rangeIncidentStats _),
     // bounded-state custom aggregates (TypedImperativeAggregate)
     "sketch_kmv_distinct" -> (Sketches.kmvDistinct _),
@@ -1121,6 +1122,16 @@ object SparkEntry {
     // via union+window (no join operator); the oracle uses DuckDB's
     // native ASOF JOIN. Agreement checks the SEMANTICS, not the plan.
     "asof_last_click" ->
+      """WITH clicks AS (SELECT user_id, ts, max(value) AS click_value
+        |    FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+        |errs AS (SELECT event_id, user_id, ts, value AS err_value
+        |    FROM events WHERE event_type = 'error')
+        |SELECT e.event_id, e.user_id, epoch_us(e.ts) AS err_us, e.err_value,
+        |  epoch_us(c.ts) AS click_us, c.click_value
+        |FROM errs e ASOF LEFT JOIN clicks c
+        |  ON e.user_id = c.user_id AND e.ts >= c.ts""".stripMargin,
+    // the NATIVE exec must match the same ASOF oracle as the composed form
+    "asof_join_native" ->
       """WITH clicks AS (SELECT user_id, ts, max(value) AS click_value
         |    FROM events WHERE event_type = 'click' GROUP BY 1, 2),
         |errs AS (SELECT event_id, user_id, ts, value AS err_value

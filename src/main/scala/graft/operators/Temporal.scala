@@ -94,6 +94,25 @@ object Temporal {
         unix_micros(col("matched_ts")).as("click_us"), col("click_value"))
   }
 
+  /** [[asofLastClick]] through the NATIVE as-of operator
+    * ([[graft.plans.AsofJoinNative]]: logical node → strategy →
+    * sort-merge exec) instead of the union+window composition — same
+    * inputs, same oracle, so the DuckDB gate proves the custom exec
+    * row-for-row equal to both the composed form and DuckDB's own
+    * ASOF JOIN. */
+  def asofLastClickNative(spark: SparkSession, sfDir: String): DataFrame = {
+    val events = Tables.events(spark, sfDir)
+    val errors = events.filter(col("event_type") === "error")
+      .select(col("event_id"), col("user_id"), col("ts"), col("value").as("err_value"))
+    val clicks = events.filter(col("event_type") === "click")
+      .groupBy(col("user_id"), col("ts"))
+      .agg(max(col("value")).as("click_value"))
+    graft.plans.AsofJoinNative.asofJoin(errors, clicks, Seq("user_id"), "ts")
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("err_us"), col("err_value"),
+        unix_micros(col("matched_ts")).as("click_us"), col("click_value"))
+  }
+
   /** Declared query: each error event opens a 10-minute incident
     * window; count/aggregate the OTHER events falling inside it
     * (exact-decimal sum so the oracle matches bit-for-bit). Incidents

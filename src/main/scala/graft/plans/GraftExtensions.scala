@@ -37,6 +37,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("topk_by"),
       info("topk_by", "topk_by(value, id, k) - bounded top-k (value desc, id asc) pairs"),
       (exprs: Seq[Expression]) => TopKBy(exprs(0), exprs(1), litInt(exprs(2)))))
+    ext.injectFunction((
+      FunctionIdentifier("bloom_agg"),
+      info("bloom_agg", "bloom_agg(xxhash64(k), nItems, nBits) - bloom filter of a key set"),
+      (exprs: Seq[Expression]) =>
+        new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+          exprs(0), exprs(1), exprs(2)).toAggregateExpression()))
+    ext.injectFunction((
+      FunctionIdentifier("bloom_contains"),
+      info("bloom_contains", "bloom_contains(bloom, xxhash64(k)) - bloom membership probe"),
+      (exprs: Seq[Expression]) =>
+        org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(exprs(0), exprs(1))))
+    // whole-operator extension: the native backward as-of join
+    // (logical node -> strategy -> sort-merge exec, AsofJoinPlan.scala)
+    ext.injectPlannerStrategy(_ => AsofJoinStrategy)
   }
 
   private def litInt(e: Expression): Int = e.eval().asInstanceOf[Int]

@@ -91,4 +91,38 @@ class TemporalSpec extends AnyFunSuite {
     assert(Temporal.asofLastClick(spark, sfDir).count() > 0)
     assert(Temporal.rangeIncidentStats(spark, sfDir).count() > 0)
   }
+
+  // --- native as-of exec (graft.plans.AsofJoinPlan) --------------------
+
+  test("native asof: same semantics on the synthetic edge cases") {
+    val out = graft.plans.AsofJoinNative.asofJoin(left, right, Seq("user_id"), "ts")
+      .select("event_id", "click_value").as[(Long, Option[Double])]
+      .collect().toMap
+    assert(out(1L).contains(130.0))
+    assert(out(2L).isEmpty)
+    assert(out(3L).contains(130.0)) // tie: right row at same ts IS visible
+    assert(out(4L).contains(200.0))
+    assert(out(5L).isEmpty)
+    val m = graft.plans.AsofJoinNative.asofJoin(left, right, Seq("user_id"), "ts")
+      .filter(col("event_id") === 1L).select("matched_ts")
+      .as[Option[Timestamp]].head()
+    assert(m.contains(ts("2024-01-01 09:30:00")))
+  }
+
+  test("native asof: plans the custom exec, row-identical to the window form") {
+    val native = Temporal.asofLastClickNative(spark, sfDir)
+    val p = native.queryExecution.executedPlan.toString
+    assert(p.contains("AsofJoin"), s"expected the custom exec in the plan:\n$p")
+    val composed = Temporal.asofLastClick(spark, sfDir)
+    assert(native.count() > 0)
+    assert(native.exceptAll(composed).isEmpty && composed.exceptAll(native).isEmpty,
+      "native exec and window composition must agree row-for-row")
+  }
+
+  test("native asof: each child sorts on (key, ts) — no union, no window") {
+    val p = Temporal.asofLastClickNative(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Window"), s"native path must not fall back to the window form:\n$p")
+    assert(!p.contains("Union"), p)
+  }
 }
