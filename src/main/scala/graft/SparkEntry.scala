@@ -155,7 +155,8 @@ object SparkEntry {
     "sketch_kmv_distinct", "topk_per_group",
     "j_bloom_prefilter", "dedup_semantic_keep_first",
     "dedup_chunks_global", "corpus_source_cap",
-    "dedup_fuzzy_neighbors", "text_quality_model")
+    "dedup_fuzzy_neighbors", "text_quality_model",
+    "asof_join_native")
 
   // --- generated DuckDB replicas of the portable-hash queries ----------
 
