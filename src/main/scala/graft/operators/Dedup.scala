@@ -415,11 +415,15 @@ object Dedup {
     *
     * Scale notes: the variant key space is Σ|s| per row (bounded by
     * string length); per-row duplicate variants (runs of equal chars)
-    * collapse with array_distinct before the explode; candidate DISTINCT
-    * runs BEFORE the verify so each pair pays one Levenshtein. Run here
-    * over customer names, whose numbered structure is dense in
-    * distance-1 pairs; output aggregates to one row per left id. */
+    * collapse with array_distinct before the explode; the verify runs
+    * BEFORE the candidate DISTINCT — the check is the O(n) codegen'd
+    * [[graft.plans.EditWithin1]] two-pointer scan (not the O(n²)
+    * `levenshtein` DP), so rejecting a duplicated candidate is cheaper
+    * than shuffling it into the distinct. Run here over customer
+    * names, whose numbered structure is dense in distance-1 pairs;
+    * output aggregates to one row per left id. */
   def fuzzyNeighbors(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.plans.EditWithin1.register(spark)
     val cust = Tables.customer(spark, sfDir).select(col("c_custkey"), col("c_name"))
     val n = length(col("c_name"))
     val variants = array_distinct(concat(
@@ -430,8 +434,8 @@ object Dedup {
     val a = v.select(col("variant"), col("c_custkey").as("id1"), col("c_name").as("name1"))
     val b = v.select(col("variant").as("v2"), col("c_custkey").as("id2"), col("c_name").as("name2"))
     a.join(b, col("variant") === col("v2") && col("id1") < col("id2"))
+      .filter(call_function("edit_within1", col("name1"), col("name2")))
       .select(col("id1"), col("id2"), col("name1"), col("name2")).distinct()
-      .filter(levenshtein(col("name1"), col("name2")) <= 1)
       .groupBy(col("id1"))
       .agg(count(lit(1)).as("n_matches"), min(col("id2")).as("min_id2"))
   }

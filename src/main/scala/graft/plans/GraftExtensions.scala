@@ -30,6 +30,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("l2_dist2", "l2_dist2(a, b) - squared L2 distance of two double arrays"),
       (exprs: Seq[Expression]) => L2Distance(exprs(0), exprs(1))))
     ext.injectFunction((
+      FunctionIdentifier("edit_within1"),
+      info("edit_within1", "edit_within1(a, b) - true iff levenshtein(a, b) <= 1, single O(n) scan"),
+      (exprs: Seq[Expression]) => EditWithin1(exprs(0), exprs(1))))
+    ext.injectFunction((
       FunctionIdentifier("kmv_sketch"),
       info("kmv_sketch", "kmv_sketch(h, k) - k smallest distinct longs (KMV distinct sketch)"),
       (exprs: Seq[Expression]) => KmvSketch(exprs(0), litInt(exprs(1)))))
