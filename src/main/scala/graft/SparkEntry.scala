@@ -114,7 +114,10 @@ object SparkEntry {
     // temporal joins Spark has no built-in operator for
     "asof_last_click" -> (Temporal.asofLastClick _),
     "asof_join_native" -> (Temporal.asofLastClickNative _),
+    "asof_forward_native" -> (Temporal.asofNextClickNative _),
+    "asof_nearest_native" -> (Temporal.asofNearestClickNative _),
     "range_incident_stats" -> (Temporal.rangeIncidentStats _),
+    "range_join_rule" -> (Temporal.rangeIncidentStatsRule _),
     // bounded-state custom aggregates (TypedImperativeAggregate)
     "sketch_kmv_distinct" -> (Sketches.kmvDistinct _),
     "topk_per_group" -> (Sketches.topKPerGroup _),
@@ -1141,9 +1144,64 @@ object SparkEntry {
         |  epoch_us(c.ts) AS click_us, c.click_value
         |FROM errs e ASOF LEFT JOIN clicks c
         |  ON e.user_id = c.user_id AND e.ts >= c.ts""".stripMargin,
+    // FORWARD direction of the native exec: DuckDB ASOF with the
+    // inequality flipped picks the earliest right at-or-after.
+    "asof_forward_native" ->
+      """WITH clicks AS (SELECT user_id, ts, max(value) AS click_value
+        |    FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+        |errs AS (SELECT event_id, user_id, ts, value AS err_value
+        |    FROM events WHERE event_type = 'error')
+        |SELECT e.event_id, e.user_id, epoch_us(e.ts) AS err_us, e.err_value,
+        |  epoch_us(c.ts) AS click_us, c.click_value
+        |FROM errs e ASOF LEFT JOIN clicks c
+        |  ON e.user_id = c.user_id AND e.ts <= c.ts""".stripMargin,
+    // NEAREST + tolerance: both ASOF directions, then a CASE picks the
+    // closer in-tolerance candidate (ties backward, merge_asof rules).
+    "asof_nearest_native" ->
+      """WITH clicks AS (SELECT user_id, ts, max(value) AS click_value
+        |    FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+        |errs AS (SELECT event_id, user_id, ts, value AS err_value
+        |    FROM events WHERE event_type = 'error'),
+        |b AS (SELECT e.event_id, c.ts AS m_ts, c.click_value AS m_val
+        |    FROM errs e ASOF LEFT JOIN clicks c
+        |    ON e.user_id = c.user_id AND e.ts >= c.ts),
+        |f AS (SELECT e.event_id, c.ts AS m_ts, c.click_value AS m_val
+        |    FROM errs e ASOF LEFT JOIN clicks c
+        |    ON e.user_id = c.user_id AND e.ts <= c.ts),
+        |j AS (SELECT e.event_id, e.user_id, epoch_us(e.ts) AS err_us,
+        |    e.err_value,
+        |    CASE WHEN b.m_ts IS NOT NULL
+        |      AND epoch_us(e.ts) - epoch_us(b.m_ts) <= 600000000
+        |      THEN epoch_us(e.ts) - epoch_us(b.m_ts) END AS bdiff,
+        |    epoch_us(b.m_ts) AS b_us, b.m_val AS b_val,
+        |    CASE WHEN f.m_ts IS NOT NULL
+        |      AND epoch_us(f.m_ts) - epoch_us(e.ts) <= 600000000
+        |      THEN epoch_us(f.m_ts) - epoch_us(e.ts) END AS fdiff,
+        |    epoch_us(f.m_ts) AS f_us, f.m_val AS f_val
+        |  FROM errs e
+        |  JOIN b ON b.event_id = e.event_id
+        |  JOIN f ON f.event_id = e.event_id)
+        |SELECT event_id, user_id, err_us, err_value,
+        |  CASE WHEN bdiff IS NOT NULL AND (fdiff IS NULL OR bdiff <= fdiff)
+        |       THEN b_us WHEN fdiff IS NOT NULL THEN f_us END AS click_us,
+        |  CASE WHEN bdiff IS NOT NULL AND (fdiff IS NULL OR bdiff <= fdiff)
+        |       THEN b_val WHEN fdiff IS NOT NULL THEN f_val END AS click_value
+        |FROM j""".stripMargin,
     // Oracle uses the plain inequality join the engine deliberately
     // avoids (nested-loop at scale); bin-blocking must not change results.
     "range_incident_stats" ->
+      """WITH w AS (SELECT event_id AS incident_id, ts AS start_ts,
+        |    ts + INTERVAL 10 MINUTE AS end_ts
+        |  FROM events WHERE event_type = 'error')
+        |SELECT w.incident_id, count(*) AS n_events,
+        |  count(DISTINCT e.user_id) AS n_users,
+        |  cast(sum(cast(e.value as decimal(18,2))) as double) AS total_value
+        |FROM w JOIN events e
+        |  ON e.ts >= w.start_ts AND e.ts < w.end_ts AND e.event_id <> w.incident_id
+        |GROUP BY w.incident_id""".stripMargin,
+    // Same oracle for the optimizer-rule path: the rewrite of the naive
+    // inequality join must be invisible in the results.
+    "range_join_rule" ->
       """WITH w AS (SELECT event_id AS incident_id, ts AS start_ts,
         |    ts + INTERVAL 10 MINUTE AS end_ts
         |  FROM events WHERE event_type = 'error')

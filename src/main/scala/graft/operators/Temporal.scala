@@ -113,6 +113,45 @@ object Temporal {
         unix_micros(col("matched_ts")).as("click_us"), col("click_value"))
   }
 
+  /** Declared query: for each error event, the NEXT click by the same
+    * user at-or-after it — the FORWARD direction of the native as-of
+    * exec ([[graft.plans.AsofJoinNative]]). Same merge pass as
+    * backward: the forward candidate is the buffered head, O(1) state,
+    * identical shuffle/sort requirements. Oracle = DuckDB ASOF with the
+    * inequality flipped (`e.ts <= c.ts`). */
+  def asofNextClickNative(spark: SparkSession, sfDir: String): DataFrame = {
+    val events = Tables.events(spark, sfDir)
+    val errors = events.filter(col("event_type") === "error")
+      .select(col("event_id"), col("user_id"), col("ts"), col("value").as("err_value"))
+    val clicks = events.filter(col("event_type") === "click")
+      .groupBy(col("user_id"), col("ts"))
+      .agg(max(col("value")).as("click_value"))
+    graft.plans.AsofJoinNative.asofJoin(errors, clicks, Seq("user_id"), "ts",
+        direction = "forward")
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("err_us"), col("err_value"),
+        unix_micros(col("matched_ts")).as("click_us"), col("click_value"))
+  }
+
+  /** Declared query: for each error event, the NEAREST click by the
+    * same user within ±10 minutes (ties at equal distance go backward,
+    * the pandas `merge_asof` convention) — nearest direction +
+    * tolerance of the native as-of exec. Oracle = both DuckDB ASOF
+    * directions + a CASE picking the closer in-tolerance candidate. */
+  def asofNearestClickNative(spark: SparkSession, sfDir: String): DataFrame = {
+    val events = Tables.events(spark, sfDir)
+    val errors = events.filter(col("event_type") === "error")
+      .select(col("event_id"), col("user_id"), col("ts"), col("value").as("err_value"))
+    val clicks = events.filter(col("event_type") === "click")
+      .groupBy(col("user_id"), col("ts"))
+      .agg(max(col("value")).as("click_value"))
+    graft.plans.AsofJoinNative.asofJoin(errors, clicks, Seq("user_id"), "ts",
+        direction = "nearest", tolerance = Some(600L * 1000000L))
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("err_us"), col("err_value"),
+        unix_micros(col("matched_ts")).as("click_us"), col("click_value"))
+  }
+
   /** Declared query: each error event opens a 10-minute incident
     * window; count/aggregate the OTHER events falling inside it
     * (exact-decimal sum so the oracle matches bit-for-bit). Incidents
@@ -125,6 +164,30 @@ object Temporal {
         timestamp_micros(unix_micros(col("ts")) + windowUs).as("end_ts"))
     rangeJoinBinned(events, incidents, "ts", "start_ts", "end_ts", binSeconds = 600)
       .filter(col("event_id") =!= col("incident_id"))
+      .groupBy(col("incident_id"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
+  }
+
+  /** [[rangeIncidentStats]] written the NAIVE way — a plain inequality
+    * join, the shape a user actually types — and rescued at plan time
+    * by [[graft.plans.RangeJoinRule]]: the optimizer rule rewrites the
+    * would-be BroadcastNestedLoopJoin into the bin-blocked equi-join.
+    * Same oracle as the explicit-binning twin, so the DuckDB gate
+    * proves the rewrite is semantics-free. */
+  def rangeIncidentStatsRule(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.plans.RangeJoinRule.register(spark)
+    spark.conf.set(graft.plans.RangeJoinRule.WidthConf, (600L * 1000000L).toString)
+    val events = Tables.events(spark, sfDir)
+    val windowUs = 600L * 1000000L
+    val incidents = events.filter(col("event_type") === "error")
+      .select(col("event_id").as("incident_id"), col("ts").as("start_ts"),
+        timestamp_micros(unix_micros(col("ts")) + windowUs).as("end_ts"))
+    val other = events.select("event_id", "ts", "user_id", "value")
+    incidents.join(other,
+        col("ts") >= col("start_ts") && col("ts") < col("end_ts") &&
+          col("event_id") =!= col("incident_id"))
       .groupBy(col("incident_id"))
       .agg(count(lit(1)).as("n_events"),
         countDistinct(col("user_id")).as("n_users"),

@@ -52,9 +52,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("bloom_contains", "bloom_contains(bloom, xxhash64(k)) - bloom membership probe"),
       (exprs: Seq[Expression]) =>
         org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(exprs(0), exprs(1))))
-    // whole-operator extension: the native backward as-of join
+    // whole-operator extension: the native as-of join family
     // (logical node -> strategy -> sort-merge exec, AsofJoinPlan.scala)
     ext.injectPlannerStrategy(_ => AsofJoinStrategy)
+    // optimizer-rule extension: naive point-in-interval joins become
+    // bin-blocked equi-joins (RangeJoinRule.scala); inert until
+    // spark.graft.rangeJoin.binWidth is set
+    ext.injectOptimizerRule(_ => RangeJoinRule)
   }
 
   private def litInt(e: Expression): Int = e.eval().asInstanceOf[Int]

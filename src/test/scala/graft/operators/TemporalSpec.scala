@@ -119,6 +119,72 @@ class TemporalSpec extends AnyFunSuite {
       "native exec and window composition must agree row-for-row")
   }
 
+  test("native asof forward: earliest right at-or-after, per key") {
+    val out = graft.plans.AsofJoinNative.asofJoin(left, right, Seq("user_id"), "ts",
+        direction = "forward")
+      .select("event_id", "click_value").as[(Long, Option[Double])]
+      .collect().toMap
+    assert(out(1L).isEmpty)          // 10:00 — nothing after
+    assert(out(2L).contains(100.0))  // 08:59:59 sees the 09:00 quote
+    assert(out(3L).contains(130.0))  // tie: equal ts matches forward too
+    assert(out(4L).isEmpty)          // 12:00 — the 11:00 quote is before
+    assert(out(5L).isEmpty)
+    val m = graft.plans.AsofJoinNative.asofJoin(left, right, Seq("user_id"), "ts",
+        direction = "forward")
+      .filter(col("event_id") === 2L).select("matched_ts")
+      .as[Option[Timestamp]].head()
+    assert(m.contains(ts("2024-01-01 09:00:00")))
+  }
+
+  test("native asof nearest: closer side wins, ties go backward") {
+    // lefts placed asymmetrically between the 09:00 and 09:30 quotes
+    val lefts = Seq(
+      (1L, 10L, ts("2024-01-01 09:10:00"), 0.0), // closer to 09:00
+      (2L, 10L, ts("2024-01-01 09:20:00"), 0.0), // closer to 09:30
+      (3L, 10L, ts("2024-01-01 09:15:00"), 0.0), // EXACT midpoint: backward
+      (4L, 10L, ts("2024-01-01 08:00:00"), 0.0), // only forward exists
+      (5L, 10L, ts("2024-01-01 23:00:00"), 0.0)  // only backward exists
+    ).toDF("event_id", "user_id", "ts", "err_value")
+    val out = graft.plans.AsofJoinNative.asofJoin(lefts, right, Seq("user_id"), "ts",
+        direction = "nearest")
+      .select("event_id", "click_value").as[(Long, Option[Double])]
+      .collect().toMap
+    assert(out(1L).contains(100.0))
+    assert(out(2L).contains(130.0))
+    assert(out(3L).contains(100.0)) // tie → backward
+    assert(out(4L).contains(100.0))
+    assert(out(5L).contains(130.0))
+  }
+
+  test("native asof tolerance: out-of-window candidates are rejected") {
+    val lefts = Seq(
+      (1L, 10L, ts("2024-01-01 09:31:00"), 0.0), // 60s after 09:30: in
+      (2L, 10L, ts("2024-01-01 09:40:00"), 0.0), // 600s after: out (tol 300s)
+      (3L, 10L, ts("2024-01-01 08:58:00"), 0.0)  // 120s before 09:00
+    ).toDF("event_id", "user_id", "ts", "err_value")
+    def run(dir: String) =
+      graft.plans.AsofJoinNative.asofJoin(lefts, right, Seq("user_id"), "ts",
+          direction = dir, tolerance = Some(300L * 1000000L))
+        .select("event_id", "click_value").as[(Long, Option[Double])]
+        .collect().toMap
+    val back = run("backward")
+    assert(back(1L).contains(130.0) && back(2L).isEmpty && back(3L).isEmpty)
+    val fwd = run("forward")
+    assert(fwd(1L).isEmpty && fwd(2L).isEmpty && fwd(3L).contains(100.0))
+    val near = run("nearest")
+    assert(near(1L).contains(130.0) && near(2L).isEmpty && near(3L).contains(100.0))
+  }
+
+  test("native asof variants: custom exec planned, no window fallback") {
+    for (q <- Seq(Temporal.asofNextClickNative(spark, sfDir),
+                  Temporal.asofNearestClickNative(spark, sfDir))) {
+      val p = q.queryExecution.executedPlan.toString
+      assert(p.contains("AsofJoin"), s"expected the custom exec:\n$p")
+      assert(!p.contains("Window"), p)
+      assert(q.count() > 0)
+    }
+  }
+
   test("native asof: each child sorts on (key, ts) — no union, no window") {
     val p = Temporal.asofLastClickNative(spark, sfDir)
       .queryExecution.executedPlan.toString
