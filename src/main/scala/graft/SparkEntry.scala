@@ -110,6 +110,9 @@ object SparkEntry {
     "text_hash_embed" -> ((s: SparkSession, d: String) => TextAnalysis.hashEmbed(s, d)),
     "text_tfidf_topk" -> ((s: SparkSession, d: String) => TextAnalysis.tfidfTopTerms(s, d)),
     "text_quality_model" -> ((s: SparkSession, d: String) => TextAnalysis.qualityModelScore(s, d)),
+    "text_char_diversity" -> ((s: SparkSession, d: String) => TextAnalysis.charDiversity(s, d)),
+    "text_ngram_novelty" -> ((s: SparkSession, d: String) => TextAnalysis.ngramNovelty(s, d)),
+    "corpus_mix_epochs" -> ((s: SparkSession, d: String) => Corpus.mixEpochs(s, d)),
     "ann_centroid_outliers" -> ((s: SparkSession, d: String) => Similarity.centroidOutliers(s, d)),
     // temporal joins Spark has no built-in operator for
     "asof_last_click" -> (Temporal.asofLastClick _),
@@ -159,7 +162,10 @@ object SparkEntry {
     "j_bloom_prefilter", "dedup_semantic_keep_first",
     "dedup_chunks_global", "corpus_source_cap",
     "dedup_fuzzy_neighbors", "text_quality_model",
-    "asof_join_native")
+    "asof_join_native",
+    // round-6 additions:
+    "asof_forward_native", "range_join_rule",
+    "text_char_diversity", "text_ngram_novelty", "corpus_mix_epochs")
 
   // --- generated DuckDB replicas of the portable-hash queries ----------
 
@@ -672,6 +678,21 @@ object SparkEntry {
          |    AS pos_in_shard
          |FROM k""".stripMargin
     },
+    // Epoch manifest: smallest e in [1,4] with e·n_lang >= n_max, all
+    // integer comparisons; the order hash is the shared portable h48.
+    "corpus_mix_epochs" -> {
+      val h = graft.functions.PortableHash.sqlH48(
+        "concat('mix:', CAST(doc_id AS VARCHAR), ':', CAST(epoch AS VARCHAR))")
+      s"""WITH c AS (SELECT lang, count(*) AS n_lang FROM documents GROUP BY 1),
+         |m AS (SELECT max(n_lang) AS n_max FROM c),
+         |d AS (SELECT doc_id, dd.lang,
+         |    CASE WHEN n_lang * 1 >= n_max THEN 1
+         |         WHEN n_lang * 2 >= n_max THEN 2
+         |         WHEN n_lang * 3 >= n_max THEN 3 ELSE 4 END AS epochs
+         |  FROM documents dd JOIN c USING (lang) CROSS JOIN m),
+         |e AS (SELECT doc_id, lang, unnest(range(1, epochs + 1)) AS epoch FROM d)
+         |SELECT doc_id, lang, epoch, $h AS ord_hash FROM e""".stripMargin
+    },
     // Context windows: pure integer manifest; ceil-division spelled as
     // (x + stride − 1) // stride on exact small integers.
     "corpus_context_windows" ->
@@ -911,6 +932,35 @@ object SparkEntry {
          |  sum(wm) > 0 AS keep, count(*) AS n_tokens
          |FROM s GROUP BY doc_id""".stripMargin
     },
+    // Exact-integer Simpson numerator/denominator; only the final
+    // ratio is portably rounded.
+    "text_char_diversity" ->
+      """WITH ch AS (SELECT doc_id,
+        |    unnest(string_split(substr(text, 1, 256), '')) AS c
+        |  FROM documents),
+        |cc AS (SELECT doc_id, c, count(*) AS cnt FROM ch GROUP BY 1, 2)
+        |SELECT doc_id, count(*) AS alphabet,
+        |  CAST(sum(cnt) AS BIGINT) AS n_sampled,
+        |  CAST(sum(cnt * cnt) AS BIGINT) AS sum_sq,
+        |  floor(CAST(sum(cnt * cnt) AS DOUBLE) / (sum(cnt) * sum(cnt))
+        |    * 1000000 + 0.5) / 1000000 AS simpson
+        |FROM cc GROUP BY doc_id""".stripMargin,
+    // Same distinct-3-gram shingles as the dedup family; first owner =
+    // min doc_id per gram.
+    "text_ngram_novelty" ->
+      """WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |sh AS (
+        |  SELECT doc_id, unnest(list_distinct(
+        |    [array_to_string(w[i:i+2], ' ') for i in range(1, len(w) - 1)])) AS s
+        |  FROM ws WHERE len(w) >= 3),
+        |perdoc AS (SELECT doc_id, count(*) AS n_grams FROM sh GROUP BY 1),
+        |own AS (SELECT s, min(doc_id) AS doc_id FROM sh GROUP BY 1),
+        |novel AS (SELECT doc_id, count(*) AS n_novel FROM own GROUP BY 1)
+        |SELECT p.doc_id, p.n_grams,
+        |  CAST(coalesce(n.n_novel, 0) AS BIGINT) AS n_novel,
+        |  floor(CAST(coalesce(n.n_novel, 0) AS DOUBLE) / p.n_grams
+        |    * 1000000 + 0.5) / 1000000 AS novelty
+        |FROM perdoc p LEFT JOIN novel n ON p.doc_id = n.doc_id""".stripMargin,
     "dedup_semantic_keep_first" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
         |c AS (SELECT vec_id AS cent_id, emb AS c_emb FROM e WHERE vec_id % 50 = 0),

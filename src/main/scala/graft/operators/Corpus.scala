@@ -318,4 +318,36 @@ object Corpus {
       .select(col("doc_id"), col("source"), col("rank"),
         PortableRound.pround(col("q"), 4).as("quality"))
   }
+
+  /** Domain-mixing EPOCH MANIFEST: scarce languages repeat across
+    * training epochs instead of being discarded or materialized —
+    * `epochs_l` = smallest e in [1, cap] with `e · n_l >= n_max`,
+    * i.e. `min(cap, ceil(n_max / n_l))` in exact integer arithmetic
+    * (the static-weights analogue of DoReMi-style mixture tuning; the
+    * downsampling twins are [[langBalance]]/[[temperatureSample]]).
+    * Emits one (doc, epoch) row plus a portable order hash the reader
+    * sorts on — the 100 TB corpus is never physically duplicated, the
+    * manifest is the repetition (same design as the context-window
+    * manifest).
+    *
+    * Scale shape: tiny per-lang count agg broadcast back, then a
+    * narrow bounded explode (≤ cap rows per doc); zero corpus shuffle.
+    */
+  def mixEpochs(spark: SparkSession, sfDir: String, cap: Int = 4): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val counts = docs.groupBy(col("lang")).agg(count(lit(1)).as("n_lang"))
+    val mx = counts.agg(max(col("n_lang")).as("n_max"))
+    // smallest e with e*n_lang >= n_max, capped: a when-cascade keeps
+    // the arithmetic integral (no ceil/div rounding disagreements)
+    val e = (1 until cap).foldRight(lit(cap.toLong)) { (k, rest) =>
+      when(col("n_lang") * k >= col("n_max"), k.toLong).otherwise(rest)
+    }
+    docs.join(broadcast(counts), "lang")
+      .crossJoin(broadcast(mx))
+      .select(col("doc_id"), col("lang"),
+        explode(sequence(lit(1L), e)).as("epoch"))
+      .withColumn("ord_hash", PortableHash.md5Hash48(concat(
+        lit("mix:"), col("doc_id").cast("string"), lit(":"),
+        col("epoch").cast("string"))))
+  }
 }

@@ -271,4 +271,53 @@ object TextAnalysis {
       .select(col("doc_id"), col("score_milli"),
         (col("score_milli") > 0).as("keep"), col("n_tokens"))
   }
+
+  /** Character-level diversity over the first `prefixLen` chars — the
+    * standard cheap gibberish/boilerplate gate (binary blobs and
+    * keyboard-mash have tiny alphabets; repeated-padding spam has a
+    * Simpson index near 1). The collision probability Σc²/n² is kept
+    * as exact integers (`sum_sq`, `n_sampled`) with only the final
+    * ratio rounded, so the DuckDB oracle matches bit-for-bit.
+    *
+    * Scale shape: the explode is BOUNDED by the prefix (≤256 rows/doc
+    * regardless of document size — same trick as the context-window
+    * manifest), and the (doc_id, char) count collapses map-side into
+    * ≤ alphabet rows per doc before the one real shuffle. */
+  def charDiversity(spark: SparkSession, sfDir: String,
+      prefixLen: Int = 256): DataFrame = {
+    val chars = Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        explode(split(substring(col("text"), 1, prefixLen), "")).as("c"))
+      .filter(col("c") =!= "") // Java split keeps one trailing ""
+    chars.groupBy(col("doc_id"), col("c")).agg(count(lit(1)).as("cnt"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("alphabet"),
+        sum(col("cnt")).as("n_sampled"),
+        sum(col("cnt") * col("cnt")).as("sum_sq"))
+      .select(col("doc_id"), col("alphabet"), col("n_sampled"), col("sum_sq"),
+        PortableRound.pround(col("sum_sq").cast("double") /
+          (col("n_sampled") * col("n_sampled")), 6).as("simpson"))
+  }
+
+  /** N-gram novelty: the fraction of a document's distinct 3-grams
+    * whose corpus-wide FIRST occurrence (min doc_id = ingestion order)
+    * is this document — a diversity/contribution score used to
+    * prioritize genuinely new material over boilerplate recombination.
+    * Same shingles as the dedup family ([[Dedup.withShingles]]).
+    *
+    * Scale shape: per-doc gram counts and per-gram first owners are
+    * two map-side-combined aggregates; the only join is doc-keyed
+    * (corpus-count rows on BOTH sides, never the gram space). */
+  def ngramNovelty(spark: SparkSession, sfDir: String): DataFrame = {
+    val grams = Dedup.withShingles(Tables.documents(spark, sfDir))
+      .select(col("doc_id"), explode(col("sh")).as("s"))
+    val perDoc = grams.groupBy(col("doc_id")).agg(count(lit(1)).as("n_grams"))
+    val owners = grams.groupBy(col("s")).agg(min(col("doc_id")).as("doc_id"))
+    val novel = owners.groupBy(col("doc_id")).agg(count(lit(1)).as("n_novel"))
+    perDoc.join(novel, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_grams"),
+        coalesce(col("n_novel"), lit(0L)).as("n_novel"),
+        PortableRound.pround(coalesce(col("n_novel"), lit(0L)).cast("double") /
+          col("n_grams"), 6).as("novelty"))
+  }
 }

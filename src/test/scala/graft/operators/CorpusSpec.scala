@@ -1,5 +1,6 @@
 package graft.operators
 
+import org.apache.spark.sql.functions.{col, max}
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.TestSpark
@@ -187,5 +188,25 @@ class CorpusSpec extends AnyFunSuite {
         cum += tokens
       }
     }
+  }
+
+  test("mix epochs: per-lang epoch count is min(4, ceil(n_max/n_lang)), rows unique") {
+    val df = Corpus.mixEpochs(spark, sfDir)
+    val docs = graft.Tables.documents(spark, sfDir)
+    val counts = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val nMax = counts.values.max
+    val expected = counts.view.mapValues(n =>
+      math.min(4L, (nMax + n - 1) / n)).toMap
+    val perLang = df.groupBy("lang").agg(max("epoch").as("e")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(perLang == expected, s"got $perLang expected $expected")
+    // the dominant language never repeats
+    val domLang = counts.maxBy(_._2)._1
+    assert(perLang(domLang) == 1L)
+    // one row per (doc, epoch); every doc present in every one of its epochs
+    assert(df.groupBy("doc_id", "epoch").count().filter(col("count") > 1).count() == 0)
+    val total = counts.map { case (l, n) => n * expected(l) }.sum
+    assert(df.count() == total)
   }
 }

@@ -130,4 +130,36 @@ class TextTrainingOpsSpec extends AnyFunSuite {
     val twoStage = Similarity.centroidOutliers(spark, sfDir)
     assert(twoStage.exceptAll(direct).count() == 0 && direct.exceptAll(twoStage).count() == 0)
   }
+
+  test("char diversity: bounds hold and a direct recount agrees for doc 0") {
+    val df = TextAnalysis.charDiversity(spark, sfDir)
+    val nDocs = graft.Tables.documents(spark, sfDir).count()
+    assert(df.count() == nDocs)
+    val bad = df.filter(col("alphabet") < 1 || col("n_sampled") > 256 ||
+      col("sum_sq") < col("n_sampled") ||
+      col("simpson") <= 0.0 || col("simpson") > 1.0).count()
+    assert(bad == 0)
+    val text = graft.Tables.documents(spark, sfDir)
+      .filter(col("doc_id") === 0).head().getAs[String]("text").take(256)
+    val counts = text.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val row = df.filter(col("doc_id") === 0).head()
+    assert(row.getAs[Long]("alphabet") == counts.size)
+    assert(row.getAs[Long]("n_sampled") == text.length)
+    assert(row.getAs[Long]("sum_sq") == counts.values.map(c => c * c).sum)
+  }
+
+  test("ngram novelty: first owners partition the gram space; earliest doc is all-novel") {
+    val df = TextAnalysis.ngramNovelty(spark, sfDir)
+    assert(df.filter(col("n_novel") > col("n_grams")).count() == 0)
+    assert(df.filter(col("novelty") < 0.0 || col("novelty") > 1.0).count() == 0)
+    // every distinct gram has exactly one first owner
+    val totalGrams = Dedup.withShingles(graft.Tables.documents(spark, sfDir))
+      .select(explode(col("sh")).as("s")).distinct().count()
+    val sumNovel = df.agg(sum("n_novel")).head().getLong(0)
+    assert(sumNovel == totalGrams)
+    // the smallest doc_id that has grams owns all of them
+    val firstDoc = df.agg(min("doc_id")).head().getLong(0)
+    val fr = df.filter(col("doc_id") === firstDoc).head()
+    assert(fr.getAs[Long]("n_novel") == fr.getAs[Long]("n_grams"))
+  }
 }
