@@ -201,4 +201,51 @@ class PlanShapeSpec extends AnyFunSuite {
     val windows = p.linesIterator.count(_.contains("Window [row_number()"))
     assert(windows == 2, s"expected salted pre-pass + final window, got $windows:\n$p")
   }
+
+  test("mix epochs: per-lang counts broadcast back, the corpus never sorts") {
+    val p = plan("corpus_mix_epochs")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      s"per-lang counts and n_max must arrive as broadcasts:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"the corpus side must never shuffle for the epoch manifest:\n$p")
+    assert(p.contains("Generate explode"), s"epoch explode missing:\n$p")
+  }
+
+  test("char diversity: prefix-bounded explode reads only (doc_id, text)") {
+    val p = plan("text_char_diversity")
+    assert(p.contains("ReadSchema") && p.contains("doc_id") && p.contains("text"))
+    assert(!p.contains("n_chars") && !p.contains("lang"),
+      s"scan must prune to the two used columns:\n$p")
+    // two-stage aggregation: (doc,char) count collapses map-side
+    assert(p.linesIterator.count(_.contains("HashAggregate")) >= 4, p)
+  }
+
+  test("ngram novelty: doc-keyed join only — the gram space is never joined") {
+    val p = plan("text_ngram_novelty")
+    val gramJoin = p.linesIterator.exists(l =>
+      (l.contains("SortMergeJoin") || l.contains("ShuffledHashJoin") ||
+        l.contains("BroadcastHashJoin")) && l.contains("[s"))
+    assert(!gramJoin, s"no join may key on the gram column:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("native as-of variants share the backward plan shape: one exchange " +
+      "per side, no union") {
+    for (q <- Seq("asof_forward_native", "asof_nearest_native")) {
+      val p = plan(q)
+      assert(p.contains("AsofJoin"), s"$q must plan the custom exec:\n$p")
+      assert(!p.contains("Union") && !p.contains("Window"), s"$q:\n$p")
+    }
+  }
+
+  test("range-join rule: the naive inequality join plans as an equi-join") {
+    val p = plan("range_join_rule")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"the optimizer rule must remove the nested loop:\n$p")
+    // any equi-join flavor keyed on the bin (the tiny test SF broadcasts;
+    // at scale EnsureRequirements picks shuffled hash / sort-merge)
+    assert(p.linesIterator.exists(l =>
+      l.contains("HashJoin") && l.contains("__graft_bin")),
+      s"expected the bin-keyed equi-join:\n$p")
+  }
 }
