@@ -23,6 +23,9 @@ object SparkEntry {
     "q3_shipping" -> (Relational.q3Shipping _),
     "q5_region" -> (Relational.q5Region _),
     "q14_promo" -> (Relational.q14Promo _),
+    "q6_forecast" -> (Relational.q6Forecast _),
+    "q10_returns" -> (Relational.q10Returns _),
+    "q18_big_orders" -> (Relational.q18BigOrders _),
     // §2.2 filters
     "f1_type_filter" -> (Relational.f1TypeFilter _),
     "f2_error_filter" -> (Relational.f2ErrorFilter _),
@@ -165,7 +168,8 @@ object SparkEntry {
     "asof_join_native",
     // round-6 additions:
     "asof_forward_native", "range_join_rule",
-    "text_char_diversity", "text_ngram_novelty", "corpus_mix_epochs")
+    "text_char_diversity", "text_ngram_novelty", "corpus_mix_epochs",
+    "q6_forecast", "q10_returns", "q18_big_orders")
 
   // --- generated DuckDB replicas of the portable-hash queries ----------
 
@@ -531,6 +535,36 @@ object SparkEntry {
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |WHERE l_shipdate >= '1995-01-01' AND l_shipdate < '1995-07-01'
         |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+    "q6_forecast" ->
+      """SELECT
+        |  cast(round(sum(cast(l_extendedprice as decimal(18,2)) * cast(l_discount as decimal(18,2))), 2) as double) AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem
+        |WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1997-01-01'
+        |  AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24""".stripMargin,
+    "q10_returns" ->
+      """SELECT c_custkey, c_name, c_acctbal, n_name,
+        |  cast(round(sum(cast(l_extendedprice as decimal(18,2)) * (cast(1 as decimal(18,2)) - cast(l_discount as decimal(18,2)))), 2) as double) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE l_returnflag = 'R'
+        |  AND o_orderdate >= '1996-01-01' AND o_orderdate < '1996-04-01'
+        |GROUP BY c_custkey, c_name, c_acctbal, n_name
+        |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
+    "q18_big_orders" ->
+      """WITH big AS (
+        |  SELECT l_orderkey, sum(cast(l_quantity as decimal(18,2))) AS tot_qty
+        |  FROM lineitem GROUP BY l_orderkey
+        |  HAVING sum(cast(l_quantity as decimal(18,2))) > 300)
+        |SELECT c_name, c_custkey, o_orderkey,
+        |  strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate, o_totalprice,
+        |  cast(round(tot_qty, 2) as double) AS tot_qty
+        |FROM big
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin,
     "f1_type_filter" ->
       "SELECT event_id, event_type, user_id FROM events WHERE substr(event_type, 1, 2) = 'cl'",
     "f2_error_filter" ->

@@ -430,7 +430,12 @@ object Dedup {
       array(col("c_name")),
       transform(sequence(lit(1), n), i =>
         concat(col("c_name").substr(lit(1), i - 1), col("c_name").substr(i + 1, n)))))
+    // localCheckpoint: BOTH self-join sides read the materialized
+    // variant rows instead of re-running the interpreted deletion-
+    // variant transform per side (measured 2.7 -> 1.7 s at sf0.1; the
+    // materialization is O(Σ|s|) rows, the same size the join shuffles)
     val v = cust.select(col("c_custkey"), col("c_name"), explode(variants).as("variant"))
+      .localCheckpoint()
     val a = v.select(col("variant"), col("c_custkey").as("id1"), col("c_name").as("name1"))
     val b = v.select(col("variant").as("v2"), col("c_custkey").as("id2"), col("c_name").as("name2"))
     a.join(b, col("variant") === col("v2") && col("id1") < col("id2"))

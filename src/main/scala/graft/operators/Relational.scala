@@ -84,6 +84,53 @@ object Relational {
       .orderBy(col("revenue").desc, col("n_name"))
   }
 
+  /** Q6-shaped forecasting-revenue change: the pure scan-and-aggregate
+    * query — no join at all, so it measures raw pushdown + codegen'd
+    * predicate throughput (dates shifted to this dataset's 1995-2001
+    * range). */
+  def q6Forecast(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.lineitem(spark, sfDir)
+      .filter(col("l_shipdate") >= lit("1996-01-01") && col("l_shipdate") < lit("1997-01-01") &&
+        col("l_discount") >= 0.05 && col("l_discount") <= 0.07 && col("l_quantity") < 24)
+      .agg(
+        asDouble(sum(dec(col("l_extendedprice")) * dec(col("l_discount")))).as("revenue"),
+        count(lit(1)).as("n_items"))
+  }
+
+  /** Q10-shaped returned-item reporting: fact-fact join + broadcast
+    * dims + deterministic top-20 by revenue. */
+  def q10Returns(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir).filter(col("l_returnflag") === "R")
+    val ord = Tables.orders(spark, sfDir)
+      .filter(col("o_orderdate") >= lit("1996-01-01") && col("o_orderdate") < lit("1996-04-01"))
+    val cust = Tables.customer(spark, sfDir)
+    val nat = Tables.nation(spark, sfDir)
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"))
+      .agg(asDouble(sum(dec(col("l_extendedprice")) * (lit(1).cast("decimal(18,2)") - dec(col("l_discount"))))).as("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+  }
+
+  /** Q18-shaped large-volume customers: the having-on-aggregate shape —
+    * per-order quantity rollup feeds a semi-filter on the fact side
+    * before the dimension joins. */
+  def q18BigOrders(spark: SparkSession, sfDir: String): DataFrame = {
+    val big = Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_orderkey"))
+      .agg(sum(dec(col("l_quantity"))).as("tot_qty"))
+      .filter(col("tot_qty") > 300)
+    big.join(Tables.orders(spark, sfDir), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.customer(spark, sfDir)), col("o_custkey") === col("c_custkey"))
+      .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+        asDate(col("o_orderdate")).as("o_orderdate"), col("o_totalprice"),
+        asDouble(col("tot_qty")).as("tot_qty"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(100)
+  }
+
   /** Q14-shaped promo revenue: lineitem × part with conditional
     * aggregation (covers the `part` table + case-aggregate shape). */
   def q14Promo(spark: SparkSession, sfDir: String): DataFrame = {
