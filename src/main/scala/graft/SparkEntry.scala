@@ -103,6 +103,7 @@ object SparkEntry {
     "mm_frame_sample" -> ((s: SparkSession, d: String) => Multimodal.frameSample(s, d)),
     "mm_decode_stats" -> (Multimodal.decodeStub _),
     "mm_resize_plan" -> ((s: SparkSession, d: String) => Multimodal.resizePlan(s, d)),
+    "mm_byte_ahash" -> ((s: SparkSession, d: String) => Multimodal.byteAHash(s, d)),
     // training-data ops: text analysis
     "text_lang_id" -> (TextAnalysis.langId _),
     "text_quality" -> (TextAnalysis.qualityScore _),
@@ -1150,6 +1151,23 @@ object SparkEntry {
         |  cast(floor((n_chars % 48 + 16) *
         |    least(1.0, 32.0 / greatest(n_chars % 64 + 16, n_chars % 48 + 16))) as int) AS new_height
         |FROM documents WHERE doc_id % 3 = 0""".stripMargin,
+    // aHash replica: same hex-nibble byte parse (uppercase alphabet on
+    // both sides), same exact-integer block threshold, bit weights via
+    // pow(2,k) (exact well below 2^53).
+    "mm_byte_ahash" ->
+      """WITH b AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 3 = 0 THEN 'image'
+        |         WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS modality,
+        |    list_transform(range(0, 32), i ->
+        |      16 * (strpos('0123456789ABCDEF', substr(upper(sha256(text)), 2*i+1, 1)) - 1)
+        |        + (strpos('0123456789ABCDEF', substr(upper(sha256(text)), 2*i+2, 1)) - 1)) AS bytes
+        |  FROM documents),
+        |s AS (SELECT doc_id, modality, bytes, list_sum(bytes) AS total FROM b)
+        |SELECT doc_id, modality,
+        |  CAST(list_sum(list_transform(range(0, 8), k ->
+        |    CASE WHEN list_sum(bytes[4*k+1:4*k+4]) * 8 > total
+        |         THEN CAST(pow(2, k) AS BIGINT) ELSE 0 END)) AS BIGINT) AS ahash
+        |FROM s""".stripMargin,
     "text_lang_id" ->
       """SELECT doc_id, lang AS declared_lang,
         |  CASE WHEN s_en >= s_fr AND s_en >= s_de AND s_en >= s_es AND s_en > 0 THEN 'en'

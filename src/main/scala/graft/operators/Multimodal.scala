@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -106,6 +106,30 @@ object Multimodal {
         Row(docId, modality, payload.length, math.floor(mean * 100 + 0.5) / 100, distinct / 8)
       }
     }(enc)
+  }
+
+  /** Perceptual-hash PLUMBING over the binary column: an 8-block
+    * average hash (aHash) computed on the payload bytes — block bit =
+    * 1 when the block's byte sum exceeds its share of the total
+    * (`block_sum·8 > total`, exact integers, no division). A real
+    * image pipeline decodes + downsamples first and then runs exactly
+    * this bit construction; the stub skips the codec but the blocking,
+    * the threshold arithmetic, and the hamming-bucket usage downstream
+    * are the production shape. Pure codegen'd Column program (the
+    * payload parses via hex + conv — no UDF), zero shuffle. */
+  def byteAHash(spark: SparkSession, sfDir: String): DataFrame = {
+    val hx = upper(hex(col("payload")))
+    def byteAt(i: Int): Column =
+      conv(substring(hx, 2 * i + 1, 2), 16, 10).cast("long")
+    val bytes = (0 until 32).map(byteAt)
+    val total = bytes.reduce(_ + _)
+    val ahash = (0 until 8).map { b =>
+      val blockSum = (0 until 4).map(k => bytes(b * 4 + k)).reduce(_ + _)
+      when(blockSum * 8 > total, lit(1L << b)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    blobs(spark, sfDir)
+      .select(col("doc_id"), col("meta.modality").as("modality"),
+        ahash.as("ahash"))
   }
 
   /** Resize planning: new dims as metadata transform (the byte-level
