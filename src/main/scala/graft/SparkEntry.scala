@@ -95,6 +95,7 @@ object SparkEntry {
     "ann_ivf_topk" -> ((s: SparkSession, d: String) => Similarity.annIvfTopK(s, d)),
     "ann_ivf_kmeans_topk" -> ((s: SparkSession, d: String) => Similarity.kmeansIvfTopK(s, d)),
     "embed_quantize_int8" -> (Similarity.quantizeInt8 _),
+    "embed_pca_power" -> ((s: SparkSession, d: String) => Similarity.pcaPowerTop(s, d)),
     "ann_pq_adc_topk" -> ((s: SparkSession, d: String) => Similarity.pqAdcTopK(s, d)),
     "ann_ivf_pq_topk" -> ((s: SparkSession, d: String) => Similarity.ivfPqTopK(s, d)),
     "sub_intersect" -> (Substrate.intersectOp _),
@@ -170,7 +171,8 @@ object SparkEntry {
     // round-6 additions:
     "asof_forward_native", "range_join_rule",
     "text_char_diversity", "text_ngram_novelty", "corpus_mix_epochs",
-    "q6_forecast", "q10_returns", "q18_big_orders")
+    "q6_forecast", "q10_returns", "q18_big_orders",
+    "mm_byte_ahash", "embed_pca_power")
 
   // --- generated DuckDB replicas of the portable-hash queries ----------
 
@@ -874,6 +876,22 @@ object SparkEntry {
          |SELECT vec_id, ${graft.operators.PortableRound.sql("qs", 6)} AS qscale,
          |  list_transform(ed, v -> CAST(floor(v * qs + 0.5) AS INT)) AS codes
          |FROM s""".stripMargin,
+    // Power-iteration replica: same 1/1024 quantization, same two
+    // passes, same sign-safe (+2^50) floor-division downscale by 2^20.
+    "embed_pca_power" ->
+      """WITH e AS (SELECT vec_id, t.j AS j,
+        |    CAST(floor(CAST(embedding AS DOUBLE[])[t.j] * 1024 + 0.5) AS BIGINT) AS qv
+        |  FROM embeddings CROSS JOIN range(1, 65) AS t(j)),
+        |y1 AS (SELECT vec_id, CAST(sum(qv) AS BIGINT) AS y FROM e GROUP BY 1),
+        |z1 AS (SELECT j, CAST(sum(e.qv * y1.y) AS BIGINT) AS z1
+        |  FROM e JOIN y1 USING (vec_id) GROUP BY 1),
+        |x1 AS (SELECT j,
+        |    (z1 + 1125899906842624) // 1048576 - 1073741824 AS x1 FROM z1),
+        |y2 AS (SELECT vec_id, CAST(sum(e.qv * x1.x1) AS BIGINT) AS y2
+        |  FROM e JOIN x1 USING (j) GROUP BY 1),
+        |z2 AS (SELECT j, CAST(sum(e.qv * y2.y2) AS BIGINT) AS z2
+        |  FROM e JOIN y2 USING (vec_id) GROUP BY 1)
+        |SELECT x1.j, x1.x1, z2.z2 FROM x1 JOIN z2 USING (j) ORDER BY j""".stripMargin,
     "dedup_exact_keep_first" ->
       """SELECT doc_id, content_hash FROM (
         |  SELECT doc_id, md5(text) AS content_hash,

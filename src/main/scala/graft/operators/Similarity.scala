@@ -542,4 +542,45 @@ object Similarity {
     assigned.join(dupIds, Seq("vec_id"), "left_anti")
       .select(col("vec_id"), col("cent_id"))
   }
+
+  /** Top principal direction of the embedding matrix by POWER ITERATION
+    * — two unrolled `x ← Aᵀ(Ax)` passes in exact fixed-point integers
+    * (floats quantize to 1/1024 steps; the inter-pass downscale is a
+    * floor-division by 2²⁰ made sign-safe with a +2⁵⁰ offset — a 2³⁰
+    * divisor collapsed the iterate to {-1,0,1} and destroyed the
+    * direction, caught by the double-precision recount spec), so both
+    * engines compute bit-identical vectors and the DuckDB oracle
+    * replays the whole iteration — the eigen-analysis analogue of the
+    * replayable k-means in [[kmeansIvfTopK]]. Output: per dimension,
+    * the iterate after pass 1 (`x1`) and the unnormalized direction
+    * after pass 2 (`z2`); dominant dims = largest |z2|.
+    *
+    * Scale shape per pass: one (vec_id)-keyed matvec join + one
+    * (dim)-keyed transpose aggregate that collapses map-side to
+    * `dims` rows; the 64-row iterate broadcasts back. The quantized
+    * (vec, dim, q) rows are localCheckpoint'ed once and reused by all
+    * four joins — and at 100 TB they'd instead be a bucketed table on
+    * vec_id, eliding every matvec shuffle. Magnitudes: |z2| ≤
+    * n·4096·|y2| ≈ 10¹⁷ at sf0.1 — widen the two sums to
+    * DECIMAL(38,0) beyond ~10⁶ rows (same trade the k-means notes). */
+  def pcaPowerTop(spark: SparkSession, sfDir: String): DataFrame = {
+    val M = 1L << 20
+    val OFF = 1L << 50
+    val e = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"),
+        posexplode(col("embedding").cast("array<double>")).as(Seq("j0", "x")))
+      .select(col("vec_id"), (col("j0") + 1).as("j"),
+        floor(col("x") * 1024 + 0.5).cast("long").as("qv"))
+      .localCheckpoint()
+    val y1 = e.groupBy(col("vec_id")).agg(sum(col("qv")).as("y")) // x0 = 1s
+    val z1 = e.join(y1, "vec_id").groupBy(col("j"))
+      .agg(sum(col("qv") * col("y")).as("z1"))
+    val x1 = z1.select(col("j"),
+      (expr(s"(z1 + $OFF) div $M") - (OFF / M)).as("x1"))
+    val y2 = e.join(broadcast(x1), "j").groupBy(col("vec_id"))
+      .agg(sum(col("qv") * col("x1")).as("y2"))
+    val z2 = e.join(y2, "vec_id").groupBy(col("j"))
+      .agg(sum(col("qv") * col("y2")).as("z2"))
+    x1.join(z2, "j").select(col("j"), col("x1"), col("z2")).orderBy(col("j"))
+  }
 }

@@ -131,6 +131,29 @@ class TextTrainingOpsSpec extends AnyFunSuite {
     assert(twoStage.exceptAll(direct).count() == 0 && direct.exceptAll(twoStage).count() == 0)
   }
 
+  test("pca power iteration: engine direction matches a double-precision recount") {
+    val out = Similarity.pcaPowerTop(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("j") -> r.getAs[Long]("z2")).toMap
+    assert(out.keySet == (1L to 64L).toSet)
+    // pure-JVM recount of the same two passes, but in plain doubles
+    // WITHOUT quantization or the integer downscale: the fixed-point
+    // engine result must point the same way (quantization error is
+    // ~1e-3 relative; the iterate direction is what PCA is for)
+    val a = graft.Tables.embeddings(spark, sfDir)
+      .select(col("embedding").cast("array<double>"))
+      .collect().map(_.getSeq[Double](0).toArray)
+    var x = Array.fill(64)(1.0)
+    for (_ <- 1 to 2) {
+      val y = a.map(row => row.zip(x).map { case (v, w) => v * w }.sum)
+      val z = Array.tabulate(64)(jj => a.zip(y).map { case (row, yi) => row(jj) * yi }.sum)
+      x = z
+    }
+    val e = (1 to 64).map(j => out(j.toLong).toDouble)
+    val dot = e.zip(x).map { case (p, q) => p * q }.sum
+    val cos = dot / (math.sqrt(e.map(v => v * v).sum) * math.sqrt(x.map(v => v * v).sum))
+    assert(cos > 0.999, s"fixed-point direction diverged from double recount: cos=$cos")
+  }
+
   test("char diversity: bounds hold and a direct recount agrees for doc 0") {
     val df = TextAnalysis.charDiversity(spark, sfDir)
     val nDocs = graft.Tables.documents(spark, sfDir).count()
