@@ -353,9 +353,15 @@ object Dedup {
     * blocking: 48 bits / 3 bands — distance ≤ 2 guarantees a band equal). */
   def simhashCandidates(spark: SparkSession, sfDir: String): DataFrame = {
     val sims = simhash(spark, sfDir)
+    // localCheckpoint: both self-join sides read the materialized
+    // (doc, band, bucket) rows — 3 rows/doc — so the simhash
+    // aggregation pipeline runs ONCE, not once per side (at sf0.1 the
+    // warm win is modest, ~1.6 -> 1.5 s — cold is codegen-compile
+    // dominated — but at 100 TB it halves the corpus passes)
     val banded = sims.select(col("doc_id"), posexplode(array((0 until 3).map(b =>
       shiftright(col("simhash"), b * 16).bitwiseAND(0xFFFFL)): _*)))
       .select(col("doc_id"), col("pos").as("band"), col("col").as("bucket"))
+      .localCheckpoint()
     banded.as("x").join(banded.as("y"),
         col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
           col("x.doc_id") < col("y.doc_id"))
