@@ -48,6 +48,8 @@ object SparkEntry {
     "sub_sessionize" -> ((s: SparkSession, d: String) => Relational.sessionize(s, d)),
     // substrate: grouping sets / joins / dates / SQL text / extensions
     "sub_rollup" -> (Substrate.rollup _),
+    "sub_cube" -> (Substrate.cubeOp _),
+    "sub_pivot" -> (Substrate.pivotLangSource _),
     "sub_semi_join" -> (Substrate.semiJoin _),
     "sub_ilike_join" -> (Substrate.ilikeJoin _),
     "sub_date_ops" -> (Substrate.dateOps _),
@@ -1110,6 +1112,20 @@ object SparkEntry {
       """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
         |  cast(round(sum(cast(o_totalprice as decimal(18,2))), 2) as double) AS total
         |FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)""".stripMargin,
+    "sub_cube" ->
+      """SELECT lang, source, count(*) AS n,
+        |  CAST(sum(n_chars) AS BIGINT) AS total_chars
+        |FROM documents GROUP BY CUBE(lang, source)""".stripMargin,
+    "sub_pivot" ->
+      """WITH d AS (SELECT lang,
+        |    'src' || (CAST(substr(source, 4, 10) AS BIGINT) % 4) AS b
+        |  FROM documents)
+        |SELECT lang,
+        |  CAST(sum(CASE WHEN b = 'src0' THEN 1 ELSE 0 END) AS BIGINT) AS src0,
+        |  CAST(sum(CASE WHEN b = 'src1' THEN 1 ELSE 0 END) AS BIGINT) AS src1,
+        |  CAST(sum(CASE WHEN b = 'src2' THEN 1 ELSE 0 END) AS BIGINT) AS src2,
+        |  CAST(sum(CASE WHEN b = 'src3' THEN 1 ELSE 0 END) AS BIGINT) AS src3
+        |FROM d GROUP BY lang""".stripMargin,
     "sub_semi_join" ->
       """SELECT c_custkey, c_name, c_mktsegment FROM customer
         |WHERE EXISTS (SELECT 1 FROM orders

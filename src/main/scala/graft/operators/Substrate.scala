@@ -21,6 +21,30 @@ object Substrate {
       .agg(count(lit(1)).as("n"),
         round(sum(col("o_totalprice").cast("decimal(18,2)")), 2).cast("double").as("total"))
 
+  /** CUBE aggregation — all four grouping sets of (lang, source) in one
+    * pass (the Expand doubles rows per grouping set, aggregates stay
+    * partial; the rollup twin is [[rollup]]). */
+  def cubeOp(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .cube(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("total_chars"))
+
+  /** PIVOT — per-lang document counts spread into one column per source
+    * bucket (the explicit value list keeps the output schema static, as
+    * a production pivot at scale must: an unlisted-values pivot
+    * collects the distinct values to the driver first). */
+  def pivotLangSource(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .withColumn("src_bucket",
+        concat(lit("src"), pmod(substring(col("source"), 4, 10).cast("long"), lit(4))))
+      .groupBy(col("lang"))
+      .pivot("src_bucket", Seq("src0", "src1", "src2", "src3"))
+      .agg(count(lit(1)))
+      .select(col("lang"), coalesce(col("src0"), lit(0L)).as("src0"),
+        coalesce(col("src1"), lit(0L)).as("src1"),
+        coalesce(col("src2"), lit(0L)).as("src2"),
+        coalesce(col("src3"), lit(0L)).as("src3"))
+
   /** LEFT SEMI join (EXISTS shape — F6's complement). */
   def semiJoin(spark: SparkSession, sfDir: String): DataFrame = {
     val urgent = Tables.orders(spark, sfDir)
