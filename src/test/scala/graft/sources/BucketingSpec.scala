@@ -44,4 +44,40 @@ class BucketingSpec extends AnyFunSuite {
       spark.sql("DROP TABLE IF EXISTS docs_bucketed")
     }
   }
+
+  test("as-of exec on a (key, ts)-bucket-sorted layout elides both exchanges") {
+    val events = Tables.events(spark, sfDir)
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+    // one write-time shuffle buys the layout every as-of after it reuses
+    events.write.mode("overwrite")
+      .bucketBy(8, "user_id").sortBy("user_id", "ts")
+      .saveAsTable("events_asof_bucketed")
+    try {
+      val t = spark.table("events_asof_bucketed")
+      val errors = t.filter(col("event_id") % 7 === 0)
+        .select(col("event_id"), col("user_id"), col("ts"), col("value").as("err_value"))
+      val clicks = t.filter(col("event_id") % 7 === 3)
+        .select(col("user_id"), col("ts"), col("value").as("click_value"))
+      val joined = graft.plans.AsofJoinNative.asofJoin(
+        errors, clicks, Seq("user_id"), "ts")
+      val p = joined.queryExecution.executedPlan.toString
+      assert(p.contains("AsofJoin"), p)
+      assert(!p.contains("Exchange"),
+        s"bucketed layout must satisfy the exec's ClusteredDistribution:\n$p")
+      assert(joined.count() > 0)
+      // control: the same join over plain parquet shuffles both sides
+      val pe = Tables.events(spark, sfDir)
+      val pErr = pe.filter(col("event_id") % 7 === 0)
+        .select(col("event_id"), col("user_id"), col("ts"), col("value").as("err_value"))
+      val pClk = pe.filter(col("event_id") % 7 === 3)
+        .select(col("user_id"), col("ts"), col("value").as("click_value"))
+      val plain = graft.plans.AsofJoinNative.asofJoin(pErr, pClk, Seq("user_id"), "ts")
+      assert(plain.queryExecution.executedPlan.toString.contains("Exchange"),
+        "control: plain parquet sides should shuffle")
+      // and the layouts agree on the result
+      assert(joined.exceptAll(plain).isEmpty && plain.exceptAll(joined).isEmpty)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS events_asof_bucketed")
+    }
+  }
 }
