@@ -144,6 +144,52 @@ object StreamSources {
       }
   }
 
+  /** First-occurrence dedup on the Spark 4 `transformWithState` API —
+    * the production twin of [[statefulDedupTtl]]: the TTL is DECLARED
+    * (`TTLConfig`) instead of hand-armed timers, and the operator runs
+    * on the RocksDB state store (`stateStore.providerClass` must point
+    * at RocksDBStateStoreProvider — transformWithState requires it),
+    * which is also what bounds state at 100 TB: the keyed store spills
+    * off-heap and TTL'd entries vacuum out without a timer per key.
+    *
+    * `ttl = None` runs in `TimeMode.None` (state bounded only by the
+    * checkpoint). With a TTL the operator runs in ProcessingTime mode,
+    * where Spark schedules a follow-up micro-batch after EVERY batch to
+    * advance eviction — correct for the always-on daemon, but a test
+    * (or any drain-and-stop run) never idles: `processAllAvailable`
+    * and even `Trigger.AvailableNow` loop forever (observed: 440+
+    * batches over two input rows). */
+  class FirstSeenProcessor(ttl: Option[java.time.Duration])
+      extends org.apache.spark.sql.streaming.StatefulProcessor[String, (String, String), String] {
+    @transient private var seen: org.apache.spark.sql.streaming.ValueState[Boolean] = _
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit = {
+      val ttlConf = ttl.map(org.apache.spark.sql.streaming.TTLConfig(_))
+        .getOrElse(org.apache.spark.sql.streaming.TTLConfig.NONE)
+      seen = getHandle.getValueState[Boolean]("seen",
+        org.apache.spark.sql.Encoders.scalaBoolean, ttlConf)
+    }
+    override def handleInputRows(key: String, rows: Iterator[(String, String)],
+        timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[String] = {
+      if (seen.exists()) Iterator.empty // replay inside the TTL: dropped
+      else {
+        seen.update(true)
+        rows.take(1).map(_._2) // first occurrence passes
+      }
+    }
+  }
+
+  def statefulDedupTws(keyed: Dataset[(String, String)],
+      ttl: Option[java.time.Duration] = None): Dataset[String] = {
+    implicit val se: org.apache.spark.sql.Encoder[String] =
+      org.apache.spark.sql.Encoders.STRING
+    val timeMode =
+      if (ttl.isDefined) org.apache.spark.sql.streaming.TimeMode.ProcessingTime()
+      else org.apache.spark.sql.streaming.TimeMode.None()
+    keyed.groupByKey(_._1)(org.apache.spark.sql.Encoders.STRING)
+      .transformWithState(new FirstSeenProcessor(ttl), timeMode, OutputMode.Append())
+  }
+
   /** The state-update for [[streamingKmv]], visible so specs drive it
     * through `TestGroupState`: fold the batch's hashes into the key's
     * ≤k minima and emit the refreshed (k_used, kth_min, estimate).

@@ -150,6 +150,46 @@ class StreamSubstrateSpec extends AnyFunSuite {
     assert(expired.isRemoved)
   }
 
+  test("transformWithState dedup: replay drops ACROSS query restarts (RocksDB)") {
+    // TimeMode.None so drain-and-stop runs terminate (see the operator
+    // scaladoc: with a TTL, ProcessingTime mode schedules a follow-up
+    // batch after every batch and never idles). Two AvailableNow runs
+    // over one checkpoint prove the stronger property — the RocksDB
+    // keyed state SURVIVES a query restart.
+    implicit val sqlCtx = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val ckpt = java.nio.file.Files.createTempDirectory("tws_ckpt").toString
+    try {
+      val input = MemoryStream[(String, String)]
+      val out = StreamSources.statefulDedupTws(input.toDS())
+      // foreachBatch, not the memory sink: only fault-tolerant sinks
+      // may resume from a checkpoint, and restart-survival is the point
+      val got = new ConcurrentLinkedQueue[String]()
+      def runOnce(): Set[String] = {
+        got.clear()
+        val q = out.writeStream.outputMode("append")
+          .option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .foreachBatch { (batch: org.apache.spark.sql.Dataset[String], _: Long) =>
+            batch.collect().foreach(got.add)
+          }.start()
+        assert(q.awaitTermination(120000), "AvailableNow run must terminate")
+        scala.jdk.CollectionConverters.CollectionHasAsScala(got).asScala.toSet
+      }
+      input.addData(("job-1", "payload-1"), ("job-2", "payload-2"))
+      assert(runOnce() == Set("payload-1", "payload-2"))
+      input.addData(("job-1", "replay"), ("job-3", "payload-3"))
+      assert(runOnce() == Set("payload-3")) // replay dropped
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("streaming KMV: cross-batch fold == single-pass batch sketch") {
     import org.apache.spark.sql.streaming.TestGroupState
     val batch1 = Seq(900L, 100L, 500L, 100L)
