@@ -48,4 +48,34 @@ class GraftExtensionsSpec extends AnyFunSuite {
       prevActive.foreach(SparkSession.setActiveSession)
     }
   }
+
+  test("GraftExtensions injects the range-join rule — no per-query register()") {
+    graft.TestSpark.spark
+    val prevDefault = SparkSession.getDefaultSession
+    val prevActive = SparkSession.getActiveSession
+    SparkSession.clearDefaultSession()
+    SparkSession.clearActiveSession()
+    try {
+      val spark = SparkSession.builder()
+        .withExtensions(new GraftExtensions()(_))
+        .getOrCreate()
+      import spark.implicits._
+      spark.conf.set(RangeJoinRule.WidthConf, "10")
+      try {
+        val l = Seq((1L, 15L)).toDF("pid", "x")
+        val r = Seq((7L, 10L, 30L)).toDF("iid", "lo", "hi")
+        val df = l.join(r, org.apache.spark.sql.functions.col("x") >= org.apache.spark.sql.functions.col("lo") &&
+          org.apache.spark.sql.functions.col("x") < org.apache.spark.sql.functions.col("hi"))
+        val p = df.queryExecution.executedPlan.toString
+        assert(!p.contains("BroadcastNestedLoopJoin") && p.contains("__graft_bin"),
+          s"extensions-injected rule must rewrite the naive range join:\n$p")
+        assert(df.count() == 1)
+      } finally spark.conf.unset(RangeJoinRule.WidthConf)
+    } finally {
+      SparkSession.clearDefaultSession()
+      SparkSession.clearActiveSession()
+      prevDefault.foreach(SparkSession.setDefaultSession)
+      prevActive.foreach(SparkSession.setActiveSession)
+    }
+  }
 }
