@@ -43,6 +43,7 @@ object SparkEntry {
     "j4_array_merge" -> (Relational.j4ArrayMerge _),
     // substrate: windows / set ops / time windows
     "w_running" -> (Relational.wRunning _),
+    "w_range_sliding" -> (Relational.wRangeSliding _),
     "set_except" -> (Relational.setExcept _),
     "tumbling_window" -> (Relational.tumblingWindow _),
     "sub_sessionize" -> ((s: SparkSession, d: String) => Relational.sessionize(s, d)),
@@ -174,7 +175,7 @@ object SparkEntry {
     "asof_forward_native", "range_join_rule",
     "text_char_diversity", "text_ngram_novelty", "corpus_mix_epochs",
     "q6_forecast", "q10_returns", "q18_big_orders",
-    "mm_byte_ahash", "embed_pca_power")
+    "mm_byte_ahash", "embed_pca_power", "w_range_sliding")
 
   // --- generated DuckDB replicas of the portable-hash queries ----------
 
@@ -634,6 +635,15 @@ object SparkEntry {
         |  floor((sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) * 100 + 0.5) / 100 AS running_value
         |FROM events""".stripMargin,
+    // RANGE frame over integer epoch-µs — frame bound is exact on both
+    // engines; RANGE includes ts-peers so no tie-break is needed.
+    "w_range_sliding" ->
+      """SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+        |  count(*) OVER w AS n_10m,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS sum_10m
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+        |  RANGE BETWEEN 600000000 PRECEDING AND CURRENT ROW)""".stripMargin,
     "set_except" ->
       """SELECT c_custkey FROM customer EXCEPT
         |SELECT o_custkey AS c_custkey FROM orders WHERE o_orderpriority = '1-URGENT'""".stripMargin,

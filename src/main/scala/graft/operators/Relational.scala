@@ -326,6 +326,24 @@ object Relational {
       .select(col("event_id"), col("user_id"), col("rn"), col("running_value"))
   }
 
+  /** Event-time sliding aggregate via RANGE BETWEEN — the window family
+    * `rowsBetween` cannot express (a trailing 10 MINUTES, not a
+    * trailing k rows): per user, count + exact-decimal sum of values
+    * in [ts − 10 min, ts]. The order key is epoch µs, so the frame
+    * bound is pure integer arithmetic on both engines, and RANGE frames
+    * include ts-peers regardless of tie order — deterministic without a
+    * tie-break column. */
+  def wRangeSliding(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"))
+      .rangeBetween(-600L * 1000000L, 0)
+    Tables.events(spark, sfDir)
+      .withColumn("ts_us", unix_micros(col("ts")))
+      .withColumn("n_10m", count(lit(1)).over(w))
+      .withColumn("sum_10m", sum(dec(col("value"))).over(w).cast("double"))
+      .select(col("event_id"), col("user_id"), col("ts_us"),
+        col("n_10m"), col("sum_10m"))
+  }
+
   /** Sessionization: gap-based session windows per user (30-minute
     * inactivity closes a session) — the classic event-analytics shape
     * Structured Streaming models with session_window; here as the
