@@ -121,6 +121,7 @@ object SparkEntry {
     "text_char_diversity" -> ((s: SparkSession, d: String) => TextAnalysis.charDiversity(s, d)),
     "text_ngram_novelty" -> ((s: SparkSession, d: String) => TextAnalysis.ngramNovelty(s, d)),
     "corpus_mix_epochs" -> ((s: SparkSession, d: String) => Corpus.mixEpochs(s, d)),
+    "corpus_dsir_weights" -> ((s: SparkSession, d: String) => Corpus.dsirWeights(s, d)),
     "ann_centroid_outliers" -> ((s: SparkSession, d: String) => Similarity.centroidOutliers(s, d)),
     // temporal joins Spark has no built-in operator for
     "asof_last_click" -> (Temporal.asofLastClick _),
@@ -741,6 +742,28 @@ object SparkEntry {
          |  FROM documents dd JOIN c USING (lang) CROSS JOIN m),
          |e AS (SELECT doc_id, lang, unnest(range(1, epochs + 1)) AS epoch FROM d)
          |SELECT doc_id, lang, epoch, $h AS ord_hash FROM e""".stripMargin
+    },
+    // DSIR replica: same hashed bigrams (outer lambda var renamed p —
+    // sqlH48's own inner lambda uses i), same micro-scaled integer
+    // ratio with floor division on non-negative operands.
+    "corpus_dsir_weights" -> {
+      val h = graft.functions.PortableHash.sqlH48("'ds:' || w[p] || ' ' || w[p+1]")
+      s"""WITH ws AS (SELECT doc_id, lang, string_split(text, ' ') AS w
+         |  FROM documents),
+         |g AS (SELECT doc_id, lang,
+         |    unnest(list_transform(range(1, len(w)), p -> $h)) % 4096 AS bucket
+         |  FROM ws),
+         |c AS (SELECT bucket, count(*) AS cnt_r,
+         |    sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS cnt_t
+         |  FROM g GROUP BY 1),
+         |wt AS (SELECT bucket,
+         |    (cnt_t + 1) * 1000000 // (cnt_r + 1) AS w_micro FROM c)
+         |SELECT doc_id, count(*) AS n_feats,
+         |  CAST(sum(w_micro) AS BIGINT) AS score_micro,
+         |  floor(CAST(sum(w_micro) AS DOUBLE) / count(*) * 100 + 0.5) / 100
+         |    AS avg_weight
+         |FROM g JOIN wt USING (bucket)
+         |GROUP BY doc_id""".stripMargin
     },
     // Context windows: pure integer manifest; ceil-division spelled as
     // (x + stride − 1) // stride on exact small integers.

@@ -333,6 +333,46 @@ object Corpus {
     * Scale shape: tiny per-lang count agg broadcast back, then a
     * narrow bounded explode (≤ cap rows per doc); zero corpus shuffle.
     */
+  /** DSIR-style importance weights (arXiv:2302.03169 shape): score each
+    * document by how much its hashed-bigram profile looks like a TARGET
+    * domain (here: the `en` slice) relative to the raw corpus — the
+    * standard data-selection pass before pretraining. Per feature
+    * bucket, the Laplace-smoothed ratio `(cnt_target+1)/(cnt_raw+1)` is
+    * kept as an exact micro-scaled integer (`·10⁶` then floor-div), and
+    * a document's score is the exact integer sum over its features, so
+    * both engines agree bit-for-bit; only the final per-feature average
+    * is portably rounded.
+    *
+    * Scale shape: ONE bigram pass (localCheckpoint'ed — bucket counts
+    * and the score join both read it), ONE (bucket) aggregate with both
+    * counts as conditional sums (4096 rows), broadcast back, one (doc)
+    * aggregate. The 100 TB corpus shuffles once, on the bucket key. */
+  def dsirWeights(spark: SparkSession, sfDir: String, buckets: Int = 4096,
+      targetLang: String = "en"): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"), split(col("text"), " ").as("w"))
+      .withColumn("n_words", size(col("w")))
+    val grams = docs
+      .select(col("doc_id"), col("lang"), col("w"), col("n_words"),
+        posexplode(col("w")).as(Seq("pos", "u")))
+      .filter(col("pos") + 2 <= col("n_words"))
+      .select(col("doc_id"), col("lang"),
+        pmod(PortableHash.md5Hash48(concat(lit("ds:"), col("u"), lit(" "),
+          element_at(col("w"), col("pos") + 2))), lit(buckets.toLong)).as("bucket"))
+      .localCheckpoint()
+    val weights = grams.groupBy(col("bucket"))
+      .agg(count(lit(1)).as("cnt_r"),
+        sum(when(col("lang") === targetLang, 1L).otherwise(0L)).as("cnt_t"))
+      .select(col("bucket"),
+        expr("((cnt_t + 1) * 1000000) div (cnt_r + 1)").as("w_micro"))
+    grams.join(broadcast(weights), "bucket")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_feats"), sum(col("w_micro")).as("score_micro"))
+      .select(col("doc_id"), col("n_feats"), col("score_micro"),
+        PortableRound.pround(col("score_micro").cast("double") / col("n_feats"), 2)
+          .as("avg_weight"))
+  }
+
   def mixEpochs(spark: SparkSession, sfDir: String, cap: Int = 4): DataFrame = {
     val docs = Tables.documents(spark, sfDir)
     val counts = docs.groupBy(col("lang")).agg(count(lit(1)).as("n_lang"))

@@ -190,6 +190,21 @@ class CorpusSpec extends AnyFunSuite {
     }
   }
 
+  test("dsir weights: target-language docs outscore the rest; bounds hold") {
+    val df = Corpus.dsirWeights(spark, sfDir)
+    val docs = graft.Tables.documents(spark, sfDir).select(col("doc_id"), col("lang"))
+    val joined = df.join(docs, "doc_id")
+    val avgEn = joined.filter(col("lang") === "en")
+      .agg(org.apache.spark.sql.functions.avg("avg_weight")).head().getDouble(0)
+    val avgOther = joined.filter(col("lang") =!= "en")
+      .agg(org.apache.spark.sql.functions.avg("avg_weight")).head().getDouble(0)
+    assert(avgEn > avgOther,
+      s"target-domain docs must score higher: en=$avgEn other=$avgOther")
+    // smoothing bounds every feature weight into (0, 1e6]
+    assert(df.filter(col("score_micro") <= 0 ||
+      col("score_micro") > col("n_feats") * 1000000L).count() == 0)
+  }
+
   test("mix epochs: per-lang epoch count is min(4, ceil(n_max/n_lang)), rows unique") {
     val df = Corpus.mixEpochs(spark, sfDir)
     val docs = graft.Tables.documents(spark, sfDir)
