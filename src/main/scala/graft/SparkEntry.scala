@@ -96,6 +96,7 @@ object SparkEntry {
     "ann_lsh_topk" -> ((s: SparkSession, d: String) => Similarity.annLshTopK(s, d)),
     "dedup_lsh_verified_pairs" -> ((s: SparkSession, d: String) => Similarity.lshVerifiedPairs(s, d)),
     "ann_ivf_topk" -> ((s: SparkSession, d: String) => Similarity.annIvfTopK(s, d)),
+    "ann_ivf_recall" -> ((s: SparkSession, d: String) => Similarity.annIvfRecall(s, d)),
     "ann_ivf_kmeans_topk" -> ((s: SparkSession, d: String) => Similarity.kmeansIvfTopK(s, d)),
     "embed_quantize_int8" -> (Similarity.quantizeInt8 _),
     "embed_pca_power" -> ((s: SparkSession, d: String) => Similarity.pcaPowerTop(s, d)),
@@ -346,6 +347,50 @@ object SparkEntry {
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
+  /** ANN replicas shared verbatim by the recall-evaluation oracle. */
+  private def annBruteOracle: String =
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+      |q AS (SELECT vec_id AS query_id, emb AS q_emb FROM e WHERE vec_id < 10),
+      |scored AS (
+      |  SELECT query_id, e.vec_id AS neighbor_id,
+      |    floor((list_dot_product(q_emb, emb) /
+      |      (sqrt(list_dot_product(q_emb, q_emb)) * sqrt(list_dot_product(emb, emb)))) * 10000 + 0.5) / 10000 AS cos_sim
+      |  FROM e JOIN q ON e.vec_id <> q.query_id)
+      |SELECT query_id, rank, neighbor_id, cos_sim FROM (
+      |  SELECT query_id, neighbor_id, cos_sim,
+      |    row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank
+      |  FROM scored) WHERE rank <= 5""".stripMargin
+
+  private def annIvfOracle: String =
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+      |c AS (SELECT vec_id AS cent_id, emb AS c_emb FROM e WHERE vec_id % 50 = 0),
+      |assigned AS (
+      |  SELECT vec_id, emb, cent_id FROM (
+      |    SELECT e.vec_id, e.emb, c.cent_id,
+      |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+      |        list_dot_product(e.emb, c.c_emb) /
+      |          (sqrt(list_dot_product(e.emb, e.emb)) * sqrt(list_dot_product(c.c_emb, c.c_emb))) DESC,
+      |        c.cent_id) AS rn
+      |    FROM e CROSS JOIN c) WHERE rn = 1),
+      |q AS (SELECT vec_id AS query_id, emb AS q_emb FROM e WHERE vec_id < 10),
+      |probed AS (
+      |  SELECT query_id, q_emb, cent_id FROM (
+      |    SELECT q.query_id, q.q_emb, c.cent_id,
+      |      row_number() OVER (PARTITION BY q.query_id ORDER BY
+      |        list_dot_product(q.q_emb, c.c_emb) /
+      |          (sqrt(list_dot_product(q.q_emb, q.q_emb)) * sqrt(list_dot_product(c.c_emb, c.c_emb))) DESC,
+      |        c.cent_id) AS rn
+      |    FROM q CROSS JOIN c) WHERE rn <= 2),
+      |scored AS (
+      |  SELECT p.query_id, a.vec_id AS neighbor_id,
+      |    floor((list_dot_product(p.q_emb, a.emb) /
+      |      (sqrt(list_dot_product(p.q_emb, p.q_emb)) * sqrt(list_dot_product(a.emb, a.emb)))) * 10000 + 0.5) / 10000 AS cos_sim
+      |  FROM probed p JOIN assigned a ON p.cent_id = a.cent_id AND a.vec_id <> p.query_id)
+      |SELECT query_id, rank, neighbor_id, cos_sim FROM (
+      |  SELECT query_id, neighbor_id, cos_sim,
+      |    row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank
+      |  FROM scored) WHERE rank <= 5""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "dedup_minhash_buckets" -> minhashOracle,
     // Keep-first at the minhash level: dominated = any band-bucket
@@ -953,51 +998,23 @@ object SparkEntry {
         |JOIN sizes n1 ON doc1 = n1.doc_id
         |JOIN sizes n2 ON doc2 = n2.doc_id
         |ORDER BY jaccard DESC, doc1, doc2 LIMIT 20""".stripMargin,
-    "ann_brute_topk" ->
-      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
-        |q AS (SELECT vec_id AS query_id, emb AS q_emb FROM e WHERE vec_id < 10),
-        |scored AS (
-        |  SELECT query_id, e.vec_id AS neighbor_id,
-        |    floor((list_dot_product(q_emb, emb) /
-        |      (sqrt(list_dot_product(q_emb, q_emb)) * sqrt(list_dot_product(emb, emb)))) * 10000 + 0.5) / 10000 AS cos_sim
-        |  FROM e JOIN q ON e.vec_id <> q.query_id)
-        |SELECT query_id, rank, neighbor_id, cos_sim FROM (
-        |  SELECT query_id, neighbor_id, cos_sim,
-        |    row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank
-        |  FROM scored) WHERE rank <= 5""".stripMargin,
+    "ann_brute_topk" -> annBruteOracle,
     "sub_intersect" ->
       """SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
         |INTERSECT
         |SELECT o_custkey FROM orders WHERE o_orderpriority = '5-LOW'""".stripMargin,
-    "ann_ivf_topk" ->
-      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
-        |c AS (SELECT vec_id AS cent_id, emb AS c_emb FROM e WHERE vec_id % 50 = 0),
-        |assigned AS (
-        |  SELECT vec_id, emb, cent_id FROM (
-        |    SELECT e.vec_id, e.emb, c.cent_id,
-        |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
-        |        list_dot_product(e.emb, c.c_emb) /
-        |          (sqrt(list_dot_product(e.emb, e.emb)) * sqrt(list_dot_product(c.c_emb, c.c_emb))) DESC,
-        |        c.cent_id) AS rn
-        |    FROM e CROSS JOIN c) WHERE rn = 1),
-        |q AS (SELECT vec_id AS query_id, emb AS q_emb FROM e WHERE vec_id < 10),
-        |probed AS (
-        |  SELECT query_id, q_emb, cent_id FROM (
-        |    SELECT q.query_id, q.q_emb, c.cent_id,
-        |      row_number() OVER (PARTITION BY q.query_id ORDER BY
-        |        list_dot_product(q.q_emb, c.c_emb) /
-        |          (sqrt(list_dot_product(q.q_emb, q.q_emb)) * sqrt(list_dot_product(c.c_emb, c.c_emb))) DESC,
-        |        c.cent_id) AS rn
-        |    FROM q CROSS JOIN c) WHERE rn <= 2),
-        |scored AS (
-        |  SELECT p.query_id, a.vec_id AS neighbor_id,
-        |    floor((list_dot_product(p.q_emb, a.emb) /
-        |      (sqrt(list_dot_product(p.q_emb, p.q_emb)) * sqrt(list_dot_product(a.emb, a.emb)))) * 10000 + 0.5) / 10000 AS cos_sim
-        |  FROM probed p JOIN assigned a ON p.cent_id = a.cent_id AND a.vec_id <> p.query_id)
-        |SELECT query_id, rank, neighbor_id, cos_sim FROM (
-        |  SELECT query_id, neighbor_id, cos_sim,
-        |    row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank
-        |  FROM scored) WHERE rank <= 5""".stripMargin,
+    "ann_ivf_topk" -> annIvfOracle,
+    // Recall evaluation composes the two replicas above verbatim: how
+    // much of the exact top-k does the probed IVF recover per query.
+    "ann_ivf_recall" ->
+      s"""SELECT bf.query_id, count(*) AS n_true,
+         |  count(ivf.neighbor_id) AS n_hits,
+         |  floor(CAST(count(ivf.neighbor_id) AS DOUBLE) / count(*)
+         |    * 10000 + 0.5) / 10000 AS recall
+         |FROM ($annBruteOracle) bf
+         |LEFT JOIN ($annIvfOracle) ivf
+         |  ON bf.query_id = ivf.query_id AND bf.neighbor_id = ivf.neighbor_id
+         |GROUP BY bf.query_id""".stripMargin,
     "dedup_fuzzy_neighbors" ->
       """WITH n AS (SELECT c_custkey, c_name FROM customer),
         |v AS (SELECT c_custkey, c_name, unnest(list_distinct([c_name] ||

@@ -543,6 +543,25 @@ object Similarity {
       .select(col("vec_id"), col("cent_id"))
   }
 
+  /** Recall@k of the probed IVF index against the brute-force ground
+    * truth — the evaluation harness every ANN deployment tunes nprobe
+    * with. Per query: how many of the exact top-k the IVF run
+    * recovered. At scale the query set is a broadcast-sized sample, so
+    * both pipelines keep their own scale shapes and the comparison
+    * join is query-keyed and tiny. */
+  def annIvfRecall(spark: SparkSession, sfDir: String): DataFrame = {
+    val bf = annBruteForceTopK(spark, sfDir)
+    val ivf = annIvfTopK(spark, sfDir)
+      .select(col("query_id").as("i_query"), col("neighbor_id").as("i_neighbor"))
+    bf.join(ivf, col("query_id") === col("i_query") &&
+        col("neighbor_id") === col("i_neighbor"), "left")
+      .groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_true"), count(col("i_neighbor")).as("n_hits"))
+      .select(col("query_id"), col("n_true"), col("n_hits"),
+        PortableRound.pround(col("n_hits").cast("double") / col("n_true"), 4)
+          .as("recall"))
+  }
+
   /** Top principal direction of the embedding matrix by POWER ITERATION
     * — two unrolled `x ← Aᵀ(Ax)` passes in exact fixed-point integers
     * (floats quantize to 1/1024 steps; the inter-pass downscale is a
