@@ -69,6 +69,7 @@ object SparkEntry {
     "dedup_exact_groups" -> (Dedup.exactDupGroups _),
     "dedup_ngram_top_pairs" -> (Dedup.ngramJaccardTopPairs _),
     "dedup_minhash_buckets" -> (Dedup.minhashLshBuckets _),
+    "dedup_minhash_est_err" -> ((s: SparkSession, d: String) => Dedup.minhashEstimationError(s, d)),
     "dedup_minhash_keep_first" -> (Dedup.minhashKeepFirst _),
     "dedup_normalized_keep_first" -> (Dedup.normalizedKeepFirst _),
     "dedup_simhash" -> (Dedup.simhash _),
@@ -200,6 +201,48 @@ object SparkEntry {
        |sig AS (SELECT doc_id, $mins FROM hh GROUP BY doc_id)
        |SELECT doc_id, band, CASE band $bands END AS bucket
        |FROM sig CROSS JOIN (VALUES ${(0 until Bands).map(b => s"($b)").mkString(",")}) AS b(band)""".stripMargin
+  }
+
+  /** Minhash estimation-error replica: same signatures/banding as
+    * [[minhashOracle]], then per candidate pair the 32-minima agreement
+    * vs the exact shingle-set Jaccard. */
+  private def minhashEstErrOracle: String = {
+    import graft.operators.Dedup.{Bands, MinhashPerm}
+    val h48 = graft.functions.PortableHash.sqlH48("s")
+    val rows = MinhashPerm / Bands
+    val mins = (0 until MinhashPerm).map(i =>
+      s"min((h * ${2 * i + 1} + ${104729L * (i + 1)}) % 2147483647) AS m$i").mkString(", ")
+    val bandCase = (0 until Bands).map(b =>
+      s"WHEN $b THEN md5(concat_ws(':', ${(0 until rows).map(k => s"m${b * rows + k}").mkString(", ")}))")
+      .mkString(" ")
+    val eq = (0 until MinhashPerm).map(i =>
+      s"CASE WHEN a.m$i = b.m$i THEN 1 ELSE 0 END").mkString(" + ")
+    val exact = "CAST(coalesce(i.n_int, 0) AS DOUBLE) / (s1.n_sh + s2.n_sh - coalesce(i.n_int, 0))"
+    val est = s"CAST(pr.n_equal AS DOUBLE) / $MinhashPerm"
+    s"""WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       |sh AS (SELECT doc_id, unnest(list_distinct(
+       |  [array_to_string(w[i:i+2], ' ') for i in range(1, len(w) - 1)])) AS s
+       |  FROM ws WHERE len(w) >= 3),
+       |hh AS (SELECT doc_id, $h48 AS h FROM sh),
+       |sig AS (SELECT doc_id, $mins FROM hh GROUP BY doc_id),
+       |bk AS (SELECT doc_id, band, CASE band $bandCase END AS bucket
+       |  FROM sig CROSS JOIN (VALUES ${(0 until Bands).map(b => s"($b)").mkString(",")}) AS t(band)),
+       |cand AS (SELECT DISTINCT x.doc_id AS doc1, y.doc_id AS doc2
+       |  FROM bk x JOIN bk y ON x.band = y.band AND x.bucket = y.bucket
+       |    AND x.doc_id < y.doc_id),
+       |pairs AS (SELECT c.doc1, c.doc2, ($eq) AS n_equal
+       |  FROM cand c JOIN sig a ON a.doc_id = c.doc1 JOIN sig b ON b.doc_id = c.doc2),
+       |szs AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+       |ints AS (SELECT p.doc_id AS doc1, q.doc_id AS doc2, count(*) AS n_int
+       |  FROM sh p JOIN sh q ON p.s = q.s AND p.doc_id < q.doc_id GROUP BY 1, 2)
+       |SELECT pr.doc1, pr.doc2, CAST(pr.n_equal AS BIGINT) AS n_equal,
+       |  floor($est * 10000 + 0.5) / 10000 AS est_jaccard,
+       |  floor($exact * 10000 + 0.5) / 10000 AS jaccard,
+       |  floor(abs($est - $exact) * 10000 + 0.5) / 10000 AS abs_err
+       |FROM pairs pr
+       |JOIN szs s1 ON s1.doc_id = pr.doc1
+       |JOIN szs s2 ON s2.doc_id = pr.doc2
+       |LEFT JOIN ints i ON i.doc1 = pr.doc1 AND i.doc2 = pr.doc2""".stripMargin
   }
 
   /** SimHash replica: same (doc, word-hash) pre-aggregation, same 48
@@ -393,6 +436,7 @@ object SparkEntry {
 
   def oracleSql: Map[String, String] = Map(
     "dedup_minhash_buckets" -> minhashOracle,
+    "dedup_minhash_est_err" -> minhashEstErrOracle,
     // Keep-first at the minhash level: dominated = any band-bucket
     // collision with a smaller doc_id; survivors via anti-join.
     "dedup_minhash_keep_first" ->

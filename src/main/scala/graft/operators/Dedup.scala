@@ -149,12 +149,14 @@ object Dedup {
     * row per (doc, band) with the band's bucket key — the join key that
     * replaces the O(n²) comparison at scale.
     */
-  def minhashLshBuckets(spark: SparkSession, sfDir: String): DataFrame = {
-    // Relational formulation: explode shingles, hash once, take the k
-    // permutation minima as codegen'd partial aggregates (map-side
-    // combine → the shuffle carries one 32-minima row per doc). Faster
-    // than per-row array transforms (interpreted HOF lambdas) and the
-    // standard web-scale shape: signature state is O(k) per key.
+  /** Per-doc 32-permutation minhash signature — the m0..m31 columns the
+    * banding and the estimation evaluator both consume. Relational
+    * formulation: explode shingles, hash once, take the k permutation
+    * minima as codegen'd partial aggregates (map-side combine → the
+    * shuffle carries one 32-minima row per doc). Faster than per-row
+    * array transforms (interpreted HOF lambdas) and the standard
+    * web-scale shape: signature state is O(k) per key. */
+  def minhashSignatures(spark: SparkSession, sfDir: String): DataFrame = {
     val exploded = withShingles(Tables.documents(spark, sfDir))
       .select(col("doc_id"), explode_outer(col("sh")).as("s")) // see ngram note
       .filter(col("s").isNotNull)
@@ -162,9 +164,11 @@ object Dedup {
     val mins = (0 until MinhashPerm).map { i =>
       min(pmod(col("h") * (2L * i + 1) + 104729L * (i + 1), lit(P))).as(s"m$i")
     }
-    val sig = exploded.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
-    bandSignature(sig)
+    exploded.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
   }
+
+  def minhashLshBuckets(spark: SparkSession, sfDir: String): DataFrame =
+    bandSignature(minhashSignatures(spark, sfDir))
 
   /** Bands the m0..m31 signature columns into (doc_id, band, bucket)
     * rows — shared by the grouped (batch) and per-row (streaming)
@@ -261,6 +265,47 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select(col("doc1"), col("doc2"), col("jaccard"))
     verified
+  }
+
+  /** Sketch-quality evaluation: for every LSH candidate pair, the
+    * minhash ESTIMATE of Jaccard (fraction of the 32 minima that
+    * agree) against the exact shingle-set Jaccard, plus the absolute
+    * error — the calibration loop that justifies the (bands, rows)
+    * choice before a 100 TB dedup run (the dedup-family twin of
+    * [[Similarity.annIvfRecall]]).
+    *
+    * Scale shape: ONE signature pass (localCheckpoint'ed — banding and
+    * both pair sides reuse it), the usual bucket equi self-join for
+    * candidates, then doc-keyed joins; est/exact/err are exact-integer
+    * or identical-IEEE arithmetic, so the evaluator itself is
+    * oracle-checkable. */
+  def minhashEstimationError(spark: SparkSession, sfDir: String): DataFrame = {
+    val sig = minhashSignatures(spark, sfDir).localCheckpoint()
+    val buckets = bandSignature(sig)
+    val cand = buckets.as("x").join(buckets.as("y"),
+        col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc1"), col("y.doc_id").as("doc2"))
+      .distinct()
+    val s1 = sig.select(col("doc_id").as("doc1") +:
+      (0 until MinhashPerm).map(i => col(s"m$i").as(s"a$i")): _*)
+    val s2 = sig.select(col("doc_id").as("doc2") +:
+      (0 until MinhashPerm).map(i => col(s"m$i").as(s"b$i")): _*)
+    val nEq = (0 until MinhashPerm).map(i =>
+      when(col(s"a$i") === col(s"b$i"), 1L).otherwise(0L)).reduce(_ + _)
+    val docs = withShingles(Tables.documents(spark, sfDir))
+      .select(col("doc_id"), col("sh"))
+    val est = col("n_equal").cast("double") / MinhashPerm
+    val exact = size(array_intersect(col("sh1"), col("sh2"))).cast("double") /
+      size(array_union(col("sh1"), col("sh2")))
+    cand.join(s1, "doc1").join(s2, "doc2")
+      .withColumn("n_equal", nEq)
+      .join(docs.select(col("doc_id").as("doc1"), col("sh").as("sh1")), "doc1")
+      .join(docs.select(col("doc_id").as("doc2"), col("sh").as("sh2")), "doc2")
+      .select(col("doc1"), col("doc2"), col("n_equal"),
+        PortableRound.pround(est, 4).as("est_jaccard"),
+        PortableRound.pround(exact, 4).as("jaccard"),
+        PortableRound.pround(abs(est - exact), 4).as("abs_err"))
   }
 
   // --- SimHash ----------------------------------------------------------
