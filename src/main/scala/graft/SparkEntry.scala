@@ -124,6 +124,7 @@ object SparkEntry {
     "text_ngram_novelty" -> ((s: SparkSession, d: String) => TextAnalysis.ngramNovelty(s, d)),
     "corpus_mix_epochs" -> ((s: SparkSession, d: String) => Corpus.mixEpochs(s, d)),
     "corpus_dsir_weights" -> ((s: SparkSession, d: String) => Corpus.dsirWeights(s, d)),
+    "corpus_span_corruption" -> ((s: SparkSession, d: String) => Corpus.spanCorruption(s, d)),
     "ann_centroid_outliers" -> ((s: SparkSession, d: String) => Similarity.centroidOutliers(s, d)),
     // temporal joins Spark has no built-in operator for
     "asof_last_click" -> (Temporal.asofLastClick _),
@@ -853,6 +854,25 @@ object SparkEntry {
          |    AS avg_weight
          |FROM g JOIN wt USING (bucket)
          |GROUP BY doc_id""".stripMargin
+    },
+    // Span corruption: pure integer manifest; `//` floor-division on
+    // non-negative operands matches Spark's `div`, and the same hash
+    // value drives span length and in-segment offset on both engines.
+    "corpus_span_corruption" -> {
+      val h = graft.functions.PortableHash.sqlH48(
+        "concat('span:', CAST(doc_id AS VARCHAR), ':', CAST(span_id AS VARCHAR))")
+      s"""WITH d AS (SELECT doc_id, len(string_split(text, ' ')) AS n_tokens
+         |  FROM documents),
+         |s AS (SELECT doc_id, n_tokens // 20 AS n_spans,
+         |    n_tokens // greatest(n_tokens // 20, 1) AS seg_len
+         |  FROM d WHERE n_tokens // 20 > 0),
+         |e AS (SELECT doc_id, seg_len, unnest(range(0, n_spans)) AS span_id FROM s),
+         |h AS (SELECT doc_id, seg_len, span_id, $h AS hv FROM e)
+         |SELECT doc_id, span_id,
+         |  span_id * seg_len + hv % (seg_len - (hv % 3 + 2) + 1) AS start_tok,
+         |  hv % 3 + 2 AS len_tok,
+         |  '<extra_id_' || CAST(span_id AS VARCHAR) || '>' AS sentinel
+         |FROM h""".stripMargin
     },
     // Context windows: pure integer manifest; ceil-division spelled as
     // (x + stride − 1) // stride on exact small integers.

@@ -231,6 +231,35 @@ object Corpus {
     *
     * Scale: one narrow scan + a bounded explode (≤ n/stride rows per
     * doc), zero shuffle. */
+  /** T5-style SPAN-CORRUPTION manifest: deterministic non-overlapping
+    * mask spans per document (~15% noise density, span length 2-4 ≈
+    * mean 3), emitted as (doc, span, start, len, sentinel) rows — the
+    * denoising-objective prep step. Spans are placed one per equal
+    * segment with a portable-hash offset inside it, so they can never
+    * overlap and both engines place them identically; the corpus text
+    * is never rewritten (same manifest-not-materialization design as
+    * the context windows).
+    *
+    * Scale shape: narrow bounded explode (n_tokens/20 rows per doc),
+    * pure integer Column math, zero shuffle. */
+  def spanCorruption(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .withColumn("n_spans", expr("n_tokens div 20"))
+      .filter(col("n_spans") > 0)
+      .withColumn("seg_len", expr("n_tokens div n_spans"))
+    val h = PortableHash.md5Hash48(concat(
+      lit("span:"), col("doc_id").cast("string"), lit(":"), col("span_id").cast("string")))
+    docs.select(col("doc_id"), col("seg_len"),
+        explode(sequence(lit(0L), col("n_spans") - 1)).as("span_id"))
+      .withColumn("len_tok", pmod(h, lit(3L)) + 2) // 2..4, mean 3 ≈ 15% of 20
+      .withColumn("start_tok",
+        col("span_id") * col("seg_len") +
+          pmod(h, col("seg_len") - col("len_tok") + 1))
+      .select(col("doc_id"), col("span_id"), col("start_tok"), col("len_tok"),
+        concat(lit("<extra_id_"), col("span_id").cast("string"), lit(">")).as("sentinel"))
+  }
+
   def contextWindows(spark: SparkSession, sfDir: String, window: Int = 64,
       stride: Int = 48): DataFrame = {
     val docs = Tables.documents(spark, sfDir)

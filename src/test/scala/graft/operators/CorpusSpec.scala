@@ -190,6 +190,29 @@ class CorpusSpec extends AnyFunSuite {
     }
   }
 
+  test("span corruption: spans in range, never overlapping, ~15% density") {
+    val rows = Corpus.spanCorruption(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("start_tok"), r.getAs[Long]("len_tok")))
+    val nTokens = graft.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), org.apache.spark.sql.functions.size(
+        org.apache.spark.sql.functions.split(col("text"), " ")).cast("long"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (doc, spans) =>
+      val sorted = spans.sortBy(_._2)
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(a._2 + a._3 <= b._2, s"doc $doc: spans overlap")
+        case _ =>
+      }
+      spans.foreach { s =>
+        assert(s._2 >= 0 && s._2 + s._3 <= nTokens(doc), s"doc $doc: span out of range")
+        assert(s._3 >= 2 && s._3 <= 4)
+      }
+      val density = spans.map(_._3).sum.toDouble / nTokens(doc)
+      assert(density > 0.04 && density < 0.25, s"doc $doc density $density")
+    }
+  }
+
   test("dsir weights: target-language docs outscore the rest; bounds hold") {
     val df = Corpus.dsirWeights(spark, sfDir)
     val docs = graft.Tables.documents(spark, sfDir).select(col("doc_id"), col("lang"))
