@@ -179,7 +179,9 @@ object SparkEntry {
     "asof_forward_native", "range_join_rule",
     "text_char_diversity", "text_ngram_novelty", "corpus_mix_epochs",
     "q6_forecast", "q10_returns", "q18_big_orders",
-    "mm_byte_ahash", "embed_pca_power", "w_range_sliding")
+    "mm_byte_ahash", "embed_pca_power", "w_range_sliding",
+    "corpus_dsir_weights", "ann_ivf_recall", "dedup_minhash_est_err",
+    "corpus_span_corruption")
 
   // --- generated DuckDB replicas of the portable-hash queries ----------
 
