@@ -112,6 +112,7 @@ object SparkEntry {
     "mm_byte_ahash" -> ((s: SparkSession, d: String) => Multimodal.byteAHash(s, d)),
     // training-data ops: text analysis
     "text_lang_id" -> (TextAnalysis.langId _),
+    "text_lang_confusion" -> ((s: SparkSession, d: String) => TextAnalysis.langIdConfusion(s, d)),
     "text_quality" -> (TextAnalysis.qualityScore _),
     "text_tokens" -> (TextAnalysis.tokenStats _),
     "text_fingerprint" -> (TextAnalysis.fingerprint _),
@@ -247,6 +248,31 @@ object SparkEntry {
        |JOIN szs s2 ON s2.doc_id = pr.doc2
        |LEFT JOIN ints i ON i.doc1 = pr.doc1 AND i.doc2 = pr.doc2""".stripMargin
   }
+
+  /** Lang-ID replica shared verbatim by the confusion-matrix oracle. */
+  private def langIdOracle: String =
+    """SELECT doc_id, lang AS declared_lang,
+      |  CASE WHEN s_en >= s_fr AND s_en >= s_de AND s_en >= s_es AND s_en > 0 THEN 'en'
+      |       WHEN s_fr >= s_de AND s_fr >= s_es AND s_fr > 0 THEN 'fr'
+      |       WHEN s_de >= s_es AND s_de > 0 THEN 'de'
+      |       WHEN s_es > 0 THEN 'es' ELSE 'und' END AS pred_lang,
+      |  cast(s_en as bigint) AS score_en, cast(s_fr as bigint) AS score_fr,
+      |  cast(s_de as bigint) AS score_de, cast(s_es as bigint) AS score_es
+      |FROM (
+      |  SELECT doc_id, lang,
+      |    (length(t) - length(replace(t, ' the ', ''))) / 5
+      |      + (length(t) - length(replace(t, ' and ', ''))) / 5
+      |      + (length(t) - length(replace(t, ' of ', ''))) / 4 AS s_en,
+      |    (length(t) - length(replace(t, ' le ', ''))) / 4
+      |      + (length(t) - length(replace(t, ' la ', ''))) / 4
+      |      + (length(t) - length(replace(t, ' et ', ''))) / 4 AS s_fr,
+      |    (length(t) - length(replace(t, ' der ', ''))) / 5
+      |      + (length(t) - length(replace(t, ' und ', ''))) / 5
+      |      + (length(t) - length(replace(t, ' die ', ''))) / 5 AS s_de,
+      |    (length(t) - length(replace(t, ' el ', ''))) / 4
+      |      + (length(t) - length(replace(t, ' los ', ''))) / 5
+      |      + (length(t) - length(replace(t, ' y ', ''))) / 3 AS s_es
+      |  FROM (SELECT doc_id, lang, ' ' || text || ' ' AS t FROM documents))""".stripMargin
 
   /** SimHash replica: same (doc, word-hash) pre-aggregation, same 48
     * weighted bit votes, same sign fold. */
@@ -1318,29 +1344,16 @@ object SparkEntry {
         |    CASE WHEN list_sum(bytes[4*k+1:4*k+4]) * 8 > total
         |         THEN CAST(pow(2, k) AS BIGINT) ELSE 0 END)) AS BIGINT) AS ahash
         |FROM s""".stripMargin,
-    "text_lang_id" ->
-      """SELECT doc_id, lang AS declared_lang,
-        |  CASE WHEN s_en >= s_fr AND s_en >= s_de AND s_en >= s_es AND s_en > 0 THEN 'en'
-        |       WHEN s_fr >= s_de AND s_fr >= s_es AND s_fr > 0 THEN 'fr'
-        |       WHEN s_de >= s_es AND s_de > 0 THEN 'de'
-        |       WHEN s_es > 0 THEN 'es' ELSE 'und' END AS pred_lang,
-        |  cast(s_en as bigint) AS score_en, cast(s_fr as bigint) AS score_fr,
-        |  cast(s_de as bigint) AS score_de, cast(s_es as bigint) AS score_es
-        |FROM (
-        |  SELECT doc_id, lang,
-        |    (length(t) - length(replace(t, ' the ', ''))) / 5
-        |      + (length(t) - length(replace(t, ' and ', ''))) / 5
-        |      + (length(t) - length(replace(t, ' of ', ''))) / 4 AS s_en,
-        |    (length(t) - length(replace(t, ' le ', ''))) / 4
-        |      + (length(t) - length(replace(t, ' la ', ''))) / 4
-        |      + (length(t) - length(replace(t, ' et ', ''))) / 4 AS s_fr,
-        |    (length(t) - length(replace(t, ' der ', ''))) / 5
-        |      + (length(t) - length(replace(t, ' und ', ''))) / 5
-        |      + (length(t) - length(replace(t, ' die ', ''))) / 5 AS s_de,
-        |    (length(t) - length(replace(t, ' el ', ''))) / 4
-        |      + (length(t) - length(replace(t, ' los ', ''))) / 5
-        |      + (length(t) - length(replace(t, ' y ', ''))) / 3 AS s_es
-        |  FROM (SELECT doc_id, lang, ' ' || text || ' ' AS t FROM documents))""".stripMargin,
+    "text_lang_id" -> langIdOracle,
+    // confusion-matrix evaluation composes the lang-id replica verbatim
+    "text_lang_confusion" ->
+      s"""WITH li AS ($langIdOracle),
+         |cm AS (SELECT declared_lang, pred_lang, count(*) AS n
+         |  FROM li GROUP BY 1, 2),
+         |tot AS (SELECT declared_lang, sum(n) AS t FROM cm GROUP BY 1)
+         |SELECT cm.declared_lang, cm.pred_lang, cm.n,
+         |  floor(CAST(cm.n AS DOUBLE) / t * 10000 + 0.5) / 10000 AS frac
+         |FROM cm JOIN tot USING (declared_lang)""".stripMargin,
     "text_quality" ->
       """SELECT doc_id,
         |  cast(n_words as bigint) AS n_words,

@@ -41,6 +41,23 @@ object TextAnalysis {
         sDe.cast("long").as("score_de"), sEs.cast("long").as("score_es"))
   }
 
+  /** Evaluation of the lang-ID heuristic itself: the confusion matrix
+    * of predicted vs declared language plus each cell's share of its
+    * declared row — the accuracy report a pipeline publishes before
+    * trusting the classifier as a routing gate (completes the
+    * evaluator family: IVF recall, minhash calibration, this).
+    * One scan + one tiny (declared, pred) aggregate; the 5-row
+    * per-declared totals broadcast back. */
+  def langIdConfusion(spark: SparkSession, sfDir: String): DataFrame = {
+    val cm = langId(spark, sfDir)
+      .groupBy(col("declared_lang"), col("pred_lang"))
+      .agg(count(lit(1)).as("n"))
+    val tot = cm.groupBy(col("declared_lang")).agg(sum(col("n")).as("t"))
+    cm.join(broadcast(tot), "declared_lang")
+      .select(col("declared_lang"), col("pred_lang"), col("n"),
+        PortableRound.pround(col("n").cast("double") / col("t"), 4).as("frac"))
+  }
+
   /** The combined Gopher/C4-style quality score as a reusable Column
     * over any frame with a `text` column — shared by the batch
     * [[qualityScore]] query and the streaming admission gate
