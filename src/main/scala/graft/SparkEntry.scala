@@ -44,6 +44,7 @@ object SparkEntry {
     // substrate: windows / set ops / time windows
     "w_running" -> (Relational.wRunning _),
     "w_range_sliding" -> (Relational.wRangeSliding _),
+    "events_funnel" -> ((s: SparkSession, d: String) => Relational.eventsFunnel(s, d)),
     "set_except" -> (Relational.setExcept _),
     "tumbling_window" -> (Relational.tumblingWindow _),
     "sub_sessionize" -> ((s: SparkSession, d: String) => Relational.sessionize(s, d)),
@@ -754,6 +755,21 @@ object SparkEntry {
         |  floor((sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) * 100 + 0.5) / 100 AS running_value
         |FROM events""".stripMargin,
+    // Funnel: min-per-step is deterministic; all arithmetic on epoch-µs.
+    "events_funnel" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+        |v AS (SELECT user_id, min(us) AS view_us FROM e
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |c AS (SELECT e.user_id, min(us) AS click_us FROM e JOIN v USING (user_id)
+        |  WHERE event_type = 'click' AND us >= view_us
+        |    AND us <= view_us + 3600000000 GROUP BY 1),
+        |p AS (SELECT e.user_id, min(us) AS purchase_us FROM e JOIN c USING (user_id)
+        |  WHERE event_type = 'purchase' AND us >= click_us
+        |    AND us <= click_us + 3600000000 GROUP BY 1)
+        |SELECT v.user_id, v.view_us, c.click_us, p.purchase_us,
+        |  1 + CASE WHEN c.click_us IS NULL THEN 0 ELSE 1 END
+        |    + CASE WHEN p.purchase_us IS NULL THEN 0 ELSE 1 END AS stage
+        |FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)""".stripMargin,
     // RANGE frame over integer epoch-µs — frame bound is exact on both
     // engines; RANGE includes ts-peers so no tie-break is needed.
     "w_range_sliding" ->

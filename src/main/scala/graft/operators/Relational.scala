@@ -344,6 +344,33 @@ object Relational {
         col("n_10m"), col("sum_10m"))
   }
 
+  /** Ordered conversion FUNNEL (view → click → purchase, each step
+    * within one hour of the previous): per user the earliest view, the
+    * earliest qualifying click after it, the earliest qualifying
+    * purchase after that, and the stage reached — the classic product-
+    * analytics operator. Deterministic by construction (min per step).
+    *
+    * Scale shape: three per-step aggregates and every join keyed on
+    * user_id — one partitioning reused throughout (bucket the events
+    * table on user_id and no step shuffles at all). */
+  def eventsFunnel(spark: SparkSession, sfDir: String,
+      windowUs: Long = 3600L * 1000000L): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+    val v = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("us")).as("view_us"))
+    val c = ev.filter(col("event_type") === "click").join(v, "user_id")
+      .filter(col("us") >= col("view_us") && col("us") <= col("view_us") + windowUs)
+      .groupBy(col("user_id")).agg(min(col("us")).as("click_us"))
+    val p = ev.filter(col("event_type") === "purchase").join(c, "user_id")
+      .filter(col("us") >= col("click_us") && col("us") <= col("click_us") + windowUs)
+      .groupBy(col("user_id")).agg(min(col("us")).as("purchase_us"))
+    v.join(c, Seq("user_id"), "left").join(p, Seq("user_id"), "left")
+      .select(col("user_id"), col("view_us"), col("click_us"), col("purchase_us"),
+        (lit(1) + when(col("click_us").isNotNull, 1).otherwise(0)
+          + when(col("purchase_us").isNotNull, 1).otherwise(0)).as("stage"))
+  }
+
   /** Sessionization: gap-based session windows per user (30-minute
     * inactivity closes a session) — the classic event-analytics shape
     * Structured Streaming models with session_window; here as the
