@@ -183,7 +183,7 @@ object SparkEntry {
     "q6_forecast", "q10_returns", "q18_big_orders",
     "mm_byte_ahash", "embed_pca_power", "w_range_sliding",
     "corpus_dsir_weights", "ann_ivf_recall", "dedup_minhash_est_err",
-    "corpus_span_corruption")
+    "corpus_span_corruption", "text_lang_confusion", "events_funnel")
 
   // --- generated DuckDB replicas of the portable-hash queries ----------
 
