@@ -26,6 +26,8 @@ object SparkEntry {
     "q6_forecast" -> (Relational.q6Forecast _),
     "q10_returns" -> (Relational.q10Returns _),
     "q18_big_orders" -> (Relational.q18BigOrders _),
+    "q4_late_orders" -> (Relational.q4LateOrders _),
+    "q19_brand_revenue" -> (Relational.q19BrandRevenue _),
     // §2.2 filters
     "f1_type_filter" -> (Relational.f1TypeFilter _),
     "f2_error_filter" -> (Relational.f2ErrorFilter _),
@@ -121,6 +123,7 @@ object SparkEntry {
     "text_repetition" -> (TextAnalysis.repetitionStats _),
     "text_hash_embed" -> ((s: SparkSession, d: String) => TextAnalysis.hashEmbed(s, d)),
     "text_tfidf_topk" -> ((s: SparkSession, d: String) => TextAnalysis.tfidfTopTerms(s, d)),
+    "text_bm25_topk" -> ((s: SparkSession, d: String) => TextAnalysis.bm25TopK(s, d)),
     "text_quality_model" -> ((s: SparkSession, d: String) => TextAnalysis.qualityModelScore(s, d)),
     "text_char_diversity" -> ((s: SparkSession, d: String) => TextAnalysis.charDiversity(s, d)),
     "text_ngram_novelty" -> ((s: SparkSession, d: String) => TextAnalysis.ngramNovelty(s, d)),
@@ -183,7 +186,8 @@ object SparkEntry {
     "q6_forecast", "q10_returns", "q18_big_orders",
     "mm_byte_ahash", "embed_pca_power", "w_range_sliding",
     "corpus_dsir_weights", "ann_ivf_recall", "dedup_minhash_est_err",
-    "corpus_span_corruption", "text_lang_confusion", "events_funnel")
+    "corpus_span_corruption", "text_lang_confusion", "events_funnel",
+    "q4_late_orders", "q19_brand_revenue", "text_bm25_topk")
 
   // --- generated DuckDB replicas of the portable-hash queries ----------
 
@@ -585,6 +589,35 @@ object SparkEntry {
         |SELECT doc_id, CAST(rank AS INT) AS rank, term,
         |  floor((score) * 10000 + 0.5) / 10000 AS score
         |FROM r WHERE rank <= 5""".stripMargin,
+    // Mirrors bm25TopK: the per-term contribution is the same
+    // fixed-order double chain, rounded to 6 digits and summed as
+    // DECIMAL so the (query, doc) score is order-independent.
+    "text_bm25_topk" ->
+      """WITH q(query_id, term) AS (VALUES
+        |    (1,'hash'),(1,'join'),(1,'merge'),
+        |    (2,'window'),(2,'sort'),(2,'order'),
+        |    (3,'stream'),(3,'batch'),(3,'fast'),
+        |    (4,'vector'),(4,'query'),(4,'scan')),
+        |ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |st AS (SELECT count(*) AS n_docs, sum(len(w)) AS tot FROM ws),
+        |tf AS (SELECT doc_id, term, count(*) AS tf, max(dl) AS dl
+        |  FROM (SELECT doc_id, len(w) AS dl, unnest(w) AS term FROM ws)
+        |  WHERE term IN (SELECT term FROM q) GROUP BY 1, 2),
+        |dfc AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |c AS (SELECT query_id, doc_id,
+        |    CAST(floor((
+        |      ((CAST(n_docs AS DOUBLE) - df + 0.5) / (CAST(df AS DOUBLE) + 0.5)) *
+        |      ((CAST(tf AS DOUBLE) * 2.2) / (CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75 *
+        |        (CAST(dl AS DOUBLE) / (CAST(tot AS DOUBLE) / n_docs)))))
+        |    ) * 1000000 + 0.5) / 1000000 AS DECIMAL(28,6)) AS c
+        |  FROM tf JOIN q USING (term) JOIN dfc USING (term) CROSS JOIN st),
+        |s AS (SELECT query_id, doc_id, sum(c) AS s FROM c GROUP BY 1, 2),
+        |r AS (SELECT query_id, doc_id, s,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY s DESC, doc_id) AS rank
+        |  FROM s)
+        |SELECT query_id, CAST(rank AS INT) AS rank, doc_id,
+        |  floor(CAST(s AS DOUBLE) * 10000 + 0.5) / 10000 AS score
+        |FROM r WHERE rank <= 10""".stripMargin,
     // Per-dimension sums in DECIMAL(38,30) (exact, order-independent);
     // dist2 = list_dot_product(diff, diff) matches Spark's index-order
     // zip_with fold bit for bit (same pattern as the cosine oracles).
@@ -691,6 +724,22 @@ object SparkEntry {
         |JOIN orders ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey
         |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin,
+    "q4_late_orders" ->
+      """SELECT o_orderpriority, count(*) AS n_orders
+        |FROM orders
+        |WHERE o_orderdate >= '1996-01-01' AND o_orderdate < '1997-01-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey
+        |                AND l_shipdate > o_orderdate + INTERVAL 90 DAY)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q19_brand_revenue" ->
+      """SELECT
+        |  cast(round(sum(cast(l_extendedprice as decimal(18,2)) * (cast(1 as decimal(18,2)) - cast(l_discount as decimal(18,2)))), 2) as double) AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5 AND l_quantity BETWEEN 1 AND 11)
+        |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
+        |   OR (p_brand = 'Brand#25' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
     "f1_type_filter" ->
       "SELECT event_id, event_type, user_id FROM events WHERE substr(event_type, 1, 2) = 'cl'",
     "f2_error_filter" ->

@@ -147,6 +147,48 @@ object Relational {
       .orderBy(col("p_brand"))
   }
 
+  /** Q4-shaped priority check: orders with at least one LATE line
+    * (shipped more than 90 days after the order date), counted per
+    * priority. The EXISTS is a LEFT SEMI join — equi on the order key
+    * with the ship-date inequality as the residual condition, so it
+    * stays one shuffle-keyed semi join (never a nested loop) and the
+    * probe side stops at the first matching line per order. */
+  def q4LateOrders(spark: SparkSession, sfDir: String): DataFrame = {
+    val ord = Tables.orders(spark, sfDir)
+      .filter(col("o_orderdate") >= lit("1996-01-01") && col("o_orderdate") < lit("1997-01-01"))
+    val li = Tables.lineitem(spark, sfDir).select(col("l_orderkey"), col("l_shipdate"))
+    ord.join(li, ord("o_orderkey") === li("l_orderkey") &&
+        li("l_shipdate") > date_add(ord("o_orderdate").cast("date"), 90), "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  /** Q19-shaped disjunctive-predicate revenue: three OR'd
+    * (brand, size-range, quantity-range) bands across the part join.
+    * The classic q19 plan trap is that the OR defeats pushdown; the
+    * redundant conjunct hulls (`p_brand isin`, `l_quantity` between the
+    * union of the bands) are stated explicitly so both scans prune
+    * before the broadcast join and the OR is only the residual. */
+  def q19BrandRevenue(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+      .filter(col("l_quantity") >= 1 && col("l_quantity") <= 30)
+    val part = Tables.part(spark, sfDir)
+      .filter(col("p_brand").isin("Brand#12", "Brand#23", "Brand#25") &&
+        col("p_size") >= 1 && col("p_size") <= 15)
+    val band = (col("p_brand") === "Brand#12" && col("p_size") <= 5 &&
+        col("l_quantity") <= 11) ||
+      (col("p_brand") === "Brand#23" && col("p_size") <= 10 &&
+        col("l_quantity") >= 10 && col("l_quantity") <= 20) ||
+      (col("p_brand") === "Brand#25" &&
+        col("l_quantity") >= 20 && col("l_quantity") <= 30)
+    li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .filter(band)
+      .agg(
+        asDouble(sum(dec(col("l_extendedprice")) * (lit(1).cast("decimal(18,2)") - dec(col("l_discount"))))).as("revenue"),
+        count(lit(1)).as("n_items"))
+  }
+
   private def asDate(c: Column): Column = date_format(c, "yyyy-MM-dd")
 
   // ---------------------------------------------------------------------

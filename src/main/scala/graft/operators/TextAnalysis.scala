@@ -348,4 +348,68 @@ object TextAnalysis {
         PortableRound.pround(coalesce(col("n_novel"), lit(0L)).cast("double") /
           col("n_grams"), 6).as("novelty"))
   }
+
+  /** BM25 retrieval: top-k documents per query for a small literal
+    * query set (k1 = 1.2, b = 0.75, Robertson rational idf — same
+    * log-free shape as [[tfidfTopTerms]]).
+    *
+    * Portability: each per-term contribution is one fixed-order chain
+    * of IEEE double ops (identical in DuckDB), rounded to 6 digits and
+    * cast to DECIMAL so the per-(query, doc) SUM is exact and
+    * order-independent; ranking orders by the exact decimal.
+    *
+    * Scale (100 TB): the query set and its 12-term vocabulary are
+    * broadcast — the corpus-side token stream is filtered to matching
+    * terms BEFORE the only corpus shuffle (the (doc, term) tf count,
+    * map-side combined, carrying dl as a max so no separate dl join);
+    * df and the (n_docs, total-length) stats collapse to broadcast
+    * scalars. The final per-query top-k is a window here (oracle
+    * parity); at corpus candidate volumes [[Sketches.topKPerGroup]]'s
+    * bounded aggregate is the drop-in replacement. */
+  def bm25TopK(spark: SparkSession, sfDir: String, k: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val queryTerms: Seq[(Int, String)] = Seq(
+      1 -> "hash", 1 -> "join", 1 -> "merge",
+      2 -> "window", 2 -> "sort", 2 -> "order",
+      3 -> "stream", 3 -> "batch", 3 -> "fast",
+      4 -> "vector", 4 -> "query", 4 -> "scan")
+    val termSet = queryTerms.map(_._2).distinct
+    import spark.implicits._
+    val qterms = queryTerms.toDF("query_id", "term")
+
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+    val stats = docs.agg(count(lit(1)).as("n_docs"),
+      sum(size(col("w")).cast("long")).as("tot"))
+    val tf = docs
+      .select(col("doc_id"), size(col("w")).cast("long").as("dl"),
+        explode_outer(col("w")).as("term"))
+      .filter(col("term").isin(termSet: _*))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
+      // consumed by both the df count and the scoring join — materialize
+      // the (small, term-filtered) tf rows once instead of re-scanning
+      .localCheckpoint()
+    val dfc = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+
+    // One fixed-order double chain, mirrored verbatim in the oracle SQL.
+    val idf = (col("n_docs").cast("double") - col("df") + lit(0.5)) /
+      (col("df").cast("double") + lit(0.5))
+    val tfPart = (col("tf").cast("double") * lit(2.2)) /
+      (col("tf").cast("double") + lit(1.2) * (lit(0.25) + lit(0.75) *
+        (col("dl").cast("double") / (col("tot").cast("double") / col("n_docs")))))
+    val contrib = PortableRound.pround(idf * tfPart, 6).cast("decimal(28,6)")
+
+    val scored = tf.join(broadcast(qterms), "term")
+      .join(broadcast(dfc), "term")
+      .crossJoin(broadcast(stats))
+      .select(col("query_id"), col("doc_id"), contrib.as("c"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("c")).as("s"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("s").desc, col("doc_id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("doc_id"),
+        PortableRound.pround(col("s").cast("double"), 4).as("score"))
+  }
 }
