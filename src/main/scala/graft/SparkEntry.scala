@@ -124,6 +124,8 @@ object SparkEntry {
     "text_hash_embed" -> ((s: SparkSession, d: String) => TextAnalysis.hashEmbed(s, d)),
     "text_tfidf_topk" -> ((s: SparkSession, d: String) => TextAnalysis.tfidfTopTerms(s, d)),
     "text_bm25_topk" -> ((s: SparkSession, d: String) => TextAnalysis.bm25TopK(s, d)),
+    "text_winnow_fp" -> ((s: SparkSession, d: String) => TextAnalysis.winnowFingerprints(s, d)),
+    "dedup_winnow_pairs" -> ((s: SparkSession, d: String) => Dedup.winnowSharedPairs(s, d)),
     "text_quality_model" -> ((s: SparkSession, d: String) => TextAnalysis.qualityModelScore(s, d)),
     "text_char_diversity" -> ((s: SparkSession, d: String) => TextAnalysis.charDiversity(s, d)),
     "text_ngram_novelty" -> ((s: SparkSession, d: String) => TextAnalysis.ngramNovelty(s, d)),
@@ -187,9 +189,28 @@ object SparkEntry {
     "mm_byte_ahash", "embed_pca_power", "w_range_sliding",
     "corpus_dsir_weights", "ann_ivf_recall", "dedup_minhash_est_err",
     "corpus_span_corruption", "text_lang_confusion", "events_funnel",
-    "q4_late_orders", "q19_brand_revenue", "text_bm25_topk")
+    "q4_late_orders", "q19_brand_revenue", "text_bm25_topk",
+    "text_winnow_fp", "dedup_winnow_pairs")
 
   // --- generated DuckDB replicas of the portable-hash queries ----------
+
+  /** Winnowing CTE prefix shared by the fingerprint query and the
+    * shared-pair join: positional 3-grams, packed (hash, pos) keys,
+    * w=4 window minima over full windows. */
+  private def winnowCte: String =
+    s"""WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       |g AS (SELECT doc_id, unnest(generate_series(1, len(w) - 2)) AS i, w FROM ws),
+       |gr AS (SELECT doc_id, i, array_to_string(w[i:i+2], ' ') AS gram FROM g
+       |  WHERE i - 1 < 32768),
+       |k AS (SELECT doc_id, i - 1 AS pos,
+       |    ${graft.functions.PortableHash.sqlH48("gram")} * 32768 + (i - 1) AS key
+       |  FROM gr),
+       |m AS (SELECT doc_id,
+       |    min(key) OVER (PARTITION BY doc_id ORDER BY pos
+       |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin,
+       |    count(*) OVER (PARTITION BY doc_id ORDER BY pos
+       |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS cnt
+       |  FROM k)""".stripMargin
 
   /** MinHash+LSH replica: same shingles, same md5-derived 48-bit base
     * hash, same 32 (a,b) permutations, same 8×4 banding. */
@@ -618,6 +639,22 @@ object SparkEntry {
         |SELECT query_id, CAST(rank AS INT) AS rank, doc_id,
         |  floor(CAST(s AS DOUBLE) * 10000 + 0.5) / 10000 AS score
         |FROM r WHERE rank <= 10""".stripMargin,
+    // Winnowing: key packs (hash, pos) so the window min is the
+    // lexicographic pair min — all integer, bit-identical by design.
+    "text_winnow_fp" ->
+      s"""$winnowCte
+        |SELECT DISTINCT doc_id, CAST(wmin % 32768 AS INT) AS pos,
+        |  wmin // 32768 AS fp_hash
+        |FROM m WHERE cnt = 4""".stripMargin,
+    "dedup_winnow_pairs" ->
+      s"""$winnowCte,
+        |fp AS (SELECT DISTINCT doc_id, wmin // 32768 AS fp_hash
+        |  FROM m WHERE cnt = 4),
+        |p AS (SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS n_shared
+        |  FROM fp a JOIN fp b ON a.fp_hash = b.fp_hash AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT id1, id2, n_shared FROM p WHERE n_shared >= 3
+        |ORDER BY n_shared DESC, id1, id2 LIMIT 20""".stripMargin,
     // Per-dimension sums in DECIMAL(38,30) (exact, order-independent);
     // dist2 = list_dot_product(diff, diff) matches Spark's index-order
     // zip_with fold bit for bit (same pattern as the cosine oracles).

@@ -479,6 +479,35 @@ object Dedup {
     * than shuffling it into the distinct. Run here over customer
     * names, whose numbered structure is dense in distance-1 pairs;
     * output aggregates to one row per left id. */
+  /** Near-dup candidate pairs by SHARED WINNOWING FINGERPRINTS: the
+    * overlap join MOSS runs downstream of
+    * [[TextAnalysis.winnowFingerprints]]. Because winnowing keeps only
+    * ~2/(w+1) of the grams yet guarantees a shared fingerprint for any
+    * match of length ≥ w+2 words, this is the same blocked self-join
+    * as [[ngramJaccardTopPairs]] over a ~2.5x smaller key space with
+    * the same detection floor for long matches.
+    *
+    * Scale notes: fingerprint rows are checkpointed once (both join
+    * sides read the materialized rows — the winnow pipeline behind
+    * them is an explode + window); the self-join is hinted
+    * `shuffle_merge` (broadcasting a corpus-sized side twice is the
+    * trap, see [[ngramJaccardTopPairs]]); hot fingerprints (boilerplate
+    * grams) are the [[oversizedBuckets]] cap-and-alert story at corpus
+    * scale. Deterministic: (n_shared desc, id1, id2) top-k. */
+  def winnowSharedPairs(spark: SparkSession, sfDir: String,
+      minShared: Int = 3, k: Int = 20): DataFrame = {
+    val fp = graft.operators.TextAnalysis.winnowFingerprints(spark, sfDir)
+      .select(col("doc_id"), col("fp_hash")).distinct()
+      .localCheckpoint()
+    val a = fp.select(col("fp_hash"), col("doc_id").as("id1"))
+    val b = fp.select(col("fp_hash").as("h2"), col("doc_id").as("id2"))
+    a.join(b.hint("shuffle_merge"),
+        col("fp_hash") === col("h2") && col("id1") < col("id2"))
+      .groupBy(col("id1"), col("id2")).agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+      .orderBy(col("n_shared").desc, col("id1"), col("id2")).limit(k)
+  }
+
   def fuzzyNeighbors(spark: SparkSession, sfDir: String): DataFrame = {
     graft.plans.EditWithin1.register(spark)
     val cust = Tables.customer(spark, sfDir).select(col("c_custkey"), col("c_name"))

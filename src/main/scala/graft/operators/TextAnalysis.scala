@@ -349,6 +349,51 @@ object TextAnalysis {
           col("n_grams"), 6).as("novelty"))
   }
 
+  /** Winnowing fingerprints (Schleimer/Wilkes/Aiken 2003, the MOSS
+    * algorithm): hash every positional word-3-gram, slide a window of
+    * `w` consecutive hashes, keep each window's minimum — guarantees a
+    * shared fingerprint for any match of length ≥ w+2 words while
+    * storing ~2/(w+1) of the grams. The selection upgrade over the
+    * single rolling hash of [[fingerprint]]: robust to insertions.
+    *
+    * Determinism: ties break by (hash, position) — the hash and the
+    * 0-based gram position are packed into one long (`h * 32768 + pos`,
+    * h < 2^48, pos < 2^15 — document prefix capped accordingly), so the
+    * window `min` IS the lexicographic (h, pos) min and both engines
+    * agree bit-for-bit. All integer arithmetic, no rounding discipline.
+    *
+    * Scale (100 TB): the gram explode is narrow; the only shuffle is
+    * the (doc)-keyed window sort, and the closing DISTINCT on
+    * (doc, key) reuses that partitioning (doc_id is a subset of the
+    * grouping key → no second exchange). Fingerprint volume per doc is
+    * bounded by the winnow density, the property that makes the
+    * downstream (fingerprint)-keyed overlap join tractable. */
+  def winnowFingerprints(spark: SparkSession, sfDir: String, w: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val words = col("__w")
+    val grams = Tables.documents(spark, sfDir)
+      .withColumn("__w", split(col("text"), " "))
+      .select(col("doc_id"), posexplode(
+        when(size(words) >= 3,
+          transform(sequence(lit(0), size(words) - 3), i =>
+            concat_ws(" ", element_at(words, i + 1),
+              element_at(words, i + 2), element_at(words, i + 3))))
+          .otherwise(array())).as(Seq("pos", "gram")))
+      .filter(col("pos") < 32768)
+    val keyed = grams.select(col("doc_id"), col("pos"),
+      (graft.functions.PortableHash.md5Hash48(col("gram")) * lit(32768L) +
+        col("pos")).as("key"))
+    val win = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(0, w - 1)
+    keyed
+      .withColumn("wmin", min(col("key")).over(win))
+      .withColumn("cnt", count(lit(1)).over(win))
+      .filter(col("cnt") === w) // full windows only
+      .select(col("doc_id"), col("wmin")).distinct()
+      .select(col("doc_id"), (col("wmin") % 32768L).cast("int").as("pos"),
+        expr("wmin DIV 32768").as("fp_hash"))
+  }
+
   /** BM25 retrieval: top-k documents per query for a small literal
     * query set (k1 = 1.2, b = 0.75, Robertson rational idf — same
     * log-free shape as [[tfidfTopTerms]]).

@@ -248,4 +248,20 @@ class PlanShapeSpec extends AnyFunSuite {
       l.contains("HashJoin") && l.contains("__graft_bin")),
       s"expected the bin-keyed equi-join:\n$p")
   }
+
+  test("winnow fingerprints: one doc-keyed exchange; the closing distinct " +
+      "reuses the window partitioning") {
+    val p = plan("text_winnow_fp")
+    val exchanges = "(?<!Broadcast)(?<!Reused)Exchange".r.findAllIn(p).size
+    assert(exchanges == 1, s"expected exactly one exchange (the window sort):\n$p")
+    assert(p.contains("Window"), p)
+  }
+
+  test("winnow pairs: fingerprint self-join is shuffle-keyed, not nested-loop") {
+    val p = plan("dedup_winnow_pairs")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"overlap join must block on the fingerprint key:\n$p")
+    assert(p.contains("SortMergeJoin"),
+      s"corpus-sized sides must shuffle-merge, not broadcast:\n$p")
+  }
 }
