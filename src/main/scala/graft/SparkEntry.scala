@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{Corpus, Dedup, IngestDemo, Multimodal, Relational, Similarity, Skew, Sketches, Substrate, Temporal, TextAnalysis}
+import graft.operators.{Corpus, Dedup, GraphOps, IngestDemo, Multimodal, Relational, Similarity, Skew, Sketches, Substrate, Temporal, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -126,6 +126,7 @@ object SparkEntry {
     "text_bm25_topk" -> ((s: SparkSession, d: String) => TextAnalysis.bm25TopK(s, d)),
     "text_winnow_fp" -> ((s: SparkSession, d: String) => TextAnalysis.winnowFingerprints(s, d)),
     "dedup_winnow_pairs" -> ((s: SparkSession, d: String) => Dedup.winnowSharedPairs(s, d)),
+    "graph_pagerank_neardup" -> ((s: SparkSession, d: String) => GraphOps.pagerankNearDup(s, d)),
     "text_quality_model" -> ((s: SparkSession, d: String) => TextAnalysis.qualityModelScore(s, d)),
     "text_char_diversity" -> ((s: SparkSession, d: String) => TextAnalysis.charDiversity(s, d)),
     "text_ngram_novelty" -> ((s: SparkSession, d: String) => TextAnalysis.ngramNovelty(s, d)),
@@ -190,7 +191,7 @@ object SparkEntry {
     "corpus_dsir_weights", "ann_ivf_recall", "dedup_minhash_est_err",
     "corpus_span_corruption", "text_lang_confusion", "events_funnel",
     "q4_late_orders", "q19_brand_revenue", "text_bm25_topk",
-    "text_winnow_fp", "dedup_winnow_pairs")
+    "text_winnow_fp", "dedup_winnow_pairs", "graph_pagerank_neardup")
 
   // --- generated DuckDB replicas of the portable-hash queries ----------
 
@@ -211,6 +212,34 @@ object SparkEntry {
        |    count(*) OVER (PARTITION BY doc_id ORDER BY pos
        |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS cnt
        |  FROM k)""".stripMargin
+
+  /** PageRank replica: replays the integer fixed-point iteration of
+    * [[graft.operators.GraphOps.pagerankNearDup]] — same edge list
+    * (winnow-pair graph), same micro-unit floor divisions — so every
+    * intermediate rank is bit-identical. */
+  private def pagerankOracle(iters: Int = 3): String = {
+    val iterCtes = (1 to iters).map { k =>
+      s"""r$k AS (SELECT d.doc_id, 150000 + (85 * coalesce(s.s, 0)) // 100 AS r
+         |  FROM documents d LEFT JOIN (
+         |    SELECT e.dst AS doc_id, CAST(sum(r.r // dg.deg) AS BIGINT) AS s
+         |    FROM e JOIN dg ON e.src = dg.src JOIN r${k - 1} r ON e.src = r.doc_id
+         |    GROUP BY 1) s ON d.doc_id = s.doc_id)""".stripMargin
+    }.mkString(",\n")
+    s"""$winnowCte,
+       |fp AS (SELECT DISTINCT doc_id, wmin // 32768 AS fp_hash
+       |  FROM m WHERE cnt = 4),
+       |p AS (SELECT a.doc_id AS id1, b.doc_id AS id2
+       |  FROM fp a JOIN fp b ON a.fp_hash = b.fp_hash AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2 HAVING count(*) >= 3),
+       |e AS (SELECT id1 AS src, id2 AS dst FROM p
+       |  UNION ALL SELECT id2, id1 FROM p),
+       |dg AS (SELECT src, count(*) AS deg FROM e GROUP BY 1),
+       |r0 AS (SELECT doc_id, CAST(1000000 AS BIGINT) AS r FROM documents),
+       |$iterCtes
+       |SELECT r$iters.doc_id, r AS rank_micro,
+       |  CAST(coalesce(dg.deg, 0) AS BIGINT) AS degree
+       |FROM r$iters LEFT JOIN dg ON r$iters.doc_id = dg.src""".stripMargin
+  }
 
   /** MinHash+LSH replica: same shingles, same md5-derived 48-bit base
     * hash, same 32 (a,b) permutations, same 8×4 banding. */
@@ -655,6 +684,7 @@ object SparkEntry {
         |  GROUP BY 1, 2)
         |SELECT id1, id2, n_shared FROM p WHERE n_shared >= 3
         |ORDER BY n_shared DESC, id1, id2 LIMIT 20""".stripMargin,
+    "graph_pagerank_neardup" -> pagerankOracle(),
     // Per-dimension sums in DECIMAL(38,30) (exact, order-independent);
     // dist2 = list_dot_product(diff, diff) matches Spark's index-order
     // zip_with fold bit for bit (same pattern as the cosine oracles).

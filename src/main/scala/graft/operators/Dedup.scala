@@ -495,7 +495,15 @@ object Dedup {
     * grams) are the [[oversizedBuckets]] cap-and-alert story at corpus
     * scale. Deterministic: (n_shared desc, id1, id2) top-k. */
   def winnowSharedPairs(spark: SparkSession, sfDir: String,
-      minShared: Int = 3, k: Int = 20): DataFrame = {
+      minShared: Int = 3, k: Int = 20): DataFrame =
+    winnowSharedPairsAll(spark, sfDir, minShared)
+      .orderBy(col("n_shared").desc, col("id1"), col("id2")).limit(k)
+
+  /** The full (un-limited) shared-fingerprint pair set — the near-dup
+    * EDGE LIST consumed by [[winnowSharedPairs]] (reporting top-k) and
+    * [[graft.operators.GraphOps.pagerankNearDup]] (graph analytics). */
+  def winnowSharedPairsAll(spark: SparkSession, sfDir: String,
+      minShared: Int = 3): DataFrame = {
     val fp = graft.operators.TextAnalysis.winnowFingerprints(spark, sfDir)
       .select(col("doc_id"), col("fp_hash")).distinct()
       .localCheckpoint()
@@ -505,7 +513,6 @@ object Dedup {
         col("fp_hash") === col("h2") && col("id1") < col("id2"))
       .groupBy(col("id1"), col("id2")).agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
-      .orderBy(col("n_shared").desc, col("id1"), col("id2")).limit(k)
   }
 
   def fuzzyNeighbors(spark: SparkSession, sfDir: String): DataFrame = {
