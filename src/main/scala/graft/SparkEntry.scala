@@ -47,6 +47,8 @@ object SparkEntry {
     "w_running" -> (Relational.wRunning _),
     "w_range_sliding" -> (Relational.wRangeSliding _),
     "events_funnel" -> ((s: SparkSession, d: String) => Relational.eventsFunnel(s, d)),
+    "events_retention" -> (Relational.eventsRetention _),
+    "corpus_quality_gate" -> (Corpus.qualityGate _),
     "set_except" -> (Relational.setExcept _),
     "tumbling_window" -> (Relational.tumblingWindow _),
     "sub_sessionize" -> ((s: SparkSession, d: String) => Relational.sessionize(s, d)),
@@ -191,7 +193,8 @@ object SparkEntry {
     "corpus_dsir_weights", "ann_ivf_recall", "dedup_minhash_est_err",
     "corpus_span_corruption", "text_lang_confusion", "events_funnel",
     "q4_late_orders", "q19_brand_revenue", "text_bm25_topk",
-    "text_winnow_fp", "dedup_winnow_pairs", "graph_pagerank_neardup")
+    "text_winnow_fp", "dedup_winnow_pairs", "graph_pagerank_neardup",
+    "events_retention", "corpus_quality_gate")
 
   // --- generated DuckDB replicas of the portable-hash queries ----------
 
@@ -903,6 +906,39 @@ object SparkEntry {
         |  event_type, count(*) AS n,
         |  cast(round(sum(cast(value as decimal(18,2))), 2) as double) AS total_value
         |FROM events GROUP BY 1, 2""".stripMargin,
+    "events_retention" ->
+      """WITH uw AS (SELECT DISTINCT user_id,
+        |    CAST(floor(epoch(ts)) AS BIGINT) // 604800 AS wk FROM events),
+        |c AS (SELECT user_id, min(wk) AS cohort_week FROM uw GROUP BY 1)
+        |SELECT cohort_week, wk - cohort_week AS week_offset,
+        |  count(*) AS n_users
+        |FROM uw JOIN c ON uw.user_id = c.user_id
+        |GROUP BY 1, 2""".stripMargin,
+    // Same scoring subquery as the text_quality oracle; the decile test
+    // is all-integer (rn <= (n+9)//10), no percent_rank double boundary.
+    "corpus_quality_gate" ->
+      """WITH s AS (SELECT doc_id, lang,
+        |  floor((CASE WHEN avg_word_len BETWEEN 3.0 AND 10.0 THEN 0.4 ELSE 0.0 END
+        |    + least(stop_ratio * 2.0, 0.3) + least(distinct_ratio, 0.3)) * 10000 + 0.5) / 10000 AS quality_score
+        |FROM (
+        |  SELECT doc_id, lang,
+        |    (length(text)::DOUBLE - (len(string_split(text, ' ')) - 1))
+        |      / len(string_split(text, ' ')) AS avg_word_len,
+        |    len(list_distinct(string_split(text, ' ')))::DOUBLE
+        |      / len(string_split(text, ' ')) AS distinct_ratio,
+        |    ((length(t) - length(replace(t, ' the ', ''))) / 5
+        |      + (length(t) - length(replace(t, ' a ', ''))) / 3
+        |      + (length(t) - length(replace(t, ' of ', ''))) / 4
+        |      + (length(t) - length(replace(t, ' and ', ''))) / 5)
+        |      / len(string_split(text, ' ')) AS stop_ratio
+        |  FROM (SELECT doc_id, lang, text, ' ' || text || ' ' AS t FROM documents))),
+        |r AS (SELECT doc_id, lang, quality_score,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY quality_score DESC, doc_id) AS rn,
+        |    count(*) OVER (PARTITION BY lang) AS n_lang
+        |  FROM s)
+        |SELECT doc_id, lang, quality_score, rn, n_lang
+        |FROM r WHERE rn <= (n_lang + 9) // 10""".stripMargin,
     "imsc_pipeline" -> IngestDemo.oracle,
     "sub_sessionize" ->
       """WITH e AS (SELECT user_id, event_id, ts,

@@ -419,4 +419,34 @@ object Corpus {
         lit("mix:"), col("doc_id").cast("string"), lit(":"),
         col("epoch").cast("string"))))
   }
+
+  /** Per-language quality-percentile gate: keep each language's top
+    * decile by [[TextAnalysis.qualityScoreCol]] — the ADAPTIVE variant
+    * of a fixed score threshold (a fixed cutoff over- or under-prunes
+    * languages whose score distributions differ; a per-lang percentile
+    * prunes each distribution equally). The decile test is pure
+    * integers — `rn <= (n_lang + 9) DIV 10` on a deterministic
+    * (score desc, doc_id) row_number — no percent_rank double at the
+    * boundary.
+    *
+    * Scale notes: scoring is a narrow codegen'd projection; both
+    * windows (rank + per-lang count) share ONE lang-keyed shuffle. A
+    * language is a coarse partition at corpus scale — the two-stage
+    * salted top-k of [[sourceCap]] is the swap-in when a single lang
+    * dominates; the decile count then comes from the same pre-agg. */
+  def qualityGate(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"),
+        graft.operators.TextAnalysis.qualityScoreCol.as("quality_score"))
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("quality_score").desc, col("doc_id"))
+    val cw = Window.partitionBy(col("lang"))
+    scored
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("n_lang", count(lit(1)).over(cw))
+      .filter(col("rn") <= expr("(n_lang + 9) DIV 10"))
+      .select(col("doc_id"), col("lang"), col("quality_score"),
+        col("rn"), col("n_lang"))
+  }
 }

@@ -147,6 +147,28 @@ object Relational {
       .orderBy(col("p_brand"))
   }
 
+  /** Weekly cohort retention matrix — the classic product-analytics
+    * companion to [[eventsFunnel]]/[[sessionize]]: users are cohorted by
+    * their first active week, and each later active week counts into
+    * (cohort_week, week_offset). All-integer epoch-week arithmetic
+    * (floor divisions), so the oracle matches without rounding
+    * discipline.
+    *
+    * Scale notes: the raw event stream collapses to DISTINCT
+    * (user, week) FIRST (map-side combined — the 100 TB event volume
+    * never reaches the window); the per-user min-week window rides the
+    * user-keyed shuffle; the final (cohort, offset) agg is tiny. */
+  def eventsRetention(spark: SparkSession, sfDir: String): DataFrame = {
+    val uw = Tables.events(spark, sfDir)
+      .select(col("user_id"),
+        expr("unix_micros(ts) DIV 604800000000").as("wk"))
+      .distinct()
+    val w = Window.partitionBy(col("user_id"))
+    uw.withColumn("cohort_week", min(col("wk")).over(w))
+      .groupBy(col("cohort_week"), (col("wk") - col("cohort_week")).as("week_offset"))
+      .agg(count(lit(1)).as("n_users"))
+  }
+
   /** Q4-shaped priority check: orders with at least one LATE line
     * (shipped more than 90 days after the order date), counted per
     * priority. The EXISTS is a LEFT SEMI join — equi on the order key
