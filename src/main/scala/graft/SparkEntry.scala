@@ -48,6 +48,7 @@ object SparkEntry {
     "w_range_sliding" -> (Relational.wRangeSliding _),
     "events_funnel" -> ((s: SparkSession, d: String) => Relational.eventsFunnel(s, d)),
     "events_retention" -> (Relational.eventsRetention _),
+    "events_wau" -> (Relational.eventsWau _),
     "corpus_quality_gate" -> (Corpus.qualityGate _),
     "set_except" -> (Relational.setExcept _),
     "tumbling_window" -> (Relational.tumblingWindow _),
@@ -194,7 +195,7 @@ object SparkEntry {
     "corpus_span_corruption", "text_lang_confusion", "events_funnel",
     "q4_late_orders", "q19_brand_revenue", "text_bm25_topk",
     "text_winnow_fp", "dedup_winnow_pairs", "graph_pagerank_neardup",
-    "events_retention", "corpus_quality_gate")
+    "events_retention", "corpus_quality_gate", "events_wau")
 
   // --- generated DuckDB replicas of the portable-hash queries ----------
 
@@ -914,6 +915,16 @@ object SparkEntry {
         |  count(*) AS n_users
         |FROM uw JOIN c ON uw.user_id = c.user_id
         |GROUP BY 1, 2""".stripMargin,
+    "events_wau" ->
+      """WITH ud AS (SELECT DISTINCT user_id,
+        |    CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day FROM events),
+        |b AS (SELECT min(day) AS min_day, max(day) AS max_day FROM ud),
+        |f AS (SELECT user_id, day + k AS report_day
+        |  FROM ud CROSS JOIN (SELECT unnest(range(0, 7)) AS k))
+        |SELECT report_day, count(DISTINCT user_id) AS wau
+        |FROM f CROSS JOIN b
+        |WHERE report_day >= min_day + 6 AND report_day <= max_day
+        |GROUP BY 1""".stripMargin,
     // Same scoring subquery as the text_quality oracle; the decile test
     // is all-integer (rn <= (n+9)//10), no percent_rank double boundary.
     "corpus_quality_gate" ->

@@ -169,6 +169,36 @@ object Relational {
       .agg(count(lit(1)).as("n_users"))
   }
 
+  /** 7-day sliding WAU (weekly-active-users per report day) — the
+    * sliding DISTINCT-count window SQL engines can't express as a
+    * window function (COUNT(DISTINCT) OVER a RANGE frame is
+    * unsupported in Spark and most engines). The relational rewrite:
+    * collapse to distinct (user, day), fan each user-day out to the 7
+    * report days it contributes to (bounded explode), then a
+    * two-level distinct count per report day. All-integer epoch-day
+    * arithmetic.
+    *
+    * Scale notes: the 100 TB event stream collapses map-side to
+    * (user, day) FIRST; the ×7 fan-out is bounded and narrow; the
+    * (report_day, user) distinct collapses map-side again before the
+    * only wide shuffle. Report days trimmed to full windows the data
+    * can support (no partial leading windows). */
+  def eventsWau(spark: SparkSession, sfDir: String): DataFrame = {
+    val ud = Tables.events(spark, sfDir)
+      .select(col("user_id"), expr("unix_micros(ts) DIV 86400000000").as("day"))
+      .distinct()
+    val bounds = ud.agg(min(col("day")).as("min_day"), max(col("day")).as("max_day"))
+    ud.select(col("user_id"), col("day"),
+        explode(sequence(col("day"), col("day") + 6)).as("report_day"))
+      .groupBy(col("report_day"))
+      .agg(countDistinct(col("user_id")).as("wau"))
+      .crossJoin(broadcast(bounds))
+      // full windows only: report_day covers [report_day-6, report_day]
+      .filter(col("report_day") >= col("min_day") + 6 &&
+        col("report_day") <= col("max_day"))
+      .select(col("report_day"), col("wau"))
+  }
+
   /** Q4-shaped priority check: orders with at least one LATE line
     * (shipped more than 90 days after the order date), counted per
     * priority. The EXISTS is a LEFT SEMI join — equi on the order key
