@@ -41,13 +41,19 @@ object GraphOps {
     val pairs = Dedup.winnowSharedPairsAll(spark, sfDir)
     val edges = pairs.select(col("id1").as("src"), col("id2").as("dst"))
       .union(pairs.select(col("id2").as("src"), col("id1").as("dst")))
+    // degree travels WITH each edge (one window over the edge shuffle),
+    // so every iteration is a single (src)-keyed join — the per-pass
+    // deg join is folded into the one-time materialization
+    val edgesDeg = edges
+      .withColumn("deg", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("src"))))
       .localCheckpoint()
-    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val deg = edgesDeg.groupBy(col("src")).agg(max(col("deg")).as("deg"))
     val docs = Tables.documents(spark, sfDir).select(col("doc_id"))
 
     var ranks = docs.select(col("doc_id"), lit(1000000L).as("r"))
     for (_ <- 1 to iters) {
-      val contrib = edges.join(deg, "src")
+      val contrib = edgesDeg
         .join(ranks.withColumnRenamed("doc_id", "src"), "src")
         .select(col("dst"), expr("r DIV deg").as("c"))
         .groupBy(col("dst")).agg(sum(col("c")).as("s"))
