@@ -58,6 +58,7 @@ object SparkEntry {
     "sub_cube" -> (Substrate.cubeOp _),
     "sub_pivot" -> (Substrate.pivotLangSource _),
     "sub_semi_join" -> (Substrate.semiJoin _),
+    "sub_full_outer" -> (Substrate.fullOuterActivity _),
     "sub_ilike_join" -> (Substrate.ilikeJoin _),
     "sub_date_ops" -> (Substrate.dateOps _),
     "sql_top_customers" -> (Substrate.sqlTopCustomers _),
@@ -1451,6 +1452,19 @@ object SparkEntry {
       """SELECT c_custkey, c_name, c_mktsegment FROM customer
         |WHERE EXISTS (SELECT 1 FROM orders
         |  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')""".stripMargin,
+    "sub_full_outer" ->
+      """WITH cust AS (SELECT c_custkey, c_name FROM customer
+        |  WHERE c_mktsegment = 'BUILDING'),
+        |act AS (SELECT o_custkey, count(*) AS n_orders,
+        |    cast(round(sum(cast(o_totalprice as decimal(18,2))), 2) as double) AS total_spend
+        |  FROM orders
+        |  WHERE o_orderdate >= '1996-01-01' AND o_orderdate < '1997-01-01'
+        |  GROUP BY 1)
+        |SELECT coalesce(c_custkey, o_custkey) AS custkey,
+        |  coalesce(c_name, '(outside-segment)') AS c_name,
+        |  coalesce(n_orders, 0) AS n_orders,
+        |  coalesce(total_spend, 0.0) AS total_spend
+        |FROM cust FULL OUTER JOIN act ON c_custkey = o_custkey""".stripMargin,
     "sub_ilike_join" ->
       """SELECT n_name, count(*) AS n_suppliers
         |FROM supplier JOIN nation ON s_nationkey = n_nationkey

@@ -29,6 +29,31 @@ object Substrate {
       .cube(col("lang"), col("source"))
       .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("total_chars"))
 
+  /** FULL OUTER join — the one join flavor the substrate hadn't
+    * exercised: segment customers vs their 1996 order activity, keeping
+    * BOTH unmatched sides (segment customers with no orders AND active
+    * customers outside the segment). Null-free output (coalesced keys /
+    * zeros / placeholder name) so the hash compare is stable.
+    *
+    * Scale: both sides shuffle once on the join key — the standard
+    * full-outer plan; the aggregate side collapses map-side first. */
+  def fullOuterActivity(spark: SparkSession, sfDir: String): DataFrame = {
+    val cust = Tables.customer(spark, sfDir)
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey"), col("c_name"))
+    val act = Tables.orders(spark, sfDir)
+      .filter(col("o_orderdate") >= lit("1996-01-01") && col("o_orderdate") < lit("1997-01-01"))
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum(col("o_totalprice").cast("decimal(18,2)")), 2).cast("double").as("total_spend"))
+    cust.join(act, col("c_custkey") === col("o_custkey"), "full_outer")
+      .select(
+        coalesce(col("c_custkey"), col("o_custkey")).as("custkey"),
+        coalesce(col("c_name"), lit("(outside-segment)")).as("c_name"),
+        coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+        coalesce(col("total_spend"), lit(0.0)).as("total_spend"))
+  }
+
   /** PIVOT — per-lang document counts spread into one column per source
     * bucket (the explicit value list keeps the output schema static, as
     * a production pivot at scale must: an unlisted-values pivot
