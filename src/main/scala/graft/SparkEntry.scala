@@ -131,6 +131,7 @@ object SparkEntry {
     "text_winnow_fp" -> ((s: SparkSession, d: String) => TextAnalysis.winnowFingerprints(s, d)),
     "dedup_winnow_pairs" -> ((s: SparkSession, d: String) => Dedup.winnowSharedPairs(s, d)),
     "graph_pagerank_neardup" -> ((s: SparkSession, d: String) => GraphOps.pagerankNearDup(s, d)),
+    "dedup_winnow_recall" -> ((s: SparkSession, d: String) => Dedup.winnowRecallEval(s, d)),
     "text_quality_model" -> ((s: SparkSession, d: String) => TextAnalysis.qualityModelScore(s, d)),
     "text_char_diversity" -> ((s: SparkSession, d: String) => TextAnalysis.charDiversity(s, d)),
     "text_ngram_novelty" -> ((s: SparkSession, d: String) => TextAnalysis.ngramNovelty(s, d)),
@@ -196,7 +197,8 @@ object SparkEntry {
     "corpus_span_corruption", "text_lang_confusion", "events_funnel",
     "q4_late_orders", "q19_brand_revenue", "text_bm25_topk",
     "text_winnow_fp", "dedup_winnow_pairs", "graph_pagerank_neardup",
-    "events_retention", "corpus_quality_gate", "events_wau")
+    "events_retention", "corpus_quality_gate", "events_wau",
+    "dedup_winnow_recall", "sub_full_outer")
 
   // --- generated DuckDB replicas of the portable-hash queries ----------
 
@@ -690,6 +692,37 @@ object SparkEntry {
         |SELECT id1, id2, n_shared FROM p WHERE n_shared >= 3
         |ORDER BY n_shared DESC, id1, id2 LIMIT 20""".stripMargin,
     "graph_pagerank_neardup" -> pagerankOracle(),
+    // Composes the winnow CTE chain (candidates) with the exact
+    // shingle-Jaccard chain (truth) over the SHARED ws CTE; the
+    // threshold test is integer cross-multiplied like the Spark side.
+    "dedup_winnow_recall" ->
+      s"""WITH ${winnowCte.stripPrefix("WITH ")},
+        |fp AS (SELECT DISTINCT doc_id, wmin // 32768 AS fp_hash
+        |  FROM m WHERE cnt = 4),
+        |cand AS (SELECT a.doc_id AS id1, b.doc_id AS id2
+        |  FROM fp a JOIN fp b ON a.fp_hash = b.fp_hash AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2 HAVING count(*) >= 3),
+        |sh AS (SELECT doc_id, unnest(list_distinct(
+        |  [array_to_string(w[i:i+2], ' ') for i in range(1, len(w) - 1)])) AS s
+        |  FROM ws WHERE len(w) >= 3),
+        |ns AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+        |pr AS (SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS shared
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        |truth AS (SELECT id1, id2
+        |  FROM pr JOIN ns t1 ON id1 = t1.doc_id JOIN ns t2 ON id2 = t2.doc_id
+        |  WHERE shared * 100 >= 35 * (t1.n_sh + t2.n_sh - shared)),
+        |j AS (SELECT coalesce(t.id1, c.id1) AS id1,
+        |    CASE WHEN t.id1 IS NULL THEN 0 ELSE 1 END AS in_truth,
+        |    CASE WHEN c.id1 IS NULL THEN 0 ELSE 1 END AS in_cand
+        |  FROM truth t FULL OUTER JOIN cand c
+        |    ON t.id1 = c.id1 AND t.id2 = c.id2),
+        |agg AS (SELECT CAST(sum(in_truth) AS BIGINT) AS n_truth,
+        |    CAST(sum(in_cand) AS BIGINT) AS n_cand,
+        |    CAST(sum(in_truth * in_cand) AS BIGINT) AS n_hit FROM j)
+        |SELECT n_truth, n_cand, n_hit,
+        |  (n_hit * 1000000) // n_truth AS recall_micro,
+        |  (n_hit * 1000000) // n_cand AS precision_micro
+        |FROM agg""".stripMargin,
     // Per-dimension sums in DECIMAL(38,30) (exact, order-independent);
     // dist2 = list_dot_product(diff, diff) matches Spark's index-order
     // zip_with fold bit for bit (same pattern as the cosine oracles).

@@ -515,6 +515,46 @@ object Dedup {
       .filter(col("n_shared") >= minShared)
   }
 
+  /** Winnow-candidate CALIBRATION — the evaluation harness that
+    * justifies replacing the exact shingle-Jaccard join with the
+    * winnowed one (same pattern as the minhash estimation-error and
+    * IVF-recall evaluators): exact ground truth = pairs with shingle
+    * Jaccard ≥ 35% (integer cross-multiplied test, no float), candidates
+    * = [[winnowSharedPairsAll]]; reports hit counts and micro-unit
+    * recall/precision in ONE summary row.
+    *
+    * Scale notes: both pair sets are the already-audited blocked
+    * self-joins (shingle-keyed / fingerprint-keyed, checkpointed
+    * inputs); the comparison is a (id1, id2)-keyed full outer join and
+    * a single global aggregate — no collect, no cross product. */
+  def winnowRecallEval(spark: SparkSession, sfDir: String,
+      jacPct: Int = 35, minShared: Int = 3): DataFrame = {
+    val sh = withShingles(Tables.documents(spark, sfDir))
+      .select(col("doc_id"), size(col("sh")).cast("long").as("n_sh"),
+        explode_outer(col("sh")).as("s"))
+      .filter(col("s").isNotNull)
+      .localCheckpoint()
+    val a = sh.select(col("s"), col("doc_id").as("id1"), col("n_sh").as("n1"))
+    val b = sh.select(col("s").as("s2"), col("doc_id").as("id2"), col("n_sh").as("n2"))
+    val truth = a.join(b.hint("shuffle_merge"),
+        col("s") === col("s2") && col("id1") < col("id2"))
+      .groupBy(col("id1"), col("id2"))
+      .agg(count(lit(1)).as("shared"), max(col("n1")).as("n1"), max(col("n2")).as("n2"))
+      .filter(col("shared") * 100 >= lit(jacPct) * (col("n1") + col("n2") - col("shared")))
+      .select(col("id1"), col("id2"), lit(1L).as("in_truth"))
+    val cand = winnowSharedPairsAll(spark, sfDir, minShared)
+      .select(col("id1"), col("id2"), lit(1L).as("in_cand"))
+    truth.join(cand, Seq("id1", "id2"), "full_outer")
+      .agg(
+        sum(coalesce(col("in_truth"), lit(0L))).as("n_truth"),
+        sum(coalesce(col("in_cand"), lit(0L))).as("n_cand"),
+        sum(when(col("in_truth") === 1L && col("in_cand") === 1L, 1L)
+          .otherwise(0L)).as("n_hit"))
+      .select(col("n_truth"), col("n_cand"), col("n_hit"),
+        expr("(n_hit * 1000000) DIV n_truth").as("recall_micro"),
+        expr("(n_hit * 1000000) DIV n_cand").as("precision_micro"))
+  }
+
   def fuzzyNeighbors(spark: SparkSession, sfDir: String): DataFrame = {
     graft.plans.EditWithin1.register(spark)
     val cust = Tables.customer(spark, sfDir).select(col("c_custkey"), col("c_name"))
