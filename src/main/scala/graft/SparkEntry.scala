@@ -49,6 +49,7 @@ object SparkEntry {
     "events_funnel" -> ((s: SparkSession, d: String) => Relational.eventsFunnel(s, d)),
     "events_retention" -> (Relational.eventsRetention _),
     "events_wau" -> (Relational.eventsWau _),
+    "events_spike_days" -> (Relational.eventsSpikeDays _),
     "corpus_quality_gate" -> (Corpus.qualityGate _),
     "set_except" -> (Relational.setExcept _),
     "tumbling_window" -> (Relational.tumblingWindow _),
@@ -959,6 +960,15 @@ object SparkEntry {
         |FROM f CROSS JOIN b
         |WHERE report_day >= min_day + 6 AND report_day <= max_day
         |GROUP BY 1""".stripMargin,
+    "events_spike_days" ->
+      """WITH d AS (SELECT CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+        |    count(*) AS c FROM events GROUP BY 1),
+        |m AS (SELECT count(*) AS n, CAST(sum(c) AS BIGINT) AS s,
+        |    CAST(sum(c * c) AS BIGINT) AS q FROM d)
+        |SELECT day, c AS n_events, n * c - s AS dev_num,
+        |  (n*c - s)*(n*c - s) > 9 * (n*q - s*s) AS spike_3sigma,
+        |  (n*c - s)*(n*c - s) > (n*q - s*s) AS over_1sigma
+        |FROM d CROSS JOIN m""".stripMargin,
     // Same scoring subquery as the text_quality oracle; the decile test
     // is all-integer (rn <= (n+9)//10), no percent_rank double boundary.
     "corpus_quality_gate" ->

@@ -199,6 +199,34 @@ object Relational {
       .select(col("report_day"), col("wau"))
   }
 
+  /** Daily event-volume anomaly report (the monitoring query behind
+    * every ingestion dashboard): every day with its count, signed
+    * deviation, and 3σ / 1σ spike flags. The tests are EXACT integer
+    * cross-multiplication — with n days, S = Σc, Q = Σc², day d
+    * exceeds kσ iff (n·c_d − S)² > k²·(n·Q − S²) — algebraically
+    * identical to (c_d − μ)² > k²σ² but with no float, no sqrt, no
+    * rounding discipline.
+    *
+    * Scale notes: events collapse map-side to one row per day
+    * (checkpointed — consumed by the moment aggregate AND the report);
+    * the (n, S, Q) moment row broadcasts back — the classic two-pass
+    * variance without any driver collect. */
+  def eventsSpikeDays(spark: SparkSession, sfDir: String): DataFrame = {
+    val daily = Tables.events(spark, sfDir)
+      .groupBy(expr("unix_micros(ts) DIV 86400000000").as("day"))
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint()
+    val moments = daily.agg(count(lit(1)).as("n"),
+      sum(col("c")).as("s"), sum(col("c") * col("c")).as("q"))
+    val devSq = (col("n") * col("c") - col("s")) * (col("n") * col("c") - col("s"))
+    val varN = col("n") * col("q") - col("s") * col("s")
+    daily.crossJoin(broadcast(moments))
+      .select(col("day"), col("c").as("n_events"),
+        (col("n") * col("c") - col("s")).as("dev_num"),
+        (devSq > lit(9L) * varN).as("spike_3sigma"),
+        (devSq > varN).as("over_1sigma"))
+  }
+
   /** Q4-shaped priority check: orders with at least one LATE line
     * (shipped more than 90 days after the order date), counted per
     * priority. The EXISTS is a LEFT SEMI join — equi on the order key
