@@ -199,7 +199,7 @@ object SparkEntry {
     "q4_late_orders", "q19_brand_revenue", "text_bm25_topk",
     "text_winnow_fp", "dedup_winnow_pairs", "graph_pagerank_neardup",
     "events_retention", "corpus_quality_gate", "events_wau",
-    "dedup_winnow_recall", "sub_full_outer")
+    "dedup_winnow_recall", "sub_full_outer", "events_spike_days")
 
   // --- generated DuckDB replicas of the portable-hash queries ----------
 
