@@ -960,12 +960,16 @@ object SparkEntry {
         |FROM f CROSS JOIN b
         |WHERE report_day >= min_day + 6 AND report_day <= max_day
         |GROUP BY 1""".stripMargin,
+    // The squared terms run in HUGEINT (int128) to mirror the Spark
+    // side's DECIMAL(38,0) widening — both are exact past the Long
+    // wrap point of s², so the kσ tests stay exact at any event count
+    // whose deviations fit 10^38 (≫ any real corpus).
     "events_spike_days" ->
       """WITH d AS (SELECT CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
         |    count(*) AS c FROM events GROUP BY 1),
-        |m AS (SELECT count(*) AS n, CAST(sum(c) AS BIGINT) AS s,
-        |    CAST(sum(c * c) AS BIGINT) AS q FROM d)
-        |SELECT day, c AS n_events, n * c - s AS dev_num,
+        |m AS (SELECT CAST(count(*) AS HUGEINT) AS n, CAST(sum(c) AS HUGEINT) AS s,
+        |    CAST(sum(c * c) AS HUGEINT) AS q FROM d)
+        |SELECT day, c AS n_events, CAST(n * c - s AS BIGINT) AS dev_num,
         |  (n*c - s)*(n*c - s) > 9 * (n*q - s*s) AS spike_3sigma,
         |  (n*c - s)*(n*c - s) > (n*q - s*s) AS over_1sigma
         |FROM d CROSS JOIN m""".stripMargin,
@@ -1144,14 +1148,17 @@ object SparkEntry {
         |WHERE w <> '' GROUP BY 1 HAVING count(*) >= 2
         |ORDER BY n DESC, w LIMIT 100""".stripMargin,
     // BPE first merges: [a-z]+ words only so per-character slicing is
-    // engine-unambiguous; weighted pair counts are exact integers.
+    // engine-unambiguous; weighted pair counts are exact integers. The
+    // sum is CAST back to BIGINT — DuckDB promotes sum(BIGINT) to
+    // HUGEINT, which the driver gate hashes as a different dtype than
+    // Spark's long even when every value is equal (the round-5 red).
     "corpus_bpe_merges" ->
       """WITH t AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
         |f AS (SELECT w, count(*) AS freq FROM t
         |  WHERE regexp_matches(w, '^[a-z]+$') AND len(w) >= 2 GROUP BY 1),
         |p AS (SELECT unnest(list_transform(range(1, len(w)), i -> w[i:i+1])) AS pair,
         |    freq FROM f)
-        |SELECT pair, sum(freq) AS n FROM p GROUP BY 1
+        |SELECT pair, CAST(sum(freq) AS BIGINT) AS n FROM p GROUP BY 1
         |ORDER BY n DESC, pair LIMIT 50""".stripMargin,
     // PMI collocations: rank by the rational score N·c_xy/(c_x·c_y)
     // (log is monotone — never evaluated); one exact integer product
@@ -1260,7 +1267,11 @@ object SparkEntry {
         |  FROM sc) WHERE rank <= 5""".stripMargin,
     // Int8 quantization: float→double widening, abs/max, one divide and
     // one multiply are bit-deterministic IEEE ops — codes compare with
-    // no rounding discipline; only the displayed scale is pround'd.
+    // no rounding discipline; only the displayed scale is pround'd. The
+    // code vector ships as a CSV string: the driver's row-sort chokes
+    // on array-typed cells (pandas can't factorize ndarray — the
+    // round-5 harness crash), and a comma join of exact ints carries
+    // identical information with a sortable, hashable dtype.
     "embed_quantize_int8" ->
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ed FROM embeddings),
          |m AS (SELECT vec_id, ed,
@@ -1269,7 +1280,8 @@ object SparkEntry {
          |    CASE WHEN max_abs > 0 THEN CAST(127 AS DOUBLE) / max_abs
          |         ELSE 0.0 END AS qs FROM m)
          |SELECT vec_id, ${graft.operators.PortableRound.sql("qs", 6)} AS qscale,
-         |  list_transform(ed, v -> CAST(floor(v * qs + 0.5) AS INT)) AS codes
+         |  array_to_string(list_transform(ed,
+         |    v -> CAST(CAST(floor(v * qs + 0.5) AS INT) AS VARCHAR)), ',') AS codes
          |FROM s""".stripMargin,
     // Power-iteration replica: same 1/1024 quantization, same two
     // passes, same sign-safe (+2^50) floor-division downscale by 2^20.

@@ -205,7 +205,11 @@ object Relational {
     * cross-multiplication — with n days, S = Σc, Q = Σc², day d
     * exceeds kσ iff (n·c_d − S)² > k²·(n·Q − S²) — algebraically
     * identical to (c_d − μ)² > k²σ² but with no float, no sqrt, no
-    * rounding discipline.
+    * rounding discipline. The squared terms are computed in
+    * DECIMAL(38,0) (the oracle mirrors with HUGEINT): S² wraps a Long
+    * past S ≈ 3·10⁹ total events, while decimal/int128 stay exact up
+    * to 10³⁸ — far beyond any corpus. `dev_num` (n·c−S ≲ 10¹⁶ for
+    * 10¹² events over 10⁴ days) still fits a Long and ships as one.
     *
     * Scale notes: events collapse map-side to one row per day
     * (checkpointed — consumed by the moment aggregate AND the report);
@@ -216,13 +220,16 @@ object Relational {
       .groupBy(expr("unix_micros(ts) DIV 86400000000").as("day"))
       .agg(count(lit(1)).as("c"))
       .localCheckpoint()
-    val moments = daily.agg(count(lit(1)).as("n"),
-      sum(col("c")).as("s"), sum(col("c") * col("c")).as("q"))
-    val devSq = (col("n") * col("c") - col("s")) * (col("n") * col("c") - col("s"))
+    val moments = daily.agg(count(lit(1)).cast("decimal(38,0)").as("n"),
+      sum(col("c")).cast("decimal(38,0)").as("s"),
+      sum(col("c") * col("c")).cast("decimal(38,0)").as("q"))
+    val cD = col("c").cast("decimal(38,0)")
+    val dev = col("n") * cD - col("s")
+    val devSq = dev * dev
     val varN = col("n") * col("q") - col("s") * col("s")
     daily.crossJoin(broadcast(moments))
       .select(col("day"), col("c").as("n_events"),
-        (col("n") * col("c") - col("s")).as("dev_num"),
+        dev.cast("long").as("dev_num"),
         (devSq > lit(9L) * varN).as("spike_3sigma"),
         (devSq > varN).as("over_1sigma"))
   }

@@ -317,7 +317,11 @@ object Similarity {
         when(col("max_abs") > 0, lit(127.0) / col("max_abs")).otherwise(lit(0.0)))
       .select(col("vec_id"),
         PortableRound.pround(col("qscale"), 6).as("qscale"),
-        transform(col("ed"), v => floor(v * col("qscale") + lit(0.5)).cast("int"))
+        // CSV string, not array<int>: the oracle gate's row-sort cannot
+        // order array cells (pandas factorize crash), and the comma join
+        // of exact ints is the same information with a portable dtype.
+        array_join(transform(col("ed"),
+            v => floor(v * col("qscale") + lit(0.5)).cast("int").cast("string")), ",")
           .as("codes"))
 
   /** Squared L2 distance via the native codegen'd

@@ -92,7 +92,9 @@ class TextTrainingOpsSpec extends AnyFunSuite {
     for (r <- q) {
       val id = r.getLong(0)
       val scale = r.getDouble(1)
-      val codes = r.getAs[scala.collection.Seq[Int]]("codes")
+      // codes ship as a CSV string (the oracle gate cannot sort array
+      // cells); parse back to ints for the numeric assertions
+      val codes = r.getAs[String]("codes").split(",").toSeq.map(_.toInt)
       val orig = emb(id)
       assert(codes.length == orig.length)
       assert(codes.forall(c => c >= -127 && c <= 127))

@@ -20,8 +20,10 @@ def norm(v):
         if math.isnan(v):
             return "NaN"
         return round(v, 6)
-    if isinstance(v, (list, tuple)):
+    if isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray":
         return tuple(norm(x) for x in v)
+    if hasattr(v, "item") and type(v).__module__ == "numpy":
+        return norm(v.item())
     if hasattr(v, "isoformat"):
         return v.isoformat()
     if isinstance(v, bytes):
