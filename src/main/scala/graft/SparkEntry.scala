@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{Corpus, Dedup, GraphOps, IngestDemo, Multimodal, Relational, Similarity, Skew, Sketches, Substrate, Temporal, TextAnalysis}
+import graft.operators.{Corpus, Dedup, GraphOps, ImageCodec, IngestDemo, Multimodal, Relational, Similarity, Skew, Sketches, Substrate, Temporal, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -118,6 +118,8 @@ object SparkEntry {
     "mm_decode_stats" -> (Multimodal.decodeStub _),
     "mm_resize_plan" -> ((s: SparkSession, d: String) => Multimodal.resizePlan(s, d)),
     "mm_byte_ahash" -> ((s: SparkSession, d: String) => Multimodal.byteAHash(s, d)),
+    "mm_decode_image" -> (ImageCodec.decodeImageStats _),
+    "mm_image_ahash" -> (ImageCodec.imageAHash _),
     // training-data ops: text analysis
     "text_lang_id" -> (TextAnalysis.langId _),
     "text_lang_confusion" -> ((s: SparkSession, d: String) => TextAnalysis.langIdConfusion(s, d)),
@@ -760,6 +762,56 @@ object SparkEntry {
     "ann_lsh_topk" -> annLshOracle,
     "dedup_lsh_verified_pairs" -> lshVerifiedPairsOracle,
     "mm_decode_stats" -> mmDecodeOracle,
+    // REAL codec round-trip: the Spark side encodes a genuine PNG per
+    // doc (gradient gray (doc_id+x+y)%256, dims from n_chars, every
+    // 10th payload truncated) and decodes it with javax.imageio; the
+    // oracle replicates the DECODED statistics arithmetically. Any
+    // codec bug or failure-channel slip breaks the hash compare.
+    "mm_decode_image" ->
+      """WITH d AS (SELECT doc_id, CAST(n_chars % 64 + 16 AS INT) AS w,
+        |    CAST(n_chars % 48 + 16 AS INT) AS h FROM documents),
+        |px AS (SELECT doc_id, w, h, (doc_id + xs.x + ys.y) % 256 AS g
+        |  FROM d,
+        |  LATERAL (SELECT unnest(range(0, w)) AS x) xs,
+        |  LATERAL (SELECT unnest(range(0, h)) AS y) ys),
+        |s AS (SELECT doc_id, w, h, CAST(sum(g) AS BIGINT) AS sum_luma
+        |  FROM px GROUP BY 1, 2, 3)
+        |SELECT doc_id, doc_id % 10 <> 0 AS ok,
+        |  CASE WHEN doc_id % 10 = 0 THEN NULL ELSE w END AS width,
+        |  CASE WHEN doc_id % 10 = 0 THEN NULL ELSE h END AS height,
+        |  CASE WHEN doc_id % 10 = 0 THEN NULL
+        |       ELSE CAST(w AS BIGINT) * h END AS n_px,
+        |  CASE WHEN doc_id % 10 = 0 THEN NULL ELSE sum_luma END AS sum_luma,
+        |  CASE WHEN doc_id % 10 = 0 THEN NULL
+        |       ELSE sum_luma * 100 // (CAST(w AS BIGINT) * h) END AS mean_centi
+        |FROM s""".stripMargin,
+    // Real aHash over decoded pixels: 8x8 block grid via integer floor
+    // division, bit set iff block_sum*n_px > total*block_n (exact
+    // cross-multiplication), shipped as two 32-bit halves.
+    "mm_image_ahash" ->
+      """WITH d AS (SELECT doc_id, CAST(n_chars % 64 + 16 AS INT) AS w,
+        |    CAST(n_chars % 48 + 16 AS INT) AS h FROM documents
+        |  WHERE doc_id % 10 <> 0),
+        |px AS (SELECT doc_id, w, h, xs.x AS x, ys.y AS y,
+        |    (doc_id + xs.x + ys.y) % 256 AS g
+        |  FROM d,
+        |  LATERAL (SELECT unnest(range(0, w)) AS x) xs,
+        |  LATERAL (SELECT unnest(range(0, h)) AS y) ys),
+        |b AS (SELECT doc_id, w, h, (y * 8) // h AS br, (x * 8) // w AS bc,
+        |    CAST(sum(g) AS BIGINT) AS bsum, count(*) AS bn
+        |  FROM px GROUP BY 1, 2, 3, 4, 5),
+        |t AS (SELECT doc_id, CAST(w AS BIGINT) * h AS n_px,
+        |    CAST(sum(bsum) AS BIGINT) AS total FROM b GROUP BY 1, 2),
+        |bits AS (SELECT b.doc_id, br * 8 + bc AS bit
+        |  FROM b JOIN t USING (doc_id)
+        |  WHERE bsum * n_px > total * bn)
+        |SELECT t.doc_id,
+        |  CAST(coalesce(sum(CASE WHEN bit >= 32
+        |    THEN 1::BIGINT << CAST(bit - 32 AS INT) END), 0) AS BIGINT) AS ahash_hi,
+        |  CAST(coalesce(sum(CASE WHEN bit < 32
+        |    THEN 1::BIGINT << CAST(bit AS INT) END), 0) AS BIGINT) AS ahash_lo
+        |FROM t LEFT JOIN bits ON t.doc_id = bits.doc_id
+        |GROUP BY 1""".stripMargin,
     "q1_pricing" ->
       """SELECT l_returnflag, l_linestatus,
         |  cast(round(sum(cast(l_quantity as decimal(18,2))), 2) as double) AS sum_qty,

@@ -10,12 +10,15 @@ import graft.Tables
   * opaque `binary` columns with typed metadata, plus decode /
   * feature-extract / resize / frame-sample stages.
   *
-  * The actual media codecs are STUBBED (no image/audio libraries in this
-  * environment): [[decodeStub]] derives deterministic "pixels" from the
-  * payload bytes. Everything Spark-side is real and tested — schema,
-  * partitioning, the mapPartitions batch shape (the Scala analogue of
-  * `mapInPandas`: one iterator per partition, vectorizable per batch),
-  * and the pure-Column metadata paths.
+  * Image decode is REAL — [[ImageCodec]] round-trips genuine PNG/JPEG/
+  * BMP/GIF bytes through `javax.imageio` with the F11 failure channel
+  * (queries `mm_decode_image`, `mm_image_ahash`). Audio/video codecs
+  * remain STUBBED (no such libraries in the JDK): [[decodeStub]]
+  * derives deterministic "pixels" from payload bytes. Everything
+  * Spark-side is real and tested either way — schema, partitioning,
+  * the mapPartitions batch shape (the Scala analogue of `mapInPandas`:
+  * one iterator per partition, vectorizable per batch), and the
+  * pure-Column metadata paths.
   *
   * Scale notes: blobs travel as single binary cells; feature extraction
   * is a narrow mapPartitions (no shuffle) so it scales linearly with
