@@ -103,16 +103,27 @@ object IngestorConfig {
         timeoutMs = if (timeout <= 0) 10000L else timeout * 1000L)
   }
 
-  /** ref: LoggingOptions (scicat_configuration.py:200-222); the fields
-    * with an engine behavior (level/prefix/file handler) are typed,
-    * syslog/graylog remain tolerated-only. */
+  /** ref: LoggingOptions (scicat_configuration.py:200-222). All handler
+    * families are typed and wired: level/prefix/file, syslog
+    * (scicat_logging.py:60-62) and graylog GELF (:64-71). One
+    * deviation: the reference's syslog address is the `/dev/log` unix
+    * datagram socket, which the JVM cannot open (Java 16+ unix sockets
+    * are stream-only) — the engine speaks the same protocol over UDP
+    * via `system_log_address`, defaulting to the standard syslog port. */
   final case class LoggingConfig(
       verbose: Boolean = false,
       loggingLevel: String = "INFO",
       logMessagePrefix: String = "SFI",
       fileLog: Boolean = false,
       fileLogBaseName: String = "scicat_ingestor_log",
-      fileLogTimestamp: Boolean = false)
+      fileLogTimestamp: Boolean = false,
+      systemLog: Boolean = false,
+      systemLogFacility: String = "user",
+      systemLogAddress: String = "localhost:514",
+      graylog: Boolean = false,
+      graylogHost: String = "",
+      graylogPort: Int = 12201,
+      graylogFacility: String = "scicat.ingestor")
 
   /** ref: HealthCheckOptions (scicat_configuration.py:226-229). */
   final case class HealthCheckConfig(
@@ -235,9 +246,9 @@ object IngestorConfig {
   private val toleratedIngestion = Set(
     "offline_ingestor_executable", "max_offline_ingestors",
     "offline_ingestors_wait_time")
-  private val toleratedLogging = Set(
-    "system_log", "system_log_facility", "graylog", "graylog_host",
-    "graylog_port", "graylog_facility")
+  // syslog/graylog keys were tolerated-only until round 6; all logging
+  // keys are now typed on LoggingConfig and wired in IngestLogging
+  private val toleratedLogging = Set.empty[String]
   private val toleratedScicat = Set("additional_headers", "health_endpoint", "api_endpoints")
 
   /** Build the typed config from a parsed tree; strict = unknown keys
@@ -295,7 +306,14 @@ object IngestorConfig {
       logMessagePrefix = lg.str("log_message_prefix", "SFI"),
       fileLog = lg.bool("file_log", false),
       fileLogBaseName = lg.str("file_log_base_name", "scicat_ingestor_log"),
-      fileLogTimestamp = lg.bool("file_log_timestamp", false))
+      fileLogTimestamp = lg.bool("file_log_timestamp", false),
+      systemLog = lg.bool("system_log", false),
+      systemLogFacility = lg.str("system_log_facility", "user"),
+      systemLogAddress = lg.str("system_log_address", "localhost:514"),
+      graylog = lg.bool("graylog", false),
+      graylogHost = lg.str("graylog_host", ""),
+      graylogPort = lg.int("graylog_port", 12201),
+      graylogFacility = lg.str("graylog_facility", "scicat.ingestor"))
     errors ++= lg.finish()
 
     val hc = new Section(t.sub("health_check"), "health_check", Set.empty)
