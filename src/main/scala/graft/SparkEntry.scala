@@ -120,6 +120,7 @@ object SparkEntry {
     "mm_byte_ahash" -> ((s: SparkSession, d: String) => Multimodal.byteAHash(s, d)),
     "mm_decode_image" -> (ImageCodec.decodeImageStats _),
     "mm_image_ahash" -> (ImageCodec.imageAHash _),
+    "dedup_image_hamming" -> ((s: SparkSession, d: String) => ImageCodec.imageHammingPairs(s, d)),
     // training-data ops: text analysis
     "text_lang_id" -> (TextAnalysis.langId _),
     "text_lang_confusion" -> ((s: SparkSession, d: String) => TextAnalysis.langIdConfusion(s, d)),
@@ -204,6 +205,35 @@ object SparkEntry {
     "dedup_winnow_recall", "sub_full_outer", "events_spike_days")
 
   // --- generated DuckDB replicas of the portable-hash queries ----------
+
+  /** Arithmetic replica of the REAL decoded aHash (the PNGs are the
+    * deterministic gradient `(doc_id+x+y)%256`, failed-decode docs
+    * excluded) — shared by `mm_image_ahash` and `dedup_image_hamming`.
+    * Ends defining `ah(doc_id, ahash_hi, ahash_lo)`. */
+  private def imageAHashCte: String =
+    """WITH d AS (SELECT doc_id, CAST(n_chars % 64 + 16 AS INT) AS w,
+      |    CAST(n_chars % 48 + 16 AS INT) AS h FROM documents
+      |  WHERE doc_id % 10 <> 0),
+      |px AS (SELECT doc_id, w, h, xs.x AS x, ys.y AS y,
+      |    (doc_id + xs.x + ys.y) % 256 AS g
+      |  FROM d,
+      |  LATERAL (SELECT unnest(range(0, w)) AS x) xs,
+      |  LATERAL (SELECT unnest(range(0, h)) AS y) ys),
+      |b AS (SELECT doc_id, w, h, (y * 8) // h AS br, (x * 8) // w AS bc,
+      |    CAST(sum(g) AS BIGINT) AS bsum, count(*) AS bn
+      |  FROM px GROUP BY 1, 2, 3, 4, 5),
+      |t AS (SELECT doc_id, CAST(w AS BIGINT) * h AS n_px,
+      |    CAST(sum(bsum) AS BIGINT) AS total FROM b GROUP BY 1, 2),
+      |bits AS (SELECT b.doc_id, br * 8 + bc AS bit
+      |  FROM b JOIN t USING (doc_id)
+      |  WHERE bsum * n_px > total * bn),
+      |ah AS (SELECT t.doc_id,
+      |  CAST(coalesce(sum(CASE WHEN bit >= 32
+      |    THEN 1::BIGINT << CAST(bit - 32 AS INT) END), 0) AS BIGINT) AS ahash_hi,
+      |  CAST(coalesce(sum(CASE WHEN bit < 32
+      |    THEN 1::BIGINT << CAST(bit AS INT) END), 0) AS BIGINT) AS ahash_lo
+      |FROM t LEFT JOIN bits ON t.doc_id = bits.doc_id
+      |GROUP BY 1)""".stripMargin
 
   /** Winnowing CTE prefix shared by the fingerprint query and the
     * shared-pair join: positional 3-grams, packed (hash, pos) keys,
@@ -789,29 +819,27 @@ object SparkEntry {
     // division, bit set iff block_sum*n_px > total*block_n (exact
     // cross-multiplication), shipped as two 32-bit halves.
     "mm_image_ahash" ->
-      """WITH d AS (SELECT doc_id, CAST(n_chars % 64 + 16 AS INT) AS w,
-        |    CAST(n_chars % 48 + 16 AS INT) AS h FROM documents
-        |  WHERE doc_id % 10 <> 0),
-        |px AS (SELECT doc_id, w, h, xs.x AS x, ys.y AS y,
-        |    (doc_id + xs.x + ys.y) % 256 AS g
-        |  FROM d,
-        |  LATERAL (SELECT unnest(range(0, w)) AS x) xs,
-        |  LATERAL (SELECT unnest(range(0, h)) AS y) ys),
-        |b AS (SELECT doc_id, w, h, (y * 8) // h AS br, (x * 8) // w AS bc,
-        |    CAST(sum(g) AS BIGINT) AS bsum, count(*) AS bn
-        |  FROM px GROUP BY 1, 2, 3, 4, 5),
-        |t AS (SELECT doc_id, CAST(w AS BIGINT) * h AS n_px,
-        |    CAST(sum(bsum) AS BIGINT) AS total FROM b GROUP BY 1, 2),
-        |bits AS (SELECT b.doc_id, br * 8 + bc AS bit
-        |  FROM b JOIN t USING (doc_id)
-        |  WHERE bsum * n_px > total * bn)
-        |SELECT t.doc_id,
-        |  CAST(coalesce(sum(CASE WHEN bit >= 32
-        |    THEN 1::BIGINT << CAST(bit - 32 AS INT) END), 0) AS BIGINT) AS ahash_hi,
-        |  CAST(coalesce(sum(CASE WHEN bit < 32
-        |    THEN 1::BIGINT << CAST(bit AS INT) END), 0) AS BIGINT) AS ahash_lo
-        |FROM t LEFT JOIN bits ON t.doc_id = bits.doc_id
-        |GROUP BY 1""".stripMargin,
+      s"""$imageAHashCte
+         |SELECT doc_id, ahash_hi, ahash_lo FROM ah""".stripMargin,
+    // Image near-dup: census collapse over distinct hashes, 4x16-bit
+    // band blocking (pigeonhole covers ham<=3), exact popcount verify.
+    "dedup_image_hamming" ->
+      s"""$imageAHashCte,
+         |census AS (SELECT ahash_hi AS hi, ahash_lo AS lo, count(*) AS n_docs,
+         |    min(doc_id) AS rep_doc FROM ah GROUP BY 1, 2),
+         |bd AS (SELECT hi, lo, n_docs, rep_doc, band,
+         |    CASE band WHEN 0 THEN lo & 65535 WHEN 1 THEN (lo >> 16) & 65535
+         |         WHEN 2 THEN hi & 65535 ELSE (hi >> 16) & 65535 END AS bval
+         |  FROM census CROSS JOIN (SELECT unnest(range(0, 4)) AS band)),
+         |pairs AS (SELECT DISTINCT a.hi AS h1, a.lo AS l1, a.n_docs AS n1,
+         |    a.rep_doc AS rep_doc1, b.hi AS h2, b.lo AS l2, b.n_docs AS n2,
+         |    b.rep_doc AS rep_doc2
+         |  FROM bd a JOIN bd b ON a.band = b.band AND a.bval = b.bval
+         |    AND (a.hi < b.hi OR (a.hi = b.hi AND a.lo < b.lo)))
+         |SELECT rep_doc1, rep_doc2, n1, n2,
+         |  CAST(bit_count(xor(h1, h2)) + bit_count(xor(l1, l2)) AS INT) AS ham
+         |FROM pairs
+         |WHERE bit_count(xor(h1, h2)) + bit_count(xor(l1, l2)) <= 3""".stripMargin,
     "q1_pricing" ->
       """SELECT l_returnflag, l_linestatus,
         |  cast(round(sum(cast(l_quantity as decimal(18,2))), 2) as double) AS sum_qty,

@@ -526,7 +526,16 @@ object Dedup {
     * Scale notes: both pair sets are the already-audited blocked
     * self-joins (shingle-keyed / fingerprint-keyed, checkpointed
     * inputs); the comparison is a (id1, id2)-keyed full outer join and
-    * a single global aggregate — no collect, no cross product. */
+    * a single global aggregate — no collect, no cross product.
+    *
+    * EVALUATION HARNESS, NOT A PRODUCTION PATH (same label as
+    * [[Similarity.cosineThresholdPairs]]): the truth side's exact
+    * shingle-Jaccard join is only tractable at calibration scale — a
+    * stop-shingle shared by f docs contributes f² join rows, so at
+    * 100 TB it must run on a SAMPLED slice (pick a doc_id range the
+    * way the decontamination harness picks its eval set) to calibrate
+    * (w, k, minShared); production then runs ONLY the winnowed
+    * candidate side, whose fingerprints are sparse by construction. */
   def winnowRecallEval(spark: SparkSession, sfDir: String,
       jacPct: Int = 35, minShared: Int = 3): DataFrame = {
     val sh = withShingles(Tables.documents(spark, sfDir))

@@ -204,4 +204,53 @@ object ImageCodec {
       }
     }(enc)
   }
+
+  /** Image near-duplicate pairs by aHash hamming distance — the image
+    * twin of the SimHash band-blocked text dedup. Two layers keep it
+    * scalable:
+    *
+    *  1. CENSUS collapse: docs group by exact 64-bit hash first, so
+    *     the pair space is over DISTINCT hashes (≪ corpus; identical
+    *     copies surface as `n_docs > 1` on one census row and never
+    *     join);
+    *  2. BAND blocking: 4×16-bit bands — by pigeonhole any pair with
+    *     hamming ≤ 3 agrees on ≥ 1 whole band, so candidates come from
+    *     four equi-joins on 16-bit keys, never a cross product; the
+    *     exact popcount check then verifies each candidate (codegen'd
+    *     `bit_count(xor)`, no UDF).
+    */
+  def imageHammingPairs(spark: SparkSession, sfDir: String, maxHam: Int = 3): DataFrame = {
+    val ah = imageAHash(spark, sfDir).localCheckpoint() // one decode pass, two consumers
+    val census = ah.groupBy(col("ahash_hi"), col("ahash_lo"))
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("rep_doc"))
+    val bandVal = (band: Int) => band match {
+      case 0 => col("ahash_lo").bitwiseAND(lit(65535L))
+      case 1 => shiftright(col("ahash_lo"), 16).bitwiseAND(lit(65535L))
+      case 2 => col("ahash_hi").bitwiseAND(lit(65535L))
+      case _ => shiftright(col("ahash_hi"), 16).bitwiseAND(lit(65535L))
+    }
+    val banded = census.select(col("ahash_hi"), col("ahash_lo"),
+      col("n_docs"), col("rep_doc"),
+      explode(array((0 until 4).map(b =>
+        struct(lit(b).as("band"), bandVal(b).as("bval"))): _*)).as("bk"))
+      .select(col("ahash_hi"), col("ahash_lo"), col("n_docs"), col("rep_doc"),
+        col("bk.band").as("band"), col("bk.bval").as("bval"))
+    val a = banded.select(col("band"), col("bval"),
+      col("ahash_hi").as("h1"), col("ahash_lo").as("l1"),
+      col("n_docs").as("n1"), col("rep_doc").as("rep_doc1"))
+    val b = banded.select(col("band").as("band2"), col("bval").as("bval2"),
+      col("ahash_hi").as("h2"), col("ahash_lo").as("l2"),
+      col("n_docs").as("n2"), col("rep_doc").as("rep_doc2"))
+    a.join(b, col("band") === col("band2") && col("bval") === col("bval2") &&
+        (col("h1") < col("h2") || (col("h1") === col("h2") && col("l1") < col("l2"))))
+      .select(col("h1"), col("l1"), col("n1"), col("rep_doc1"),
+        col("h2"), col("l2"), col("n2"), col("rep_doc2"))
+      .distinct() // a pair sharing k bands appears k times
+      .withColumn("ham",
+        bit_count(col("h1").bitwiseXOR(col("h2"))) +
+          bit_count(col("l1").bitwiseXOR(col("l2"))))
+      .filter(col("ham") <= maxHam)
+      .select(col("rep_doc1"), col("rep_doc2"), col("n1"), col("n2"),
+        col("ham").cast("int").as("ham"))
+  }
 }

@@ -75,6 +75,25 @@ class ImageCodecSpec extends AnyFunSuite {
     }
   }
 
+  test("imageHammingPairs: band blocking loses nothing vs the brute-force pair scan") {
+    val hashes = ImageCodec.imageAHash(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // brute force over DISTINCT hashes, exactly what the census+bands plan computes
+    val census = hashes.groupBy(h => (h._2, h._3)).map { case ((hi, lo), ds) =>
+      (hi, lo, ds.length, ds.map(_._1).min)
+    }.toSeq
+    val expected = (for {
+      a <- census; b <- census
+      if a._1 < b._1 || (a._1 == b._1 && a._2 < b._2)
+      ham = java.lang.Long.bitCount(a._1 ^ b._1) + java.lang.Long.bitCount(a._2 ^ b._2)
+      if ham <= 3
+    } yield (a._4, b._4, ham)).toSet
+    val got = ImageCodec.imageHammingPairs(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(4))).toSet
+    assert(got == expected, s"band-blocked ${got.size} vs brute ${expected.size}")
+    assert(got.nonEmpty, "fixture must produce at least one near-dup pair")
+  }
+
   test("imageAHash: bits match the exact cross-multiplication recount for one doc") {
     val r = ImageCodec.imageAHash(spark, sfDir)
       .filter(org.apache.spark.sql.functions.col("doc_id") === 1L).head()
