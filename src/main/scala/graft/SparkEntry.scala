@@ -202,7 +202,9 @@ object SparkEntry {
     "q4_late_orders", "q19_brand_revenue", "text_bm25_topk",
     "text_winnow_fp", "dedup_winnow_pairs", "graph_pagerank_neardup",
     "events_retention", "corpus_quality_gate", "events_wau",
-    "dedup_winnow_recall", "sub_full_outer", "events_spike_days")
+    "dedup_winnow_recall", "sub_full_outer", "events_spike_days",
+    // round-6 additions (real image codec family):
+    "mm_decode_image", "dedup_image_hamming")
 
   // --- generated DuckDB replicas of the portable-hash queries ----------
 

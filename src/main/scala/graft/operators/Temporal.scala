@@ -177,31 +177,31 @@ object Temporal {
     * Same oracle as the explicit-binning twin, so the DuckDB gate
     * proves the rewrite is semantics-free. */
   def rangeIncidentStatsRule(spark: SparkSession, sfDir: String): DataFrame = {
-    graft.plans.RangeJoinRule.register(spark)
-    // Scope the bin-width conf to THIS query: set it, force logical
-    // optimization (QueryExecution memoizes the optimized plan inside
-    // the returned Dataset), and unset in finally. The rule is a no-op
-    // at width 0, so later unrelated inequality joins in the shared
-    // session plan normally — without this, every subsequent
-    // cross-side range join in the driver/bench session was silently
-    // bin-rewritten and plan shapes depended on execution order.
-    spark.conf.set(graft.plans.RangeJoinRule.WidthConf, (600L * 1000000L).toString)
-    try {
-      val events = Tables.events(spark, sfDir)
-      val windowUs = 600L * 1000000L
-      val incidents = events.filter(col("event_type") === "error")
-        .select(col("event_id").as("incident_id"), col("ts").as("start_ts"),
-          timestamp_micros(unix_micros(col("ts")) + windowUs).as("end_ts"))
-      val other = events.select("event_id", "ts", "user_id", "value")
-      val out = incidents.join(other,
-          col("ts") >= col("start_ts") && col("ts") < col("end_ts") &&
-            col("event_id") =!= col("incident_id"))
-        .groupBy(col("incident_id"))
-        .agg(count(lit(1)).as("n_events"),
-          countDistinct(col("user_id")).as("n_users"),
-          sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
-      out.queryExecution.optimizedPlan // pin the rewrite while the conf is live
-      out
-    } finally spark.conf.unset(graft.plans.RangeJoinRule.WidthConf)
+    // Scope the bin-width conf to THIS query by building it on an
+    // ISOLATED child session (shared SparkContext, isolated SQL conf +
+    // optimizer registrations). The returned Dataset stays bound to the
+    // child session, so EVERY later (re-)optimization — including the
+    // fresh QueryExecution that `df.write...save()` creates — sees the
+    // width conf and applies the rewrite, while unrelated inequality
+    // joins on the caller's session are never touched. (Round-6 lesson:
+    // forcing `queryExecution.optimizedPlan` under a temporarily-set
+    // conf pins only direct actions; write paths re-plan from the
+    // logical plan and had silently fallen back to the O(n·m) loop.)
+    val session = spark.newSession()
+    graft.plans.RangeJoinRule.register(session)
+    session.conf.set(graft.plans.RangeJoinRule.WidthConf, (600L * 1000000L).toString)
+    val events = Tables.events(session, sfDir)
+    val windowUs = 600L * 1000000L
+    val incidents = events.filter(col("event_type") === "error")
+      .select(col("event_id").as("incident_id"), col("ts").as("start_ts"),
+        timestamp_micros(unix_micros(col("ts")) + windowUs).as("end_ts"))
+    val other = events.select("event_id", "ts", "user_id", "value")
+    incidents.join(other,
+        col("ts") >= col("start_ts") && col("ts") < col("end_ts") &&
+          col("event_id") =!= col("incident_id"))
+      .groupBy(col("incident_id"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
   }
 }
