@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{Corpus, Dedup, GraphOps, ImageCodec, IngestDemo, Multimodal, Relational, Similarity, Skew, Sketches, Substrate, Temporal, TextAnalysis}
+import graft.operators.{AudioCodec, Corpus, Dedup, GraphOps, ImageCodec, IngestDemo, Multimodal, Relational, Similarity, Skew, Sketches, Substrate, Temporal, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -121,6 +121,11 @@ object SparkEntry {
     "mm_decode_image" -> (ImageCodec.decodeImageStats _),
     "mm_image_ahash" -> (ImageCodec.imageAHash _),
     "dedup_image_hamming" -> ((s: SparkSession, d: String) => ImageCodec.imageHammingPairs(s, d)),
+    "mm_resize_real" -> (ImageCodec.resizeReal _),
+    "mm_decode_audio" -> (AudioCodec.decodeAudioStats _),
+    "dedup_prefix_jaccard" -> ((s: SparkSession, d: String) =>
+      Dedup.prefixJaccardPairs(s, d, tNum = 9, tDen = 10)),
+    "corpus_dup_ngrams" -> ((s: SparkSession, d: String) => Corpus.dupNgrams(s, d)),
     // training-data ops: text analysis
     "text_lang_id" -> (TextAnalysis.langId _),
     "text_lang_confusion" -> ((s: SparkSession, d: String) => TextAnalysis.langIdConfusion(s, d)),
@@ -203,8 +208,9 @@ object SparkEntry {
     "text_winnow_fp", "dedup_winnow_pairs", "graph_pagerank_neardup",
     "events_retention", "corpus_quality_gate", "events_wau",
     "dedup_winnow_recall", "sub_full_outer", "events_spike_days",
-    // round-6 additions (real image codec family):
-    "mm_decode_image", "dedup_image_hamming")
+    // round-6 additions (real media codecs + exact set-similarity):
+    "mm_decode_image", "dedup_image_hamming", "mm_decode_audio",
+    "dedup_prefix_jaccard", "corpus_dup_ngrams")
 
   // --- generated DuckDB replicas of the portable-hash queries ----------
 
@@ -823,6 +829,71 @@ object SparkEntry {
     "mm_image_ahash" ->
       s"""$imageAHashCte
          |SELECT doc_id, ahash_hi, ahash_lo FROM ah""".stripMargin,
+    // The oracle is the BRUTE-FORCE inverted-index Jaccard join over
+    // the same batch/corpus split: the engine's PPJoin prefix filter is
+    // lossless, so the gate proves the prefix plan equals the
+    // exhaustive one byte-for-byte.
+    "dedup_prefix_jaccard" ->
+      """WITH tok AS (SELECT DISTINCT doc_id, w FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+        |  WHERE w <> ''),
+        |nn AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY 1),
+        |sh AS (SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS shared
+        |  FROM tok a JOIN tok b ON a.w = b.w
+        |  WHERE a.doc_id % 20 = 0 AND b.doc_id % 20 <> 0
+        |  GROUP BY 1, 2)
+        |SELECT id1, id2, n1.n AS n1, n2.n AS n2, shared,
+        |  shared * 1000000 // (n1.n + n2.n - shared) AS jac_micro
+        |FROM sh JOIN nn n1 ON sh.id1 = n1.doc_id
+        |  JOIN nn n2 ON sh.id2 = n2.doc_id
+        |WHERE shared * 19 >= 9 * (n1.n + n2.n)""".stripMargin,
+    // Repeated 5-gram spans: exact integer counts, (total desc, gram)
+    // total order at the LIMIT boundary.
+    "corpus_dup_ngrams" ->
+      """WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 5),
+        |g AS (SELECT doc_id, unnest(list_transform(range(1, len(w) - 3),
+        |    i -> array_to_string(w[i:i+4], ' '))) AS gram FROM ws)
+        |SELECT gram, count(*) AS n_total, count(DISTINCT doc_id) AS n_docs
+        |FROM g GROUP BY 1 HAVING count(DISTINCT doc_id) >= 3
+        |ORDER BY n_total DESC, gram LIMIT 50""".stripMargin,
+    // Real resize: the engine decodes, block-averages to 8x8 with exact
+    // integer floor-means, re-encodes PNG and decodes AGAIN; the oracle
+    // computes the same floor-means arithmetically. Lossless PNG makes
+    // the double codec pass invisible — unless the codec is wrong.
+    "mm_resize_real" ->
+      """WITH d AS (SELECT doc_id, CAST(n_chars % 64 + 16 AS INT) AS w,
+        |    CAST(n_chars % 48 + 16 AS INT) AS h FROM documents
+        |  WHERE doc_id % 10 <> 0),
+        |px AS (SELECT doc_id, w, h, xs.x AS x, ys.y AS y,
+        |    (doc_id + xs.x + ys.y) % 256 AS g
+        |  FROM d,
+        |  LATERAL (SELECT unnest(range(0, w)) AS x) xs,
+        |  LATERAL (SELECT unnest(range(0, h)) AS y) ys),
+        |b AS (SELECT doc_id, w, h, (y * 8) // h AS br, (x * 8) // w AS bc,
+        |    CAST(sum(g) AS BIGINT) // count(*) AS m
+        |  FROM px GROUP BY 1, 2, 3, 4, 5)
+        |SELECT doc_id, w AS width, h AS height,
+        |  string_agg(CAST(m AS VARCHAR), ',' ORDER BY br, bc) AS thumb
+        |FROM b GROUP BY 1, 2, 3""".stripMargin,
+    // Real audio: genuine RIFF/WAVE PCM through javax.sound, stats
+    // replicated arithmetically (exact integer sums of the recurrence).
+    "mm_decode_audio" ->
+      """WITH d AS (SELECT doc_id, CAST(n_chars % 2000 + 500 AS INT) AS n
+        |  FROM documents),
+        |sm AS (SELECT doc_id, n, ((doc_id * 31 + t.i * 7) % 65536) - 32768 AS s
+        |  FROM d, LATERAL (SELECT unnest(range(0, n)) AS i) t),
+        |a AS (SELECT doc_id, n, CAST(sum(abs(s)) AS BIGINT) AS sum_abs,
+        |    CAST(sum(s * s) AS BIGINT) AS sum_sq,
+        |    CAST(max(abs(s)) AS INT) AS peak
+        |  FROM sm GROUP BY 1, 2)
+        |SELECT doc_id, doc_id % 10 <> 0 AS ok,
+        |  CASE WHEN doc_id % 10 = 0 THEN NULL ELSE 8000 END AS sample_rate,
+        |  CASE WHEN doc_id % 10 = 0 THEN NULL ELSE n END AS n_samples,
+        |  CASE WHEN doc_id % 10 = 0 THEN NULL ELSE sum_abs END AS sum_abs,
+        |  CASE WHEN doc_id % 10 = 0 THEN NULL ELSE sum_sq END AS sum_sq,
+        |  CASE WHEN doc_id % 10 = 0 THEN NULL ELSE peak END AS peak
+        |FROM a""".stripMargin,
     // Image near-dup: census collapse over distinct hashes, 4x16-bit
     // band blocking (pigeonhole covers ham<=3), exact popcount verify.
     "dedup_image_hamming" ->

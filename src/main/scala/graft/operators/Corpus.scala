@@ -180,6 +180,36 @@ object Corpus {
       .groupBy(col("pair")).agg(sum(col("freq")).as("n"))
       .orderBy(col("n").desc, col("pair")).limit(k)
 
+  /** Memorization-risk miner: the most-repeated 5-gram spans across
+    * the corpus — the statistic behind boilerplate detection and the
+    * "repeated substring" contamination sweeps training pipelines run
+    * before fitting (a span appearing thousands of times is either
+    * boilerplate to strip or a template the model will memorize).
+    * Reports total occurrences AND distinct-doc spread; ranked by
+    * (total desc, gram) so the LIMIT boundary is a total order.
+    *
+    * Scale: positional 5-grams collapse map-side per partition before
+    * the one (gram)-keyed count shuffle — Heaps' law keeps the distinct
+    * gram table ≪ the token stream — then distributed top-k
+    * (TakeOrderedAndProject), never a full sort. */
+  def dupNgrams(spark: SparkSession, sfDir: String, n: Int = 5,
+      k: Int = 50, minDocs: Long = 3L): DataFrame = {
+    val words = col("__w")
+    Tables.documents(spark, sfDir)
+      .withColumn("__w", split(col("text"), " "))
+      // sequence(1, x) flips to descending when x < 1 — keep only docs
+      // long enough to hold at least one n-gram
+      .filter(size(words) >= n)
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(1), size(words) - (n - 1)),
+        i => concat_ws(" ", (0 until n).map(j => element_at(words, i + j)): _*)))
+        .as("gram"))
+      .groupBy(col("gram"))
+      .agg(count(lit(1)).as("n_total"), countDistinct(col("doc_id")).as("n_docs"))
+      .filter(col("n_docs") >= minDocs)
+      .orderBy(col("n_total").desc, col("gram")).limit(k)
+  }
+
   /** Collocation mining: top word bigrams by PMI. The log in
     * `pmi = log(N·c_xy / (c_x·c_y))` is monotone, so ranking by the
     * rational score `N·c_xy / (c_x·c_y)` is ranking by PMI without ever

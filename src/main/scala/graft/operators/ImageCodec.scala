@@ -205,6 +205,62 @@ object ImageCodec {
     }(enc)
   }
 
+  /** REAL resize: decode → integer AREA-AVERAGE downscale to an 8×8
+    * thumbnail → re-encode as PNG → decode the thumbnail AGAIN and
+    * report its pixels. Output pixel (r,c) is the floor-mean of the
+    * source block `{(x,y) : x·8 div w = c, y·8 div h = r}` — the same
+    * exact-integer block partition as [[imageAHash]], so the oracle
+    * replicates it in SQL while the engine really runs two codec
+    * passes (any encode/decode bug breaks the hash compare). The
+    * thumbnail ships as a 64-value CSV string (array cells don't sort
+    * in the gate). Failed decodes are dropped. */
+  def resizeReal(spark: SparkSession, sfDir: String): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("width", IntegerType),
+      StructField("height", IntegerType),
+      StructField("thumb", StringType)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
+    realImageBlobs(spark, sfDir).mapPartitions { rows =>
+      rows.flatMap { r =>
+        val docId = r.getLong(0)
+        decode(r.getAs[Array[Byte]](1)) match {
+          case Right(d) =>
+            val w = d.width; val h = d.height
+            val sum = Array.ofDim[Long](64); val n = Array.ofDim[Long](64)
+            var y = 0
+            while (y < h) {
+              val br = y * 8 / h
+              var x = 0
+              while (x < w) {
+                val b = br * 8 + x * 8 / w
+                sum(b) += d.luma(x, y); n(b) += 1
+                x += 1
+              }
+              y += 1
+            }
+            // re-encode the thumbnail through the real codec and read
+            // it back — the resize output is what the CODEC returns
+            val thumb = new BufferedImage(8, 8, BufferedImage.TYPE_BYTE_GRAY)
+            var b = 0
+            while (b < 64) {
+              thumb.getRaster.setSample(b % 8, b / 8, 0, (sum(b) / n(b)).toInt)
+              b += 1
+            }
+            val bos = new ByteArrayOutputStream()
+            ImageIO.write(thumb, "png", bos)
+            decode(bos.toByteArray) match {
+              case Right(t2) =>
+                val px = (0 until 64).map(i => t2.luma(i % 8, i / 8).toString)
+                Some(Row(docId, w, h, px.mkString(",")))
+              case Left(_) => None
+            }
+          case Left(_) => None
+        }
+      }
+    }(enc)
+  }
+
   /** Image near-duplicate pairs by aHash hamming distance — the image
     * twin of the SimHash band-blocked text dedup. Two layers keep it
     * scalable:
