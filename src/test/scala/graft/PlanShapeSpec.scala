@@ -264,4 +264,26 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("SortMergeJoin"),
       s"corpus-sized sides must shuffle-merge, not broadcast:\n$p")
   }
+
+  test("prefix jaccard: every join is equi-keyed — no nested loop anywhere") {
+    val p = plan("dedup_prefix_jaccard")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"the prefix screen must never plan a pair scan:\n$p")
+  }
+
+  test("image hamming: census pair join is equi-keyed on the band value") {
+    val p = plan("dedup_image_hamming")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"band blocking must yield equi-joins:\n$p")
+  }
+
+  test("media codecs read only (doc_id, n_chars) from the documents scan") {
+    for (q <- Seq("mm_decode_image", "mm_decode_audio")) {
+      val p = plan(q)
+      val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+      assert(!readSchema.contains("text"),
+        s"$q must not read the text column: $readSchema")
+      assert(readSchema.contains("n_chars"), s"$q: $readSchema")
+    }
+  }
 }
