@@ -28,6 +28,9 @@ object SparkEntry {
     "q18_big_orders" -> (Relational.q18BigOrders _),
     "q4_late_orders" -> (Relational.q4LateOrders _),
     "q19_brand_revenue" -> (Relational.q19BrandRevenue _),
+    "q17_small_qty" -> (Relational.q17SmallQty _),
+    "q21_waiting_suppliers" -> (Relational.q21WaitingSuppliers _),
+    "q22_global_sales" -> (Relational.q22GlobalSales _),
     // §2.2 filters
     "f1_type_filter" -> (Relational.f1TypeFilter _),
     "f2_error_filter" -> (Relational.f2ErrorFilter _),
@@ -210,7 +213,8 @@ object SparkEntry {
     "dedup_winnow_recall", "sub_full_outer", "events_spike_days",
     // round-6 additions (real media codecs + exact set-similarity):
     "mm_decode_image", "dedup_image_hamming", "mm_decode_audio",
-    "dedup_prefix_jaccard", "corpus_dup_ngrams")
+    "dedup_prefix_jaccard", "corpus_dup_ngrams",
+    "q17_small_qty", "q21_waiting_suppliers", "q22_global_sales")
 
   // --- generated DuckDB replicas of the portable-hash queries ----------
 
@@ -991,6 +995,52 @@ object SparkEntry {
         |              WHERE l_orderkey = o_orderkey
         |                AND l_shipdate > o_orderdate + INTERVAL 90 DAY)
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    // q17 classic (correlated scalar agg, decorrelated): all integer
+    // CENTS — DECIMAL·BIGINT widening differs across engines, BIGINT
+    // cents do not.
+    "q17_small_qty" ->
+      """WITH pt AS (SELECT p_partkey FROM part WHERE p_brand = 'Brand#23'),
+        |li AS (SELECT l_partkey,
+        |    CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT) AS qty_c,
+        |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS price_c
+        |  FROM lineitem JOIN pt ON l_partkey = p_partkey),
+        |pp AS (SELECT l_partkey AS agg_partkey, CAST(sum(qty_c) AS BIGINT) AS sum_qty_c,
+        |    count(*) AS cnt FROM li GROUP BY 1)
+        |SELECT CAST(sum(price_c) AS BIGINT) AS total_price_cents,
+        |  count(*) AS n_lines
+        |FROM li JOIN pp ON l_partkey = agg_partkey
+        |WHERE qty_c * 5 * cnt < sum_qty_c""".stripMargin,
+    // q21 classic (EXISTS + NOT EXISTS), adapted to the q4 lateness
+    // convention (no commit/receipt dates in this schema).
+    "q21_waiting_suppliers" ->
+      """WITH li AS (SELECT l_orderkey, l_suppkey,
+        |    l_shipdate > o_orderdate + INTERVAL 90 DAY AS late
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |census AS (SELECT l_orderkey, count(DISTINCT l_suppkey) AS n_supps,
+        |    count(DISTINCT CASE WHEN late THEN l_suppkey END) AS n_late_supps
+        |  FROM li GROUP BY 1),
+        |w AS (SELECT DISTINCT l_orderkey, l_suppkey FROM li WHERE late)
+        |SELECT s_name, count(*) AS numwait
+        |FROM w JOIN census USING (l_orderkey)
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE n_supps > 1 AND n_late_supps = 1
+        |GROUP BY 1 ORDER BY numwait DESC, s_name LIMIT 100""".stripMargin,
+    // q22 classic (global scalar + anti-join), segment-grouped; exact
+    // BIGINT cents; "inactive" = no order since 2000 (every customer
+    // in this corpus has some order, so the literal form is empty).
+    "q22_global_sales" ->
+      """WITH c AS (SELECT c_custkey, c_mktsegment,
+        |    CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS bal_c
+        |  FROM customer),
+        |m AS (SELECT CAST(sum(bal_c) AS BIGINT) AS sum_bal_c, count(*) AS cnt
+        |  FROM c WHERE bal_c > 0)
+        |SELECT c_mktsegment, count(*) AS numcust,
+        |  CAST(sum(bal_c) AS BIGINT) AS totacctbal_cents
+        |FROM c CROSS JOIN m
+        |WHERE bal_c * cnt > sum_bal_c
+        |  AND NOT EXISTS (SELECT 1 FROM orders
+        |    WHERE o_custkey = c_custkey AND o_orderdate >= '2000-01-01')
+        |GROUP BY 1""".stripMargin,
     "q19_brand_revenue" ->
       """SELECT
         |  cast(round(sum(cast(l_extendedprice as decimal(18,2)) * (cast(1 as decimal(18,2)) - cast(l_discount as decimal(18,2)))), 2) as double) AS revenue,

@@ -278,6 +278,96 @@ object Relational {
 
   private def asDate(c: Column): Column = date_format(c, "yyyy-MM-dd")
 
+  /** Q17-shaped small-quantity revenue: the CORRELATED SCALAR SUBQUERY
+    * classic (`l_quantity < 0.2 · avg(l_quantity) per part`),
+    * decorrelated the way every engine must — the per-part aggregate
+    * joins back to the fact. The threshold test is the exact integer
+    * cross-multiplication `qty · 5 · cnt < sum` (⟺ qty < 0.2·avg) in
+    * DECIMAL, so no float boundary can diverge between engines.
+    *
+    * Scale: the per-part agg collapses map-side to one row per part;
+    * the back-join is keyed on l_partkey (AQE skew territory), and the
+    * brand filter prunes the part side BEFORE either shuffle. */
+  def q17SmallQty(spark: SparkSession, sfDir: String): DataFrame = {
+    val part = Tables.part(spark, sfDir)
+      .filter(col("p_brand") === "Brand#23").select(col("p_partkey"))
+    // integer CENTS throughout: DECIMAL(18,2)·BIGINT widens differently
+    // across engines, but cents are plain BIGINT everywhere
+    val li = Tables.lineitem(spark, sfDir)
+      .join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .select(col("l_partkey"),
+        (dec(col("l_quantity")) * 100).cast("long").as("qty_c"),
+        (dec(col("l_extendedprice")) * 100).cast("long").as("price_c"))
+      .localCheckpoint() // consumed by the agg AND the back-join
+    val perPart = li.groupBy(col("l_partkey").as("agg_partkey"))
+      .agg(sum(col("qty_c")).as("sum_qty_c"), count(lit(1)).as("cnt"))
+    li.join(perPart, col("l_partkey") === col("agg_partkey"))
+      .filter(col("qty_c") * 5 * col("cnt") < col("sum_qty_c"))
+      .agg(sum(col("price_c")).as("total_price_cents"),
+        count(lit(1)).as("n_lines"))
+  }
+
+  /** Q21-shaped waiting-supplier report (adapted: no commit/receipt
+    * dates in this schema — "late" = shipped >90 days after the order
+    * date, the q4 convention): suppliers whose line was late on a
+    * multi-supplier order where NO OTHER supplier was late — EXISTS as
+    * a distinct-count comparison, NOT EXISTS as a LEFT ANTI join, the
+    * two decorrelation shapes the classic exercises.
+    *
+    * Scale: per-order supplier/late-supplier counts collapse map-side
+    * on l_orderkey; both joins stay orderkey-keyed; the supplier dim
+    * broadcasts. */
+  def q21WaitingSuppliers(spark: SparkSession, sfDir: String): DataFrame = {
+    val ord = Tables.orders(spark, sfDir).select(col("o_orderkey"), col("o_orderdate"))
+    val li = Tables.lineitem(spark, sfDir)
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_orderkey"), col("l_suppkey"),
+        // the q4 lateness convention, same on both engines
+        (col("l_shipdate") > date_add(col("o_orderdate").cast("date"), 90)).as("late"))
+      .localCheckpoint() // consumed by the census AND the late slice
+    val census = li.groupBy(col("l_orderkey").as("c_orderkey"))
+      .agg(countDistinct(col("l_suppkey")).as("n_supps"),
+        countDistinct(when(col("late"), col("l_suppkey"))).as("n_late_supps"))
+    li.filter(col("late"))
+      .select(col("l_orderkey"), col("l_suppkey")).distinct()
+      .join(census, col("l_orderkey") === col("c_orderkey"))
+      // other suppliers exist on the order, but this one is the only late one
+      .filter(col("n_supps") > 1 && col("n_late_supps") === 1)
+      .join(broadcast(Tables.supplier(spark, sfDir)),
+        col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("s_name"))
+      .agg(count(lit(1)).as("numwait"))
+      .orderBy(col("numwait").desc, col("s_name")).limit(100)
+  }
+
+  /** Q22-shaped global-sales-opportunity (adapted: no phone country
+    * codes — grouped by market segment): rich-but-inactive customers,
+    * i.e. above the average POSITIVE account balance with no orders on
+    * file. The global avg is a broadcast scalar; the threshold test is
+    * the exact integer-cents cross-multiplication `bal·cnt > sum`;
+    * "inactive" = no orders since 2000 (this corpus's customers all
+    * have SOME order — the classic's literal "no orders ever" returns
+    * the empty set), a LEFT ANTI join on the recent orders' custkeys.
+    *
+    * Scale: the positive-balance moment row broadcasts; the anti-join
+    * is custkey-keyed against the map-side-collapsed distinct custkey
+    * set; everything else is narrow. */
+  def q22GlobalSales(spark: SparkSession, sfDir: String): DataFrame = {
+    val cust = Tables.customer(spark, sfDir)
+      .select(col("c_custkey"), col("c_mktsegment"),
+        (dec(col("c_acctbal")) * 100).cast("long").as("bal_c")) // exact cents
+    val moments = cust.filter(col("bal_c") > 0)
+      .agg(sum(col("bal_c")).as("sum_bal_c"), count(lit(1)).as("cnt"))
+    val active = Tables.orders(spark, sfDir)
+      .filter(col("o_orderdate") >= lit("2000-01-01"))
+      .select(col("o_custkey")).distinct()
+    cust.crossJoin(broadcast(moments))
+      .filter(col("bal_c") * col("cnt") > col("sum_bal_c"))
+      .join(active, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("numcust"), sum(col("bal_c")).as("totacctbal_cents"))
+  }
+
   // ---------------------------------------------------------------------
   // §2.2 Filters / predicates
   // ---------------------------------------------------------------------
