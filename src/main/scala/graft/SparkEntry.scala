@@ -31,6 +31,7 @@ object SparkEntry {
     "q17_small_qty" -> (Relational.q17SmallQty _),
     "q21_waiting_suppliers" -> (Relational.q21WaitingSuppliers _),
     "q22_global_sales" -> (Relational.q22GlobalSales _),
+    "q15_top_supplier" -> (Relational.q15TopSupplier _),
     // §2.2 filters
     "f1_type_filter" -> (Relational.f1TypeFilter _),
     "f2_error_filter" -> (Relational.f2ErrorFilter _),
@@ -214,7 +215,8 @@ object SparkEntry {
     // round-6 additions (real media codecs + exact set-similarity):
     "mm_decode_image", "dedup_image_hamming", "mm_decode_audio",
     "dedup_prefix_jaccard", "corpus_dup_ngrams",
-    "q17_small_qty", "q21_waiting_suppliers", "q22_global_sales")
+    "q17_small_qty", "q21_waiting_suppliers", "q22_global_sales",
+    "q15_top_supplier")
 
   // --- generated DuckDB replicas of the portable-hash queries ----------
 
@@ -1025,6 +1027,20 @@ object SparkEntry {
         |  JOIN supplier ON l_suppkey = s_suppkey
         |WHERE n_supps > 1 AND n_late_supps = 1
         |GROUP BY 1 ORDER BY numwait DESC, s_name LIMIT 100""".stripMargin,
+    // q15 classic (view + scalar-subquery-on-aggregate): revenue as a
+    // BIGINT product of two exact cent factors, so the max-equality is
+    // bit-safe.
+    "q15_top_supplier" ->
+      """WITH rev AS (SELECT l_suppkey,
+        |    CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) *
+        |      CAST((1 - CAST(l_discount AS DECIMAL(18,2))) * 100 AS BIGINT)) AS BIGINT)
+        |      AS total_revenue_e4
+        |  FROM lineitem
+        |  WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1996-04-01'
+        |  GROUP BY 1)
+        |SELECT s_suppkey, s_name, total_revenue_e4
+        |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE total_revenue_e4 = (SELECT max(total_revenue_e4) FROM rev)""".stripMargin,
     // q22 classic (global scalar + anti-join), segment-grouped; exact
     // BIGINT cents; "inactive" = no order since 2000 (every customer
     // in this corpus has some order, so the literal form is empty).

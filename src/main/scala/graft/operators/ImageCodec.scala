@@ -159,6 +159,39 @@ object ImageCodec {
     * 32-bit halves (`ahash_hi`, `ahash_lo`) so neither side needs a
     * signed 2⁶³ wrap the oracle can't express. Failed decodes are
     * dropped (they have no pixels to hash). */
+  /** The 64-bit average hash of one decoded image as (hi, lo) halves —
+    * shared by the batch query and the streaming admission gate. */
+  def ahashOf(d: Decoded): (Long, Long) = {
+    val w = d.width; val h = d.height
+    val blockSum = Array.ofDim[Long](64)
+    val blockN = Array.ofDim[Long](64)
+    var total = 0L
+    var y = 0
+    while (y < h) {
+      val br = y * 8 / h
+      var x = 0
+      while (x < w) {
+        val bc = x * 8 / w
+        val v = d.luma(x, y)
+        blockSum(br * 8 + bc) += v
+        blockN(br * 8 + bc) += 1
+        total += v
+        x += 1
+      }
+      y += 1
+    }
+    val nPx = w.toLong * h
+    var hi = 0L; var lo = 0L
+    var b = 0
+    while (b < 64) {
+      if (blockSum(b) * nPx > total * blockN(b)) {
+        if (b < 32) lo |= 1L << b else hi |= 1L << (b - 32)
+      }
+      b += 1
+    }
+    (hi, lo)
+  }
+
   def imageAHash(spark: SparkSession, sfDir: String): DataFrame = {
     val outSchema = StructType(Seq(
       StructField("doc_id", LongType),
@@ -168,36 +201,9 @@ object ImageCodec {
     realImageBlobs(spark, sfDir).mapPartitions { rows =>
       rows.flatMap { r =>
         val docId = r.getLong(0)
-        val payload = r.getAs[Array[Byte]](1)
-        decode(payload) match {
+        decode(r.getAs[Array[Byte]](1)) match {
           case Right(d) =>
-            val w = d.width; val h = d.height
-            val blockSum = Array.ofDim[Long](64)
-            val blockN = Array.ofDim[Long](64)
-            var total = 0L
-            var y = 0
-            while (y < h) {
-              val br = y * 8 / h
-              var x = 0
-              while (x < w) {
-                val bc = x * 8 / w
-                val v = d.luma(x, y)
-                blockSum(br * 8 + bc) += v
-                blockN(br * 8 + bc) += 1
-                total += v
-                x += 1
-              }
-              y += 1
-            }
-            val nPx = w.toLong * h
-            var hi = 0L; var lo = 0L
-            var b = 0
-            while (b < 64) {
-              if (blockSum(b) * nPx > total * blockN(b)) {
-                if (b < 32) lo |= 1L << b else hi |= 1L << (b - 32)
-              }
-              b += 1
-            }
+            val (hi, lo) = ahashOf(d)
             Some(Row(docId, hi, lo))
           case Left(_) => None
         }

@@ -340,6 +340,34 @@ object Relational {
       .orderBy(col("numwait").desc, col("s_name")).limit(100)
   }
 
+  /** Q15-shaped top supplier: quarterly revenue per supplier, keep the
+    * row(s) equal to the MAX — the classic's view + scalar-subquery-on-
+    * aggregate shape, decorrelated as a broadcast one-row max joined
+    * back. Revenue in exact BIGINT cents so the equality against the
+    * max is bit-safe (the double form of this query is famously
+    * engine-divergent at the boundary).
+    *
+    * Scale: per-supplier revenue collapses map-side on l_suppkey; the
+    * max row broadcasts; the supplier dim broadcasts. */
+  def q15TopSupplier(spark: SparkSession, sfDir: String): DataFrame = {
+    // revenue per row = (price cents) × ((1−discount) cents): a plain
+    // BIGINT product — decimal×decimal×int widens past DECIMAL(38) in
+    // some engines, two exact cent factors never do
+    val revE4 = (dec(col("l_extendedprice")) * 100).cast("long") *
+      ((lit(1).cast("decimal(18,2)") - dec(col("l_discount"))) * 100).cast("long")
+    val rev = Tables.lineitem(spark, sfDir)
+      .filter(col("l_shipdate") >= lit("1996-01-01") && col("l_shipdate") < lit("1996-04-01"))
+      .groupBy(col("l_suppkey"))
+      .agg(sum(revE4).as("total_revenue_e4"))
+      .localCheckpoint() // consumed by the max AND the equality join
+    val top = rev.agg(max(col("total_revenue_e4")).as("max_rev"))
+    rev.crossJoin(broadcast(top))
+      .filter(col("total_revenue_e4") === col("max_rev"))
+      .join(broadcast(Tables.supplier(spark, sfDir)),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("total_revenue_e4"))
+  }
+
   /** Q22-shaped global-sales-opportunity (adapted: no phone country
     * codes — grouped by market segment): rich-but-inactive customers,
     * i.e. above the average POSITIVE account balance with no orders on

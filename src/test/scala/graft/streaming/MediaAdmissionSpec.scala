@@ -1,0 +1,82 @@
+package graft.streaming
+
+import java.util.concurrent.ConcurrentLinkedQueue
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.operators.ImageCodec
+
+/** The streaming media gate end-to-end: a MemoryStream of real PNG
+  * payloads (one valid duplicate of a corpus image, one valid novel
+  * image, one corrupt payload) flows through validate → foreachBatch
+  * admit, and each lands in the right routing bucket.
+  */
+class MediaAdmissionSpec extends AnyFunSuite {
+  import TestSpark.{spark, sfDir}
+  import spark.implicits._
+
+  test("validate: stream and batch paths produce identical rows") {
+    val payloads = Seq(
+      (1L, ImageCodec.encodePng(1L, 20, 16)),
+      (2L, Array[Byte](1, 2, 3)))
+    val batchOut = MediaAdmission.validate(payloads.toDF("doc_id", "payload"))
+      .collect().map(_.toSeq).toSet
+
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Array[Byte])]
+    val q = MediaAdmission.validate(input.toDF().toDF("doc_id", "payload"))
+      .writeStream.format("memory").queryName("media_validate")
+      .outputMode("append").start()
+    try {
+      input.addData(payloads: _*)
+      q.processAllAvailable()
+      val streamOut = spark.sql("SELECT * FROM media_validate")
+        .collect().map(_.toSeq).toSet
+      assert(streamOut == batchOut)
+      assert(batchOut.exists(r => r.head == 1L && r(1) == true))
+      assert(batchOut.exists(r => r.head == 2L && r(1) == false))
+    } finally q.stop()
+  }
+
+  test("admission gate routes duplicate / novel / corrupt correctly") {
+    // corpus census over the real decoded corpus images
+    val census = ImageCodec.imageAHash(spark, sfDir).localCheckpoint()
+    // an arriving EXACT duplicate of corpus doc 1's image
+    val nChars1 = graft.Tables.documents(spark, sfDir)
+      .filter(col("doc_id") === 1).head().getAs[Long]("n_chars")
+    val dupPng = ImageCodec.encodePng(1L, (nChars1 % 64 + 16).toInt, (nChars1 % 48 + 16).toInt)
+    // a valid but novel image (flat gray — nothing in the corpus is flat)
+    val novelPng = {
+      val img = new java.awt.image.BufferedImage(
+        31, 29, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val results = new ConcurrentLinkedQueue[Row]()
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Array[Byte])]
+    val q = MediaAdmission.validate(input.toDF().toDF("doc_id", "payload"))
+      .writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], _: Long) =>
+        MediaAdmission.admit(batch.toDF(), census).collect().foreach(results.add)
+      }.start()
+    try {
+      input.addData((9001L, dupPng), (9002L, novelPng), (9003L, Array[Byte](9, 9)))
+      q.processAllAvailable()
+      val byId = results.toArray(Array.empty[Row]).map(r => r.getLong(0) -> r).toMap
+      assert(byId.size == 3)
+      // duplicate: ok, matched to corpus doc 1
+      assert(byId(9001L).getBoolean(1) && byId(9001L).getLong(5) == 1L, s"${byId(9001L)}")
+      // novel: ok, no match — hamming to every corpus hash exceeds the cap
+      assert(byId(9002L).getBoolean(1) && byId(9002L).isNullAt(5), s"${byId(9002L)}")
+      // corrupt: failed with a reason, no match
+      assert(!byId(9003L).getBoolean(1) && !byId(9003L).isNullAt(2)
+        && byId(9003L).isNullAt(5), s"${byId(9003L)}")
+    } finally q.stop()
+  }
+}
