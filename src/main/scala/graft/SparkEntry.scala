@@ -70,6 +70,7 @@ object SparkEntry {
     "sub_extractor_stats" -> (Substrate.extractorStats _),
     "sub_common_path" -> (Substrate.commonPathByLang _),
     "sub_blake2b" -> (Substrate.blake2bChecksums _),
+    "sub_format_bridge" -> (Substrate.formatBridge _),
     "skew_salted_agg" -> (Skew.saltedAgg _),
     "skew_salted_join" -> (Skew.saltedJoin _),
     "sub_percentiles" -> (Skew.percentiles _),
@@ -1027,6 +1028,15 @@ object SparkEntry {
         |  JOIN supplier ON l_suppkey = s_suppkey
         |WHERE n_supps > 1 AND n_late_supps = 1
         |GROUP BY 1 ORDER BY numwait DESC, s_name LIMIT 100""".stripMargin,
+    // Equality against the PARQUET original proves the ORC/CSV/JSON
+    // round-trips lossless — format IO inside the correctness gate.
+    "sub_format_bridge" ->
+      """SELECT f.fmt, lang, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  CAST(sum(length(text)) AS BIGINT) AS sum_text_len
+        |FROM documents
+        |CROSS JOIN (VALUES ('orc'), ('csv'), ('json')) f(fmt)
+        |GROUP BY 1, 2""".stripMargin,
     // q15 classic (view + scalar-subquery-on-aggregate): revenue as a
     // BIGINT product of two exact cent factors, so the max-equality is
     // bit-safe.

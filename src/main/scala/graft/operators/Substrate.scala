@@ -156,4 +156,38 @@ object Substrate {
     Tables.documents(spark, sfDir)
       .select(col("doc_id"), b2b(col("text")).as("blake2b"))
   }
+
+  /** Format-bridge round-trip: the documents table written to and read
+    * back from ORC, CSV and JSON (Spark's other three first-class file
+    * formats), then aggregated per format. The oracle is the same
+    * aggregate over the ORIGINAL parquet cross-joined with the format
+    * names — equality proves each round-trip is lossless, including
+    * CSV quoting of free text and JSON string escaping. The gate thus
+    * covers format IO, not just query logic.
+    *
+    * Scale: each write is one pass over the (pruned) columns; reads
+    * carry explicit schemas (no inference scan); the closing agg
+    * collapses map-side to `formats × langs` rows. */
+  def formatBridge(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text"), col("lang"), col("source"), col("n_chars"))
+    val schema = docs.schema
+    val tmp = java.nio.file.Files.createTempDirectory("graft_fmt_bridge").toString
+    docs.write.mode("overwrite").orc(s"$tmp/orc")
+    docs.write.mode("overwrite").option("header", "true").option("quoteAll", "true")
+      .csv(s"$tmp/csv")
+    docs.write.mode("overwrite").json(s"$tmp/json")
+    val back = Seq(
+      "orc" -> spark.read.schema(schema).orc(s"$tmp/orc"),
+      "csv" -> spark.read.schema(schema).option("header", "true").csv(s"$tmp/csv"),
+      "json" -> spark.read.schema(schema).json(s"$tmp/json"))
+    back.map { case (fmt, df) =>
+      df.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"),
+          sum(length(col("text"))).as("sum_text_len"))
+        .select(lit(fmt).as("fmt"), col("lang"), col("n_docs"),
+          col("sum_chars"), col("sum_text_len"))
+    }.reduce(_.unionByName(_))
+  }
 }
