@@ -80,13 +80,13 @@ object SparkEntry {
     // training-data ops: dedup
     "dedup_exact_keep_first" -> (Dedup.exactKeepFirst _),
     "dedup_exact_groups" -> (Dedup.exactDupGroups _),
-    "dedup_ngram_top_pairs" -> (Dedup.ngramJaccardTopPairs _),
+    "dedup_ngram_top_pairs" -> ((s, d) => Dedup.ngramJaccardTopPairs(s, d)),
     "dedup_minhash_buckets" -> (Dedup.minhashLshBuckets _),
     "dedup_minhash_est_err" -> ((s: SparkSession, d: String) => Dedup.minhashEstimationError(s, d)),
     "dedup_minhash_keep_first" -> (Dedup.minhashKeepFirst _),
     "dedup_normalized_keep_first" -> (Dedup.normalizedKeepFirst _),
     "dedup_simhash" -> (Dedup.simhash _),
-    "dedup_simhash_pairs" -> (Dedup.simhashCandidates _),
+    "dedup_simhash_pairs" -> ((s, d) => Dedup.simhashCandidates(s, d)),
     "dedup_cluster_labels" -> (Dedup.clusterLabels _),
     "dedup_chunks_global" -> ((s: SparkSession, d: String) => Dedup.chunksGlobal(s, d)),
     "dedup_fuzzy_neighbors" -> (Dedup.fuzzyNeighbors _),

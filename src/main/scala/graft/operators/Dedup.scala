@@ -101,7 +101,8 @@ object Dedup {
     * shingles (pure relational: explode → self-join → count ratio).
     * Deterministic: rounded score, (doc-id) tie-breaks.
     */
-  def ngramJaccardTopPairs(spark: SparkSession, sfDir: String): DataFrame = {
+  def ngramJaccardTopPairs(spark: SparkSession, sfDir: String,
+      maxShingleFreq: Int = 4096): DataFrame = {
     val docs = withShingles(Tables.documents(spark, sfDir))
       .select(col("doc_id"), col("sh"))
     // explode_outer + isNotNull: a plain explode makes
@@ -111,9 +112,16 @@ object Dedup {
     // sides and the size lookup read the materialized shingle rows
     // instead of re-running the interpreted shingle transform per
     // consumer (cold 7.5 -> 2.0 s at sf0.1).
-    val exploded = docs.select(col("doc_id"), explode_outer(col("sh")).as("shingle"))
+    val raw = docs.select(col("doc_id"), explode_outer(col("sh")).as("shingle"))
       .filter(col("shingle").isNotNull)
       .localCheckpoint()
+    // Stop-shingle cap (SSJoin practice): a shingle in > maxShingleFreq
+    // docs is boilerplate and alone contributes O(f²) join rows; drop it
+    // from the UNIVERSE — sizes and intersection alike — so the Jaccard
+    // stays exact over the reduced gram set. [[oversizedKeys]] is the
+    // alert channel; the default cap is far above any test-SF frequency
+    // so the declared oracle is untouched.
+    val exploded = capHotKeys(raw, Seq("shingle"), maxShingleFreq)
     // per-doc shingle counts off the same materialized rows; only docs
     // that can appear in a pair (≥1 shingle) ever need a size
     val sizes = exploded.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
@@ -229,9 +237,26 @@ object Dedup {
     * cheaper representative-vs-rest pass) and alert on what was
     * dropped rather than melt the stage. */
   def oversizedBuckets(buckets: DataFrame, cap: Int): DataFrame =
-    buckets.groupBy(col("band"), col("bucket"))
+    oversizedKeys(buckets, Seq("band", "bucket"), cap)
+
+  /** Generic form of [[oversizedBuckets]] for any blocking scheme:
+    * blocking keys whose row population exceeds `cap`. One map-side-
+    * combined aggregate on the already-shuffled key — the monitor costs
+    * a rounding error next to the self-join it protects. */
+  def oversizedKeys(rows: DataFrame, keys: Seq[String], cap: Int): DataFrame =
+    rows.groupBy(keys.map(col): _*)
       .agg(count(lit(1)).as("n_docs"))
       .filter(col("n_docs") > cap)
+
+  /** Cap-and-alert applied: drop rows whose blocking key is oversized
+    * (broadcast left-anti against the small oversize list) BEFORE the
+    * self-join fans them out quadratically. Callers surface the dropped
+    * keys via [[oversizedKeys]] — cap, don't silently melt the stage. */
+  def capHotKeys(rows: DataFrame, keys: Seq[String], cap: Int): DataFrame =
+    if (cap == Int.MaxValue) rows
+    else rows.join(
+      broadcast(oversizedKeys(rows, keys, cap).select(keys.map(col): _*)),
+      keys, "left_anti")
 
   /** LSH candidate pairs verified by true 3-gram Jaccard ≥ threshold.
     * Same-bucket join → distinct pairs → verification join.
@@ -245,10 +270,7 @@ object Dedup {
   def minhashNearDupPairs(spark: SparkSession, sfDir: String, threshold: Double = 0.7,
       maxBucketSize: Int = 1024): DataFrame = {
     val allBuckets = minhashLshBuckets(spark, sfDir)
-    val buckets = allBuckets.join(
-      broadcast(oversizedBuckets(allBuckets, maxBucketSize)
-        .select(col("band"), col("bucket"))),
-      Seq("band", "bucket"), "left_anti")
+    val buckets = capHotKeys(allBuckets, Seq("band", "bucket"), maxBucketSize)
     val cand = buckets.as("x").join(buckets.as("y"),
         col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
           col("x.doc_id") < col("y.doc_id"))
@@ -396,17 +418,22 @@ object Dedup {
 
   /** SimHash near-dup candidates: equal 16-bit bands (standard hamming
     * blocking: 48 bits / 3 bands — distance ≤ 2 guarantees a band equal). */
-  def simhashCandidates(spark: SparkSession, sfDir: String): DataFrame = {
+  def simhashCandidates(spark: SparkSession, sfDir: String,
+      maxBucketSize: Int = 1024): DataFrame = {
     val sims = simhash(spark, sfDir)
     // localCheckpoint: both self-join sides read the materialized
     // (doc, band, bucket) rows — 3 rows/doc — so the simhash
     // aggregation pipeline runs ONCE, not once per side (at sf0.1 the
     // warm win is modest, ~1.6 -> 1.5 s — cold is codegen-compile
     // dominated — but at 100 TB it halves the corpus passes)
-    val banded = sims.select(col("doc_id"), posexplode(array((0 until 3).map(b =>
+    val allBanded = sims.select(col("doc_id"), posexplode(array((0 until 3).map(b =>
       shiftright(col("simhash"), b * 16).bitwiseAND(0xFFFFL)): _*)))
       .select(col("doc_id"), col("pos").as("band"), col("col").as("bucket"))
       .localCheckpoint()
+    // same cap-and-alert as the minhash LSH path: a viral simhash band
+    // (near-identical boilerplate corpus slice) would make this
+    // self-join O(cluster²); [[oversizedBuckets]] reports what was cut
+    val banded = capHotKeys(allBanded, Seq("band", "bucket"), maxBucketSize)
     banded.as("x").join(banded.as("y"),
         col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
           col("x.doc_id") < col("y.doc_id"))
@@ -426,9 +453,12 @@ object Dedup {
     * Scale shape (100 TB):
     *  - chunking is a narrow codegen'd projection + posexplode;
     *  - the boilerplate census is ONE (chunk)-keyed aggregate with
-    *    map-side combine (count-distinct over doc_id is exact but
-    *    bounded: it only needs to count to `minDocs`, and the chunk
-    *    key space is what shuffles, not doc pairs);
+    *    map-side combine, using the SATURATING
+    *    [[graft.plans.DistinctUpTo]] counter: per-chunk state is at
+    *    most `minDocs` doc ids (a built-in `count_distinct` would
+    *    instead shuffle and hold the full posting list of a viral
+    *    chunk), and the chunk key space is what shuffles, not doc
+    *    pairs;
     *  - the removal is a LEFT ANTI equi-join on the chunk key;
     *  - re-assembly shuffles (doc_id)-keyed rows once —
     *    `array_sort(collect_list(struct(pos, chunk)))` restores order
@@ -442,9 +472,10 @@ object Dedup {
         posexplode(transform(sequence(lit(0), nChunks - 1),
           i => array_join(slice(words, i * width + 1, lit(width)), " ")))
           .as(Seq("pos", "chunk")))
+    graft.plans.BoundedAggregates.register(spark)
     val boilerplate = chunks
       .groupBy(col("chunk"))
-      .agg(count_distinct(col("doc_id")).as("nd"))
+      .agg(expr(s"distinct_up_to(doc_id, $minDocs)").as("nd"))
       .filter(col("nd") >= minDocs)
       .select(col("chunk"))
     val perDoc = chunks.groupBy(col("doc_id")).agg(count(lit(1)).as("n_chunks"))
@@ -492,8 +523,9 @@ object Dedup {
     * them is an explode + window); the self-join is hinted
     * `shuffle_merge` (broadcasting a corpus-sized side twice is the
     * trap, see [[ngramJaccardTopPairs]]); hot fingerprints (boilerplate
-    * grams) are the [[oversizedBuckets]] cap-and-alert story at corpus
-    * scale. Deterministic: (n_shared desc, id1, id2) top-k. */
+    * grams) are capped via `maxFpFreq` with [[oversizedKeys]] as the
+    * alert channel — same treatment in every blocked self-join here.
+    * Deterministic: (n_shared desc, id1, id2) top-k. */
   def winnowSharedPairs(spark: SparkSession, sfDir: String,
       minShared: Int = 3, k: Int = 20): DataFrame =
     winnowSharedPairsAll(spark, sfDir, minShared)
@@ -503,10 +535,15 @@ object Dedup {
     * EDGE LIST consumed by [[winnowSharedPairs]] (reporting top-k) and
     * [[graft.operators.GraphOps.pagerankNearDup]] (graph analytics). */
   def winnowSharedPairsAll(spark: SparkSession, sfDir: String,
-      minShared: Int = 3): DataFrame = {
-    val fp = graft.operators.TextAnalysis.winnowFingerprints(spark, sfDir)
+      minShared: Int = 3, maxFpFreq: Int = 4096): DataFrame = {
+    val allFp = graft.operators.TextAnalysis.winnowFingerprints(spark, sfDir)
       .select(col("doc_id"), col("fp_hash")).distinct()
       .localCheckpoint()
+    // hot-fingerprint cap (license headers, site chrome): identical
+    // cap-and-alert as the minhash/simhash/ngram paths — a fingerprint
+    // in > maxFpFreq docs is dropped from candidate generation before
+    // it fans out O(f²); [[oversizedKeys]] surfaces the drops
+    val fp = capHotKeys(allFp, Seq("fp_hash"), maxFpFreq)
     val a = fp.select(col("fp_hash"), col("doc_id").as("id1"))
     val b = fp.select(col("fp_hash").as("h2"), col("doc_id").as("id2"))
     a.join(b.hint("shuffle_merge"),

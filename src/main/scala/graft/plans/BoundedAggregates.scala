@@ -29,6 +29,12 @@ import org.apache.spark.sql.types._
   *    bounded ordered buffer — replaces the row_number()-over-window
   *    top-k whose shuffle carries every row of every group. Identical
   *    (value, id) pairs dedup; ties break on the smaller id.
+  *  - [[DistinctUpTo]]: `min(count_distinct(col), k)` with O(k) state —
+  *    the SATURATING distinct counter for threshold tests like "seen in
+  *    ≥ k distinct documents". Unlike `count_distinct` (whose Expand-
+  *    based plan shuffles every (group, value) pair and keeps unbounded
+  *    per-group state), the buffer stops growing at k: a viral
+  *    boilerplate chunk costs k longs, not its full posting list.
   */
 object BoundedAggregates {
 
@@ -48,8 +54,74 @@ object BoundedAggregates {
         exprs => KmvSketch(exprs(0), litInt(exprs(1), "kmv_sketch k")), "built-in")
       registry.createOrReplaceTempFunction("topk_by",
         exprs => TopKBy(exprs(0), exprs(1), litInt(exprs(2), "topk_by k")), "built-in")
+      registry.createOrReplaceTempFunction("distinct_up_to",
+        exprs => DistinctUpTo(exprs(0), litInt(exprs(1), "distinct_up_to k")), "built-in")
     }
   }
+}
+
+/** Saturating distinct set: stops admitting once k values are held. */
+final class DistinctUpToBuffer(val k: Int) {
+  val set = new java.util.HashSet[java.lang.Long]()
+  def add(v: Long): Unit = if (set.size < k) { set.add(v); () }
+}
+
+/** `min(count_distinct(child), k)` with O(k) per-group state — see the
+  * companion scaladoc. Exact below the cap (the buffer then held every
+  * distinct value); at or above it, the answer is exactly k, which is
+  * all a `>= k` threshold test ever reads. */
+case class DistinctUpTo(
+    child: Expression,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[DistinctUpToBuffer] with UnaryLike[Expression] {
+
+  require(k > 0, "distinct_up_to k must be positive")
+
+  override def createAggregationBuffer(): DistinctUpToBuffer = new DistinctUpToBuffer(k)
+
+  override def update(buffer: DistinctUpToBuffer, input: InternalRow): DistinctUpToBuffer = {
+    val v = child.eval(input)
+    if (v != null) buffer.add(v.asInstanceOf[Long])
+    buffer
+  }
+
+  override def merge(buffer: DistinctUpToBuffer, other: DistinctUpToBuffer): DistinctUpToBuffer = {
+    val it = other.set.iterator()
+    while (it.hasNext && buffer.set.size < k) { buffer.set.add(it.next()); () }
+    buffer
+  }
+
+  override def eval(buffer: DistinctUpToBuffer): Any = buffer.set.size.toLong
+
+  override def serialize(buffer: DistinctUpToBuffer): Array[Byte] = {
+    val bb = ByteBuffer.allocate(4 + 8 * buffer.set.size)
+    bb.putInt(buffer.set.size)
+    val it = buffer.set.iterator()
+    while (it.hasNext) bb.putLong(it.next())
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): DistinctUpToBuffer = {
+    val bb = ByteBuffer.wrap(bytes)
+    val n = bb.getInt
+    val buf = new DistinctUpToBuffer(k)
+    var i = 0
+    while (i < n) { buf.set.add(bb.getLong); i += 1 }
+    buf
+  }
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = false
+  override def prettyName: String = "distinct_up_to"
+
+  override def withNewMutableAggBufferOffset(offset: Int): DistinctUpTo =
+    copy(mutableAggBufferOffset = offset)
+  override def withNewInputAggBufferOffset(offset: Int): DistinctUpTo =
+    copy(inputAggBufferOffset = offset)
+  override protected def withNewChildInternal(newChild: Expression): DistinctUpTo =
+    copy(child = newChild)
 }
 
 /** Bounded sorted set of the k smallest distinct longs. */

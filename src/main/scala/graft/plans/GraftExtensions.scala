@@ -42,6 +42,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("topk_by", "topk_by(value, id, k) - bounded top-k (value desc, id asc) pairs"),
       (exprs: Seq[Expression]) => TopKBy(exprs(0), exprs(1), litInt(exprs(2)))))
     ext.injectFunction((
+      FunctionIdentifier("distinct_up_to"),
+      info("distinct_up_to", "distinct_up_to(v, k) - min(count_distinct(v), k) with O(k) state"),
+      (exprs: Seq[Expression]) => DistinctUpTo(exprs(0), litInt(exprs(1)))))
+    ext.injectFunction((
       FunctionIdentifier("bloom_agg"),
       info("bloom_agg", "bloom_agg(xxhash64(k), nItems, nBits) - bloom filter of a key set"),
       (exprs: Seq[Expression]) =>

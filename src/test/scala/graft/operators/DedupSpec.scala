@@ -81,6 +81,34 @@ class DedupSpec extends AnyFunSuite {
     assert(Dedup.oversizedBuckets(buckets, 1024).count() == 0)
   }
 
+  test("hot-key cap: a synthetic viral key is cut, cold keys survive") {
+    import spark.implicits._
+    // 50 rows on one viral key, singletons elsewhere — the boilerplate
+    // shape every blocked self-join must survive at corpus scale
+    val rows = ((1 to 50).map(i => ("viral", i.toLong)) ++
+      (1 to 5).map(i => (s"cold$i", 100L + i))).toDF("shingle", "doc_id")
+    val over = Dedup.oversizedKeys(rows, Seq("shingle"), 10).collect()
+    assert(over.length == 1 && over.head.getString(0) == "viral")
+    assert(over.head.getAs[Long]("n_docs") == 50L)
+    val kept = Dedup.capHotKeys(rows, Seq("shingle"), 10)
+      .select("shingle").distinct().as[String].collect().toSet
+    assert(kept == (1 to 5).map(i => s"cold$i").toSet)
+  }
+
+  test("every blocked self-join honors its cap: winnow, ngram, simhash") {
+    // default caps leave the declared-oracle results untouched …
+    val winDflt = Dedup.winnowSharedPairsAll(spark, sf01).count()
+    val winWide = Dedup.winnowSharedPairsAll(spark, sf01, maxFpFreq = Int.MaxValue).count()
+    assert(winDflt == winWide, "no test-SF fingerprint may trip the default cap")
+    // … and cap=0 empties candidate generation in each path
+    assert(Dedup.winnowSharedPairsAll(spark, sf01, maxFpFreq = 0).count() == 0)
+    assert(Dedup.ngramJaccardTopPairs(spark, sf01, maxShingleFreq = 0).count() == 0)
+    assert(Dedup.simhashCandidates(spark, sf01, maxBucketSize = 0).count() == 0)
+    val simDflt = Dedup.simhashCandidates(spark, sf01).count()
+    val simWide = Dedup.simhashCandidates(spark, sf01, maxBucketSize = Int.MaxValue).count()
+    assert(simDflt == simWide, "no test-SF simhash band may trip the default cap")
+  }
+
   test("normalized dedup: formatting variants collapse, survivors are min doc_id") {
     import spark.implicits._
     val norms = Seq("Hello,  World!! (test)", "hello world test", "你好。世界",

@@ -78,6 +78,54 @@ class BoundedAggregatesSpec extends AnyFunSuite {
     assert(viaAgg == viaWindow)
   }
 
+  test("distinct_up_to: exact below the cap, saturates at k, O(k) buffer") {
+    val b = new DistinctUpToBuffer(3)
+    Seq(5L, 5L, 7L, 9L, 11L, 13L).foreach(b.add)
+    assert(b.set.size == 3, "buffer must stop growing at k")
+    // merge saturation: {1,2} ∪ {1,4,…} reaches k and stops
+    val agg = DistinctUpTo(null, 3)
+    val x = new DistinctUpToBuffer(3); Seq(1L, 2L).foreach(x.add)
+    val y = new DistinctUpToBuffer(3); Seq(1L, 4L, 6L).foreach(y.add)
+    val m = agg.merge(x, y)
+    assert(agg.eval(m) == 3L)
+    // serialize round-trip
+    val back = agg.deserialize(agg.serialize(m))
+    assert(back.set == m.set)
+    // DataFrame semantics vs the exact counter, below and above the cap
+    BoundedAggregates.register(spark)
+    val df = (1 to 60).map(i => (i % 7, (i % (3 + i % 7 % 3 + 1)).toLong))
+      .toDF("g", "v")
+    val got = df.groupBy(col("g"))
+      .agg(expr("distinct_up_to(v, 3)").as("b"), countDistinct(col("v")).as("t"))
+      .as[(Int, Long, Long)].collect()
+    for ((g, bounded, truth) <- got)
+      assert(bounded == math.min(truth, 3L), s"group $g: $bounded vs min($truth, 3)")
+  }
+
+  test("chunk census via distinct_up_to matches the exact count_distinct census") {
+    import graft.operators.Dedup
+    // the declared query's boilerplate set must be IDENTICAL to the
+    // unbounded formulation — saturation only truncates counts past the
+    // threshold it is compared against
+    val viaBounded = Dedup.chunksGlobal(spark, sfDir)
+      .select("doc_id", "n_kept").as[(Long, Long)].collect().toMap
+    assert(viaBounded.nonEmpty)
+    val words = split(col("text"), " ")
+    val nChunks = ceil(size(words).cast("double") / 4).cast("int")
+    val chunks = graft.Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), nChunks - 1),
+          i => array_join(slice(words, i * 4 + 1, lit(4)), " ")))
+          .as(Seq("pos", "chunk")))
+    val exact = chunks.join(
+        chunks.groupBy(col("chunk")).agg(countDistinct(col("doc_id")).as("nd"))
+          .filter(col("nd") >= 2).select(col("chunk")),
+        Seq("chunk"), "left_anti")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_kept"))
+      .as[(Long, Long)].collect().toMap
+    assert(viaBounded == exact)
+  }
+
   test("both aggregates plan as partial ObjectHashAggregate") {
     for (q <- Seq(Sketches.kmvDistinct(spark, sfDir), Sketches.topKPerGroup(spark, sfDir))) {
       val p = q.queryExecution.executedPlan.toString
