@@ -67,18 +67,51 @@ final class MemoryCatalog private (val id: Long) extends Catalog {
     datablockJson
   }
 
+  /** J5 get-or-create backend half: remember the sample under the same
+    * key [[querySamples]] probes, so a replayed batch's existence check
+    * sees what an earlier (possibly crashed) run already created. A
+    * create for an ALREADY-EXISTING (name, proposal) counts as a
+    * duplicate — the exactly-once assertion surface, mirroring
+    * [[createDataset]]'s duplicate-POST counter. Every accepted create
+    * is appended to an ordered log with its worker thread, so tests can
+    * assert the per-instrument serialization invariant (ref ADR-003:
+    * one mutex per instrument). */
+  override def createSample(sampleName: String, proposalId: String): Unit = {
+    val key = s"samples/$sampleName/$proposalId"
+    val doc = Catalog.renderJson(graft.schema.ConfigValue.CSeq(
+      Vector(graft.schema.ConfigValue.CStr(sampleName))))
+    val first = store.docs.putIfAbsent(key, doc) == null
+    if (!first) store.duplicateSampleCreates.incrementAndGet()
+    val seq = store.sampleCreates.incrementAndGet()
+    store.sampleLog.add(MemoryCatalog.SampleCreate(
+      seq, sampleName, proposalId, Thread.currentThread().getName))
+  }
+
   def pids: Set[String] = store.pids.keySet().asScala.toSet
   def datasetPostCount: Long = store.datasetPosts.get()
   def duplicatePostCount: Long = store.duplicatePosts.get()
+  def sampleCreateCount: Long = store.sampleCreates.get()
+  def duplicateSampleCreateCount: Long = store.duplicateSampleCreates.get()
+  def sampleCreateLog: Seq[MemoryCatalog.SampleCreate] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[MemoryCatalog.SampleCreate]
+    store.sampleLog.forEach(e => { out += e; () })
+    out.toSeq
+  }
 }
 
 object MemoryCatalog {
+  /** One accepted sample create, in global acceptance order. */
+  final case class SampleCreate(seq: Long, name: String, proposal: String, thread: String)
+
   private final class Store {
     val docs = new ConcurrentHashMap[String, String]()
     val pids = new ConcurrentHashMap[String, java.lang.Boolean]()
     val datasetPosts = new AtomicLong(0)
     val datablockPosts = new AtomicLong(0)
     val duplicatePosts = new AtomicLong(0)
+    val sampleCreates = new AtomicLong(0)
+    val duplicateSampleCreates = new AtomicLong(0)
+    val sampleLog = new java.util.concurrent.ConcurrentLinkedQueue[SampleCreate]()
   }
 
   private val stores = new ConcurrentHashMap[Long, Store]()

@@ -236,10 +236,13 @@ object IngestStream {
   /** §3.3 sample pipeline: pl72 stream partitioned by instrument, new
     * (sample, proposal) pairs discovered via anti-join (get-or-create). */
   def samplePipeline(pl72Batch: DataFrame, existingSamples: DataFrame): DataFrame = {
+    // dedup BEFORE the instrument repartition — dropDuplicates shuffles
+    // by its own keys and would undo it (see SampleIngestor scaladoc)
     val candidates = pl72Batch
-      .repartition(col("instrument_name")) // per-instrument ordering domain
       .select(col("job_id"), col("filename"), col("instrument_name"))
       .dropDuplicates("filename", "instrument_name")
+      .repartition(col("instrument_name")) // per-instrument ordering domain
+      .sortWithinPartitions(col("instrument_name"), col("filename"))
     candidates.join(existingSamples,
       candidates("filename") === existingSamples("sample_name") &&
         candidates("instrument_name") === existingSamples("instrument"),

@@ -26,10 +26,18 @@ object SampleIngestor {
   def processSampleBatch(
       pl72Batch: DataFrame,
       catalog: graft.catalog.Catalog): DataFrame = {
+    // Dedup FIRST, then repartition: dropDuplicates shuffles by its own
+    // keys, so a repartition placed before it is silently undone and one
+    // instrument's creates would fan out across partitions/threads —
+    // breaking the per-instrument mutex the reference holds (ADR-003).
+    // After the instrument repartition, each instrument lives in exactly
+    // one partition (one sequential task), and sortWithinPartitions
+    // fixes a deterministic per-instrument creation order.
     val candidates = pl72Batch
-      .repartition(col("instrument_name"))
       .select(col("job_id"), col("filename"), col("instrument_name"))
       .dropDuplicates("filename", "instrument_name")
+      .repartition(col("instrument_name"))
+      .sortWithinPartitions(col("instrument_name"), col("filename"))
     val existsUdf = udf((name: String, proposalId: String) =>
       catalog.querySamples(name, proposalId).nonEmpty)
     // persist BEFORE the POST action: without it, any later action on

@@ -45,6 +45,13 @@ import graft.operators.IngestDemo
   */
 object StressHarness {
 
+  // JVM-shared crash-injection state for [[runSampleKillRecovery]] —
+  // see the comment at its use site for why these cannot live in the
+  // closure. Reset at the start of each run; runs are not concurrent.
+  private[streaming] val sampleCrashFired = new AtomicBoolean(false)
+  private[streaming] val sampleCrashArmed = new AtomicBoolean(false)
+  private[streaming] val sampleArmThreshold = new java.util.concurrent.atomic.AtomicLong(Long.MaxValue)
+
   /** binaryFile's fixed schema — streaming file sources require it
     * spelled out. */
   private val BinaryFileSchema = StructType(Seq(
@@ -323,6 +330,152 @@ object StressHarness {
       pidsIngested = catalog.pids.size,
       batchesFirstRun = batchesFirstRun,
       batchesSecondRun = batchesSecondRun)
+  }
+
+  final case class SampleRecoveryResult(
+      produced: Int,
+      crashed: Boolean,
+      createsBeforeCrash: Long,
+      sampleCreates: Long,
+      duplicateCreates: Long,
+      samples: Set[(String, String)],
+      batchesSecondRun: Int,
+      perInstrumentSingleThreaded: Boolean,
+      perInstrumentOrdered: Boolean)
+
+  /** J5 crash-consistency: the sample-ingestor twin of
+    * [[runKillRecovery]], exercising the reference ADR-003 invariants
+    * ACROSS a restart — exactly one sample ever created per
+    * (name, proposal) even though the crashed batch replays, each
+    * instrument's creates serialized on one worker (the per-instrument
+    * mutex), and per-instrument creation order deterministic.
+    *
+    * The bus carries pl72 run-start messages (several instruments
+    * interleaved, every message sent TWICE so get-or-create also dedups
+    * in-batch); the sink is [[SampleIngestor.processSampleBatch]]
+    * against a [[MemoryCatalog]] wrapped so its `createSample` throws
+    * mid-batch once ≥1 create of a non-first batch has committed. The
+    * restarted query replays from the checkpoint; the existence probe
+    * must swallow exactly the creates that already landed. */
+  def runSampleKillRecovery(
+      spark: SparkSession,
+      nInstruments: Int = 4,
+      samplesPerInstrument: Int = 6,
+      filesPerTrigger: Int = 16): SampleRecoveryResult = {
+    val busDir = Files.createTempDirectory("graft_sample_bus")
+    val stageDir = Files.createTempDirectory("graft_sample_stage")
+    val ckpt = Files.createTempDirectory("graft_sample_ckpt")
+    val catalog = MemoryCatalog(Map("health" -> "{}"))
+
+    var produced = 0
+    def produceSample(i: Int, dup: Int): Unit = {
+      val inst = s"instr-${i % nInstruments}"
+      val sample = f"sample-${i % nInstruments}%02d-${i / nInstruments}%03d"
+      val payload = MessageCodec.encodePl72Fb(Messages.RunStartInfo(
+        f"job-$i%04d-$dup", sample, inst))
+      val staged = stageDir.resolve(f"pl72-$i%04d-$dup.bin")
+      Files.write(staged, payload)
+      Files.move(staged, busDir.resolve(staged.getFileName),
+        StandardCopyOption.ATOMIC_MOVE)
+      produced += 1
+    }
+    (0 until nInstruments * samplesPerInstrument).foreach { i =>
+      produceSample(i, 0); produceSample(i, 1) // in-batch dup pressure
+    }
+
+    // crash state lives in the companion OBJECT, not the closure: task
+    // closures are serialized per task even in local mode, so mutations
+    // to captured AtomicBooleans land on per-task COPIES and the driver
+    // would never observe them — statics are JVM-shared (the same
+    // reasoning as MemoryCatalog's static store)
+    val crashed = StressHarness.sampleCrashFired
+    val crashArmed = StressHarness.sampleCrashArmed
+    crashed.set(false); crashArmed.set(false)
+    StressHarness.sampleArmThreshold.set(Long.MaxValue)
+    var createsBeforeCrash = 0L
+    var batchesSecondRun = 0
+    // [lo, hi] of the global create-seq counter per processed batch —
+    // the per-instrument invariants below are PER-BATCH claims (across
+    // batches the engine serializes foreachBatch; threads differ)
+    val segments = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+
+    // delegate catalog whose createSample dies once the armed batch has
+    // committed 2 creates past the arm point — the crash lands INSIDE
+    // the foreachPartition create loop, after real commits
+    val crashingCatalog: graft.catalog.Catalog = new graft.catalog.Catalog {
+      def lookupJson(url: String, field: String) = catalog.lookupJson(url, field)
+      def querySamples(name: String, proposalId: String) =
+        catalog.querySamples(name, proposalId)
+      def datasetExists(pid: String) = catalog.datasetExists(pid)
+      def metadataValueExists(key: String, value: String) =
+        catalog.metadataValueExists(key, value)
+      def createDataset(json: String) = catalog.createDataset(json)
+      def createOrigDatablock(json: String) = catalog.createOrigDatablock(json)
+      override def createSample(name: String, proposalId: String): Unit = {
+        if (StressHarness.sampleCrashArmed.get() &&
+            catalog.sampleCreateCount >= StressHarness.sampleArmThreshold.get() &&
+            StressHarness.sampleCrashFired.compareAndSet(false, true))
+          throw new RuntimeException("injected sample-create crash")
+        catalog.createSample(name, proposalId)
+      }
+    }
+
+    def startQuery(firstRun: Boolean): StreamingQuery =
+      IngestStream.runStartStream(
+          fileBus(spark, busDir.toString, filesPerTrigger))
+        .writeStream.outputMode("append")
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+          if (!firstRun) batchesSecondRun += 1
+          if (firstRun && id >= 1 && !crashed.get()) {
+            StressHarness.sampleArmThreshold.set(catalog.sampleCreateCount + 2)
+            crashArmed.set(true)
+          }
+          val before = catalog.sampleCreateCount
+          try SampleIngestor.processSampleBatch(batch.toDF(), crashingCatalog)
+          finally {
+            segments += ((before, catalog.sampleCreateCount))
+            if (crashArmed.getAndSet(false)) createsBeforeCrash = catalog.sampleCreateCount
+          }
+          ()
+        }
+        .option("checkpointLocation", ckpt.toString)
+        .start()
+
+    val q1 = startQuery(firstRun = true)
+    val died = try { q1.processAllAvailable(); false }
+      catch { case _: Exception => true }
+    try q1.stop() catch { case _: Exception => () }
+
+    val q2 = startQuery(firstRun = false)
+    q2.processAllAvailable()
+    q2.stop()
+
+    val log = catalog.sampleCreateLog
+    def perBatchByInstrument: Seq[Seq[MemoryCatalog.SampleCreate]] =
+      segments.toSeq.flatMap { case (lo, hi) =>
+        log.filter(e => e.seq > lo && e.seq <= hi)
+          .groupBy(_.proposal).values.toSeq
+      }
+    SampleRecoveryResult(
+      produced = produced,
+      crashed = died && crashed.get(),
+      createsBeforeCrash = createsBeforeCrash,
+      sampleCreates = catalog.sampleCreateCount,
+      duplicateCreates = catalog.duplicateSampleCreateCount,
+      samples = log.map(e => (e.name, e.proposal)).toSet,
+      batchesSecondRun = batchesSecondRun,
+      // ADR-003 mutex analogue: within a batch, ONE worker thread per
+      // instrument (dedup-then-repartition keeps an instrument in
+      // exactly one partition = one sequential task)
+      perInstrumentSingleThreaded =
+        perBatchByInstrument.forall(_.map(_.thread).distinct.size == 1),
+      // deterministic per-instrument order: within a batch an
+      // instrument's creates land in ascending sample-name order
+      // (sortWithinPartitions contract)
+      perInstrumentOrdered = perBatchByInstrument.forall { es =>
+        val bySeq = es.sortBy(_.seq).map(_.name)
+        bySeq == bySeq.sorted
+      })
   }
 
   /** Standalone acceptance run, reference-scaled defaults:

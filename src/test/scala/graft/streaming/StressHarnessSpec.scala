@@ -28,6 +28,23 @@ class StressHarnessSpec extends AnyFunSuite {
     assert(r.maxE2eMs < 60000, s"e2e budget blown: $r")
   }
 
+  test("J5 kill mid-create, restart: one sample per (name, proposal), per-instrument order holds") {
+    val r = StressHarness.runSampleKillRecovery(spark)
+    assert(r.crashed, s"the injected crash must actually kill the first query: $r")
+    // some creates committed before the crash, but not all of them
+    assert(r.createsBeforeCrash >= 1 && r.createsBeforeCrash < 24, s"$r")
+    // get-or-create across the replay: every logical sample exists,
+    // EXACTLY once at the backend — replayed creates were swallowed by
+    // the existence probe, in-batch dups by the batch dedup
+    assert(r.samples.size == 24, s"lost samples after recovery: $r")
+    assert(r.sampleCreates == 24 && r.duplicateCreates == 0,
+      s"backend must see each (name, proposal) exactly once: $r")
+    assert(r.batchesSecondRun >= 1, s"second run must replay from checkpoint: $r")
+    // ADR-003: per-instrument serialization + deterministic order
+    assert(r.perInstrumentSingleThreaded, s"instrument creates fanned out over threads: $r")
+    assert(r.perInstrumentOrdered, s"per-instrument creation order broke: $r")
+  }
+
   test("kill mid-batch, restart from checkpoint: backend sees each pid exactly once") {
     val r = StressHarness.runKillRecovery(spark, nMessages = 30, filesPerTrigger = 10)
     assert(r.crashed, s"the injected crash must actually kill the first query: $r")
