@@ -32,6 +32,15 @@ object SparkEntry {
     "q21_waiting_suppliers" -> (Relational.q21WaitingSuppliers _),
     "q22_global_sales" -> (Relational.q22GlobalSales _),
     "q15_top_supplier" -> (Relational.q15TopSupplier _),
+    "q2_min_cost_supplier" -> (Relational.q2MinCostSupplier _),
+    "q7_volume_shipping" -> (Relational.q7VolumeShipping _),
+    "q8_market_share" -> (Relational.q8MarketShare _),
+    "q9_product_profit" -> (Relational.q9ProductProfit _),
+    "q11_important_stock" -> (Relational.q11ImportantStock _),
+    "q12_ship_priority" -> (Relational.q12ShipPriority _),
+    "q13_cust_distribution" -> (Relational.q13CustDistribution _),
+    "q16_supplier_cnt" -> (Relational.q16SupplierCnt _),
+    "q20_part_promotion" -> (Relational.q20PartPromotion _),
     // §2.2 filters
     "f1_type_filter" -> (Relational.f1TypeFilter _),
     "f2_error_filter" -> (Relational.f2ErrorFilter _),
@@ -217,7 +226,11 @@ object SparkEntry {
     "mm_decode_image", "dedup_image_hamming", "mm_decode_audio",
     "dedup_prefix_jaccard", "corpus_dup_ngrams",
     "q17_small_qty", "q21_waiting_suppliers", "q22_global_sales",
-    "q15_top_supplier")
+    "q15_top_supplier",
+    // round-6 additions (the remaining TPC-H classics):
+    "q2_min_cost_supplier", "q7_volume_shipping", "q8_market_share",
+    "q9_product_profit", "q11_important_stock", "q12_ship_priority",
+    "q13_cust_distribution", "q16_supplier_cnt", "q20_part_promotion")
 
   // --- generated DuckDB replicas of the portable-hash queries ----------
 
@@ -1028,6 +1041,141 @@ object SparkEntry {
         |  JOIN supplier ON l_suppkey = s_suppkey
         |WHERE n_supps > 1 AND n_late_supps = 1
         |GROUP BY 1 ORDER BY numwait DESC, s_name LIMIT 100""".stripMargin,
+    // q2 classic (correlated min, decorrelated): the part-supplier
+    // relation and its cost derive from lineitem (no partsupp table).
+    "q2_min_cost_supplier" ->
+      """WITH pt AS (SELECT p_partkey FROM part
+        |    WHERE p_size = 15 AND p_type = 'MEDIUM'),
+        |cost AS (SELECT l_partkey, l_suppkey,
+        |    CAST(min(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS cost_c
+        |  FROM lineitem JOIN pt ON l_partkey = p_partkey GROUP BY 1, 2),
+        |mc AS (SELECT l_partkey AS m_partkey, min(cost_c) AS min_cost_c
+        |  FROM cost GROUP BY 1)
+        |SELECT CAST(CAST(s_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS s_bal_c,
+        |  s_name, n_name, l_partkey AS p_partkey, cost_c
+        |FROM cost JOIN mc ON l_partkey = m_partkey AND cost_c = min_cost_c
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |ORDER BY s_bal_c DESC, n_name, s_name, p_partkey LIMIT 100""".stripMargin,
+    // q7 classic (bidirectional nation pair, per year), e4 cent revenue.
+    "q7_volume_shipping" ->
+      """SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+        |  CAST(year(l_shipdate) AS BIGINT) AS l_year,
+        |  CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) *
+        |    CAST((1 - CAST(l_discount AS DECIMAL(18,2))) * 100 AS BIGINT)) AS BIGINT)
+        |    AS revenue_e4
+        |FROM lineitem
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation sn ON s_nationkey = sn.n_nationkey
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation cn ON c_nationkey = cn.n_nationkey
+        |WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1998-01-01'
+        |  AND ((sn.n_name = 'NATION_3' AND cn.n_name = 'NATION_7') OR
+        |       (sn.n_name = 'NATION_7' AND cn.n_name = 'NATION_3'))
+        |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+    // q8 classic (market share): exact integer numerator/denominator
+    // plus a ppm ratio via BIGINT floor division on both engines.
+    "q8_market_share" ->
+      """WITH li AS (SELECT year(o_orderdate) AS o_year,
+        |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) *
+        |      CAST((1 - CAST(l_discount AS DECIMAL(18,2))) * 100 AS BIGINT) AS rev_e4,
+        |    sn.n_name AS supp_nation
+        |  FROM lineitem
+        |    JOIN orders ON l_orderkey = o_orderkey
+        |    JOIN supplier ON l_suppkey = s_suppkey
+        |    JOIN nation sn ON s_nationkey = sn.n_nationkey
+        |  WHERE o_orderdate >= '1996-01-01' AND o_orderdate < '1998-01-01'
+        |    AND o_custkey IN (SELECT c_custkey FROM customer
+        |      JOIN nation ON c_nationkey = n_nationkey
+        |      JOIN region ON n_regionkey = r_regionkey WHERE r_name = 'ASIA'))
+        |SELECT CAST(o_year AS BIGINT) AS o_year,
+        |  CAST(sum(CASE WHEN supp_nation = 'NATION_5' THEN rev_e4 ELSE 0 END) AS BIGINT)
+        |    AS nation_rev_e4,
+        |  CAST(sum(rev_e4) AS BIGINT) AS total_rev_e4,
+        |  CAST(sum(CASE WHEN supp_nation = 'NATION_5' THEN rev_e4 ELSE 0 END) * 1000000
+        |    // sum(rev_e4) AS BIGINT) AS share_ppm
+        |FROM li GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q9 classic (profit per nation-year), cost from p_retailprice.
+    "q9_product_profit" ->
+      """SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        |  CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) *
+        |      CAST((1 - CAST(l_discount AS DECIMAL(18,2))) * 100 AS BIGINT) -
+        |    CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT) *
+        |      CAST(CAST(p_retailprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT)
+        |    AS profit_e4
+        |FROM lineitem
+        |  JOIN part ON l_partkey = p_partkey
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |WHERE p_name LIKE '%widget%'
+        |GROUP BY 1, 2 ORDER BY 1, 2 DESC""".stripMargin,
+    // q11 classic (HAVING vs global scalar) as cross-multiplication.
+    "q11_important_stock" ->
+      """WITH v AS (SELECT l_partkey,
+        |    CAST(sum(CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT) *
+        |      CAST(CAST(p_retailprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT)
+        |      AS value_e4
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE l_suppkey IN (SELECT s_suppkey FROM supplier JOIN nation
+        |    ON s_nationkey = n_nationkey
+        |    WHERE n_name IN ('NATION_1', 'NATION_2', 'NATION_3'))
+        |  GROUP BY 1)
+        |SELECT l_partkey AS p_partkey, value_e4
+        |FROM v CROSS JOIN (SELECT CAST(sum(value_e4) AS BIGINT) AS total_e4 FROM v) t
+        |WHERE value_e4 * 1000 > total_e4
+        |ORDER BY value_e4 DESC, p_partkey LIMIT 100""".stripMargin,
+    // q12 classic (conditional counts), q4 lateness, returnflag as mode.
+    "q12_ship_priority" ->
+      """SELECT l_returnflag,
+        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |  CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_shipdate > o_orderdate + INTERVAL 90 DAY
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q13 classic (left outer + double aggregation).
+    "q13_cust_distribution" ->
+      """WITH pc AS (SELECT c_custkey, count(o_orderkey) AS c_count
+        |  FROM customer LEFT OUTER JOIN orders
+        |    ON c_custkey = o_custkey AND o_orderpriority <> '5-LOW'
+        |  GROUP BY 1)
+        |SELECT c_count, count(*) AS custdist
+        |FROM pc GROUP BY 1 ORDER BY custdist DESC, c_count DESC""".stripMargin,
+    // q16 classic (distinct suppliers per part class); the complaint
+    // exclusion = negative-balance suppliers.
+    "q16_supplier_cnt" ->
+      """SELECT p_brand, p_type, p_size,
+        |  count(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+        |  JOIN part ON l_partkey = p_partkey
+        |WHERE p_brand <> 'Brand#45'
+        |  AND p_size IN (1, 4, 9, 16, 25, 36, 49)
+        |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+        |    WHERE CAST(s_acctbal AS DECIMAL(18,2)) < 0)
+        |GROUP BY 1, 2, 3
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size LIMIT 100""".stripMargin,
+    // q20 classic (nested-aggregate semi-join): >5% stake in any
+    // SMALL part's total shipped quantity during 1996.
+    "q20_part_promotion" ->
+      """WITH li AS (SELECT l_partkey, l_suppkey, l_shipdate,
+        |    CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT) AS qty_c
+        |  FROM lineitem WHERE l_partkey IN
+        |    (SELECT p_partkey FROM part WHERE p_type = 'SMALL')),
+        |pp AS (SELECT l_partkey AS t_partkey, CAST(sum(qty_c) AS BIGINT) AS total_qty_c
+        |  FROM li GROUP BY 1),
+        |stake AS (SELECT DISTINCT l_suppkey
+        |  FROM (SELECT l_partkey, l_suppkey, CAST(sum(qty_c) AS BIGINT) AS supp_qty_c
+        |    FROM li WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1997-01-01'
+        |    GROUP BY 1, 2) s
+        |    JOIN pp ON l_partkey = t_partkey
+        |  WHERE supp_qty_c * 20 > total_qty_c)
+        |SELECT s_suppkey, s_name, n_name
+        |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |WHERE s_suppkey IN (SELECT l_suppkey FROM stake)
+        |ORDER BY s_suppkey""".stripMargin,
     // Equality against the PARQUET original proves the ORC/CSV/JSON
     // round-trips lossless — format IO inside the correctness gate.
     "sub_format_bridge" ->

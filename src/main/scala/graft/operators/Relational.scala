@@ -396,6 +396,275 @@ object Relational {
       .agg(count(lit(1)).as("numcust"), sum(col("bal_c")).as("totacctbal_cents"))
   }
 
+  /** Q2-shaped min-cost supplier (adapted: no partsupp table — the
+    * part-supplier relation and its "supply cost" derive from
+    * lineitem: cost(part, supp) = min line price in cents). The
+    * CORRELATED MIN SUBQUERY classic: suppliers achieving the minimum
+    * cost among each part's suppliers, decorrelated as a per-part min
+    * joined back, ties kept as the classic keeps them.
+    *
+    * Scale: the (part, supp) cost and per-part min collapse map-side,
+    * both joins stay partkey-keyed, the part/supplier/nation dims
+    * broadcast. */
+  def q2MinCostSupplier(spark: SparkSession, sfDir: String): DataFrame = {
+    val part = Tables.part(spark, sfDir)
+      .filter(col("p_size") === 15 && col("p_type") === "MEDIUM")
+      .select(col("p_partkey"))
+    val cost = Tables.lineitem(spark, sfDir)
+      .join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(min((dec(col("l_extendedprice")) * 100).cast("long")).as("cost_c"))
+      .localCheckpoint() // consumed by the per-part min AND the equality join
+    val minCost = cost.groupBy(col("l_partkey").as("m_partkey"))
+      .agg(min(col("cost_c")).as("min_cost_c"))
+    cost.join(minCost,
+        col("l_partkey") === col("m_partkey") && col("cost_c") === col("min_cost_c"))
+      .join(broadcast(Tables.supplier(spark, sfDir)),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(Tables.nation(spark, sfDir)),
+        col("s_nationkey") === col("n_nationkey"))
+      .select((dec(col("s_acctbal")) * 100).cast("long").as("s_bal_c"),
+        col("s_name"), col("n_name"), col("l_partkey").as("p_partkey"),
+        col("cost_c"))
+      .orderBy(col("s_bal_c").desc, col("n_name"), col("s_name"), col("p_partkey"))
+      .limit(100)
+  }
+
+  /** Q7-shaped volume shipping: revenue flowing between two nations in
+    * either direction (supplier nation ↔ customer nation), per year.
+    * The classic's double-dimension join fan: lineitem → orders →
+    * customer → nation on one side, lineitem → supplier → nation on
+    * the other, with the (n1, n2) ∈ {(A,B),(B,A)} disjunction.
+    *
+    * Scale: the only big-big join is lineitem⋈orders on the order key;
+    * every dim broadcasts; revenue stays in exact e4 cent-products. */
+  def q7VolumeShipping(spark: SparkSession, sfDir: String): DataFrame = {
+    val (na, nb) = ("NATION_3", "NATION_7")
+    val nat = Tables.nation(spark, sfDir).select(col("n_nationkey"), col("n_name"))
+    val supp = Tables.supplier(spark, sfDir).select(col("s_suppkey"), col("s_nationkey"))
+      .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+    val cust = Tables.customer(spark, sfDir).select(col("c_custkey"), col("c_nationkey"))
+      .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("n_name").as("cust_nation"))
+    val ord = Tables.orders(spark, sfDir).select(col("o_orderkey"), col("o_custkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+    val revE4 = (dec(col("l_extendedprice")) * 100).cast("long") *
+      ((lit(1).cast("decimal(18,2)") - dec(col("l_discount"))) * 100).cast("long")
+    Tables.lineitem(spark, sfDir)
+      .filter(col("l_shipdate") >= lit("1996-01-01") && col("l_shipdate") < lit("1998-01-01"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .filter((col("supp_nation") === na && col("cust_nation") === nb) ||
+        (col("supp_nation") === nb && col("cust_nation") === na))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).cast("long").as("l_year"))
+      .agg(sum(revE4).as("revenue_e4"))
+      .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+  }
+
+  /** Q8-shaped national market share: one nation's slice of a region's
+    * revenue per order-year. The share ships as an exact integer —
+    * numerator, denominator, and micro-unit ratio
+    * `num·1000000 DIV den` — so no float division can diverge.
+    *
+    * Scale: same join fan as q7; the region filter prunes the customer
+    * side before its broadcast. */
+  def q8MarketShare(spark: SparkSession, sfDir: String): DataFrame = {
+    val nat = Tables.nation(spark, sfDir)
+    val reg = Tables.region(spark, sfDir).filter(col("r_name") === "ASIA")
+    val custIn = Tables.customer(spark, sfDir)
+      .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
+      .select(col("c_custkey"))
+    val supp = Tables.supplier(spark, sfDir)
+      .join(broadcast(nat.select(col("n_nationkey"), col("n_name"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+    val ord = Tables.orders(spark, sfDir)
+      .filter(col("o_orderdate") >= lit("1996-01-01") && col("o_orderdate") < lit("1998-01-01"))
+      .join(broadcast(custIn), col("o_custkey") === col("c_custkey"), "left_semi")
+      .select(col("o_orderkey"), year(col("o_orderdate")).cast("long").as("o_year"))
+    val revE4 = (dec(col("l_extendedprice")) * 100).cast("long") *
+      ((lit(1).cast("decimal(18,2)") - dec(col("l_discount"))) * 100).cast("long")
+    Tables.lineitem(spark, sfDir)
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("o_year"))
+      .agg(
+        sum(when(col("supp_nation") === "NATION_5", revE4).otherwise(lit(0L)))
+          .as("nation_rev_e4"),
+        sum(revE4).as("total_rev_e4"))
+      .select(col("o_year"), col("nation_rev_e4"), col("total_rev_e4"),
+        // integer DIV: the e4 numerator × 1e6 tops 2^53, so a double
+        // division would lose ulps the oracle keeps
+        expr("nation_rev_e4 * 1000000 DIV total_rev_e4").as("share_ppm"))
+      .orderBy(col("o_year"))
+  }
+
+  /** Q9-shaped product-type profit (adapted: no partsupp supply cost —
+    * cost(line) = quantity × p_retailprice in cents): profit per
+    * supplier nation per year over a part-name subset. Exercises the
+    * classic's 5-way join fan with an expression group key.
+    *
+    * Scale: part prunes on the name predicate BEFORE broadcasting;
+    * lineitem⋈orders is the one big-big join; aggregates collapse
+    * map-side on (nation, year). */
+  def q9ProductProfit(spark: SparkSession, sfDir: String): DataFrame = {
+    val part = Tables.part(spark, sfDir)
+      .filter(col("p_name").like("%widget%"))
+      .select(col("p_partkey"), (dec(col("p_retailprice")) * 100).cast("long").as("retail_c"))
+    val supp = Tables.supplier(spark, sfDir)
+      .join(broadcast(Tables.nation(spark, sfDir)),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name"))
+    val ord = Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"), year(col("o_orderdate")).cast("long").as("o_year"))
+    val revE4 = (dec(col("l_extendedprice")) * 100).cast("long") *
+      ((lit(1).cast("decimal(18,2)") - dec(col("l_discount"))) * 100).cast("long")
+    val costE4 = (dec(col("l_quantity")) * 100).cast("long") * col("retail_c")
+    Tables.lineitem(spark, sfDir)
+      .join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("n_name").as("nation"), col("o_year"))
+      .agg(sum(revE4 - costE4).as("profit_e4"))
+      .orderBy(col("nation"), col("o_year").desc)
+  }
+
+  /** Q11-shaped important stock (adapted: no partsupp — a part's
+    * "stock value" = Σ quantity × retailprice cents over the lines
+    * shipped by suppliers of a nation subset): parts whose value
+    * exceeds 1/1000 of the group total, the classic's HAVING-against-
+    * global-scalar shape as an exact cross-multiplication.
+    *
+    * Scale: per-part values collapse map-side; the global total is a
+    * broadcast one-row frame; no second pass over lineitem. */
+  def q11ImportantStock(spark: SparkSession, sfDir: String): DataFrame = {
+    val supp = Tables.supplier(spark, sfDir)
+      .join(broadcast(Tables.nation(spark, sfDir)
+          .filter(col("n_name").isin("NATION_1", "NATION_2", "NATION_3"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"))
+    val part = Tables.part(spark, sfDir)
+      .select(col("p_partkey"), (dec(col("p_retailprice")) * 100).cast("long").as("retail_c"))
+    val valued = Tables.lineitem(spark, sfDir)
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"), "left_semi")
+      .join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("l_partkey"))
+      .agg(sum((dec(col("l_quantity")) * 100).cast("long") * col("retail_c"))
+        .as("value_e4"))
+      .localCheckpoint() // consumed by the total AND the threshold filter
+    val total = valued.agg(sum(col("value_e4")).as("total_e4"))
+    valued.crossJoin(broadcast(total))
+      .filter(col("value_e4") * 1000L > col("total_e4"))
+      .select(col("l_partkey").as("p_partkey"), col("value_e4"))
+      .orderBy(col("value_e4").desc, col("p_partkey"))
+      .limit(100)
+  }
+
+  /** Q12-shaped shipping priority (adapted: no ship modes or receipt
+    * dates — lines split into SLOW (>90 days to ship, the q4 lateness
+    * convention) and the returnflag plays the mode): per flag, how
+    * many urgent/high-priority vs lower-priority orders shipped slow.
+    * The classic's conditional-count (CASE-sum) shape.
+    *
+    * Scale: one orderkey join, map-side conditional sums, 3 rows out. */
+  def q12ShipPriority(spark: SparkSession, sfDir: String): DataFrame = {
+    val ord = Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+    Tables.lineitem(spark, sfDir)
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .filter(col("l_shipdate") > date_add(col("o_orderdate").cast("date"), 90))
+      .groupBy(col("l_returnflag"))
+      .agg(
+        sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+          .otherwise(0L)).as("high_line_count"),
+        sum(when(!col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+          .otherwise(0L)).as("low_line_count"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  /** Q13-shaped customer order-count distribution: the LEFT OUTER join
+    * + double aggregation classic — orders per customer (zero
+    * included), then the histogram of those counts.
+    *
+    * Scale: per-customer counts collapse map-side on o_custkey; the
+    * left join keys on custkey; the histogram re-agg is tiny. */
+  def q13CustDistribution(spark: SparkSession, sfDir: String): DataFrame = {
+    val perCust = Tables.customer(spark, sfDir).select(col("c_custkey"))
+      .join(Tables.orders(spark, sfDir)
+          .filter(col("o_orderpriority") =!= "5-LOW")
+          .select(col("o_custkey"), col("o_orderkey")),
+        col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+    perCust.groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+  }
+
+  /** Q16-shaped supplier diversity (adapted: the part-supplier
+    * relation derives from lineitem; the "complaint" exclusion =
+    * suppliers with a negative account balance): distinct suppliers
+    * per (brand, type, size) for a size subset, excluding one brand.
+    *
+    * Scale: the distinct (part, supp) pairs collapse map-side before
+    * the distinct-count; part prunes on brand/size BEFORE broadcast;
+    * the excluded-supplier list broadcasts as an anti-join. */
+  def q16SupplierCnt(spark: SparkSession, sfDir: String): DataFrame = {
+    val part = Tables.part(spark, sfDir)
+      .filter(col("p_brand") =!= "Brand#45" &&
+        col("p_size").isin(1, 4, 9, 16, 25, 36, 49))
+      .select(col("p_partkey"), col("p_brand"), col("p_type"), col("p_size"))
+    val badSupp = Tables.supplier(spark, sfDir)
+      .filter(dec(col("s_acctbal")) < 0).select(col("s_suppkey"))
+    Tables.lineitem(spark, sfDir)
+      .select(col("l_partkey"), col("l_suppkey")).distinct()
+      .join(broadcast(badSupp), col("l_suppkey") === col("s_suppkey"), "left_anti")
+      .join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+      .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"), col("p_size"))
+      .limit(100)
+  }
+
+  /** Q20-shaped part promotion (adapted: no partsupp availqty — a
+    * supplier "has excess stake" in a part when its own 1996 shipped
+    * quantity exceeds 5% of the part's total shipped quantity across
+    * all suppliers and years): suppliers holding such a stake in any
+    * small-type part, with their nation. The classic's nested-
+    * aggregate semi-join shape, thresholds as exact integer
+    * cross-multiplication.
+    *
+    * Scale: both aggregates collapse map-side on their keys; the
+    * per-part totals broadcast back against the (part, supp) slice;
+    * the final semi-join is suppkey-keyed. */
+  def q20PartPromotion(spark: SparkSession, sfDir: String): DataFrame = {
+    val part = Tables.part(spark, sfDir)
+      .filter(col("p_type") === "SMALL").select(col("p_partkey"))
+    val li = Tables.lineitem(spark, sfDir)
+      .join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .select(col("l_partkey"), col("l_suppkey"), col("l_shipdate"),
+        (dec(col("l_quantity")) * 100).cast("long").as("qty_c"))
+      .localCheckpoint() // consumed by both aggregates
+    val perPart = li.groupBy(col("l_partkey").as("t_partkey"))
+      .agg(sum(col("qty_c")).as("total_qty_c"))
+    val stake = li
+      .filter(col("l_shipdate") >= lit("1996-01-01") && col("l_shipdate") < lit("1997-01-01"))
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(sum(col("qty_c")).as("supp_qty_c"))
+      .join(perPart, col("l_partkey") === col("t_partkey"))
+      .filter(col("supp_qty_c") * 20L > col("total_qty_c"))
+      .select(col("l_suppkey")).distinct()
+    Tables.supplier(spark, sfDir)
+      .join(stake, col("s_suppkey") === col("l_suppkey"), "left_semi")
+      .join(broadcast(Tables.nation(spark, sfDir)),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("s_name"), col("n_name"))
+      .orderBy(col("s_suppkey"))
+  }
+
   // ---------------------------------------------------------------------
   // §2.2 Filters / predicates
   // ---------------------------------------------------------------------
