@@ -277,6 +277,31 @@ class PlanShapeSpec extends AnyFunSuite {
       s"band blocking must yield equi-joins:\n$p")
   }
 
+  test("new classics: dims broadcast, no nested loop, no cartesian") {
+    for (q <- Seq("q2_min_cost_supplier", "q7_volume_shipping",
+        "q9_product_profit", "q16_supplier_cnt", "q20_part_promotion")) {
+      val p = plan(q)
+      assert(p.contains("BroadcastHashJoin"), s"$q must broadcast its dims:\n$p")
+      assert(!p.contains("CartesianProduct"), s"$q:\n$p")
+    }
+  }
+
+  test("q8/q11: the global scalar arrives via broadcast, never a shuffle") {
+    for (q <- Seq("q8_market_share", "q11_important_stock")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"),
+        s"$q: the one-row total must broadcast-nested-loop, not cartesian:\n$p")
+    }
+  }
+
+  test("q12/q13: date filter pushdown and map-side partial aggregation") {
+    val p12 = plan("q12_ship_priority")
+    assert(p12.contains("HashAggregate") && !p12.contains("CartesianProduct"), p12)
+    val p13 = plan("q13_cust_distribution")
+    // double aggregation: per-customer then histogram
+    assert(p13.linesIterator.count(_.contains("HashAggregate")) >= 3, p13)
+  }
+
   test("media codecs read only (doc_id, n_chars) from the documents scan") {
     for (q <- Seq("mm_decode_image", "mm_decode_audio")) {
       val p = plan(q)
