@@ -83,6 +83,13 @@ object Bench {
   private def numArr(xs: Seq[Double]): String =
     xs.map(x => f"$x%.4f".toDouble.toString).mkString("[", ",", "]")
 
+  /** COMPACT final line — total + per-query medians + failures only.
+    * BENCH_r05 proved the all-in-one line overflows the driver's
+    * captured tail once the query count grows (`parsed: null`, VERDICT
+    * r5 "Performance" — the driver flew blind); the per-repeat spread
+    * moved to [[buildDetailLine]], which prints BEFORE this line and
+    * lands in the side file, so truncation can only ever cost detail,
+    * never the machine-readable summary. */
   def buildLine(
       results: Seq[(String, Seq[Double])],
       sfDir: String,
@@ -91,14 +98,20 @@ object Bench {
     val medians = results.map { case (k, ts) => k -> summarize(ts) }
     val qs = medians.map { case (k, v) => jsonEscape(k) + ":" + v }
       .mkString("{", ",", "}")
-    val reps = results.map { case (k, ts) => jsonEscape(k) + ":" + numArr(ts) }
-      .mkString("{", ",", "}")
     val failed = medians.collect { case (k, v) if v < 0 => jsonEscape(k) }
       .mkString("[", ",", "]")
     val total = medians.map(_._2).filter(_ >= 0).sum
     s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-      s""""repeats":$reps,"failed":$failed,"sf":${jsonEscape(sfDir)},""" +
+      s""""failed":$failed,"sf":${jsonEscape(sfDir)},""" +
       s""""loadavg_start":${numArr(loadStart)},"loadavg_end":${numArr(loadEnd)}}"""
+  }
+
+  /** Contention-audit detail (per-repeat arrays; VERDICT r3 #1) as its
+    * own JSON line, kept OUT of the final compact line. */
+  def buildDetailLine(results: Seq[(String, Seq[Double])]): String = {
+    val reps = results.map { case (k, ts) => jsonEscape(k) + ":" + numArr(ts) }
+      .mkString("{", ",", "}")
+    s"""{"metric":"repeats","repeats":$reps}"""
   }
 
   def main(args: Array[String]): Unit = {
@@ -128,12 +141,16 @@ object Bench {
     val loadStart = loadAvg()
     val results = interleaved(queryNames, Repeats, (_, n) => once(spark, sfDir, n))
     val line = buildLine(results, sfDir, loadStart, loadAvg())
+    val detail = buildDetailLine(results)
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
-    try java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), line + "\n")
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath),
+      detail + "\n" + line + "\n")
     catch { case e: Throwable => System.err.println(s"[bench] file write failed: ${e.getMessage}") }
     spark.stop()
-    // FINAL stdout line, after all Spark shutdown logging: the driver's
-    // stdout capture must end with this bare JSON line.
+    // Detail first, compact line LAST: the driver's stdout capture keeps
+    // the tail, so the machine-readable summary can never be the part
+    // that truncates away (BENCH_r05 regression).
+    println(detail)
     println(line)
   }
 }

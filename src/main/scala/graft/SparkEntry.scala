@@ -67,6 +67,10 @@ object SparkEntry {
     "set_except" -> (Relational.setExcept _),
     "tumbling_window" -> (Relational.tumblingWindow _),
     "sub_sessionize" -> ((s: SparkSession, d: String) => Relational.sessionize(s, d)),
+    "sub_session_window" -> ((s: SparkSession, d: String) => Relational.sessionWindowNative(s, d)),
+    "scd2_tier_history" -> (Relational.scd2TierHistory _),
+    "sub_profile_columns" -> (Substrate.profileColumns _),
+    "layout_zorder" -> ((s: SparkSession, d: String) => Substrate.zorderLayout(s, d)),
     // substrate: grouping sets / joins / dates / SQL text / extensions
     "sub_rollup" -> (Substrate.rollup _),
     "sub_cube" -> (Substrate.cubeOp _),
@@ -230,7 +234,10 @@ object SparkEntry {
     // round-6 additions (the remaining TPC-H classics):
     "q2_min_cost_supplier", "q7_volume_shipping", "q8_market_share",
     "q9_product_profit", "q11_important_stock", "q12_ship_priority",
-    "q13_cust_distribution", "q16_supplier_cnt", "q20_part_promotion")
+    "q13_cust_distribution", "q16_supplier_cnt", "q20_part_promotion",
+    // round-6 additions (warehouse classics + layout):
+    "sub_session_window", "scd2_tier_history", "sub_profile_columns",
+    "layout_zorder")
 
   // --- generated DuckDB replicas of the portable-hash queries ----------
 
@@ -1391,6 +1398,80 @@ object SparkEntry {
         |SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
         |  count(*) AS n_events, max(sec) - min(sec) AS duration_s, min(sec) AS start_s
         |FROM g GROUP BY user_id, session_idx""".stripMargin,
+    // Native session_window replica: a session breaks on a gap ≥ 30 min
+    // in exact MICROSECONDS (Spark merges only strictly-overlapping
+    // windows, so the == boundary starts a new session on both engines).
+    "sub_session_window" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS us FROM events),
+        |f AS (SELECT user_id, us,
+        |    CASE WHEN lag(us) OVER w IS NULL
+        |              OR us - lag(us) OVER w >= 1800000000 THEN 1 ELSE 0 END AS ns
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us)),
+        |g AS (SELECT user_id, us,
+        |    sum(ns) OVER (PARTITION BY user_id ORDER BY us
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+        |  FROM f)
+        |SELECT user_id, min(us) AS start_us,
+        |  max(us) + 1800000000 AS end_us, count(*) AS n_events
+        |FROM g GROUP BY user_id, island""".stripMargin,
+    // SCD2 gaps-and-islands: consecutive same-tier years collapse to
+    // validity intervals; cents + integer floor division throughout.
+    "scd2_tier_history" ->
+      """WITH yearly AS (SELECT o_custkey, year(o_orderdate) AS yr,
+        |    CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT)
+        |      AS spend_c
+        |  FROM orders GROUP BY 1, 2),
+        |c AS (SELECT *, CAST(sum(spend_c) OVER (PARTITION BY o_custkey ORDER BY yr
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_c
+        |  FROM yearly),
+        |t AS (SELECT *, least(cum_c // 5000000, 4) AS tier FROM c),
+        |f AS (SELECT *, CASE WHEN lag(tier) OVER (PARTITION BY o_custkey ORDER BY yr)
+        |    IS DISTINCT FROM tier THEN 1 ELSE 0 END AS chg FROM t),
+        |i AS (SELECT *, sum(chg) OVER (PARTITION BY o_custkey ORDER BY yr
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island FROM f)
+        |SELECT o_custkey AS c_custkey, tier, min(yr) AS from_year,
+        |  max(yr) AS to_year, CAST(max(cum_c) AS BIGINT) AS cum_spend_c
+        |FROM i GROUP BY o_custkey, island, tier""".stripMargin,
+    // ANALYZE-style profiler: per-column stats normalized to integer/
+    // date strings so both engines render identically.
+    "sub_profile_columns" -> {
+      val branches = Seq("l_orderkey", "l_partkey", "l_suppkey",
+        "l_quantity_c", "l_extendedprice_c", "l_shipdate", "l_returnflag")
+        .map(c =>
+          s"""SELECT '$c' AS column_name, count(*) AS n_rows,
+             |  count(*) - count($c) AS n_null, count(DISTINCT $c) AS ndv,
+             |  CAST(min($c) AS VARCHAR) AS min_v, CAST(max($c) AS VARCHAR) AS max_v
+             |FROM li""".stripMargin)
+      s"""WITH li AS (SELECT l_orderkey, l_partkey, l_suppkey,
+         |    CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT) AS l_quantity_c,
+         |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS l_extendedprice_c,
+         |    strftime(l_shipdate, '%Y-%m-%d') AS l_shipdate,
+         |    l_returnflag
+         |  FROM lineitem)
+         |${branches.mkString("\n UNION ALL\n")}""".stripMargin
+    },
+    // Z-order layout replica: the same 16×16-bit Morton interleave as
+    // explicit integer arithmetic, same deterministic tie-breaks.
+    "layout_zorder" -> {
+      val morton = (0 until 16).map(i =>
+        s"(((l_partkey >> $i) & 1) * ${1L << (2 * i)}) + " +
+          s"(((l_suppkey >> $i) & 1) * ${1L << (2 * i + 1)})").mkString(" + ")
+      s"""WITH k AS (SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+         |    CAST($morton AS BIGINT) AS zval FROM lineitem),
+         |z AS (SELECT (row_number() OVER (ORDER BY zval, l_orderkey, l_linenumber) - 1) // 4096 AS block,
+         |    l_partkey, l_suppkey FROM k),
+         |zm AS (SELECT block, min(l_partkey) AS p_min, max(l_partkey) AS p_max,
+         |    min(l_suppkey) AS s_min, max(l_suppkey) AS s_max FROM z GROUP BY 1),
+         |lin AS (SELECT (row_number() OVER (ORDER BY l_orderkey, l_linenumber) - 1) // 4096 AS block,
+         |    l_partkey, l_suppkey FROM k),
+         |lm AS (SELECT block, min(l_partkey) AS p_min, max(l_partkey) AS p_max,
+         |    min(l_suppkey) AS s_min, max(l_suppkey) AS s_max FROM lin GROUP BY 1)
+         |SELECT (SELECT count(*) FROM zm) AS n_blocks,
+         |  (SELECT count(*) FROM zm WHERE p_max >= 100 AND p_min <= 150
+         |     AND s_max >= 200 AND s_min <= 260) AS z_touched,
+         |  (SELECT count(*) FROM lm WHERE p_max >= 100 AND p_min <= 150
+         |     AND s_max >= 200 AND s_min <= 260) AS linear_touched""".stripMargin
+    },
     "text_redact_pii" ->
       """WITH p AS (SELECT doc_id,
         |    text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com from 10.1.' ||

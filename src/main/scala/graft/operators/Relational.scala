@@ -908,6 +908,91 @@ object Relational {
         min(sec).as("start_s"))
   }
 
+  /** NATIVE session windows: the same gap semantics as [[sessionize]]
+    * through Spark's built-in `session_window` grouping expression —
+    * the operator Structured Streaming shares, exercised and
+    * oracle-checked in batch (the streaming path reuses this exact
+    * Column). A new session starts when an event arrives ≥ gap after
+    * the previous one; window end = last event + gap. Everything ships
+    * as exact epoch MICROSECONDS so the boundary tie (== gap) cannot
+    * diverge between engines.
+    *
+    * Scale: session_window plans as ONE user-keyed shuffle + sort (the
+    * same partitioning the window formulation uses); no state beyond
+    * the group sort in batch. */
+  def sessionWindowNative(spark: SparkSession, sfDir: String,
+      gapSeconds: Long = 1800): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy(col("user_id"), session_window(col("ts"), s"$gapSeconds seconds"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        unix_micros(col("session_window.start")).as("start_us"),
+        unix_micros(col("session_window.end")).as("end_us"),
+        col("n_events"))
+
+  /** SCD2 tier history — the GAPS-AND-ISLANDS classic every dimension
+    * pipeline needs (type-2 slowly-changing attributes): per customer,
+    * yearly cumulative spend maps to a tier, and consecutive same-tier
+    * years collapse into [from_year, to_year] validity intervals.
+    * lag → change flag → running island id → interval agg, all over
+    * ONE customer-keyed shuffle: the explicit repartition(o_custkey)
+    * satisfies the (custkey, yr) groupBy's ClusteredDistribution (a
+    * subset partitioning co-locates it), every window's partitioning,
+    * AND the closing interval agg — EnsureRequirements inserts no
+    * further exchange. Money in exact BIGINT cents; tiers by integer
+    * floor division. */
+  def scd2TierHistory(spark: SparkSession, sfDir: String): DataFrame = {
+    val yearly = Tables.orders(spark, sfDir)
+      .select(col("o_custkey"), col("o_orderdate"), col("o_totalprice"))
+      .repartition(col("o_custkey"))
+      .groupBy(col("o_custkey"), year(col("o_orderdate")).cast("long").as("yr"))
+      .agg(sum((dec(col("o_totalprice")) * 100).cast("long")).as("spend_c"))
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("yr"))
+    yearly
+      .withColumn("cum_c",
+        sum(col("spend_c")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      // tier 0..4: one tier per 500k cents of lifetime spend, capped
+      .withColumn("tier", least(expr("cum_c DIV 5000000"), lit(4L)))
+      .withColumn("chg",
+        when(lag(col("tier"), 1).over(w).isNull ||
+          lag(col("tier"), 1).over(w) =!= col("tier"), 1L).otherwise(0L))
+      .withColumn("island",
+        sum(col("chg")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("o_custkey").as("c_custkey"), col("island"), col("tier"))
+      .agg(min(col("yr")).as("from_year"), max(col("yr")).as("to_year"),
+        max(col("cum_c")).as("cum_spend_c"))
+      .drop("island")
+  }
+
+  /** CDC changelog compaction — the MERGE/upsert classic every
+    * warehouse ingest needs: the event stream is a per-user changelog
+    * ordered by (ts, event_id); the LATEST row wins (upsert), and a
+    * latest row of type 'error' is a TOMBSTONE that deletes the key
+    * from the materialized state. Output is the surviving latest state
+    * plus lifetime aggregates (the insert-accumulate side of the
+    * merge). Money in exact BIGINT cents.
+    *
+    * Scale: the ranking window and both lifetime aggregates share ONE
+    * user-keyed shuffle; the changelog is never joined against itself
+    * and no driver state exists. At 100 TB the same plan rides a
+    * user-bucketed table layout with zero exchanges. */
+  def cdcLatestState(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"),
+        (dec(col("value")) * 100).cast("long").as("value_c"))
+    val wOrd = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    val wAll = Window.partitionBy(col("user_id"))
+    ev.withColumn("rn", row_number().over(wOrd))
+      .withColumn("n_ops", count(lit(1)).over(wAll))
+      .withColumn("lifetime_value_c", sum(col("value_c")).over(wAll))
+      .filter(col("rn") === 1 && col("event_type") =!= "error")
+      .select(col("user_id"), col("event_type").as("last_type"),
+        col("value_c").as("last_value_c"),
+        unix_micros(col("ts")).as("last_ts_us"),
+        col("n_ops"), col("lifetime_value_c"))
+  }
+
   /** Set operation: EXCEPT (distinct) — substrate capability. */
   def setExcept(spark: SparkSession, sfDir: String): DataFrame = {
     val allCust = Tables.customer(spark, sfDir).select(col("c_custkey"))

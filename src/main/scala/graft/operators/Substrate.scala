@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 
 import graft.Tables
 import graft.functions.Extractors
@@ -189,5 +190,169 @@ object Substrate {
         .select(lit(fmt).as("fmt"), col("lang"), col("n_docs"),
           col("sum_chars"), col("sum_text_len"))
     }.reduce(_.unionByName(_))
+  }
+
+  /** Column profiler — the ANALYZE-TABLE statistics sweep every engine
+    * ships (per-column row/null/distinct counts + min/max): ONE pass
+    * over lineitem computing all 21 aggregates, unpivoted to a row per
+    * column. Values normalize to exact integer/date strings (money as
+    * BIGINT cents) so both engines render identically.
+    *
+    * Scale: a single scan with map-side partial aggregation; the
+    * multi-column count_distinct plans as one Expand (column-count ×
+    * rows), the standard one-pass NDV trade — swap in [[Sketches]]'
+    * KMV per column when approximate NDV is acceptable. */
+  def profileColumns(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+        (col("l_quantity").cast("decimal(18,2)") * 100).cast("long").as("l_quantity_c"),
+        (col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long").as("l_extendedprice_c"),
+        date_format(col("l_shipdate"), "yyyy-MM-dd").as("l_shipdate"),
+        col("l_returnflag"))
+    val cols = li.schema.fieldNames.toSeq
+    val aggs = cols.flatMap { c =>
+      Seq(count(col(c)).as(s"cnt_$c"),
+        countDistinct(col(c)).as(s"ndv_$c"),
+        min(col(c)).cast("string").as(s"min_$c"),
+        max(col(c)).cast("string").as(s"max_$c"))
+    }
+    val allAggs = count(lit(1)).as("n_rows") +: aggs
+    val one = li.agg(allAggs.head, allAggs.tail: _*)
+    val stacked = cols.map(c =>
+      s"'$c', cnt_$c, ndv_$c, min_$c, max_$c").mkString(", ")
+    one.select(col("n_rows"), expr(
+        s"stack(${cols.size}, $stacked) AS (column_name, n_filled, ndv, min_v, max_v)"))
+      .select(col("column_name"), col("n_rows"),
+        (col("n_rows") - col("n_filled")).as("n_null"),
+        col("ndv"), col("min_v"), col("max_v"))
+  }
+
+  /** Data-quality constraint suite — the Deequ-style verification pass
+    * a pipeline runs before publishing a table: completeness (null
+    * keys), uniqueness (duplicate (orderkey, linenumber) lines, encoded
+    * as one portable integer since linenumber ≤ 7), value range,
+    * accepted domain, positivity, and referential integrity
+    * (lineitem→orders orphans). One row per check with its violation
+    * count and pass flag.
+    *
+    * Scale: the five scalar checks fold into ONE scan with map-side
+    * partial aggregation; the FK check is the only join — a keyed
+    * left-anti whose both sides shuffle on the key (AQE picks broadcast
+    * when the dimension fits). Nothing is ever collected. */
+  def qualityChecks(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir).select(
+      col("l_orderkey"), col("l_linenumber"),
+      col("l_quantity").cast("decimal(18,2)").as("qty"),
+      (col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long").as("price_c"),
+      col("l_returnflag"))
+    val one = li.agg(
+      (count(lit(1)) - count(col("l_orderkey"))).as("v_null_orderkey"),
+      (count(lit(1)) - countDistinct(col("l_orderkey") * 10 + col("l_linenumber")))
+        .as("v_dup_line"),
+      sum(when(col("qty").between(1, 50), 0L).otherwise(1L)).as("v_qty_range"),
+      sum(when(col("l_returnflag").isin("A", "N", "R"), 0L).otherwise(1L))
+        .as("v_flag_domain"),
+      sum(when(col("price_c") > 0, 0L).otherwise(1L)).as("v_price_positive"))
+    val scalarChecks = one.select(expr(
+      "stack(5, 'null_orderkey', v_null_orderkey, 'dup_order_line', v_dup_line, " +
+        "'qty_in_1_50', v_qty_range, 'returnflag_domain', v_flag_domain, " +
+        "'price_positive', v_price_positive) AS (check_name, violations)"))
+    val orphans = li.select(col("l_orderkey"))
+      .join(Tables.orders(spark, sfDir).select(col("o_orderkey")),
+        col("l_orderkey") === col("o_orderkey"), "left_anti")
+      .agg(count(lit(1)).as("violations"))
+      .select(lit("fk_orders_exists").as("check_name"), col("violations"))
+    scalarChecks.unionByName(orphans)
+      .withColumn("passed", when(col("violations") === 0, 1L).otherwise(0L))
+  }
+
+  /** Equi-width HISTOGRAM over order totals (cents) — the distribution
+    * profile behind optimizer statistics and data-drift monitors. The
+    * classic two-pass shape: pass 1 is a tiny (min, max) aggregate that
+    * BROADCASTS back; pass 2 buckets every row with pure integer
+    * arithmetic (`(v-mn)*B DIV (mx-mn+1)` — no float boundary) and
+    * collapses map-side to ≤B rows. The cumulative count runs over the
+    * bounded B-row result, so the one unpartitioned window is O(B),
+    * never data-sized. */
+  def histogram(spark: SparkSession, sfDir: String, buckets: Int = 32): DataFrame = {
+    val o = Tables.orders(spark, sfDir)
+      .select((col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+        .as("price_c"))
+    val bounds = o.agg(min(col("price_c")).as("mn"), max(col("price_c")).as("mx"))
+    val hist = o.crossJoin(broadcast(bounds))
+      .withColumn("bucket", expr(s"((price_c - mn) * $buckets) DIV (mx - mn + 1)"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_orders"),
+        min(col("price_c")).as("lo_c"), max(col("price_c")).as("hi_c"))
+    val wc = Window.orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    hist.withColumn("cum_orders", sum(col("n_orders")).over(wc))
+  }
+
+  /** Z-ORDER data layout — the multi-dimensional clustering pass a
+    * 100 TB table needs when queries filter on TWO keys (Delta/Iceberg
+    * OPTIMIZE ZORDER BY): rows order by the bit-interleaved
+    * (l_partkey, l_suppkey) Morton value and pack into fixed-size
+    * blocks ("files"), whose per-block min/max ZONE MAPS are what a
+    * scan prunes with. The report compares, for one rectangle
+    * predicate, how many blocks a z-ordered layout touches vs the
+    * natural (orderkey-ordered) layout — the number that justifies the
+    * layout job. Everything is exact integer bit arithmetic.
+    *
+    * Scale: a layout job IS a global range-partitioned sort — and the
+    * global position that assigns block ids is computed the DISTRIBUTED
+    * way (range-repartition → per-partition rank → broadcast of the
+    * P-row partition-offset table), never a single-partition window.
+    * The zone-map census is one map-side collapsed aggregate per
+    * layout; the report touches only the per-block min/max table,
+    * never the data again. */
+  def zorderLayout(spark: SparkSession, sfDir: String,
+      blockRows: Int = 4096): DataFrame = {
+    // 16-bit × 16-bit Morton interleave as a codegen'd integer
+    // expression: bit i of each key lands at positions 2i / 2i+1
+    def morton(x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column) =
+      (0 until 16).map { i =>
+        (shiftright(x, i).bitwiseAND(1L) * (1L << (2 * i))) +
+          (shiftright(y, i).bitwiseAND(1L) * (1L << (2 * i + 1)))
+      }.reduce(_ + _)
+    val keys = Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        col("l_partkey"), col("l_suppkey"))
+      .withColumn("zval", morton(col("l_partkey"), col("l_suppkey")))
+    // Distributed global rank: the tie-break columns make the order
+    // total, so (partition offset + within-partition row_number) IS the
+    // global position no matter where the sampled range bounds fall.
+    // The only single-partition window runs over the P-row offset
+    // table, which is then broadcast back — nothing wide ever
+    // serializes through one task.
+    def zoneMaps(ordered: Seq[org.apache.spark.sql.Column]) = {
+      val parts = math.max(keys.sparkSession.sessionState.conf.numShufflePartitions, 1)
+      val ranked = keys.repartitionByRange(parts, ordered: _*)
+        .withColumn("_pid", spark_partition_id())
+        .withColumn("_rn", row_number().over(
+          Window.partitionBy(col("_pid")).orderBy(ordered: _*)).cast("long") - 1)
+      val offsets = ranked.groupBy(col("_pid")).agg(count(lit(1)).as("_pc"))
+        .withColumn("_off", coalesce(sum(col("_pc")).over(Window.orderBy(col("_pid"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .select(col("_pid"), col("_off"))
+      ranked.join(broadcast(offsets), "_pid")
+        .withColumn("block", expr(s"(_off + _rn) DIV $blockRows"))
+        .groupBy(col("block"))
+        .agg(min(col("l_partkey")).as("p_min"), max(col("l_partkey")).as("p_max"),
+          min(col("l_suppkey")).as("s_min"), max(col("l_suppkey")).as("s_max"))
+    }
+    // the rectangle a two-key query carves; a block survives pruning
+    // iff its zone map intersects it
+    val (pLo, pHi, sLo, sHi) = (100L, 150L, 200L, 260L)
+    def touched(zm: DataFrame) = zm.filter(
+      col("p_max") >= pLo && col("p_min") <= pHi &&
+        col("s_max") >= sLo && col("s_min") <= sHi)
+      .agg(count(lit(1)).as("touched"))
+    val z = zoneMaps(Seq(col("zval"), col("l_orderkey"), col("l_linenumber")))
+      .localCheckpoint() // consumed by the census AND the pruning probe
+    val linear = zoneMaps(Seq(col("l_orderkey"), col("l_linenumber")))
+    z.agg(count(lit(1)).as("n_blocks"))
+      .crossJoin(broadcast(touched(z).withColumnRenamed("touched", "z_touched")))
+      .crossJoin(broadcast(touched(linear).withColumnRenamed("touched", "linear_touched")))
   }
 }

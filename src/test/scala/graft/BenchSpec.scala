@@ -11,7 +11,7 @@ import org.scalatest.funsuite.AnyFunSuite
 class BenchSpec extends AnyFunSuite {
   import TestSpark.{spark, sfDir}
 
-  test("buildLine emits driver-parseable JSON with metric/value/queries/repeats/failed/sf/loadavg") {
+  test("buildLine emits a COMPACT driver-parseable line: metric/value/queries/failed/sf/loadavg") {
     val line = Bench.buildLine(
       Seq("q1_pricing" -> Seq(1.5, 1.25, 1.3), "bad_query" -> Seq(0.4, -1.0, 0.5)),
       sfDir, loadStart = Seq(1.0, 2.0, 3.0), loadEnd = Seq(4.0, 5.0, 6.0))
@@ -25,14 +25,25 @@ class BenchSpec extends AnyFunSuite {
       "failed queries must not shrink or inflate the total")
     assert(node.get("queries").get("q1_pricing").asDouble() == 1.3)
     assert(node.get("queries").get("bad_query").asDouble() == -1.0)
-    // per-repeat spread: a contended run is self-evident (VERDICT r3 #1)
-    assert(node.get("repeats").get("q1_pricing").size() == 3)
-    assert(node.get("repeats").get("q1_pricing").get(1).asDouble() == 1.25)
-    assert(node.get("repeats").get("bad_query").get(1).asDouble() == -1.0)
+    // repeats moved OUT of the final line (BENCH_r05 truncation): the
+    // compact summary must stay bounded as the query count grows
+    assert(node.get("repeats") == null,
+      "per-repeat arrays must not ride the compact final line")
     assert(node.get("failed").get(0).asText() == "bad_query")
     assert(node.get("sf").asText() == sfDir)
     assert(node.get("loadavg_start").get(0).asDouble() == 1.0)
     assert(node.get("loadavg_end").get(2).asDouble() == 6.0)
+  }
+
+  test("buildDetailLine carries the per-repeat contention audit") {
+    val detail = Bench.buildDetailLine(
+      Seq("q1_pricing" -> Seq(1.5, 1.25, 1.3), "bad_query" -> Seq(0.4, -1.0, 0.5)))
+    assert(!detail.contains("\n"))
+    val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(detail)
+    assert(node.get("metric").asText() == "repeats")
+    assert(node.get("repeats").get("q1_pricing").size() == 3)
+    assert(node.get("repeats").get("q1_pricing").get(1).asDouble() == 1.25)
+    assert(node.get("repeats").get("bad_query").get(1).asDouble() == -1.0)
   }
 
   test("buildLine escapes quotes/backslashes in sf dir and query names") {

@@ -302,6 +302,38 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p13.linesIterator.count(_.contains("HashAggregate")) >= 3, p13)
   }
 
+  test("scd2 history: one customer-keyed exchange feeds the yearly agg, " +
+      "every window, and the interval agg") {
+    val p = plan("scd2_tier_history")
+    val exchanges = "(?<!Broadcast)(?<!Reused)Exchange".r.findAllIn(p).size
+    assert(exchanges == 1,
+      s"repartition(o_custkey) must satisfy every downstream distribution:\n$p")
+    assert(p.contains("Window"), p)
+  }
+
+  test("session_window native: single user-keyed shuffle, no global window") {
+    val p = plan("sub_session_window")
+    val exchanges = "(?<!Broadcast)(?<!Reused)Exchange".r.findAllIn(p).size
+    assert(exchanges == 1, s"session assembly is one user-keyed exchange:\n$p")
+    assert(!p.contains("SinglePartition"), s"nothing may serialize globally:\n$p")
+  }
+
+  test("column profiler: one lineitem scan computes all 21 aggregates") {
+    val p = plan("sub_profile_columns")
+    assert(p.linesIterator.count(_.contains("Scan parquet")) == 1,
+      s"the profile must be one pass, not a scan per column:\n$p")
+    assert(p.contains("Expand"), s"multi-column NDV plans via Expand:\n$p")
+  }
+
+  test("z-order layout: rank is range-partitioned; offsets broadcast back") {
+    val p = plan("layout_zorder")
+    assert(p.contains("rangepartitioning"),
+      s"the layout sort must range-partition, never a global window:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the P-row offset table must broadcast back:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("media codecs read only (doc_id, n_chars) from the documents scan") {
     for (q <- Seq("mm_decode_image", "mm_decode_audio")) {
       val p = plan(q)
