@@ -81,29 +81,47 @@ object Bench {
     graft.sources.NexusExtractor.jsonStr(s)
 
   private def numArr(xs: Seq[Double]): String =
-    xs.map(x => f"$x%.4f".toDouble.toString).mkString("[", ",", "]")
+    xs.map(num3).mkString("[", ",", "]")
 
-  /** COMPACT final line — total + per-query medians + failures only.
-    * BENCH_r05 proved the all-in-one line overflows the driver's
-    * captured tail once the query count grows (`parsed: null`, VERDICT
-    * r5 "Performance" — the driver flew blind); the per-repeat spread
-    * moved to [[buildDetailLine]], which prints BEFORE this line and
-    * lands in the side file, so truncation can only ever cost detail,
-    * never the machine-readable summary. */
+  /** 3-decimal rounding for every number the bench emits. Full-precision
+    * doubles (`1.304823836`) tripled the line length at 91 queries and
+    * were pure noise: the median of 3 wall-clock runs has nowhere near
+    * microsecond significance (BENCH_r06 truncation post-mortem). */
+  private def num3(x: Double): String = f"$x%.3f".toDouble.toString
+
+  /** COMPACT final line — bounded-size summary ONLY, no per-query map.
+    * BENCH_r05 and r06 both proved any per-query payload on the final
+    * line eventually overflows the driver's ~2 KB captured stdout tail
+    * as the query count grows (`parsed: null` two rounds running): at 91
+    * queries even the compact map was ~3.9 KB. The final line now
+    * carries total/n_queries/failed/sf/loadavg (~200 B, grows only with
+    * the failed list) and can never be the part that truncates away; the
+    * per-query medians ride the line BEFORE it ([[buildMediansLine]])
+    * and the full artifact lands in bench_out.json. */
   def buildLine(
       results: Seq[(String, Seq[Double])],
       sfDir: String,
       loadStart: Seq[Double] = Seq.empty,
       loadEnd: Seq[Double] = Seq.empty): String = {
     val medians = results.map { case (k, ts) => k -> summarize(ts) }
-    val qs = medians.map { case (k, v) => jsonEscape(k) + ":" + v }
-      .mkString("{", ",", "}")
     val failed = medians.collect { case (k, v) if v < 0 => jsonEscape(k) }
       .mkString("[", ",", "]")
     val total = medians.map(_._2).filter(_ >= 0).sum
-    s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-      s""""failed":$failed,"sf":${jsonEscape(sfDir)},""" +
+    s"""{"metric":"total","value":${num3(total)},"unit":"sec",""" +
+      s""""n_queries":${medians.size},"failed":$failed,""" +
+      s""""sf":${jsonEscape(sfDir)},""" +
       s""""loadavg_start":${numArr(loadStart)},"loadavg_end":${numArr(loadEnd)}}"""
+  }
+
+  /** Per-query medians as their own JSON line, printed immediately
+    * BEFORE the compact final line so the driver's tail capture picks up
+    * as much of it as fits — truncation costs per-query detail, never
+    * the machine-readable total. */
+  def buildMediansLine(results: Seq[(String, Seq[Double])]): String = {
+    val qs = results
+      .map { case (k, ts) => jsonEscape(k) + ":" + num3(summarize(ts)) }
+      .mkString("{", ",", "}")
+    s"""{"metric":"medians","queries":$qs}"""
   }
 
   /** Contention-audit detail (per-repeat arrays; VERDICT r3 #1) as its
@@ -141,16 +159,19 @@ object Bench {
     val loadStart = loadAvg()
     val results = interleaved(queryNames, Repeats, (_, n) => once(spark, sfDir, n))
     val line = buildLine(results, sfDir, loadStart, loadAvg())
+    val medians = buildMediansLine(results)
     val detail = buildDetailLine(results)
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath),
-      detail + "\n" + line + "\n")
+      detail + "\n" + medians + "\n" + line + "\n")
     catch { case e: Throwable => System.err.println(s"[bench] file write failed: ${e.getMessage}") }
     spark.stop()
-    // Detail first, compact line LAST: the driver's stdout capture keeps
-    // the tail, so the machine-readable summary can never be the part
-    // that truncates away (BENCH_r05 regression).
+    // Detail, then medians, then the bounded compact line LAST: the
+    // driver's stdout capture keeps the tail, so the machine-readable
+    // summary can never be the part that truncates away (the BENCH_r05
+    // and r06 regressions — two rounds of perf data lost to this).
     println(detail)
+    println(medians)
     println(line)
   }
 }

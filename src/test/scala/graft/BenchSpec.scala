@@ -11,7 +11,7 @@ import org.scalatest.funsuite.AnyFunSuite
 class BenchSpec extends AnyFunSuite {
   import TestSpark.{spark, sfDir}
 
-  test("buildLine emits a COMPACT driver-parseable line: metric/value/queries/failed/sf/loadavg") {
+  test("buildLine emits a BOUNDED driver-parseable final line: metric/value/n_queries/failed/sf/loadavg") {
     val line = Bench.buildLine(
       Seq("q1_pricing" -> Seq(1.5, 1.25, 1.3), "bad_query" -> Seq(0.4, -1.0, 0.5)),
       sfDir, loadStart = Seq(1.0, 2.0, 3.0), loadEnd = Seq(4.0, 5.0, 6.0))
@@ -23,16 +23,41 @@ class BenchSpec extends AnyFunSuite {
     assert(node.get("unit").asText() == "sec")
     assert(math.abs(node.get("value").asDouble() - 1.3) < 1e-9,
       "failed queries must not shrink or inflate the total")
-    assert(node.get("queries").get("q1_pricing").asDouble() == 1.3)
-    assert(node.get("queries").get("bad_query").asDouble() == -1.0)
-    // repeats moved OUT of the final line (BENCH_r05 truncation): the
-    // compact summary must stay bounded as the query count grows
+    assert(node.get("n_queries").asInt() == 2)
+    // per-query payloads moved OUT of the final line (BENCH_r05 carried
+    // repeats, r06 carried medians — BOTH overflowed the driver's ~2 KB
+    // tail capture and parsed as null): the final line must stay bounded
+    // no matter how many queries the bench runs
+    assert(node.get("queries") == null,
+      "per-query medians must not ride the compact final line")
     assert(node.get("repeats") == null,
       "per-repeat arrays must not ride the compact final line")
     assert(node.get("failed").get(0).asText() == "bad_query")
     assert(node.get("sf").asText() == sfDir)
     assert(node.get("loadavg_start").get(0).asDouble() == 1.0)
     assert(node.get("loadavg_end").get(2).asDouble() == 6.0)
+  }
+
+  test("buildLine stays <=300 bytes even at 200 queries with zero failures") {
+    val many = (1 to 200).map(i => f"query_with_a_long_name_$i%03d" -> Seq(1.234567891, 2.3456789, 3.456789))
+    val line = Bench.buildLine(many, "/root/testdata/sf0.1",
+      loadStart = Seq(11.234, 22.345, 33.456), loadEnd = Seq(44.567, 55.678, 66.789))
+    assert(line.getBytes("UTF-8").length <= 300,
+      s"final line must fit the driver's tail capture, was ${line.length}B: $line")
+    val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(line)
+    assert(node.get("n_queries").asInt() == 200)
+  }
+
+  test("buildMediansLine carries 3-decimal per-query medians on its own line") {
+    val medians = Bench.buildMediansLine(
+      Seq("q1_pricing" -> Seq(1.5, 1.304823836, 1.2), "bad_query" -> Seq(0.4, -1.0, 0.5)))
+    assert(!medians.contains("\n"))
+    val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(medians)
+    assert(node.get("metric").asText() == "medians")
+    assert(node.get("queries").get("q1_pricing").asDouble() == 1.305,
+      "medians must be rounded to 3 decimals (full-precision doubles " +
+        "tripled the r06 line length)")
+    assert(node.get("queries").get("bad_query").asDouble() == -1.0)
   }
 
   test("buildDetailLine carries the per-repeat contention audit") {
@@ -46,12 +71,14 @@ class BenchSpec extends AnyFunSuite {
     assert(node.get("repeats").get("bad_query").get(1).asDouble() == -1.0)
   }
 
-  test("buildLine escapes quotes/backslashes in sf dir and query names") {
-    val line = Bench.buildLine(
-      Seq("""od"d\name""" -> Seq(1.0, 1.0, 1.0)), """/tmp/sf"0.1\x""")
+  test("buildLine/buildMediansLine escape quotes/backslashes in sf dir and query names") {
+    val rows = Seq("""od"d\name""" -> Seq(1.0, 1.0, 1.0))
+    val line = Bench.buildLine(rows, """/tmp/sf"0.1\x""")
     val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(line)
     assert(node.get("sf").asText() == """/tmp/sf"0.1\x""")
-    assert(node.get("queries").get("""od"d\name""").asDouble() == 1.0)
+    val medians = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(Bench.buildMediansLine(rows))
+    assert(medians.get("queries").get("""od"d\name""").asDouble() == 1.0)
   }
 
   test("loadAvg reads three non-negative values on linux") {
