@@ -220,9 +220,14 @@ object Relational {
       .groupBy(expr("unix_micros(ts) DIV 86400000000").as("day"))
       .agg(count(lit(1)).as("c"))
       .localCheckpoint()
+    // Q must cast to decimal BEFORE the per-row multiply-and-sum:
+    // Σc² in Long wraps past 9.2·10¹⁸ (10¹² events over 10⁴ days →
+    // Σc² ≈ 10²⁰) silently with ANSI off. Per-row c² ≤ 10³⁶ fits
+    // DECIMAL(38,0) for any Long count.
+    val cQ = col("c").cast("decimal(38,0)")
     val moments = daily.agg(count(lit(1)).cast("decimal(38,0)").as("n"),
       sum(col("c")).cast("decimal(38,0)").as("s"),
-      sum(col("c") * col("c")).cast("decimal(38,0)").as("q"))
+      sum(cQ * cQ).as("q"))
     val cD = col("c").cast("decimal(38,0)")
     val dev = col("n") * cD - col("s")
     val devSq = dev * dev
@@ -497,8 +502,12 @@ object Relational {
         sum(revE4).as("total_rev_e4"))
       .select(col("o_year"), col("nation_rev_e4"), col("total_rev_e4"),
         // integer DIV: the e4 numerator × 1e6 tops 2^53, so a double
-        // division would lose ulps the oracle keeps
-        expr("nation_rev_e4 * 1000000 DIV total_rev_e4").as("share_ppm"))
+        // division would lose ulps the oracle keeps. The numerator
+        // widens to DECIMAL(38,0) BEFORE the ×1e6 — in Long it sits
+        // within ~6× of Long.MaxValue at sf0.1 already and wraps
+        // silently at sf1+, while the oracle's HUGEINT keeps going.
+        expr("CAST(nation_rev_e4 AS DECIMAL(38,0)) * 1000000 DIV total_rev_e4")
+          .as("share_ppm"))
       .orderBy(col("o_year"))
   }
 
