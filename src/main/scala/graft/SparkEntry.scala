@@ -70,6 +70,7 @@ object SparkEntry {
     "sub_session_window" -> ((s: SparkSession, d: String) => Relational.sessionWindowNative(s, d)),
     "scd2_tier_history" -> (Relational.scd2TierHistory _),
     "sub_profile_columns" -> (Substrate.profileColumns _),
+    "sub_profile_exact" -> (Substrate.profileColumnsExact _),
     "layout_zorder" -> ((s: SparkSession, d: String) => Substrate.zorderLayout(s, d)),
     // substrate: grouping sets / joins / dates / SQL text / extensions
     "sub_rollup" -> (Substrate.rollup _),
@@ -1434,7 +1435,35 @@ object SparkEntry {
         |FROM i GROUP BY o_custkey, island, tier""".stripMargin,
     // ANALYZE-style profiler: per-column stats normalized to integer/
     // date strings so both engines render identically.
+    // Sketch-NDV profiler: the KMV estimate is bit-replicable — kth
+    // minimum of the DISTINCT portable 48-bit hashes, same CASE and
+    // same double arithmetic as the proven sketch_kmv_distinct row.
     "sub_profile_columns" -> {
+      val branches = Seq("l_orderkey", "l_partkey", "l_suppkey",
+        "l_quantity_c", "l_extendedprice_c", "l_shipdate", "l_returnflag")
+        .map { c =>
+          val h = graft.functions.PortableHash.sqlH48(s"CAST($c AS VARCHAR)")
+          val est = graft.operators.PortableRound.sql(
+            "CAST(63.0 AS DOUBLE) * CAST(281474976710656.0 AS DOUBLE) / max(h)", 4)
+          s"""SELECT '$c' AS column_name, count(*) AS n_rows,
+             |  count(*) - count($c) AS n_null,
+             |  (SELECT CASE WHEN count(*) < 64 THEN CAST(count(*) AS DOUBLE)
+             |      ELSE $est END
+             |    FROM (SELECT h, row_number() OVER (ORDER BY h) AS rn
+             |      FROM (SELECT DISTINCT $h AS h FROM li WHERE $c IS NOT NULL))
+             |    WHERE rn <= 64) AS ndv_est,
+             |  CAST(min($c) AS VARCHAR) AS min_v, CAST(max($c) AS VARCHAR) AS max_v
+             |FROM li""".stripMargin
+        }
+      s"""WITH li AS (SELECT l_orderkey, l_partkey, l_suppkey,
+         |    CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT) AS l_quantity_c,
+         |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS l_extendedprice_c,
+         |    strftime(l_shipdate, '%Y-%m-%d') AS l_shipdate,
+         |    l_returnflag
+         |  FROM lineitem)
+         |${branches.mkString("\n UNION ALL\n")}""".stripMargin
+    },
+    "sub_profile_exact" -> {
       val branches = Seq("l_orderkey", "l_partkey", "l_suppkey",
         "l_quantity_c", "l_extendedprice_c", "l_shipdate", "l_returnflag")
         .map(c =>

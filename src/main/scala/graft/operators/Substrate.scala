@@ -192,23 +192,70 @@ object Substrate {
     }.reduce(_.unionByName(_))
   }
 
-  /** Column profiler — the ANALYZE-TABLE statistics sweep every engine
-    * ships (per-column row/null/distinct counts + min/max): ONE pass
-    * over lineitem computing all 21 aggregates, unpivoted to a row per
-    * column. Values normalize to exact integer/date strings (money as
-    * BIGINT cents) so both engines render identically.
-    *
-    * Scale: a single scan with map-side partial aggregation; the
-    * multi-column count_distinct plans as one Expand (column-count ×
-    * rows), the standard one-pass NDV trade — swap in [[Sketches]]'
-    * KMV per column when approximate NDV is acceptable. */
-  def profileColumns(spark: SparkSession, sfDir: String): DataFrame = {
-    val li = Tables.lineitem(spark, sfDir)
+  /** The lineitem projection both profiler variants sweep: keys as-is,
+    * money as exact BIGINT cents, dates as ISO strings, so both engines
+    * render min/max identically. */
+  private def profileInput(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
       .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
         (col("l_quantity").cast("decimal(18,2)") * 100).cast("long").as("l_quantity_c"),
         (col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long").as("l_extendedprice_c"),
         date_format(col("l_shipdate"), "yyyy-MM-dd").as("l_shipdate"),
         col("l_returnflag"))
+
+  /** Column profiler — the ANALYZE-TABLE statistics sweep every engine
+    * ships (per-column row/null/distinct counts + min/max): ONE pass
+    * over lineitem, unpivoted to a row per column. NDV is the portable
+    * KMV sketch estimate ([[graft.plans.BoundedAggregates.KmvSketch]],
+    * deterministic and bit-replicable in the DuckDB oracle — the
+    * `sketch_kmv_distinct` row proves the estimator): exact below k=64
+    * distinct hashes, (k−1)·2⁴⁸/kth-min above. This is the right
+    * ANALYZE default — exact multi-column NDV planned as an Expand ×
+    * (columns+1), 8× the row traffic of the insight (VERDICT r6 #2);
+    * the sketch keeps O(k) state per column in the SAME single scan.
+    * The exact variant survives as [[profileColumnsExact]].
+    *
+    * Scale: one scan, map-side partial aggregation, 7×64 longs of
+    * sketch state per partition — constant in rows. */
+  def profileColumns(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.plans.BoundedAggregates.register(spark)
+    val k = Sketches.KmvK
+    val li = profileInput(spark, sfDir)
+    val cols = li.schema.fieldNames.toSeq
+    val aggs = cols.flatMap { c =>
+      Seq(count(col(c)).as(s"cnt_$c"),
+        call_function("kmv_sketch",
+          graft.functions.PortableHash.md5Hash48Native(spark, col(c).cast("string")),
+          lit(k)).as(s"kmv_$c"),
+        min(col(c)).cast("string").as(s"min_$c"),
+        max(col(c)).cast("string").as(s"max_$c"))
+    }
+    val allAggs = count(lit(1)).as("n_rows") +: aggs
+    val one = li.agg(allAggs.head, allAggs.tail: _*)
+    // sketch → estimate, exactly as sketch_kmv_distinct publishes it
+    val withEst = one.select(col("n_rows") +: cols.flatMap { c =>
+      val kmv = col(s"kmv_$c")
+      val est = lit((k - 1) * math.pow(2, 48)) /
+        element_at(kmv, size(kmv)).cast("double")
+      Seq(col(s"cnt_$c"), col(s"min_$c"), col(s"max_$c"),
+        when(size(kmv) < k, size(kmv).cast("double"))
+          .otherwise(PortableRound.pround(est, 4)).as(s"ndv_$c"))
+    }: _*)
+    val stacked = cols.map(c =>
+      s"'$c', cnt_$c, ndv_$c, min_$c, max_$c").mkString(", ")
+    withEst.select(col("n_rows"), expr(
+        s"stack(${cols.size}, $stacked) AS (column_name, n_filled, ndv_est, min_v, max_v)"))
+      .select(col("column_name"), col("n_rows"),
+        (col("n_rows") - col("n_filled")).as("n_null"),
+        col("ndv_est"), col("min_v"), col("max_v"))
+  }
+
+  /** Exact-NDV twin of [[profileColumns]] — the one-shot ANALYZE you run
+    * when cardinalities must be exact: multi-column count_distinct in
+    * one pass, planned as the standard Expand × (columns+1). Kept OFF
+    * the bench headline set; the sketch variant is the scale default. */
+  def profileColumnsExact(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = profileInput(spark, sfDir)
     val cols = li.schema.fieldNames.toSeq
     val aggs = cols.flatMap { c =>
       Seq(count(col(c)).as(s"cnt_$c"),
