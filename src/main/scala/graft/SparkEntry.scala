@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{AudioCodec, Corpus, Dedup, GraphOps, ImageCodec, IngestDemo, Multimodal, Relational, Similarity, Skew, Sketches, Substrate, Temporal, TextAnalysis}
+import graft.operators.{AudioCodec, Corpus, Dedup, GraphOps, ImageCodec, IngestDemo, Multimodal, Relational, Similarity, Skew, Sketches, Substrate, Temporal, TextAnalysis, VideoCodec}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -142,6 +142,8 @@ object SparkEntry {
     "dedup_image_hamming" -> ((s: SparkSession, d: String) => ImageCodec.imageHammingPairs(s, d)),
     "mm_resize_real" -> (ImageCodec.resizeReal _),
     "mm_decode_audio" -> (AudioCodec.decodeAudioStats _),
+    "mm_decode_video" -> (VideoCodec.decodeVideoStats _),
+    "mm_video_sample" -> ((s: SparkSession, d: String) => VideoCodec.sampledVideoStats(s, d)),
     "dedup_prefix_jaccard" -> ((s: SparkSession, d: String) =>
       Dedup.prefixJaccardPairs(s, d, tNum = 9, tDen = 10)),
     "corpus_dup_ngrams" -> ((s: SparkSession, d: String) => Corpus.dupNgrams(s, d)),
@@ -238,7 +240,9 @@ object SparkEntry {
     "q13_cust_distribution", "q16_supplier_cnt", "q20_part_promotion",
     // round-6 additions (warehouse classics + layout):
     "sub_session_window", "scd2_tier_history", "sub_profile_columns",
-    "layout_zorder")
+    "layout_zorder",
+    // round-7 additions (real video codec):
+    "mm_decode_video", "mm_video_sample")
 
   // --- generated DuckDB replicas of the portable-hash queries ----------
 
@@ -922,6 +926,51 @@ object SparkEntry {
         |  CASE WHEN doc_id % 10 = 0 THEN NULL ELSE sum_sq END AS sum_sq,
         |  CASE WHEN doc_id % 10 = 0 THEN NULL ELSE peak END AS peak
         |FROM a""".stripMargin,
+    // Real video: genuine RIFF/AVI container (avih/strl/movi/idx1) with
+    // Motion-PNG frames decoded per-frame through javax.imageio; PNG is
+    // lossless so the DECODED pixel (doc_id + 7*frame + x + y) % 256 is
+    // replicated arithmetically — any container-walk or frame-codec bug
+    // breaks the hash compare.
+    "mm_decode_video" ->
+      """WITH d AS (SELECT doc_id, CAST(n_chars % 5 + 2 AS INT) AS n,
+        |    CAST(n_chars % 24 + 8 AS INT) AS w,
+        |    CAST(n_chars % 16 + 8 AS INT) AS h FROM documents),
+        |px AS (SELECT doc_id, n, w, h,
+        |    (doc_id + 7 * fs.f + xs.x + ys.y) % 256 AS g
+        |  FROM d,
+        |  LATERAL (SELECT unnest(range(0, n)) AS f) fs,
+        |  LATERAL (SELECT unnest(range(0, w)) AS x) xs,
+        |  LATERAL (SELECT unnest(range(0, h)) AS y) ys),
+        |s AS (SELECT doc_id, n, w, h, CAST(sum(g) AS BIGINT) AS sum_luma
+        |  FROM px GROUP BY 1, 2, 3, 4)
+        |SELECT doc_id, doc_id % 10 <> 0 AS ok,
+        |  CASE WHEN doc_id % 10 = 0 THEN NULL ELSE n END AS n_frames,
+        |  CASE WHEN doc_id % 10 = 0 THEN NULL ELSE w END AS width,
+        |  CASE WHEN doc_id % 10 = 0 THEN NULL ELSE h END AS height,
+        |  CASE WHEN doc_id % 10 = 0 THEN NULL ELSE sum_luma END AS sum_luma,
+        |  CASE WHEN doc_id % 10 = 0 THEN NULL
+        |       ELSE sum_luma * 100 // (CAST(n AS BIGINT) * w * h) END AS mean_centi
+        |FROM s""".stripMargin,
+    // Sampled decode via the idx1 seek index: only frames 0,2,4,… (cap
+    // 4) ever touch the codec — the oracle replays the same sampling.
+    "mm_video_sample" ->
+      """WITH d AS (SELECT doc_id, CAST(n_chars % 5 + 2 AS INT) AS n,
+        |    CAST(n_chars % 24 + 8 AS INT) AS w,
+        |    CAST(n_chars % 16 + 8 AS INT) AS h FROM documents),
+        |fs AS (SELECT doc_id, w, h, unnest(range(0, n, 2)) AS f FROM d),
+        |px AS (SELECT doc_id, f, (doc_id + 7 * f + xs.x + ys.y) % 256 AS g
+        |  FROM fs,
+        |  LATERAL (SELECT unnest(range(0, w)) AS x) xs,
+        |  LATERAL (SELECT unnest(range(0, h)) AS y) ys),
+        |s AS (SELECT doc_id, CAST(count(DISTINCT f) AS INT) AS n_sampled,
+        |    CAST(sum(g) AS BIGINT) AS sum_luma FROM px GROUP BY 1),
+        |ix AS (SELECT doc_id, string_agg(CAST(f AS VARCHAR), ',' ORDER BY f) AS frame_idxs
+        |  FROM fs GROUP BY 1)
+        |SELECT s.doc_id, s.doc_id % 10 <> 0 AS ok,
+        |  CASE WHEN s.doc_id % 10 = 0 THEN NULL ELSE n_sampled END AS n_sampled,
+        |  CASE WHEN s.doc_id % 10 = 0 THEN NULL ELSE frame_idxs END AS frame_idxs,
+        |  CASE WHEN s.doc_id % 10 = 0 THEN NULL ELSE sum_luma END AS sum_luma
+        |FROM s JOIN ix ON s.doc_id = ix.doc_id""".stripMargin,
     // Image near-dup: census collapse over distinct hashes, 4x16-bit
     // band blocking (pigeonhole covers ham<=3), exact popcount verify.
     "dedup_image_hamming" ->

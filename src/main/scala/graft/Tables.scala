@@ -20,16 +20,24 @@ object Tables {
   def part(spark: SparkSession, sfDir: String): DataFrame = apply(spark, sfDir, "part")
   def nation(spark: SparkSession, sfDir: String): DataFrame = apply(spark, sfDir, "nation")
   def region(spark: SparkSession, sfDir: String): DataFrame = apply(spark, sfDir, "region")
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's parquet reader
-    * rejects. Read it as raw nanos (legacy conf) and convert to a proper
-    * TimestampType column (µs precision — the data carries nothing finer,
-    * and the DuckDB oracle reads the same file at µs precision too).
-    */
+  /** `events.ts` has shipped as parquet TIMESTAMP(NANOS) in some testdata
+    * generations (which Spark's reader only accepts as raw longs via the
+    * legacy conf) and plain TIMESTAMP(MICROS) in others. Normalize both to
+    * a proper TimestampType column at µs precision — the same instant the
+    * DuckDB oracle reads from the same file (session timezone is UTC, so
+    * the NTZ→TZ cast is the identity). */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    import org.apache.spark.sql.types.{LongType, TimestampType}
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    apply(spark, sfDir, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
+    val raw = apply(spark, sfDir, "events")
+    raw.schema("ts").dataType match {
+      case LongType => // nanos-as-long generation: convert to µs timestamp
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampType => raw
+      case _ => // TIMESTAMP_NTZ generation: identity cast under UTC
+        raw.withColumn("ts", col("ts").cast(TimestampType))
+    }
   }
   def documents(spark: SparkSession, sfDir: String): DataFrame = apply(spark, sfDir, "documents")
   def embeddings(spark: SparkSession, sfDir: String): DataFrame = apply(spark, sfDir, "embeddings")

@@ -42,6 +42,8 @@ object IngestorConfig {
     def securityOptions: Map[String, String] = Map(
       "security.protocol" -> securityProtocol,
       "sasl.mechanism" -> saslMechanism,
+      "sasl.username" -> saslUsername,
+      "sasl.password" -> saslPassword,
       "ssl.ca.location" -> sslCaLocation,
       "group.id" -> groupId,
       "auto.offset.reset" -> autoOffsetReset)

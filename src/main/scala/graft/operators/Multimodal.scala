@@ -10,15 +10,18 @@ import graft.Tables
   * opaque `binary` columns with typed metadata, plus decode /
   * feature-extract / resize / frame-sample stages.
   *
-  * Image decode is REAL — [[ImageCodec]] round-trips genuine PNG/JPEG/
-  * BMP/GIF bytes through `javax.imageio` with the F11 failure channel
-  * (queries `mm_decode_image`, `mm_image_ahash`). Audio/video codecs
-  * remain STUBBED (no such libraries in the JDK): [[decodeStub]]
-  * derives deterministic "pixels" from payload bytes. Everything
-  * Spark-side is real and tested either way — schema, partitioning,
-  * the mapPartitions batch shape (the Scala analogue of `mapInPandas`:
-  * one iterator per partition, vectorizable per batch), and the
-  * pure-Column metadata paths.
+  * All three codecs are REAL: [[ImageCodec]] round-trips genuine
+  * PNG/JPEG/BMP/GIF bytes through `javax.imageio` (`mm_decode_image`,
+  * `mm_image_ahash`), [[AudioCodec]] decodes genuine RIFF/WAVE PCM
+  * through `javax.sound.sampled` (`mm_decode_audio`), and
+  * [[VideoCodec]] walks a genuine RIFF/AVI container and decodes each
+  * Motion-PNG frame through ImageIO (`mm_decode_video`,
+  * `mm_video_sample`), all with the F11 failure channel. [[decodeStub]]
+  * survives as the byte-statistics twin whose numbers need no codec.
+  * Everything Spark-side is identical either way — schema,
+  * partitioning, the mapPartitions batch shape (the Scala analogue of
+  * `mapInPandas`: one iterator per partition, vectorizable per batch),
+  * and the pure-Column metadata paths.
   *
   * Scale notes: blobs travel as single binary cells; feature extraction
   * is a narrow mapPartitions (no shuffle) so it scales linearly with

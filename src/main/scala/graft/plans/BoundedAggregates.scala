@@ -3,7 +3,7 @@ package graft.plans
 import java.nio.ByteBuffer
 
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes, Literal}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.trees.{BinaryLike, UnaryLike}
 import org.apache.spark.sql.catalyst.util.GenericArrayData
@@ -75,9 +75,16 @@ case class DistinctUpTo(
     k: Int,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[DistinctUpToBuffer] with UnaryLike[Expression] {
+  extends TypedImperativeAggregate[DistinctUpToBuffer] with UnaryLike[Expression]
+  with ImplicitCastInputTypes {
 
   require(k > 0, "distinct_up_to k must be positive")
+
+  // All three registry aggregates are general SQL functions; without a
+  // declared input type, an INT/STRING child would pass analysis and
+  // then ClassCastException in update(). ImplicitCastInputTypes makes
+  // the analyzer insert the cast or reject at analysis time.
+  override def inputTypes: Seq[DataType] = Seq(LongType)
 
   override def createAggregationBuffer(): DistinctUpToBuffer = new DistinctUpToBuffer(k)
 
@@ -154,9 +161,12 @@ case class KmvSketch(
     k: Int,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[KmvBuffer] with UnaryLike[Expression] {
+  extends TypedImperativeAggregate[KmvBuffer] with UnaryLike[Expression]
+  with ImplicitCastInputTypes {
 
   require(k > 0, "kmv_sketch k must be positive")
+
+  override def inputTypes: Seq[DataType] = Seq(LongType)
 
   override def createAggregationBuffer(): KmvBuffer = new KmvBuffer(k)
 
@@ -228,9 +238,12 @@ case class TopKBy(
     k: Int,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[TopKBuffer] with BinaryLike[Expression] {
+  extends TypedImperativeAggregate[TopKBuffer] with BinaryLike[Expression]
+  with ImplicitCastInputTypes {
 
   require(k > 0, "topk_by k must be positive")
+
+  override def inputTypes: Seq[DataType] = Seq(DoubleType, LongType)
 
   override def left: Expression = valueExpr
   override def right: Expression = idExpr

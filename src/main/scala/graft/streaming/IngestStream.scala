@@ -243,7 +243,12 @@ object IngestStream {
       .dropDuplicates("filename", "instrument_name")
       .repartition(col("instrument_name")) // per-instrument ordering domain
       .sortWithinPartitions(col("instrument_name"), col("filename"))
-    candidates.join(existingSamples,
+    // existingSamples MUST broadcast: a shuffled anti-join would
+    // re-hash by its own (filename, instrument) keys and destroy the
+    // per-instrument single-partition + sort invariant just
+    // established. Broadcast keeps the anti-join map-side, partitioning
+    // and order intact (the known-samples set is micro-batch-bounded).
+    candidates.join(broadcast(existingSamples),
       candidates("filename") === existingSamples("sample_name") &&
         candidates("instrument_name") === existingSamples("instrument"),
       "left_anti")

@@ -16,23 +16,72 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object StreamSources {
 
+  /** S1 option plumbing as a PURE function — the reference's consumer
+    * flattening (`collect_consumer_options`, src/scicat_kafka.py:21-51
+    * + `collect_kafka_topics` :44-51) re-expressed for Spark's Kafka
+    * source so the EXACT map `format("kafka")` receives is spec-pinned
+    * even without a broker (this sandbox ships no kafka jars). Rules,
+    * each from the reference or a documented Spark-source constraint:
+    *  - snake_case keys → dot.case, empty values dropped;
+    *  - bootstrap servers (list or one string) → comma-joined;
+    *  - topics (list or comma string) → the `subscribe` option;
+    *  - commit policy (`individual_message_commit`,
+    *    `enable_auto_commit`) is DROPPED, not forwarded: the source
+    *    rejects `kafka.enable.auto.commit` — offset progress lives in
+    *    the checkpoint (§2.7 delivery; the reference's per-message
+    *    commit maps to checkpoint-after-batch + F6 dedup);
+    *  - `auto_offset_reset` is TRANSLATED to `startingOffsets` (the
+    *    source rejects `kafka.auto.offset.reset`);
+    *  - confluent's `sasl_username`/`sasl_password` pair becomes the
+    *    Java client's single `kafka.sasl.jaas.config` login-module
+    *    line (SCRAM mechanisms → ScramLoginModule, else
+    *    PlainLoginModule);
+    *  - everything else (`security.protocol`, `sasl.mechanism`,
+    *    `ssl.ca.location`, `group.id`, …) passes through under the
+    *    `kafka.` prefix the source strips for its consumer. */
+  def kafkaSourceOptions(
+      bootstrapServers: Seq[String],
+      topics: Seq[String],
+      consumerOptions: Map[String, String] = Map.empty,
+      maxOffsetsPerTrigger: Option[Long] = None): Map[String, String] = {
+    val norm = consumerOptions.map { case (k, v) => k.replace('.', '_') -> v }
+    // structurally handled or checkpoint-replaced — never forwarded
+    val dropped = Set("topics", "bootstrap_servers",
+      "individual_message_commit", "enable_auto_commit",
+      "auto_offset_reset", "sasl_username", "sasl_password")
+    val passthrough = norm.collect {
+      case (k, v) if v.nonEmpty && !dropped(k) =>
+        s"kafka.${k.replace('_', '.')}" -> v
+    }
+    val jaas = (norm.get("sasl_username").filter(_.nonEmpty),
+        norm.get("sasl_password").filter(_.nonEmpty)) match {
+      case (Some(u), Some(p)) =>
+        val module =
+          if (norm.getOrElse("sasl_mechanism", "").toUpperCase.startsWith("SCRAM"))
+            "org.apache.kafka.common.security.scram.ScramLoginModule"
+          else "org.apache.kafka.common.security.plain.PlainLoginModule"
+        Map("kafka.sasl.jaas.config" ->
+          s"""$module required username="$u" password="$p";""")
+      case _ => Map.empty[String, String]
+    }
+    Map(
+      "kafka.bootstrap.servers" -> bootstrapServers.mkString(","),
+      "subscribe" -> topics.mkString(","),
+      "startingOffsets" -> norm.getOrElse("auto_offset_reset", "earliest")) ++
+      passthrough ++ jaas ++
+      maxOffsetsPerTrigger.map(n => "maxOffsetsPerTrigger" -> n.toString) // A8
+  }
+
   def fromKafka(
       spark: SparkSession,
       bootstrapServers: String,
       topics: Seq[String],
       securityOptions: Map[String, String] = Map.empty,
-      maxOffsetsPerTrigger: Option[Long] = None): DataFrame = {
-    val base = spark.readStream.format("kafka")
-      .option("kafka.bootstrap.servers", bootstrapServers)
-      .option("subscribe", topics.mkString(","))
-      .option("startingOffsets", "earliest")
-    val withSecurity = securityOptions.foldLeft(base) {
-      case (b, (k, v)) => b.option(s"kafka.$k", v)
-    }
-    maxOffsetsPerTrigger.fold(withSecurity)(n =>
-      withSecurity.option("maxOffsetsPerTrigger", n)) // A8 backpressure
+      maxOffsetsPerTrigger: Option[Long] = None): DataFrame =
+    spark.readStream.format("kafka")
+      .options(kafkaSourceOptions(
+        Seq(bootstrapServers), topics, securityOptions, maxOffsetsPerTrigger))
       .load()
-  }
 
   /** Event-time tumbling-window aggregation with a watermark — the
     * streaming form of the batch `tumbling_window` query (§2.7

@@ -431,10 +431,31 @@ object StressHarness {
             crashArmed.set(true)
           }
           val before = catalog.sampleCreateCount
-          try SampleIngestor.processSampleBatch(batch.toDF(), crashingCatalog)
+          var threw = true
+          try { SampleIngestor.processSampleBatch(batch.toDF(), crashingCatalog); threw = false }
           finally {
-            segments += ((before, catalog.sampleCreateCount))
-            if (crashArmed.getAndSet(false)) createsBeforeCrash = catalog.sampleCreateCount
+            // QUIESCE before recording a FAILED batch's segment: on job
+            // failure Spark does not interrupt sibling partition tasks
+            // (interruptOnCancel is off), so straggler creates from the
+            // crashed batch can land AFTER the exception reaches here.
+            // Recording `hi` immediately would attribute them to the
+            // next (run-2 replay) segment and make the per-batch
+            // ADR-003 assertions flaky. Wait for the create counter to
+            // stabilize (unchanged for 250 ms, 10 s ceiling) first; a
+            // clean batch has no in-flight siblings and records as-is.
+            var last = catalog.sampleCreateCount
+            if (threw) {
+              var stableSince = System.nanoTime()
+              val deadline = System.nanoTime() + 10_000_000_000L
+              while (System.nanoTime() - stableSince < 250_000_000L &&
+                  System.nanoTime() < deadline) {
+                Thread.sleep(25)
+                val now = catalog.sampleCreateCount
+                if (now != last) { last = now; stableSince = System.nanoTime() }
+              }
+            }
+            segments += ((before, last))
+            if (crashArmed.getAndSet(false)) createsBeforeCrash = last
           }
           ()
         }

@@ -100,6 +100,14 @@ class DedupSpec extends AnyFunSuite {
     val winDflt = Dedup.winnowSharedPairsAll(spark, sf01).count()
     val winWide = Dedup.winnowSharedPairsAll(spark, sf01, maxFpFreq = Int.MaxValue).count()
     assert(winDflt == winWide, "no test-SF fingerprint may trip the default cap")
+    // ngram's cap changes Jaccard SEMANTICS (capped shingles drop out
+    // of the denominator universe), so default==uncapped must hold
+    // row-for-row, not just count-wise, or the DuckDB oracle silently
+    // diverges the day a test-SF shingle trips the 4096 default
+    val ngDflt = Dedup.ngramJaccardTopPairs(spark, sf01).collect().toSet
+    val ngWide = Dedup.ngramJaccardTopPairs(spark, sf01,
+      maxShingleFreq = Int.MaxValue).collect().toSet
+    assert(ngDflt == ngWide, "no test-SF shingle may trip the default ngram cap")
     // … and cap=0 empties candidate generation in each path
     assert(Dedup.winnowSharedPairsAll(spark, sf01, maxFpFreq = 0).count() == 0)
     assert(Dedup.ngramJaccardTopPairs(spark, sf01, maxShingleFreq = 0).count() == 0)

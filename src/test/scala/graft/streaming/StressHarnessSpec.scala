@@ -13,10 +13,16 @@ class StressHarnessSpec extends AnyFunSuite {
   import TestSpark.spark
 
   test("sustained rate: all messages ingest, health stays green, admission bounded") {
+    // Opt-in soak: SPARK_GRAFT_SOAK_SECONDS=300 runs the reference's
+    // full 300 s × 1 msg/s envelope (_scicat_stress_test.py:26-31) at
+    // its real rate; CI default stays 3 s × 10 msg/s (same 30-message
+    // volume, 1/100 wall time). All assertions scale off r.produced.
+    val soak = sys.env.get("SPARK_GRAFT_SOAK_SECONDS").map(_.toDouble)
+    val (duration, rate) = soak.map((_, 1.0)).getOrElse((3.0, 10.0))
     val r = StressHarness.run(spark,
-      durationSec = 3.0, ratePerSec = 10.0, healthHz = 5.0,
-      maxFilesPerTrigger = 8, drainTimeoutSec = 60.0)
-    assert(r.produced == 30)
+      durationSec = duration, ratePerSec = rate, healthHz = 5.0,
+      maxFilesPerTrigger = 8, drainTimeoutSec = math.max(60.0, duration / 5.0))
+    assert(r.produced == math.max(1, (duration * rate).toInt))
     assert(r.ingested == r.produced, s"drain incomplete: $r")
     assert(r.datasetPosts == r.produced && r.duplicatePosts == 0,
       s"backend must see every message exactly once: $r")
