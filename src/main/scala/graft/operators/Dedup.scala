@@ -218,7 +218,9 @@ object Dedup {
     * never the pair space) then a broadcast-able left-anti against the
     * corpus; both shuffles are (band, bucket)/doc_id equi-keys. */
   def minhashKeepFirst(spark: SparkSession, sfDir: String): DataFrame = {
-    val buckets = minhashLshBuckets(spark, sfDir)
+    // both self-join sides read the materialized buckets, not two
+    // re-runs of the signature aggregation
+    val buckets = minhashLshBuckets(spark, sfDir).localCheckpoint()
     val dominated = buckets.as("x").join(buckets.as("y"),
         col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
           col("y.doc_id") < col("x.doc_id"))
@@ -251,12 +253,20 @@ object Dedup {
   /** Cap-and-alert applied: drop rows whose blocking key is oversized
     * (broadcast left-anti against the small oversize list) BEFORE the
     * self-join fans them out quadratically. Callers surface the dropped
-    * keys via [[oversizedKeys]] — cap, don't silently melt the stage. */
+    * keys via [[oversizedKeys]] — cap, don't silently melt the stage.
+    *
+    * The capped rows are localCheckpoint'ed: every caller feeds them to
+    * BOTH sides of a self-join (plus per-doc size aggregates), and
+    * without materialization each lazy consumer re-runs the census
+    * aggregate + anti-join (r6 bench: +30-45% on the blocked-join
+    * queries). One materialization = the cap costs one map-side agg
+    * and one broadcast anti-join total, regardless of fan-out. */
   def capHotKeys(rows: DataFrame, keys: Seq[String], cap: Int): DataFrame =
     if (cap == Int.MaxValue) rows
     else rows.join(
       broadcast(oversizedKeys(rows, keys, cap).select(keys.map(col): _*)),
       keys, "left_anti")
+      .localCheckpoint()
 
   /** LSH candidate pairs verified by true 3-gram Jaccard ≥ threshold.
     * Same-bucket join → distinct pairs → verification join.
@@ -269,7 +279,9 @@ object Dedup {
     */
   def minhashNearDupPairs(spark: SparkSession, sfDir: String, threshold: Double = 0.7,
       maxBucketSize: Int = 1024): DataFrame = {
-    val allBuckets = minhashLshBuckets(spark, sfDir)
+    // checkpoint BEFORE the cap: the census aggregate and the anti-join
+    // otherwise each re-run the whole signature derivation
+    val allBuckets = minhashLshBuckets(spark, sfDir).localCheckpoint()
     val buckets = capHotKeys(allBuckets, Seq("band", "bucket"), maxBucketSize)
     val cand = buckets.as("x").join(buckets.as("y"),
         col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&

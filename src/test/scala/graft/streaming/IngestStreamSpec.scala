@@ -113,6 +113,23 @@ class IngestStreamSpec extends AnyFunSuite {
       .select("filename", "instrument_name").collect()
       .map(r => (r.getString(0), r.getString(1))).toSet
     assert(created == Set(("sampleA", "ymir"), ("sampleA", "coda")))
+
+    // PLAN GUARD: the anti-join must BROADCAST the existing-samples
+    // side — a shuffled anti-join would re-hash by its own
+    // (filename, instrument) keys and destroy the per-instrument
+    // single-partition + sort invariant the repartition establishes
+    // (the ADR-003 ordering contract SampleIngestor relies on). With
+    // the broadcast, Catalyst even pushes the anti-join BELOW the
+    // dedup aggregate, so the OUTERMOST exchange is the instrument
+    // repartition (with its sort on top) and nothing re-hashes after.
+    val plan = IngestStream.samplePipeline(pl72, existing)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
+      s"anti-join must be broadcast:\n$plan")
+    val outermost = plan.linesIterator
+      .find(_.contains("Exchange hashpartitioning")).getOrElse("")
+    assert(outermost.contains("instrument_name") && !outermost.contains("filename"),
+      s"outermost exchange must be the instrument repartition:\n$plan")
   }
 
   test("S10: open-retry clamps delays and stops at success") {
