@@ -353,15 +353,18 @@ object Substrate {
     * The zone-map census is one map-side collapsed aggregate per
     * layout; the report touches only the per-block min/max table,
     * never the data again. */
+  /** 16-bit × 16-bit Morton interleave as a codegen'd integer
+    * expression: bit i of each key lands at positions 2i / 2i+1 — the
+    * z-order curve value [[zorderLayout]] sorts by, public so the
+    * physical-skipping spec lays real parquet out with the same curve. */
+  def morton(x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    (0 until 16).map { i =>
+      (shiftright(x, i).bitwiseAND(1L) * (1L << (2 * i))) +
+        (shiftright(y, i).bitwiseAND(1L) * (1L << (2 * i + 1)))
+    }.reduce(_ + _)
+
   def zorderLayout(spark: SparkSession, sfDir: String,
       blockRows: Int = 4096): DataFrame = {
-    // 16-bit × 16-bit Morton interleave as a codegen'd integer
-    // expression: bit i of each key lands at positions 2i / 2i+1
-    def morton(x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column) =
-      (0 until 16).map { i =>
-        (shiftright(x, i).bitwiseAND(1L) * (1L << (2 * i))) +
-          (shiftright(y, i).bitwiseAND(1L) * (1L << (2 * i + 1)))
-      }.reduce(_ + _)
     val keys = Tables.lineitem(spark, sfDir)
       .select(col("l_orderkey"), col("l_linenumber"),
         col("l_partkey"), col("l_suppkey"))

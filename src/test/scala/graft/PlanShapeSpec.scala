@@ -346,12 +346,21 @@ class PlanShapeSpec extends AnyFunSuite {
   }
 
   test("media codecs read only (doc_id, n_chars) from the documents scan") {
-    for (q <- Seq("mm_decode_image", "mm_decode_audio")) {
+    for (q <- Seq("mm_decode_image", "mm_decode_audio",
+        "mm_decode_video", "mm_video_sample")) {
       val p = plan(q)
       val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
       assert(!readSchema.contains("text"),
         s"$q must not read the text column: $readSchema")
       assert(readSchema.contains("n_chars"), s"$q: $readSchema")
+    }
+  }
+
+  test("video decode is a single narrow stage: no shuffle anywhere") {
+    for (q <- Seq("mm_decode_video", "mm_video_sample")) {
+      val p = plan(q)
+      assert(!p.contains("Exchange"),
+        s"$q must be scan → mapPartitions with zero shuffle:\n$p")
     }
   }
 }
