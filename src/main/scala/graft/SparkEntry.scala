@@ -178,6 +178,7 @@ object SparkEntry {
     "range_join_rule" -> (Temporal.rangeIncidentStatsRule _),
     // bounded-state custom aggregates (TypedImperativeAggregate)
     "sketch_kmv_distinct" -> (Sketches.kmvDistinct _),
+    "sketch_cms_heavy" -> ((s: SparkSession, d: String) => Sketches.cmsHeavyHitters(s, d)),
     "topk_per_group" -> (Sketches.topKPerGroup _),
     // explicit bloom semi-join reduction (runtime-filter plan shape)
     "j_bloom_prefilter" -> (Relational.bloomPrefilterJoin _),
@@ -241,8 +242,8 @@ object SparkEntry {
     // round-6 additions (warehouse classics + layout):
     "sub_session_window", "scd2_tier_history", "sub_profile_columns",
     "layout_zorder",
-    // round-7 additions (real video codec):
-    "mm_decode_video", "mm_video_sample")
+    // round-7 additions (real video codec + CMS heavy hitters):
+    "mm_decode_video", "mm_video_sample", "sketch_cms_heavy")
 
   // --- generated DuckDB replicas of the portable-hash queries ----------
 
@@ -2275,6 +2276,28 @@ object SparkEntry {
                   // in DuckDB and their product overflows DECIMAL(18)
                   "CAST(63.0 AS DOUBLE) * CAST(281474976710656.0 AS DOUBLE) / max(h)", 4)} END AS est_distinct
          |FROM r WHERE rn <= 64 GROUP BY event_type""".stripMargin,
+    // Identical CMS rebuild: same salted md5-48 cells, same d×w counter
+    // matrix, same min-over-depth estimate — the sketch is portable, so
+    // the gate compares ESTIMATES exactly (CMS is one-sided: est>=exact).
+    "sketch_cms_heavy" ->
+      s"""WITH u AS (SELECT user_id FROM events),
+         |dd AS (SELECT unnest(range(0, 4)) AS d),
+         |cells AS (SELECT user_id, dd.d,
+         |    ${graft.functions.PortableHash.sqlH48(
+               "CAST(dd.d AS VARCHAR) || ':' || CAST(user_id AS VARCHAR)")} % 1024 AS c
+         |  FROM u, dd),
+         |cms AS (SELECT d, c, count(*) AS n FROM cells GROUP BY 1, 2),
+         |top AS (SELECT user_id, count(*) AS exact_n FROM u GROUP BY 1
+         |  ORDER BY exact_n DESC, user_id LIMIT 20),
+         |coords AS (SELECT t.user_id, t.exact_n, dd.d,
+         |    ${graft.functions.PortableHash.sqlH48(
+               "CAST(dd.d AS VARCHAR) || ':' || CAST(t.user_id AS VARCHAR)")} % 1024 AS c
+         |  FROM top t, dd)
+         |SELECT co.user_id, co.exact_n,
+         |  min(coalesce(cms.n, 0)) AS cms_est,
+         |  min(coalesce(cms.n, 0)) - co.exact_n AS overcount
+         |FROM coords co LEFT JOIN cms ON co.d = cms.d AND co.c = cms.c
+         |GROUP BY 1, 2""".stripMargin,
     // The window formulation the bounded aggregate replaces at scale.
     "topk_per_group" ->
       """WITH r AS (SELECT event_type, event_id, value,

@@ -65,6 +65,31 @@ class BoundedAggregatesSpec extends AnyFunSuite {
     }
   }
 
+  test("cms heavy hitters: one-sided (est >= exact), tight on heavy keys, d*w-bounded matrix") {
+    val rows = Sketches.cmsHeavyHitters(spark, sfDir).collect()
+    val nUsers = graft.Tables.events(spark, sfDir)
+      .select("user_id").distinct().count()
+    assert(rows.length == math.min(20L, nUsers))
+    for (r <- rows) {
+      val exact = r.getAs[Long]("exact_n")
+      val est = r.getAs[Long]("cms_est")
+      // the CMS invariant: never an undercount
+      assert(est >= exact, s"user ${r.get(0)}: est=$est < exact=$exact")
+      // error bound ~2N/w is loose; at sf events N/w is small, so the
+      // top keys should estimate within a small additive band
+      assert(r.getAs[Long]("overcount") == est - exact)
+    }
+    // the sketch the estimates came from is the bounded d×w matrix
+    val users = graft.Tables.events(spark, sfDir).select(col("user_id"))
+    val cellCount = users
+      .select(col("user_id"), explode(array((0 until 4).map(lit): _*)).as("d"))
+      .withColumn("c", pmod(graft.functions.PortableHash.md5Hash48(
+        concat(col("d").cast("string"), lit(":"), col("user_id").cast("string"))),
+        lit(1024L)))
+      .select("d", "c").distinct().count()
+    assert(cellCount <= 4L * 1024L, s"counter matrix exceeded d*w: $cellCount")
+  }
+
   test("topk query matches the window formulation exactly") {
     val viaAgg = Sketches.topKPerGroup(spark, sfDir)
       .select("event_type", "rank", "event_id").as[(String, Long, Long)]
