@@ -87,7 +87,10 @@ object Bench {
     * doubles (`1.304823836`) tripled the line length at 91 queries and
     * were pure noise: the median of 3 wall-clock runs has nowhere near
     * microsecond significance (BENCH_r06 truncation post-mortem). */
-  private def num3(x: Double): String = f"$x%.3f".toDouble.toString
+  private def num3(x: Double): String =
+    // Locale.ROOT: a comma-decimal default locale would render "1,305"
+    // and the .toDouble trim would kill the bench before any output
+    String.format(java.util.Locale.ROOT, "%.3f", Double.box(x)).toDouble.toString
 
   /** COMPACT final line — bounded-size summary ONLY, no per-query map.
     * BENCH_r05 and r06 both proved any per-query payload on the final

@@ -220,7 +220,7 @@ object Dedup {
   def minhashKeepFirst(spark: SparkSession, sfDir: String): DataFrame = {
     // both self-join sides read the materialized buckets, not two
     // re-runs of the signature aggregation
-    val buckets = minhashLshBuckets(spark, sfDir).localCheckpoint()
+    val buckets = minhashLshBuckets(spark, sfDir).localCheckpoint(eager = false)
     val dominated = buckets.as("x").join(buckets.as("y"),
         col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
           col("y.doc_id") < col("x.doc_id"))
@@ -255,18 +255,20 @@ object Dedup {
     * self-join fans them out quadratically. Callers surface the dropped
     * keys via [[oversizedKeys]] — cap, don't silently melt the stage.
     *
-    * The capped rows are localCheckpoint'ed: every caller feeds them to
-    * BOTH sides of a self-join (plus per-doc size aggregates), and
-    * without materialization each lazy consumer re-runs the census
-    * aggregate + anti-join (r6 bench: +30-45% on the blocked-join
-    * queries). One materialization = the cap costs one map-side agg
-    * and one broadcast anti-join total, regardless of fan-out. */
+    * The capped rows are localCheckpoint'ed LAZILY (eager=false):
+    * every caller feeds them to BOTH sides of a self-join (plus
+    * per-doc size aggregates), and without materialization each lazy
+    * consumer re-runs the census aggregate + anti-join (r6 bench:
+    * +30-45% on the blocked-join queries). Lazy = the first ACTION
+    * materializes once and later consumers reuse, while merely
+    * building the DataFrame (plan guards, .explain, schema-only
+    * callers) stays free. */
   def capHotKeys(rows: DataFrame, keys: Seq[String], cap: Int): DataFrame =
     if (cap == Int.MaxValue) rows
     else rows.join(
       broadcast(oversizedKeys(rows, keys, cap).select(keys.map(col): _*)),
       keys, "left_anti")
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
 
   /** LSH candidate pairs verified by true 3-gram Jaccard ≥ threshold.
     * Same-bucket join → distinct pairs → verification join.
@@ -281,7 +283,7 @@ object Dedup {
       maxBucketSize: Int = 1024): DataFrame = {
     // checkpoint BEFORE the cap: the census aggregate and the anti-join
     // otherwise each re-run the whole signature derivation
-    val allBuckets = minhashLshBuckets(spark, sfDir).localCheckpoint()
+    val allBuckets = minhashLshBuckets(spark, sfDir).localCheckpoint(eager = false)
     val buckets = capHotKeys(allBuckets, Seq("band", "bucket"), maxBucketSize)
     val cand = buckets.as("x").join(buckets.as("y"),
         col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&

@@ -42,8 +42,11 @@ object ImageCodec {
   // ImageIO's default disk cache writes a temp file per call — off.
   ImageIO.setUseCache(false)
 
-  /** Deterministic real PNG: 8-bit grayscale, pixel = (seed+x+y)%256. */
-  def encodePng(seed: Long, w: Int, h: Int): Array[Byte] = {
+  /** Deterministic gradient frame through any ImageIO writer: 8-bit
+    * grayscale, pixel = (seed+x+y)%256 — shared by the PNG still path
+    * and [[VideoCodec.encodeJpeg]] so the gradient can never diverge
+    * between codecs. */
+  def encodeGradient(seed: Long, w: Int, h: Int, fmt: String): Array[Byte] = {
     val img = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_GRAY)
     val raster = img.getRaster
     var y = 0
@@ -56,9 +59,13 @@ object ImageCodec {
       y += 1
     }
     val bos = new ByteArrayOutputStream()
-    ImageIO.write(img, "png", bos)
+    ImageIO.write(img, fmt, bos)
     bos.toByteArray
   }
+
+  /** Deterministic real PNG: 8-bit grayscale, pixel = (seed+x+y)%256. */
+  def encodePng(seed: Long, w: Int, h: Int): Array[Byte] =
+    encodeGradient(seed, w, h, "png")
 
   /** Decoded grayscale image: dims + per-pixel luma accessor. For
     * multi-band images luma is the ITU-R BT.601 integer approximation

@@ -59,7 +59,10 @@ object Sketches {
     * overcount. */
   def cmsHeavyHitters(spark: SparkSession, sfDir: String,
       depth: Int = CmsDepth, width: Int = CmsWidth, k: Int = 20): DataFrame = {
+    // lazy checkpoint: the sketch build and the exact top-k both
+    // consume this projection — one parquet scan, not two
     val users = Tables.events(spark, sfDir).select(col("user_id"))
+      .localCheckpoint(eager = false)
     def cell(d: org.apache.spark.sql.Column) = pmod(
       PortableHash.md5Hash48(
         concat(d.cast("string"), lit(":"), col("user_id").cast("string"))),

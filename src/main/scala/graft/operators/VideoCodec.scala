@@ -54,23 +54,12 @@ object VideoCodec {
 
   private def fourcc(s: String): Array[Byte] = s.getBytes("US-ASCII")
 
-  /** Deterministic real JPEG frame (same gradient as the PNG path) —
-    * only the MJPG spec round-trip uses it; lossy, so no arithmetic
-    * oracle rides on its pixels. */
-  def encodeJpeg(seed: Long, w: Int, h: Int): Array[Byte] = {
-    val img = new java.awt.image.BufferedImage(w, h,
-      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
-    val raster = img.getRaster
-    var y = 0
-    while (y < h) {
-      var x = 0
-      while (x < w) { raster.setSample(x, y, 0, ((seed + x + y) % 256).toInt); x += 1 }
-      y += 1
-    }
-    val bos = new ByteArrayOutputStream()
-    javax.imageio.ImageIO.write(img, "jpg", bos)
-    bos.toByteArray
-  }
+  /** Deterministic real JPEG frame (same gradient as the PNG path,
+    * shared encoder in [[ImageCodec.encodeGradient]]) — only the MJPG
+    * spec round-trip uses it; lossy, so no arithmetic oracle rides on
+    * its pixels. */
+  def encodeJpeg(seed: Long, w: Int, h: Int): Array[Byte] =
+    ImageCodec.encodeGradient(seed, w, h, "jpg")
 
   /** A genuine AVI: RIFF('AVI ') → LIST(hdrl){avih, LIST(strl){strh,
     * strf}} → LIST(movi){00dc…} → idx1. All sizes little-endian per the

@@ -234,7 +234,14 @@ object IngestStream {
   }
 
   /** §3.3 sample pipeline: pl72 stream partitioned by instrument, new
-    * (sample, proposal) pairs discovered via anti-join (get-or-create). */
+    * (sample, proposal) pairs discovered via anti-join (get-or-create).
+    *
+    * CONTRACT: `existingSamples` must be batch-bounded — the catalog
+    * probed for THIS batch's (name, instrument) keys (or an enumerable
+    * local catalog), never an unboundedly-growing full-history table —
+    * because it broadcasts unconditionally below. The REST production
+    * path ([[SampleIngestor.processSampleBatch]]) probes per-key
+    * instead and never builds this frame. */
   def samplePipeline(pl72Batch: DataFrame, existingSamples: DataFrame): DataFrame = {
     // dedup BEFORE the instrument repartition — dropDuplicates shuffles
     // by its own keys and would undo it (see SampleIngestor scaladoc)

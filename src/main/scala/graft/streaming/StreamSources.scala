@@ -44,7 +44,11 @@ object StreamSources {
       topics: Seq[String],
       consumerOptions: Map[String, String] = Map.empty,
       maxOffsetsPerTrigger: Option[Long] = None): Map[String, String] = {
-    val norm = consumerOptions.map { case (k, v) => k.replace('.', '_') -> v }
+    // deterministic precedence when dotted and snake variants of the
+    // same key are both present: sorted order makes snake_case ('_' >
+    // '.') win, always — never hash-iteration luck
+    val norm = consumerOptions.toSeq.sortBy(_._1)
+      .map { case (k, v) => k.replace('.', '_') -> v }.toMap
     // structurally handled or checkpoint-replaced — never forwarded
     val dropped = Set("topics", "bootstrap_servers",
       "individual_message_commit", "enable_auto_commit",
@@ -53,6 +57,11 @@ object StreamSources {
       case (k, v) if v.nonEmpty && !dropped(k) =>
         s"kafka.${k.replace('_', '.')}" -> v
     }
+    // JAAS values are quoted strings: escape backslash + quote so a
+    // generated secret containing either (or a semicolon, inert once
+    // quoted) cannot break the parser or inject module options
+    def jaasQuote(v: String): String =
+      "\"" + v.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
     val jaas = (norm.get("sasl_username").filter(_.nonEmpty),
         norm.get("sasl_password").filter(_.nonEmpty)) match {
       case (Some(u), Some(p)) =>
@@ -61,13 +70,17 @@ object StreamSources {
             "org.apache.kafka.common.security.scram.ScramLoginModule"
           else "org.apache.kafka.common.security.plain.PlainLoginModule"
         Map("kafka.sasl.jaas.config" ->
-          s"""$module required username="$u" password="$p";""")
+          s"$module required username=${jaasQuote(u)} password=${jaasQuote(p)};")
       case _ => Map.empty[String, String]
     }
     Map(
       "kafka.bootstrap.servers" -> bootstrapServers.mkString(","),
       "subscribe" -> topics.mkString(","),
-      "startingOffsets" -> norm.getOrElse("auto_offset_reset", "earliest")) ++
+      // the source accepts only earliest/latest (or offset JSON); the
+      // consumer value "none" and empties fall back to the reference
+      // default rather than crashing the stream at start
+      "startingOffsets" -> norm.get("auto_offset_reset")
+        .filter(v => v == "earliest" || v == "latest").getOrElse("earliest")) ++
       passthrough ++ jaas ++
       maxOffsetsPerTrigger.map(n => "maxOffsetsPerTrigger" -> n.toString) // A8
   }

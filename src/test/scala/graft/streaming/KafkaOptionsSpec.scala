@@ -76,6 +76,29 @@ class KafkaOptionsSpec extends AnyFunSuite {
     assert(!none.contains("kafka.sasl.jaas.config"))
   }
 
+  test("edge rules: jaas escaping, invalid offset reset falls back, variant precedence is deterministic") {
+    // quotes/backslashes in a generated secret must not break the JAAS
+    // parser or open an option-injection hole; semicolons are inert
+    // once quoted
+    val esc = StreamSources.kafkaSourceOptions(
+      Seq("b:9092"), Seq("t"),
+      Map("sasl_username" -> "sv\\c", "sasl_password" -> """pa"ss;word"""))
+    assert(esc("kafka.sasl.jaas.config") ==
+      """org.apache.kafka.common.security.plain.PlainLoginModule required username="sv\\c" password="pa\"ss;word";""")
+    // the consumer value "none" and empties are not valid Spark
+    // startingOffsets — fall back to the reference default, don't crash
+    for (bad <- Seq("", "none", "latest ")) {
+      val o = StreamSources.kafkaSourceOptions(
+        Seq("b"), Seq("t"), Map("auto_offset_reset" -> bad))
+      assert(o("startingOffsets") == "earliest", s"reset '$bad'")
+    }
+    // dotted + snake variants of one key: snake wins, deterministically
+    val dup = StreamSources.kafkaSourceOptions(
+      Seq("b"), Seq("t"),
+      Map("security.protocol" -> "plaintext", "security_protocol" -> "sasl_ssl"))
+    assert(dup("kafka.security.protocol") == "sasl_ssl")
+  }
+
   test("A8 backpressure knob and the IngestorConfig round-trip") {
     val cfg = graft.config.IngestorConfig.KafkaConfig(
       saslUsername = "svc", saslPassword = "pw")
