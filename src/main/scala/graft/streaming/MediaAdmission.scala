@@ -58,6 +58,34 @@ object MediaAdmission {
     }(enc)
   }
 
+  /** Video twin of [[validate]]: container walk + FIRST-FRAME decode
+    * through the `idx1` seek index ([[graft.operators.VideoCodec
+    * .decodeSampled]] with cap 1) — keyframe validation, so the other
+    * frames' bytes never touch the codec at admission time. The
+    * keyframe's aHash feeds the SAME banded census dedup as stills
+    * (keyframe near-dup is the standard video-dedup first screen); a
+    * full decode stays an offline job for admitted docs. Stateless and
+    * stream-safe like [[validate]]. */
+  def validateVideo(arrivals: DataFrame): DataFrame = {
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(ValidatedSchema)
+    arrivals.select(col("doc_id"), col("payload")).mapPartitions { rows =>
+      rows.map { r =>
+        val docId = r.getLong(0)
+        graft.operators.VideoCodec.decodeSampled(
+            r.getAs[Array[Byte]](1), every = 1, cap = 1) match {
+          case Right(frames) if frames.nonEmpty =>
+            val d = frames.head.decoded
+            val (hi, lo) = ImageCodec.ahashOf(d)
+            Row(docId, true, null, d.width, d.height, hi, lo)
+          case Right(_) =>
+            Row(docId, false, "no frames", null, null, null, null)
+          case Left(reason) =>
+            Row(docId, false, reason, null, null, null, null)
+        }
+      }
+    }(enc)
+  }
+
   /** Explode (ahash_hi, ahash_lo) into the four 16-bit (band, bval)
     * keys — one shared definition for both join sides so they can
     * never drift. */

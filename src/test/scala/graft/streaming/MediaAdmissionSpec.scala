@@ -42,6 +42,28 @@ class MediaAdmissionSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("validateVideo: keyframe-seek admission — valid AVI hashed by frame 0, truncation degrades") {
+    import graft.operators.VideoCodec
+    val avi = VideoCodec.encodeAvi(9L, 4, 20, 16)
+    val rows = MediaAdmission.validateVideo(Seq(
+        (1L, avi), (2L, avi.take(30))).toDF("doc_id", "payload"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(rows(1L).getBoolean(1))
+    assert(rows(1L).getInt(3) == 20 && rows(1L).getInt(4) == 16)
+    assert(!rows(2L).getBoolean(1) && rows(2L).getString(2) != null)
+    // the keyframe hash IS the still-image hash of frame 0, so the
+    // banded census dedup works unchanged across modalities: a video
+    // whose first frame equals a corpus STILL routes as its duplicate
+    val Right(frame0) = ImageCodec.decode(ImageCodec.encodePng(9L, 20, 16))
+    val (hi, lo) = ImageCodec.ahashOf(frame0)
+    assert(rows(1L).getLong(5) == hi && rows(1L).getLong(6) == lo)
+    val census = Seq((100L, hi, lo)).toDF("doc_id", "ahash_hi", "ahash_lo")
+    val admitted = MediaAdmission.admit(
+      MediaAdmission.validateVideo(Seq((1L, avi)).toDF("doc_id", "payload")),
+      census).collect()
+    assert(admitted.length == 1 && admitted.head.getAs[Long]("dup_of") == 100L)
+  }
+
   test("admission gate routes duplicate / novel / corrupt correctly") {
     // corpus census over the real decoded corpus images
     val census = ImageCodec.imageAHash(spark, sfDir).localCheckpoint()
