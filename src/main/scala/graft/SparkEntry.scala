@@ -142,6 +142,7 @@ object SparkEntry {
     "dedup_image_hamming" -> ((s: SparkSession, d: String) => ImageCodec.imageHammingPairs(s, d)),
     "mm_resize_real" -> (ImageCodec.resizeReal _),
     "mm_decode_audio" -> (AudioCodec.decodeAudioStats _),
+    "mm_audio_fp" -> (AudioCodec.audioFingerprint _),
     "mm_decode_video" -> (VideoCodec.decodeVideoStats _),
     "mm_video_sample" -> ((s: SparkSession, d: String) => VideoCodec.sampledVideoStats(s, d)),
     "dedup_prefix_jaccard" -> ((s: SparkSession, d: String) =>
@@ -242,8 +243,8 @@ object SparkEntry {
     // round-6 additions (warehouse classics + layout):
     "sub_session_window", "scd2_tier_history", "sub_profile_columns",
     "layout_zorder",
-    // round-7 additions (real video codec + CMS heavy hitters):
-    "mm_decode_video", "mm_video_sample", "sketch_cms_heavy")
+    // round-7 additions (real video codec + CMS heavy hitters + audio fp):
+    "mm_decode_video", "mm_video_sample", "sketch_cms_heavy", "mm_audio_fp")
 
   // --- generated DuckDB replicas of the portable-hash queries ----------
 
@@ -927,6 +928,28 @@ object SparkEntry {
         |  CASE WHEN doc_id % 10 = 0 THEN NULL ELSE sum_sq END AS sum_sq,
         |  CASE WHEN doc_id % 10 = 0 THEN NULL ELSE peak END AS peak
         |FROM a""".stripMargin,
+    // Audio envelope fingerprint: 1-D aHash over DECODED |PCM| mass per
+    // 64 integer-assigned windows, bit = exact cross-multiplication
+    // win_sum*n > total*win_n — replayed from the sample recurrence.
+    "mm_audio_fp" ->
+      """WITH d AS (SELECT doc_id, CAST(n_chars % 2000 + 500 AS INT) AS n
+        |  FROM documents WHERE doc_id % 10 <> 0),
+        |sm AS (SELECT doc_id, n, t.i,
+        |    abs(((doc_id * 31 + t.i * 7) % 65536) - 32768) AS a
+        |  FROM d, LATERAL (SELECT unnest(range(0, n)) AS i) t),
+        |w AS (SELECT doc_id, n, (i * 64) // n AS b,
+        |    CAST(sum(a) AS BIGINT) AS ws, count(*) AS wn
+        |  FROM sm GROUP BY 1, 2, 3),
+        |tot AS (SELECT doc_id, CAST(sum(ws) AS BIGINT) AS total FROM w GROUP BY 1),
+        |bits AS (SELECT w.doc_id, w.b,
+        |    CASE WHEN ws * n > total * wn THEN 1 ELSE 0 END AS bit
+        |  FROM w JOIN tot ON w.doc_id = tot.doc_id)
+        |SELECT doc_id,
+        |  CAST(sum(CASE WHEN b >= 32 AND bit = 1
+        |       THEN CAST(1 AS BIGINT) << (b - 32) ELSE 0 END) AS BIGINT) AS fp_hi,
+        |  CAST(sum(CASE WHEN b < 32 AND bit = 1
+        |       THEN CAST(1 AS BIGINT) << b ELSE 0 END) AS BIGINT) AS fp_lo
+        |FROM bits GROUP BY 1""".stripMargin,
     // Real video: genuine RIFF/AVI container (avih/strl/movi/idx1) with
     // Motion-PNG frames decoded per-frame through javax.imageio; PNG is
     // lossless so the DECODED pixel (doc_id + 7*frame + x + y) % 256 is

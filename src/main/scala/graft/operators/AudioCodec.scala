@@ -107,6 +107,62 @@ object AudioCodec {
     * integers (`sum_abs`, `sum_sq`, peak), so the arithmetic oracle
     * hash-matches bit-for-bit; truncated payloads surface as
     * `ok=false` + nulls. */
+  /** 64-bit ENERGY-ENVELOPE fingerprint of decoded PCM — the audio
+    * twin of [[ImageCodec.ahashOf]], completing census-style near-dup
+    * across all three modalities: window `i` covers samples with
+    * `s·64 div n == i` (the image path's integer block assignment in
+    * 1-D), its bit is set when the window's |sample| mass exceeds its
+    * share of the total, tested as the exact cross-multiplication
+    * `win_sum · n_samples > total · win_n` — no division, no float,
+    * so the DuckDB oracle replays it bit-for-bit from the PCM
+    * recurrence. Loudness-pattern invariant: uniform gain scales both
+    * sides of the comparison. */
+  def envelopeHashOf(samples: Array[Int]): (Long, Long) = {
+    val n = samples.length
+    val winSum = Array.ofDim[Long](64)
+    val winN = Array.ofDim[Long](64)
+    var total = 0L
+    var i = 0
+    while (i < n) {
+      val w = (i.toLong * 64 / n).toInt
+      val a = math.abs(samples(i)).toLong
+      winSum(w) += a; winN(w) += 1; total += a
+      i += 1
+    }
+    var hi = 0L; var lo = 0L
+    var b = 0
+    while (b < 64) {
+      if (winSum(b) * n > total * winN(b)) {
+        if (b < 32) lo |= 1L << b else hi |= 1L << (b - 32)
+      }
+      b += 1
+    }
+    (hi, lo)
+  }
+
+  /** Per-doc envelope fingerprint through the REAL codec — feeds the
+    * same banded hamming census join as images ([[ImageCodec
+    * .imageHammingPairs]] blocking); failed decodes drop (no PCM to
+    * hash), same contract as the image hash query. */
+  def audioFingerprint(spark: SparkSession, sfDir: String): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("fp_hi", LongType),
+      StructField("fp_lo", LongType)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
+    realAudioBlobs(spark, sfDir).mapPartitions { rows =>
+      rows.flatMap { r =>
+        val docId = r.getLong(0)
+        decode(r.getAs[Array[Byte]](1)) match {
+          case Right((_, samples)) if samples.nonEmpty =>
+            val (hi, lo) = envelopeHashOf(samples)
+            Some(Row(docId, hi, lo))
+          case _ => None
+        }
+      }
+    }(enc)
+  }
+
   def decodeAudioStats(spark: SparkSession, sfDir: String): DataFrame = {
     val outSchema = StructType(Seq(
       StructField("doc_id", LongType),

@@ -28,6 +28,35 @@ class AudioCodecSpec extends AnyFunSuite {
     assert(AudioCodec.decode(wav.take(16)).isLeft, "truncated RIFF must fail cleanly")
   }
 
+  test("envelope fingerprint: recount-exact, gain-invariant, separates unlike audio") {
+    val samples = (0 until 1000).map(i => AudioCodec.sampleAt(11L, i)).toArray
+    val (hi, lo) = AudioCodec.envelopeHashOf(samples)
+    // query output equals the direct computation through the codec
+    val viaQuery = AudioCodec.audioFingerprint(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val docs = graft.Tables.documents(spark, sfDir)
+      .select("doc_id", "n_chars").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    for ((id, fp) <- viaQuery.take(30)) {
+      val direct = AudioCodec.envelopeHashOf(
+        (0 until AudioCodec.nSamples(docs(id))).map(i => AudioCodec.sampleAt(id, i)).toArray)
+      assert(fp == direct, s"doc $id")
+      assert(id % 10 != 0, "truncated docs have no PCM to hash")
+    }
+    // loudness invariance: uniform gain scales both comparison sides
+    // (small synthetic samples so the doubled signal cannot clip)
+    val quiet = (0 until 1000).map(i => (i * 37) % 2000 - 1000).toArray
+    assert(AudioCodec.envelopeHashOf(quiet.map(_ * 2)) ==
+      AudioCodec.envelopeHashOf(quiet))
+    // a tiny local edit moves few envelope bits; unlike audio moves many
+    def ham(a: (Long, Long), b: (Long, Long)): Int =
+      java.lang.Long.bitCount(a._1 ^ b._1) + java.lang.Long.bitCount(a._2 ^ b._2)
+    val dented = samples.clone(); (0 until 10).foreach(i => dented(i) = 0)
+    assert(ham(AudioCodec.envelopeHashOf(dented), (hi, lo)) <= 6)
+    val other = (0 until 1000).map(i => AudioCodec.sampleAt(999L, i)).toArray
+    assert(ham(AudioCodec.envelopeHashOf(other), (hi, lo)) >= 10)
+  }
+
   test("decodeAudioStats matches a direct recount; corrupt docs flagged") {
     val rows = AudioCodec.decodeAudioStats(spark, sfDir).collect()
     val docs = graft.Tables.documents(spark, sfDir)
