@@ -114,6 +114,7 @@ object SparkEntry {
     "corpus_temperature_sample" -> ((s: SparkSession, d: String) => Corpus.temperatureSample(s, d)),
     "corpus_vocab_topk" -> ((s: SparkSession, d: String) => Corpus.vocabTopK(s, d)),
     "corpus_bpe_merges" -> ((s: SparkSession, d: String) => Corpus.bpeFirstMerges(s, d)),
+    "corpus_bpe_encode" -> ((s: SparkSession, d: String) => Corpus.bpeEncode(s, d)),
     "corpus_pmi_topk" -> ((s: SparkSession, d: String) => Corpus.pmiTopK(s, d)),
     "corpus_context_windows" -> ((s: SparkSession, d: String) => Corpus.contextWindows(s, d)),
     "corpus_shuffle_order" -> ((s: SparkSession, d: String) => Corpus.shuffleOrder(s, d)),
@@ -243,8 +244,10 @@ object SparkEntry {
     // round-6 additions (warehouse classics + layout):
     "sub_session_window", "scd2_tier_history", "sub_profile_columns",
     "layout_zorder",
-    // round-7 additions (real video codec + CMS heavy hitters + audio fp):
-    "mm_decode_video", "mm_video_sample", "sketch_cms_heavy", "mm_audio_fp")
+    // round-7 additions (real video codec + CMS heavy hitters + audio fp
+    // + BPE tokenizer application):
+    "mm_decode_video", "mm_video_sample", "sketch_cms_heavy", "mm_audio_fp",
+    "corpus_bpe_encode")
 
   // --- generated DuckDB replicas of the portable-hash queries ----------
 
@@ -1720,6 +1723,30 @@ object SparkEntry {
         |    freq FROM f)
         |SELECT pair, CAST(sum(freq) AS BIGINT) AS n FROM p GROUP BY 1
         |ORDER BY n DESC, pair LIMIT 50""".stripMargin,
+    // BPE encode: the same rank-ordered rules fold over the
+    // char-spaced word via list_reduce + replace — replace is
+    // leftmost-non-overlapping single-pass in BOTH engines (shared
+    // boundaries on runs included), so the token stream matches
+    // byte-for-byte.
+    "corpus_bpe_encode" ->
+      """WITH t AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+        |f AS (SELECT w, count(*) AS freq FROM t
+        |  WHERE regexp_matches(w, '^[a-z]+$') AND len(w) >= 2 GROUP BY 1),
+        |p AS (SELECT unnest(list_transform(range(1, len(w)), i -> w[i:i+1])) AS pair,
+        |    freq FROM f),
+        |mtop AS (SELECT pair, CAST(sum(freq) AS BIGINT) AS n FROM p GROUP BY 1
+        |  ORDER BY n DESC, pair LIMIT 20),
+        |mg AS (SELECT list(pair ORDER BY n DESC, pair) AS ms FROM mtop),
+        |wtop AS (SELECT w, freq FROM f ORDER BY freq DESC, w LIMIT 100),
+        |enc AS (SELECT w, freq,
+        |    trim(list_reduce(
+        |      list_prepend(' ' || regexp_replace(w, '(.)', '\1 ', 'g'), ms),
+        |      (acc, m) -> replace(acc, ' ' || m[1] || ' ' || m[2] || ' ',
+        |        ' ' || m || ' '))) AS encoded
+        |  FROM wtop, mg)
+        |SELECT w, CAST(freq AS BIGINT) AS freq, encoded,
+        |  CAST(len(string_split(encoded, ' ')) AS BIGINT) AS n_tokens
+        |FROM enc""".stripMargin,
     // PMI collocations: rank by the rational score N·c_xy/(c_x·c_y)
     // (log is monotone — never evaluated); one exact integer product
     // per side, one IEEE division, ORDER BY the rounded score so the

@@ -180,6 +180,41 @@ object Corpus {
       .groupBy(col("pair")).agg(sum(col("freq")).as("n"))
       .orderBy(col("n").desc, col("pair")).limit(k)
 
+  /** BPE ENCODE — the tokenizer-APPLICATION half of the BPE pair
+    * ([[bpeFirstMerges]] is the learning half): the learned rules
+    * compile into a chain of `replace` passes over the char-spaced
+    * word, applied in rank order, each a single left-to-right
+    * non-overlapping pass. `replace` has IDENTICAL semantics in Spark
+    * (StringReplace) and DuckDB, including the shared-boundary
+    * behavior on runs (' l l l ' merges once per pass), so the oracle
+    * replays the whole tokenizer bit-for-bit with a `list_reduce`
+    * fold. Output: the vocabulary head with each word's token
+    * sequence and token count — the compression audit a tokenizer
+    * change ships with.
+    *
+    * Scale: the k-row rule table collects ONCE and compiles into the
+    * plan as literal arguments (a rule table is broadcast
+    * configuration, not data — same pattern as a compiled tokenizer);
+    * the encode itself is a narrow codegen'd projection, no shuffle
+    * beyond the vocab count. */
+  def bpeEncode(spark: SparkSession, sfDir: String,
+      kMerges: Int = 20, kWords: Int = 100): DataFrame = {
+    val merges = bpeFirstMerges(spark, sfDir, kMerges)
+      .collect().map(_.getString(0)) // rank order: (n DESC, pair)
+    val words = tokenRows(spark, sfDir)
+      .filter(col("w").rlike("^[a-z]+$") && length(col("w")) >= 2)
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("w")).limit(kWords)
+    val spaced = concat(lit(" "), concat_ws(" ", split(col("w"), "")), lit(" "))
+    val encodedCol = merges.foldLeft(spaced) { (c, m) =>
+      call_function("replace", c,
+        lit(s" ${m.charAt(0)} ${m.charAt(1)} "), lit(s" $m "))
+    }
+    words.withColumn("encoded", trim(encodedCol))
+      .withColumn("n_tokens", size(split(col("encoded"), " ")).cast("long"))
+      .select(col("w"), col("freq"), col("encoded"), col("n_tokens"))
+  }
+
   /** Memorization-risk miner: the most-repeated 5-gram spans across
     * the corpus — the statistic behind boilerplate detection and the
     * "repeated substring" contamination sweeps training pipelines run

@@ -107,6 +107,32 @@ class CorpusSpec extends AnyFunSuite {
     }
   }
 
+  test("bpe encode: replace-chain recount, lossless re-join, compression monotone") {
+    val merges = Corpus.bpeFirstMerges(spark, sfDir, k = 20).collect()
+      .map(_.getString(0))
+    val rows = Corpus.bpeEncode(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    // reference implementation of the declared semantics: rank-ordered
+    // single-pass leftmost replaces over the char-spaced word
+    def encode(w: String): String = {
+      val spaced = " " + w.map(_.toString).mkString(" ") + " "
+      merges.foldLeft(spaced)((s, m) =>
+        s.replace(s" ${m(0)} ${m(1)} ", s" $m ")).trim
+    }
+    for (r <- rows) {
+      val (w, enc, n) = (r.getString(0), r.getString(2), r.getLong(3))
+      assert(enc == encode(w), s"'$w' encoded '$enc' != '${encode(w)}'")
+      // tokenization is LOSSLESS: stripping spaces recovers the word
+      assert(enc.replace(" ", "") == w)
+      assert(n == enc.split(" ").length.toLong)
+      assert(n >= 1 && n <= w.length, s"'$w': $n tokens for ${w.length} chars")
+    }
+    // the learned rules actually compress the vocabulary head
+    val totalChars = rows.map(_.getString(0).length.toLong).sum
+    val totalToks = rows.map(_.getLong(3)).sum
+    assert(totalToks < totalChars, s"no compression: $totalToks vs $totalChars")
+  }
+
   test("context windows: full coverage, fixed stride, bounded length") {
     import org.apache.spark.sql.functions.{col, size, split}
     val nTok = graft.Tables.documents(spark, sfDir)
