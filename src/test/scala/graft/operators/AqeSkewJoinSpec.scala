@@ -58,4 +58,24 @@ class AqeSkewJoinSpec extends AnyFunSuite {
     assert(finalPlan.contains("skew=true"),
       s"AQE did not mark the sort-merge join skew-handled:\n${finalPlan.take(2000)}")
   }
+
+  test("AQE coalesces undersized shuffle partitions at runtime") {
+    val session = TestSpark.spark.newSession()
+    session.conf.set("spark.sql.adaptive.enabled", "true")
+    session.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    // declared parallelism far above what this tiny aggregate needs:
+    // without AQE every stage runs 64 near-empty reducers (the
+    // small-files / scheduler-overhead tax at 100 TB when a filter is
+    // selective); with it the map stats collapse them at runtime
+    session.conf.set("spark.sql.shuffle.partitions", "64")
+    session.conf.set("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+    session.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64MB")
+    val agg = session.range(0, 10000)
+      .groupBy((org.apache.spark.sql.functions.col("id") % 16).as("k"))
+      .count()
+    val n = agg.queryExecution.toRdd.getNumPartitions
+    assert(agg.queryExecution.executedPlan.toString.contains("coalesced") || n < 64,
+      "AQE must not launch 64 reducers for a 16-group aggregate")
+    assert(n < 64, s"still $n partitions after AQE coalesce")
+  }
 }
