@@ -113,7 +113,7 @@ object SparkEntry {
     "corpus_lang_balance" -> ((s: SparkSession, d: String) => Corpus.langBalance(s, d)),
     "corpus_temperature_sample" -> ((s: SparkSession, d: String) => Corpus.temperatureSample(s, d)),
     "corpus_vocab_topk" -> ((s: SparkSession, d: String) => Corpus.vocabTopK(s, d)),
-    "corpus_bpe_merges" -> ((s: SparkSession, d: String) => Corpus.bpeFirstMerges(s, d)),
+    "corpus_bpe_merges" -> ((s: SparkSession, d: String) => Corpus.bpeLearnedMerges(s, d)),
     "corpus_bpe_encode" -> ((s: SparkSession, d: String) => Corpus.bpeEncode(s, d)),
     "corpus_pmi_topk" -> ((s: SparkSession, d: String) => Corpus.pmiTopK(s, d)),
     "corpus_context_windows" -> ((s: SparkSession, d: String) => Corpus.contextWindows(s, d)),
@@ -1710,43 +1710,20 @@ object SparkEntry {
         |FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
         |WHERE w <> '' GROUP BY 1 HAVING count(*) >= 2
         |ORDER BY n DESC, w LIMIT 100""".stripMargin,
-    // BPE first merges: [a-z]+ words only so per-character slicing is
-    // engine-unambiguous; weighted pair counts are exact integers. The
-    // sum is CAST back to BIGINT — DuckDB promotes sum(BIGINT) to
-    // HUGEINT, which the driver gate hashes as a different dtype than
-    // Spark's long even when every value is equal (the round-5 red).
-    "corpus_bpe_merges" ->
-      """WITH t AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
-        |f AS (SELECT w, count(*) AS freq FROM t
-        |  WHERE regexp_matches(w, '^[a-z]+$') AND len(w) >= 2 GROUP BY 1),
-        |p AS (SELECT unnest(list_transform(range(1, len(w)), i -> w[i:i+1])) AS pair,
-        |    freq FROM f)
-        |SELECT pair, CAST(sum(freq) AS BIGINT) AS n FROM p GROUP BY 1
-        |ORDER BY n DESC, pair LIMIT 50""".stripMargin,
-    // BPE encode: the same rank-ordered rules fold over the
-    // char-spaced word via list_reduce + replace — replace is
-    // leftmost-non-overlapping single-pass in BOTH engines (shared
-    // boundaries on runs included), so the token stream matches
-    // byte-for-byte.
-    "corpus_bpe_encode" ->
-      """WITH t AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
-        |f AS (SELECT w, count(*) AS freq FROM t
-        |  WHERE regexp_matches(w, '^[a-z]+$') AND len(w) >= 2 GROUP BY 1),
-        |p AS (SELECT unnest(list_transform(range(1, len(w)), i -> w[i:i+1])) AS pair,
-        |    freq FROM f),
-        |mtop AS (SELECT pair, CAST(sum(freq) AS BIGINT) AS n FROM p GROUP BY 1
-        |  ORDER BY n DESC, pair LIMIT 20),
-        |mg AS (SELECT list(pair ORDER BY n DESC, pair) AS ms FROM mtop),
-        |wtop AS (SELECT w, freq FROM f ORDER BY freq DESC, w LIMIT 100),
-        |enc AS (SELECT w, freq,
-        |    trim(list_reduce(
-        |      list_prepend(' ' || regexp_replace(w, '(.)', '\1 ', 'g'), ms),
-        |      (acc, m) -> replace(acc, ' ' || m[1] || ' ' || m[2] || ' ',
-        |        ' ' || m || ' '))) AS encoded
-        |  FROM wtop, mg)
-        |SELECT w, CAST(freq AS BIGINT) AS freq, encoded,
-        |  CAST(len(string_split(encoded, ' ')) AS BIGINT) AS n_tokens
-        |FROM enc""".stripMargin,
+    // Sequential BPE learning: the oracle unrolls all 16 merge rounds
+    // as MATERIALIZED CTEs (pair-count → argmax → rewrite), replaying
+    // the learner exactly — `replace` is leftmost-non-overlapping
+    // single-pass in BOTH engines and the (n DESC, pair) argmax is a
+    // binary-collation total order, so every round's rule and rewrite
+    // match bit-for-bit; counts CAST to BIGINT (DuckDB sum promotes to
+    // HUGEINT, the round-5 dtype red).
+    "corpus_bpe_merges" -> Corpus.bpeOracleSql(16, encode = false),
+    // BPE encode: the same 16 unrolled learning rounds; the final
+    // working table w16 IS the encode of the whole vocabulary (each
+    // rule was applied the moment it was learned — identical to
+    // folding the finished rule chain over the initial spaced form),
+    // restricted to the frequency head.
+    "corpus_bpe_encode" -> Corpus.bpeOracleSql(16, encode = true),
     // PMI collocations: rank by the rational score N·c_xy/(c_x·c_y)
     // (log is monotone — never evaluated); one exact integer product
     // per side, one IEEE division, ORDER BY the rounded score so the

