@@ -549,8 +549,10 @@ object Dedup {
     * EDGE LIST consumed by [[winnowSharedPairs]] (reporting top-k) and
     * [[graft.operators.GraphOps.pagerankNearDup]] (graph analytics). */
   def winnowSharedPairsAll(spark: SparkSession, sfDir: String,
-      minShared: Int = 3, maxFpFreq: Int = 4096): DataFrame = {
+      minShared: Int = 3, maxFpFreq: Int = 4096,
+      docIdModulus: Int = 1, docIdResidue: Int = 0): DataFrame = {
     val allFp = graft.operators.TextAnalysis.winnowFingerprints(spark, sfDir)
+      .filter(pmod(col("doc_id"), lit(docIdModulus.toLong)) === docIdResidue.toLong)
       .select(col("doc_id"), col("fp_hash")).distinct()
       .localCheckpoint()
     // hot-fingerprint cap (license headers, site chrome): identical
@@ -582,27 +584,28 @@ object Dedup {
     * EVALUATION HARNESS, NOT A PRODUCTION PATH (same label as
     * [[Similarity.cosineThresholdPairs]]): the truth side's exact
     * shingle-Jaccard join is only tractable at calibration scale — a
-    * stop-shingle shared by f docs contributes f² join rows, so at
-    * 100 TB it must run on a SAMPLED slice (pick a doc_id range the
-    * way the decontamination harness picks its eval set) to calibrate
-    * (w, k, minShared); production then runs ONLY the winnowed
-    * candidate side, whose fingerprints are sparse by construction. */
+    * stop-shingle shared by f docs contributes f² join rows, and
+    * unlike every other blocked self-join here the truth side
+    * deliberately carries NO hot-key cap (capping would bias the
+    * ground truth the harness exists to measure). The scale escape
+    * hatch is the SAMPLING KNOB: `docIdModulus`/`docIdResidue`
+    * restrict BOTH sides to the calibration slice
+    * `doc_id ≡ residue (mod m)` — the whole eval then runs on the
+    * sub-corpus, shrinking the per-shingle fan-out by (1/m)² — the
+    * same way the decontamination harness picks its eval set. The
+    * slice truth is EXACTLY the full truth restricted to in-slice
+    * pairs (pinned in DedupSpec: Jaccard is a per-pair statistic, so
+    * dropping other docs cannot change it); calibrate (w, k,
+    * minShared) on the slice, then production runs ONLY the winnowed
+    * candidate side, whose fingerprints are sparse by construction.
+    * Default (1, 0) = the full corpus, for the small-SF oracle row. */
   def winnowRecallEval(spark: SparkSession, sfDir: String,
-      jacPct: Int = 35, minShared: Int = 3): DataFrame = {
-    val sh = withShingles(Tables.documents(spark, sfDir))
-      .select(col("doc_id"), size(col("sh")).cast("long").as("n_sh"),
-        explode_outer(col("sh")).as("s"))
-      .filter(col("s").isNotNull)
-      .localCheckpoint()
-    val a = sh.select(col("s"), col("doc_id").as("id1"), col("n_sh").as("n1"))
-    val b = sh.select(col("s").as("s2"), col("doc_id").as("id2"), col("n_sh").as("n2"))
-    val truth = a.join(b.hint("shuffle_merge"),
-        col("s") === col("s2") && col("id1") < col("id2"))
-      .groupBy(col("id1"), col("id2"))
-      .agg(count(lit(1)).as("shared"), max(col("n1")).as("n1"), max(col("n2")).as("n2"))
-      .filter(col("shared") * 100 >= lit(jacPct) * (col("n1") + col("n2") - col("shared")))
+      jacPct: Int = 35, minShared: Int = 3,
+      docIdModulus: Int = 1, docIdResidue: Int = 0): DataFrame = {
+    val truth = winnowTruthPairs(spark, sfDir, jacPct, docIdModulus, docIdResidue)
       .select(col("id1"), col("id2"), lit(1L).as("in_truth"))
-    val cand = winnowSharedPairsAll(spark, sfDir, minShared)
+    val cand = winnowSharedPairsAll(spark, sfDir, minShared,
+        docIdModulus = docIdModulus, docIdResidue = docIdResidue)
       .select(col("id1"), col("id2"), lit(1L).as("in_cand"))
     truth.join(cand, Seq("id1", "id2"), "full_outer")
       .agg(
@@ -613,6 +616,30 @@ object Dedup {
       .select(col("n_truth"), col("n_cand"), col("n_hit"),
         expr("(n_hit * 1000000) DIV n_truth").as("recall_micro"),
         expr("(n_hit * 1000000) DIV n_cand").as("precision_micro"))
+  }
+
+  /** The exact shingle-Jaccard ground-truth pair set behind
+    * [[winnowRecallEval]] — (id1, id2) with Jaccard ≥ `jacPct`%
+    * (integer cross-multiplied test, no float), optionally restricted
+    * to the `doc_id ≡ residue (mod m)` calibration slice. Uncapped BY
+    * DESIGN (see the eval's docstring); the slice knob is what makes
+    * it runnable at scale. */
+  def winnowTruthPairs(spark: SparkSession, sfDir: String,
+      jacPct: Int = 35, docIdModulus: Int = 1, docIdResidue: Int = 0): DataFrame = {
+    val sh = withShingles(Tables.documents(spark, sfDir)
+        .filter(pmod(col("doc_id"), lit(docIdModulus.toLong)) === docIdResidue.toLong))
+      .select(col("doc_id"), size(col("sh")).cast("long").as("n_sh"),
+        explode_outer(col("sh")).as("s"))
+      .filter(col("s").isNotNull)
+      .localCheckpoint()
+    val a = sh.select(col("s"), col("doc_id").as("id1"), col("n_sh").as("n1"))
+    val b = sh.select(col("s").as("s2"), col("doc_id").as("id2"), col("n_sh").as("n2"))
+    a.join(b.hint("shuffle_merge"),
+        col("s") === col("s2") && col("id1") < col("id2"))
+      .groupBy(col("id1"), col("id2"))
+      .agg(count(lit(1)).as("shared"), max(col("n1")).as("n1"), max(col("n2")).as("n2"))
+      .filter(col("shared") * 100 >= lit(jacPct) * (col("n1") + col("n2") - col("shared")))
+      .select(col("id1"), col("id2"))
   }
 
   def fuzzyNeighbors(spark: SparkSession, sfDir: String): DataFrame = {

@@ -117,6 +117,35 @@ class DedupSpec extends AnyFunSuite {
     assert(simDflt == simWide, "no test-SF simhash band may trip the default cap")
   }
 
+  test("winnow recall sampling knob: slice truth == full truth restricted to the slice") {
+    val (m, r) = (4, 1)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    // Jaccard is a per-pair statistic: dropping other docs cannot
+    // change it, so the slice truth must be EXACTLY the full truth
+    // with both endpoints in the slice — the property that makes
+    // slice-calibration honest at 100 TB
+    val fullTruth = pairs(Dedup.winnowTruthPairs(spark, sf01))
+    val sliceTruth = pairs(
+      Dedup.winnowTruthPairs(spark, sf01, docIdModulus = m, docIdResidue = r))
+    val restricted = fullTruth.filter { case (a, b) => a % m == r && b % m == r }
+    assert(sliceTruth == restricted, s"slice truth diverged: " +
+      s"${(sliceTruth -- restricted).take(3)} vs ${(restricted -- sliceTruth).take(3)}")
+    assert(fullTruth.nonEmpty, "degenerate corpus: no truth pairs at all")
+    // the candidate side restricts identically (the hot-fp cap never
+    // binds at test SF — pinned by the cap test above — and a slice
+    // can only lower per-fingerprint frequencies)
+    val fullCand = pairs(Dedup.winnowSharedPairsAll(spark, sf01)
+      .select("id1", "id2"))
+    val sliceCand = pairs(Dedup.winnowSharedPairsAll(spark, sf01,
+      docIdModulus = m, docIdResidue = r).select("id1", "id2"))
+    assert(sliceCand == fullCand.filter { case (a, b) => a % m == r && b % m == r })
+    // end-to-end: the sampled eval's n_truth is the slice truth count
+    val row = Dedup.winnowRecallEval(spark, sf01,
+      docIdModulus = m, docIdResidue = r).collect()(0)
+    assert(row.getLong(0) == sliceTruth.size.toLong)
+  }
+
   test("normalized dedup: formatting variants collapse, survivors are min doc_id") {
     import spark.implicits._
     val norms = Seq("Hello,  World!! (test)", "hello world test", "你好。世界",
