@@ -195,8 +195,6 @@ object SparkEntry {
     * can surface. Everything else either has an oracleSql entry or is a
     * bug. */
   def rowsOnly: Map[String, String] = Map(
-    "sub_approx_aggs" -> ("approximate sketches (HLL/quantile-digest) have " +
-      "engine-specific estimates; exact twins are oracled in sub_percentiles"),
     "sub_blake2b" -> ("DuckDB has no blake2b; the digest itself is " +
       "golden-tested against RFC 7693 vectors in Blake2bSpec, and the same " +
       "query shape is oracled via sha256 in mm_decode_stats"))
@@ -2049,6 +2047,31 @@ object SparkEntry {
         |    + (max(CASE WHEN rn = hi_95 THEN l_extendedprice END)
         |       - max(CASE WHEN rn = lo_95 THEN l_extendedprice END)) * max(frac_95)) * 100 + 0.5) / 100 AS p95_exact
         |FROM marks GROUP BY l_returnflag""".stripMargin,
+    // Bounded-state approx aggregates, ORACLE-CHECKED: rank-k replica
+    // of the portable KMV estimate (same arithmetic as the proven
+    // sketch_kmv_distinct row) + a count-histogram discrete median —
+    // the picked price is an original value (no arithmetic), so the
+    // double survives the hash compare bit-for-bit.
+    "sub_approx_aggs" ->
+      s"""WITH li AS (SELECT l_returnflag, l_extendedprice AS price,
+         |    ${graft.functions.PortableHash.sqlH48("CAST(l_partkey AS VARCHAR)")} AS h
+         |  FROM lineitem),
+         |hh AS (SELECT DISTINCT l_returnflag, h FROM li),
+         |r AS (SELECT l_returnflag, h,
+         |    row_number() OVER (PARTITION BY l_returnflag ORDER BY h) AS rn FROM hh),
+         |kmv AS (SELECT l_returnflag, CAST(count(*) AS BIGINT) AS k_used,
+         |    CASE WHEN count(*) < 64 THEN cast(count(*) as double)
+         |         ELSE ${graft.operators.PortableRound.sql(
+                  "CAST(63.0 AS DOUBLE) * CAST(281474976710656.0 AS DOUBLE) / max(h)", 4)} END AS est_parts
+         |  FROM r WHERE rn <= 64 GROUP BY 1),
+         |pc AS (SELECT l_returnflag, price, count(*) AS c FROM li GROUP BY 1, 2),
+         |cm AS (SELECT l_returnflag, price, c,
+         |    sum(c) OVER (PARTITION BY l_returnflag ORDER BY price) AS cum,
+         |    (sum(c) OVER (PARTITION BY l_returnflag) + 1) // 2 AS target FROM pc),
+         |med AS (SELECT l_returnflag, price AS p50_exact FROM cm
+         |  WHERE cum - c < target AND target <= cum)
+         |SELECT k.l_returnflag, k.k_used, k.est_parts, m.p50_exact
+         |FROM kmv k JOIN med m USING (l_returnflag)""".stripMargin,
     "sub_rollup" ->
       """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
         |  cast(round(sum(cast(o_totalprice as decimal(18,2))), 2) as double) AS total

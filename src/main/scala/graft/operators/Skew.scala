@@ -87,12 +87,51 @@ object Skew {
       .agg(interp("50").as("p50_exact"), interp("95").as("p95_exact"))
   }
 
-  /** Sketch-based approximate aggregates (rows-only vs the oracle —
-    * sketch internals are engine-specific by nature). */
-  def approxAggs(spark: SparkSession, sfDir: String): DataFrame =
-    Tables.lineitem(spark, sfDir)
-      .groupBy(col("l_returnflag"))
-      .agg(
-        approx_count_distinct(col("l_partkey")).as("approx_parts"),
-        round(percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000)), 2).as("p50_approx"))
+  /** Bounded-state approximate aggregates, ORACLE-CHECKABLE: the
+    * portable KMV distinct-count estimate (the same bit-replicable
+    * sketch proven in sketch_kmv_distinct — md5-48 hash space, k=64
+    * minima, (k−1)·2^48/h_k estimator) plus an exact discrete median
+    * twin. Spark's own `approx_count_distinct`/`percentile_approx`
+    * (HLL / quantile-digest) have engine-specific estimates no other
+    * engine can replay; the KMV estimate is a pure function of the
+    * k-th smallest portable hash, so the ESTIMATE itself goes through
+    * the DuckDB gate.
+    *
+    * The median twin is the count-histogram order statistic: collapse
+    * to (flag, price) counts first (map-side combined; the histogram
+    * is value-cardinality-sized, ≪ rows), then a cumulative-sum window
+    * over the per-flag histogram picks the value whose cumulative
+    * count spans ceil(n/2) — contrast with [[percentiles]], whose
+    * row-level window sorts the full table per flag and is the
+    * interpolating variant. No arithmetic touches the returned price,
+    * so the double is bit-exact across engines. */
+  def approxAggs(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    graft.plans.BoundedAggregates.register(spark)
+    val k = Sketches.KmvK
+    val li = Tables.lineitem(spark, sfDir)
+      .select(col("l_returnflag"),
+        graft.functions.PortableHash.md5Hash48(col("l_partkey").cast("string")).as("h"),
+        col("l_extendedprice").as("price"))
+    val est = lit((k - 1) * math.pow(2, 48)) /
+      element_at(col("kmv"), size(col("kmv"))).cast("double")
+    val kmv = li.groupBy(col("l_returnflag"))
+      .agg(call_function("kmv_sketch", col("h"), lit(k)).as("kmv"))
+      .select(col("l_returnflag"),
+        size(col("kmv")).cast("long").as("k_used"),
+        when(size(col("kmv")) < k, size(col("kmv")).cast("double"))
+          .otherwise(PortableRound.pround(est, 4)).as("est_parts"))
+    val hist = li.groupBy(col("l_returnflag"), col("price"))
+      .agg(count(lit(1)).as("c"))
+    val cum = sum(col("c"))
+      .over(Window.partitionBy(col("l_returnflag")).orderBy(col("price")))
+    val med = hist.withColumn("cum", cum)
+      .withColumn("n_all", sum(col("c")).over(Window.partitionBy(col("l_returnflag"))))
+      // lower median rank: integer DIV, not `/` (Column `/` is double
+      // division, which would shift the target by 0.5 on even counts)
+      .withColumn("target", expr("(n_all + 1) DIV 2"))
+      .filter(col("cum") - col("c") < col("target") && col("target") <= col("cum"))
+      .select(col("l_returnflag"), col("price").as("p50_exact"))
+    kmv.join(med, Seq("l_returnflag"))
+  }
 }
