@@ -56,19 +56,21 @@ object IngestStream {
 
   /** wrdn stream — FlatBuffers or JSON framing — with the F2 error
     * filter (ref: scicat_kafka.py:99-110 drops error_encountered;
-    * undecodable payloads → None → dropped, :180-190). */
-  def wrdnStream(messages: DataFrame): DataFrame =
+    * undecodable payloads → None → dropped, :180-190). `carry` names
+    * frame-level columns (e.g. the bus event time) to keep alongside
+    * the decoded body. */
+  def wrdnStream(messages: DataFrame, carry: Seq[String] = Nil): DataFrame =
     typeFiltered(messages, Messages.WrdnId)
-      .select(wrdnUdf(col("value")).as("m"))
+      .select(carry.map(col) :+ wrdnUdf(col("value")).as("m"): _*)
       .filter(col("m").isNotNull)
-      .select(col("m.*"))
+      .select(carry.map(col) :+ col("m.*"): _*)
       .filter(!coalesce(col("error_encountered"), lit(false)))
 
-  def runStartStream(messages: DataFrame): DataFrame =
+  def runStartStream(messages: DataFrame, carry: Seq[String] = Nil): DataFrame =
     typeFiltered(messages, Messages.Pl72Id)
-      .select(pl72Udf(col("value")).as("m"))
+      .select(carry.map(col) :+ pl72Udf(col("value")).as("m"): _*)
       .filter(col("m").isNotNull)
-      .select(col("m.*"))
+      .select(carry.map(col) :+ col("m.*"): _*)
 
   /** P19: sample-attachment reads from fixed NeXus paths
     * (ref: SampleAttachmentConfig, scicat_metadata.py:174-217 — defaults

@@ -61,11 +61,18 @@ object StressHarness {
   /** The file-bus message source: every file in `dir` is one message,
     * `value` = its bytes (the Kafka record-value contract). */
   def fileBus(spark: SparkSession, dir: String, maxFilesPerTrigger: Int): DataFrame =
+    fileBusWithTime(spark, dir, maxFilesPerTrigger).select(col("value"))
+
+  /** Same bus keeping the record timestamp (file mtime here, the Kafka
+    * record timestamp on a real broker) — the event time the lifecycle
+    * join watermarks on. */
+  def fileBusWithTime(spark: SparkSession, dir: String,
+      maxFilesPerTrigger: Int): DataFrame =
     spark.readStream.format("binaryFile")
       .schema(BinaryFileSchema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .load(dir)
-      .select(col("content").as("value"))
+      .select(col("content").as("value"), col("modificationTime"))
 
   /** IngestDemo schema + a pid bound to `<data_file_name>` so every
     * message assembles a DISTINCT pid — what the dedup anti-join and
