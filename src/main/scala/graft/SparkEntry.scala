@@ -978,11 +978,18 @@ object SparkEntry {
         |FROM s""".stripMargin,
     // Sampled decode via the idx1 seek index: only frames 0,2,4,… (cap
     // 4) ever touch the codec — the oracle replays the same sampling.
+    // The Scala side's cap is ALSO encoded (`f < every*cap` = 8): with
+    // today's nFrames = n_chars%5+2 ≤ 6 the stride yields ≤ 3 frames
+    // and the cap never binds, but if the frame-count formula ever
+    // grows past 8 frames both engines now truncate identically
+    // instead of silently diverging.
     "mm_video_sample" ->
       """WITH d AS (SELECT doc_id, CAST(n_chars % 5 + 2 AS INT) AS n,
         |    CAST(n_chars % 24 + 8 AS INT) AS w,
         |    CAST(n_chars % 16 + 8 AS INT) AS h FROM documents),
-        |fs AS (SELECT doc_id, w, h, unnest(range(0, n, 2)) AS f FROM d),
+        |fs AS (SELECT * FROM (
+        |    SELECT doc_id, w, h, unnest(range(0, n, 2)) AS f FROM d)
+        |  WHERE f < 2 * 4),
         |px AS (SELECT doc_id, f, (doc_id + 7 * f + xs.x + ys.y) % 256 AS g
         |  FROM fs,
         |  LATERAL (SELECT unnest(range(0, w)) AS x) xs,

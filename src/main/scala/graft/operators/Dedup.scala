@@ -262,13 +262,24 @@ object Dedup {
     * +30-45% on the blocked-join queries). Lazy = the first ACTION
     * materializes once and later consumers reuse, while merely
     * building the DataFrame (plan guards, .explain, schema-only
-    * callers) stays free. */
+    * callers) stays free.
+    *
+    * Trade-off knob: a localCheckpoint truncates lineage (executor
+    * loss makes downstream stages unrecoverable on a real cluster) and
+    * its blocks live until the session ends. Right for a bench/batch
+    * session that exits after the query; for a long-lived cluster
+    * session set `graft.dedup.checkpointCaps=false` to keep full
+    * lineage (and recomputation) instead. */
   def capHotKeys(rows: DataFrame, keys: Seq[String], cap: Int): DataFrame =
     if (cap == Int.MaxValue) rows
-    else rows.join(
-      broadcast(oversizedKeys(rows, keys, cap).select(keys.map(col): _*)),
-      keys, "left_anti")
-      .localCheckpoint(eager = false)
+    else {
+      val capped = rows.join(
+        broadcast(oversizedKeys(rows, keys, cap).select(keys.map(col): _*)),
+        keys, "left_anti")
+      val checkpoint = rows.sparkSession.conf
+        .getOption("graft.dedup.checkpointCaps").forall(_.toBoolean)
+      if (checkpoint) capped.localCheckpoint(eager = false) else capped
+    }
 
   /** LSH candidate pairs verified by true 3-gram Jaccard ≥ threshold.
     * Same-bucket join → distinct pairs → verification join.

@@ -205,13 +205,28 @@ object VideoCodec {
         p += 8 + size + (size & 1)
       }
       if (idx1 < 0) return Left("no idx1 index")
+      // idx1 offset convention: most muxers store offsets relative to
+      // the 'movi' fourcc, but absolute file offsets are also common
+      // in the wild — probe entry 0 under both interpretations and use
+      // whichever resolves to a real frame chunk (movi-relative wins a
+      // tie; a probe miss falls through to the per-entry error path)
+      def frameChunkAt(off: Int): Boolean =
+        off >= 0 && off + 8 <= payload.length && fccAt(payload, off) == "00dc"
+      val base =
+        if (idx1N == 0) moviFcc
+        else {
+          val first = rdLe32(payload, idx1 + 8)
+          if (frameChunkAt(moviFcc + first)) moviFcc
+          else if (frameChunkAt(first)) 0
+          else moviFcc
+        }
       val picks = Range(0, idx1N, math.max(1, every)).take(cap)
       val out = ArrayBuffer.empty[VideoFrame]
       var err: String = null
       picks.foreach { f =>
         if (err == null) {
           val entry = idx1 + 16 * f
-          val off = moviFcc + rdLe32(payload, entry + 8)
+          val off = base + rdLe32(payload, entry + 8)
           val len = rdLe32(payload, entry + 12)
           if (off + 8 + len > payload.length || fccAt(payload, off) != "00dc")
             err = s"bad idx1 entry for frame $f"

@@ -77,10 +77,19 @@ object StreamSources {
       "kafka.bootstrap.servers" -> bootstrapServers.mkString(","),
       "subscribe" -> topics.mkString(","),
       // the source accepts only earliest/latest (or offset JSON); the
-      // consumer value "none" and empties fall back to the reference
-      // default rather than crashing the stream at start
-      "startingOffsets" -> norm.get("auto_offset_reset")
-        .filter(v => v == "earliest" || v == "latest").getOrElse("earliest")) ++
+      // value is TRIMMED first ("latest " must mean latest, not a
+      // silent full-topic reprocess), then "none"/empties/typos fall
+      // back to the reference default — with a warning, because a
+      // silent earliest fallback on a typo re-ingests the whole topic
+      (norm.get("auto_offset_reset").map(_.trim) match {
+        case Some(v @ ("earliest" | "latest")) => "startingOffsets" -> v
+        case Some(other) =>
+          org.apache.log4j.Logger.getLogger(getClass).warn(
+            s"unrecognized auto_offset_reset '$other': falling back to 'earliest' " +
+              "(full-topic reprocess); use 'earliest' or 'latest'")
+          "startingOffsets" -> "earliest"
+        case None => "startingOffsets" -> "earliest"
+      })) ++
       passthrough ++ jaas ++
       maxOffsetsPerTrigger.map(n => "maxOffsetsPerTrigger" -> n.toString) // A8
   }

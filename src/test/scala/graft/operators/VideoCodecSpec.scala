@@ -39,6 +39,34 @@ class VideoCodecSpec extends AnyFunSuite {
     assert(capped.map(_.index) == Seq(0, 1, 2))
   }
 
+  test("idx1 absolute-offset convention is detected and decodes identically") {
+    // rewrite the movi-relative idx1 offsets of a real AVI into
+    // absolute file offsets — the other convention found in the wild —
+    // and expect the same sampled frames out
+    val avi = VideoCodec.encodeAvi(docId = 9L, n = 6, w = 12, h = 9)
+    def le32(b: Array[Byte], p: Int): Int =
+      (b(p) & 0xff) | ((b(p + 1) & 0xff) << 8) |
+        ((b(p + 2) & 0xff) << 16) | ((b(p + 3) & 0xff) << 24)
+    def wrLe32(b: Array[Byte], p: Int, v: Int): Unit = {
+      b(p) = v.toByte; b(p + 1) = (v >> 8).toByte
+      b(p + 2) = (v >> 16).toByte; b(p + 3) = (v >> 24).toByte
+    }
+    val moviFcc = avi.indexOfSlice("movi".getBytes("US-ASCII"))
+    val idx1Hdr = avi.indexOfSlice("idx1".getBytes("US-ASCII"))
+    assert(moviFcc > 0 && idx1Hdr > moviFcc)
+    val abs = avi.clone()
+    val nEntries = le32(abs, idx1Hdr + 4) / 16
+    for (f <- 0 until nEntries) {
+      val offField = idx1Hdr + 8 + 16 * f + 8
+      wrLe32(abs, offField, le32(abs, offField) + moviFcc)
+    }
+    val Right(rel) = VideoCodec.decodeSampled(avi, every = 2, cap = 4)
+    val Right(got) = VideoCodec.decodeSampled(abs, every = 2, cap = 4)
+    assert(got.map(_.index) == rel.map(_.index))
+    for ((a, b) <- got.zip(rel); y <- 0 until 9; x <- 0 until 12)
+      assert(a.decoded.luma(x, y) == b.decoded.luma(x, y))
+  }
+
   test("MJPG frames decode through the same container walk (lossy, dims exact)") {
     val bytes = VideoCodec.encodeAvi(docId = 2L, n = 3, w = 16, h = 16, fcc = "MJPG")
     val Right(frames) = VideoCodec.decode(bytes)

@@ -87,10 +87,17 @@ class KafkaOptionsSpec extends AnyFunSuite {
       """org.apache.kafka.common.security.plain.PlainLoginModule required username="sv\\c" password="pa\"ss;word";""")
     // the consumer value "none" and empties are not valid Spark
     // startingOffsets — fall back to the reference default, don't crash
-    for (bad <- Seq("", "none", "latest ")) {
+    for (bad <- Seq("", "none", "lattest")) {
       val o = StreamSources.kafkaSourceOptions(
         Seq("b"), Seq("t"), Map("auto_offset_reset" -> bad))
       assert(o("startingOffsets") == "earliest", s"reset '$bad'")
+    }
+    // whitespace-padded values are TRIMMED, not silently coerced to a
+    // full-topic reprocess: "latest " means latest
+    for (padded <- Seq("latest ", " latest", "earliest\t")) {
+      val o = StreamSources.kafkaSourceOptions(
+        Seq("b"), Seq("t"), Map("auto_offset_reset" -> padded))
+      assert(o("startingOffsets") == padded.trim, s"reset '$padded'")
     }
     // dotted + snake variants of one key: snake wins, deterministically
     val dup = StreamSources.kafkaSourceOptions(

@@ -64,6 +64,29 @@ class MediaAdmissionSpec extends AnyFunSuite {
     assert(admitted.length == 1 && admitted.head.getAs[Long]("dup_of") == 100L)
   }
 
+  test("validateVideo admits genuine MJPG containers: dims exact, corrupt JPEG degrades") {
+    import graft.operators.VideoCodec
+    // a real JPEG-frame AVI (lossy codec: assert dims + admission, not
+    // pixel arithmetic — the PNG twin covers that)
+    val mjpg = VideoCodec.encodeAvi(5L, 3, 24, 18, fcc = "MJPG")
+    val rows = MediaAdmission.validateVideo(Seq((1L, mjpg)).toDF("doc_id", "payload"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(rows(1L).getBoolean(1), s"MJPG admission failed: ${rows(1L).getString(2)}")
+    assert(rows(1L).getInt(3) == 24 && rows(1L).getInt(4) == 18)
+    assert(!rows(1L).isNullAt(5) && !rows(1L).isNullAt(6),
+      "keyframe ahash must be computed for MJPG too")
+    // corrupt frame 0's JPEG SOI marker (FF D8): the container walk
+    // still finds the chunk, the per-frame codec failure must surface
+    // through the failure channel, not throw
+    val corrupt = mjpg.clone()
+    val soi = corrupt.indexOfSlice(Seq(0xff.toByte, 0xd8.toByte))
+    assert(soi > 0)
+    corrupt(soi) = 0x00
+    val bad = MediaAdmission.validateVideo(Seq((2L, corrupt)).toDF("doc_id", "payload"))
+      .collect().head
+    assert(!bad.getBoolean(1) && bad.getString(2) != null)
+  }
+
   test("admission gate routes duplicate / novel / corrupt correctly") {
     // corpus census over the real decoded corpus images
     val census = ImageCodec.imageAHash(spark, sfDir).localCheckpoint()
