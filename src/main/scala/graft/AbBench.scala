@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Warmed-JVM A/B micro-harness: times named DataFrame thunks
+  * back-to-back, interleaved, in ONE JVM — the instrument BENCHNOTES
+  * entries come from. Exists because judge-recorded perf deltas on
+  * this box have shown 4.2× load-noise swings across JVMs ([[Bench]]
+  * commentary); an interleaved same-process A/B is the only
+  * measurement that survives that.
+  *
+  * Usage: `runMain graft.AbBench <sfDir> <case>[,<case>…]` where each
+  * case is a key of [[cases]]. Prints one JSON line per case with the
+  * per-pass times and the median.
+  */
+object AbBench {
+
+  /** Each case: (label, thunk). Add pairs here when a round needs an
+    * A/B that isn't a declared query (e.g. a parameter variant). */
+  def cases(spark: SparkSession, sfDir: String)
+      : Map[String, () => org.apache.spark.sql.DataFrame] = Map(
+    "winnow_recall_full" ->
+      (() => operators.Dedup.winnowRecallEval(spark, sfDir)),
+    "winnow_recall_slice2" ->
+      (() => operators.Dedup.winnowRecallEval(spark, sfDir,
+        docIdModulus = 2, docIdResidue = 1)),
+    "winnow_recall_slice4" ->
+      (() => operators.Dedup.winnowRecallEval(spark, sfDir,
+        docIdModulus = 4, docIdResidue = 1)))
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args(0)
+    val names = args(1).split(",").map(_.trim).filter(_.nonEmpty).toSeq
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val cs = cases(spark, sfDir)
+    def once(n: String): Double = {
+      val t0 = System.nanoTime()
+      cs(n)().write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    names.foreach(once) // warm-up pass, unreported
+    val passes = 3
+    val times = collection.mutable.Map.empty[String, Vector[Double]]
+    for (_ <- 1 to passes; n <- names)
+      times(n) = times.getOrElse(n, Vector.empty) :+ once(n)
+    for (n <- names) {
+      val ts = times(n)
+      val med = ts.sorted.apply(ts.size / 2)
+      println(s"""{"case":"$n","passes":[${
+        ts.map(t => f"$t%.3f").mkString(",")}],"median":${f"$med%.3f"}}""")
+    }
+    spark.stop()
+  }
+}

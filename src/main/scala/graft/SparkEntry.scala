@@ -115,6 +115,7 @@ object SparkEntry {
     "corpus_vocab_topk" -> ((s: SparkSession, d: String) => Corpus.vocabTopK(s, d)),
     "corpus_bpe_merges" -> ((s: SparkSession, d: String) => Corpus.bpeLearnedMerges(s, d)),
     "corpus_bpe_encode" -> ((s: SparkSession, d: String) => Corpus.bpeEncode(s, d)),
+    "corpus_bpe_vocab" -> ((s: SparkSession, d: String) => Corpus.bpeVocab(s, d)),
     "corpus_pmi_topk" -> ((s: SparkSession, d: String) => Corpus.pmiTopK(s, d)),
     "corpus_context_windows" -> ((s: SparkSession, d: String) => Corpus.contextWindows(s, d)),
     "corpus_shuffle_order" -> ((s: SparkSession, d: String) => Corpus.shuffleOrder(s, d)),
@@ -164,6 +165,10 @@ object SparkEntry {
     "dedup_winnow_pairs" -> ((s: SparkSession, d: String) => Dedup.winnowSharedPairs(s, d)),
     "graph_pagerank_neardup" -> ((s: SparkSession, d: String) => GraphOps.pagerankNearDup(s, d)),
     "dedup_winnow_recall" -> ((s: SparkSession, d: String) => Dedup.winnowRecallEval(s, d)),
+    "dedup_winnow_recall_slice2" -> ((s: SparkSession, d: String) =>
+      Dedup.winnowRecallEval(s, d, docIdModulus = 2, docIdResidue = 1)),
+    "dedup_containment_pairs" -> ((s: SparkSession, d: String) =>
+      Dedup.containmentPairs(s, d)),
     "text_quality_model" -> ((s: SparkSession, d: String) => TextAnalysis.qualityModelScore(s, d)),
     "text_char_diversity" -> ((s: SparkSession, d: String) => TextAnalysis.charDiversity(s, d)),
     "text_ngram_novelty" -> ((s: SparkSession, d: String) => TextAnalysis.ngramNovelty(s, d)),
@@ -245,7 +250,12 @@ object SparkEntry {
     // round-7 additions (real video codec + CMS heavy hitters + audio fp
     // + BPE tokenizer application):
     "mm_decode_video", "mm_video_sample", "sketch_cms_heavy", "mm_audio_fp",
-    "corpus_bpe_encode")
+    "corpus_bpe_encode",
+    // round-8 additions (sequential-BPE vocab, the sliced recall eval
+    // whose timing demonstrates the calibration-slice escape hatch,
+    // and asymmetric containment dedup):
+    "corpus_bpe_vocab", "dedup_winnow_recall_slice2",
+    "dedup_containment_pairs")
 
   // --- generated DuckDB replicas of the portable-hash queries ----------
 
@@ -281,8 +291,10 @@ object SparkEntry {
   /** Winnowing CTE prefix shared by the fingerprint query and the
     * shared-pair join: positional 3-grams, packed (hash, pos) keys,
     * w=4 window minima over full windows. */
-  private def winnowCte: String =
-    s"""WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+  /** `where` restricts the corpus (e.g. the calibration slice of the
+    * sliced recall eval); empty = full corpus. */
+  private def winnowCte(where: String = ""): String =
+    s"""WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents$where),
        |g AS (SELECT doc_id, unnest(generate_series(1, len(w) - 2)) AS i, w FROM ws),
        |gr AS (SELECT doc_id, i, array_to_string(w[i:i+2], ' ') AS gram FROM g
        |  WHERE i - 1 < 32768),
@@ -296,6 +308,38 @@ object SparkEntry {
        |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS cnt
        |  FROM k)""".stripMargin
 
+  /** Winnow-recall replica, parameterized by the calibration-slice
+    * predicate (shared by the full and sliced declared queries —
+    * byte-identical chains except the corpus restriction). */
+  private def winnowRecallOracle(where: String = ""): String =
+    s"""${winnowCte(where)},
+      |fp AS (SELECT DISTINCT doc_id, wmin // 32768 AS fp_hash
+      |  FROM m WHERE cnt = 4),
+      |cand AS (SELECT a.doc_id AS id1, b.doc_id AS id2
+      |  FROM fp a JOIN fp b ON a.fp_hash = b.fp_hash AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2 HAVING count(*) >= 3),
+      |sh AS (SELECT doc_id, unnest(list_distinct(
+      |  [array_to_string(w[i:i+2], ' ') for i in range(1, len(w) - 1)])) AS s
+      |  FROM ws WHERE len(w) >= 3),
+      |ns AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+      |pr AS (SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS shared
+      |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+      |truth AS (SELECT id1, id2
+      |  FROM pr JOIN ns t1 ON id1 = t1.doc_id JOIN ns t2 ON id2 = t2.doc_id
+      |  WHERE shared * 100 >= 35 * (t1.n_sh + t2.n_sh - shared)),
+      |j AS (SELECT coalesce(t.id1, c.id1) AS id1,
+      |    CASE WHEN t.id1 IS NULL THEN 0 ELSE 1 END AS in_truth,
+      |    CASE WHEN c.id1 IS NULL THEN 0 ELSE 1 END AS in_cand
+      |  FROM truth t FULL OUTER JOIN cand c
+      |    ON t.id1 = c.id1 AND t.id2 = c.id2),
+      |agg AS (SELECT CAST(sum(in_truth) AS BIGINT) AS n_truth,
+      |    CAST(sum(in_cand) AS BIGINT) AS n_cand,
+      |    CAST(sum(in_truth * in_cand) AS BIGINT) AS n_hit FROM j)
+      |SELECT n_truth, n_cand, n_hit,
+      |  (n_hit * 1000000) // n_truth AS recall_micro,
+      |  (n_hit * 1000000) // n_cand AS precision_micro
+      |FROM agg""".stripMargin
+
   /** PageRank replica: replays the integer fixed-point iteration of
     * [[graft.operators.GraphOps.pagerankNearDup]] — same edge list
     * (winnow-pair graph), same micro-unit floor divisions — so every
@@ -308,7 +352,7 @@ object SparkEntry {
          |    FROM e JOIN dg ON e.src = dg.src JOIN r${k - 1} r ON e.src = r.doc_id
          |    GROUP BY 1) s ON d.doc_id = s.doc_id)""".stripMargin
     }.mkString(",\n")
-    s"""$winnowCte,
+    s"""${winnowCte()},
        |fp AS (SELECT DISTINCT doc_id, wmin // 32768 AS fp_hash
        |  FROM m WHERE cnt = 4),
        |p AS (SELECT a.doc_id AS id1, b.doc_id AS id2
@@ -754,12 +798,12 @@ object SparkEntry {
     // Winnowing: key packs (hash, pos) so the window min is the
     // lexicographic pair min — all integer, bit-identical by design.
     "text_winnow_fp" ->
-      s"""$winnowCte
+      s"""${winnowCte()}
         |SELECT DISTINCT doc_id, CAST(wmin % 32768 AS INT) AS pos,
         |  wmin // 32768 AS fp_hash
         |FROM m WHERE cnt = 4""".stripMargin,
     "dedup_winnow_pairs" ->
-      s"""$winnowCte,
+      s"""${winnowCte()},
         |fp AS (SELECT DISTINCT doc_id, wmin // 32768 AS fp_hash
         |  FROM m WHERE cnt = 4),
         |p AS (SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS n_shared
@@ -771,34 +815,30 @@ object SparkEntry {
     // Composes the winnow CTE chain (candidates) with the exact
     // shingle-Jaccard chain (truth) over the SHARED ws CTE; the
     // threshold test is integer cross-multiplied like the Spark side.
-    "dedup_winnow_recall" ->
-      s"""WITH ${winnowCte.stripPrefix("WITH ")},
-        |fp AS (SELECT DISTINCT doc_id, wmin // 32768 AS fp_hash
-        |  FROM m WHERE cnt = 4),
-        |cand AS (SELECT a.doc_id AS id1, b.doc_id AS id2
-        |  FROM fp a JOIN fp b ON a.fp_hash = b.fp_hash AND a.doc_id < b.doc_id
-        |  GROUP BY 1, 2 HAVING count(*) >= 3),
+    "dedup_winnow_recall" -> winnowRecallOracle(),
+    // The 100 TB shape of the same eval: BOTH sides restricted to the
+    // doc_id % 2 = 1 calibration slice (mod 2 keeps the slice truth
+    // non-empty at every test SF; an empty-truth slice would divide by
+    // zero in recall_micro on both engines).
+    "dedup_winnow_recall_slice2" ->
+      winnowRecallOracle(" WHERE doc_id % 2 = 1"),
+    // Containment (asymmetric doc-in-doc) dedup: same shared-shingle
+    // chain as the Jaccard/truth oracles, scored by
+    // shared / min(|A|,|B|) in integer micro-units.
+    "dedup_containment_pairs" ->
+      """WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
         |sh AS (SELECT doc_id, unnest(list_distinct(
-        |  [array_to_string(w[i:i+2], ' ') for i in range(1, len(w) - 1)])) AS s
+        |    [array_to_string(w[i:i+2], ' ') for i in range(1, len(w) - 1)])) AS s
         |  FROM ws WHERE len(w) >= 3),
         |ns AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
         |pr AS (SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS shared
         |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
-        |truth AS (SELECT id1, id2
-        |  FROM pr JOIN ns t1 ON id1 = t1.doc_id JOIN ns t2 ON id2 = t2.doc_id
-        |  WHERE shared * 100 >= 35 * (t1.n_sh + t2.n_sh - shared)),
-        |j AS (SELECT coalesce(t.id1, c.id1) AS id1,
-        |    CASE WHEN t.id1 IS NULL THEN 0 ELSE 1 END AS in_truth,
-        |    CASE WHEN c.id1 IS NULL THEN 0 ELSE 1 END AS in_cand
-        |  FROM truth t FULL OUTER JOIN cand c
-        |    ON t.id1 = c.id1 AND t.id2 = c.id2),
-        |agg AS (SELECT CAST(sum(in_truth) AS BIGINT) AS n_truth,
-        |    CAST(sum(in_cand) AS BIGINT) AS n_cand,
-        |    CAST(sum(in_truth * in_cand) AS BIGINT) AS n_hit FROM j)
-        |SELECT n_truth, n_cand, n_hit,
-        |  (n_hit * 1000000) // n_truth AS recall_micro,
-        |  (n_hit * 1000000) // n_cand AS precision_micro
-        |FROM agg""".stripMargin,
+        |c AS (SELECT id1, id2, shared, t1.n_sh AS n1, t2.n_sh AS n2,
+        |    (shared * 1000000) // least(t1.n_sh, t2.n_sh) AS containment_micro
+        |  FROM pr JOIN ns t1 ON id1 = t1.doc_id JOIN ns t2 ON id2 = t2.doc_id)
+        |SELECT id1, id2, shared, n1, n2, containment_micro FROM c
+        |WHERE containment_micro >= 700000
+        |ORDER BY containment_micro DESC, id1, id2 LIMIT 50""".stripMargin,
     // Per-dimension sums in DECIMAL(38,30) (exact, order-independent);
     // dist2 = list_dot_product(diff, diff) matches Spark's index-order
     // zip_with fold bit for bit (same pattern as the cosine oracles).
@@ -1722,13 +1762,16 @@ object SparkEntry {
     // binary-collation total order, so every round's rule and rewrite
     // match bit-for-bit; counts CAST to BIGINT (DuckDB sum promotes to
     // HUGEINT, the round-5 dtype red).
-    "corpus_bpe_merges" -> Corpus.bpeOracleSql(16, encode = false),
+    "corpus_bpe_merges" -> Corpus.bpeOracleSql(16, "merges"),
     // BPE encode: the same 16 unrolled learning rounds; the final
     // working table w16 IS the encode of the whole vocabulary (each
     // rule was applied the moment it was learned — identical to
     // folding the finished rule chain over the initial spaced form),
     // restricted to the frequency head.
-    "corpus_bpe_encode" -> Corpus.bpeOracleSql(16, encode = true),
+    "corpus_bpe_encode" -> Corpus.bpeOracleSql(16, "encode"),
+    // The vocab.json half of the tokenizer release: final token
+    // inventory from the same 16 unrolled learning rounds.
+    "corpus_bpe_vocab" -> Corpus.bpeOracleSql(16, "vocab"),
     // PMI collocations: rank by the rational score N·c_xy/(c_x·c_y)
     // (log is monotone — never evaluated); one exact integer product
     // per side, one IEEE division, ORDER BY the rounded score so the

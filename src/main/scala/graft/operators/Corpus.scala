@@ -303,14 +303,36 @@ object Corpus {
       .select(col("w"), col("freq"), col("encoded"), col("n_tokens"))
   }
 
+  /** The final BPE vocabulary — the token inventory (with weighted
+    * occurrence counts) the learned tokenizer actually produces over
+    * the corpus, i.e. the `vocab.json` half of a tokenizer release
+    * next to [[bpeLearnedMerges]]' merges.txt. Multi-char learned
+    * tokens rank at the top by construction (they were merged BECAUSE
+    * they were frequent).
+    *
+    * Scale: same shape as [[bpeEncode]] — the rule chain compiles into
+    * literals, the token explode runs over the distinct-word table
+    * (Heaps-bounded), one map-side-combined count shuffle, then
+    * distributed top-k. */
+  def bpeVocab(spark: SparkSession, sfDir: String,
+      kMerges: Int = 16, k: Int = 100): DataFrame = {
+    val merges = learnBpeRules(spark, sfDir, kMerges).map(_._1)
+    val encodedCol = merges.foldLeft(bpeSpaced)(bpeApply)
+    bpeWordFreq(spark, sfDir)
+      .select(col("freq"), explode(split(trim(encodedCol), " ")).as("token"))
+      .groupBy(col("token")).agg(sum(col("freq")).as("n_occurrences"))
+      .orderBy(col("n_occurrences").desc, col("token")).limit(k)
+  }
+
   /** The unrolled DuckDB oracle for [[bpeLearnedMerges]] /
-    * [[bpeEncode]]: k rounds of (pair-count → argmax → rewrite) CTEs
+    * [[bpeEncode]] / [[bpeVocab]] (`mode` ∈ merges|encode|vocab):
+    * k rounds of (pair-count → argmax → rewrite) CTEs
     * replaying the sequential learner exactly — `replace` and binary
     * string ordering are identical in both engines, so every round's
     * argmax and rewrite match bit-for-bit. CTEs are MATERIALIZED:
     * w{r} is referenced twice per round, so inlined CTEs would expand
     * the scan tree exponentially (2^k parquet scans). */
-  def bpeOracleSql(k: Int, encode: Boolean, kWords: Int = 100): String = {
+  def bpeOracleSql(k: Int, mode: String, kWords: Int = 100): String = {
     val ctes = scala.collection.mutable.ArrayBuffer(
       "t AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents)",
       """f AS MATERIALIZED (SELECT w, count(*) AS freq FROM t
@@ -327,18 +349,22 @@ object Corpus {
       ctes += s"""w${r + 1} AS MATERIALIZED (SELECT w, freq, replace(s, ' ' || b.pair || ' ',
         |  ' ' || replace(b.pair, ' ', '') || ' ') AS s FROM w$r, b$r b)""".stripMargin
     }
-    val fin =
-      if (encode) {
+    val fin = mode match {
+      case "encode" =>
         ctes += s"wtop AS (SELECT w FROM f ORDER BY freq DESC, w LIMIT $kWords)"
         s"""SELECT w, CAST(freq AS BIGINT) AS freq, trim(s) AS encoded,
            |  CAST(len(string_split(trim(s), ' ')) AS BIGINT) AS n_tokens
            |FROM w$k WHERE w IN (SELECT w FROM wtop)""".stripMargin
-      } else {
+      case "vocab" =>
+        s"""SELECT token, CAST(sum(freq) AS BIGINT) AS n_occurrences
+           |FROM (SELECT freq, unnest(string_split(trim(s), ' ')) AS token FROM w$k)
+           |GROUP BY 1 ORDER BY n_occurrences DESC, token LIMIT $kWords""".stripMargin
+      case _ =>
         val sel = (0 until k).map(r =>
           s"SELECT CAST(${r + 1} AS BIGINT) AS rank, pair, " +
             s"replace(pair, ' ', '') AS merged, n FROM b$r").mkString(" UNION ALL ")
         s"SELECT * FROM ($sel) ORDER BY rank"
-      }
+    }
     "WITH " + ctes.mkString(",\n") + "\n" + fin
   }
 

@@ -562,8 +562,12 @@ object Dedup {
   def winnowSharedPairsAll(spark: SparkSession, sfDir: String,
       minShared: Int = 3, maxFpFreq: Int = 4096,
       docIdModulus: Int = 1, docIdResidue: Int = 0): DataFrame = {
-    val allFp = graft.operators.TextAnalysis.winnowFingerprints(spark, sfDir)
+    // the slice predicate sits BELOW the gram explode/window: a 1/m
+    // calibration slice pays 1/m of the fingerprint scan, not just a
+    // post-hoc filter over full-corpus fingerprints
+    val docs = Tables.documents(spark, sfDir)
       .filter(pmod(col("doc_id"), lit(docIdModulus.toLong)) === docIdResidue.toLong)
+    val allFp = graft.operators.TextAnalysis.winnowFingerprints(docs, 4)
       .select(col("doc_id"), col("fp_hash")).distinct()
       .localCheckpoint()
     // hot-fingerprint cap (license headers, site chrome): identical
@@ -627,6 +631,42 @@ object Dedup {
       .select(col("n_truth"), col("n_cand"), col("n_hit"),
         expr("(n_hit * 1000000) DIV n_truth").as("recall_micro"),
         expr("(n_hit * 1000000) DIV n_cand").as("precision_micro"))
+  }
+
+  /** CONTAINMENT dedup — the asymmetric cousin of Jaccard that
+    * training pipelines need for doc-IN-doc duplication: a short
+    * document quoted wholesale inside a long one has tiny Jaccard
+    * (the union is dominated by the long doc) but containment ≈ 1.
+    * Score = shared_shingles / min(|A|, |B|) in exact micro-units
+    * (integer DIV, no float), thresholded and top-k ranked with a
+    * total-order boundary (containment desc, id1, id2).
+    *
+    * Scale: identical blocked-self-join shape to the Jaccard path —
+    * shingle-keyed equi-join (never the pair space) with the
+    * [[capHotKeys]] hot-shingle cap + [[oversizedKeys]] alert channel;
+    * denominators are computed BEFORE the cap so the score stays true
+    * (the cap only prunes candidate generation, and like the ngram
+    * path the default cap is far above any test-SF shingle so the
+    * declared oracle is unaffected). */
+  def containmentPairs(spark: SparkSession, sfDir: String,
+      pct: Int = 70, k: Int = 50, maxShingleFreq: Int = 4096): DataFrame = {
+    val sh = withShingles(Tables.documents(spark, sfDir))
+      .select(col("doc_id"), size(col("sh")).cast("long").as("n_sh"),
+        explode_outer(col("sh")).as("s"))
+      .filter(col("s").isNotNull)
+    val capped = capHotKeys(sh, Seq("s"), maxShingleFreq)
+    val a = capped.select(col("s"), col("doc_id").as("id1"), col("n_sh").as("n1"))
+    val b = capped.select(col("s").as("s2"), col("doc_id").as("id2"),
+      col("n_sh").as("n2"))
+    a.join(b.hint("shuffle_merge"),
+        col("s") === col("s2") && col("id1") < col("id2"))
+      .groupBy(col("id1"), col("id2"))
+      .agg(count(lit(1)).as("shared"),
+        max(col("n1")).as("n1"), max(col("n2")).as("n2"))
+      .withColumn("containment_micro",
+        expr("(shared * 1000000) DIV least(n1, n2)"))
+      .filter(col("containment_micro") >= pct * 10000L)
+      .orderBy(col("containment_micro").desc, col("id1"), col("id2")).limit(k)
   }
 
   /** The exact shingle-Jaccard ground-truth pair set behind

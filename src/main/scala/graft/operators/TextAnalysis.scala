@@ -368,10 +368,16 @@ object TextAnalysis {
     * grouping key → no second exchange). Fingerprint volume per doc is
     * bounded by the winnow density, the property that makes the
     * downstream (fingerprint)-keyed overlap join tractable. */
-  def winnowFingerprints(spark: SparkSession, sfDir: String, w: Int = 4): DataFrame = {
+  def winnowFingerprints(spark: SparkSession, sfDir: String, w: Int = 4): DataFrame =
+    winnowFingerprints(Tables.documents(spark, sfDir), w)
+
+  /** Same, over a caller-supplied document slice — lets the sliced
+    * recall eval push its calibration predicate BELOW the gram explode
+    * instead of filtering fingerprints after the fact. */
+  def winnowFingerprints(docs: DataFrame, w: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val words = col("__w")
-    val grams = Tables.documents(spark, sfDir)
+    val grams = docs
       .withColumn("__w", split(col("text"), " "))
       .select(col("doc_id"), posexplode(
         when(size(words) >= 3,

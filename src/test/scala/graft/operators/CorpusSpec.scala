@@ -156,6 +156,20 @@ class CorpusSpec extends AnyFunSuite {
       ((i + 1).toLong, p, p.replace(" ", ""), n) })
   }
 
+  test("bpe vocab: token inventory recounts from the reference learner's final state") {
+    val freqs = bpeWordFreqs
+    val (_, finalSpaced) = referenceBpe(freqs, 16)
+    val expect = finalSpaced.toSeq
+      .flatMap { case (w, s) => s.split(" ").map(_ -> freqs(w)) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    val got = Corpus.bpeVocab(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+    assert(got.nonEmpty && got.forall { case (t, n) => expect(t) == n })
+    // ranked (n desc, token) with learned multi-char tokens present
+    assert(got.map(_._2).sliding(2).forall(p => p.length < 2 || p(0) >= p(1)))
+    assert(got.exists(_._1.length >= 3), "no learned multi-char token in the vocab")
+  }
+
   test("bpe encode: replace-chain recount, lossless re-join, compression monotone") {
     val merges = Corpus.learnBpeRules(spark, sfDir, 16).map(_._1)
     val rows = Corpus.bpeEncode(spark, sfDir).collect()

@@ -108,13 +108,38 @@ class DedupSpec extends AnyFunSuite {
     val ngWide = Dedup.ngramJaccardTopPairs(spark, sf01,
       maxShingleFreq = Int.MaxValue).collect().toSet
     assert(ngDflt == ngWide, "no test-SF shingle may trip the default ngram cap")
+    // containment shares the chain: default cap invisible, row-for-row
+    val ctDflt = Dedup.containmentPairs(spark, sf01).collect().toSet
+    val ctWide = Dedup.containmentPairs(spark, sf01,
+      maxShingleFreq = Int.MaxValue).collect().toSet
+    assert(ctDflt == ctWide, "no test-SF shingle may trip the containment cap")
     // … and cap=0 empties candidate generation in each path
+    assert(Dedup.containmentPairs(spark, sf01, maxShingleFreq = 0).count() == 0)
     assert(Dedup.winnowSharedPairsAll(spark, sf01, maxFpFreq = 0).count() == 0)
     assert(Dedup.ngramJaccardTopPairs(spark, sf01, maxShingleFreq = 0).count() == 0)
     assert(Dedup.simhashCandidates(spark, sf01, maxBucketSize = 0).count() == 0)
     val simDflt = Dedup.simhashCandidates(spark, sf01).count()
     val simWide = Dedup.simhashCandidates(spark, sf01, maxBucketSize = Int.MaxValue).count()
     assert(simDflt == simWide, "no test-SF simhash band may trip the default cap")
+  }
+
+  test("containment pairs: driver recount, exact dups score 1.0, asymmetry vs Jaccard") {
+    import org.apache.spark.sql.functions.{col, explode, size => fsize}
+    val sh = Dedup.withShingles(graft.Tables.documents(spark, sf01))
+      .select(col("doc_id"), col("sh")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1).toSet).toMap
+    val rows = Dedup.containmentPairs(spark, sf01).collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      val (id1, id2, shared, n1, n2, cm) = (r.getLong(0), r.getLong(1),
+        r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+      val inter = (sh(id1) intersect sh(id2)).size.toLong
+      assert(shared == inter && n1 == sh(id1).size.toLong && n2 == sh(id2).size.toLong)
+      assert(cm == shared * 1000000L / math.min(n1, n2) && cm >= 700000L)
+    }
+    // exact duplicates (sf0.1 carries them) sit at containment 1.0
+    assert(rows.exists(_.getLong(5) == 1000000L),
+      "exact dups must score containment exactly 1.0")
   }
 
   test("winnow recall sampling knob: slice truth == full truth restricted to the slice") {
