@@ -377,10 +377,19 @@ object Substrate {
     // serializes through one task.
     def zoneMaps(ordered: Seq[org.apache.spark.sql.Column]) = {
       val parts = math.max(keys.sparkSession.sessionState.conf.numShufflePartitions, 1)
+      // localCheckpoint is CORRECTNESS here, not just reuse: the
+      // offsets table and the final join both consume `ranked`, and
+      // range-exchange sample seeds derive from RDD ids — computed as
+      // two independent subtrees the two sides can draw DIFFERENT
+      // range boundaries, making the offset table disagree with the
+      // join-side _pid and leaving holes in the global positions
+      // (observed: a phantom extra block at sf0.01). Materializing
+      // once pins a single partitioning for both consumers.
       val ranked = keys.repartitionByRange(parts, ordered: _*)
         .withColumn("_pid", spark_partition_id())
         .withColumn("_rn", row_number().over(
           Window.partitionBy(col("_pid")).orderBy(ordered: _*)).cast("long") - 1)
+        .localCheckpoint(eager = false)
       val offsets = ranked.groupBy(col("_pid")).agg(count(lit(1)).as("_pc"))
         .withColumn("_off", coalesce(sum(col("_pc")).over(Window.orderBy(col("_pid"))
           .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))

@@ -61,6 +61,12 @@ class PlanShapeSpec extends AnyFunSuite {
       s"candidate generation must be the bucket equi-join, not all-pairs:\n$p")
   }
 
+  test("containment pairs: shingle-keyed sort-merge self-join, never all-pairs") {
+    val p = plan("dedup_containment_pairs")
+    assert(p.contains("SortMergeJoin"), s"shingle self-join must shuffle on the key:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+  }
+
   test("f7 anti-join broadcasts the existing-values side") {
     val p = plan("f7_meta_anti")
     assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
@@ -134,6 +140,19 @@ class PlanShapeSpec extends AnyFunSuite {
     val p = plan("corpus_vocab_topk")
     assert(p.contains("TakeOrderedAndProject"),
       s"top-k must keep k rows per partition, not sort the vocabulary:\n$p")
+  }
+
+  test("approx aggs: KMV aggregate is partial; median windows are flag-partitioned") {
+    val p = plan("sub_approx_aggs")
+    // TypedImperativeAggregate with map-side partials (ObjectHashAggregate)
+    assert(p.contains("ObjectHashAggregate") && p.contains("partial_kmv_sketch"),
+      s"KMV must combine map-side:\n$p")
+    // every window carries a partition spec — no single-partition
+    // global window anywhere in this query (the histogram windows
+    // partition by l_returnflag)
+    assert(p.contains("windowspecdefinition(l_returnflag"), p)
+    assert(!p.contains("windowspecdefinition(,") &&
+      !p.contains("SinglePartition, Window"), s"unpartitioned window:\n$p")
   }
 
   test("bpe learning round: pair explode runs over the distinct-word table") {
