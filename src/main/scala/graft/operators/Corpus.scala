@@ -219,16 +219,24 @@ object Corpus {
     * argmax collect — the k driver round-trips are inherent to the
     * algorithm (rule r+1's statistic depends on rule r's rewrite) and
     * touch vocab-sized data only, never the 100 TB token stream. The
-    * rewrite chain stays a lazy codegen'd Column, so round r re-runs
-    * r literal replaces over the cached vocab instead of materializing
-    * intermediate tables. Returns (pair, n) in learned rank order;
-    * stops early iff the vocabulary is fully merged. */
-  def learnBpeRules(spark: SparkSession, sfDir: String, k: Int)
-      : Seq[(String, Long)] = {
-    val words = bpeWordFreq(spark, sfDir).cache()
+    * rewrite chain stays a lazy codegen'd Column, re-running the
+    * accumulated replaces over the cached vocab each round — O(k²)
+    * replace passes total, fine for small k, but at real-tokenizer k
+    * (tens of thousands of merges) both that and Catalyst's analysis
+    * of a k-deep expression tree blow up, so every `checkpointEvery`
+    * rounds the rewritten vocabulary MATERIALIZES (lazy
+    * localCheckpoint) and the chain resets — O(k·checkpointEvery)
+    * work, bounded expression depth, the standard unrolled-iteration
+    * treatment (same as PageRank's per-pass checkpoint). Returns
+    * (pair, n) in learned rank order; stops early iff the vocabulary
+    * is fully merged. */
+  def learnBpeRules(spark: SparkSession, sfDir: String, k: Int,
+      checkpointEvery: Int = 8): Seq[(String, Long)] = {
+    val base = bpeWordFreq(spark, sfDir).withColumn("s", bpeSpaced).cache()
     try {
+      var words = base
       val rules = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
-      var s: Column = bpeSpaced
+      var s: Column = col("s")
       var exhausted = false
       while (rules.length < k && !exhausted) {
         val best = bpeRoundPairCounts(words, s)
@@ -238,10 +246,14 @@ object Corpus {
           val pair = best(0).getString(0)
           rules += ((pair, best(0).getLong(1)))
           s = bpeApply(s, pair)
+          if (rules.length % checkpointEvery == 0) {
+            words = words.withColumn("s", s).localCheckpoint(eager = false)
+            s = col("s")
+          }
         }
       }
       rules.toSeq
-    } finally words.unpersist()
+    } finally base.unpersist()
   }
 
   /** The learned BPE rule table as a query result: (rank, pair,
