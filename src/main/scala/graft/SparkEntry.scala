@@ -169,6 +169,8 @@ object SparkEntry {
       Dedup.winnowRecallEval(s, d, docIdModulus = 2, docIdResidue = 1)),
     "dedup_containment_pairs" -> ((s: SparkSession, d: String) =>
       Dedup.containmentPairs(s, d)),
+    "dedup_substring_spans" -> ((s: SparkSession, d: String) =>
+      Dedup.substringSpanStats(s, d)),
     "text_quality_model" -> ((s: SparkSession, d: String) => TextAnalysis.qualityModelScore(s, d)),
     "text_char_diversity" -> ((s: SparkSession, d: String) => TextAnalysis.charDiversity(s, d)),
     "text_ngram_novelty" -> ((s: SparkSession, d: String) => TextAnalysis.ngramNovelty(s, d)),
@@ -255,7 +257,7 @@ object SparkEntry {
     // whose timing demonstrates the calibration-slice escape hatch,
     // and asymmetric containment dedup):
     "corpus_bpe_vocab", "dedup_winnow_recall_slice2",
-    "dedup_containment_pairs")
+    "dedup_containment_pairs", "dedup_substring_spans")
 
   // --- generated DuckDB replicas of the portable-hash queries ----------
 
@@ -822,6 +824,33 @@ object SparkEntry {
     // zero in recall_micro on both engines).
     "dedup_winnow_recall_slice2" ->
       winnowRecallOracle(" WHERE doc_id % 2 = 1"),
+    // Duplicated-substring span stats (Lee et al. 2021): 20-token
+    // sliding windows keyed by the portable hash; per-doc duplicated-
+    // window count + covered-position fraction, all exact integers.
+    // NB the window index column is `wi`, NOT `i`: sqlH48's
+    // list_transform lambda binds `i`, which would SHADOW a table
+    // column of that name inside the hashed expression (observed as
+    // massive false-duplicate classes before the rename).
+    "dedup_substring_spans" ->
+      s"""WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |tok AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens, w
+        |  FROM ws WHERE len(w) >= 20),
+        |win AS (SELECT doc_id, n_tokens, unnest(range(1, len(w) - 18)) AS wi, w
+        |  FROM tok),
+        |wh AS (SELECT doc_id, n_tokens, wi,
+        |    ${graft.functions.PortableHash.sqlH48(
+             "array_to_string(w[wi:wi+19], ' ')")} AS h FROM win),
+        |hc AS (SELECT h FROM wh GROUP BY h HAVING count(*) > 1),
+        |dup AS (SELECT doc_id, n_tokens, wi FROM wh JOIN hc USING (h)),
+        |pd AS (SELECT doc_id, max(n_tokens) AS n_tokens,
+        |    CAST(count(*) AS BIGINT) AS n_dup_windows FROM dup GROUP BY 1),
+        |cov AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS covered FROM (
+        |    SELECT DISTINCT doc_id, unnest(range(wi, wi + 20)) AS pos FROM dup)
+        |  GROUP BY 1)
+        |SELECT doc_id, n_tokens, n_dup_windows, covered,
+        |  (covered * 1000000) // n_tokens AS covered_pct_micro
+        |FROM pd JOIN cov USING (doc_id)
+        |ORDER BY covered_pct_micro DESC, doc_id LIMIT 50""".stripMargin,
     // Containment (asymmetric doc-in-doc) dedup: same shared-shingle
     // chain as the Jaccard/truth oracles, scored by
     // shared / min(|A|,|B|) in integer micro-units.

@@ -669,6 +669,56 @@ object Dedup {
       .orderBy(col("containment_micro").desc, col("id1"), col("id2")).limit(k)
   }
 
+  /** Duplicated-SUBSTRING span statistics (Lee et al. 2021,
+    * "Deduplicating Training Data Makes Language Models Better"): the
+    * per-document removal statistic behind exact-substring dedup —
+    * every n-token sliding window is hashed, windows whose content
+    * appears more than once ANYWHERE in the corpus are "duplicated",
+    * and each document reports its duplicated-window count and the
+    * fraction of its token positions covered by at least one
+    * duplicated span (exact integer micro-units). A doc near 100%
+    * coverage is a verbatim copy; mid-range coverage is boilerplate
+    * to strip before training.
+    *
+    * Scale: NO self-join anywhere — the window table groups by
+    * content hash (map-side combined; Heaps' law bounds distinct
+    * windows) and repeated hashes join BACK to the window table
+    * equi-keyed, so a boilerplate span shared by f docs costs f rows,
+    * never f². The duplicated subset is checkpointed once for its two
+    * consumers (window count + coverage explode); the coverage
+    * explode (×n) runs over duplicated windows only. The window table
+    * itself is recomputed per consumer rather than materialized — at
+    * corpus scale the token-stream-sized intermediate is the thing
+    * you must NOT persist. */
+  def substringSpanStats(spark: SparkSession, sfDir: String,
+      n: Int = 20, k: Int = 50): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .withColumn("n_tokens", size(col("w")).cast("long"))
+      .filter(col("n_tokens") >= n)
+    val wins = docs
+      .select(col("doc_id"), col("n_tokens"),
+        explode(sequence(lit(1), size(col("w")) - (n - 1))).as("i"), col("w"))
+      .withColumn("h", graft.functions.PortableHash.md5Hash48(
+        concat_ws(" ", slice(col("w"), col("i"), lit(n)))))
+      .drop("w")
+    val repeated = wins.groupBy(col("h"))
+      .agg(count(lit(1)).as("c")).filter(col("c") > 1).select(col("h"))
+    val dup = wins.join(repeated, "h")
+      .select(col("doc_id"), col("n_tokens"), col("i"))
+      .localCheckpoint(eager = false)
+    val perDoc = dup.groupBy(col("doc_id"))
+      .agg(max(col("n_tokens")).as("n_tokens"),
+        count(lit(1)).as("n_dup_windows"))
+    val covered = dup
+      .select(col("doc_id"), explode(sequence(col("i"), col("i") + (n - 1))).as("pos"))
+      .distinct()
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("covered"))
+    perDoc.join(covered, "doc_id")
+      .withColumn("covered_pct_micro", expr("(covered * 1000000) DIV n_tokens"))
+      .orderBy(col("covered_pct_micro").desc, col("doc_id")).limit(k)
+  }
+
   /** The exact shingle-Jaccard ground-truth pair set behind
     * [[winnowRecallEval]] — (id1, id2) with Jaccard ≥ `jacPct`%
     * (integer cross-multiplied test, no float), optionally restricted

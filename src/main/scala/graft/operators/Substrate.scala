@@ -384,12 +384,19 @@ object Substrate {
       // range boundaries, making the offset table disagree with the
       // join-side _pid and leaving holes in the global positions
       // (observed: a phantom extra block at sf0.01). Materializing
-      // once pins a single partitioning for both consumers.
-      val ranked = keys.repartitionByRange(parts, ordered: _*)
+      // once pins a single partitioning for both consumers. The conf
+      // gate exists ONLY so the plan guard can inspect the
+      // un-truncated plan (a checkpoint hides the range exchange);
+      // production leaves it on.
+      val rankedPlan = keys.repartitionByRange(parts, ordered: _*)
         .withColumn("_pid", spark_partition_id())
         .withColumn("_rn", row_number().over(
           Window.partitionBy(col("_pid")).orderBy(ordered: _*)).cast("long") - 1)
-        .localCheckpoint(eager = false)
+      val ranked =
+        if (keys.sparkSession.conf
+            .getOption("graft.zorder.pinPartitioning").forall(_.toBoolean))
+          rankedPlan.localCheckpoint(eager = false)
+        else rankedPlan
       val offsets = ranked.groupBy(col("_pid")).agg(count(lit(1)).as("_pc"))
         .withColumn("_off", coalesce(sum(col("_pc")).over(Window.orderBy(col("_pid"))
           .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))

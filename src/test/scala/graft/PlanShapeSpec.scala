@@ -367,12 +367,17 @@ class PlanShapeSpec extends AnyFunSuite {
   }
 
   test("z-order layout: rank is range-partitioned; offsets broadcast back") {
-    val p = plan("layout_zorder")
-    assert(p.contains("rangepartitioning"),
-      s"the layout sort must range-partition, never a global window:\n$p")
-    assert(p.contains("BroadcastHashJoin"),
-      s"the P-row offset table must broadcast back:\n$p")
-    assert(!p.contains("CartesianProduct"), p)
+    // disable the correctness checkpoint ONLY to expose the full plan
+    // (the checkpoint truncates lineage above the range exchange)
+    spark.conf.set("graft.zorder.pinPartitioning", "false")
+    try {
+      val p = plan("layout_zorder")
+      assert(p.contains("rangepartitioning"),
+        s"the layout sort must range-partition, never a global window:\n$p")
+      assert(p.contains("BroadcastHashJoin"),
+        s"the P-row offset table must broadcast back:\n$p")
+      assert(!p.contains("CartesianProduct"), p)
+    } finally spark.conf.unset("graft.zorder.pinPartitioning")
   }
 
   test("media codecs read only (doc_id, n_chars) from the documents scan") {

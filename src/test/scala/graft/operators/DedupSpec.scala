@@ -142,6 +142,34 @@ class DedupSpec extends AnyFunSuite {
       "exact dups must score containment exactly 1.0")
   }
 
+  test("substring spans: driver recount of window dup-coverage, verbatim copies near 1.0") {
+    val n = 20
+    val texts = graft.Tables.documents(spark, sf01)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ")).toMap
+    // global window-content census (strings, not hashes: a portable-
+    // hash collision would surface here as a count mismatch)
+    val census = scala.collection.mutable.Map.empty[String, Int]
+    for ((_, w) <- texts; i <- 0 to w.length - n)
+      census.updateWith(w.slice(i, i + n).mkString(" "))(c => Some(c.getOrElse(0) + 1))
+    val rows = Dedup.substringSpanStats(spark, sf01).collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      val (id, nt, ndw, cov, pct) = (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))
+      val w = texts(id)
+      assert(nt == w.length.toLong)
+      val dupIdx = (0 to w.length - n)
+        .filter(i => census(w.slice(i, i + n).mkString(" ")) > 1)
+      assert(ndw == dupIdx.length.toLong, s"doc $id window count")
+      val covered = dupIdx.flatMap(i => i until i + n).distinct.length.toLong
+      assert(cov == covered && pct == covered * 1000000L / nt, s"doc $id coverage")
+    }
+    // sf0.1 carries exact duplicates: their coverage is exactly 100%
+    assert(rows.exists(_.getLong(4) == 1000000L),
+      "verbatim copies must report full duplicated coverage")
+  }
+
   test("winnow recall sampling knob: slice truth == full truth restricted to the slice") {
     val (m, r) = (4, 1)
     def pairs(df: org.apache.spark.sql.DataFrame) =
