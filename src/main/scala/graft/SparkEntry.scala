@@ -171,6 +171,10 @@ object SparkEntry {
       Dedup.containmentPairs(s, d)),
     "dedup_substring_spans" -> ((s: SparkSession, d: String) =>
       Dedup.substringSpanStats(s, d)),
+    "text_lm_perplexity" -> ((s: SparkSession, d: String) => TextAnalysis.lmPerplexity(s, d)),
+    "dedup_keep_best" -> ((s: SparkSession, d: String) => Dedup.keepBestRepresentative(s, d)),
+    "events_drift_psi" -> ((s: SparkSession, d: String) => Relational.eventsDriftPsi(s, d)),
+    "sketch_hist_quantiles" -> ((s: SparkSession, d: String) => Sketches.histogramQuantiles(s, d)),
     "text_quality_model" -> ((s: SparkSession, d: String) => TextAnalysis.qualityModelScore(s, d)),
     "text_char_diversity" -> ((s: SparkSession, d: String) => TextAnalysis.charDiversity(s, d)),
     "text_ngram_novelty" -> ((s: SparkSession, d: String) => TextAnalysis.ngramNovelty(s, d)),
@@ -257,7 +261,11 @@ object SparkEntry {
     // whose timing demonstrates the calibration-slice escape hatch,
     // and asymmetric containment dedup):
     "corpus_bpe_vocab", "dedup_winnow_recall_slice2",
-    "dedup_containment_pairs", "dedup_substring_spans")
+    "dedup_containment_pairs", "dedup_substring_spans",
+    // round-8 additions (CCNet LM perplexity filter, keep-best release,
+    // PSI drift monitor, histogram quantile sketch):
+    "text_lm_perplexity", "dedup_keep_best", "events_drift_psi",
+    "sketch_hist_quantiles")
 
   // --- generated DuckDB replicas of the portable-hash queries ----------
 
@@ -2004,6 +2012,150 @@ object SparkEntry {
          |SELECT doc_id, CAST(sum(wm) AS BIGINT) AS score_milli,
          |  sum(wm) > 0 AS keep, count(*) AS n_tokens
          |FROM s GROUP BY doc_id""".stripMargin
+    },
+    // Histogram quantile sketch + exact rank twin: integer cents,
+    // integer bin mapping and interpolation — bit-replicable.
+    "sketch_hist_quantiles" ->
+      """WITH li AS (SELECT CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS c
+        |    FROM lineitem),
+        |st AS (SELECT min(c) AS cmin, max(c) AS cmax, count(*) AS n FROM li),
+        |b AS (SELECT ((c - cmin) * 256) // (cmax - cmin + 1) AS bin,
+        |    cmin, cmax, n FROM li CROSS JOIN st),
+        |cnt AS (SELECT bin, cmin, cmax, n, count(*) AS cnt FROM b
+        |  GROUP BY 1, 2, 3, 4),
+        |cum AS (SELECT *, coalesce(sum(cnt) OVER (ORDER BY bin
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+        |  FROM cnt),
+        |q AS (SELECT CAST(unnest([25, 50, 75, 90, 99]) AS BIGINT) AS q_pct),
+        |sel AS (SELECT q_pct, (q_pct * n + 99) // 100 AS r, bin, cmin, cmax,
+        |    cnt, cum_before
+        |  FROM cum CROSS JOIN q
+        |  WHERE cum_before < (q_pct * n + 99) // 100
+        |    AND cum_before + cnt >= (q_pct * n + 99) // 100),
+        |est AS (SELECT q_pct, r,
+        |    cmin + (bin * (cmax - cmin + 1)) // 256
+        |      + ((r - cum_before) * (((bin + 1) * (cmax - cmin + 1)) // 256
+        |        - (bin * (cmax - cmin + 1)) // 256)) // cnt AS est_cents,
+        |    ((bin + 1) * (cmax - cmin + 1)) // 256
+        |      - (bin * (cmax - cmin + 1)) // 256 AS bin_width
+        |  FROM sel),
+        |rk AS (SELECT c, row_number() OVER (ORDER BY c) AS rn FROM li)
+        |SELECT q_pct, est_cents, rk.c AS exact_cents,
+        |  est_cents - rk.c AS err_cents, bin_width
+        |FROM est JOIN rk ON rk.rn = est.r""".stripMargin,
+    // PSI drift monitor: micro-second midpoint split, fixed-order IEEE
+    // binning expression, Laplace-smoothed integer shares, portable
+    // log2 — psi_micro is integer-exact on both engines.
+    "events_drift_psi" -> {
+      val plog = graft.operators.TextAnalysis.plog2MicroDuck("x")
+      s"""WITH e AS (SELECT event_type, epoch_us(ts) AS us, value FROM events),
+         |st AS (SELECT min(us) AS tmin, max(us) AS tmax,
+         |    min(value) AS vmin, max(value) AS vmax FROM e),
+         |b AS (SELECT event_type,
+         |    us < tmin + (tmax - tmin) // 2 AS is_base,
+         |    least(greatest(CAST(floor(((value - vmin) * 10) / (vmax - vmin))
+         |      AS BIGINT), 0), 9) AS bin
+         |  FROM e CROSS JOIN st),
+         |cnt AS (SELECT event_type, bin,
+         |    CAST(sum(CASE WHEN is_base THEN 1 ELSE 0 END) AS BIGINT) AS c_base,
+         |    CAST(sum(CASE WHEN is_base THEN 0 ELSE 1 END) AS BIGINT) AS c_curr
+         |  FROM b GROUP BY 1, 2),
+         |tot AS (SELECT event_type, CAST(sum(c_base) AS BIGINT) AS n_base,
+         |    CAST(sum(c_curr) AS BIGINT) AS n_curr FROM cnt GROUP BY 1),
+         |frame AS (SELECT event_type, n_base, n_curr, r.range AS bin
+         |  FROM tot CROSS JOIN range(0, 10) r),
+         |sm AS (SELECT f.event_type, f.n_base, f.n_curr,
+         |    coalesce(c.c_base, 0) + 1 AS cb, coalesce(c.c_curr, 0) + 1 AS cc
+         |  FROM frame f LEFT JOIN cnt c
+         |    ON f.event_type = c.event_type AND f.bin = c.bin),
+         |sx AS (SELECT event_type, n_base, n_curr,
+         |    cb * 1000000 // (n_base + 10) AS pm,
+         |    cc * 1000000 // (n_curr + 10) AS qm,
+         |    greatest((cb * (n_curr + 10) * 1048576) // (cc * (n_base + 10)), 1) AS x
+         |  FROM sm),
+         |ct AS (SELECT event_type, n_base, n_curr,
+         |    (pm - qm) * (($plog) - 20000000) // 1000000 AS c_micro FROM sx)
+         |SELECT event_type, max(n_base) AS n_base, max(n_curr) AS n_curr,
+         |  CAST(sum(c_micro) AS BIGINT) AS psi_micro
+         |FROM ct GROUP BY event_type""".stripMargin
+    },
+    // Keep-best release pass: recursive-CTE cluster labels (the
+    // dedup_cluster_labels oracle, reused as a subquery) joined to the
+    // quality-score replica; per-cluster argmax by (quality desc, id).
+    "dedup_keep_best" ->
+      s"""WITH lab AS (SELECT * FROM ($clusterLabelsOracle)),
+         |q AS (SELECT doc_id,
+         |    floor((CASE WHEN awl BETWEEN 3.0 AND 10.0 THEN 0.4 ELSE 0.0 END
+         |      + least(sr * 2.0, 0.3) + least(dr, 0.3)) * 10000 + 0.5) / 10000
+         |      AS quality_score
+         |  FROM (SELECT doc_id,
+         |      (length(text)::DOUBLE - (len(string_split(text, ' ')) - 1))
+         |        / len(string_split(text, ' ')) AS awl,
+         |      len(list_distinct(string_split(text, ' ')))::DOUBLE
+         |        / len(string_split(text, ' ')) AS dr,
+         |      ((length(t) - length(replace(t, ' the ', ''))) / 5
+         |        + (length(t) - length(replace(t, ' a ', ''))) / 3
+         |        + (length(t) - length(replace(t, ' of ', ''))) / 4
+         |        + (length(t) - length(replace(t, ' and ', ''))) / 5)
+         |        / len(string_split(text, ' ')) AS sr
+         |    FROM (SELECT doc_id, text, ' ' || text || ' ' AS t FROM documents))),
+         |r AS (SELECT lab.cluster, lab.vec_id, q.quality_score,
+         |    row_number() OVER (PARTITION BY lab.cluster
+         |      ORDER BY q.quality_score DESC, lab.vec_id) AS rn
+         |  FROM lab JOIN q ON lab.vec_id = q.doc_id)
+         |SELECT cluster, max(CASE WHEN rn = 1 THEN vec_id END) AS kept_id,
+         |  max(CASE WHEN rn = 1 THEN quality_score END) AS kept_quality,
+         |  count(*) AS n_members, count(*) - 1 AS n_dropped
+         |FROM r GROUP BY cluster""".stripMargin,
+    // CCNet LM perplexity: stupid-backoff bigram LM from the doc_id%5=0
+    // reference slice, scored corpus-wide; the log is the integer-exact
+    // portable log2 (binary-string MSB + linear mantissa), so score AND
+    // bucket replicate bit-for-bit. Tertile cutoffs come from the slice
+    // (CCNet's precomputed constants), via the same ntile definition.
+    "text_lm_perplexity" -> {
+      val plog = graft.operators.TextAnalysis.plog2MicroDuck("x")
+      s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+         |    WHERE len(string_split(text, ' ')) >= 2),
+         |tr AS (SELECT doc_id, t.w1 AS w1, t.w2 AS w2 FROM (
+         |    SELECT doc_id, unnest(list_transform(range(1, len(w)),
+         |      i -> {'w1': w[i], 'w2': w[i+1]})) AS t FROM d)),
+         |uni AS (SELECT w1, count(*) AS c_w1 FROM (
+         |    SELECT unnest(w) AS w1 FROM d WHERE doc_id % 5 = 0) GROUP BY 1),
+         |tot AS (SELECT CAST(sum(c_w1) AS BIGINT) AS n_tok,
+         |    count(*) AS vocab FROM uni),
+         |bi AS (SELECT w1, w2, count(*) AS c12 FROM tr
+         |  WHERE doc_id % 5 = 0 GROUP BY 1, 2),
+         |sc AS (SELECT tr.doc_id,
+         |    CASE WHEN bi.c12 IS NOT NULL AND u1.c_w1 IS NOT NULL
+         |      THEN bi.c12 ELSE (coalesce(u2.c_w1, 0) + 1) * 2 END AS num,
+         |    CASE WHEN bi.c12 IS NOT NULL AND u1.c_w1 IS NOT NULL
+         |      THEN u1.c_w1 ELSE (n_tok + vocab) * 5 END AS den,
+         |    CASE WHEN bi.c12 IS NOT NULL AND u1.c_w1 IS NOT NULL
+         |      THEN 0 ELSE 1 END AS backoff,
+         |    CASE WHEN u2.c_w1 IS NULL THEN 1 ELSE 0 END AS oov
+         |  FROM tr LEFT JOIN bi ON tr.w1 = bi.w1 AND tr.w2 = bi.w2
+         |    LEFT JOIN uni u1 ON tr.w1 = u1.w1
+         |    LEFT JOIN uni u2 ON tr.w2 = u2.w1
+         |    CROSS JOIN tot),
+         |sx AS (SELECT doc_id,
+         |    greatest((num * 1073741824) // den, 1) AS x, backoff, oov FROM sc),
+         |nll AS (SELECT doc_id, 30000000 - ($plog) AS nll_micro,
+         |    backoff, oov FROM sx),
+         |pd AS (SELECT doc_id, count(*) AS n_trans,
+         |    CAST(sum(backoff) AS BIGINT) AS n_backoff,
+         |    CAST(sum(oov) AS BIGINT) AS n_oov,
+         |    CAST(sum(nll_micro) // count(*) AS BIGINT) AS nll_avg_micro
+         |  FROM nll GROUP BY 1),
+         |cut AS (SELECT max(CASE WHEN nt = 1 THEN nll_avg_micro END) AS t1,
+         |    max(CASE WHEN nt = 2 THEN nll_avg_micro END) AS t2
+         |  FROM (SELECT doc_id, nll_avg_micro,
+         |      ntile(3) OVER (ORDER BY nll_avg_micro, doc_id) AS nt
+         |    FROM pd WHERE doc_id % 5 = 0))
+         |SELECT doc_id, n_trans, n_backoff, n_oov, nll_avg_micro,
+         |  CASE WHEN nll_avg_micro <= t1 THEN 'head'
+         |       WHEN nll_avg_micro <= t2 THEN 'middle'
+         |       ELSE 'tail' END AS ppl_bucket
+         |FROM pd CROSS JOIN cut""".stripMargin
     },
     // Exact-integer Simpson numerator/denominator; only the final
     // ratio is portably rounded.

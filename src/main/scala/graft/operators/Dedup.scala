@@ -441,6 +441,37 @@ object Dedup {
     connectedComponents(nodes, edges)
   }
 
+  /** Cluster-representative selection, keep-BEST: within each near-dup
+    * cluster ([[clusterLabels]]) keep the member whose paired document
+    * scores highest on the Gopher/C4 quality gate
+    * ([[TextAnalysis.qualityScore]]), tie-broken by smallest id — the
+    * release-pass refinement over keep-first, which discards quality
+    * information and can ship the worst copy of a duplicated page
+    * (`vec_id` pairs 1:1 with `doc_id` in the testdata). Emits one row
+    * per cluster with the kept member and the drop census.
+    *
+    * Scale: the cluster labels are the expensive part and are already
+    * bucketed/bounded (see [[connectedComponents]]); this pass adds one
+    * id-keyed equi-join (quality rides the same row, no extra scan of
+    * text) and one window PARTITIONED BY cluster — no global sort, no
+    * driver collect. Cluster sizes are near-dup classes (small by
+    * construction after LSH verification), so the per-partition window
+    * state is bounded. */
+  def keepBestRepresentative(spark: SparkSession, sfDir: String): DataFrame = {
+    val labels = clusterLabels(spark, sfDir)
+    val quality = TextAnalysis.qualityScore(spark, sfDir)
+      .select(col("doc_id").as("vec_id"), col("quality_score"))
+    val w = Window.partitionBy(col("cluster"))
+      .orderBy(col("quality_score").desc, col("vec_id"))
+    labels.join(quality, Seq("vec_id"))
+      .withColumn("rn", row_number().over(w))
+      .groupBy(col("cluster"))
+      .agg(max(when(col("rn") === 1, col("vec_id"))).as("kept_id"),
+        max(when(col("rn") === 1, col("quality_score"))).as("kept_quality"),
+        count(lit(1)).as("n_members"))
+      .withColumn("n_dropped", col("n_members") - 1)
+  }
+
   /** SimHash near-dup candidates: equal 16-bit bands (standard hamming
     * blocking: 48 bits / 3 bands — distance ≤ 2 guarantees a band equal). */
   def simhashCandidates(spark: SparkSession, sfDir: String,

@@ -896,6 +896,70 @@ object Relational {
           + when(col("purchase_us").isNotNull, 1).otherwise(0)).as("stage"))
   }
 
+  /** Population-Stability-Index drift monitor — the standard
+    * data-quality gate between two snapshots of a feeding pipeline
+    * (did the `value` distribution of each event type move between the
+    * first and second half of the capture window?). PSI ≈ 0 stable,
+    * ≥ 0.2 conventionally "significant drift, investigate upstream".
+    *
+    * Definition kept exactly engine-portable: the capture window is
+    * split at its integer-microsecond midpoint; `value` maps into
+    * `bins` equal-width bins between the global min/max (one fixed
+    * IEEE expression both engines evaluate identically); per
+    * (event_type, bin) the Laplace-smoothed shares p, q of the two
+    * halves combine into `Σ (p − q) · log2(p/q)` where the log is the
+    * integer-exact [[TextAnalysis.plog2MicroSql]] — so the reported
+    * `psi_micro` (micro-bits) is bit-replicable, no libm.
+    *
+    * Scale: one scan → (event_type, bin, half) count with map-side
+    * combine (key space = types × bins × 2, trivially small); global
+    * min/max/cutoff and totals are 1-row/`types`-row broadcasts; the
+    * bin frame enumerates types × bins so empty bins still carry their
+    * smoothed contribution. No window, no sort, no collect — this runs
+    * unchanged on 100 TB of events. */
+  def eventsDriftPsi(spark: SparkSession, sfDir: String, bins: Int = 10): DataFrame =
+    driftPsiOf(Tables.events(spark, sfDir)
+      .select(col("event_type"), unix_micros(col("ts")).as("us"), col("value")), bins)
+
+  /** [[eventsDriftPsi]]'s core over any `(event_type, us, value)` frame
+    * — split out so specs can feed synthetic shifted distributions. */
+  def driftPsiOf(ev: DataFrame, bins: Int): DataFrame = {
+    val stats = ev.agg(min(col("us")).as("tmin"), max(col("us")).as("tmax"),
+      min(col("value")).as("vmin"), max(col("value")).as("vmax"))
+    val binned = ev.crossJoin(broadcast(stats))
+      .select(col("event_type"),
+        (col("us") < col("tmin") + expr("(tmax - tmin) DIV 2")).as("is_base"),
+        least(greatest(floor(((col("value") - col("vmin")) * bins) /
+          (col("vmax") - col("vmin"))).cast("long"), lit(0L)),
+          lit(bins - 1L)).as("bin"))
+    val counts = binned.groupBy(col("event_type"), col("bin"))
+      .agg(sum(when(col("is_base"), 1L).otherwise(0L)).as("c_base"),
+        sum(when(col("is_base"), 0L).otherwise(1L)).as("c_curr"))
+    val totals = counts.groupBy(col("event_type"))
+      .agg(sum(col("c_base")).as("n_base"), sum(col("c_curr")).as("n_curr"))
+    // enumerate types × bins so empty bins keep their smoothed term
+    val frame = totals.select(col("event_type"), col("n_base"), col("n_curr"),
+      explode(sequence(lit(0L), lit(bins - 1L))).as("bin"))
+    val contrib = frame
+      .join(counts, Seq("event_type", "bin"), "left")
+      .select(col("event_type"), col("n_base"), col("n_curr"),
+        (coalesce(col("c_base"), lit(0L)) + 1L).as("cb"),
+        (coalesce(col("c_curr"), lit(0L)) + 1L).as("cc"))
+      // p = cb/(n_base+bins), q = cc/(n_curr+bins); x = 2^20-scaled p/q
+      .select(col("event_type"), col("n_base"), col("n_curr"),
+        expr(s"cb * 1000000L DIV (n_base + $bins)").as("pm"),
+        expr(s"cc * 1000000L DIV (n_curr + $bins)").as("qm"),
+        greatest(expr(
+          s"(cb * (n_curr + $bins) * ${1L << 20}L) DIV (cc * (n_base + $bins))"),
+          lit(1L)).as("x"))
+      .select(col("event_type"), col("n_base"), col("n_curr"),
+        expr(s"(pm - qm) * (${TextAnalysis.plog2MicroSql("x")} - ${20L * 1000000L}L) " +
+          "DIV 1000000L").as("c_micro"))
+    contrib.groupBy(col("event_type"))
+      .agg(max(col("n_base")).as("n_base"), max(col("n_curr")).as("n_curr"),
+        sum(col("c_micro")).as("psi_micro"))
+  }
+
   /** Sessionization: gap-based session windows per user (30-minute
     * inactivity closes a session) — the classic event-analytics shape
     * Structured Streaming models with session_window; here as the

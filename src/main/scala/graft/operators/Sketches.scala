@@ -95,4 +95,58 @@ object Sketches {
       .select(col("event_type"), (col("pos") + 1).cast("long").as("rank"),
         col("col.id").as("event_id"), col("col.value").as("value"))
   }
+
+  /** Fixed-bin histogram quantile estimator with its exact calibration
+    * twin — the bounded-state way to get percentiles at 100 TB, where a
+    * global sort (the exact path) is off the table. Two passes over
+    * `l_extendedprice`: (1) global min/max; (2) a `bins`-bucket count
+    * (map-side combined, O(bins) state). Each requested percentile is
+    * answered by cumulative-walk + linear interpolation INSIDE the
+    * holding bin — error provably ≤ one bin width. Prices are exact
+    * integer CENTS (portable `floor(x·100+0.5)`), every later step is
+    * integer arithmetic, so estimate AND error replicate bit-for-bit
+    * in the oracle.
+    *
+    * Like [[graft.operators.Dedup.minhashEstErr]], the exact twin
+    * (rank statistic via a global sort) is the CALIBRATION harness:
+    * run at a small SF to validate the bin count, deploy only the
+    * histogram side. The cumulative walk runs over `bins` rows — a
+    * single tiny partition by design. */
+  def histogramQuantiles(spark: SparkSession, sfDir: String,
+      bins: Int = 256, pcts: Seq[Int] = Seq(25, 50, 75, 90, 99)): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cents = expr("CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)")
+    val li = Tables.lineitem(spark, sfDir).select(cents.as("c"))
+    val stats = li.agg(min(col("c")).as("cmin"), max(col("c")).as("cmax"),
+      count(lit(1)).as("n"))
+    val binned = li.crossJoin(broadcast(stats))
+      .select(expr(s"((c - cmin) * $bins) DIV (cmax - cmin + 1)").as("bin"),
+        col("cmin"), col("cmax"), col("n"))
+      .groupBy(col("bin"), col("cmin"), col("cmax"), col("n"))
+      .agg(count(lit(1)).as("cnt"))
+    val cum = binned.withColumn("cum_before",
+      coalesce(sum(col("cnt")).over(
+        Window.orderBy(col("bin")).rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+    val qs = cum.crossJoin(
+      spark.range(1).select(explode(
+        array(pcts.map(p => lit(p.toLong)): _*)).as("q_pct")))
+      .withColumn("r", expr("(q_pct * n + 99) DIV 100"))
+      .filter(col("cum_before") < col("r") &&
+        col("cum_before") + col("cnt") >= col("r"))
+      .withColumn("lo", expr(s"cmin + (bin * (cmax - cmin + 1)) DIV $bins"))
+      .withColumn("width", expr(
+        s"((bin + 1) * (cmax - cmin + 1)) DIV $bins - (bin * (cmax - cmin + 1)) DIV $bins"))
+      .withColumn("est_cents",
+        expr("lo + ((r - cum_before) * width) DIV cnt"))
+    // exact twin: smallest value with rank ≥ r (percentile_disc by hand,
+    // identical definition on both engines)
+    val ranked = li.withColumn("rn",
+      row_number().over(Window.orderBy(col("c"))))
+    val exact = qs.select(col("q_pct"), col("r"), col("est_cents"), col("width"))
+      .join(ranked, col("rn") === col("r"))
+      .select(col("q_pct"), col("est_cents"), col("c").as("exact_cents"),
+        (col("est_cents") - col("c")).as("err_cents"), col("width").as("bin_width"))
+    exact
+  }
 }

@@ -463,4 +463,115 @@ object TextAnalysis {
       .select(col("query_id"), col("rank"), col("doc_id"),
         PortableRound.pround(col("s").cast("double"), 4).as("score"))
   }
+
+  /** Engine-portable log2 of positive-integer SQL expression `x`, in
+    * micro-units (1e6 = one bit): `e + (x - 2^e)/2^e` where
+    * `e = ⌊log2 x⌋` comes from the binary-string length (`bin(x)`
+    * here, `format('{:b}',x)` in DuckDB) — every step is INTEGER
+    * arithmetic, so the value is bit-identical across engines, unlike
+    * libm `ln`/`log2` whose last ulp is implementation-defined. The
+    * mantissa term is piecewise linear (max error 0.086 bits,
+    * monotone) — plenty for ranking and bucketing scores, which is
+    * all a quality FILTER needs. `x` must be a simple column name
+    * (it is referenced three times). */
+  def plog2MicroSql(x: String): String =
+    s"(length(bin($x)) - 1) * 1000000L + " +
+      s"(($x - shiftleft(CAST(1 AS BIGINT), length(bin($x)) - 1)) * 1000000L) " +
+      s"DIV shiftleft(CAST(1 AS BIGINT), length(bin($x)) - 1)"
+
+  /** The DuckDB replica of [[plog2MicroSql]]. */
+  def plog2MicroDuck(x: String): String =
+    s"(length(format('{:b}', $x)) - 1) * 1000000 + " +
+      s"(($x - (CAST(1 AS BIGINT) << (length(format('{:b}', $x)) - 1))) * 1000000) " +
+      s"// (CAST(1 AS BIGINT) << (length(format('{:b}', $x)) - 1))"
+
+  /** CCNet-style LM perplexity filter (Wenzek et al. 2020, "CCNet:
+    * Extracting High Quality Monolingual Datasets from Web Crawl
+    * Data"): a stupid-backoff bigram LM (Brants et al. 2007) is
+    * trained on a 20% reference slice (`doc_id % 5 = 0` — the
+    * stand-in for CCNet's Wikipedia LM), every document in the corpus
+    * is scored by its average per-transition negative log-probability,
+    * and documents are bucketed head/middle/tail by tertile cutoffs
+    * CALIBRATED ON THE SLICE ONLY — exactly CCNet's design, where the
+    * cutoffs are constants computed once from the reference corpus.
+    *
+    * Transition score: `c(w1 w2)/c(w1)` when the bigram was seen, else
+    * backoff `0.4 · (c(w2)+1)/(N+V)` (add-one-smoothed unigram, so OOV
+    * words score without special-casing). All probabilities stay exact
+    * integer rationals; the log is [[plog2Micro]] over the 2^30-scaled
+    * ratio, so the whole score — and therefore the bucket assignment —
+    * is integer-exact and oracle-replicable bit-for-bit. The 2^30
+    * scale keeps `num·2^30` inside Long for reference slices up to
+    * ~4·10^9 tokens; a larger deployment re-scales per magnitude.
+    *
+    * Scale: the LM tables are vocab-sized (Heaps' law) — `uni` and
+    * `bi` broadcast at calibration scale and equi-join beyond; the
+    * corpus-wide scoring pass is embarrassingly parallel (three
+    * left equi-joins + one per-doc aggregate). The only total-order
+    * window (ntile for the tertile cutoffs) runs over the per-DOC
+    * scores of the calibration slice alone, never the corpus. */
+  def lmPerplexity(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .filter(size(col("w")) >= 2)
+    val trans = docs.select(col("doc_id"),
+        explode(transform(sequence(lit(1), size(col("w")) - 1), i =>
+          struct(element_at(col("w"), i).as("w1"),
+            element_at(col("w"), i + 1).as("w2")))).as("t"))
+      .select(col("doc_id"), col("t.w1").as("w1"), col("t.w2").as("w2"))
+    val slice = col("doc_id") % 5 === 0
+
+    val uni = docs.filter(slice).select(explode(col("w")).as("w1"))
+      .groupBy(col("w1")).agg(count(lit(1)).as("c_w1"))
+    val totals = uni.agg(sum(col("c_w1")).as("n_tok"),
+      count(lit(1)).as("vocab"))
+    val bi = trans.filter(slice).groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c12"))
+
+    // LM tables are vocab-sized (Heaps) — no broadcast hint: AQE
+    // auto-broadcasts them at calibration scale, and beyond the
+    // threshold the same plan degrades gracefully to an equi-join
+    // instead of forcing an OOM-sized broadcast.
+    val scored = trans
+      .join(bi, Seq("w1", "w2"), "left")
+      .join(uni, Seq("w1"), "left")
+      .join(uni.select(col("w1").as("w2"), col("c_w1").as("c_w2")),
+        Seq("w2"), "left")
+      .crossJoin(broadcast(totals))
+    val seen = col("c12").isNotNull && col("c_w1").isNotNull
+    val num = when(seen, col("c12"))
+      .otherwise((coalesce(col("c_w2"), lit(0L)) + 1L) * 2L)
+    val den = when(seen, col("c_w1"))
+      .otherwise((col("n_tok") + col("vocab")) * 5L)
+    val perDoc = scored
+      .select(col("doc_id"), num.as("num"), den.as("den"),
+        when(seen, 0L).otherwise(1L).as("backoff"),
+        when(col("c_w2").isNull, 1L).otherwise(0L).as("oov"))
+      // 2^30-scaled ratio; ≥1 as long as p ≥ 2^-30 (documented above)
+      .select(col("doc_id"),
+        greatest(expr(s"(num * ${1L << 30}L) DIV den"), lit(1L)).as("x"),
+        col("backoff"), col("oov"))
+      .select(col("doc_id"),
+        (lit(30L * 1000000L) - expr(plog2MicroSql("x"))).as("nll_micro"),
+        col("backoff"), col("oov"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_trans"), sum(col("backoff")).as("n_backoff"),
+        sum(col("oov")).as("n_oov"), sum(col("nll_micro")).as("sum_nll"))
+      .withColumn("nll_avg_micro", expr("sum_nll DIV n_trans"))
+      .drop("sum_nll")
+
+    // Tertile cutoffs from the calibration slice only (CCNet constants).
+    val cutWin = Window.orderBy(col("nll_avg_micro"), col("doc_id"))
+    val cuts = perDoc.filter(slice)
+      .withColumn("nt", ntile(3).over(cutWin))
+      .agg(max(when(col("nt") === 1, col("nll_avg_micro"))).as("t1"),
+        max(when(col("nt") === 2, col("nll_avg_micro"))).as("t2"))
+    perDoc.crossJoin(broadcast(cuts))
+      .select(col("doc_id"), col("n_trans"), col("n_backoff"), col("n_oov"),
+        col("nll_avg_micro"),
+        when(col("nll_avg_micro") <= col("t1"), "head")
+          .when(col("nll_avg_micro") <= col("t2"), "middle")
+          .otherwise("tail").as("ppl_bucket"))
+  }
 }

@@ -228,4 +228,28 @@ class DedupSpec extends AnyFunSuite {
       brute.get(key).foreach(score => assert(score == r.getDouble(3)))
     }
   }
+
+  test("keep-best: clusters partition ids, kept member maximizes quality") {
+    import graft.TestSpark.sfDir
+    val df = Dedup.keepBestRepresentative(spark, sfDir).cache()
+    val labels = Dedup.clusterLabels(spark, sfDir).cache()
+    // one output row per cluster; member counts re-add to the node count
+    assert(df.count() == labels.select("cluster").distinct().count())
+    assert(df.agg(sum("n_members")).head().getLong(0) == labels.count())
+    // the kept member really is in its cluster and no member beats it
+    // on (quality desc, id asc)
+    val q = TextAnalysis.qualityScore(spark, sfDir)
+      .select(col("doc_id").as("vec_id"), col("quality_score"))
+    val members = labels.join(q, Seq("vec_id"))
+    val beaten = df.join(members, Seq("cluster"))
+      .filter(col("quality_score") > col("kept_quality") ||
+        (col("quality_score") === col("kept_quality") &&
+          col("vec_id") < col("kept_id")))
+    assert(beaten.count() == 0)
+    val orphan = df.join(labels,
+      df("cluster") === labels("cluster") && df("kept_id") === labels("vec_id"),
+      "left_anti")
+    assert(orphan.count() == 0)
+    df.unpersist(); labels.unpersist()
+  }
 }

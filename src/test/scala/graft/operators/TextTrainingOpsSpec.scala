@@ -187,4 +187,40 @@ class TextTrainingOpsSpec extends AnyFunSuite {
     val fr = df.filter(col("doc_id") === firstDoc).head()
     assert(fr.getAs[Long]("n_novel") == fr.getAs[Long]("n_grams"))
   }
+
+  test("portable log2: exact at powers of two, within 0.0861 bits elsewhere") {
+    import graft.TestSpark.spark
+    val xs = Seq(1L, 2L, 3L, 5L, 7L, 255L, 256L, 1000L, 1L << 30, (1L << 40) + 12345L)
+    val df = spark.createDataFrame(xs.map(Tuple1(_))).toDF("x")
+      .selectExpr("x", TextAnalysis.plog2MicroSql("x") + " AS p")
+    for (r <- df.collect()) {
+      val x = r.getAs[Long]("x"); val p = r.getAs[Long]("p") / 1e6
+      val truth = math.log(x.toDouble) / math.log(2.0)
+      // the chord of a concave function underestimates: p ∈ [log2 x − 0.0861, log2 x]
+      assert(p <= truth + 1e-9 && p >= truth - 0.0862,
+        s"plog2($x)=$p vs $truth")
+      if ((x & (x - 1)) == 0) assert(math.abs(p - truth) < 1e-9)
+    }
+  }
+
+  test("lm perplexity: bounds, bucket partition, and in-domain slice scores lower") {
+    val df = TextAnalysis.lmPerplexity(spark, sfDir).cache()
+    val nDocs = graft.Tables.documents(spark, sfDir)
+      .filter(size(split(col("text"), " ")) >= 2).count()
+    assert(df.count() == nDocs)
+    // nll per transition lives in [0, 30] bits (p ∈ [2^-30, 1])
+    assert(df.filter(col("nll_avg_micro") < 0 ||
+      col("nll_avg_micro") > 30000000L).count() == 0)
+    // oov implies backoff; both bounded by the transition count
+    assert(df.filter(col("n_oov") > col("n_backoff")).count() == 0)
+    assert(df.filter(col("n_backoff") > col("n_trans")).count() == 0)
+    assert(df.select("ppl_bucket").distinct().count() == 3)
+    // the reference slice is in-domain by construction: every one of its
+    // bigrams was counted, so its mean nll must not exceed out-of-slice
+    val m = df.groupBy((col("doc_id") % 5 === 0).as("in_slice"))
+      .agg(avg(col("nll_avg_micro")).as("m")).collect()
+      .map(r => r.getAs[Boolean]("in_slice") -> r.getAs[Double]("m")).toMap
+    assert(m(true) <= m(false), s"slice ${m(true)} vs ${m(false)}")
+    df.unpersist()
+  }
 }
