@@ -175,6 +175,7 @@ object SparkEntry {
     "dedup_keep_best" -> ((s: SparkSession, d: String) => Dedup.keepBestRepresentative(s, d)),
     "events_drift_psi" -> ((s: SparkSession, d: String) => Relational.eventsDriftPsi(s, d)),
     "sketch_hist_quantiles" -> ((s: SparkSession, d: String) => Sketches.histogramQuantiles(s, d)),
+    "sketch_group_sample" -> ((s: SparkSession, d: String) => Sketches.groupSample(s, d)),
     "text_quality_model" -> ((s: SparkSession, d: String) => TextAnalysis.qualityModelScore(s, d)),
     "text_char_diversity" -> ((s: SparkSession, d: String) => TextAnalysis.charDiversity(s, d)),
     "text_ngram_novelty" -> ((s: SparkSession, d: String) => TextAnalysis.ngramNovelty(s, d)),
@@ -265,7 +266,7 @@ object SparkEntry {
     // round-8 additions (CCNet LM perplexity filter, keep-best release,
     // PSI drift monitor, histogram quantile sketch):
     "text_lm_perplexity", "dedup_keep_best", "events_drift_psi",
-    "sketch_hist_quantiles")
+    "sketch_hist_quantiles", "sketch_group_sample")
 
   // --- generated DuckDB replicas of the portable-hash queries ----------
 
@@ -2012,6 +2013,19 @@ object SparkEntry {
          |SELECT doc_id, CAST(sum(wm) AS BIGINT) AS score_milli,
          |  sum(wm) > 0 AS keep, count(*) AS n_tokens
          |FROM s GROUP BY doc_id""".stripMargin
+    },
+    // Deterministic per-group sampler: the oracle IS the window
+    // formulation the bounded aggregate replaces.
+    "sketch_group_sample" -> {
+      val h = graft.functions.PortableHash.sqlH48(
+        "'gs:' || CAST(event_id AS VARCHAR)")
+      s"""WITH h AS (SELECT event_type, event_id, $h AS h48 FROM events),
+         |r AS (SELECT event_type, event_id, h48,
+         |    row_number() OVER (PARTITION BY event_type
+         |      ORDER BY h48, event_id) AS rank
+         |  FROM h)
+         |SELECT event_type, rank, event_id, h48 FROM r
+         |WHERE rank <= 8""".stripMargin
     },
     // Histogram quantile sketch + exact rank twin: integer cents,
     // integer bin mapping and interpolation — bit-replicable.

@@ -96,6 +96,32 @@ object Sketches {
         col("col.id").as("event_id"), col("col.value").as("value"))
   }
 
+  /** Deterministic uniform k-sample per group — bottom-k by the
+    * engine-portable 48-bit hash of the row id (a fixed "random" tag:
+    * hashing is the classic derandomized reservoir), reusing the
+    * bounded [[graft.plans.BoundedAggregates.TopKBy]] aggregate with
+    * `value = −hash` (48 bits sit exactly inside the double mantissa).
+    *
+    * This is the eyeball/eval sampler a 100 TB pipeline needs: the
+    * window formulation (row_number over a per-group hash sort — the
+    * oracle) shuffles and sorts EVERY row per group, while this holds
+    * O(k) state per group with map-side partials and is mergeable
+    * across partitions, re-runs, and days (the same ids win every
+    * time, so samples are stable across incremental ingests). */
+  def groupSample(spark: SparkSession, sfDir: String, k: Int = 8): DataFrame = {
+    BoundedAggregates.register(spark)
+    val h = PortableHash.md5Hash48(
+      concat(lit("gs:"), col("event_id").cast("string")))
+    Tables.events(spark, sfDir)
+      .select(col("event_type"), col("event_id"), h.as("h"))
+      .groupBy(col("event_type"))
+      .agg(call_function("topk_by",
+        -col("h").cast("double"), col("event_id"), lit(k)).as("top"))
+      .select(col("event_type"), posexplode(col("top")))
+      .select(col("event_type"), (col("pos") + 1).cast("long").as("rank"),
+        col("col.id").as("event_id"), (-col("col.value")).cast("long").as("h48"))
+  }
+
   /** Fixed-bin histogram quantile estimator with its exact calibration
     * twin — the bounded-state way to get percentiles at 100 TB, where a
     * global sort (the exact path) is off the table. Two passes over

@@ -103,6 +103,27 @@ class BoundedAggregatesSpec extends AnyFunSuite {
     assert(viaAgg == viaWindow)
   }
 
+  test("group sample matches the window formulation; stable under re-evaluation") {
+    val viaAgg = Sketches.groupSample(spark, sfDir)
+      .select("event_type", "rank", "event_id").as[(String, Long, Long)]
+      .collect().toSet
+    val h = graft.functions.PortableHash.md5Hash48(
+      concat(lit("gs:"), col("event_id").cast("string")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type")).orderBy(col("h"), col("event_id"))
+    val viaWindow = graft.Tables.events(spark, sfDir)
+      .withColumn("h", h)
+      .withColumn("rank", row_number().over(w)).filter(col("rank") <= 8)
+      .select(col("event_type"), col("rank").cast("long"), col("event_id"))
+      .as[(String, Long, Long)].collect().toSet
+    assert(viaAgg == viaWindow)
+    // determinism: a second run picks the same ids (hash tag, no RNG)
+    val again = Sketches.groupSample(spark, sfDir)
+      .select("event_type", "rank", "event_id").as[(String, Long, Long)]
+      .collect().toSet
+    assert(again == viaAgg)
+  }
+
   test("distinct_up_to: exact below the cap, saturates at k, O(k) buffer") {
     val b = new DistinctUpToBuffer(3)
     Seq(5L, 5L, 7L, 9L, 11L, 13L).foreach(b.add)
