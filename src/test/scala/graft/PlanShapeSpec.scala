@@ -406,4 +406,40 @@ class PlanShapeSpec extends AnyFunSuite {
         s"$q must be scan → mapPartitions with zero shuffle:\n$p")
     }
   }
+
+  test("lm perplexity: all equi-joins, the only global window is slice-sized") {
+    val p = plan("text_lm_perplexity")
+    // 1-row broadcasts (totals, cutoffs) legitimately print as
+    // BroadcastNestedLoopJoin BuildRight Cross; anything else is a bug
+    val badBnlj = p.linesIterator.filter(_.contains("BroadcastNestedLoopJoin"))
+      .filterNot(l => l.contains("BuildRight") && l.contains("Cross"))
+    assert(badBnlj.isEmpty && !p.contains("CartesianProduct"),
+      s"LM lookups must be equi-joins:\n$p")
+    // single-partition exchanges: the ntile cutoff window (slice-sized
+    // by design) + the two scalar aggregates (totals, cutoffs) that
+    // collapse map-side partials — never the corpus scoring pass
+    val singles = p.linesIterator.count(_.contains("Exchange SinglePartition"))
+    assert(singles <= 3, s"cutoff calibration only, got $singles SinglePartition:\n$p")
+  }
+
+  test("drift psi: no window, no sort — counts + broadcasts only") {
+    val p = plan("events_drift_psi")
+    assert(!p.contains("Window"), s"PSI must not need a window:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") || p.contains("BuildRight"),
+      s"stats/totals rides a 1-row broadcast:\n$p")
+  }
+
+  test("group sample: ObjectHashAggregate partials, no per-group window sort") {
+    val p = plan("sketch_group_sample")
+    assert(p.contains("ObjectHashAggregate"),
+      s"bounded sampler must plan as ObjectHashAggregate:\n$p")
+    assert(!p.contains("Window"), s"the window formulation is the oracle, not the plan:\n$p")
+  }
+
+  test("histogram quantiles: bin census is a partial hash aggregate") {
+    val p = plan("sketch_hist_quantiles")
+    assert(p.contains("HashAggregate"), p)
+    // the exact rank twin is the ONLY sort (calibration harness)
+    assert(p.contains("Window"), "rank twin present by design")
+  }
 }
