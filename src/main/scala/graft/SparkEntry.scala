@@ -196,6 +196,17 @@ object SparkEntry {
     "topk_per_group" -> (Sketches.topKPerGroup _),
     // explicit bloom semi-join reduction (runtime-filter plan shape)
     "j_bloom_prefilter" -> (Relational.bloomPrefilterJoin _),
+    // round-8 second wave: funnel retrieval, layout advisor, CDC diff,
+    // tokenizer fertility, release dashboard
+    "embed_matryoshka_recall" -> ((s: SparkSession, d: String) =>
+      Similarity.matryoshkaRecall(s, d)),
+    "layout_skip_workload" -> ((s: SparkSession, d: String) =>
+      Substrate.layoutSkipWorkload(s, d)),
+    "sub_snapshot_diff" -> (Relational.snapshotDiff _),
+    "corpus_bpe_fertility" -> ((s: SparkSession, d: String) =>
+      Corpus.bpeFertility(s, d)),
+    "corpus_report_card" -> (Corpus.reportCard _),
+    "range_overlap_agg" -> (Temporal.overlapIncidentPurchases _),
   )
 
   /** Queries whose result may legitimately be empty at small scale
@@ -266,7 +277,13 @@ object SparkEntry {
     // round-8 additions (CCNet LM perplexity filter, keep-best release,
     // PSI drift monitor, histogram quantile sketch):
     "text_lm_perplexity", "dedup_keep_best", "events_drift_psi",
-    "sketch_hist_quantiles", "sketch_group_sample")
+    "sketch_hist_quantiles", "sketch_group_sample",
+    // round-8 additions (matryoshka funnel retrieval, workload-driven
+    // layout advisor, CDC snapshot diff, tokenizer fertility, release
+    // report card):
+    "embed_matryoshka_recall", "layout_skip_workload",
+    "sub_snapshot_diff", "corpus_bpe_fertility", "corpus_report_card",
+    "range_overlap_agg")
 
   // --- generated DuckDB replicas of the portable-hash queries ----------
 
@@ -2600,5 +2617,134 @@ object SparkEntry {
         |      ORDER BY value DESC, event_id) AS rank
         |  FROM events)
         |SELECT event_type, rank, event_id, value FROM r WHERE rank <= 5""".stripMargin,
+    // Matryoshka funnel: 16-dim shortlist (m=20) -> full-dim rerank
+    // (k=5) -> recall vs the shared brute-force replica.
+    "embed_matryoshka_recall" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+         |q AS (SELECT vec_id AS query_id, emb AS q_emb FROM e WHERE vec_id < 10),
+         |s1 AS (
+         |  SELECT query_id, e.vec_id AS neighbor_id, e.emb, q.q_emb,
+         |    floor((list_dot_product(q_emb[1:16], emb[1:16]) /
+         |      (sqrt(list_dot_product(q_emb[1:16], q_emb[1:16])) *
+         |       sqrt(list_dot_product(emb[1:16], emb[1:16])))) * 10000 + 0.5) / 10000 AS tcos
+         |  FROM e JOIN q ON e.vec_id <> q.query_id),
+         |short AS (SELECT query_id, neighbor_id, emb, q_emb FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY query_id
+         |      ORDER BY tcos DESC, neighbor_id) AS srank FROM s1)
+         |  WHERE srank <= 20),
+         |rr AS (SELECT query_id, neighbor_id FROM (
+         |    SELECT query_id, neighbor_id,
+         |      row_number() OVER (PARTITION BY query_id ORDER BY
+         |        floor((list_dot_product(q_emb, emb) /
+         |          (sqrt(list_dot_product(q_emb, q_emb)) *
+         |           sqrt(list_dot_product(emb, emb)))) * 10000 + 0.5) / 10000 DESC,
+         |        neighbor_id) AS rank
+         |    FROM short) WHERE rank <= 5)
+         |SELECT bf.query_id, count(*) AS n_true, count(rr.neighbor_id) AS n_hits,
+         |  floor(CAST(count(rr.neighbor_id) AS DOUBLE) / count(*) * 10000 + 0.5) / 10000 AS recall
+         |FROM ($annBruteOracle) bf
+         |LEFT JOIN rr ON bf.query_id = rr.query_id AND bf.neighbor_id = rr.neighbor_id
+         |GROUP BY bf.query_id""".stripMargin,
+    "layout_skip_workload" -> {
+      val morton = (0 until 16).map(i =>
+        s"(((l_partkey >> $i) & 1) * ${1L << (2 * i)}) + " +
+          s"(((l_suppkey >> $i) & 1) * ${1L << (2 * i + 1)})").mkString(" + ")
+      s"""WITH k AS (SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+         |    CAST($morton AS BIGINT) AS zval FROM lineitem),
+         |bounds AS (SELECT min(l_partkey) AS pmn, max(l_partkey) AS pmx,
+         |    min(l_suppkey) AS smn, max(l_suppkey) AS smx FROM k),
+         |r0 AS (SELECT CAST(unnest(range(0, 12)) AS BIGINT) AS rect_id),
+         |r1 AS (SELECT rect_id,
+         |    pmn + ((pmx - pmn) * ((rect_id * 37) % 80)) // 100 AS p_lo,
+         |    ((pmx - pmn) * (5 + (rect_id * 13) % 20)) // 100 AS p_w,
+         |    smn + ((smx - smn) * ((rect_id * 53) % 80)) // 100 AS s_lo,
+         |    ((smx - smn) * (5 + (rect_id * 29) % 20)) // 100 AS s_w
+         |  FROM r0, bounds),
+         |rects AS (SELECT rect_id, p_lo, p_lo + greatest(p_w, 1) AS p_hi,
+         |    s_lo, s_lo + greatest(s_w, 1) AS s_hi FROM r1),
+         |z AS (SELECT (row_number() OVER (ORDER BY zval, l_orderkey, l_linenumber) - 1) // 4096 AS block,
+         |    l_partkey, l_suppkey FROM k),
+         |lin AS (SELECT (row_number() OVER (ORDER BY l_orderkey, l_linenumber) - 1) // 4096 AS block,
+         |    l_partkey, l_suppkey FROM k),
+         |zm AS (
+         |  SELECT 'zorder' AS layout, block, min(l_partkey) AS p_min, max(l_partkey) AS p_max,
+         |      min(l_suppkey) AS s_min, max(l_suppkey) AS s_max FROM z GROUP BY 2
+         |  UNION ALL
+         |  SELECT 'linear' AS layout, block, min(l_partkey), max(l_partkey),
+         |      min(l_suppkey), max(l_suppkey) FROM lin GROUP BY 2)
+         |SELECT layout, rect_id, count(*) AS n_blocks,
+         |  CAST(sum(CASE WHEN p_max >= p_lo AND p_min <= p_hi
+         |    AND s_max >= s_lo AND s_min <= s_hi THEN 1 ELSE 0 END) AS BIGINT) AS touched,
+         |  floor((count(*) - sum(CASE WHEN p_max >= p_lo AND p_min <= p_hi
+         |    AND s_max >= s_lo AND s_min <= s_hi THEN 1 ELSE 0 END)) * 100.0
+         |    / count(*) * 10000 + 0.5) / 10000 AS skip_pct
+         |FROM zm, rects GROUP BY 1, 2""".stripMargin
+    },
+    "sub_snapshot_diff" -> {
+      def fp(price: String) = graft.functions.PortableHash.sqlH48(
+        "concat_ws('|', o_custkey, o_orderstatus, " + price +
+          ", strftime(o_orderdate, '%Y-%m-%d'), o_orderpriority)")
+      s"""WITH base AS (SELECT o_orderkey, o_custkey, o_orderstatus,
+         |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS price_c,
+         |    o_orderdate, o_orderpriority FROM orders),
+         |a AS (SELECT o_orderkey AS a_key, price_c AS a_price_c,
+         |    ${fp("price_c")} AS a_fp
+         |  FROM base WHERE o_orderkey % 93 <> 0),
+         |b0 AS (SELECT o_orderkey, o_custkey, o_orderstatus, o_orderdate, o_orderpriority,
+         |    CASE WHEN o_orderkey % 89 = 0 THEN (price_c * 105) // 100
+         |      ELSE price_c END AS price_c
+         |  FROM base WHERE o_orderkey % 97 <> 0),
+         |b AS (SELECT o_orderkey AS b_key, price_c AS b_price_c,
+         |    ${fp("price_c")} AS b_fp FROM b0),
+         |j AS (SELECT coalesce(a_key, b_key) AS o_orderkey,
+         |    CASE WHEN a_key IS NULL THEN 'insert'
+         |      WHEN b_key IS NULL THEN 'delete'
+         |      WHEN a_fp <> b_fp THEN 'update' END AS change_type,
+         |    coalesce(b_price_c, 0) - coalesce(a_price_c, 0) AS delta_c,
+         |    a_fp AS old_fp, b_fp AS new_fp
+         |  FROM a FULL OUTER JOIN b ON a_key = b_key)
+         |SELECT * FROM j WHERE change_type IS NOT NULL""".stripMargin
+    },
+    "corpus_bpe_fertility" -> Corpus.bpeOracleSql(16, "fertility"),
+    // The naive inequality form — the bin blocking + responsibility
+    // dedup must be invisible in the results.
+    "range_overlap_agg" ->
+      """WITH i AS (SELECT event_id AS incident, ts AS s,
+        |    ts + INTERVAL 600 SECOND AS e
+        |  FROM events WHERE event_type = 'error'),
+        |p AS (SELECT event_id, user_id, ts AS s, ts + INTERVAL 1800 SECOND AS e
+        |  FROM events WHERE event_type = 'purchase' AND value >= 100),
+        |j AS (SELECT i.incident, p.user_id,
+        |    least(epoch_us(i.e), epoch_us(p.e)) -
+        |      greatest(epoch_us(i.s), epoch_us(p.s)) AS overlap_us
+        |  FROM i JOIN p ON i.s < p.e AND p.s < i.e)
+        |SELECT incident, count(*) AS n_windows, count(DISTINCT user_id) AS n_users,
+        |  CAST(sum(overlap_us) AS BIGINT) AS total_overlap_us
+        |FROM j GROUP BY 1""".stripMargin,
+    "corpus_report_card" ->
+      s"""WITH f AS (SELECT doc_id, source, lang, text,
+         |    len(string_split(text, ' '))::DOUBLE AS n_words,
+         |    (length(text)::DOUBLE - (len(string_split(text, ' ')) - 1))
+         |      / len(string_split(text, ' ')) AS avg_word_len,
+         |    len(list_distinct(string_split(text, ' ')))::DOUBLE
+         |      / len(string_split(text, ' ')) AS distinct_ratio,
+         |    ((length(t) - length(replace(t, ' the ', ''))) / 5
+         |      + (length(t) - length(replace(t, ' a ', ''))) / 3
+         |      + (length(t) - length(replace(t, ' of ', ''))) / 4
+         |      + (length(t) - length(replace(t, ' and ', ''))) / 5)
+         |      / len(string_split(text, ' ')) AS stop_ratio
+         |  FROM (SELECT doc_id, source, lang, text, ' ' || text || ' ' AS t FROM documents)),
+         |m AS (SELECT doc_id, source, lang,
+         |    CAST(floor((CASE WHEN avg_word_len BETWEEN 3.0 AND 10.0 THEN 0.4 ELSE 0.0 END
+         |      + least(stop_ratio * 2.0, 0.3) + least(distinct_ratio, 0.3)) * 10000 + 0.5) AS BIGINT) AS q_micro,
+         |    CAST(n_words AS BIGINT) AS ws_tokens,
+         |    ${graft.functions.PortableHash.sqlH48("text")} AS h48
+         |  FROM f),
+         |hc AS (SELECT h48, count(*) AS hn FROM m GROUP BY 1)
+         |SELECT source, count(*) AS n_docs, count(DISTINCT lang) AS n_langs,
+         |  floor(CAST(sum(q_micro) AS DOUBLE) / (count(*) * 10000) * 10000 + 0.5) / 10000 AS mean_quality,
+         |  floor(CAST(sum(ws_tokens) AS DOUBLE) / count(*) * 10000 + 0.5) / 10000 AS mean_ws_tokens,
+         |  floor(sum(CASE WHEN hn > 1 THEN 1 ELSE 0 END) * 100.0 / count(*) * 10000 + 0.5) / 10000 AS dup_pct
+         |FROM m JOIN hc USING (h48) GROUP BY 1""".stripMargin,
   )
 }

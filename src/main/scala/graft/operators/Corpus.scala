@@ -336,6 +336,86 @@ object Corpus {
       .orderBy(col("n_occurrences").desc, col("token")).limit(k)
   }
 
+  /** TOKENIZER FERTILITY by language — the per-language audit every
+    * multilingual tokenizer release ships (tokens-per-word and
+    * chars-per-token under the learned merges): a tokenizer trained on
+    * a skewed mix "taxes" under-represented languages with higher
+    * fertility (more tokens for the same text), which inflates their
+    * effective sequence lengths and training cost. Computed by
+    * encoding the DISTINCT-WORD table once with the k learned rules
+    * and joining per-(lang, word) instance counts — never encoding
+    * the corpus row-by-row.
+    *
+    * Scale: the rule chain is literal configuration; the encode runs
+    * over the Heaps-bounded vocabulary; the (lang, word) count is one
+    * map-side-combined shuffle of the token stream (the only
+    * corpus-sized pass), the join is vocab-sized, and the final
+    * per-lang aggregate collapses map-side to `langs` rows. */
+  def bpeFertility(spark: SparkSession, sfDir: String,
+      kMerges: Int = 16): DataFrame = {
+    val merges = learnBpeRules(spark, sfDir, kMerges).map(_._1)
+    val encodedCol = merges.foldLeft(bpeSpaced)(bpeApply)
+    val wordTok = bpeWordFreq(spark, sfDir)
+      .withColumn("n_tokens_w", size(split(trim(encodedCol), " ")).cast("long"))
+      .select(col("w"), col("n_tokens_w"))
+    val langWords = Tables.documents(spark, sfDir)
+      .select(col("lang"), explode_outer(split(col("text"), " ")).as("w"))
+      .filter(col("w").isNotNull && col("w") =!= "")
+      .filter(col("w").rlike("^[a-z]+$") && length(col("w")) >= 2)
+      .groupBy(col("lang"), col("w")).agg(count(lit(1)).as("n"))
+    langWords.join(wordTok, "w")
+      .groupBy(col("lang"))
+      .agg(sum(col("n")).as("n_words"),
+        sum(col("n") * col("n_tokens_w")).as("n_tokens"),
+        sum(col("n") * length(col("w"))).as("n_chars"))
+      .select(col("lang"), col("n_words"), col("n_tokens"),
+        PortableRound.pround(
+          col("n_tokens").cast("double") / col("n_words"), 4)
+          .as("tokens_per_word"),
+        PortableRound.pround(
+          col("n_chars").cast("double") / col("n_tokens"), 4)
+          .as("chars_per_token"))
+  }
+
+  /** CORPUS REPORT CARD — the per-source release dashboard a dataset
+    * card publishes (docs, language spread, mean quality, duplication
+    * rate, token mass): the integration query that composes the
+    * engine's quality scorer, exact-dedup census, and token counter in
+    * ONE pass over the corpus plus one hash-count side-table. Mean
+    * quality aggregates the EXACT micro-unit score
+    * ([[TextAnalysis.qualityMicroCol]]) so the cross-document sum is
+    * order-independent long arithmetic, never a partitioning-dependent
+    * double fold.
+    *
+    * Scale: one corpus scan computes (source, lang, q_micro, tokens,
+    * text-hash) narrowly; the duplicate census is a map-side-combined
+    * count on the 48-bit text hash joined back hash-keyed (f rows per
+    * duplicate group, never f²); the final per-source aggregate
+    * collapses map-side to `sources` rows. Three shuffles total, all
+    * keyed, none data-squared. */
+  def reportCard(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"), col("lang"),
+        TextAnalysis.qualityMicroCol.as("q_micro"),
+        size(split(col("text"), " ")).cast("long").as("ws_tokens"),
+        graft.functions.PortableHash.md5Hash48(col("text")).as("h48"))
+    val dupHash = docs.groupBy(col("h48")).agg(count(lit(1)).as("hn"))
+    docs.join(dupHash, "h48")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("lang")).as("n_langs"),
+        sum(col("q_micro")).as("q_micro_sum"),
+        sum(col("ws_tokens")).as("ws_tokens_sum"),
+        sum(when(col("hn") > 1, 1L).otherwise(0L)).as("n_dup"))
+      .select(col("source"), col("n_docs"), col("n_langs"),
+        PortableRound.pround(col("q_micro_sum").cast("double") /
+          (col("n_docs") * 10000), 4).as("mean_quality"),
+        PortableRound.pround(col("ws_tokens_sum").cast("double") /
+          col("n_docs"), 4).as("mean_ws_tokens"),
+        PortableRound.pround(col("n_dup") * 100.0 / col("n_docs"), 4)
+          .as("dup_pct"))
+  }
+
   /** The unrolled DuckDB oracle for [[bpeLearnedMerges]] /
     * [[bpeEncode]] / [[bpeVocab]] (`mode` ∈ merges|encode|vocab):
     * k rounds of (pair-count → argmax → rewrite) CTEs
@@ -371,6 +451,20 @@ object Corpus {
         s"""SELECT token, CAST(sum(freq) AS BIGINT) AS n_occurrences
            |FROM (SELECT freq, unnest(string_split(trim(s), ' ')) AS token FROM w$k)
            |GROUP BY 1 ORDER BY n_occurrences DESC, token LIMIT $kWords""".stripMargin
+      case "fertility" =>
+        ctes += "tl AS (SELECT lang, unnest(string_split(text, ' ')) AS w FROM documents)"
+        ctes += """lw AS (SELECT lang, w, count(*) AS n FROM tl
+          |  WHERE regexp_matches(w, '^[a-z]+$') AND len(w) >= 2 GROUP BY 1, 2)""".stripMargin
+        ctes += s"""wt AS (SELECT w,
+          |  CAST(len(string_split(trim(s), ' ')) AS BIGINT) AS n_tokens_w
+          |  FROM w$k)""".stripMargin
+        """SELECT lang, CAST(sum(n) AS BIGINT) AS n_words,
+          |  CAST(sum(n * n_tokens_w) AS BIGINT) AS n_tokens,
+          |  floor(CAST(sum(n * n_tokens_w) AS DOUBLE) / sum(n) * 10000 + 0.5) / 10000
+          |    AS tokens_per_word,
+          |  floor(CAST(sum(n * len(w)) AS DOUBLE) / sum(n * n_tokens_w) * 10000 + 0.5) / 10000
+          |    AS chars_per_token
+          |FROM lw JOIN wt USING (w) GROUP BY 1""".stripMargin
       case _ =>
         val sel = (0 until k).map(r =>
           s"SELECT CAST(${r + 1} AS BIGINT) AS rank, pair, " +

@@ -1066,6 +1066,59 @@ object Relational {
         col("n_ops"), col("lifetime_value_c"))
   }
 
+  /** SNAPSHOT DIFF — the table-versioning primitive (Delta/Iceberg
+    * `table_changes`, data-reconciliation audits): two snapshots of the
+    * same keyed table compared by primary key + a portable row
+    * fingerprint, emitting the CHANGELOG (insert/delete/update rows
+    * only — output scales with churn, never table size). Snapshots are
+    * simulated deterministically from `orders`: version A lags ingest
+    * (keys ≡0 mod 93 absent), version B has purged keys ≡0 mod 97 and
+    * repriced keys ≡0 mod 89 by +5% (integer cents, floor).
+    *
+    * The comparison is ONE full-outer sort-merge join on the key;
+    * change classification reads the two null-sides, and row equality
+    * is ONE 48-bit fingerprint compare ([[graft.functions.PortableHash]]
+    * over the '|'-joined attribute rendering) instead of an N-column
+    * inequality — the fingerprint is what you'd persist per row in a
+    * reconciliation manifest so re-diffs never reread cold columns.
+    *
+    * Scale: both sides shuffle once on the key (or ZERO times when the
+    * snapshots are key-bucketed tables, the layout a versioned lake
+    * table already has); no window, no collect; the changed-row output
+    * is churn-sized. The unchanged majority is dropped before any
+    * further processing, so downstream stages never see table-sized
+    * data. */
+  def snapshotDiff(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        (dec(col("o_totalprice")) * 100).cast("long").as("price_c"),
+        col("o_orderdate"), col("o_orderpriority"))
+    def fingerprint(price: Column): Column =
+      graft.functions.PortableHash.md5Hash48(concat_ws("|",
+        col("o_custkey"), col("o_orderstatus"), price,
+        date_format(col("o_orderdate"), "yyyy-MM-dd"),
+        col("o_orderpriority")))
+    val a = base.filter(col("o_orderkey") % 93 =!= 0)
+      .select(col("o_orderkey").as("a_key"), col("price_c").as("a_price_c"),
+        fingerprint(col("price_c")).as("a_fp"))
+    val bPrice = when(col("o_orderkey") % 89 === 0,
+      expr("price_c * 105 DIV 100")).otherwise(col("price_c"))
+    val b = base.filter(col("o_orderkey") % 97 =!= 0)
+      .select(col("o_orderkey").as("b_key"), bPrice.as("b_price_c"),
+        fingerprint(bPrice).as("b_fp"))
+    a.join(b, col("a_key") === col("b_key"), "full_outer")
+      .withColumn("change_type",
+        when(col("a_key").isNull, lit("insert"))
+          .when(col("b_key").isNull, lit("delete"))
+          .when(col("a_fp") =!= col("b_fp"), lit("update")))
+      .filter(col("change_type").isNotNull)
+      .select(coalesce(col("a_key"), col("b_key")).as("o_orderkey"),
+        col("change_type"),
+        (coalesce(col("b_price_c"), lit(0L)) -
+          coalesce(col("a_price_c"), lit(0L))).as("delta_c"),
+        col("a_fp").as("old_fp"), col("b_fp").as("new_fp"))
+  }
+
   /** Set operation: EXCEPT (distinct) — substrate capability. */
   def setExcept(spark: SparkSession, sfDir: String): DataFrame = {
     val allCust = Tables.customer(spark, sfDir).select(col("c_custkey"))

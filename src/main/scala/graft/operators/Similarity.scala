@@ -566,6 +566,57 @@ object Similarity {
           .as("recall"))
   }
 
+  /** MATRYOSHKA funnel retrieval + its recall audit (Kusupati et al.
+    * 2022, "Matryoshka Representation Learning"; the adaptive-retrieval
+    * deployment shape): stage 1 shortlists `m` candidates per query by
+    * cosine over only the FIRST `dPrefix` dimensions (a prefix of an
+    * MRL-trained embedding is itself a valid embedding), stage 2
+    * reranks the shortlist with the full vector, and the audit reports
+    * recall@k against the exact full-dimension top-k — the number that
+    * decides how small `dPrefix` can go.
+    *
+    * Scale: stage 1 is the whole point — the corpus-wide scan reads
+    * and multiplies dPrefix/dims (here 16/64 = 25%) of the vector
+    * bytes, with the same zero-corpus-shuffle broadcast shape as
+    * [[annBruteForceTopK]]; at 100 TB the prefix lives in its own
+    * (column-pruned) parquet column so the scan I/O really does drop
+    * 4×. Stage 2 touches only Q·m rows. The shortlist rank uses the
+    * ROUNDED stage-1 score with a neighbor_id tie-break so the
+    * cut boundary is deterministic and engine-portable. */
+  def matryoshkaRecall(spark: SparkSession, sfDir: String,
+      dPrefix: Int = 16, m: Int = 20, k: Int = 5): DataFrame = {
+    graft.plans.CosineSimilarity.register(spark)
+    val emb = Tables.embeddings(spark, sfDir)
+    val queries = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val s1 = emb.join(broadcast(queries), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        col("embedding"), col("q_emb"),
+        PortableRound.pround(
+          cosine(slice(col("q_emb"), 1, dPrefix),
+            slice(col("embedding"), 1, dPrefix)), 4).as("tcos"))
+    val wS = Window.partitionBy(col("query_id"))
+      .orderBy(col("tcos").desc, col("neighbor_id"))
+    val short = s1.withColumn("srank", row_number().over(wS))
+      .filter(col("srank") <= m)
+    val wF = Window.partitionBy(col("query_id"))
+      .orderBy(col("fcos").desc, col("neighbor_id"))
+    val funnel = short
+      .withColumn("fcos",
+        PortableRound.pround(cosine(col("q_emb"), col("embedding")), 4))
+      .withColumn("rank", row_number().over(wF))
+      .filter(col("rank") <= k)
+      .select(col("query_id").as("f_query"), col("neighbor_id").as("f_neighbor"))
+    val bf = annBruteForceTopK(spark, sfDir, k)
+    bf.join(funnel, col("query_id") === col("f_query") &&
+        col("neighbor_id") === col("f_neighbor"), "left")
+      .groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_true"), count(col("f_neighbor")).as("n_hits"))
+      .select(col("query_id"), col("n_true"), col("n_hits"),
+        PortableRound.pround(col("n_hits").cast("double") / col("n_true"), 4)
+          .as("recall"))
+  }
+
   /** Top principal direction of the embedding matrix by POWER ITERATION
     * — two unrolled `x ← Aᵀ(Ax)` passes in exact fixed-point integers
     * (floats quantize to 1/1024 steps; the inter-pass downscale is a

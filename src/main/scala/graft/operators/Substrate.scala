@@ -381,19 +381,48 @@ object Substrate {
         (shiftright(y, i).bitwiseAND(1L) * (1L << (2 * i + 1)))
     }.reduce(_ + _)
 
-  def zorderLayout(spark: SparkSession, sfDir: String,
-      blockRows: Int = 4096): DataFrame = {
-    val keys = Tables.lineitem(spark, sfDir)
+  /** The layout family's key projection: (tie-break keys, clustering
+    * keys, Morton value) over lineitem — shared by [[zorderLayout]]
+    * and [[layoutSkipWorkload]]. */
+  private def layoutKeys(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
       .select(col("l_orderkey"), col("l_linenumber"),
         col("l_partkey"), col("l_suppkey"))
       .withColumn("zval", morton(col("l_partkey"), col("l_suppkey")))
+
+  def zorderLayout(spark: SparkSession, sfDir: String,
+      blockRows: Int = 4096): DataFrame = {
+    val keys = layoutKeys(spark, sfDir)
     // Distributed global rank: the tie-break columns make the order
     // total, so (partition offset + within-partition row_number) IS the
     // global position no matter where the sampled range bounds fall.
     // The only single-partition window runs over the P-row offset
     // table, which is then broadcast back — nothing wide ever
     // serializes through one task.
-    def zoneMaps(ordered: Seq[org.apache.spark.sql.Column]) = {
+    def zoneMaps(ordered: Seq[org.apache.spark.sql.Column]) =
+      zoneMapsFor(keys, ordered, blockRows)
+    // the rectangle a two-key query carves; a block survives pruning
+    // iff its zone map intersects it
+    val (pLo, pHi, sLo, sHi) = (100L, 150L, 200L, 260L)
+    def touched(zm: DataFrame) = zm.filter(
+      col("p_max") >= pLo && col("p_min") <= pHi &&
+        col("s_max") >= sLo && col("s_min") <= sHi)
+      .agg(count(lit(1)).as("touched"))
+    val z = zoneMaps(Seq(col("zval"), col("l_orderkey"), col("l_linenumber")))
+      .localCheckpoint() // consumed by the census AND the pruning probe
+    val linear = zoneMaps(Seq(col("l_orderkey"), col("l_linenumber")))
+    z.agg(count(lit(1)).as("n_blocks"))
+      .crossJoin(broadcast(touched(z).withColumnRenamed("touched", "z_touched")))
+      .crossJoin(broadcast(touched(linear).withColumnRenamed("touched", "linear_touched")))
+  }
+
+  /** Shared block/zone-map builder for the layout family: global
+    * position by the DISTRIBUTED rank (range-repartition →
+    * per-partition rank → broadcast P-row offset table), rows packed
+    * into `blockRows`-sized blocks, per-block min/max zone maps on the
+    * two clustering keys. */
+  private def zoneMapsFor(keys: DataFrame,
+      ordered: Seq[org.apache.spark.sql.Column], blockRows: Int): DataFrame = {
       val parts = math.max(keys.sparkSession.sessionState.conf.numShufflePartitions, 1)
       // localCheckpoint is CORRECTNESS here, not just reuse: the
       // offsets table and the final join both consume `ranked`, and
@@ -425,18 +454,52 @@ object Substrate {
         .agg(min(col("l_partkey")).as("p_min"), max(col("l_partkey")).as("p_max"),
           min(col("l_suppkey")).as("s_min"), max(col("l_suppkey")).as("s_max"))
     }
-    // the rectangle a two-key query carves; a block survives pruning
-    // iff its zone map intersects it
-    val (pLo, pHi, sLo, sHi) = (100L, 150L, 200L, 260L)
-    def touched(zm: DataFrame) = zm.filter(
-      col("p_max") >= pLo && col("p_min") <= pHi &&
-        col("s_max") >= sLo && col("s_min") <= sHi)
-      .agg(count(lit(1)).as("touched"))
-    val z = zoneMaps(Seq(col("zval"), col("l_orderkey"), col("l_linenumber")))
-      .localCheckpoint() // consumed by the census AND the pruning probe
-    val linear = zoneMaps(Seq(col("l_orderkey"), col("l_linenumber")))
-    z.agg(count(lit(1)).as("n_blocks"))
-      .crossJoin(broadcast(touched(z).withColumnRenamed("touched", "z_touched")))
-      .crossJoin(broadcast(touched(linear).withColumnRenamed("touched", "linear_touched")))
+
+  /** WORKLOAD-DRIVEN data-skipping evaluation — the number a layout
+    * decision is actually made on: [[zorderLayout]] probes ONE
+    * rectangle; real clustering choices are judged against a QUERY
+    * WORKLOAD (Delta/Snowflake clustering advisors do exactly this
+    * census over recent query predicates). A deterministic workload of
+    * `nRects` two-key rectangles — positioned/sized by integer
+    * fractions of the observed key ranges, so the same workload is
+    * meaningful at every SF — is evaluated against both layouts' zone
+    * maps, emitting per (layout, rectangle) the blocks touched and the
+    * skip percentage.
+    *
+    * Scale: each layout's zone-map table is block-count-sized (rows /
+    * blockRows — ~25k blocks per PB at 128 MiB files), built once via
+    * the shared distributed-rank pass and reused for ALL rectangles;
+    * the rectangle table is `nRects` rows cross-joined against zone
+    * maps (a broadcast), and the census collapses map-side to
+    * 2·nRects rows. The data itself is read ONCE per layout — the
+    * whole point of zone-map evaluation is that the workload probe
+    * never rescans the table. */
+  def layoutSkipWorkload(spark: SparkSession, sfDir: String,
+      blockRows: Int = 4096, nRects: Int = 12): DataFrame = {
+    val keys = layoutKeys(spark, sfDir)
+    val bounds = keys.agg(
+      min(col("l_partkey")).as("pmn"), max(col("l_partkey")).as("pmx"),
+      min(col("l_suppkey")).as("smn"), max(col("l_suppkey")).as("smx"))
+    val rects = spark.range(nRects.toLong).select(col("id").as("rect_id"))
+      .crossJoin(broadcast(bounds))
+      .withColumn("p_lo", expr("pmn + ((pmx - pmn) * ((rect_id * 37) % 80)) DIV 100"))
+      .withColumn("p_hi", expr("p_lo + greatest(((pmx - pmn) * (5 + (rect_id * 13) % 20)) DIV 100, 1)"))
+      .withColumn("s_lo", expr("smn + ((smx - smn) * ((rect_id * 53) % 80)) DIV 100"))
+      .withColumn("s_hi", expr("s_lo + greatest(((smx - smn) * (5 + (rect_id * 29) % 20)) DIV 100, 1)"))
+      .select(col("rect_id"), col("p_lo"), col("p_hi"), col("s_lo"), col("s_hi"))
+    val zm = zoneMapsFor(keys,
+        Seq(col("zval"), col("l_orderkey"), col("l_linenumber")), blockRows)
+      .withColumn("layout", lit("zorder"))
+      .unionByName(zoneMapsFor(keys,
+          Seq(col("l_orderkey"), col("l_linenumber")), blockRows)
+        .withColumn("layout", lit("linear")))
+    zm.crossJoin(broadcast(rects))
+      .groupBy(col("layout"), col("rect_id"))
+      .agg(count(lit(1)).as("n_blocks"),
+        sum(when(col("p_max") >= col("p_lo") && col("p_min") <= col("p_hi") &&
+          col("s_max") >= col("s_lo") && col("s_min") <= col("s_hi"),
+          1L).otherwise(0L)).as("touched"))
+      .withColumn("skip_pct", graft.operators.PortableRound.pround(
+        (col("n_blocks") - col("touched")) * 100.0 / col("n_blocks"), 4))
   }
 }

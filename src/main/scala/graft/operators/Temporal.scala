@@ -78,6 +78,73 @@ object Temporal {
       .drop("__bin")
   }
 
+  /** INTERVAL-OVERLAP join via bin blocking — the interval×interval
+    * sibling of [[rangeJoinBinned]] (genomics overlap joins, outage ×
+    * session attribution): every (a, b) pair with
+    * `aStart < bEnd && bStart < aEnd`. Both sides explode to the
+    * `binSeconds` bins their interval covers and equi-join on the bin;
+    * a pair sharing several bins is kept EXACTLY ONCE by the
+    * responsibility rule — only the FIRST shared bin
+    * (`max(aBin₀, bBin₀)`, which both sides necessarily cover when
+    * they overlap) emits the pair — so no DISTINCT pass over the pair
+    * stream is needed.
+    *
+    * Scale: the pair space collapses from |A|·|B| (a
+    * BroadcastNestedLoopJoin) to Σ per-bin |A_bin|·|B_bin| via a
+    * shuffle-keyed equi-join; duplication factor ≈ interval/bin
+    * length, so set `binSeconds` near the typical interval. Skewed
+    * bins (an outage spike) ride AQE's skew split like any equi-join. */
+  def overlapJoinBinned(a: DataFrame, b: DataFrame,
+      aStart: String, aEnd: String, bStart: String, bEnd: String,
+      binSeconds: Long): DataFrame = {
+    val binUs = binSeconds * 1000000L
+    def bins(s: String, e: String) = sequence(
+      floor(unix_micros(col(s)) / binUs),
+      floor((unix_micros(col(e)) - 1) / binUs))
+    // Empty/inverted intervals overlap nothing (strict s < e semantics)
+    // and MUST be dropped before the explode: for s == e the bin range
+    // is [floor(s/W), floor((s-1)/W)] and Spark's `sequence` would
+    // count DOWN instead of returning empty (the same trap the BPE
+    // pair counter guards against).
+    val ax = a.filter(col(aStart) < col(aEnd))
+      .withColumn("__abin0", floor(unix_micros(col(aStart)) / binUs))
+      .withColumn("__bin", explode(bins(aStart, aEnd)))
+    val bx = b.filter(col(bStart) < col(bEnd))
+      .withColumn("__bbin0", floor(unix_micros(col(bStart)) / binUs))
+      .withColumn("__bin", explode(bins(bStart, bEnd)))
+    ax.join(bx, Seq("__bin"))
+      .filter(col(aStart) < col(bEnd) && col(bStart) < col(aEnd) &&
+        col("__bin") === greatest(col("__abin0"), col("__bbin0")))
+      .drop("__bin", "__abin0", "__bbin0")
+  }
+
+  /** Declared query: error incidents (10-min windows after each error)
+    * overlap-joined against high-value purchase windows (30 min after
+    * each purchase with value ≥ 100), aggregated per incident with the
+    * EXACT total overlap duration in µs — outage × revenue-activity
+    * attribution, the classic interval-overlap workload. */
+  def overlapIncidentPurchases(spark: SparkSession, sfDir: String): DataFrame = {
+    val events = Tables.events(spark, sfDir)
+    def win(filtered: DataFrame, idAs: String, lenUs: Long, cols: Column*) =
+      filtered.select(Seq(col("event_id").as(idAs), col("ts").as(s"${idAs}_start"),
+        timestamp_micros(unix_micros(col("ts")) + lenUs).as(s"${idAs}_end")) ++ cols: _*)
+    val incidents = win(events.filter(col("event_type") === "error"),
+      "incident", 600L * 1000000L)
+    val purchases = win(
+      events.filter(col("event_type") === "purchase" && col("value") >= 100),
+      "purchase", 1800L * 1000000L, col("user_id"))
+    overlapJoinBinned(incidents, purchases,
+        "incident_start", "incident_end", "purchase_start", "purchase_end",
+        binSeconds = 1800)
+      .withColumn("overlap_us",
+        least(unix_micros(col("incident_end")), unix_micros(col("purchase_end"))) -
+          greatest(unix_micros(col("incident_start")), unix_micros(col("purchase_start"))))
+      .groupBy(col("incident"))
+      .agg(count(lit(1)).as("n_windows"),
+        countDistinct(col("user_id")).as("n_users"),
+        sum(col("overlap_us")).as("total_overlap_us"))
+  }
+
   /** Declared query: for each error event, the most recent click by the
     * same user at-or-before it (clicks pre-deduped to one per (user,
     * ts) so the match is unique). Timestamps emitted as epoch µs. */

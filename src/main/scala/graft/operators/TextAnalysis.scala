@@ -63,7 +63,9 @@ object TextAnalysis {
     * [[qualityScore]] query and the streaming admission gate
     * ([[graft.streaming.CorpusAdmission]]), so both paths score
     * identically by construction. */
-  def qualityScoreCol: Column = {
+  /** The raw (unrounded) combined quality score — shared by the
+    * per-doc rounded column and the exact micro-unit aggregate form. */
+  private def qualityRawCol: Column = {
     val words = split(col("text"), " ")
     val nWords = size(words).cast("double")
     val t = concat(lit(" "), col("text"), lit(" "))
@@ -72,11 +74,20 @@ object TextAnalysis {
     val avgWordLen = (nChars - (nWords - 1)) / nWords
     val distinctRatio = size(array_distinct(words)).cast("double") / nWords
     val stopRatio = stopHits / nWords
-    PortableRound.pround(
-      when(avgWordLen.between(3.0, 10.0), 0.4).otherwise(0.0)
-        + least(stopRatio * lit(2.0), lit(0.3))
-        + least(distinctRatio, lit(0.3)), 4)
+    when(avgWordLen.between(3.0, 10.0), 0.4).otherwise(0.0) +
+      least(stopRatio * lit(2.0), lit(0.3)) +
+      least(distinctRatio, lit(0.3))
   }
+
+  def qualityScoreCol: Column =
+    PortableRound.pround(qualityRawCol, 4)
+
+  /** The same score in EXACT INTEGER micro-units (×10⁴): the form a
+    * cross-document aggregate must sum — long addition is associative,
+    * so the mean is bit-identical under any partitioning, where a
+    * double sum's rounding would depend on accumulation order. */
+  def qualityMicroCol: Column =
+    floor(qualityRawCol * 10000 + 0.5).cast("long")
 
   /** Quality scoring: length / stopword / repetition features with a
     * combined score — the shape of Gopher/C4-style quality filters. */

@@ -442,4 +442,49 @@ class PlanShapeSpec extends AnyFunSuite {
     // the exact rank twin is the ONLY sort (calibration harness)
     assert(p.contains("Window"), "rank twin present by design")
   }
+
+  test("matryoshka funnel: corpus never shuffles, queries broadcast") {
+    val p = plan("embed_matryoshka_recall")
+    // stage-1 scoring joins the 10-row query set as a broadcast (the
+    // <> condition plans it as a BNLJ BuildRight, same as ann_brute);
+    // the only exchanges repartition the Q·N scored rows for the two
+    // per-query rank windows — the corpus scan itself feeds the join
+    // directly with no hashpartitioning on vec_id
+    assert(p.linesIterator.exists(l =>
+        l.contains("BroadcastNestedLoopJoin") && l.contains("BuildRight")),
+      s"query set must broadcast against the corpus scan:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("snapshot diff: one key-keyed sort-merge full outer, no window") {
+    val p = plan("sub_snapshot_diff")
+    assert(p.contains("SortMergeJoin") && p.contains("FullOuter"),
+      s"the diff IS the full-outer merge:\n$p")
+    assert(!p.contains("Window") && !p.contains("CartesianProduct"), p)
+    // churn classification happens after the join; no second pass over
+    // either snapshot
+    assert(p.linesIterator.count(_.contains("Scan parquet")) == 2,
+      s"each snapshot reads its scan once:\n$p")
+  }
+
+  test("layout skip workload: rectangle table broadcasts against zone maps") {
+    spark.conf.set("graft.zorder.pinPartitioning", "false")
+    try {
+      val p = plan("layout_skip_workload")
+      assert(p.contains("rangepartitioning"),
+        s"block assignment must be the distributed rank:\n$p")
+      // the nRects-row workload joins the block-count-sized zone maps
+      // as a broadcast (cross of 12 × blocks is fine; data-sized isn't)
+      assert(!p.contains("SortMergeJoin") ||
+        p.contains("BroadcastNestedLoopJoin"),
+        s"workload probe must not shuffle the zone maps:\n$p")
+    } finally spark.conf.unset("graft.zorder.pinPartitioning")
+  }
+
+  test("report card: hash census collapses map-side, no window, no CP") {
+    val p = plan("corpus_report_card")
+    assert(p.contains("HashAggregate"), p)
+    assert(!p.contains("Window") && !p.contains("CartesianProduct"),
+      s"the dup census is a count + equi-join back, never a window:\n$p")
+  }
 }

@@ -339,4 +339,57 @@ class CorpusSpec extends AnyFunSuite {
     val total = counts.map { case (l, n) => n * expected(l) }.sum
     assert(df.count() == total)
   }
+
+  test("bpe fertility: merges compress below the char baseline; recounts hold") {
+    val df = Corpus.bpeFertility(spark, sfDir).collect()
+    assert(df.nonEmpty)
+    val docs = graft.Tables.documents(spark, sfDir)
+    // independent per-lang word-instance recount with the same filter
+    val words = docs.select(col("lang"),
+        org.apache.spark.sql.functions.explode(
+          org.apache.spark.sql.functions.split(col("text"), " ")).as("w"))
+      .filter(col("w").rlike("^[a-z]+$") &&
+        org.apache.spark.sql.functions.length(col("w")) >= 2)
+    val expected = words.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    for (r <- df) {
+      val (lang, nWords, nTokens) =
+        (r.getString(0), r.getLong(1), r.getLong(2))
+      assert(nWords == expected(lang), s"$lang word recount")
+      // 16 learned merges must compress SOME words: strictly fewer
+      // tokens than characters (the 0-merge baseline), but at least
+      // one token per word
+      val tpw = r.getDouble(3)
+      val cpt = r.getDouble(4)
+      assert(nTokens < nWords * 10 && nTokens >= nWords)
+      assert(tpw >= 1.0 && cpt > 1.0,
+        s"$lang: tokens_per_word=$tpw chars_per_token=$cpt")
+    }
+    // chars_per_token > 1 globally means merges fired somewhere
+    assert(df.map(_.getDouble(4)).max > 1.0)
+  }
+
+  test("report card: per-source counts and dup census recount independently") {
+    val df = Corpus.reportCard(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val docs = graft.Tables.documents(spark, sfDir)
+    val nBySource = docs.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(df.keySet == nBySource.keySet)
+    // independent duplicate census: group on the raw TEXT, not a hash
+    val dupTexts = docs.groupBy("text").count()
+      .filter(col("count") > 1).select("text")
+    val dupBySource = docs.join(dupTexts, "text")
+      .groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    for ((src, row) <- df) {
+      assert(row.getLong(1) == nBySource(src), s"$src n_docs")
+      val meanQ = row.getDouble(3)
+      assert(meanQ >= 0.0 && meanQ <= 1.0, s"$src mean_quality=$meanQ")
+      val expectedDupPct =
+        math.floor(dupBySource.getOrElse(src, 0L) * 100.0 /
+          nBySource(src) * 10000 + 0.5) / 10000
+      assert(row.getDouble(5) == expectedDupPct, s"$src dup_pct")
+    }
+  }
 }

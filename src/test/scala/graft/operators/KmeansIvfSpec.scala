@@ -93,4 +93,28 @@ class KmeansIvfSpec extends AnyFunSuite {
     assert(df.filter(col("rank") > 5).count() == 0)
     assert(df.select("query_id").distinct().count() == 10)
   }
+
+  test("matryoshka funnel: full-width prefix or all-in shortlist recovers exactly") {
+    // dPrefix = full dims → stage 1 IS the exact score → recall 1.0
+    val full = Similarity.matryoshkaRecall(spark, sfDir, dPrefix = 64)
+      .collect()
+    assert(full.length == 10 && full.forall(_.getDouble(3) == 1.0),
+      "full-width prefix must recover the exact top-k")
+    // shortlist ⊇ corpus → the rerank IS brute force → recall 1.0
+    val allIn = Similarity.matryoshkaRecall(spark, sfDir,
+        dPrefix = 16, m = 100000).collect()
+    assert(allIn.forall(_.getDouble(3) == 1.0),
+      "corpus-wide shortlist must recover the exact top-k")
+  }
+
+  test("matryoshka recall bounded and n_true = k for every query") {
+    val df = Similarity.matryoshkaRecall(spark, sfDir).collect()
+    assert(df.length == 10)
+    for (r <- df) {
+      assert(r.getLong(1) == 5L, "truth is always k rows")
+      assert(r.getLong(2) >= 0L && r.getLong(2) <= 5L)
+      val rec = r.getDouble(3)
+      assert(rec >= 0.0 && rec <= 1.0)
+    }
+  }
 }

@@ -1,0 +1,59 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.{Tables, TestSpark}
+
+/** Semantics of the CDC snapshot diff: every emitted change row is
+  * exactly one the simulated version-B mutations produced, and the
+  * counts recount from the mutation predicates directly.
+  */
+class SnapshotDiffSpec extends AnyFunSuite {
+  import TestSpark.{spark, sfDir}
+
+  test("change rows partition cleanly by the mutation predicates") {
+    val diff = Relational.snapshotDiff(spark, sfDir).collect()
+    assert(diff.nonEmpty)
+    for (r <- diff) {
+      val key = r.getLong(0)
+      r.getString(1) match {
+        case "insert" =>
+          assert(key % 93 == 0 && key % 97 != 0, s"bad insert key $key")
+          assert(r.isNullAt(3) && !r.isNullAt(4), "insert has only new_fp")
+        case "delete" =>
+          assert(key % 97 == 0 && key % 93 != 0, s"bad delete key $key")
+          assert(!r.isNullAt(3) && r.isNullAt(4), "delete has only old_fp")
+        case "update" =>
+          assert(key % 89 == 0 && key % 93 != 0 && key % 97 != 0,
+            s"bad update key $key")
+          // +5% reprice: delta = (p*105 div 100) - p > 0, fingerprints move
+          assert(r.getLong(2) > 0, s"update delta must be positive ($key)")
+          assert(r.getLong(3) != r.getLong(4), "fingerprint must change")
+        case other => fail(s"unexpected change_type $other")
+      }
+    }
+  }
+
+  test("counts recount from the order-key predicates") {
+    val diff = Relational.snapshotDiff(spark, sfDir)
+      .groupBy("change_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val keys = Tables.orders(spark, sfDir).select(col("o_orderkey"))
+      .collect().map(_.getLong(0))
+    val expected = Map(
+      "insert" -> keys.count(k => k % 93 == 0 && k % 97 != 0).toLong,
+      "delete" -> keys.count(k => k % 97 == 0 && k % 93 != 0).toLong,
+      "update" -> keys.count(k =>
+        k % 89 == 0 && k % 93 != 0 && k % 97 != 0).toLong)
+    assert(diff == expected.filter(_._2 > 0),
+      s"got $diff expected $expected")
+  }
+
+  test("unchanged rows are never emitted") {
+    val diff = Relational.snapshotDiff(spark, sfDir)
+    val n = Tables.orders(spark, sfDir).count()
+    assert(diff.count() < n / 10,
+      "the changelog must be churn-sized, not table-sized")
+  }
+}

@@ -191,4 +191,60 @@ class TemporalSpec extends AnyFunSuite {
     assert(!p.contains("Window"), s"native path must not fall back to the window form:\n$p")
     assert(!p.contains("Union"), p)
   }
+
+  test("overlap: exact pair set under open/closed boundaries, any bin width") {
+    val a = Seq(
+      (1L, ts("2024-01-01 10:00:00"), ts("2024-01-01 10:10:00")),
+      (2L, ts("2024-01-01 11:00:00"), ts("2024-01-01 11:05:00"))
+    ).toDF("a_id", "a_s", "a_e")
+    val b = Seq(
+      (10L, ts("2024-01-01 10:05:00"), ts("2024-01-01 10:20:00")), // overlaps 1
+      (11L, ts("2024-01-01 10:10:00"), ts("2024-01-01 10:30:00")), // abuts 1: NO (end exclusive)
+      (12L, ts("2024-01-01 09:00:00"), ts("2024-01-01 10:00:01")), // 1s overlap with 1
+      (13L, ts("2024-01-01 11:04:59"), ts("2024-01-01 11:04:59"))  // empty interval: NO
+    ).toDF("b_id", "b_s", "b_e")
+    for (bin <- Seq(60L, 600L, 7L)) {
+      val got = Temporal.overlapJoinBinned(a, b, "a_s", "a_e", "b_s", "b_e", bin)
+        .select("a_id", "b_id").as[(Long, Long)].collect().sorted.toSeq
+      assert(got == Seq((1L, 10L), (1L, 12L)), s"bin=$bin gave $got")
+    }
+  }
+
+  test("overlap: a pair sharing many bins is emitted exactly once") {
+    val a = Seq((1L, ts("2024-01-01 10:00:00"), ts("2024-01-01 12:00:00")))
+      .toDF("a_id", "a_s", "a_e")
+    val b = Seq((10L, ts("2024-01-01 09:00:00"), ts("2024-01-01 13:00:00")))
+      .toDF("b_id", "b_s", "b_e")
+    // 7s bins: the pair shares ~1000 bins; the responsibility rule
+    // (first shared bin) must emit it once
+    val n = Temporal.overlapJoinBinned(a, b, "a_s", "a_e", "b_s", "b_e", 7L).count()
+    assert(n == 1L)
+  }
+
+  test("overlap agg: recounts against the naive O(n·m) join at sf0.001") {
+    import org.apache.spark.sql.functions._
+    val df = Temporal.overlapIncidentPurchases(spark, sfDir)
+    val events = graft.Tables.events(spark, sfDir)
+    val i = events.filter(col("event_type") === "error")
+      .select(col("event_id").as("incident"), col("ts").as("i_s"),
+        timestamp_micros(unix_micros(col("ts")) + 600L * 1000000L).as("i_e"))
+    val p = events.filter(col("event_type") === "purchase" && col("value") >= 100)
+      .select(col("user_id"), col("ts").as("p_s"),
+        timestamp_micros(unix_micros(col("ts")) + 1800L * 1000000L).as("p_e"))
+    val naive = i.join(p, col("i_s") < col("p_e") && col("p_s") < col("i_e"))
+      .groupBy("incident")
+      .agg(count(lit(1)).as("n_windows"), countDistinct(col("user_id")).as("n_users"),
+        sum(least(unix_micros(col("i_e")), unix_micros(col("p_e"))) -
+          greatest(unix_micros(col("i_s")), unix_micros(col("p_s")))).as("total_overlap_us"))
+    assert(df.count() > 0)
+    assert(df.exceptAll(naive).isEmpty && naive.exceptAll(df).isEmpty,
+      "binned overlap join must equal the naive inequality join")
+  }
+
+  test("overlap: plans as a bin equi-join, not nested loop") {
+    val p = Temporal.overlapIncidentPurchases(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"overlap join degenerated to a nested loop:\n$p")
+  }
 }

@@ -91,4 +91,23 @@ class ZorderSkippingSpec extends AnyFunSuite {
     assert(readZ * 2 <= readS,
       s"z-order must skip at least half the rows ($readZ vs $readS of $total)")
   }
+
+  test("skip workload: consistent block census; z-order never loses in aggregate") {
+    val df = Substrate.layoutSkipWorkload(spark, sfDir).collect()
+    assert(df.length == 24, "2 layouts x 12 rectangles")
+    val byLayout = df.groupBy(_.getString(0))
+    // both layouts pack the same rows → identical block count
+    assert(byLayout.values.flatMap(_.map(_.getLong(2))).toSet.size == 1)
+    for (r <- df) {
+      val (blocks, touched, skip) =
+        (r.getLong(2), r.getLong(3), r.getDouble(4))
+      assert(touched >= 0 && touched <= blocks)
+      assert(skip >= 0.0 && skip <= 100.0)
+    }
+    // the layout decision metric: workload-aggregate touched blocks
+    val zSum = byLayout("zorder").map(_.getLong(3)).sum
+    val lSum = byLayout("linear").map(_.getLong(3)).sum
+    assert(zSum <= lSum,
+      s"z-order must not touch more blocks than linear across the workload ($zSum vs $lSum)")
+  }
 }
