@@ -207,6 +207,8 @@ object SparkEntry {
       Corpus.bpeFertility(s, d)),
     "corpus_report_card" -> (Corpus.reportCard _),
     "range_overlap_agg" -> (Temporal.overlapIncidentPurchases _),
+    "sub_incremental_agg" -> (Relational.incrementalAgg _),
+    "skew_advisor" -> ((s: SparkSession, d: String) => Skew.skewAdvisor(s, d)),
   )
 
   /** Queries whose result may legitimately be empty at small scale
@@ -283,7 +285,7 @@ object SparkEntry {
     // report card):
     "embed_matryoshka_recall", "layout_skip_workload",
     "sub_snapshot_diff", "corpus_bpe_fertility", "corpus_report_card",
-    "range_overlap_agg")
+    "range_overlap_agg", "sub_incremental_agg", "skew_advisor")
 
   // --- generated DuckDB replicas of the portable-hash queries ----------
 
@@ -2649,8 +2651,13 @@ object SparkEntry {
       val morton = (0 until 16).map(i =>
         s"(((l_partkey >> $i) & 1) * ${1L << (2 * i)}) + " +
           s"(((l_suppkey >> $i) & 1) * ${1L << (2 * i + 1)})").mkString(" + ")
+      val (hilbertCtes, hFinal) = Substrate.hilbertOracleCtes(
+        Seq("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"))
       s"""WITH k AS (SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
          |    CAST($morton AS BIGINT) AS zval FROM lineitem),
+         |h0 AS (SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+         |    l_partkey AS hx, l_suppkey AS hy, CAST(0 AS BIGINT) AS hd FROM k),
+         |${hilbertCtes.mkString(",\n")},
          |bounds AS (SELECT min(l_partkey) AS pmn, max(l_partkey) AS pmx,
          |    min(l_suppkey) AS smn, max(l_suppkey) AS smx FROM k),
          |r0 AS (SELECT CAST(unnest(range(0, 12)) AS BIGINT) AS rect_id),
@@ -2664,11 +2671,16 @@ object SparkEntry {
          |    s_lo, s_lo + greatest(s_w, 1) AS s_hi FROM r1),
          |z AS (SELECT (row_number() OVER (ORDER BY zval, l_orderkey, l_linenumber) - 1) // 4096 AS block,
          |    l_partkey, l_suppkey FROM k),
+         |hil AS (SELECT (row_number() OVER (ORDER BY hd, l_orderkey, l_linenumber) - 1) // 4096 AS block,
+         |    l_partkey, l_suppkey FROM $hFinal),
          |lin AS (SELECT (row_number() OVER (ORDER BY l_orderkey, l_linenumber) - 1) // 4096 AS block,
          |    l_partkey, l_suppkey FROM k),
          |zm AS (
          |  SELECT 'zorder' AS layout, block, min(l_partkey) AS p_min, max(l_partkey) AS p_max,
          |      min(l_suppkey) AS s_min, max(l_suppkey) AS s_max FROM z GROUP BY 2
+         |  UNION ALL
+         |  SELECT 'hilbert' AS layout, block, min(l_partkey), max(l_partkey),
+         |      min(l_suppkey), max(l_suppkey) FROM hil GROUP BY 2
          |  UNION ALL
          |  SELECT 'linear' AS layout, block, min(l_partkey), max(l_partkey),
          |      min(l_suppkey), max(l_suppkey) FROM lin GROUP BY 2)
@@ -2706,6 +2718,27 @@ object SparkEntry {
          |SELECT * FROM j WHERE change_type IS NOT NULL""".stripMargin
     },
     "corpus_bpe_fertility" -> Corpus.bpeOracleSql(16, "fertility"),
+    // FULL RECOMPUTE of the view at snapshot B — matching it proves
+    // the engine's incremental (view ⊕ changelog) path is lossless.
+    "sub_incremental_agg" ->
+      """WITH base AS (SELECT o_orderkey, o_custkey,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS price_c
+        |  FROM orders),
+        |b AS (SELECT o_custkey,
+        |    CASE WHEN o_orderkey % 89 = 0 THEN (price_c * 105) // 100
+        |      ELSE price_c END AS price_c
+        |  FROM base WHERE o_orderkey % 97 <> 0)
+        |SELECT o_custkey, count(*) AS n_orders,
+        |  CAST(sum(price_c) AS BIGINT) AS spend_c
+        |FROM b GROUP BY 1""".stripMargin,
+    "skew_advisor" ->
+      """WITH h AS (SELECT event_type, count(*) AS n_rows FROM events GROUP BY 1),
+        |t AS (SELECT sum(n_rows) AS tot FROM h)
+        |SELECT event_type, n_rows,
+        |  floor(n_rows * 100.0 / tot * 10000 + 0.5) / 10000 AS share_pct,
+        |  CAST(least(32, (n_rows + 999) // 1000) AS BIGINT) AS recommended_salt,
+        |  n_rows > 1000 AS is_hot
+        |FROM h, t""".stripMargin,
     // The naive inequality form — the bin blocking + responsibility
     // dedup must be invisible in the results.
     "range_overlap_agg" ->

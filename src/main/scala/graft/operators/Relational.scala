@@ -1088,6 +1088,22 @@ object Relational {
     * is churn-sized. The unchanged majority is dropped before any
     * further processing, so downstream stages never see table-sized
     * data. */
+  /** The simulated snapshot pair shared by [[snapshotDiff]] and
+    * [[incrementalAgg]]: version A lags ingest (keys ≡0 mod 93
+    * absent); version B has purged keys ≡0 mod 97 and repriced keys
+    * ≡0 mod 89 by +5% (integer cents, floor). */
+  private def snapshotVersions(spark: SparkSession, sfDir: String)
+      : (DataFrame, DataFrame) = {
+    val base = Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"), col("o_custkey"),
+        (dec(col("o_totalprice")) * 100).cast("long").as("price_c"))
+    val a = base.filter(col("o_orderkey") % 93 =!= 0)
+    val b = base.filter(col("o_orderkey") % 97 =!= 0)
+      .withColumn("price_c", when(col("o_orderkey") % 89 === 0,
+        expr("price_c * 105 DIV 100")).otherwise(col("price_c")))
+    (a, b)
+  }
+
   def snapshotDiff(spark: SparkSession, sfDir: String): DataFrame = {
     val base = Tables.orders(spark, sfDir)
       .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
@@ -1117,6 +1133,50 @@ object Relational {
         (coalesce(col("b_price_c"), lit(0L)) -
           coalesce(col("a_price_c"), lit(0L))).as("delta_c"),
         col("a_fp").as("old_fp"), col("b_fp").as("new_fp"))
+  }
+
+  /** INCREMENTAL AGGREGATE MAINTENANCE (IVM) — the materialized-view
+    * refresh every warehouse needs once full recompute stops fitting
+    * the batch window: the per-customer (order count, spend) view at
+    * snapshot A is advanced to snapshot B by applying the CHURN-SIZED
+    * changelog — inserts contribute (+1, +new), deletes (−1, −old),
+    * updates (0, +delta) — through one customer-keyed merge. The
+    * DuckDB oracle computes the view at B by FULL RECOMPUTE, so the
+    * green row is a proof that the incremental path is lossless
+    * (including dropping groups whose count reaches zero).
+    *
+    * Scale: at 100 TB the view and the changelog are stored tables —
+    * the refresh reads |view| + |churn|, never snapshot B; here both
+    * derive from the same scan but keep the IVM plan shape: the delta
+    * side aggregates map-side to churn-sized rows per group, the
+    * merge is one full-outer key join (zero-shuffle when the view is
+    * key-bucketed), and no window/sort/collect appears anywhere. */
+  def incrementalAgg(spark: SparkSession, sfDir: String): DataFrame = {
+    val (a, b) = snapshotVersions(spark, sfDir)
+    val view = a.groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_orders"), sum(col("price_c")).as("spend_c"))
+    // churn rows with their group key and the old/new measure values
+    val ak = a.select(col("o_orderkey"), col("o_custkey").as("a_cust"),
+      col("price_c").as("a_price_c"))
+    val bk = b.select(col("o_orderkey"), col("o_custkey").as("b_cust"),
+      col("price_c").as("b_price_c"))
+    val delta = ak.join(bk, Seq("o_orderkey"), "full_outer")
+      .filter(col("a_cust").isNull || col("b_cust").isNull ||
+        col("a_price_c") =!= col("b_price_c"))
+      .select(coalesce(col("a_cust"), col("b_cust")).as("o_custkey"),
+        (when(col("a_cust").isNull, 1L)
+          .when(col("b_cust").isNull, -1L).otherwise(0L)).as("dn"),
+        (coalesce(col("b_price_c"), lit(0L)) -
+          coalesce(col("a_price_c"), lit(0L))).as("dspend"))
+      .groupBy(col("o_custkey"))
+      .agg(sum(col("dn")).as("dn"), sum(col("dspend")).as("dspend"))
+    view.join(delta, Seq("o_custkey"), "full_outer")
+      .select(col("o_custkey"),
+        (coalesce(col("n_orders"), lit(0L)) + coalesce(col("dn"), lit(0L)))
+          .as("n_orders"),
+        (coalesce(col("spend_c"), lit(0L)) + coalesce(col("dspend"), lit(0L)))
+          .as("spend_c"))
+      .filter(col("n_orders") > 0)
   }
 
   /** Set operation: EXCEPT (distinct) — substrate capability. */

@@ -105,6 +105,34 @@ object Skew {
     * row-level window sorts the full table per flag and is the
     * interpolating variant. No arithmetic touches the returned price,
     * so the double is bit-exact across engines. */
+  /** SKEW ADVISOR — the measurement half of the salting pattern
+    * ([[saltedAgg]]/[[saltedJoin]] are the treatment): census the key
+    * histogram of a planned shuffle key, flag keys whose row count
+    * exceeds the per-task target, and recommend the salt factor
+    * `ceil(n/target)` (capped — beyond the cap you re-shard the
+    * pipeline, not the key). This is the number an operator (or AQE's
+    * skew threshold) acts on; publishing it as a query makes the
+    * decision auditable instead of folklore.
+    *
+    * Scale: ONE map-side-combined count on the key (the cheapest
+    * possible full-data statistic); the key-count histogram is
+    * key-cardinality-sized, the grand total is a 1-row broadcast, and
+    * everything after the count touches only histogram rows. */
+  def skewAdvisor(spark: SparkSession, sfDir: String,
+      targetRows: Long = 1000L, maxSalt: Long = 32L): DataFrame = {
+    val hist = Tables.events(spark, sfDir)
+      .groupBy(col("event_type")).agg(count(lit(1)).as("n_rows"))
+    val total = hist.agg(sum(col("n_rows")).as("tot"))
+    hist.crossJoin(broadcast(total))
+      .select(col("event_type"), col("n_rows"),
+        PortableRound.pround(col("n_rows") * 100.0 / col("tot"), 4)
+          .as("share_pct"),
+        least(lit(maxSalt),
+          expr(s"(n_rows + ${targetRows - 1}) DIV $targetRows"))
+          .as("recommended_salt"),
+        (col("n_rows") > targetRows).as("is_hot"))
+  }
+
   def approxAggs(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     graft.plans.BoundedAggregates.register(spark)

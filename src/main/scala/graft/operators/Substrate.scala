@@ -381,6 +381,75 @@ object Substrate {
         (shiftright(y, i).bitwiseAND(1L) * (1L << (2 * i + 1)))
     }.reduce(_ + _)
 
+  /** HILBERT curve index (xy2d, order 16) as a codegen'd integer
+    * expression — the clustering curve that beats Z-order on rectangle
+    * predicates because consecutive curve positions are always
+    * grid-adjacent (no Z-shaped jumps across the key domain), which is
+    * why modern lakehouse clustering uses it. Unrolled 16 rounds of
+    * the classic bit-interleave-with-rotation: per round, quadrant
+    * digit `(3·rx) xor ry` scales by s², then the (x, y) frame
+    * reflects/swaps. The full-width complement `(2¹⁶−1)−x` is used for
+    * the reflection — subsequent rounds only read bits below s, where
+    * it agrees with the in-quadrant complement, and the SAME unrolled
+    * form replays in DuckDB so the oracle is bit-identical. */
+  /** NOT a single Column on purpose: each round reads the previous
+    * round's (x, y) several times, so one nested expression would grow
+    * 4^order nodes (observed: OOM in Column normalization at order
+    * 16). Per-round NAMED projections keep every Project small, and
+    * CollapseProject declines to inline multiply-referenced non-cheap
+    * aliases, so the plan stays a 16-step linear chain. */
+  def withHilbert(df: DataFrame, xc: org.apache.spark.sql.Column,
+      yc: org.apache.spark.sql.Column, out: String,
+      order: Int = 16): DataFrame = {
+    val n = 1L << order
+    var cur = df.withColumn("__hx", xc.cast("long"))
+      .withColumn("__hy", yc.cast("long"))
+      .withColumn("__hd", lit(0L))
+    var s = n >> 1
+    while (s > 0) {
+      val x = col("__hx"); val y = col("__hy")
+      val rx = when(x.bitwiseAND(s) > 0, 1L).otherwise(0L)
+      val ry = when(y.bitwiseAND(s) > 0, 1L).otherwise(0L)
+      val flip = ry === 0 && rx === 1
+      val xf = when(flip, lit(n - 1) - x).otherwise(x)
+      val yf = when(flip, lit(n - 1) - y).otherwise(y)
+      cur = cur
+        .withColumn("__hd2", col("__hd") +
+          lit(s * s) * (lit(3L) * rx).bitwiseXOR(ry))
+        .withColumn("__hx2", when(ry === 0, yf).otherwise(xf))
+        .withColumn("__hy2", when(ry === 0, xf).otherwise(yf))
+        .drop("__hd", "__hx", "__hy")
+        .withColumnRenamed("__hd2", "__hd")
+        .withColumnRenamed("__hx2", "__hx")
+        .withColumnRenamed("__hy2", "__hy")
+      s >>= 1
+    }
+    cur.withColumnRenamed("__hd", out).drop("__hx", "__hy")
+  }
+
+  /** The DuckDB replica of [[withHilbert]] as a chain of per-round CTE
+    * column rewrites over table `src` (must expose `hx`, `hy`, the
+    * carried columns, and is consumed as `h0`): returns (cteList,
+    * finalName) where finalName's `hd` column is the Hilbert index. */
+  def hilbertOracleCtes(carry: Seq[String], order: Int = 16): (Seq[String], String) = {
+    val n = 1L << order
+    val carryCols = carry.mkString(", ")
+    val ctes = (0 until order).map { r =>
+      val s = 1L << (order - 1 - r)
+      s"""h${r + 1} AS (SELECT $carryCols,
+         |    CASE WHEN ((CASE WHEN (hy & $s) > 0 THEN 0 ELSE 1 END) = 1)
+         |      THEN (CASE WHEN (hx & $s) > 0 AND (hy & $s) = 0 THEN ${n - 1} - hy ELSE hy END)
+         |      ELSE (CASE WHEN (hx & $s) > 0 AND (hy & $s) = 0 THEN ${n - 1} - hx ELSE hx END) END AS hx,
+         |    CASE WHEN ((CASE WHEN (hy & $s) > 0 THEN 0 ELSE 1 END) = 1)
+         |      THEN (CASE WHEN (hx & $s) > 0 AND (hy & $s) = 0 THEN ${n - 1} - hx ELSE hx END)
+         |      ELSE (CASE WHEN (hx & $s) > 0 AND (hy & $s) = 0 THEN ${n - 1} - hy ELSE hy END) END AS hy,
+         |    hd + ${s * s} * xor(3 * (CASE WHEN (hx & $s) > 0 THEN 1 ELSE 0 END),
+         |      (CASE WHEN (hy & $s) > 0 THEN 1 ELSE 0 END)) AS hd
+         |  FROM h$r)""".stripMargin
+    }
+    (ctes, s"h$order")
+  }
+
   /** The layout family's key projection: (tie-break keys, clustering
     * keys, Morton value) over lineitem — shared by [[zorderLayout]]
     * and [[layoutSkipWorkload]]. */
@@ -462,9 +531,12 @@ object Substrate {
     * census over recent query predicates). A deterministic workload of
     * `nRects` two-key rectangles — positioned/sized by integer
     * fractions of the observed key ranges, so the same workload is
-    * meaningful at every SF — is evaluated against both layouts' zone
-    * maps, emitting per (layout, rectangle) the blocks touched and the
-    * skip percentage.
+    * meaningful at every SF — is evaluated against the zone maps of
+    * THREE layouts (z-order, Hilbert, linear), emitting per (layout,
+    * rectangle) the blocks touched and the skip percentage. Hilbert is
+    * the modern-lakehouse clustering default; the advisor shows
+    * whether its adjacency advantage over Z materializes for THIS
+    * workload.
     *
     * Scale: each layout's zone-map table is block-count-sized (rows /
     * blockRows — ~25k blocks per PB at 128 MiB files), built once via
@@ -487,9 +559,13 @@ object Substrate {
       .withColumn("s_lo", expr("smn + ((smx - smn) * ((rect_id * 53) % 80)) DIV 100"))
       .withColumn("s_hi", expr("s_lo + greatest(((smx - smn) * (5 + (rect_id * 29) % 20)) DIV 100, 1)"))
       .select(col("rect_id"), col("p_lo"), col("p_hi"), col("s_lo"), col("s_hi"))
+    val hkeys = withHilbert(keys, col("l_partkey"), col("l_suppkey"), "hval")
     val zm = zoneMapsFor(keys,
         Seq(col("zval"), col("l_orderkey"), col("l_linenumber")), blockRows)
       .withColumn("layout", lit("zorder"))
+      .unionByName(zoneMapsFor(hkeys,
+          Seq(col("hval"), col("l_orderkey"), col("l_linenumber")), blockRows)
+        .withColumn("layout", lit("hilbert")))
       .unionByName(zoneMapsFor(keys,
           Seq(col("l_orderkey"), col("l_linenumber")), blockRows)
         .withColumn("layout", lit("linear")))

@@ -56,4 +56,23 @@ class SnapshotDiffSpec extends AnyFunSuite {
     assert(diff.count() < n / 10,
       "the changelog must be churn-sized, not table-sized")
   }
+
+  test("incremental view maintenance equals full recompute at version B") {
+    val inc = Relational.incrementalAgg(spark, sfDir)
+    // independent full recompute of the view at snapshot B
+    val full = Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"), col("o_custkey"),
+        (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long").as("price_c"))
+      .filter(col("o_orderkey") % 97 =!= 0)
+      .withColumn("price_c", when(col("o_orderkey") % 89 === 0,
+        expr("price_c * 105 DIV 100")).otherwise(col("price_c")))
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_orders"), sum(col("price_c")).as("spend_c"))
+    assert(inc.count() > 0)
+    assert(inc.exceptAll(full).isEmpty && full.exceptAll(inc).isEmpty,
+      "view ⊕ changelog must equal the recomputed view")
+    // the merge path must stay join+aggregate — no window, no sort-all
+    val p = inc.queryExecution.executedPlan.toString
+    assert(!p.contains("Window") && !p.contains("CartesianProduct"), p)
+  }
 }

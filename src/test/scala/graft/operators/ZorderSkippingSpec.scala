@@ -92,11 +92,12 @@ class ZorderSkippingSpec extends AnyFunSuite {
       s"z-order must skip at least half the rows ($readZ vs $readS of $total)")
   }
 
-  test("skip workload: consistent block census; z-order never loses in aggregate") {
+  test("skip workload: consistent block census; space-filling curves never lose in aggregate") {
     val df = Substrate.layoutSkipWorkload(spark, sfDir).collect()
-    assert(df.length == 24, "2 layouts x 12 rectangles")
+    assert(df.length == 36, "3 layouts x 12 rectangles")
     val byLayout = df.groupBy(_.getString(0))
-    // both layouts pack the same rows → identical block count
+    assert(byLayout.keySet == Set("zorder", "hilbert", "linear"))
+    // all layouts pack the same rows → identical block count
     assert(byLayout.values.flatMap(_.map(_.getLong(2))).toSet.size == 1)
     for (r <- df) {
       val (blocks, touched, skip) =
@@ -106,8 +107,36 @@ class ZorderSkippingSpec extends AnyFunSuite {
     }
     // the layout decision metric: workload-aggregate touched blocks
     val zSum = byLayout("zorder").map(_.getLong(3)).sum
+    val hSum = byLayout("hilbert").map(_.getLong(3)).sum
     val lSum = byLayout("linear").map(_.getLong(3)).sum
     assert(zSum <= lSum,
       s"z-order must not touch more blocks than linear across the workload ($zSum vs $lSum)")
+    assert(hSum <= lSum,
+      s"hilbert must not touch more blocks than linear across the workload ($hSum vs $lSum)")
+  }
+
+  test("hilbert index: bijective on the grid and consecutive cells are adjacent") {
+    import spark.implicits._
+    // order-3 curve over the full 8×8 grid — small enough to check the
+    // DEFINING properties exhaustively: every cell gets a unique d in
+    // [0, 64), and walking d in order moves one grid step at a time
+    val cells = (for (x <- 0 until 8; y <- 0 until 8) yield (x.toLong, y.toLong))
+      .toDF("x", "y")
+    val d = Substrate.withHilbert(cells, col("x"), col("y"), "d", order = 3)
+      .collect().map(r => (r.getLong(2), (r.getLong(0), r.getLong(1)))).sortBy(_._1)
+    assert(d.map(_._1).toSeq == (0L until 64L).toSeq, "d must be a bijection onto [0, 64)")
+    for (w <- d.toSeq.sliding(2)) {
+      val (_, (x1, y1)) = w(0)
+      val (_, (x2, y2)) = w(1)
+      assert(math.abs(x1 - x2) + math.abs(y1 - y2) == 1,
+        s"curve jumped from ($x1,$y1) to ($x2,$y2) — not a Hilbert walk")
+    }
+    // the order-16 production curve agrees with DuckDB's unrolled CTE
+    // replica through the oracle; here pin one spot value so the Scala
+    // and SQL transforms can't drift silently
+    val one = Substrate.withHilbert(Seq((5L, 3L)).toDF("x", "y"),
+        col("x"), col("y"), "d", order = 3)
+      .select("d").head().getLong(0)
+    assert(d.find(_._2 == ((5L, 3L))).get._1 == one)
   }
 }
