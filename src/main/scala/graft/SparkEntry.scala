@@ -209,6 +209,8 @@ object SparkEntry {
     "range_overlap_agg" -> (Temporal.overlapIncidentPurchases _),
     "sub_incremental_agg" -> (Relational.incrementalAgg _),
     "skew_advisor" -> ((s: SparkSession, d: String) => Skew.skewAdvisor(s, d)),
+    "dedup_lsh_curve_advisor" -> ((s: SparkSession, d: String) =>
+      Dedup.lshConfigAdvisor(s, d)),
   )
 
   /** Queries whose result may legitimately be empty at small scale
@@ -285,7 +287,8 @@ object SparkEntry {
     // report card):
     "embed_matryoshka_recall", "layout_skip_workload",
     "sub_snapshot_diff", "corpus_bpe_fertility", "corpus_report_card",
-    "range_overlap_agg", "sub_incremental_agg", "skew_advisor")
+    "range_overlap_agg", "sub_incremental_agg", "skew_advisor",
+    "dedup_lsh_curve_advisor")
 
   // --- generated DuckDB replicas of the portable-hash queries ----------
 
@@ -2731,6 +2734,33 @@ object SparkEntry {
         |SELECT o_custkey, count(*) AS n_orders,
         |  CAST(sum(price_c) AS BIGINT) AS spend_c
         |FROM b GROUP BY 1""".stripMargin,
+    // S-curve sweep over the est-err calibration pairs: repeated-squaring
+    // power chains (no libm pow) + micro-unit sums, per the Spark twin.
+    "dedup_lsh_curve_advisor" -> {
+      def sq(e: String, pow: Int): String = {
+        var s = e; var k = 1
+        while (k < pow) { s = s"($s * $s)"; k *= 2 }
+        s
+      }
+      val selects = Seq(32 -> 1, 16 -> 2, 8 -> 4, 4 -> 8, 2 -> 16, 1 -> 32)
+        .map { case (b, r) =>
+          val p = s"(1.0 - ${sq(s"(1.0 - ${sq("jaccard", r)})", b)})"
+          val pm = s"CAST(floor($p * 1000000 + 0.5) AS BIGINT)"
+          val dupSum = s"sum(CASE WHEN jaccard >= 0.5 THEN $pm ELSE 0 END)"
+          val nDup = "sum(CASE WHEN jaccard >= 0.5 THEN 1 ELSE 0 END)"
+          s"""SELECT CAST($b AS BIGINT) AS bands, CAST($r AS BIGINT) AS rows_per_band,
+             |  count(*) AS n_pairs, CAST($nDup AS BIGINT) AS n_dup_pairs,
+             |  CAST(coalesce($dupSum, 0) AS BIGINT) AS exp_dup_caught_micro,
+             |  CAST(coalesce(sum(CASE WHEN jaccard >= 0.5 THEN 0 ELSE $pm END), 0) AS BIGINT)
+             |    AS exp_clean_caught_micro,
+             |  CASE WHEN $nDup > 0 THEN
+             |    floor(CAST($dupSum AS DOUBLE) / ($nDup * 1000000.0) * 10000 + 0.5) / 10000
+             |    ELSE 0.0 END AS expected_recall
+             |FROM pairs""".stripMargin
+        }
+      s"WITH pairs AS (\n$minhashEstErrOracle\n)\n" +
+        selects.mkString("\nUNION ALL\n")
+    },
     "skew_advisor" ->
       """WITH h AS (SELECT event_type, count(*) AS n_rows FROM events GROUP BY 1),
         |t AS (SELECT sum(n_rows) AS tot FROM h)

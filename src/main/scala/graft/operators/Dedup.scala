@@ -355,6 +355,59 @@ object Dedup {
         PortableRound.pround(abs(est - exact), 4).as("abs_err"))
   }
 
+  /** LSH BAND-CONFIGURATION ADVISOR — the S-curve analysis every
+    * MinHash deployment does before burning a cluster-day on the wrong
+    * (bands, rows) choice: for each way of splitting the 32
+    * permutations into b bands × r rows, the probability a pair with
+    * Jaccard s lands in ≥1 shared bucket is 1 − (1 − s^r)^b. Evaluated
+    * over the OBSERVED candidate-pair similarity sample (the
+    * [[minhashEstimationError]] calibration table, exact Jaccard side),
+    * it reports per config the expected duplicate catches vs the
+    * expected false-candidate mass — recall/precision knobs made
+    * auditable, like [[graft.operators.Skew.skewAdvisor]] for salting.
+    *
+    * Engine-portable math: s^r and (1−s^r)^b are REPEATED SQUARING
+    * chains (b, r are powers of two), so both engines multiply in the
+    * identical IEEE order — no libm `pow`, whose last-ulp differences
+    * across engines the verify notes warn about. Per-pair
+    * probabilities then round to exact integer MICRO-units before the
+    * cross-pair sum, so aggregation order cannot perturb the result.
+    *
+    * Scale: the calibration sample is candidate-pair-sized (bounded by
+    * the capped bucket join); the 6-config sweep re-reads the
+    * checkpointed sample, never the corpus; output is 6 rows. */
+  def lshConfigAdvisor(spark: SparkSession, sfDir: String,
+      dupThreshold: Double = 0.5): DataFrame = {
+    val pairs = minhashEstimationError(spark, sfDir)
+      .select(col("jaccard")).localCheckpoint(eager = false)
+    def squareChain(c: Column, e: Int): Column = {
+      var acc = c; var k = 1
+      while (k < e) { acc = acc * acc; k *= 2 }
+      acc
+    }
+    val configs = Seq(32 -> 1, 16 -> 2, 8 -> 4, 4 -> 8, 2 -> 16, 1 -> 32)
+    configs.map { case (b, r) =>
+      val p = lit(1.0) - squareChain(lit(1.0) - squareChain(col("jaccard"), r), b)
+      val pm = floor(p * 1000000 + 0.5).cast("long")
+      val isDup = col("jaccard") >= dupThreshold
+      pairs.select(
+          when(isDup, pm).otherwise(lit(0L)).as("dupm"),
+          when(isDup, lit(0L)).otherwise(pm).as("cleanm"),
+          when(isDup, 1L).otherwise(0L).as("isdup"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(col("isdup")).as("n_dup_pairs"),
+          coalesce(sum(col("dupm")), lit(0L)).as("exp_dup_caught_micro"),
+          coalesce(sum(col("cleanm")), lit(0L)).as("exp_clean_caught_micro"))
+        .select(lit(b.toLong).as("bands"), lit(r.toLong).as("rows_per_band"),
+          col("n_pairs"), col("n_dup_pairs"),
+          col("exp_dup_caught_micro"), col("exp_clean_caught_micro"),
+          when(col("n_dup_pairs") > 0, PortableRound.pround(
+            col("exp_dup_caught_micro").cast("double") /
+              (col("n_dup_pairs") * 1000000.0), 4)).otherwise(0.0)
+            .as("expected_recall"))
+    }.reduce(_ unionByName _)
+  }
+
   // --- SimHash ----------------------------------------------------------
 
   val SimhashBits = 48 // width of the portable md5-derived word hash

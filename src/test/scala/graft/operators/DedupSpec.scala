@@ -252,4 +252,27 @@ class DedupSpec extends AnyFunSuite {
     assert(orphan.count() == 0)
     df.unpersist(); labels.unpersist()
   }
+
+  test("lsh config advisor: S-curve shape — recall falls, selectivity rises with r") {
+    val rows = Dedup.lshConfigAdvisor(spark, sf01).collect()
+      .map(r => (r.getLong(1), r)).sortBy(_._1) // by rows_per_band
+    assert(rows.length == 6)
+    val (nPairs, nDup) = (rows.head._2.getLong(2), rows.head._2.getLong(3))
+    for ((_, r) <- rows) {
+      assert(r.getLong(2) == nPairs && r.getLong(3) == nDup,
+        "every config scores the same calibration sample")
+      assert(r.getLong(4) >= 0 && r.getLong(4) <= nDup * 1000000L)
+      assert(r.getLong(5) >= 0 && r.getLong(5) <= (nPairs - nDup) * 1000000L)
+    }
+    // r=1 (32 bands of 1 row): any shared permutation detects — every
+    // exact-duplicate pair (jaccard 1.0) is caught with probability 1
+    assert(rows.head._2.getDouble(6) == 1.0)
+    // monotone: larger r → stricter bands → recall AND false mass fall
+    for (w <- rows.toSeq.sliding(2)) {
+      assert(w(1)._2.getDouble(6) <= w(0)._2.getDouble(6) + 1e-9,
+        s"recall must fall with r: ${w(0)._1}->${w(1)._1}")
+      assert(w(1)._2.getLong(5) <= w(0)._2.getLong(5),
+        s"false-candidate mass must fall with r")
+    }
+  }
 }
