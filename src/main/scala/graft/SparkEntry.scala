@@ -211,6 +211,10 @@ object SparkEntry {
     "skew_advisor" -> ((s: SparkSession, d: String) => Skew.skewAdvisor(s, d)),
     "dedup_lsh_curve_advisor" -> ((s: SparkSession, d: String) =>
       Dedup.lshConfigAdvisor(s, d)),
+    "corpus_semantic_decontaminate" -> ((s: SparkSession, d: String) =>
+      Similarity.semanticDecontaminate(s, d)),
+    "text_quality_agreement" -> ((s: SparkSession, d: String) =>
+      TextAnalysis.qualityAgreement(s, d)),
   )
 
   /** Queries whose result may legitimately be empty at small scale
@@ -288,7 +292,8 @@ object SparkEntry {
     "embed_matryoshka_recall", "layout_skip_workload",
     "sub_snapshot_diff", "corpus_bpe_fertility", "corpus_report_card",
     "range_overlap_agg", "sub_incremental_agg", "skew_advisor",
-    "dedup_lsh_curve_advisor")
+    "dedup_lsh_curve_advisor", "corpus_semantic_decontaminate",
+    "text_quality_agreement")
 
   // --- generated DuckDB replicas of the portable-hash queries ----------
 
@@ -2734,6 +2739,77 @@ object SparkEntry {
         |SELECT o_custkey, count(*) AS n_orders,
         |  CAST(sum(price_c) AS BIGINT) AS spend_c
         |FROM b GROUP BY 1""".stripMargin,
+    // Scorer-agreement eval: exact integer moments, IEEE-only double
+    // finish (+,-,*,/ and sqrt — correctly-rounded per IEEE 754, so no
+    // cross-engine libm exposure), distributed top-k head overlap.
+    "text_quality_agreement" -> {
+      val hw = graft.functions.PortableHash.sqlH48("'qw:' || w")
+      val hb = graft.functions.PortableHash.sqlH48("'w:' || CAST(bucket AS VARCHAR)")
+      s"""WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+         |bkt AS (SELECT doc_id, $hw % 1024 AS bucket FROM t),
+         |ms AS (SELECT doc_id, CAST(sum($hb % 2001 - 1000) AS BIGINT) AS y
+         |  FROM bkt GROUP BY doc_id),
+         |qx AS (SELECT doc_id,
+         |    CAST(floor((CASE WHEN avg_word_len BETWEEN 3.0 AND 10.0 THEN 0.4 ELSE 0.0 END
+         |      + least(stop_ratio * 2.0, 0.3) + least(distinct_ratio, 0.3)) * 10000 + 0.5) AS BIGINT) AS x
+         |  FROM (
+         |  SELECT doc_id,
+         |    (length(text)::DOUBLE - (len(string_split(text, ' ')) - 1))
+         |      / len(string_split(text, ' ')) AS avg_word_len,
+         |    len(list_distinct(string_split(text, ' ')))::DOUBLE
+         |      / len(string_split(text, ' ')) AS distinct_ratio,
+         |    ((length(tt) - length(replace(tt, ' the ', ''))) / 5
+         |      + (length(tt) - length(replace(tt, ' a ', ''))) / 3
+         |      + (length(tt) - length(replace(tt, ' of ', ''))) / 4
+         |      + (length(tt) - length(replace(tt, ' and ', ''))) / 5)
+         |      / len(string_split(text, ' ')) AS stop_ratio
+         |  FROM (SELECT doc_id, text, ' ' || text || ' ' AS tt FROM documents))),
+         |j AS (SELECT qx.doc_id, x, y FROM qx JOIN ms USING (doc_id)),
+         |s AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+         |    CAST(CAST(sum(x) AS BIGINT) AS DOUBLE) AS sx,
+         |    CAST(CAST(sum(y) AS BIGINT) AS DOUBLE) AS sy,
+         |    CAST(CAST(sum(x * x) AS BIGINT) AS DOUBLE) AS sxx,
+         |    CAST(CAST(sum(y * y) AS BIGINT) AS DOUBLE) AS syy,
+         |    CAST(CAST(sum(x * y) AS BIGINT) AS DOUBLE) AS sxy,
+         |    CAST(count(*) AS BIGINT) AS n_docs
+         |  FROM j),
+         |tq AS (SELECT doc_id FROM j ORDER BY x DESC, doc_id LIMIT 50),
+         |tm AS (SELECT doc_id FROM j ORDER BY y DESC, doc_id LIMIT 50),
+         |ov AS (SELECT CAST(count(*) AS BIGINT) AS topk_overlap
+         |  FROM tq JOIN tm USING (doc_id))
+         |SELECT n_docs,
+         |  floor(((n * sxy - sx * sy) /
+         |    sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))) * 10000 + 0.5) / 10000 AS pearson_r,
+         |  CAST(50 AS BIGINT) AS topk, topk_overlap,
+         |  floor(topk_overlap * 100.0 / 50 * 10000 + 0.5) / 10000 AS overlap_pct
+         |FROM s, ov""".stripMargin
+    },
+    // Semantic leak audit: same IVF-cell blocking as the semanticDedup
+    // oracle, per-eval argmax on the rounded score + train-id tie-break.
+    "corpus_semantic_decontaminate" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+        |c AS (SELECT vec_id AS cent_id, emb AS c_emb FROM e WHERE vec_id % 50 = 0),
+        |assigned AS (
+        |  SELECT vec_id, emb, cent_id FROM (
+        |    SELECT e.vec_id, e.emb, c.cent_id,
+        |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |        list_dot_product(e.emb, c.c_emb) /
+        |          (sqrt(list_dot_product(e.emb, e.emb)) * sqrt(list_dot_product(c.c_emb, c.c_emb))) DESC,
+        |        c.cent_id) AS rn
+        |    FROM e CROSS JOIN c) WHERE rn = 1),
+        |ev AS (SELECT cent_id, vec_id AS eval_id, emb AS e_emb
+        |  FROM assigned WHERE vec_id % 10 = 7),
+        |tr AS (SELECT cent_id, vec_id AS train_id, emb AS t_emb
+        |  FROM assigned WHERE vec_id % 10 <> 7),
+        |scored AS (SELECT eval_id, train_id,
+        |    floor((list_dot_product(e_emb, t_emb) /
+        |      (sqrt(list_dot_product(e_emb, e_emb)) * sqrt(list_dot_product(t_emb, t_emb)))) * 10000 + 0.5) / 10000 AS cos_sim
+        |  FROM ev JOIN tr USING (cent_id))
+        |SELECT eval_id, train_id AS nearest_train_id, cos_sim AS max_cos,
+        |  cos_sim >= 0.35 AS leaked
+        |FROM (SELECT *, row_number() OVER (PARTITION BY eval_id
+        |    ORDER BY cos_sim DESC, train_id) AS rn FROM scored)
+        |WHERE rn = 1""".stripMargin,
     // S-curve sweep over the est-err calibration pairs: repeated-squaring
     // power chains (no libm pow) + micro-unit sums, per the Spark twin.
     "dedup_lsh_curve_advisor" -> {

@@ -547,6 +547,44 @@ object Similarity {
       .select(col("vec_id"), col("cent_id"))
   }
 
+  /** SEMANTIC DECONTAMINATION — the embedding-space sibling of the
+    * n-gram `corpus_decontaminate`: paraphrased eval leakage that
+    * shares no 13-gram still collides in embedding space, so release
+    * pipelines also check each EVAL item's nearest TRAIN neighbor by
+    * cosine and flag pairs above the leak threshold. Eval set = a
+    * deterministic id slice; candidates come only from the eval item's
+    * IVF cell (the [[semanticDedup]] blocking), and the per-eval argmax
+    * uses the ROUNDED score + train-id tie-break so the reported
+    * nearest neighbor is engine-portable. Eval items whose cell holds
+    * no train member have no candidate row (nothing to audit).
+    *
+    * Scale: assignment is one broadcast-centroid corpus scan; the
+    * eval×train join is (cell) EQUI-keyed with the eval side a small
+    * slice, so the pair space is Σ|cell_eval|·|cell_train|, never
+    * n·m; the argmax window partitions by eval id over cell-sized
+    * candidate groups. */
+  def semanticDecontaminate(spark: SparkSession, sfDir: String,
+      threshold: Double = 0.35, stride: Int = 50,
+      evalMod: Int = 10, evalResidue: Int = 7): DataFrame = {
+    val assigned = ivfAssignments(spark, sfDir, stride)
+    val ev = assigned.filter(col("vec_id") % evalMod === evalResidue)
+      .select(col("cent_id"), col("vec_id").as("eval_id"),
+        col("embedding").as("e_emb"))
+    val tr = assigned.filter(col("vec_id") % evalMod =!= evalResidue)
+      .select(col("cent_id").as("c2"), col("vec_id").as("train_id"),
+        col("embedding").as("t_emb"))
+    val scored = ev.join(tr, col("cent_id") === col("c2"))
+      .select(col("eval_id"), col("train_id"),
+        PortableRound.pround(cosine(col("e_emb"), col("t_emb")), 4)
+          .as("cos_sim"))
+    val w = Window.partitionBy(col("eval_id"))
+      .orderBy(col("cos_sim").desc, col("train_id"))
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("eval_id"), col("train_id").as("nearest_train_id"),
+        col("cos_sim").as("max_cos"),
+        (col("cos_sim") >= threshold).as("leaked"))
+  }
+
   /** Recall@k of the probed IVF index against the brute-force ground
     * truth — the evaluation harness every ANN deployment tunes nprobe
     * with. Per query: how many of the exact top-k the IVF run

@@ -300,6 +300,50 @@ object TextAnalysis {
         (col("score_milli") > 0).as("keep"), col("n_tokens"))
   }
 
+  /** QUALITY-SCORER AGREEMENT — the evaluation every filter swap
+    * needs before re-running a corpus: Pearson correlation between the
+    * heuristic quality score and the hashed-linear model score, plus
+    * top-k set overlap under each ranking (correlation can be high
+    * while the HEADS — what a quality gate actually keeps — disagree).
+    * Both scores aggregate as EXACT integer sums (micro/milli units);
+    * the correlation converts the six exact aggregates to double once
+    * and uses only IEEE-specified ops (+,−,×,÷,sqrt — no libm pow),
+    * so the rounded r is engine-portable.
+    *
+    * Scale: one join of the two per-doc score tables (same doc_id
+    * shuffle), ONE map-side-combined moment aggregate (6 longs of
+    * state), and two DISTRIBUTED top-k's (TakeOrderedAndProject —
+    * never a global sort) whose k-row results join broadcast-sized.
+    * The long moments hold to ~10⁸ docs; widen to decimal(38,0)
+    * beyond (same trade the k-means notes document). */
+  def qualityAgreement(spark: SparkSession, sfDir: String,
+      topK: Int = 50): DataFrame = {
+    val x = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), qualityMicroCol.as("x"))
+    val y = qualityModelScore(spark, sfDir)
+      .select(col("doc_id"), col("score_milli").as("y"))
+    val j = x.join(y, "doc_id").localCheckpoint(eager = false)
+    val s = j.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+      sum(col("y")).as("sy"), sum(col("x") * col("x")).as("sxx"),
+      sum(col("y") * col("y")).as("syy"), sum(col("x") * col("y")).as("sxy"))
+    val tq = j.orderBy(col("x").desc, col("doc_id")).limit(topK).select("doc_id")
+    val tm = j.orderBy(col("y").desc, col("doc_id")).limit(topK)
+      .select(col("doc_id").as("d2"))
+    val overlap = tq.join(tm, col("doc_id") === col("d2"))
+      .agg(count(lit(1)).as("topk_overlap"))
+    def d(c: String) = col(c).cast("double")
+    val nD = d("n")
+    s.crossJoin(broadcast(overlap))
+      .select(col("n").as("n_docs"),
+        PortableRound.pround(
+          (nD * d("sxy") - d("sx") * d("sy")) /
+            sqrt((nD * d("sxx") - d("sx") * d("sx")) *
+              (nD * d("syy") - d("sy") * d("sy"))), 4).as("pearson_r"),
+        lit(topK.toLong).as("topk"), col("topk_overlap"),
+        PortableRound.pround(col("topk_overlap") * 100.0 / topK, 4)
+          .as("overlap_pct"))
+  }
+
   /** Character-level diversity over the first `prefixLen` chars — the
     * standard cheap gibberish/boilerplate gate (binary blobs and
     * keyboard-mash have tiny alphabets; repeated-padding spam has a

@@ -107,6 +107,19 @@ class KmeansIvfSpec extends AnyFunSuite {
       "corpus-wide shortlist must recover the exact top-k")
   }
 
+  test("semantic decontaminate: slice membership, flag consistency, train-side neighbors") {
+    val df = Similarity.semanticDecontaminate(spark, sfDir).collect()
+    assert(df.nonEmpty)
+    for (r <- df) {
+      assert(r.getLong(0) % 10 == 7, "audited rows are the eval slice")
+      assert(r.getLong(1) % 10 != 7, "the nearest neighbor is a train item")
+      assert(r.getBoolean(3) == (r.getDouble(2) >= 0.35),
+        "leaked must be exactly the thresholded score")
+    }
+    // one row per audited eval item
+    assert(df.map(_.getLong(0)).distinct.length == df.length)
+  }
+
   test("matryoshka recall bounded and n_true = k for every query") {
     val df = Similarity.matryoshkaRecall(spark, sfDir).collect()
     assert(df.length == 10)

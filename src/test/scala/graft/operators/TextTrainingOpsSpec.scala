@@ -223,4 +223,24 @@ class TextTrainingOpsSpec extends AnyFunSuite {
     assert(m(true) <= m(false), s"slice ${m(true)} vs ${m(false)}")
     df.unpersist()
   }
+
+  test("quality agreement: r bounded, overlap bounded, self-agreement is perfect") {
+    val r = TextAnalysis.qualityAgreement(spark, sfDir).head()
+    assert(r.getLong(0) > 0)
+    val pearson = r.getDouble(1)
+    assert(pearson >= -1.0 && pearson <= 1.0, s"r=$pearson")
+    assert(r.getLong(3) >= 0 && r.getLong(3) <= r.getLong(2),
+      "overlap cannot exceed k")
+    // sanity anchor: a score correlated with ITSELF — same moments
+    // formula on (x, x) — must give exactly r = 1
+    val docs = graft.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), TextAnalysis.qualityMicroCol.as("x"))
+    val s = docs.agg(count(lit(1)).cast("double").as("n"),
+      sum(col("x")).cast("double").as("sx"),
+      sum(col("x") * col("x")).cast("double").as("sxx")).head()
+    val (n, sx, sxx) = (s.getDouble(0), s.getDouble(1), s.getDouble(2))
+    val rSelf = (n * sxx - sx * sx) /
+      math.sqrt((n * sxx - sx * sx) * (n * sxx - sx * sx))
+    assert(math.abs(rSelf - 1.0) < 1e-12)
+  }
 }
