@@ -215,6 +215,7 @@ object SparkEntry {
       Similarity.semanticDecontaminate(s, d)),
     "text_quality_agreement" -> ((s: SparkSession, d: String) =>
       TextAnalysis.qualityAgreement(s, d)),
+    "dedup_cluster_census" -> (Dedup.clusterCensus _),
   )
 
   /** Queries whose result may legitimately be empty at small scale
@@ -293,7 +294,7 @@ object SparkEntry {
     "sub_snapshot_diff", "corpus_bpe_fertility", "corpus_report_card",
     "range_overlap_agg", "sub_incremental_agg", "skew_advisor",
     "dedup_lsh_curve_advisor", "corpus_semantic_decontaminate",
-    "text_quality_agreement")
+    "text_quality_agreement", "dedup_cluster_census")
 
   // --- generated DuckDB replicas of the portable-hash queries ----------
 
@@ -700,6 +701,15 @@ object SparkEntry {
     "dedup_simhash" -> simhashOracle,
     "dedup_simhash_pairs" -> simhashPairsOracle,
     "dedup_cluster_labels" -> clusterLabelsOracle,
+    // Size-class census over the same recursive-CC labels.
+    "dedup_cluster_census" ->
+      s"""SELECT size, count(*) AS n_clusters,
+         |  CAST(min(cluster) AS BIGINT) AS example_cluster,
+         |  CAST(size * count(*) AS BIGINT) AS n_vectors,
+         |  CAST(size * count(*) - count(*) AS BIGINT) AS dup_overhead
+         |FROM (SELECT cluster, count(*) AS size FROM (
+         |$clusterLabelsOracle
+         |) GROUP BY 1) GROUP BY size""".stripMargin,
     "corpus_split" -> {
       val h = graft.functions.PortableHash.sqlH48("concat('split:', CAST(doc_id AS VARCHAR))")
       s"""WITH b AS (SELECT doc_id, lang, $h % 100 AS split_bucket FROM documents)

@@ -494,6 +494,30 @@ object Dedup {
     connectedComponents(nodes, edges)
   }
 
+  /** CLUSTER CENSUS — the dedup-pathology audit run before trusting
+    * any clustering-based removal: the near-dup cluster SIZE
+    * distribution (how many clusters of each size, the duplicate
+    * overhead each size class contributes, an example label to drill
+    * into). The signal that matters at 100 TB is the tail: a
+    * mega-cluster means a degenerate blocking key (empty docs,
+    * boilerplate shingles) and keep-one-per-cluster would silently
+    * delete a huge slice of the corpus.
+    *
+    * Scale: two map-side-combined counts on top of the already-bounded
+    * cluster labels (per-cluster size, then per-size census) — output
+    * is size-class-sized, never corpus-sized. */
+  def clusterCensus(spark: SparkSession, sfDir: String): DataFrame = {
+    val sizes = clusterLabels(spark, sfDir)
+      .groupBy(col("cluster")).agg(count(lit(1)).as("size"))
+    sizes.groupBy(col("size"))
+      .agg(count(lit(1)).as("n_clusters"),
+        min(col("cluster")).as("example_cluster"))
+      .select(col("size"), col("n_clusters"), col("example_cluster"),
+        (col("size") * col("n_clusters")).as("n_vectors"),
+        (col("size") * col("n_clusters") - col("n_clusters"))
+          .as("dup_overhead"))
+  }
+
   /** Cluster-representative selection, keep-BEST: within each near-dup
     * cluster ([[clusterLabels]]) keep the member whose paired document
     * scores highest on the Gopher/C4 quality gate

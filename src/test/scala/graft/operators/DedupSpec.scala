@@ -253,6 +253,22 @@ class DedupSpec extends AnyFunSuite {
     df.unpersist(); labels.unpersist()
   }
 
+  test("cluster census: partitions the corpus exactly; overhead recounts") {
+    val census = Dedup.clusterCensus(spark, sf01).collect()
+    assert(census.nonEmpty)
+    val totalVectors = census.map(_.getLong(3)).sum
+    assert(totalVectors ==
+      graft.Tables.embeddings(spark, sf01).count(),
+      "size classes must partition every vector exactly once")
+    for (r <- census) {
+      assert(r.getLong(4) == r.getLong(3) - r.getLong(1),
+        "dup_overhead = vectors minus one survivor per cluster")
+    }
+    // singletons exist at this SF and dominate (near-dup classes are rare)
+    val single = census.find(_.getLong(0) == 1L)
+    assert(single.exists(_.getLong(1) > census.map(_.getLong(1)).sum / 2))
+  }
+
   test("lsh config advisor: S-curve shape — recall falls, selectivity rises with r") {
     val rows = Dedup.lshConfigAdvisor(spark, sf01).collect()
       .map(r => (r.getLong(1), r)).sortBy(_._1) // by rows_per_band
