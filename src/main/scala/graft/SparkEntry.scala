@@ -216,6 +216,20 @@ object SparkEntry {
     "text_quality_agreement" -> ((s: SparkSession, d: String) =>
       TextAnalysis.qualityAgreement(s, d)),
     "dedup_cluster_census" -> (Dedup.clusterCensus _),
+    // round-8 third wave: vocabulary drift, weighted release sampling,
+    // EWMA burst monitoring, kNN-graph embedding audit, model
+    // calibration, and the two remaining grouping/melt substrate ops
+    "text_vocab_drift" -> ((s: SparkSession, d: String) =>
+      TextAnalysis.vocabDrift(s, d)),
+    "text_quality_calibration" -> ((s: SparkSession, d: String) =>
+      TextAnalysis.qualityCalibration(s, d)),
+    "sketch_weighted_sample" -> ((s: SparkSession, d: String) =>
+      Sketches.weightedSample(s, d)),
+    "events_ewma_burst" -> (Relational.eventsEwmaAnomaly _),
+    "embed_knn_agreement" -> ((s: SparkSession, d: String) =>
+      Similarity.knnLabelAgreement(s, d)),
+    "sub_grouping_sets" -> (Substrate.groupingSetsOp _),
+    "sub_unpivot" -> (Substrate.unpivotOp _),
   )
 
   /** Queries whose result may legitimately be empty at small scale
@@ -294,7 +308,12 @@ object SparkEntry {
     "sub_snapshot_diff", "corpus_bpe_fertility", "corpus_report_card",
     "range_overlap_agg", "sub_incremental_agg", "skew_advisor",
     "dedup_lsh_curve_advisor", "corpus_semantic_decontaminate",
-    "text_quality_agreement", "dedup_cluster_census")
+    "text_quality_agreement", "dedup_cluster_census",
+    // round-8 additions (vocab drift, weighted sampling, EWMA bursts,
+    // kNN-graph audit, calibration, grouping-sets/unpivot substrate):
+    "text_vocab_drift", "sketch_weighted_sample", "events_ewma_burst",
+    "embed_knn_agreement", "text_quality_calibration",
+    "sub_grouping_sets", "sub_unpivot")
 
   // --- generated DuckDB replicas of the portable-hash queries ----------
 
@@ -2895,5 +2914,178 @@ object SparkEntry {
          |  floor(CAST(sum(ws_tokens) AS DOUBLE) / count(*) * 10000 + 0.5) / 10000 AS mean_ws_tokens,
          |  floor(sum(CASE WHEN hn > 1 THEN 1 ELSE 0 END) * 100.0 / count(*) * 10000 + 0.5) / 10000 AS dup_pct
          |FROM m JOIN hc USING (h48) GROUP BY 1""".stripMargin,
+    // Vocabulary drift: per-term JSD contributions between doc_id
+    // halves, replayed with the same integer plog2 micro-bit path and
+    // the sign-safe truncating division (Spark DIV truncates, DuckDB
+    // // floors — they only agree through the -((-n)//d) form).
+    "text_vocab_drift" -> {
+      import graft.operators.TextAnalysis.plog2MicroDuck
+      s"""WITH t AS (SELECT doc_id % 2 = 0 AS h0,
+         |    unnest(string_split(text, ' ')) AS w FROM documents),
+         |tf AS (SELECT w,
+         |    CAST(sum(CASE WHEN h0 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+         |    CAST(sum(CASE WHEN h0 THEN 0 ELSE 1 END) AS BIGINT) AS n2
+         |  FROM t WHERE w IS NOT NULL AND w <> '' GROUP BY w),
+         |tot AS (SELECT CAST(sum(n1) AS BIGINT) AS tot1,
+         |    CAST(sum(n2) AS BIGINT) AS tot2 FROM tf),
+         |x AS (SELECT w, n1, n2, tot1, tot2, n1 * tot2 AS a, n2 * tot1 AS b,
+         |    n1 * tot2 + n2 * tot1 AS s FROM tf CROSS JOIN tot),
+         |y AS (SELECT w, n1, n2, tot1, tot2,
+         |    CASE WHEN n1 > 0 THEN n1 * (1000000 + (${plog2MicroDuck("a")})
+         |      - (${plog2MicroDuck("s")})) ELSE 0 END AS num1,
+         |    CASE WHEN n2 > 0 THEN n2 * (1000000 + (${plog2MicroDuck("b")})
+         |      - (${plog2MicroDuck("s")})) ELSE 0 END AS num2
+         |  FROM x),
+         |z AS (SELECT w, n1, n2,
+         |    n1 * 1000000 // tot1 AS rpm1, n2 * 1000000 // tot2 AS rpm2,
+         |    (CASE WHEN num1 >= 0 THEN num1 // tot1
+         |      ELSE -((-num1) // tot1) END)
+         |    + (CASE WHEN num2 >= 0 THEN num2 // tot2
+         |      ELSE -((-num2) // tot2) END) AS kl
+         |  FROM y)
+         |SELECT w, n1, n2, rpm1, rpm2,
+         |  CASE WHEN kl >= 0 THEN kl // 2 ELSE -((-kl) // 2) END AS jsd_contrib_micro
+         |FROM z ORDER BY jsd_contrib_micro DESC, w LIMIT 25""".stripMargin
+    },
+    // Calibration bins: the hashed-linear model score (same CTEs as
+    // text_quality_model) against the heuristic micro-score gate (same
+    // scoring subquery as text_quality), all-integer binning.
+    "text_quality_calibration" -> {
+      val hw = graft.functions.PortableHash.sqlH48("'qw:' || w")
+      val hb = graft.functions.PortableHash.sqlH48("'w:' || CAST(bucket AS VARCHAR)")
+      s"""WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+         |b AS (SELECT doc_id, $hw % 1024 AS bucket FROM t),
+         |s AS (SELECT doc_id, $hb % 2001 - 1000 AS wm FROM b),
+         |mdl AS (SELECT doc_id, CAST(sum(wm) AS BIGINT) AS score_milli FROM s GROUP BY doc_id),
+         |f AS (SELECT doc_id,
+         |    (length(text)::DOUBLE - (len(string_split(text, ' ')) - 1))
+         |      / len(string_split(text, ' ')) AS avg_word_len,
+         |    len(list_distinct(string_split(text, ' ')))::DOUBLE
+         |      / len(string_split(text, ' ')) AS distinct_ratio,
+         |    ((length(tt) - length(replace(tt, ' the ', ''))) / 5
+         |      + (length(tt) - length(replace(tt, ' a ', ''))) / 3
+         |      + (length(tt) - length(replace(tt, ' of ', ''))) / 4
+         |      + (length(tt) - length(replace(tt, ' and ', ''))) / 5)
+         |      / len(string_split(text, ' ')) AS stop_ratio
+         |  FROM (SELECT doc_id, text, ' ' || text || ' ' AS tt FROM documents)),
+         |h AS (SELECT doc_id,
+         |    CAST(floor((CASE WHEN avg_word_len BETWEEN 3.0 AND 10.0 THEN 0.4 ELSE 0.0 END
+         |      + least(stop_ratio * 2.0, 0.3) + least(distinct_ratio, 0.3)) * 10000 + 0.5) AS BIGINT)
+         |      >= 7000 AS keep_h
+         |  FROM f),
+         |j AS (SELECT mdl.doc_id, score_milli, keep_h FROM mdl JOIN h USING (doc_id)),
+         |mm AS (SELECT min(score_milli) AS lo, max(score_milli) AS hi FROM j),
+         |binned AS (SELECT ((score_milli - lo) * 8) // (hi - lo + 1) AS bin,
+         |    score_milli, keep_h FROM j CROSS JOIN mm)
+         |SELECT bin, CAST(count(*) AS BIGINT) AS n,
+         |  CAST(sum(CASE WHEN keep_h THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+         |  min(score_milli) AS bin_min_milli, max(score_milli) AS bin_max_milli,
+         |  (CAST(sum(CASE WHEN keep_h THEN 1 ELSE 0 END) AS BIGINT) * 1000) // CAST(count(*) AS BIGINT) AS keep_rate_milli
+         |FROM binned GROUP BY bin""".stripMargin
+    },
+    // Weighted sample: the window formulation of the exponential-clock
+    // key the bounded topk_by aggregate replaces; the key is exact
+    // integer-over-integer double division (no libm), so it compares
+    // identically here and in Spark.
+    "sketch_weighted_sample" -> {
+      import graft.operators.TextAnalysis.plog2MicroDuck
+      val h = graft.functions.PortableHash.sqlH48("'ws:' || CAST(doc_id AS VARCHAR)")
+      s"""WITH hh AS (SELECT source, doc_id, n_chars, ($h) // 262144 AS h
+         |  FROM documents WHERE n_chars > 0),
+         |k AS (SELECT source, doc_id,
+         |    CAST(30000000 - (${plog2MicroDuck("h")}) AS DOUBLE)
+         |      / CAST(n_chars AS DOUBLE) AS es_key
+         |  FROM hh),
+         |r AS (SELECT source, doc_id, es_key,
+         |    row_number() OVER (PARTITION BY source ORDER BY es_key, doc_id) AS rank
+         |  FROM k)
+         |SELECT source, CAST(rank AS BIGINT) AS rank, doc_id,
+         |  floor(es_key * 1000000 + 0.5) / 1000000 AS es_key
+         |FROM r WHERE rank <= 4""".stripMargin
+    },
+    // EWMA burst detector: α = 1/4 geometric weights as exact integers
+    // 3^(j-1)·4^(7-j); ROWS-based lags over the observed daily series.
+    "events_ewma_burst" ->
+      """WITH d AS (SELECT event_type,
+        |    CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+        |    CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1, 2),
+        |l AS (SELECT event_type, day, n,
+        |    lag(n, 1) OVER w AS g1, lag(n, 2) OVER w AS g2,
+        |    lag(n, 3) OVER w AS g3, lag(n, 4) OVER w AS g4,
+        |    lag(n, 5) OVER w AS g5, lag(n, 6) OVER w AS g6,
+        |    lag(n, 7) OVER w AS g7
+        |  FROM d WINDOW w AS (PARTITION BY event_type ORDER BY day)),
+        |s AS (SELECT event_type, day, n,
+        |    coalesce(g1, 0) * 4096 + coalesce(g2, 0) * 3072
+        |      + coalesce(g3, 0) * 2304 + coalesce(g4, 0) * 1728
+        |      + coalesce(g5, 0) * 1296 + coalesce(g6, 0) * 972
+        |      + coalesce(g7, 0) * 729 AS s,
+        |    (CASE WHEN g1 IS NOT NULL THEN 4096 ELSE 0 END)
+        |      + (CASE WHEN g2 IS NOT NULL THEN 3072 ELSE 0 END)
+        |      + (CASE WHEN g3 IS NOT NULL THEN 2304 ELSE 0 END)
+        |      + (CASE WHEN g4 IS NOT NULL THEN 1728 ELSE 0 END)
+        |      + (CASE WHEN g5 IS NOT NULL THEN 1296 ELSE 0 END)
+        |      + (CASE WHEN g6 IS NOT NULL THEN 972 ELSE 0 END)
+        |      + (CASE WHEN g7 IS NOT NULL THEN 729 ELSE 0 END) AS w_tot
+        |  FROM l)
+        |SELECT event_type, day, n,
+        |  CASE WHEN w_tot > 0 THEN (s * 1000) // w_tot END AS ewma_milli,
+        |  (w_tot > 0 AND n * w_tot > 2 * s) AS is_burst
+        |FROM s""".stripMargin,
+    // kNN-graph label agreement: same IVF cell assignment as the ANN
+    // oracles, edges ranked by the 4-decimal-rounded cosine.
+    "embed_knn_agreement" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb, label FROM embeddings),
+        |c AS (SELECT vec_id AS cent_id, emb AS c_emb FROM e WHERE vec_id % 50 = 0),
+        |assigned AS (
+        |  SELECT vec_id, emb, label, cent_id FROM (
+        |    SELECT e.vec_id, e.emb, e.label, c.cent_id,
+        |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |        list_dot_product(e.emb, c.c_emb) /
+        |          (sqrt(list_dot_product(e.emb, e.emb)) * sqrt(list_dot_product(c.c_emb, c.c_emb))) DESC,
+        |        c.cent_id) AS rn
+        |    FROM e CROSS JOIN c) WHERE rn = 1),
+        |edges AS (
+        |  SELECT a.vec_id, a.label, b.vec_id AS nb_id, b.label AS nb_label,
+        |    floor((list_dot_product(a.emb, b.emb) /
+        |      (sqrt(list_dot_product(a.emb, a.emb)) * sqrt(list_dot_product(b.emb, b.emb)))) * 10000 + 0.5) / 10000 AS cos_sim
+        |  FROM assigned a JOIN assigned b
+        |    ON a.cent_id = b.cent_id AND a.vec_id <> b.vec_id),
+        |topk AS (SELECT * FROM (SELECT vec_id, label, nb_id, nb_label, cos_sim,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY cos_sim DESC, nb_id) AS rn
+        |  FROM edges) WHERE rn <= 5),
+        |agg AS (SELECT label,
+        |    CAST(count(DISTINCT vec_id) AS BIGINT) AS n_vecs,
+        |    CAST(count(*) AS BIGINT) AS n_edges,
+        |    CAST(sum(CASE WHEN label = nb_label THEN 1 ELSE 0 END) AS BIGINT) AS n_same,
+        |    CAST(sum(CAST(floor(cos_sim * 10000 + 0.5) AS BIGINT)) AS BIGINT) AS sum_cos_x4
+        |  FROM topk GROUP BY label)
+        |SELECT CAST(label AS BIGINT) AS label, n_vecs, n_edges, n_same,
+        |  (n_same * 1000) // n_edges AS agree_milli,
+        |  CASE WHEN sum_cos_x4 >= 0 THEN sum_cos_x4 // n_edges
+        |    ELSE -((-sum_cos_x4) // n_edges) END AS mean_cos_x4
+        |FROM agg""".stripMargin,
+    // Explicit GROUPING SETS with per-column grouping() indicators
+    // (bit-packing of grouping_id() differs between engines; the
+    // per-column indicator is standard everywhere).
+    "sub_grouping_sets" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS rf,
+        |  coalesce(l_linestatus, 'ALL') AS ls,
+        |  CAST(GROUPING(l_returnflag) AS BIGINT) AS g_rf,
+        |  CAST(GROUPING(l_linestatus) AS BIGINT) AS g_ls,
+        |  CAST(count(*) AS BIGINT) AS n, sum(l_quantity) AS sum_qty
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())""".stripMargin,
+    // Unpivot as a UNION ALL melt (engine-portable statement of the
+    // same wide→long reshape Spark's native unpivot plans as Expand).
+    "sub_unpivot" ->
+      """WITH a AS (SELECT l_returnflag,
+        |    CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS price_cents,
+        |    CAST(sum(CAST(floor(l_discount * 100 + 0.5) AS BIGINT)) AS BIGINT) AS discount_cents,
+        |    CAST(sum(CAST(l_quantity AS BIGINT) * 100) AS BIGINT) AS qty_cents
+        |  FROM lineitem GROUP BY 1)
+        |SELECT l_returnflag, 'price_cents' AS measure, price_cents AS value_cents FROM a
+        |UNION ALL SELECT l_returnflag, 'discount_cents', discount_cents FROM a
+        |UNION ALL SELECT l_returnflag, 'qty_cents', qty_cents FROM a""".stripMargin,
   )
 }

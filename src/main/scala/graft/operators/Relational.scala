@@ -239,6 +239,51 @@ object Relational {
         (devSq > varN).as("over_1sigma"))
   }
 
+  /** EWMA BURST DETECTOR over the per-type daily event series — the
+    * ingest-monitoring twin of [[eventsSpikeDays]] (which compares
+    * every day to the GLOBAL mean): each day is compared to an
+    * exponentially-weighted moving average of the preceding days, so
+    * a slow seasonal ramp is absorbed while a sudden burst (crawler
+    * loop, backfill replay, bot traffic) trips the flag. α = 1/4 with
+    * a 7-row horizon; the geometric weights (3/4)^(j−1) are carried as
+    * the EXACT integers 3^(j−1)·4^(7−j) (w₁..w₇ = 4096, 3072, 2304,
+    * 1728, 1296, 972, 729), so the weighted sum, the normalizing
+    * total over the PRESENT lags (series heads have fewer), and the
+    * milli-scaled EWMA are all long arithmetic — bit-replicable in
+    * the oracle, no float smoothing state anywhere. "Preceding days"
+    * is ROWS-based over the observed series (a day with zero events
+    * produces no row and drops out of the window — documented
+    * semantics, mirrored in the oracle).
+    *
+    * Scale shape: one map-side-combined (type, day) count — the only
+    * corpus-sized pass — then 7 `lag`s over a (type)-partitioned
+    * window of the tiny daily series. The flag is the integer cross-
+    * multiply n·W > 2·S (i.e. the day is more than 2× its EWMA). */
+  def eventsEwmaAnomaly(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val weights = Seq.tabulate(7)(j =>
+      math.pow(3, j).toLong * math.pow(4, 6 - j).toLong)
+    val daily = Tables.events(spark, sfDir)
+      .groupBy(col("event_type"),
+        expr("unix_micros(ts) DIV 86400000000").as("day"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    val lagged = weights.zipWithIndex.foldLeft(daily) { case (df, (wt, j)) =>
+      df.withColumn(s"l${j + 1}", lag(col("n"), j + 1).over(w) * wt)
+        .withColumn(s"p${j + 1}",
+          when(lag(col("n"), j + 1).over(w).isNotNull, wt).otherwise(0L))
+    }
+    val s = (1 to 7).map(j => coalesce(col(s"l$j"), lit(0L))).reduce(_ + _)
+    val wTot = (1 to 7).map(j => col(s"p$j")).reduce(_ + _)
+    lagged
+      .withColumn("s", s).withColumn("w_tot", wTot)
+      .select(col("event_type"), col("day"), col("n"),
+        when(col("w_tot") > 0, expr("(s * 1000) DIV w_tot"))
+          .otherwise(lit(null).cast("long")).as("ewma_milli"),
+        (col("w_tot") > 0 && col("n") * col("w_tot") > lit(2L) * col("s"))
+          .as("is_burst"))
+  }
+
   /** Q4-shaped priority check: orders with at least one LATE line
     * (shipped more than 90 days after the order date), counted per
     * priority. The EXISTS is a LEFT SEMI join — equi on the order key

@@ -695,4 +695,57 @@ object Similarity {
       .agg(sum(col("qv") * col("y2")).as("z2"))
     x1.join(z2, "j").select(col("j"), col("x1"), col("z2")).orderBy(col("j"))
   }
+
+  /** kNN-GRAPH LABEL AGREEMENT — the standard embedding-quality audit
+    * (and the metric behind SemDeDup-style cluster pruning): build the
+    * k-nearest-neighbor graph over the corpus and measure, per label,
+    * how often a vector's neighbors share its label. High agreement =
+    * the embedding space respects the labeling (safe to drive semantic
+    * dedup / stratified sampling from it); low agreement names the
+    * label whose region is entangled. Reported per label: vectors,
+    * edges, same-label edges, agreement rate, and mean neighbor
+    * cosine (both as exact integer-division milli/10⁻⁴ units over the
+    * already-rounded edge cosines, so the aggregate replicates).
+    *
+    * The graph is NOT all-pairs: neighbors are drawn from each
+    * vector's IVF cell ([[ivfAssignments]] — same partitioner the ANN
+    * queries probe), so the self-join is (cent_id) EQUI-keyed and the
+    * per-vector top-k is a window inside the cell. At 100 TB the cell
+    * assignment is the bucketing; cells are balanced by construction
+    * (a k-means build rebalances hot cells — [[kmeansCentroids]]), and
+    * a viral cell would get the same cap-and-alert treatment as the
+    * LSH buckets. Approximation is the point: same-cell recall is
+    * what IVF-with-nprobe=1 gives, and the agreement statistic is
+    * robust to missing cross-cell edges (documented estimator, same
+    * contract as [[annIvfRecall]] which MEASURES that recall). */
+  def knnLabelAgreement(spark: SparkSession, sfDir: String,
+      k: Int = 5, stride: Int = 50): DataFrame = {
+    graft.plans.CosineSimilarity.register(spark)
+    val labels = Tables.embeddings(spark, sfDir).select(col("vec_id"), col("label"))
+    val av = ivfAssignments(spark, sfDir, stride)
+      .join(labels, "vec_id")
+      .select(col("vec_id"), col("cent_id"), col("label"), col("embedding"))
+      .localCheckpoint(eager = false)
+    val edges = av.as("a").join(av.as("b"),
+        col("a.cent_id") === col("b.cent_id") &&
+          col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_id"), col("a.label").as("label"),
+        col("b.vec_id").as("nb_id"), col("b.label").as("nb_label"),
+        PortableRound.pround(
+          cosine(col("a.embedding"), col("b.embedding")), 4).as("cos_sim"))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cos_sim").desc, col("nb_id"))
+    edges.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+      .withColumn("cos_x4", floor(col("cos_sim") * 10000 + 0.5).cast("long"))
+      .groupBy(col("label"))
+      .agg(countDistinct(col("vec_id")).as("n_vecs"),
+        count(lit(1)).as("n_edges"),
+        sum(when(col("label") === col("nb_label"), 1L).otherwise(0L)).as("n_same"),
+        sum(col("cos_x4")).as("sum_cos_x4"))
+      .select(col("label").cast("long").as("label"), col("n_vecs"),
+        col("n_edges"), col("n_same"),
+        expr("(n_same * 1000) DIV n_edges").as("agree_milli"),
+        expr("CASE WHEN sum_cos_x4 >= 0 THEN sum_cos_x4 DIV n_edges " +
+          "ELSE -((-sum_cos_x4) DIV n_edges) END").as("mean_cos_x4"))
+  }
 }

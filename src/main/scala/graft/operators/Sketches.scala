@@ -175,4 +175,49 @@ object Sketches {
         (col("est_cents") - col("c")).as("err_cents"), col("width").as("bin_width"))
     exact
   }
+
+  /** Deterministic WEIGHTED k-sample per group — Efraimidis–Spirakis
+    * exponential-clock sampling (Efraimidis & Spirakis 2006: keep the
+    * k items minimizing −ln(uᵢ)/wᵢ), derandomized the same way as
+    * [[groupSample]]: the uniform uᵢ is the portable 48-bit hash of
+    * the row id, so the SAME documents win on every engine, every
+    * re-run, and every incremental ingest. Weighting by `n_chars`
+    * makes this the byte-budget sampler a corpus release uses
+    * ("sample 4 docs per source proportionally to their length" —
+    * eyeball sets, human-eval slices, per-source audits).
+    *
+    * Portability of the KEY, not just the ranking: −ln(u) is replaced
+    * by (30·10⁶ − plog2micro(h₃₀)) — the piecewise-linear integer log2
+    * ([[TextAnalysis.plog2MicroSql]]; monotone, ≤0.086-bit error,
+    * ranking-equivalent to ln up to the positive constant ln 2) over
+    * the TOP 30 BITS of the hash (the full 48-bit value × 10⁶
+    * overflows Long inside plog2micro; 30 uniform bits are far more
+    * resolution than a weighted sampler needs). The key is then an
+    * EXACT-INTEGER numerator divided by an exact long weight: one
+    * IEEE double division of two integers both under 2⁵³, which is
+    * correctly rounded and therefore BIT-IDENTICAL in any engine —
+    * no libm call anywhere.
+    *
+    * Scale shape: identical to [[groupSample]] — the bounded `topk_by`
+    * aggregate holds O(k) state per group with map-side partials,
+    * while the oracle's window formulation shuffles every row. */
+  def weightedSample(spark: SparkSession, sfDir: String, k: Int = 4): DataFrame = {
+    BoundedAggregates.register(spark)
+    val h = PortableHash.md5Hash48(
+      concat(lit("ws:"), col("doc_id").cast("string"))).divide(lit(262144L)).cast("long")
+    val key = (lit(30000000L) -
+      expr(graft.operators.TextAnalysis.plog2MicroSql("h"))).cast("double") /
+      col("n_chars").cast("double")
+    Tables.documents(spark, sfDir)
+      .filter(col("n_chars") > 0)
+      .select(col("source"), col("doc_id"), col("n_chars"), h.as("h"))
+      .select(col("source"), col("doc_id"), col("n_chars"), key.as("es_key"))
+      .groupBy(col("source"))
+      .agg(call_function("topk_by",
+        -col("es_key"), col("doc_id"), lit(k)).as("top"))
+      .select(col("source"), posexplode(col("top")))
+      .select(col("source"), (col("pos") + 1).cast("long").as("rank"),
+        col("col.id").as("doc_id"),
+        PortableRound.pround(-col("col.value"), 6).as("es_key"))
+  }
 }

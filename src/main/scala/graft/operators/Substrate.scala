@@ -578,4 +578,51 @@ object Substrate {
       .withColumn("skip_pct", graft.operators.PortableRound.pround(
         (col("n_blocks") - col("touched")) * 100.0 / col("n_blocks"), 4))
   }
+
+  /** Explicit GROUPING SETS with `grouping()` indicator columns — the
+    * last grouping-set flavor the substrate hadn't exercised (cube and
+    * rollup are the closed forms; real report queries mix arbitrary
+    * sets). Indicator columns are emitted per-column via `grouping()`
+    * (0/1 longs) rather than `grouping_id()`, because the engines'
+    * bit-packing conventions differ while the per-column indicator is
+    * standard SQL everywhere; null keys coalesce to a sentinel so the
+    * hash compare is stable.
+    *
+    * Scale: Catalyst plans this as a single Expand + one partial-then-
+    * final aggregate — the row multiplier is the number of sets (3),
+    * applied map-side before the one shuffle. */
+  def groupingSetsOp(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .groupingSets(
+        Seq(Seq(col("l_returnflag"), col("l_linestatus")),
+          Seq(col("l_returnflag")), Seq()),
+        col("l_returnflag"), col("l_linestatus"))
+      // grouping() is only legal inside the aggregate list (it reads
+      // the Expand-generated grouping bits, not a data column)
+      .agg(grouping(col("l_returnflag")).cast("long").as("g_rf"),
+        grouping(col("l_linestatus")).cast("long").as("g_ls"),
+        count(lit(1)).as("n"), sum(col("l_quantity")).as("sum_qty"))
+      .select(coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+        col("g_rf"), col("g_ls"), col("n"), col("sum_qty"))
+
+  /** UNPIVOT (wide → long) — the melt operation: per-returnflag
+    * aggregate measures unpivoted into (rf, measure, value) rows.
+    * Spark's native `unpivot` plans a single Expand over the 3-row
+    * aggregate — no shuffle beyond the aggregate itself; values are
+    * integer cents so the long compare is exact. The oracle states
+    * the same melt as a UNION ALL (engine-portable by construction
+    * rather than relying on UNPIVOT dialect agreement). */
+  def unpivotOp(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        sum(expr("CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)"))
+          .as("price_cents"),
+        sum(expr("CAST(floor(l_discount * 100 + 0.5) AS BIGINT)"))
+          .as("discount_cents"),
+        sum(col("l_quantity").cast("bigint") * 100).as("qty_cents"))
+      .unpivot(Array(col("l_returnflag")),
+        Array(col("price_cents"), col("discount_cents"), col("qty_cents")),
+        "measure", "value_cents")
 }

@@ -629,4 +629,106 @@ object TextAnalysis {
           .when(col("nll_avg_micro") <= col("t2"), "middle")
           .otherwise("tail").as("ppl_bucket"))
   }
+
+  /** VOCABULARY DRIFT between two corpus slices — the distribution-
+    * shift audit a pipeline runs when a new crawl snapshot lands (or
+    * between train and eval mixes): per-term Jensen–Shannon divergence
+    * contributions between the unigram distributions of the even and
+    * odd `doc_id` halves (the deterministic stand-in for "old vs new
+    * snapshot"), ranked by contribution. The headline JSD is the sum
+    * of the top rows' contributions; the per-term table is the
+    * actionable part — it names WHICH terms moved.
+    *
+    * Arithmetic is engine-portable by construction: with
+    * a = n1·N2 and b = n2·N1 (exact longs), p/m = 2a/(a+b) and
+    * q/m = 2b/(a+b), so each side's log term is
+    * 10⁶ + plog2(a) − plog2(a+b) in [[plog2MicroSql]] integer micro-
+    * bits, the p·log(p/m) weighting is one exact long multiply by n1
+    * followed by one integer division by N1, and a zero count
+    * contributes exactly 0 (the 0·log 0 convention) via the `when`
+    * guard. No float accumulates anywhere, so rank AND values
+    * replicate bit-for-bit in the oracle. One trap handled
+    * explicitly: per-term KL contributions are SIGNED (only the JSD
+    * total is nonnegative), and the engines disagree on negative
+    * integer division (Spark `DIV` truncates toward zero, DuckDB `//`
+    * floors), so every division routes through the sign-safe
+    * `-((-n) DIV d)` form that only ever divides nonnegative longs.
+    *
+    * Scale shape (100 TB): token explode → ONE (term)-keyed aggregate
+    * with map-side combine carrying two conditional counters (no join
+    * of two half-vocabs — the halves split INSIDE the aggregate);
+    * totals are a 1-row broadcast; ranking is distributed top-k
+    * (`TakeOrderedAndProject`). Long headroom: n1·(N2) ≤ tokens², so
+    * past ~3·10⁹ tokens per slice the a/b products need
+    * decimal(38,0) — same widening note as the k-means/means family. */
+  def vocabDrift(spark: SparkSession, sfDir: String, k: Int = 25): DataFrame = {
+    val toks = Tables.documents(spark, sfDir)
+      .select((col("doc_id") % 2 === 0).as("h0"),
+        explode_outer(split(col("text"), " ")).as("w"))
+      .filter(col("w").isNotNull && col("w") =!= "")
+    val perTerm = toks.groupBy(col("w"))
+      .agg(sum(when(col("h0"), 1L).otherwise(0L)).as("n1"),
+        sum(when(!col("h0"), 1L).otherwise(0L)).as("n2"))
+    val totals = perTerm.agg(sum(col("n1")).as("tot1"), sum(col("n2")).as("tot2"))
+    perTerm.crossJoin(broadcast(totals))
+      .withColumn("a", col("n1") * col("tot2"))
+      .withColumn("b", col("n2") * col("tot1"))
+      .withColumn("s", col("a") + col("b"))
+      // p·log2(p/m) numerators in micro-bits — exact signed longs
+      // (0 when the count is 0: the 0·log 0 convention)
+      .withColumn("num1", when(col("n1") > 0,
+        col("n1") * (lit(1000000L) + expr(plog2MicroSql("a"))
+          - expr(plog2MicroSql("s")))).otherwise(lit(0L)))
+      .withColumn("num2", when(col("n2") > 0,
+        col("n2") * (lit(1000000L) + expr(plog2MicroSql("b"))
+          - expr(plog2MicroSql("s")))).otherwise(lit(0L)))
+      // sign-safe truncating division (see scaladoc)
+      .withColumn("kl1", expr(
+        "CASE WHEN num1 >= 0 THEN num1 DIV tot1 ELSE -((-num1) DIV tot1) END"))
+      .withColumn("kl2", expr(
+        "CASE WHEN num2 >= 0 THEN num2 DIV tot2 ELSE -((-num2) DIV tot2) END"))
+      .withColumn("jsd_contrib_micro", expr(
+        "CASE WHEN kl1 + kl2 >= 0 THEN (kl1 + kl2) DIV 2 ELSE -((-(kl1 + kl2)) DIV 2) END"))
+      .select(col("w"), col("n1"), col("n2"),
+        expr("n1 * 1000000 DIV tot1").as("rpm1"),
+        expr("n2 * 1000000 DIV tot2").as("rpm2"),
+        col("jsd_contrib_micro"))
+      .orderBy(col("jsd_contrib_micro").desc, col("w")).limit(k)
+  }
+
+  /** CALIBRATION CURVE of the hashed-linear quality model against the
+    * heuristic gate — the reliability diagram a filter swap ships:
+    * model scores ([[qualityModelScore]]) are cut into `bins` equal-
+    * width bins over the observed [min, max] (same integer binning as
+    * the histogram-quantile sketch), and each bin reports how often
+    * the Gopher-style heuristic ([[qualityMicroCol]] ≥ `thresholdMicro`)
+    * agrees. A well-calibrated model shows monotone keep-rates across
+    * bins; a flat curve means the model adds nothing over the
+    * heuristic. Everything is exact integer arithmetic (long counts,
+    * integer bin mapping, milli-rate by integer division), so every
+    * cell replicates bit-for-bit in the oracle.
+    *
+    * Scale shape: the two per-doc score columns come from single
+    * narrow scans joined on doc_id (one co-keyed shuffle); min/max is
+    * a 1-row broadcast; the final aggregate is `bins` rows with
+    * map-side combine. Nothing here grows with corpus size except the
+    * one doc_id shuffle. */
+  def qualityCalibration(spark: SparkSession, sfDir: String,
+      bins: Int = 8, thresholdMicro: Long = 7000L): DataFrame = {
+    val model = qualityModelScore(spark, sfDir)
+      .select(col("doc_id"), col("score_milli"))
+    val heur = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), (qualityMicroCol >= thresholdMicro).as("keep_h"))
+    val j = model.join(heur, "doc_id")
+    val mm = j.agg(min(col("score_milli")).as("lo"), max(col("score_milli")).as("hi"))
+    j.crossJoin(broadcast(mm))
+      .select(expr(s"((score_milli - lo) * $bins) DIV (hi - lo + 1)").as("bin"),
+        col("score_milli"), col("keep_h"), col("lo"), col("hi"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("keep_h"), 1L).otherwise(0L)).as("n_keep"),
+        min(col("score_milli")).as("bin_min_milli"),
+        max(col("score_milli")).as("bin_max_milli"))
+      .withColumn("keep_rate_milli", expr("(n_keep * 1000) DIV n"))
+  }
 }
