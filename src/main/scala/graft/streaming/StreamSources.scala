@@ -286,6 +286,33 @@ object StreamSources {
     }
   }
 
+  /** EVENT-TIME-bounded streaming dedup via the built-in
+    * `dropDuplicatesWithinWatermark` — the third point on the repo's
+    * dedup-state spectrum: [[statefulDedup]] (unbounded state, exact),
+    * [[statefulDedupTtl]] (processing-time TTL, bounded by arrival
+    * rate × TTL), and this (EVENT-time bound, bounded by event-time
+    * skew × rate — the right bound when replays cluster around the
+    * original event, which is what Kafka redelivery and job retries
+    * produce: a retry carries the ORIGINAL event timestamp, so however
+    * late it ARRIVES it lands inside the original's watermark window
+    * and is dropped, where a processing-time TTL would have expired).
+    * State for a key is evicted once the watermark passes its event
+    * time + delay; a duplicate with an event time older than the
+    * watermark is dropped BY THE WATERMARK itself on arrival, so
+    * within one run the output is exactly-once for same-event-time
+    * replays — the residual risk is only a replay carrying a NEWER
+    * event time than the original (not a replay, a new event, by
+    * event-time semantics). Backstopped by the F6/F7 catalog dedup
+    * like the TTL variant.
+    *
+    * `eventTimeCol` must be a TimestampType column; `keys` must NOT
+    * include it (the operator matches on keys, the watermark bounds
+    * the state). */
+  def dedupWithinWatermark(df: DataFrame, eventTimeCol: String,
+      delay: String, keys: Seq[String]): DataFrame =
+    df.withWatermark(eventTimeCol, delay)
+      .dropDuplicatesWithinWatermark(keys)
+
   /** [[statefulDedup]] with a processing-time TTL per key — the
     * production form: keyed store size is bounded by (arrival rate ×
     * TTL) instead of growing with every key ever seen. */

@@ -119,6 +119,45 @@ class StreamSubstrateSpec extends AnyFunSuite {
     assert(batch == Set((1L, 1.0, 10.0), (1L, 2.0, 20.0), (2L, 3.0, 40.0)))
   }
 
+  test("dropDuplicatesWithinWatermark: in-window replays drop, state evicts past the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    def ts(s: String) = Timestamp.valueOf(s)
+    val input = MemoryStream[(Timestamp, String, String)]
+    val out = StreamSources.dedupWithinWatermark(
+      input.toDF().toDF("ts", "job_id", "payload"),
+      eventTimeCol = "ts", delay = "10 minutes", keys = Seq("job_id"))
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("wm_dedup_out").start()
+
+    // batch 1: original + same-batch replay + a second key
+    input.addData(
+      (ts("2024-01-01 10:00:00"), "job-1", "original"),
+      (ts("2024-01-01 10:00:00"), "job-1", "same-batch replay"),
+      (ts("2024-01-01 10:01:00"), "job-2", "other key"))
+    q.processAllAvailable()
+    // batch 2: cross-batch replay while job-1 is still inside the window
+    input.addData((ts("2024-01-01 10:02:00"), "job-1", "cross-batch replay"))
+    q.processAllAvailable()
+    // batch 3: advance the watermark far past 10:00 + delay -> evicts state
+    input.addData((ts("2024-01-01 11:00:00"), "job-3", "advance watermark"))
+    q.processAllAvailable()
+    val stateRows = q.lastProgress.stateOperators.head.numRowsTotal
+    // batch 4: a "replay" carrying an event time BEYOND the watermark is
+    // admitted again (state was evicted; by event-time semantics this is
+    // a new event — the documented bounded-state trade)
+    input.addData((ts("2024-01-01 11:05:00"), "job-1", "post-eviction"))
+    q.processAllAvailable()
+    val rows = spark.sql("select job_id, payload from wm_dedup_out").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    q.stop()
+    assert(rows == Set(
+      ("job-1", "original"), ("job-2", "other key"),
+      ("job-3", "advance watermark"), ("job-1", "post-eviction")),
+      s"got $rows")
+    // bounded store: job-1/job-2 evicted once the watermark passed them
+    assert(stateRows <= 2, s"state not evicted: $stateRows rows retained")
+  }
+
   test("TTL'd dedup state: first passes + arms TTL, replay drops, timeout evicts") {
     import org.apache.spark.sql.streaming.TestGroupState
     // first occurrence: passes, state armed with the TTL
