@@ -230,6 +230,22 @@ object SparkEntry {
       Similarity.knnLabelAgreement(s, d)),
     "sub_grouping_sets" -> (Substrate.groupingSetsOp _),
     "sub_unpivot" -> (Substrate.unpivotOp _),
+    // round-8 fourth wave: dedup threshold sweep, IVF cell balance,
+    // context-window efficiency, tokenizer compression curve
+    "dedup_threshold_sweep" -> ((s: SparkSession, d: String) =>
+      Dedup.thresholdSweep(s, d)),
+    "embed_cell_balance" -> ((s: SparkSession, d: String) =>
+      Similarity.cellBalance(s, d)),
+    "corpus_window_efficiency" -> ((s: SparkSession, d: String) =>
+      Corpus.windowEfficiency(s, d)),
+    "corpus_bpe_compression" -> ((s: SparkSession, d: String) =>
+      Corpus.bpeCompressionSweep(s, d)),
+    // round-8 fifth wave: the two remaining tuning curves — retrieval
+    // (recall vs probe width) and curation yield (tokens vs quality bar)
+    "ann_nprobe_sweep" -> ((s: SparkSession, d: String) =>
+      Similarity.annNprobeSweep(s, d)),
+    "corpus_gate_sweep" -> ((s: SparkSession, d: String) =>
+      TextAnalysis.gateSweep(s, d)),
   )
 
   /** Queries whose result may legitimately be empty at small scale
@@ -313,7 +329,12 @@ object SparkEntry {
     // kNN-graph audit, calibration, grouping-sets/unpivot substrate):
     "text_vocab_drift", "sketch_weighted_sample", "events_ewma_burst",
     "embed_knn_agreement", "text_quality_calibration",
-    "sub_grouping_sets", "sub_unpivot")
+    "sub_grouping_sets", "sub_unpivot",
+    // round-8 additions (threshold sweep, cell balance, window
+    // efficiency, compression curve):
+    "dedup_threshold_sweep", "embed_cell_balance",
+    "corpus_window_efficiency", "corpus_bpe_compression",
+    "ann_nprobe_sweep", "corpus_gate_sweep")
 
   // --- generated DuckDB replicas of the portable-hash queries ----------
 
@@ -3076,6 +3097,153 @@ object SparkEntry {
         |  CAST(count(*) AS BIGINT) AS n, sum(l_quantity) AS sum_qty
         |FROM lineitem
         |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())""".stripMargin,
+    // Nprobe sweep: the IVF probe replica ranked to the widest probe,
+    // swept by a VALUES spine, against the brute-force replica.
+    "ann_nprobe_sweep" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+         |c AS (SELECT vec_id AS cent_id, emb AS c_emb FROM e WHERE vec_id % 50 = 0),
+         |assigned AS (
+         |  SELECT vec_id, emb, cent_id FROM (
+         |    SELECT e.vec_id, e.emb, c.cent_id,
+         |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+         |        list_dot_product(e.emb, c.c_emb) /
+         |          (sqrt(list_dot_product(e.emb, e.emb)) * sqrt(list_dot_product(c.c_emb, c.c_emb))) DESC,
+         |        c.cent_id) AS rn
+         |    FROM e CROSS JOIN c) WHERE rn = 1),
+         |q AS (SELECT vec_id AS query_id, emb AS q_emb FROM e WHERE vec_id < 10),
+         |probed AS (
+         |  SELECT query_id, q_emb, cent_id, rn AS probe_rank FROM (
+         |    SELECT q.query_id, q.q_emb, c.cent_id,
+         |      row_number() OVER (PARTITION BY q.query_id ORDER BY
+         |        list_dot_product(q.q_emb, c.c_emb) /
+         |          (sqrt(list_dot_product(q.q_emb, q.q_emb)) * sqrt(list_dot_product(c.c_emb, c.c_emb))) DESC,
+         |        c.cent_id) AS rn
+         |    FROM q CROSS JOIN c) WHERE rn <= 4),
+         |cand AS (
+         |  SELECT p.query_id, p.probe_rank, a.vec_id AS neighbor_id,
+         |    floor((list_dot_product(p.q_emb, a.emb) /
+         |      (sqrt(list_dot_product(p.q_emb, p.q_emb)) * sqrt(list_dot_product(a.emb, a.emb)))) * 10000 + 0.5) / 10000 AS cos_sim
+         |  FROM probed p JOIN assigned a ON p.cent_id = a.cent_id AND a.vec_id <> p.query_id),
+         |np AS (SELECT CAST(unnest([1, 2, 4]) AS BIGINT) AS nprobe),
+         |swept AS (SELECT nprobe, query_id, neighbor_id,
+         |    row_number() OVER (PARTITION BY nprobe, query_id
+         |      ORDER BY cos_sim DESC, neighbor_id) AS rank
+         |  FROM cand CROSS JOIN np WHERE probe_rank <= nprobe),
+         |ivf AS (SELECT nprobe AS i_nprobe, query_id AS i_query,
+         |    neighbor_id AS i_neighbor FROM swept WHERE rank <= 5),
+         |bfx AS (SELECT b0.query_id, b0.neighbor_id, np.nprobe
+         |  FROM ($annBruteOracle) b0 CROSS JOIN np)
+         |SELECT nprobe, CAST(count(DISTINCT query_id) AS BIGINT) AS n_queries,
+         |  CAST(count(*) AS BIGINT) AS n_true,
+         |  CAST(count(i_neighbor) AS BIGINT) AS n_hits,
+         |  (CAST(count(i_neighbor) AS BIGINT) * 10000)
+         |    // CAST(count(*) AS BIGINT) AS recall_x4
+         |FROM bfx LEFT JOIN ivf ON bfx.nprobe = ivf.i_nprobe
+         |  AND bfx.query_id = ivf.i_query AND bfx.neighbor_id = ivf.i_neighbor
+         |GROUP BY nprobe""".stripMargin,
+    // Gate sweep: same quality-micro scoring subquery as the
+    // text_quality oracle, thresholds as a VALUES cross join.
+    "corpus_gate_sweep" ->
+      """WITH f AS (SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+        |    (length(text)::DOUBLE - (len(string_split(text, ' ')) - 1))
+        |      / len(string_split(text, ' ')) AS avg_word_len,
+        |    len(list_distinct(string_split(text, ' ')))::DOUBLE
+        |      / len(string_split(text, ' ')) AS distinct_ratio,
+        |    ((length(tt) - length(replace(tt, ' the ', ''))) / 5
+        |      + (length(tt) - length(replace(tt, ' a ', ''))) / 3
+        |      + (length(tt) - length(replace(tt, ' of ', ''))) / 4
+        |      + (length(tt) - length(replace(tt, ' and ', ''))) / 5)
+        |      / len(string_split(text, ' ')) AS stop_ratio
+        |  FROM (SELECT doc_id, text, ' ' || text || ' ' AS tt FROM documents)),
+        |d AS (SELECT n_tok,
+        |    CAST(floor((CASE WHEN avg_word_len BETWEEN 3.0 AND 10.0 THEN 0.4 ELSE 0.0 END
+        |      + least(stop_ratio * 2.0, 0.3) + least(distinct_ratio, 0.3)) * 10000 + 0.5) AS BIGINT) AS q_micro
+        |  FROM f),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS tot_docs,
+        |    CAST(sum(n_tok) AS BIGINT) AS tot_toks FROM d),
+        |t AS (SELECT CAST(unnest([5000, 6000, 7000, 8000]) AS BIGINT) AS threshold_micro)
+        |SELECT threshold_micro, CAST(count(*) AS BIGINT) AS n_docs_kept,
+        |  CAST(sum(n_tok) AS BIGINT) AS n_tokens_kept,
+        |  (CAST(count(*) AS BIGINT) * 1000) // max(tot_docs) AS doc_share_milli,
+        |  (CAST(sum(n_tok) AS BIGINT) * 1000) // max(tot_toks) AS token_share_milli
+        |FROM d CROSS JOIN t CROSS JOIN tot
+        |WHERE q_micro >= threshold_micro
+        |GROUP BY threshold_micro""".stripMargin,
+    // Threshold sweep: same minhash banding CTE as the bucket oracle,
+    // exact integer Jaccard via the shingle szs/ints joins (the
+    // estimation-error oracle's shape), thresholds as a VALUES spine
+    // left-joined so empty thresholds still report zeros.
+    "dedup_threshold_sweep" ->
+      s"""WITH bk AS (
+         |$minhashOracle),
+         |cand AS (SELECT DISTINCT x.doc_id AS doc1, y.doc_id AS doc2
+         |  FROM bk x JOIN bk y ON x.band = y.band AND x.bucket = y.bucket
+         |    AND x.doc_id < y.doc_id),
+         |ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         |shs AS (SELECT doc_id, unnest(list_distinct(
+         |  [array_to_string(w[i:i+2], ' ') for i in range(1, len(w) - 1)])) AS s
+         |  FROM ws WHERE len(w) >= 3),
+         |szs AS (SELECT doc_id, count(*) AS n_sh FROM shs GROUP BY 1),
+         |ints AS (SELECT p.doc_id AS doc1, q.doc_id AS doc2, count(*) AS n_int
+         |  FROM shs p JOIN shs q ON p.s = q.s AND p.doc_id < q.doc_id GROUP BY 1, 2),
+         |sc AS (SELECT c.doc1, c.doc2,
+         |    CAST(coalesce(i.n_int, 0) AS BIGINT) AS inter,
+         |    CAST(s1.n_sh + s2.n_sh - coalesce(i.n_int, 0) AS BIGINT) AS uni
+         |  FROM cand c
+         |  JOIN szs s1 ON s1.doc_id = c.doc1
+         |  JOIN szs s2 ON s2.doc_id = c.doc2
+         |  LEFT JOIN ints i ON i.doc1 = c.doc1 AND i.doc2 = c.doc2),
+         |t AS (SELECT CAST(unnest([5, 6, 7, 8, 9]) AS BIGINT) AS t10),
+         |agg AS (SELECT t10, CAST(count(*) AS BIGINT) AS n_pairs,
+         |    CAST(count(DISTINCT doc2) AS BIGINT) AS n_docs_removed,
+         |    CAST(sum((inter * 10000) // uni) AS BIGINT) AS sj
+         |  FROM sc CROSS JOIN t WHERE inter * 10 >= t10 * uni GROUP BY t10)
+         |SELECT t.t10 AS threshold_x10,
+         |  CAST(coalesce(n_pairs, 0) AS BIGINT) AS n_pairs,
+         |  CAST(coalesce(n_docs_removed, 0) AS BIGINT) AS n_docs_removed,
+         |  CASE WHEN n_pairs IS NOT NULL THEN sj // n_pairs END AS mean_jac_x4
+         |FROM t LEFT JOIN agg ON t.t10 = agg.t10""".stripMargin,
+    // Cell balance: same IVF assignment CTE as the ANN oracles, then
+    // a power-of-two size-class census with exact milli shares.
+    "embed_cell_balance" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+        |c AS (SELECT vec_id AS cent_id, emb AS c_emb FROM e WHERE vec_id % 50 = 0),
+        |assigned AS (
+        |  SELECT vec_id, cent_id FROM (
+        |    SELECT e.vec_id, c.cent_id,
+        |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |        list_dot_product(e.emb, c.c_emb) /
+        |          (sqrt(list_dot_product(e.emb, e.emb)) * sqrt(list_dot_product(c.c_emb, c.c_emb))) DESC,
+        |        c.cent_id) AS rn
+        |    FROM e CROSS JOIN c) WHERE rn = 1),
+        |cells AS (SELECT cent_id, CAST(count(*) AS BIGINT) AS sz
+        |  FROM assigned GROUP BY 1),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS tot_cells,
+        |    CAST(sum(sz) AS BIGINT) AS tot_vecs FROM cells)
+        |SELECT CAST(length(format('{:b}', sz)) - 1 AS BIGINT) AS size_class,
+        |  CAST(count(*) AS BIGINT) AS n_cells, CAST(sum(sz) AS BIGINT) AS n_vecs,
+        |  min(sz) AS min_sz, max(sz) AS max_sz,
+        |  (CAST(sum(sz) AS BIGINT) * 1000) // max(tot_vecs) AS share_milli,
+        |  (max(sz) * max(tot_cells) * 1000) // max(tot_vecs) AS imbalance_milli
+        |FROM cells CROSS JOIN tot GROUP BY 1""".stripMargin,
+    // Window efficiency: all-integer ceil-division batching audit.
+    "corpus_window_efficiency" ->
+      """WITH d AS (SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+        |  FROM documents),
+        |x AS (SELECT n_tok, CAST(unnest([128, 256, 512]) AS BIGINT) AS window_len FROM d),
+        |y AS (SELECT n_tok, window_len,
+        |    (n_tok + window_len - 1) // window_len AS n_win FROM x)
+        |SELECT window_len, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+        |  CAST(sum(n_win) AS BIGINT) AS n_windows,
+        |  CAST(sum(window_len * n_win - n_tok) AS BIGINT) AS n_pad_tokens,
+        |  (CAST(sum(n_tok) AS BIGINT) * 1000)
+        |    // (window_len * CAST(sum(n_win) AS BIGINT)) AS efficiency_milli
+        |FROM y GROUP BY window_len""".stripMargin,
+    // Compression sweep: the sequential-BPE replay counted at the
+    // w4/w8/w16 checkpoints (greedy prefix property).
+    "corpus_bpe_compression" -> Corpus.bpeOracleSql(16, "compression"),
     // Unpivot as a UNION ALL melt (engine-portable statement of the
     // same wide→long reshape Spark's native unpivot plans as Expand).
     "sub_unpivot" ->

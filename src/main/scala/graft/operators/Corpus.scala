@@ -488,6 +488,17 @@ object Corpus {
           |  floor(CAST(sum(n * len(w)) AS DOUBLE) / sum(n * n_tokens_w) * 10000 + 0.5) / 10000
           |    AS chars_per_token
           |FROM lw JOIN wt USING (w) GROUP BY 1""".stripMargin
+      case "compression" =>
+        // token/char mass at the w4/w8/w16 checkpoints of the SAME
+        // sequential learning replay (greedy prefix property)
+        val sel = Seq(4, 8, 16).filter(_ <= k).map(kk =>
+          s"SELECT CAST($kk AS BIGINT) AS k_merges, " +
+            s"CAST(sum(freq * len(string_split(trim(s), ' '))) AS BIGINT) AS n_tokens, " +
+            s"CAST(sum(freq * len(w)) AS BIGINT) AS n_chars FROM w$kk")
+          .mkString(" UNION ALL ")
+        s"""SELECT k_merges, n_tokens, n_chars,
+           |  (n_chars * 10000) // n_tokens AS chars_per_token_x4
+           |FROM ($sel) ORDER BY k_merges""".stripMargin
       case _ =>
         val sel = (0 until k).map(r =>
           s"SELECT CAST(${r + 1} AS BIGINT) AS rank, pair, " +
@@ -495,6 +506,65 @@ object Corpus {
         s"SELECT * FROM ($sel) ORDER BY rank"
     }
     "WITH " + ctes.mkString(",\n") + "\n" + fin
+  }
+
+  /** CONTEXT-WINDOW EFFICIENCY TABLE — the "choose your sequence
+    * length" baseline a release decision starts from: for each
+    * candidate window length, the windows needed, padding wasted, and
+    * token efficiency of NAIVE one-document-per-window batching
+    * (documents longer than the window split into ⌈n/W⌉ windows, the
+    * last one padded). This is the no-packing baseline that justifies
+    * [[packBins]]' bin-packing and [[contextWindows]]' concatenation —
+    * the efficiency gap between this table and the packed layouts IS
+    * the packing win, quantified. All-integer (⌈n/W⌉ as
+    * (n+W−1) DIV W, efficiency in exact milli-units).
+    *
+    * Scale shape: one narrow token-count scan, the per-W explode
+    * happens on the tiny per-doc count rows, one map-side-combined
+    * aggregate to |windows| rows. */
+  def windowEfficiency(spark: SparkSession, sfDir: String,
+      windows: Seq[Int] = Seq(128, 256, 512)): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(size(split(col("text"), " ")).cast("long").as("n_tok"))
+      .select(col("n_tok"),
+        explode(array(windows.map(w => lit(w.toLong)): _*)).as("window_len"))
+      .withColumn("n_win", expr("(n_tok + window_len - 1) DIV window_len"))
+      .groupBy(col("window_len"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"),
+        sum(col("n_win")).as("n_windows"),
+        sum(col("window_len") * col("n_win") - col("n_tok")).as("n_pad_tokens"))
+      .withColumn("efficiency_milli",
+        expr("(n_tokens * 1000) DIV (window_len * n_windows)"))
+
+  /** TOKENIZER COMPRESSION SWEEP — the merge-budget curve next to
+    * [[bpeLearnedMerges]]' rule table: corpus token mass and
+    * chars-per-token under the first k ∈ {4, 8, 16} learned merges.
+    * Because sequential BPE is greedy-deterministic, the k-rule
+    * tokenizer IS the length-k prefix of the 16-rule one, so one
+    * learning run yields every point on the curve; compression (rising
+    * chars-per-token) quantifies what each doubling of the merge
+    * budget buys — the tokenizer-size trade every vocab decision
+    * weighs. The oracle replays the same 16 materialized merge rounds
+    * and counts at the w4/w8/w16 checkpoints, so the curve is
+    * bit-exact.
+    *
+    * Scale shape: the rules are driver-side config (vocab-sized
+    * learning, memoized); each sweep point is a narrow codegen'd
+    * encode over the Heaps-bounded distinct-word table (checkpointed
+    * once, reused by all k) folded into one map-side aggregate. */
+  def bpeCompressionSweep(spark: SparkSession, sfDir: String,
+      ks: Seq[Int] = Seq(4, 8, 16)): DataFrame = {
+    val rules = learnBpeRules(spark, sfDir, ks.max).map(_._1)
+    val base = bpeWordFreq(spark, sfDir).localCheckpoint(eager = false)
+    ks.map { k =>
+      val enc = rules.take(k).foldLeft(bpeSpaced)(bpeApply)
+      base.select(lit(k.toLong).as("k_merges"),
+        (col("freq") * size(split(trim(enc), " "))).as("tok"),
+        (col("freq") * length(col("w"))).as("ch"))
+    }.reduce(_ unionByName _)
+      .groupBy(col("k_merges"))
+      .agg(sum(col("tok")).as("n_tokens"), sum(col("ch")).as("n_chars"))
+      .withColumn("chars_per_token_x4", expr("(n_chars * 10000) DIV n_tokens"))
   }
 
   /** Memorization-risk miner: the most-repeated 5-gram spans across

@@ -314,6 +314,61 @@ object Dedup {
     verified
   }
 
+  /** DEDUP AGGRESSIVENESS SWEEP — the "choose your threshold" table a
+    * release ships before committing to a near-dup removal pass: for
+    * each candidate Jaccard threshold (tenths), the verified pair
+    * count, the documents keep-first would remove, and the mean
+    * verified Jaccard of the surviving pairs. Thresholds compare as
+    * exact integer cross-products (10·|∩| ≥ t·|∪|) and the mean is
+    * integer x4-units, so every cell replicates in the oracle. The
+    * sweep runs over the LSH CANDIDATE set (one band agreeing), so
+    * low thresholds report the pairs the banding ADMITS — the recall
+    * at each t is exactly what [[lshConfigAdvisor]]'s S-curve
+    * quantifies; the two queries together are the full tuning loop.
+    *
+    * Scale shape: ONE bucket equi self-join for candidates (capped,
+    * checkpointed — same audited shape as [[minhashNearDupPairs]]),
+    * ONE pair-scoring join, then the 5-way threshold explode happens
+    * AFTER scoring on the tiny pair table, and each output row is one
+    * map-side-combined aggregate cell. Empty thresholds still emit
+    * (zero counts) via the left join with the threshold spine, so the
+    * report shape is stable at any SF. */
+  def thresholdSweep(spark: SparkSession, sfDir: String,
+      maxBucketSize: Int = 1024,
+      thresholdsX10: Seq[Int] = Seq(5, 6, 7, 8, 9)): DataFrame = {
+    val allBuckets = minhashLshBuckets(spark, sfDir).localCheckpoint(eager = false)
+    val buckets = capHotKeys(allBuckets, Seq("band", "bucket"), maxBucketSize)
+    val cand = buckets.as("x").join(buckets.as("y"),
+        col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc1"), col("y.doc_id").as("doc2"))
+      .distinct()
+    val docs = withShingles(Tables.documents(spark, sfDir))
+      .select(col("doc_id"), col("sh"))
+    val scored = cand
+      .join(docs.select(col("doc_id").as("doc1"), col("sh").as("sh1")), "doc1")
+      .join(docs.select(col("doc_id").as("doc2"), col("sh").as("sh2")), "doc2")
+      .select(col("doc1"), col("doc2"),
+        size(array_intersect(col("sh1"), col("sh2"))).cast("long").as("inter"),
+        size(array_union(col("sh1"), col("sh2"))).cast("long").as("uni"))
+    val agg = scored
+      .select(col("doc1"), col("doc2"), col("inter"), col("uni"),
+        explode(array(thresholdsX10.map(t => lit(t.toLong)): _*)).as("t10"))
+      .filter(col("inter") * 10 >= col("t10") * col("uni"))
+      .groupBy(col("t10"))
+      .agg(count(lit(1)).as("n_pairs"),
+        countDistinct(col("doc2")).as("n_docs_removed"),
+        sum(expr("(inter * 10000) DIV uni")).as("sum_jac_x4"))
+    val spine = spark.range(1)
+      .select(explode(array(thresholdsX10.map(t => lit(t.toLong)): _*)).as("t10"))
+    spine.join(agg, Seq("t10"), "left")
+      .select(col("t10").as("threshold_x10"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        coalesce(col("n_docs_removed"), lit(0L)).as("n_docs_removed"),
+        when(col("n_pairs").isNotNull, expr("sum_jac_x4 DIV n_pairs"))
+          .otherwise(lit(null).cast("long")).as("mean_jac_x4"))
+  }
+
   /** Sketch-quality evaluation: for every LSH candidate pair, the
     * minhash ESTIMATE of Jaccard (fraction of the 32 minima that
     * agree) against the exact shingle-set Jaccard, plus the absolute

@@ -604,6 +604,68 @@ object Similarity {
           .as("recall"))
   }
 
+  /** NPROBE SWEEP — the ANN tuning curve next to [[annIvfRecall]]'s
+    * single point (and the retrieval twin of
+    * [[graft.operators.Dedup.thresholdSweep]]): recall@k against the
+    * exact top-k for nprobe ∈ {1, 2, 4}, from ONE shared plan — the
+    * corpus is assigned once, query cells are ranked once to the
+    * LARGEST nprobe, and each sweep point filters `probe_rank ≤ np`
+    * before its per-(np, query) top-k window. A vector lives in
+    * exactly one cell, so widening the probe set only ADDS candidates
+    * — recall is monotone in nprobe by construction, and the curve
+    * tells a deployment the cheapest probe width that clears its
+    * recall bar.
+    *
+    * Scale shape: one broadcast-centroid corpus scan (the assignment),
+    * one Q×C probe ranking (Q and C both broadcast-small), ONE
+    * (cent_id)-keyed candidate join shared by all points, then the
+    * ≤3× nprobe explode on the tiny candidate table. The exact side
+    * reuses [[annBruteForceTopK]] checkpointed once. */
+  def annNprobeSweep(spark: SparkSession, sfDir: String, k: Int = 5,
+      stride: Int = 50, nprobes: Seq[Int] = Seq(1, 2, 4)): DataFrame = {
+    graft.plans.CosineSimilarity.register(spark)
+    val emb = Tables.embeddings(spark, sfDir)
+    val centroids = emb.filter(col("vec_id") % stride === 0)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("c_emb"))
+    val assigned = ivfAssignments(spark, sfDir, stride)
+    val queries = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val wq = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_c").desc, col("cent_id"))
+    val probed = queries.crossJoin(broadcast(centroids))
+      .select(col("query_id"), col("q_emb"), col("cent_id"),
+        cosine(col("q_emb"), col("c_emb")).as("cos_c"))
+      .withColumn("probe_rank", row_number().over(wq))
+      .filter(col("probe_rank") <= nprobes.max)
+      .select(col("query_id"), col("q_emb"), col("cent_id"), col("probe_rank"))
+    val cand = probed.join(assigned, Seq("cent_id"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("probe_rank"), col("vec_id").as("neighbor_id"),
+        PortableRound.pround(cosine(col("q_emb"), col("embedding")), 4).as("cos_sim"))
+      .localCheckpoint(eager = false)
+    val npCol = explode(array(nprobes.map(np => lit(np.toLong)): _*)).as("nprobe")
+    val wt = Window.partitionBy(col("nprobe"), col("query_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id"))
+    val ivfTop = cand.select(col("query_id"), col("probe_rank"),
+        col("neighbor_id"), col("cos_sim"), npCol)
+      .filter(col("probe_rank") <= col("nprobe"))
+      .withColumn("rank", row_number().over(wt)).filter(col("rank") <= k)
+      .select(col("nprobe").as("i_nprobe"), col("query_id").as("i_query"),
+        col("neighbor_id").as("i_neighbor"))
+    val bf = annBruteForceTopK(spark, sfDir, k)
+      .select(col("query_id"), col("neighbor_id"))
+      .localCheckpoint(eager = false)
+    bf.select(col("query_id"), col("neighbor_id"), npCol)
+      .join(ivfTop,
+        col("nprobe") === col("i_nprobe") &&
+          col("query_id") === col("i_query") &&
+          col("neighbor_id") === col("i_neighbor"), "left")
+      .groupBy(col("nprobe"))
+      .agg(countDistinct(col("query_id")).as("n_queries"),
+        count(lit(1)).as("n_true"), count(col("i_neighbor")).as("n_hits"))
+      .withColumn("recall_x4", expr("(n_hits * 10000) DIV n_true"))
+  }
+
   /** MATRYOSHKA funnel retrieval + its recall audit (Kusupati et al.
     * 2022, "Matryoshka Representation Learning"; the adaptive-retrieval
     * deployment shape): stage 1 shortlists `m` candidates per query by
@@ -694,6 +756,39 @@ object Similarity {
     val z2 = e.join(y2, "vec_id").groupBy(col("j"))
       .agg(sum(col("qv") * col("y2")).as("z2"))
     x1.join(z2, "j").select(col("j"), col("x1"), col("z2")).orderBy(col("j"))
+  }
+
+  /** IVF CELL-BALANCE CENSUS — the partition-skew audit for the
+    * embedding side of the engine (the [[graft.operators.Skew]]
+    * advisor's twin for vector buckets): cell sizes bucketed into
+    * power-of-two size classes with each class's vector share. Every
+    * ANN/semantic-dedup query here shuffles on the cell key, so a
+    * mega-cell is to those joins what a hot key is to a relational
+    * join — this census is what decides whether the k-means rebalance
+    * ([[kmeansCentroids]]) or a cap ([[graft.operators.Dedup.capHotKeys]])
+    * is needed before a 100 TB run. Size class = floor(log2(size))
+    * via the engine-portable bit-length (same trick as plog2micro's
+    * leading term), shares in exact milli-units.
+    *
+    * Scale shape: the assignment is the usual broadcast-centroid scan;
+    * the census is one (cent_id)-keyed count (map-side combined) — the
+    * cell table is centroid-sized, everything after is arithmetic on
+    * at most 64 class rows. */
+  def cellBalance(spark: SparkSession, sfDir: String, stride: Int = 50): DataFrame = {
+    val cells = ivfAssignments(spark, sfDir, stride)
+      .groupBy(col("cent_id")).agg(count(lit(1)).as("sz"))
+    val tot = cells.agg(count(lit(1)).as("tot_cells"), sum(col("sz")).as("tot_vecs"))
+    cells.withColumn("size_class", expr("length(bin(sz)) - 1"))
+      .groupBy(col("size_class"))
+      .agg(count(lit(1)).as("n_cells"), sum(col("sz")).as("n_vecs"),
+        min(col("sz")).as("min_sz"), max(col("sz")).as("max_sz"))
+      .crossJoin(broadcast(tot))
+      .select(col("size_class").cast("long").as("size_class"),
+        col("n_cells"), col("n_vecs"), col("min_sz"), col("max_sz"),
+        expr("(n_vecs * 1000) DIV tot_vecs").as("share_milli"),
+        // how far the class's biggest cell sits above the perfectly
+        // balanced size (1000 = exactly balanced)
+        expr("(max_sz * tot_cells * 1000) DIV tot_vecs").as("imbalance_milli"))
   }
 
   /** kNN-GRAPH LABEL AGREEMENT — the standard embedding-quality audit

@@ -696,6 +696,36 @@ object TextAnalysis {
       .orderBy(col("jsd_contrib_micro").desc, col("w")).limit(k)
   }
 
+  /** QUALITY-GATE AGGRESSIVENESS SWEEP — the filter-threshold curve
+    * (the quality twin of [[graft.operators.Dedup.thresholdSweep]],
+    * and the table that turns [[graft.operators.Corpus.qualityGate]]'s
+    * single decile cut into a tunable knob): for each candidate
+    * micro-score threshold, the documents and token mass the gate
+    * keeps, as exact milli shares of the corpus. Data curation is a
+    * yield-vs-quality trade — this is the yield axis, computed before
+    * committing a 100 TB filter pass. All-integer (micro scores, long
+    * token counts, milli shares by integer division).
+    *
+    * Scale shape: ONE narrow scan computes (q_micro, n_tok) per doc;
+    * the 4-way threshold explode runs on those tiny per-doc rows; the
+    * totals are a 1-row broadcast; output is |thresholds| rows. */
+  def gateSweep(spark: SparkSession, sfDir: String,
+      thresholdsMicro: Seq[Long] = Seq(5000L, 6000L, 7000L, 8000L)): DataFrame = {
+    val perDoc = Tables.documents(spark, sfDir)
+      .select(qualityMicroCol.as("q_micro"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"))
+    val totals = perDoc.agg(count(lit(1)).as("tot_docs"), sum(col("n_tok")).as("tot_toks"))
+    perDoc.crossJoin(broadcast(totals))
+      .select(col("q_micro"), col("n_tok"), col("tot_docs"), col("tot_toks"),
+        explode(array(thresholdsMicro.map(t => lit(t)): _*)).as("threshold_micro"))
+      .filter(col("q_micro") >= col("threshold_micro"))
+      .groupBy(col("threshold_micro"), col("tot_docs"), col("tot_toks"))
+      .agg(count(lit(1)).as("n_docs_kept"), sum(col("n_tok")).as("n_tokens_kept"))
+      .select(col("threshold_micro"), col("n_docs_kept"), col("n_tokens_kept"),
+        expr("(n_docs_kept * 1000) DIV tot_docs").as("doc_share_milli"),
+        expr("(n_tokens_kept * 1000) DIV tot_toks").as("token_share_milli"))
+  }
+
   /** CALIBRATION CURVE of the hashed-linear quality model against the
     * heuristic gate — the reliability diagram a filter swap ships:
     * model scores ([[qualityModelScore]]) are cut into `bins` equal-

@@ -170,6 +170,121 @@ class Round8WaveSpec extends AnyFunSuite {
     assert(qty == expected)
   }
 
+  // --- dedup_threshold_sweep ---------------------------------------------
+
+  test("threshold sweep: stable spine, monotone counts, mean above threshold") {
+    val rows = Dedup.thresholdSweep(spark, sfDir).collect()
+      .sortBy(_.getAs[Long]("threshold_x10"))
+    assert(rows.map(_.getAs[Long]("threshold_x10")).toSeq == Seq(5L, 6L, 7L, 8L, 9L),
+      "every threshold emits a row even when empty")
+    val pairs = rows.map(_.getAs[Long]("n_pairs"))
+    assert(pairs.zip(pairs.tail).forall { case (a, b) => a >= b },
+      "raising the threshold can only drop pairs")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_docs_removed") <= r.getAs[Long]("n_pairs"))
+      if (r.getAs[Long]("n_pairs") > 0)
+        // each admitted pair has floor(10000*j) >= 1000*t by the filter
+        assert(r.getAs[Long]("mean_jac_x4") >= r.getAs[Long]("threshold_x10") * 1000)
+    }
+  }
+
+  // --- embed_cell_balance --------------------------------------------------
+
+  test("cell balance: classes partition the cells, bounds honored") {
+    val rows = Similarity.cellBalance(spark, sfDir).collect()
+    val nVecs = Tables.embeddings(spark, sfDir).count()
+    assert(rows.map(_.getAs[Long]("n_vecs")).sum == nVecs,
+      "every vector sits in exactly one size class")
+    rows.foreach { r =>
+      val cls = r.getAs[Long]("size_class")
+      assert(r.getAs[Long]("min_sz") >= (1L << cls.toInt))
+      assert(r.getAs[Long]("max_sz") < (1L << (cls.toInt + 1)))
+      assert(r.getAs[Long]("share_milli") <= 1000L)
+    }
+  }
+
+  // --- corpus_window_efficiency -------------------------------------------
+
+  test("window efficiency: ceil-division identities hold and one row replays") {
+    val rows = Corpus.windowEfficiency(spark, sfDir).collect()
+    assert(rows.map(_.getAs[Long]("window_len")).sorted.toSeq == Seq(128L, 256L, 512L))
+    rows.foreach { r =>
+      val w = r.getAs[Long]("window_len")
+      assert(r.getAs[Long]("n_pad_tokens") ==
+        w * r.getAs[Long]("n_windows") - r.getAs[Long]("n_tokens"))
+      assert(r.getAs[Long]("efficiency_milli") <= 1000L)
+    }
+    // replay W=128 from the raw token counts
+    val toks = Tables.documents(spark, sfDir)
+      .select(size(split(col("text"), " ")).cast("long").as("n")).collect()
+      .map(_.getLong(0))
+    val r128 = rows.find(_.getAs[Long]("window_len") == 128L).get
+    assert(r128.getAs[Long]("n_windows") == toks.map(n => (n + 127) / 128).sum)
+    assert(r128.getAs[Long]("n_tokens") == toks.sum)
+  }
+
+  // --- corpus_bpe_compression ---------------------------------------------
+
+  test("compression sweep: merges only shrink token mass, chars invariant") {
+    val rows = Corpus.bpeCompressionSweep(spark, sfDir).collect()
+      .sortBy(_.getAs[Long]("k_merges"))
+    assert(rows.map(_.getAs[Long]("k_merges")).toSeq == Seq(4L, 8L, 16L))
+    assert(rows.map(_.getAs[Long]("n_chars")).distinct.length == 1,
+      "merges rewrite boundaries, never characters")
+    val toks = rows.map(_.getAs[Long]("n_tokens"))
+    assert(toks.zip(toks.tail).forall { case (a, b) => a >= b },
+      "each extra merge can only reduce the token count")
+    val cpt = rows.map(_.getAs[Long]("chars_per_token_x4"))
+    assert(cpt.zip(cpt.tail).forall { case (a, b) => a <= b },
+      "compression is monotone in the merge budget")
+  }
+
+  // --- ann_nprobe_sweep ----------------------------------------------------
+
+  test("nprobe sweep: monotone recall, nprobe=2 point matches the single-point eval") {
+    val rows = Similarity.annNprobeSweep(spark, sfDir).collect()
+      .sortBy(_.getAs[Long]("nprobe"))
+    assert(rows.map(_.getAs[Long]("nprobe")).toSeq == Seq(1L, 2L, 4L))
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_true") == r.getAs[Long]("n_queries") * 5)
+      assert(r.getAs[Long]("recall_x4") ==
+        r.getAs[Long]("n_hits") * 10000 / r.getAs[Long]("n_true"))
+    }
+    val hits = rows.map(_.getAs[Long]("n_hits"))
+    assert(hits.zip(hits.tail).forall { case (a, b) => a <= b },
+      "widening the probe set only adds candidates")
+    // the nprobe=2 sweep point aggregates to ann_ivf_recall's numbers
+    val single = Similarity.annIvfRecall(spark, sfDir)
+      .agg(sum(col("n_true")), sum(col("n_hits"))).head()
+    val np2 = rows.find(_.getAs[Long]("nprobe") == 2L).get
+    assert(np2.getAs[Long]("n_true") == single.getLong(0))
+    assert(np2.getAs[Long]("n_hits") == single.getLong(1))
+  }
+
+  // --- corpus_gate_sweep ---------------------------------------------------
+
+  test("gate sweep: raising the bar only sheds docs and tokens, one row replays") {
+    val rows = TextAnalysis.gateSweep(spark, sfDir).collect()
+      .sortBy(_.getAs[Long]("threshold_micro"))
+    val docs = rows.map(_.getAs[Long]("n_docs_kept"))
+    val toks = rows.map(_.getAs[Long]("n_tokens_kept"))
+    assert(docs.zip(docs.tail).forall { case (a, b) => a >= b })
+    assert(toks.zip(toks.tail).forall { case (a, b) => a >= b })
+    rows.foreach { r =>
+      assert(r.getAs[Long]("doc_share_milli") <= 1000L)
+      assert(r.getAs[Long]("token_share_milli") <= 1000L)
+    }
+    // replay the 5000-micro row against a direct recount
+    val direct = Tables.documents(spark, sfDir)
+      .select(TextAnalysis.qualityMicroCol.as("q"),
+        size(split(col("text"), " ")).cast("long").as("n"))
+      .filter(col("q") >= 5000L)
+      .agg(count(lit(1)), sum(col("n"))).head()
+    val r5000 = rows.find(_.getAs[Long]("threshold_micro") == 5000L).get
+    assert(r5000.getAs[Long]("n_docs_kept") == direct.getLong(0))
+    assert(r5000.getAs[Long]("n_tokens_kept") == direct.getLong(1))
+  }
+
   // --- plan shapes --------------------------------------------------------
 
   private def plan(name: String): String =
@@ -205,5 +320,15 @@ class Round8WaveSpec extends AnyFunSuite {
   test("plan: grouping sets and unpivot both plan as a single Expand") {
     assert(plan("sub_grouping_sets").contains("Expand"))
     assert(plan("sub_unpivot").contains("Expand"))
+  }
+
+  test("plan: threshold sweep candidates stay bucket equi-keyed, never all-pairs") {
+    val p = plan("dedup_threshold_sweep")
+    assert(!p.contains("CartesianProduct"),
+      s"the sweep must ride the capped LSH candidate join:\n$p")
+  }
+
+  test("plan: cell balance is one keyed count, no cartesian product") {
+    assert(!plan("embed_cell_balance").contains("CartesianProduct"))
   }
 }
