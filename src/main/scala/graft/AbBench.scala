@@ -26,7 +26,15 @@ object AbBench {
         docIdModulus = 2, docIdResidue = 1)),
     "winnow_recall_slice4" ->
       (() => operators.Dedup.winnowRecallEval(spark, sfDir,
-        docIdModulus = 4, docIdResidue = 1)))
+        docIdModulus = 4, docIdResidue = 1)),
+    "skip_workload_full" ->
+      (() => operators.Substrate.layoutSkipWorkload(spark, sfDir)),
+    "skip_workload_zonemaps_z" ->
+      (() => operators.Substrate.zoneMapsBench(spark, sfDir, "zorder")),
+    "skip_workload_zonemaps_h" ->
+      (() => operators.Substrate.zoneMapsBench(spark, sfDir, "hilbert")),
+    "skip_workload_zonemaps_lin" ->
+      (() => operators.Substrate.zoneMapsBench(spark, sfDir, "linear")))
 
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)

@@ -392,13 +392,29 @@ object Substrate {
     * the reflection — subsequent rounds only read bits below s, where
     * it agrees with the in-quadrant complement, and the SAME unrolled
     * form replays in DuckDB so the oracle is bit-identical. */
+  /** Production path: the native [[graft.plans.HilbertIndex]]
+    * expression — one codegen'd call per row instead of the 16-round
+    * projection chain below (measured ~5× on the layout family at
+    * sf0.1, BENCHNOTES r8). The chain is retained as
+    * [[withHilbertColumns]]: it documents the per-round math the
+    * DuckDB oracle replays, and HilbertIndexSpec pins the two
+    * bit-identical. */
+  def withHilbert(df: DataFrame, xc: org.apache.spark.sql.Column,
+      yc: org.apache.spark.sql.Column, out: String): DataFrame = {
+    graft.plans.HilbertIndex.register(df.sparkSession)
+    df.withColumn(out,
+      call_function("hilbert16", xc.cast("long"), yc.cast("long")))
+  }
+
   /** NOT a single Column on purpose: each round reads the previous
     * round's (x, y) several times, so one nested expression would grow
     * 4^order nodes (observed: OOM in Column normalization at order
     * 16). Per-round NAMED projections keep every Project small, and
     * CollapseProject declines to inline multiply-referenced non-cheap
-    * aliases, so the plan stays a 16-step linear chain. */
-  def withHilbert(df: DataFrame, xc: org.apache.spark.sql.Column,
+    * aliases, so the plan stays a 16-step linear chain — correct but
+    * slow to EXECUTE (~100 nodes per row × 16 projections), which is
+    * why production goes through [[withHilbert]]'s native expression. */
+  def withHilbertColumns(df: DataFrame, xc: org.apache.spark.sql.Column,
       yc: org.apache.spark.sql.Column, out: String,
       order: Int = 16): DataFrame = {
     val n = 1L << order
@@ -577,6 +593,23 @@ object Substrate {
           1L).otherwise(0L)).as("touched"))
       .withColumn("skip_pct", graft.operators.PortableRound.pround(
         (col("n_blocks") - col("touched")) * 100.0 / col("n_blocks"), 4))
+  }
+
+  /** One layout's zone-map build in isolation — AbBench instrument for
+    * attributing [[layoutSkipWorkload]]'s cost to its three ranking
+    * passes (not a declared query). */
+  def zoneMapsBench(spark: SparkSession, sfDir: String,
+      layout: String, blockRows: Int = 4096): DataFrame = {
+    val keys = layoutKeys(spark, sfDir)
+    layout match {
+      case "zorder" =>
+        zoneMapsFor(keys, Seq(col("zval"), col("l_orderkey"), col("l_linenumber")), blockRows)
+      case "hilbert" =>
+        zoneMapsFor(withHilbert(keys, col("l_partkey"), col("l_suppkey"), "hval"),
+          Seq(col("hval"), col("l_orderkey"), col("l_linenumber")), blockRows)
+      case _ =>
+        zoneMapsFor(keys, Seq(col("l_orderkey"), col("l_linenumber")), blockRows)
+    }
   }
 
   /** Explicit GROUPING SETS with `grouping()` indicator columns — the

@@ -122,7 +122,7 @@ class ZorderSkippingSpec extends AnyFunSuite {
     // [0, 64), and walking d in order moves one grid step at a time
     val cells = (for (x <- 0 until 8; y <- 0 until 8) yield (x.toLong, y.toLong))
       .toDF("x", "y")
-    val d = Substrate.withHilbert(cells, col("x"), col("y"), "d", order = 3)
+    val d = Substrate.withHilbertColumns(cells, col("x"), col("y"), "d", order = 3)
       .collect().map(r => (r.getLong(2), (r.getLong(0), r.getLong(1)))).sortBy(_._1)
     assert(d.map(_._1).toSeq == (0L until 64L).toSeq, "d must be a bijection onto [0, 64)")
     for (w <- d.toSeq.sliding(2)) {
@@ -134,7 +134,7 @@ class ZorderSkippingSpec extends AnyFunSuite {
     // the order-16 production curve agrees with DuckDB's unrolled CTE
     // replica through the oracle; here pin one spot value so the Scala
     // and SQL transforms can't drift silently
-    val one = Substrate.withHilbert(Seq((5L, 3L)).toDF("x", "y"),
+    val one = Substrate.withHilbertColumns(Seq((5L, 3L)).toDF("x", "y"),
         col("x"), col("y"), "d", order = 3)
       .select("d").head().getLong(0)
     assert(d.find(_._2 == ((5L, 3L))).get._1 == one)
