@@ -246,6 +246,9 @@ object SparkEntry {
       Similarity.annNprobeSweep(s, d)),
     "corpus_gate_sweep" -> ((s: SparkSession, d: String) =>
       TextAnalysis.gateSweep(s, d)),
+    // round-8 sixth wave: the end-to-end curation-funnel integration
+    "corpus_release_funnel" -> ((s: SparkSession, d: String) =>
+      Corpus.releaseFunnel(s, d)),
   )
 
   /** Queries whose result may legitimately be empty at small scale
@@ -334,7 +337,7 @@ object SparkEntry {
     // efficiency, compression curve):
     "dedup_threshold_sweep", "embed_cell_balance",
     "corpus_window_efficiency", "corpus_bpe_compression",
-    "ann_nprobe_sweep", "corpus_gate_sweep")
+    "ann_nprobe_sweep", "corpus_gate_sweep", "corpus_release_funnel")
 
   // --- generated DuckDB replicas of the portable-hash queries ----------
 
@@ -3097,6 +3100,63 @@ object SparkEntry {
         |  CAST(count(*) AS BIGINT) AS n, sum(l_quantity) AS sum_qty
         |FROM lineitem
         |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())""".stripMargin,
+    // Release funnel: every stage replays its standalone operator's
+    // oracle semantics (clean filters, keep-first hash dedup, quality
+    // micro gate, the >=3-shared-3-gram contamination rule), swept by
+    // a stage spine with cumulative boolean gating.
+    "corpus_release_funnel" ->
+      """WITH d AS (SELECT doc_id, lang, text,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+        |    CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct
+        |  FROM documents),
+        |f AS (SELECT doc_id,
+        |    (length(text)::DOUBLE - (len(string_split(text, ' ')) - 1))
+        |      / len(string_split(text, ' ')) AS avg_word_len,
+        |    len(list_distinct(string_split(text, ' ')))::DOUBLE
+        |      / len(string_split(text, ' ')) AS distinct_ratio,
+        |    ((length(tt) - length(replace(tt, ' the ', ''))) / 5
+        |      + (length(tt) - length(replace(tt, ' a ', ''))) / 3
+        |      + (length(tt) - length(replace(tt, ' of ', ''))) / 4
+        |      + (length(tt) - length(replace(tt, ' and ', ''))) / 5)
+        |      / len(string_split(text, ' ')) AS stop_ratio
+        |  FROM (SELECT doc_id, text, ' ' || text || ' ' AS tt FROM documents)),
+        |qq AS (SELECT doc_id,
+        |    CAST(floor((CASE WHEN avg_word_len BETWEEN 3.0 AND 10.0 THEN 0.4 ELSE 0.0 END
+        |      + least(stop_ratio * 2.0, 0.3) + least(distinct_ratio, 0.3)) * 10000 + 0.5) AS BIGINT) AS q_micro
+        |  FROM f),
+        |fl AS (SELECT d.doc_id, d.text, d.n_words,
+        |    d.lang IN ('en', 'de', 'fr') AS lang_ok,
+        |    d.n_words >= 5 AND d.n_distinct * 10 > d.n_words * 3 AS len_ok,
+        |    qq.q_micro >= 5000 AS q_ok
+        |  FROM d JOIN qq USING (doc_id)),
+        |kf AS (SELECT doc_id, TRUE AS dedup_ok FROM (
+        |    SELECT doc_id, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+        |    FROM fl WHERE lang_ok AND len_ok) WHERE rn = 1),
+        |ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |sh AS (SELECT doc_id, unnest(list_distinct(
+        |    [array_to_string(w[i:i+2], ' ') for i in range(1, len(w) - 1)])) AS s
+        |  FROM ws WHERE len(w) >= 3),
+        |contam AS (SELECT DISTINCT tr.doc_id FROM
+        |  (SELECT doc_id, s FROM sh WHERE doc_id >= 20) tr
+        |  JOIN (SELECT doc_id AS eval_doc, s FROM sh WHERE doc_id < 20) ev USING (s)
+        |  GROUP BY tr.doc_id, ev.eval_doc HAVING count(*) >= 3),
+        |x AS (SELECT fl.doc_id, fl.n_words, fl.lang_ok, fl.len_ok,
+        |    coalesce(kf.dedup_ok, FALSE) AS dedup_ok, fl.q_ok,
+        |    (contam.doc_id IS NULL) AS clean_ok
+        |  FROM fl LEFT JOIN kf USING (doc_id) LEFT JOIN contam USING (doc_id)),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS tot_docs,
+        |    CAST(sum(n_words) AS BIGINT) AS tot_toks FROM x),
+        |st AS (SELECT CAST(unnest(range(0, 6)) AS BIGINT) AS stage),
+        |y AS (SELECT stage, n_words FROM x CROSS JOIN st
+        |  WHERE (stage < 1 OR lang_ok) AND (stage < 2 OR len_ok)
+        |    AND (stage < 3 OR dedup_ok) AND (stage < 4 OR q_ok)
+        |    AND (stage < 5 OR clean_ok))
+        |SELECT stage,
+        |  ['raw', 'lang', 'length', 'exact_dedup', 'quality', 'decontaminated'][CAST(stage AS INT) + 1] AS stage_name,
+        |  CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(n_words) AS BIGINT) AS n_tokens,
+        |  (CAST(count(*) AS BIGINT) * 1000) // max(tot_docs) AS doc_retained_milli,
+        |  (CAST(sum(n_words) AS BIGINT) * 1000) // max(tot_toks) AS token_retained_milli
+        |FROM y CROSS JOIN tot GROUP BY stage""".stripMargin,
     // Nprobe sweep: the IVF probe replica ranked to the widest probe,
     // swept by a VALUES spine, against the brute-force replica.
     "ann_nprobe_sweep" ->

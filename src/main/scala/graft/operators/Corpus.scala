@@ -567,6 +567,77 @@ object Corpus {
       .withColumn("chars_per_token_x4", expr("(n_chars * 10000) DIV n_tokens"))
   }
 
+  /** RELEASE FUNNEL — the end-to-end yield report of the whole
+    * curation pipeline, stage by stage: raw → language filter →
+    * length/diversity filter → exact dedup (keep-first) → quality
+    * gate → decontamination, each applied to the SURVIVORS of the
+    * previous stage, reporting docs, token mass, and retained shares
+    * vs raw. This is the integration query: every stage reuses the
+    * exact semantics of its standalone operator ([[cleanPipeline]]'s
+    * filters, keep-first-by-content-hash, the quality micro score,
+    * [[decontaminate]]'s ≥3-shared-3-gram rule), so the funnel proves
+    * the operators COMPOSE — and it is the one-table answer to "where
+    * did my corpus go" that every release post-mortem starts from.
+    * Length/diversity uses the exact integer cross-multiplication
+    * (10·distinct > 3·words ⟺ ratio > 0.3 for integers) so no stage
+    * boundary sits on a float compare.
+    *
+    * Scale shape: ONE corpus scan computes all per-doc flags; the
+    * dedup rank is the usual (hash)-keyed window over stage-2
+    * survivors; contamination reuses the broadcast-eval-shingles join
+    * (the 100 TB side never shuffles for it); the 6-way stage explode
+    * runs on tiny flag rows and collapses map-side to 6 output rows. */
+  def releaseFunnel(spark: SparkSession, sfDir: String,
+      qualityMin: Long = 5000L, evalMax: Long = 20L,
+      minShared: Long = 3L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val words = split(col("text"), " ")
+    val base = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"), col("text"),
+        size(words).cast("long").as("n_words"),
+        size(array_distinct(words)).cast("long").as("n_distinct"),
+        TextAnalysis.qualityMicroCol.as("q_micro"))
+      .localCheckpoint(eager = false)
+    val flags = base
+      .withColumn("lang_ok", col("lang").isin("en", "de", "fr"))
+      .withColumn("len_ok",
+        col("n_words") >= 5 && col("n_distinct") * 10 > col("n_words") * 3)
+      .withColumn("q_ok", col("q_micro") >= qualityMin)
+    val w = Window.partitionBy(col("h")).orderBy(col("doc_id"))
+    val keepFirst = flags.filter(col("lang_ok") && col("len_ok"))
+      .select(col("doc_id"), md5(col("text")).as("h"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("doc_id"), lit(true).as("dedup_ok"))
+    val contaminated = decontaminate(spark, sfDir, evalMax, minShared)
+      .select(col("train_doc").as("doc_id")).distinct()
+      .withColumn("contaminated", lit(true))
+    val staged = flags
+      .join(keepFirst, Seq("doc_id"), "left")
+      .join(broadcast(contaminated), Seq("doc_id"), "left")
+      .withColumn("dedup_ok", coalesce(col("dedup_ok"), lit(false)))
+      .withColumn("clean_ok", col("contaminated").isNull)
+      .select(col("n_words"), col("lang_ok"), col("len_ok"),
+        col("dedup_ok"), col("q_ok"), col("clean_ok"),
+        explode(sequence(lit(0), lit(5))).as("stage"))
+      .filter((col("stage") < 1 || col("lang_ok")) &&
+        (col("stage") < 2 || col("len_ok")) &&
+        (col("stage") < 3 || col("dedup_ok")) &&
+        (col("stage") < 4 || col("q_ok")) &&
+        (col("stage") < 5 || col("clean_ok")))
+    val totals = base.agg(count(lit(1)).as("tot_docs"),
+      sum(col("n_words")).as("tot_toks"))
+    val names = array(Seq("raw", "lang", "length", "exact_dedup",
+      "quality", "decontaminated").map(lit): _*)
+    staged.groupBy(col("stage"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_words")).as("n_tokens"))
+      .crossJoin(broadcast(totals))
+      .select(col("stage").cast("long").as("stage"),
+        element_at(names, col("stage").cast("int") + 1).as("stage_name"),
+        col("n_docs"), col("n_tokens"),
+        expr("(n_docs * 1000) DIV tot_docs").as("doc_retained_milli"),
+        expr("(n_tokens * 1000) DIV tot_toks").as("token_retained_milli"))
+  }
+
   /** Memorization-risk miner: the most-repeated 5-gram spans across
     * the corpus — the statistic behind boilerplate detection and the
     * "repeated substring" contamination sweeps training pipelines run

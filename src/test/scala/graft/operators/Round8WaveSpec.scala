@@ -285,6 +285,27 @@ class Round8WaveSpec extends AnyFunSuite {
     assert(r5000.getAs[Long]("n_tokens_kept") == direct.getLong(1))
   }
 
+  // --- corpus_release_funnel ----------------------------------------------
+
+  test("release funnel: monotone stage yields, raw row exact, lang stage replays") {
+    val rows = Corpus.releaseFunnel(spark, sfDir).collect()
+      .sortBy(_.getAs[Long]("stage"))
+    assert(rows.map(_.getAs[String]("stage_name")).toSeq ==
+      Seq("raw", "lang", "length", "exact_dedup", "quality", "decontaminated"))
+    val docs = rows.map(_.getAs[Long]("n_docs"))
+    val toks = rows.map(_.getAs[Long]("n_tokens"))
+    assert(docs.zip(docs.tail).forall { case (a, b) => a >= b },
+      "every stage can only shed documents")
+    assert(toks.zip(toks.tail).forall { case (a, b) => a >= b })
+    assert(rows.head.getAs[Long]("n_docs") ==
+      Tables.documents(spark, sfDir).count())
+    assert(rows.head.getAs[Long]("doc_retained_milli") == 1000L)
+    // replay stage 1 (language filter) directly
+    val langDirect = Tables.documents(spark, sfDir)
+      .filter(col("lang").isin("en", "de", "fr")).count()
+    assert(rows(1).getAs[Long]("n_docs") == langDirect)
+  }
+
   // --- plan shapes --------------------------------------------------------
 
   private def plan(name: String): String =
