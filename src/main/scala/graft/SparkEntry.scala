@@ -249,6 +249,9 @@ object SparkEntry {
     // round-8 sixth wave: the end-to-end curation-funnel integration
     "corpus_release_funnel" -> ((s: SparkSession, d: String) =>
       Corpus.releaseFunnel(s, d)),
+    // star-contraction connected components (O(log²) rounds — the
+    // 100 TB alternative to diameter-bound min-label propagation)
+    "graph_cc_star" -> (GraphOps.ccStarLabels _),
   )
 
   /** Queries whose result may legitimately be empty at small scale
@@ -337,7 +340,8 @@ object SparkEntry {
     // efficiency, compression curve):
     "dedup_threshold_sweep", "embed_cell_balance",
     "corpus_window_efficiency", "corpus_bpe_compression",
-    "ann_nprobe_sweep", "corpus_gate_sweep", "corpus_release_funnel")
+    "ann_nprobe_sweep", "corpus_gate_sweep", "corpus_release_funnel",
+    "graph_cc_star")
 
   // --- generated DuckDB replicas of the portable-hash queries ----------
 
@@ -744,6 +748,10 @@ object SparkEntry {
     "dedup_simhash" -> simhashOracle,
     "dedup_simhash_pairs" -> simhashPairsOracle,
     "dedup_cluster_labels" -> clusterLabelsOracle,
+    // Star contraction computes the SAME min-id component labels over
+    // the same verified-pair graph, so it shares the reachability
+    // replica verbatim — the oracle proves algorithm-independence.
+    "graph_cc_star" -> clusterLabelsOracle,
     // Size-class census over the same recursive-CC labels.
     "dedup_cluster_census" ->
       s"""SELECT size, count(*) AS n_clusters,

@@ -66,4 +66,82 @@ object GraphOps {
       .select(col("doc_id"), col("r").as("rank_micro"),
         coalesce(col("deg"), lit(0L)).as("degree"))
   }
+
+  /** Connected components by STAR CONTRACTION (Kiveris et al. 2014,
+    * "Connected Components in MapReduce and Beyond": alternating
+    * large-star / small-star rounds) — the O(log²) algorithm for
+    * 100 TB graphs, next to [[Dedup.connectedComponents]]' min-label
+    * propagation which needs O(diameter) rounds. On the near-dup
+    * graph the two agree exactly (same min-id labels; spec-pinned);
+    * the star path is the one to reach for when the graph is a long
+    * chain (citation graphs, web link graphs), where diameter-bound
+    * propagation degenerates to thousands of rounds.
+    *
+    * Per round, both stars are JOIN-SHAPED, never collect_list: the
+    * per-node minimum reduces map-side, then one equi-join attaches
+    * it back to the edges — no per-node neighbor array ever
+    * materializes, so a hot node (boilerplate hub) costs a skewed
+    * join (AQE-splittable) instead of an OOM-sized aggregation
+    * buffer. Edges stay canonical (u > v) by construction after every
+    * round; convergence is a 2-value fingerprint (count + weighted
+    * sum) — one tiny aggregate per round, no edge-set collect.
+    *
+    * large-star(u): m = min(Γ(u) ∪ {u}); emit (v, m) for v ∈ Γ(u),
+    * v > u. small-star(u over canonical edges): m = min(Γ₍small₎(u));
+    * emit (v, m) for every small-neighbor plus (u, m). The fixed
+    * point is a star around each component's minimum id, so the final
+    * label read-off is one (node)-keyed min. */
+  def connectedComponentsStar(nodes: DataFrame, edges: DataFrame,
+      idCol: String, maxIter: Int = 20): DataFrame = {
+    var e = edges.toDF("x", "y")
+      .filter(col("x") =!= col("y"))
+      .select(greatest(col("x"), col("y")).cast("long").as("u"),
+        least(col("x"), col("y")).cast("long").as("v"))
+      .distinct().localCheckpoint()
+    def fingerprint(df: DataFrame): Seq[Any] =
+      df.agg(count(lit(1)),
+        sum(col("u") * 7 + col("v")).cast("decimal(38,0)")).head.toSeq
+    var fp = fingerprint(e)
+    var stable = false
+    var iter = 0
+    while (!stable && iter < maxIter) {
+      // large-star over the bidirected view
+      val bidir = e.select(col("u").as("a"), col("v").as("b"))
+        .unionByName(e.select(col("v").as("a"), col("u").as("b")))
+      val mA = bidir.groupBy(col("a"))
+        .agg(least(min(col("b")), first(col("a"))).as("m"))
+      val ls = bidir.join(mA, "a")
+        .filter(col("b") > col("a") && col("b") =!= col("m"))
+        .select(col("b").as("u"), col("m").as("v"))
+        .distinct().localCheckpoint()
+      // small-star over the (already canonical) large-star output
+      val mS = ls.groupBy(col("u")).agg(min(col("v")).as("m"))
+      val ss = ls.join(mS, "u")
+        .select(col("v").as("u2"), col("m").as("v2"))
+        .unionByName(mS.select(col("u").as("u2"), col("m").as("v2")))
+        .filter(col("u2") =!= col("v2"))
+        .select(col("u2").as("u"), col("v2").as("v"))
+        .distinct().localCheckpoint()
+      e = ss
+      val fp2 = fingerprint(e)
+      stable = fp2 == fp
+      fp = fp2
+      iter += 1
+    }
+    val lbl = e.groupBy(col("u")).agg(min(col("v")).as("cluster"))
+    nodes.select(col(idCol))
+      .join(lbl, col(idCol) === col("u"), "left")
+      .select(col(idCol),
+        coalesce(col("cluster"), col(idCol).cast("long")).as("cluster"))
+  }
+
+  /** The near-dup cluster labels via star contraction — same graph,
+    * same (vec_id, cluster = component min) contract as
+    * [[Dedup.clusterLabels]], different round complexity. */
+  def ccStarLabels(spark: SparkSession, sfDir: String): DataFrame = {
+    val nodes = Tables.embeddings(spark, sfDir).select(col("vec_id"))
+    val edges = Similarity.lshVerifiedPairs(spark, sfDir)
+      .select(col("id1"), col("id2"))
+    connectedComponentsStar(nodes, edges, "vec_id")
+  }
 }
