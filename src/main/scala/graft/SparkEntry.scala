@@ -252,6 +252,9 @@ object SparkEntry {
     // star-contraction connected components (O(log²) rounds — the
     // 100 TB alternative to diameter-bound min-label propagation)
     "graph_cc_star" -> (GraphOps.ccStarLabels _),
+    // semantic dedup tuning curve (embedding twin of the Jaccard sweep)
+    "dedup_semantic_sweep" -> ((s: SparkSession, d: String) =>
+      Similarity.semanticSweep(s, d)),
   )
 
   /** Queries whose result may legitimately be empty at small scale
@@ -341,7 +344,7 @@ object SparkEntry {
     "dedup_threshold_sweep", "embed_cell_balance",
     "corpus_window_efficiency", "corpus_bpe_compression",
     "ann_nprobe_sweep", "corpus_gate_sweep", "corpus_release_funnel",
-    "graph_cc_star")
+    "graph_cc_star", "dedup_semantic_sweep")
 
   // --- generated DuckDB replicas of the portable-hash queries ----------
 
@@ -3238,6 +3241,29 @@ object SparkEntry {
         |FROM d CROSS JOIN t CROSS JOIN tot
         |WHERE q_micro >= threshold_micro
         |GROUP BY threshold_micro""".stripMargin,
+    // Semantic sweep: the LSH-verified cosine pairs (same sig CTEs as
+    // the verified-pairs oracle, raw > 0 prefilter), x4-integer
+    // threshold spine with the same left-join shape as the Jaccard
+    // sweep.
+    "dedup_semantic_sweep" -> {
+      s"""$lshSigCtes,
+         |pr AS (SELECT a.vec_id AS id1, b.vec_id AS id2,
+         |    CAST(floor((list_dot_product(a.emb, b.emb) /
+         |      (sqrt(list_dot_product(a.emb, a.emb)) * sqrt(list_dot_product(b.emb, b.emb)))) * 10000 + 0.5) AS BIGINT) AS cos_x4
+         |  FROM sig a JOIN sig b ON a.lsh_bucket = b.lsh_bucket AND a.vec_id < b.vec_id
+         |  WHERE list_dot_product(a.emb, b.emb) /
+         |    (sqrt(list_dot_product(a.emb, a.emb)) * sqrt(list_dot_product(b.emb, b.emb))) > 0),
+         |t AS (SELECT CAST(unnest([4000, 5000, 6000, 7000]) AS BIGINT) AS t4),
+         |agg AS (SELECT t4, CAST(count(*) AS BIGINT) AS n_pairs,
+         |    CAST(count(DISTINCT id2) AS BIGINT) AS n_docs_removed,
+         |    CAST(sum(cos_x4) AS BIGINT) AS sc
+         |  FROM pr CROSS JOIN t WHERE cos_x4 >= t4 GROUP BY t4)
+         |SELECT t.t4 AS threshold_x4,
+         |  CAST(coalesce(n_pairs, 0) AS BIGINT) AS n_pairs,
+         |  CAST(coalesce(n_docs_removed, 0) AS BIGINT) AS n_docs_removed,
+         |  CASE WHEN n_pairs IS NOT NULL THEN sc // n_pairs END AS mean_cos_x4
+         |FROM t LEFT JOIN agg ON t.t4 = agg.t4""".stripMargin
+    },
     // Threshold sweep: same minhash banding CTE as the bucket oracle,
     // exact integer Jaccard via the shingle szs/ints joins (the
     // estimation-error oracle's shape), thresholds as a VALUES spine

@@ -249,6 +249,46 @@ object Similarity {
       .select(col("id1"), col("id2"), PortableRound.pround(col("raw_cos"), 4).as("cos_sim"))
   }
 
+  /** SEMANTIC DEDUP THRESHOLD SWEEP — the embedding-space twin of
+    * [[graft.operators.Dedup.thresholdSweep]] (lexical Jaccard) and
+    * the third tuning curve of the family (with the gate and nprobe
+    * sweeps): verified cosine pairs, docs a keep-first pass would
+    * remove, and mean pair cosine at each candidate similarity bar —
+    * the table a SemDeDup-style removal is tuned on before a 100 TB
+    * pass. Thresholds compare on the ROUNDED x4-integer cosine, so
+    * every boundary is an exact integer compare shared with the
+    * oracle; negative-cosine candidate pairs are excluded up front
+    * (a near-dup threshold below 0 is meaningless).
+    *
+    * Scale shape: one (bucket)-keyed LSH candidate self-join + exact
+    * cosine verification (the audited [[lshVerifiedPairs]] shape,
+    * checkpointed once), then the 4-way threshold explode on the tiny
+    * verified-pair table; the spine left join keeps the report shape
+    * SF-stable. */
+  def semanticSweep(spark: SparkSession, sfDir: String,
+      thresholdsX4: Seq[Long] = Seq(4000L, 5000L, 6000L, 7000L)): DataFrame = {
+    val pairs = lshVerifiedPairs(spark, sfDir, threshold = 0.0)
+      .withColumn("cos_x4", floor(col("cos_sim") * 10000 + 0.5).cast("long"))
+      .select(col("id1"), col("id2"), col("cos_x4"))
+      .localCheckpoint(eager = false)
+    val agg = pairs
+      .select(col("id1"), col("id2"), col("cos_x4"),
+        explode(array(thresholdsX4.map(lit): _*)).as("t4"))
+      .filter(col("cos_x4") >= col("t4"))
+      .groupBy(col("t4"))
+      .agg(count(lit(1)).as("n_pairs"),
+        countDistinct(col("id2")).as("n_docs_removed"),
+        sum(col("cos_x4")).as("sum_cos_x4"))
+    val spine = spark.range(1)
+      .select(explode(array(thresholdsX4.map(lit): _*)).as("t4"))
+    spine.join(agg, Seq("t4"), "left")
+      .select(col("t4").as("threshold_x4"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        coalesce(col("n_docs_removed"), lit(0L)).as("n_docs_removed"),
+        when(col("n_pairs").isNotNull, expr("sum_cos_x4 DIV n_pairs"))
+          .otherwise(lit(null).cast("long")).as("mean_cos_x4"))
+  }
+
   /** Per-label centroid distance outliers: element-wise mean embedding
     * per label, then each vector's squared euclidean distance to its
     * label centroid, top-k outliers per label — the standard "mislabeled

@@ -285,6 +285,22 @@ class Round8WaveSpec extends AnyFunSuite {
     assert(r5000.getAs[Long]("n_tokens_kept") == direct.getLong(1))
   }
 
+  // --- dedup_semantic_sweep ------------------------------------------------
+
+  test("semantic sweep: stable spine, monotone counts, mean above threshold") {
+    val rows = Similarity.semanticSweep(spark, sfDir).collect()
+      .sortBy(_.getAs[Long]("threshold_x4"))
+    assert(rows.map(_.getAs[Long]("threshold_x4")).toSeq ==
+      Seq(4000L, 5000L, 6000L, 7000L))
+    val pairs = rows.map(_.getAs[Long]("n_pairs"))
+    assert(pairs.zip(pairs.tail).forall { case (a, b) => a >= b })
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_docs_removed") <= r.getAs[Long]("n_pairs"))
+      if (r.getAs[Long]("n_pairs") > 0)
+        assert(r.getAs[Long]("mean_cos_x4") >= r.getAs[Long]("threshold_x4"))
+    }
+  }
+
   // --- corpus_release_funnel ----------------------------------------------
 
   test("release funnel: monotone stage yields, raw row exact, lang stage replays") {
