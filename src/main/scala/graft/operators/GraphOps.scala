@@ -98,9 +98,12 @@ object GraphOps {
       .select(greatest(col("x"), col("y")).cast("long").as("u"),
         least(col("x"), col("y")).cast("long").as("v"))
       .distinct().localCheckpoint()
+    // cast BEFORE the sum: a Long sum of u·7+v over 10¹⁰ edges with
+    // 2⁶³-scale ids would overflow (ANSI error) before the outer cast
+    // could widen it
     def fingerprint(df: DataFrame): Seq[Any] =
       df.agg(count(lit(1)),
-        sum(col("u") * 7 + col("v")).cast("decimal(38,0)")).head.toSeq
+        sum((col("u") * 7 + col("v")).cast("decimal(38,0)"))).head.toSeq
     var fp = fingerprint(e)
     var stable = false
     var iter = 0

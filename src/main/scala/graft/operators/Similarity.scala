@@ -813,7 +813,10 @@ object Similarity {
     * Scale shape: the assignment is the usual broadcast-centroid scan;
     * the census is one (cent_id)-keyed count (map-side combined) — the
     * cell table is centroid-sized, everything after is arithmetic on
-    * at most 64 class rows. */
+    * at most 64 class rows. Long headroom: the imbalance product
+    * max_sz·tot_cells·1000 stays in Long while cells·vectors < ~10¹⁵
+    * (≈10⁹ vectors at this stride); past that widen the three factors
+    * to decimal(38,0) — same note as the k-means moment sums. */
   def cellBalance(spark: SparkSession, sfDir: String, stride: Int = 50): DataFrame = {
     val cells = ivfAssignments(spark, sfDir, stride)
       .groupBy(col("cent_id")).agg(count(lit(1)).as("sz"))
