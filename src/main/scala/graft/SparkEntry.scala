@@ -255,6 +255,9 @@ object SparkEntry {
     // semantic dedup tuning curve (embedding twin of the Jaccard sweep)
     "dedup_semantic_sweep" -> ((s: SparkSession, d: String) =>
       Similarity.semanticSweep(s, d)),
+    // CUSUM level-shift monitor (third detector class, prefix-sum form)
+    "events_cusum_shift" -> ((s: SparkSession, d: String) =>
+      Relational.eventsCusumShift(s, d)),
   )
 
   /** Queries whose result may legitimately be empty at small scale
@@ -344,7 +347,7 @@ object SparkEntry {
     "dedup_threshold_sweep", "embed_cell_balance",
     "corpus_window_efficiency", "corpus_bpe_compression",
     "ann_nprobe_sweep", "corpus_gate_sweep", "corpus_release_funnel",
-    "graph_cc_star", "dedup_semantic_sweep")
+    "graph_cc_star", "dedup_semantic_sweep", "events_cusum_shift")
 
   // --- generated DuckDB replicas of the portable-hash queries ----------
 
@@ -3241,6 +3244,32 @@ object SparkEntry {
         |FROM d CROSS JOIN t CROSS JOIN tot
         |WHERE q_micro >= threshold_micro
         |GROUP BY threshold_micro""".stripMargin,
+    // CUSUM: the reset-at-zero recursion replayed as running-sum minus
+    // clamped running-min — two ordinary cumulative windows, all
+    // integer, no recursive CTE.
+    "events_cusum_shift" ->
+      """WITH d AS (SELECT event_type,
+        |    CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+        |    CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1, 2),
+        |r AS (SELECT event_type, day, n, row_number() OVER
+        |    (PARTITION BY event_type ORDER BY day) AS rn FROM d),
+        |cal AS (SELECT event_type,
+        |    (CAST(sum(n) AS BIGINT) * 1000) // CAST(count(*) AS BIGINT) AS mean_milli
+        |  FROM r WHERE rn <= 14 GROUP BY 1),
+        |x AS (SELECT d.event_type, day, n, mean_milli,
+        |    n * 1000 - mean_milli - mean_milli // 20 AS dev
+        |  FROM d JOIN cal USING (event_type)),
+        |c1 AS (SELECT event_type, day, n, mean_milli,
+        |    sum(dev) OVER (PARTITION BY event_type ORDER BY day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p
+        |  FROM x),
+        |c2 AS (SELECT *, min(p) OVER (PARTITION BY event_type ORDER BY day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pmin
+        |  FROM c1)
+        |SELECT event_type, day, n, mean_milli,
+        |  p - least(pmin, 0) AS cusum_milli,
+        |  (p - least(pmin, 0)) > 3 * mean_milli AS is_shift
+        |FROM c2""".stripMargin,
     // Semantic sweep: the LSH-verified cosine pairs (same sig CTEs as
     // the verified-pairs oracle, raw > 0 prefilter), x4-integer
     // threshold spine with the same left-join shape as the Jaccard

@@ -284,6 +284,52 @@ object Relational {
           .as("is_burst"))
   }
 
+  /** CUSUM LEVEL-SHIFT DETECTOR over the per-type daily series — the
+    * third member of the monitor family and a genuinely different
+    * detector class: [[eventsSpikeDays]] flags single outlier days
+    * against the global mean, [[eventsEwmaAnomaly]] flags bursts
+    * against recent history, CUSUM (the classic SPC chart) accumulates
+    * SMALL SUSTAINED deviations until a level shift — a +10% volume
+    * step no single day of which is remarkable — crosses the decision
+    * threshold. Reference level is the mean of each type's first
+    * `calDays` observed days (exact integer milli), slack is 5% of it
+    * (the standard "allowance" that absorbs noise), threshold is 3
+    * reference-days of accumulated drift.
+    *
+    * The reset-at-zero recursion S_t = max(0, S_{t−1} + x_t) is NOT
+    * computed recursively: it equals P_t − min(0, min_{j≤t} P_j) for
+    * the running sum P — two ordinary cumulative windows — so the
+    * whole detector is declarative, integer-exact, and replays
+    * bit-for-bit in the oracle (no recursive CTE on either engine).
+    *
+    * Scale shape: one map-side (type, day) count is the only
+    * corpus-sized pass; calibration is a broadcast |types|-row table;
+    * the two cumulative windows run (type)-partitioned over the tiny
+    * daily series. */
+  def eventsCusumShift(spark: SparkSession, sfDir: String,
+      calDays: Int = 14): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = Tables.events(spark, sfDir)
+      .groupBy(col("event_type"),
+        expr("unix_micros(ts) DIV 86400000000").as("day"))
+      .agg(count(lit(1)).as("n"))
+    val wOrd = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    val cal = daily.withColumn("rn", row_number().over(wOrd))
+      .filter(col("rn") <= calDays)
+      .groupBy(col("event_type"))
+      .agg(expr("(sum(n) * 1000) DIV count(1)").as("mean_milli"))
+    val cum = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily.join(broadcast(cal), "event_type")
+      .withColumn("dev_milli",
+        col("n") * 1000 - col("mean_milli") - expr("mean_milli DIV 20"))
+      .withColumn("p", sum(col("dev_milli")).over(cum))
+      .withColumn("pmin", min(col("p")).over(cum))
+      .withColumn("cusum_milli", col("p") - least(col("pmin"), lit(0L)))
+      .withColumn("is_shift", col("cusum_milli") > lit(3L) * col("mean_milli"))
+      .select(col("event_type"), col("day"), col("n"), col("mean_milli"),
+        col("cusum_milli"), col("is_shift"))
+  }
+
   /** Q4-shaped priority check: orders with at least one LATE line
     * (shipped more than 90 days after the order date), counted per
     * priority. The EXISTS is a LEFT SEMI join — equi on the order key

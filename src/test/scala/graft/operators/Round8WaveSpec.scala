@@ -116,6 +116,24 @@ class Round8WaveSpec extends AnyFunSuite {
     }
   }
 
+  // --- events_cusum_shift --------------------------------------------------
+
+  test("cusum: the windowed identity replays the literal max(0, S+x) recursion") {
+    val rows = Relational.eventsCusumShift(spark, sfDir).collect()
+    rows.groupBy(_.getAs[String]("event_type")).foreach { case (_, rs) =>
+      val ordered = rs.sortBy(_.getAs[Long]("day"))
+      val mean = ordered.head.getAs[Long]("mean_milli")
+      var s = 0L
+      ordered.foreach { r =>
+        val dev = r.getAs[Long]("n") * 1000 - mean - mean / 20
+        s = math.max(0L, s + dev)
+        assert(r.getAs[Long]("cusum_milli") == s,
+          s"identity diverged from the recursion at day ${r.getAs[Long]("day")}")
+        assert(r.getAs[Boolean]("is_shift") == (s > 3 * mean))
+      }
+    }
+  }
+
   // --- embed_knn_agreement ----------------------------------------------
 
   test("knn agreement: edge counts bounded, rate recomputes") {
