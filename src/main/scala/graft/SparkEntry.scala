@@ -2131,8 +2131,9 @@ object SparkEntry {
         |    cmin, cmax, n FROM li CROSS JOIN st),
         |cnt AS (SELECT bin, cmin, cmax, n, count(*) AS cnt FROM b
         |  GROUP BY 1, 2, 3, 4),
-        |cum AS (SELECT *, coalesce(sum(cnt) OVER (ORDER BY bin
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+        |cum AS (SELECT *, CAST(coalesce(sum(cnt) OVER (ORDER BY bin
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |      AS cum_before
         |  FROM cnt),
         |q AS (SELECT CAST(unnest([25, 50, 75, 90, 99]) AS BIGINT) AS q_pct),
         |sel AS (SELECT q_pct, (q_pct * n + 99) // 100 AS r, bin, cmin, cmax,
@@ -2254,11 +2255,20 @@ object SparkEntry {
          |    CAST(sum(oov) AS BIGINT) AS n_oov,
          |    CAST(sum(nll_micro) // count(*) AS BIGINT) AS nll_avg_micro
          |  FROM nll GROUP BY 1),
+         |-- bounded deterministic calibration sample (bottom-2000 slice
+         |-- docs by portable 48-bit hash) — mirrors the Spark side's
+         |-- topk_by reservoir; ntile over the SAMPLE replays the Spark
+         |-- side's rank-n1 / rank-n1+n2 reads exactly
+         |smp AS (SELECT doc_id, nll_avg_micro FROM pd
+         |  WHERE doc_id % 5 = 0
+         |  ORDER BY ${graft.functions.PortableHash.sqlH48(
+               "'ppl:' || CAST(doc_id AS VARCHAR)")}, doc_id
+         |  LIMIT 2000),
          |cut AS (SELECT max(CASE WHEN nt = 1 THEN nll_avg_micro END) AS t1,
          |    max(CASE WHEN nt = 2 THEN nll_avg_micro END) AS t2
          |  FROM (SELECT doc_id, nll_avg_micro,
          |      ntile(3) OVER (ORDER BY nll_avg_micro, doc_id) AS nt
-         |    FROM pd WHERE doc_id % 5 = 0))
+         |    FROM smp))
          |SELECT doc_id, n_trans, n_backoff, n_oov, nll_avg_micro,
          |  CASE WHEN nll_avg_micro <= t1 THEN 'head'
          |       WHEN nll_avg_micro <= t2 THEN 'middle'
@@ -2731,7 +2741,8 @@ object SparkEntry {
       s"""WITH k AS (SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
          |    CAST($morton AS BIGINT) AS zval FROM lineitem),
          |h0 AS (SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
-         |    l_partkey AS hx, l_suppkey AS hy, CAST(0 AS BIGINT) AS hd FROM k),
+         |    l_partkey & 65535 AS hx, l_suppkey & 65535 AS hy,
+         |    CAST(0 AS BIGINT) AS hd FROM k),
          |${hilbertCtes.mkString(",\n")},
          |bounds AS (SELECT min(l_partkey) AS pmn, max(l_partkey) AS pmx,
          |    min(l_suppkey) AS smn, max(l_suppkey) AS smx FROM k),
@@ -2966,13 +2977,18 @@ object SparkEntry {
          |  FROM t WHERE w IS NOT NULL AND w <> '' GROUP BY w),
          |tot AS (SELECT CAST(sum(n1) AS BIGINT) AS tot1,
          |    CAST(sum(n2) AS BIGINT) AS tot2 FROM tf),
-         |x AS (SELECT w, n1, n2, tot1, tot2, n1 * tot2 AS a, n2 * tot1 AS b,
+         |x0 AS (SELECT w, n1, n2, tot1, tot2, n1 * tot2 AS a, n2 * tot1 AS b,
          |    n1 * tot2 + n2 * tot1 AS s FROM tf CROSS JOIN tot),
+         |x AS (SELECT w, n1, n2, tot1, tot2,
+         |    greatest(a >> greatest(length(format('{:b}', s)) - 43, 0), 1) AS a2,
+         |    greatest(b >> greatest(length(format('{:b}', s)) - 43, 0), 1) AS b2,
+         |    s >> greatest(length(format('{:b}', s)) - 43, 0) AS s2
+         |  FROM x0),
          |y AS (SELECT w, n1, n2, tot1, tot2,
-         |    CASE WHEN n1 > 0 THEN n1 * (1000000 + (${plog2MicroDuck("a")})
-         |      - (${plog2MicroDuck("s")})) ELSE 0 END AS num1,
-         |    CASE WHEN n2 > 0 THEN n2 * (1000000 + (${plog2MicroDuck("b")})
-         |      - (${plog2MicroDuck("s")})) ELSE 0 END AS num2
+         |    CASE WHEN n1 > 0 THEN n1 * (1000000 + (${plog2MicroDuck("a2")})
+         |      - (${plog2MicroDuck("s2")})) ELSE 0 END AS num1,
+         |    CASE WHEN n2 > 0 THEN n2 * (1000000 + (${plog2MicroDuck("b2")})
+         |      - (${plog2MicroDuck("s2")})) ELSE 0 END AS num2
          |  FROM x),
          |z AS (SELECT w, n1, n2,
          |    n1 * 1000000 // tot1 AS rpm1, n2 * 1000000 // tot2 AS rpm2,
@@ -3267,7 +3283,7 @@ object SparkEntry {
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pmin
         |  FROM c1)
         |SELECT event_type, day, n, mean_milli,
-        |  p - least(pmin, 0) AS cusum_milli,
+        |  CAST(p - least(pmin, 0) AS BIGINT) AS cusum_milli,
         |  (p - least(pmin, 0)) > 3 * mean_milli AS is_shift
         |FROM c2""".stripMargin,
     // Semantic sweep: the LSH-verified cosine pairs (same sig CTEs as
@@ -3298,8 +3314,17 @@ object SparkEntry {
     // estimation-error oracle's shape), thresholds as a VALUES spine
     // left-joined so empty thresholds still report zeros.
     "dedup_threshold_sweep" ->
-      s"""WITH bk AS (
+      s"""WITH bk0 AS (
          |$minhashOracle),
+         |-- mirror the Spark side's capHotKeys(1024): a bucket over the
+         |-- cap is excluded from candidate generation on BOTH engines,
+         |-- so a future hot bucket shifts the sweep identically instead
+         |-- of surfacing as an unexplained oracle mismatch
+         |hot AS (SELECT band, bucket FROM bk0 GROUP BY 1, 2
+         |  HAVING count(*) > 1024),
+         |bk AS (SELECT * FROM bk0 WHERE NOT EXISTS (
+         |  SELECT 1 FROM hot h
+         |  WHERE h.band = bk0.band AND h.bucket = bk0.bucket)),
          |cand AS (SELECT DISTINCT x.doc_id AS doc1, y.doc_id AS doc2
          |  FROM bk x JOIN bk y ON x.band = y.band AND x.bucket = y.bucket
          |    AND x.doc_id < y.doc_id),

@@ -83,8 +83,13 @@ object GraphOps {
     * materializes, so a hot node (boilerplate hub) costs a skewed
     * join (AQE-splittable) instead of an OOM-sized aggregation
     * buffer. Edges stay canonical (u > v) by construction after every
-    * round; convergence is a 2-value fingerprint (count + weighted
-    * sum) — one tiny aggregate per round, no edge-set collect.
+    * round; convergence is an EXACT change test — count match plus an
+    * empty `exceptAll` anti-join between consecutive (checkpointed)
+    * edge tables. A hashed fingerprint could collide across distinct
+    * edge sets and terminate early with wrong labels; the anti-join
+    * costs one extra join per round on already-truncated lineage and
+    * can never lie. Exhausting `maxIter` without a fixed point throws
+    * instead of silently emitting mid-contraction labels.
     *
     * large-star(u): m = min(Γ(u) ∪ {u}); emit (v, m) for v ∈ Γ(u),
     * v > u. small-star(u over canonical edges): m = min(Γ₍small₎(u));
@@ -98,13 +103,7 @@ object GraphOps {
       .select(greatest(col("x"), col("y")).cast("long").as("u"),
         least(col("x"), col("y")).cast("long").as("v"))
       .distinct().localCheckpoint()
-    // cast BEFORE the sum: a Long sum of u·7+v over 10¹⁰ edges with
-    // 2⁶³-scale ids would overflow (ANSI error) before the outer cast
-    // could widen it
-    def fingerprint(df: DataFrame): Seq[Any] =
-      df.agg(count(lit(1)),
-        sum((col("u") * 7 + col("v")).cast("decimal(38,0)"))).head.toSeq
-    var fp = fingerprint(e)
+    var eCount = e.count()
     var stable = false
     var iter = 0
     while (!stable && iter < maxIter) {
@@ -125,12 +124,19 @@ object GraphOps {
         .filter(col("u2") =!= col("v2"))
         .select(col("u2").as("u"), col("v2").as("v"))
         .distinct().localCheckpoint()
+      // exact fixed-point test: same cardinality and no edge in the new
+      // set absent from the old (both sides are distinct + checkpointed,
+      // so set equality; never collects the edges to the driver)
+      val ssCount = ss.count()
+      stable = ssCount == eCount && ss.exceptAll(e).isEmpty
       e = ss
-      val fp2 = fingerprint(e)
-      stable = fp2 == fp
-      fp = fp2
+      eCount = ssCount
       iter += 1
     }
+    if (!stable)
+      throw new IllegalStateException(
+        s"connectedComponentsStar: no fixed point after $maxIter rounds " +
+          s"($eCount edges remain) — raise maxIter")
     val lbl = e.groupBy(col("u")).agg(min(col("v")).as("cluster"))
     nodes.select(col(idCol))
       .join(lbl, col(idCol) === col("u"), "left")

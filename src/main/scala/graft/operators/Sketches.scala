@@ -165,12 +165,24 @@ object Sketches {
         s"((bin + 1) * (cmax - cmin + 1)) DIV $bins - (bin * (cmax - cmin + 1)) DIV $bins"))
       .withColumn("est_cents",
         expr("lo + ((r - cum_before) * width) DIV cnt"))
-    // exact twin: smallest value with rank ≥ r (percentile_disc by hand,
-    // identical definition on both engines)
-    val ranked = li.withColumn("rn",
-      row_number().over(Window.orderBy(col("c"))))
-    val exact = qs.select(col("q_pct"), col("r"), col("est_cents"), col("width"))
-      .join(ranked, col("rn") === col("r"))
+    // Exact twin WITHOUT a global sort: the histogram already tells us
+    // which bin holds global rank r (cum_before < r ≤ cum_before+cnt),
+    // and bin membership is a pure function of the value, so the rank-r
+    // value is the (r − cum_before)-th smallest INSIDE that bin. Broadcast
+    // the ≤|pcts| candidate rows, filter lineitem to the holding bins
+    // (≈ n/bins rows each — the single-task volume shrinks by the bin
+    // count, and `bins` is the knob that keeps it bounded as n grows),
+    // then a window PARTITIONED by q_pct (never a global
+    // single-partition WindowExec — PlanShapeSpec pins this).
+    val cand = broadcast(qs.select(col("q_pct"), col("r"), col("est_cents"),
+      col("width"), col("bin"), col("cum_before"),
+      col("cmin").as("qmin"), col("cmax").as("qmax")))
+    val inBin = li.join(cand,
+      expr(s"((c - qmin) * $bins) DIV (qmax - qmin + 1) = bin"))
+    val exact = inBin
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("q_pct")).orderBy(col("c"))))
+      .filter(col("rn") === col("r") - col("cum_before"))
       .select(col("q_pct"), col("est_cents"), col("c").as("exact_cents"),
         (col("est_cents") - col("c")).as("err_cents"), col("width").as("bin_width"))
     exact

@@ -418,8 +418,11 @@ object Substrate {
       yc: org.apache.spark.sql.Column, out: String,
       order: Int = 16): DataFrame = {
     val n = 1L << order
-    var cur = df.withColumn("__hx", xc.cast("long"))
-      .withColumn("__hy", yc.cast("long"))
+    // same low-`order`-bit domain mask as HilbertIndex.xy2d and the
+    // oracle h0 CTE — keeps all three surfaces bit-identical when a
+    // key exceeds the 2^order grid
+    var cur = df.withColumn("__hx", xc.cast("long").bitwiseAND(lit(n - 1)))
+      .withColumn("__hy", yc.cast("long").bitwiseAND(lit(n - 1)))
       .withColumn("__hd", lit(0L))
     var s = n >> 1
     while (s > 0) {
@@ -561,7 +564,16 @@ object Substrate {
     * maps (a broadcast), and the census collapses map-side to
     * 2·nRects rows. The data itself is read ONCE per layout — the
     * whole point of zone-map evaluation is that the workload probe
-    * never rescans the table. */
+    * never rescans the table.
+    *
+    * Curve domain: the Hilbert/Morton keys here (`l_partkey`,
+    * `l_suppkey`) must fit the order-16 grid (< 65536, true through
+    * ~sf0.3); beyond that the expressions mask to the low 16 bits
+    * (consistent across Spark chain, native expression, and oracle)
+    * but the layout premise — curve adjacency ⇒ key locality — wraps
+    * into 65536-wide tiles. A larger deployment quantizes each key
+    * into [0, 2¹⁶) range-buckets before the curve, which preserves
+    * the locality the zone maps exploit. */
   def layoutSkipWorkload(spark: SparkSession, sfDir: String,
       blockRows: Int = 4096, nRects: Int = 12): DataFrame = {
     val keys = layoutKeys(spark, sfDir)

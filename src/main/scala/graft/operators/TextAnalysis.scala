@@ -562,10 +562,12 @@ object TextAnalysis {
     * Scale: the LM tables are vocab-sized (Heaps' law) — `uni` and
     * `bi` broadcast at calibration scale and equi-join beyond; the
     * corpus-wide scoring pass is embarrassingly parallel (three
-    * left equi-joins + one per-doc aggregate). The only total-order
-    * window (ntile for the tertile cutoffs) runs over the per-DOC
-    * scores of the calibration slice alone, never the corpus. */
-  def lmPerplexity(spark: SparkSession, sfDir: String): DataFrame = {
+    * left equi-joins + one per-doc aggregate). The tertile cutoffs
+    * come from a BOUNDED hash-deterministic sample of the calibration
+    * slice via the O(k)-state `topk_by` aggregate — no total-order
+    * window anywhere in the plan (PlanShapeSpec pins it). */
+  def lmPerplexity(spark: SparkSession, sfDir: String,
+      sampleK: Int = 2000): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val docs = Tables.documents(spark, sfDir)
       .select(col("doc_id"), split(col("text"), " ").as("w"))
@@ -616,12 +618,38 @@ object TextAnalysis {
       .withColumn("nll_avg_micro", expr("sum_nll DIV n_trans"))
       .drop("sum_nll")
 
-    // Tertile cutoffs from the calibration slice only (CCNet constants).
-    val cutWin = Window.orderBy(col("nll_avg_micro"), col("doc_id"))
-    val cuts = perDoc.filter(slice)
-      .withColumn("nt", ntile(3).over(cutWin))
-      .agg(max(when(col("nt") === 1, col("nll_avg_micro"))).as("t1"),
-        max(when(col("nt") === 2, col("nll_avg_micro"))).as("t2"))
+    // Tertile cutoffs from a BOUNDED deterministic calibration sample
+    // (CCNet's cutoffs are constants computed once from a bounded
+    // reference corpus, not the whole crawl): the bottom-`sampleK`
+    // slice docs by portable 48-bit hash — selected by the O(k)-state
+    // `topk_by` aggregate, the same derandomized reservoir as
+    // [[graft.operators.Sketches.groupSample]] — then the two cut
+    // ranks are read straight out of a second topk_by's sorted array
+    // (value DESC = nll ASC, id ASC — exactly ntile's sort). No window
+    // over unbounded input anywhere: the old ntile ran a
+    // single-partition WindowExec over 20% of the corpus, which at
+    // 100× sorts the whole calibration slice on one task.
+    graft.plans.BoundedAggregates.register(spark)
+    val hh = graft.functions.PortableHash.md5Hash48(
+      concat(lit("ppl:"), col("doc_id").cast("string")))
+    val sampIds = perDoc.filter(slice)
+      .select(col("doc_id"), hh.as("h"))
+      .agg(call_function("topk_by",
+        -col("h").cast("double"), col("doc_id"), lit(sampleK)).as("top"))
+      .select(explode(col("top.id")).as("doc_id"))
+    // ntile(3) over n rows: tile sizes n/3 (+1 for the first n%3 tiles);
+    // t1/t2 are the values at sorted ranks n1 and n1+n2. The doubles in
+    // the array are exact (micro-nll < 2^53), so the cast back is too.
+    val cuts = perDoc.filter(slice).join(broadcast(sampIds), "doc_id")
+      .agg(call_function("topk_by",
+        -col("nll_avg_micro").cast("double"), col("doc_id"),
+        lit(sampleK)).as("arr"))
+      .select(size(col("arr")).as("n"), col("arr"))
+      .withColumn("n1", expr("n DIV 3 + (CASE WHEN n % 3 >= 1 THEN 1 ELSE 0 END)"))
+      .withColumn("n2", expr("n DIV 3 + (CASE WHEN n % 3 >= 2 THEN 1 ELSE 0 END)"))
+      .select(
+        expr("CAST(-try_element_at(arr, CAST(greatest(n1, 1) AS INT)).value AS BIGINT)").as("t1"),
+        expr("CAST(-try_element_at(arr, CAST(greatest(n1 + n2, 1) AS INT)).value AS BIGINT)").as("t2"))
     perDoc.crossJoin(broadcast(cuts))
       .select(col("doc_id"), col("n_trans"), col("n_backoff"), col("n_oov"),
         col("nll_avg_micro"),
@@ -658,9 +686,20 @@ object TextAnalysis {
     * with map-side combine carrying two conditional counters (no join
     * of two half-vocabs — the halves split INSIDE the aggregate);
     * totals are a 1-row broadcast; ranking is distributed top-k
-    * (`TakeOrderedAndProject`). Long headroom: n1·(N2) ≤ tokens², so
-    * past ~3·10⁹ tokens per slice the a/b products need
-    * decimal(38,0) — same widening note as the k-means/means family. */
+    * (`TakeOrderedAndProject`).
+    *
+    * Long headroom, two distinct ceilings handled separately: (1)
+    * [[plog2MicroSql]]'s internal `(x − 2^msb)·10⁶` multiply overflows
+    * once its INPUT reaches ~2^43 — far below the products' own range
+    * (a = n1·N2 hits 2^43 with slices of only ~10⁷ tokens for a 5%
+    * term) — so a, b, s are right-shifted by a SHARED
+    * `max(0, bitlen(s) − 43)` before the logs (identical integer ops
+    * in the oracle). The shift is exact in the difference — the k·10⁶
+    * octave terms cancel in plog2(a′) − plog2(s′) — and costs < 2⁻⁴²
+    * of an octave in the linear remainder. (2) The a/b PRODUCTS
+    * themselves overflow Long past ~3·10⁹ tokens per slice; that tier
+    * needs decimal(38,0) on both engines — same widening note as the
+    * k-means/means family. */
   def vocabDrift(spark: SparkSession, sfDir: String, k: Int = 25): DataFrame = {
     val toks = Tables.documents(spark, sfDir)
       .select((col("doc_id") % 2 === 0).as("h0"),
@@ -674,14 +713,20 @@ object TextAnalysis {
       .withColumn("a", col("n1") * col("tot2"))
       .withColumn("b", col("n2") * col("tot1"))
       .withColumn("s", col("a") + col("b"))
+      // shared shift keeps every plog2 input under 2^43 (its internal
+      // ·10⁶ headroom); the octave terms cancel in the a−s difference
+      .withColumn("sh", expr("greatest(length(bin(s)) - 43, 0)"))
+      .withColumn("a2", expr("greatest(shiftright(a, sh), 1L)"))
+      .withColumn("b2", expr("greatest(shiftright(b, sh), 1L)"))
+      .withColumn("s2", expr("shiftright(s, sh)"))
       // p·log2(p/m) numerators in micro-bits — exact signed longs
       // (0 when the count is 0: the 0·log 0 convention)
       .withColumn("num1", when(col("n1") > 0,
-        col("n1") * (lit(1000000L) + expr(plog2MicroSql("a"))
-          - expr(plog2MicroSql("s")))).otherwise(lit(0L)))
+        col("n1") * (lit(1000000L) + expr(plog2MicroSql("a2"))
+          - expr(plog2MicroSql("s2")))).otherwise(lit(0L)))
       .withColumn("num2", when(col("n2") > 0,
-        col("n2") * (lit(1000000L) + expr(plog2MicroSql("b"))
-          - expr(plog2MicroSql("s")))).otherwise(lit(0L)))
+        col("n2") * (lit(1000000L) + expr(plog2MicroSql("b2"))
+          - expr(plog2MicroSql("s2")))).otherwise(lit(0L)))
       // sign-safe truncating division (see scaladoc)
       .withColumn("kl1", expr(
         "CASE WHEN num1 >= 0 THEN num1 DIV tot1 ELSE -((-num1) DIV tot1) END"))

@@ -57,10 +57,19 @@ object HilbertIndex {
 
   /** The order-16 Hilbert curve position of (x, y) — the same
     * rotate-reflect-accumulate rounds as the column chain, as one
-    * loop. Called from generated code. */
+    * loop. Called from generated code.
+    *
+    * Domain: the order-16 curve addresses a 2¹⁶×2¹⁶ grid. Inputs are
+    * MASKED to the low 16 bits (mirrored in the column chain and the
+    * DuckDB oracle h0 CTE, so all three stay bit-identical at any
+    * key range). Beyond 65535 the masked value wraps — locality
+    * degrades gracefully into 65536-wide tiles instead of silently
+    * producing a non-curve ordering; a deployment whose keys exceed
+    * the domain should bucket/quantize keys into [0, 2¹⁶) first
+    * (see zoneMapsBench's scaladoc). */
   def xy2d(x0: Long, y0: Long): Long = {
-    var x = x0
-    var y = y0
+    var x = x0 & (N - 1)
+    var y = y0 & (N - 1)
     var d = 0L
     var s = N >> 1
     while (s > 0) {

@@ -407,7 +407,7 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
-  test("lm perplexity: all equi-joins, the only global window is slice-sized") {
+  test("lm perplexity: all equi-joins, cutoff calibration is bounded aggregates") {
     val p = plan("text_lm_perplexity")
     // 1-row broadcasts (totals, cutoffs) legitimately print as
     // BroadcastNestedLoopJoin BuildRight Cross; anything else is a bug
@@ -415,11 +415,14 @@ class PlanShapeSpec extends AnyFunSuite {
       .filterNot(l => l.contains("BuildRight") && l.contains("Cross"))
     assert(badBnlj.isEmpty && !p.contains("CartesianProduct"),
       s"LM lookups must be equi-joins:\n$p")
-    // single-partition exchanges: the ntile cutoff window (slice-sized
-    // by design) + the two scalar aggregates (totals, cutoffs) that
-    // collapse map-side partials — never the corpus scoring pass
+    // single-partition exchanges: only the scalar O(k)-state topk_by
+    // aggregates (totals, hash sample, cutoff array) whose partials
+    // collapse map-side — never a sort/window of the corpus or slice
     val singles = p.linesIterator.count(_.contains("Exchange SinglePartition"))
-    assert(singles <= 3, s"cutoff calibration only, got $singles SinglePartition:\n$p")
+    assert(singles <= 5, s"bounded calibration only, got $singles SinglePartition:\n$p")
+    // and none of them feeds a window/sort — every single-partition
+    // exchange is the final step of a scalar aggregate
+    assert(!p.contains("Window"), s"no window anywhere in the plan:\n$p")
   }
 
   test("drift psi: no window, no sort — counts + broadcasts only") {
@@ -486,5 +489,33 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("HashAggregate"), p)
     assert(!p.contains("Window") && !p.contains("CartesianProduct"),
       s"the dup census is a count + equi-join back, never a window:\n$p")
+  }
+
+  private def unpartitionedWindows(name: String) = {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    SparkEntry.queries(name)(spark, sfDir)
+      .queryExecution.optimizedPlan.collect {
+        case w: LWindow if w.partitionSpec.isEmpty => w
+      }
+  }
+
+  test("hist quantiles: exact twin never sorts raw rows on one task") {
+    // the rank-r read is localized to the holding bin and windowed
+    // PARTITIONED by q_pct; the only legitimate unpartitioned window
+    // is the cum_before walk over the BINS census (≤ `bins` rows by
+    // construction). A global row_number over raw `c` — the old exact
+    // twin — would sort the whole table on one task at 100×.
+    val wins = unpartitionedWindows("sketch_hist_quantiles")
+    assert(wins.forall(_.orderSpec.forall(_.child.references
+        .map(_.name).forall(_ == "bin"))),
+      s"unpartitioned window over raw rows: $wins")
+  }
+
+  test("lm perplexity: no window at all — cutoffs ride bounded topk_by") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val wins = SparkEntry.queries("text_lm_perplexity")(spark, sfDir)
+      .queryExecution.optimizedPlan.collect { case w: LWindow => w }
+    assert(wins.isEmpty,
+      "tertile cutoffs must come from the bounded topk_by sample, not ntile")
   }
 }

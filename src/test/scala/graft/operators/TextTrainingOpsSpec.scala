@@ -224,6 +224,34 @@ class TextTrainingOpsSpec extends AnyFunSuite {
     df.unpersist()
   }
 
+  test("lm perplexity: tertile cutoffs replicate a by-hand bounded-sample recount") {
+    // sampleK=7 forces the bounded-sample path (the slice is larger than
+    // the sample), then the spec recounts the whole pipeline stage by
+    // hand: bottom-7 slice docs by the portable 48-bit hash, ntile rank
+    // arithmetic, bucket labels for EVERY doc.
+    val out = TextAnalysis.lmPerplexity(spark, sfDir, sampleK = 7)
+      .select("doc_id", "nll_avg_micro", "ppl_bucket").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    def h48(id: Long): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"ppl:$id".getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.take(6).map(b => f"$b%02x").mkString, 16)
+    }
+    val slice = out.filter(_._1 % 5 == 0)
+    assert(slice.length > 7, "fixture too small to exercise the sample cap")
+    val sample = slice.sortBy(t => (h48(t._1), t._1)).take(7)
+    val sorted = sample.map(t => (t._2, t._1)).sorted
+    val n = sorted.length
+    val n1 = n / 3 + (if (n % 3 >= 1) 1 else 0)
+    val n2 = n / 3 + (if (n % 3 >= 2) 1 else 0)
+    val t1 = sorted(n1 - 1)._1
+    val t2 = sorted(n1 + n2 - 1)._1
+    for ((id, nll, bucket) <- out) {
+      val want = if (nll <= t1) "head" else if (nll <= t2) "middle" else "tail"
+      assert(bucket == want, s"doc $id nll=$nll: got $bucket want $want (t1=$t1 t2=$t2)")
+    }
+  }
+
   test("quality agreement: r bounded, overlap bounded, self-agreement is perfect") {
     val r = TextAnalysis.qualityAgreement(spark, sfDir).head()
     assert(r.getLong(0) > 0)
