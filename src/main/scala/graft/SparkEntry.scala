@@ -172,6 +172,17 @@ object SparkEntry {
     "dedup_substring_spans" -> ((s: SparkSession, d: String) =>
       Dedup.substringSpanStats(s, d)),
     "text_lm_perplexity" -> ((s: SparkSession, d: String) => TextAnalysis.lmPerplexity(s, d)),
+    "stream_lifecycle_join" -> ((s: SparkSession, d: String) =>
+      graft.streaming.LifecycleJoin.batchLifecycle(s, d)),
+    "corpus_source_ablation" -> (Corpus.sourceAblation _),
+    "dedup_incremental" -> ((s: SparkSession, d: String) => Dedup.incrementalDedup(s, d)),
+    "events_mad_outliers" -> (Relational.eventsMadOutliers _),
+    "embed_hard_negatives" -> ((s: SparkSession, d: String) => Similarity.hardNegatives(s, d)),
+    "events_trending_decay" -> ((s: SparkSession, d: String) =>
+      Relational.eventsTrendingDecay(s, d)),
+    "embed_label_purity" -> ((s: SparkSession, d: String) => Similarity.labelPurity(s, d)),
+    "sub_apply_changeset" -> (Relational.applyChangeset _),
+    "sub_bloom_advisor" -> (Substrate.bloomAdvisor _),
     "dedup_keep_best" -> ((s: SparkSession, d: String) => Dedup.keepBestRepresentative(s, d)),
     "events_drift_psi" -> ((s: SparkSession, d: String) => Relational.eventsDriftPsi(s, d)),
     "sketch_hist_quantiles" -> ((s: SparkSession, d: String) => Sketches.histogramQuantiles(s, d)),
@@ -347,7 +358,14 @@ object SparkEntry {
     "dedup_threshold_sweep", "embed_cell_balance",
     "corpus_window_efficiency", "corpus_bpe_compression",
     "ann_nprobe_sweep", "corpus_gate_sweep", "corpus_release_funnel",
-    "graph_cc_star", "dedup_semantic_sweep", "events_cusum_shift")
+    "graph_cc_star", "dedup_semantic_sweep", "events_cusum_shift",
+    // round-9 additions (lifecycle-join batch twin, leave-one-source-out
+    // ablation, incremental new-vs-corpus dedup, Hampel median/MAD
+    // monitor, hard-negative mining):
+    "stream_lifecycle_join", "corpus_source_ablation", "dedup_incremental",
+    "events_mad_outliers", "embed_hard_negatives",
+    "events_trending_decay", "embed_label_purity",
+    "sub_apply_changeset", "sub_bloom_advisor")
 
   // --- generated DuckDB replicas of the portable-hash queries ----------
 
@@ -2221,6 +2239,228 @@ object SparkEntry {
     // portable log2 (binary-string MSB + linear mantissa), so score AND
     // bucket replicate bit-for-bit. Tertile cutoffs come from the slice
     // (CCNet's precomputed constants), via the same ntile definition.
+    // Batch twin of the watermarked stream-stream lifecycle join: same
+    // equi-key + time-range bound, same left-outer null semantics;
+    // epoch-micros longs so both engines compare exactly.
+    "stream_lifecycle_join" ->
+      """WITH s AS (SELECT user_id AS job_id,
+        |    'run-' || CAST(event_id AS VARCHAR) AS run_filename,
+        |    'instr-' || CAST(user_id % 4 AS VARCHAR) AS instrument_name,
+        |    ts AS start_ts
+        |  FROM events WHERE event_type = 'view'),
+        |f AS (SELECT user_id AS job_id, event_id AS finish_event_id,
+        |    ts AS finish_ts
+        |  FROM events WHERE event_type = 'click')
+        |SELECT f.job_id, finish_event_id, epoch_us(finish_ts) AS finish_us,
+        |  run_filename, instrument_name, epoch_us(start_ts) AS start_us,
+        |  epoch_ms(finish_ts) - epoch_ms(start_ts) AS run_millis,
+        |  start_ts IS NOT NULL AS matched
+        |FROM f LEFT JOIN s ON f.job_id = s.job_id
+        |  AND finish_ts >= start_ts
+        |  AND finish_ts <= start_ts + INTERVAL 4 HOUR""".stripMargin,
+    // Leave-one-source-out ablation: the same q_micro scoring CTE as
+    // corpus_report_card; all-integer deltas of broadcast totals minus
+    // per-source partials (DIV and // agree — every operand nonneg).
+    "corpus_source_ablation" ->
+      """WITH f AS (SELECT source,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
+        |    (length(text)::DOUBLE - (len(string_split(text, ' ')) - 1))
+        |      / len(string_split(text, ' ')) AS avg_word_len,
+        |    len(list_distinct(string_split(text, ' ')))::DOUBLE
+        |      / len(string_split(text, ' ')) AS distinct_ratio,
+        |    ((length(t) - length(replace(t, ' the ', ''))) / 5
+        |      + (length(t) - length(replace(t, ' a ', ''))) / 3
+        |      + (length(t) - length(replace(t, ' of ', ''))) / 4
+        |      + (length(t) - length(replace(t, ' and ', ''))) / 5)
+        |      / len(string_split(text, ' ')) AS stop_ratio
+        |  FROM (SELECT source, text, ' ' || text || ' ' AS t FROM documents)),
+        |m AS (SELECT source, ws_tokens,
+        |    CAST(floor((CASE WHEN avg_word_len BETWEEN 3.0 AND 10.0 THEN 0.4 ELSE 0.0 END
+        |      + least(stop_ratio * 2.0, 0.3) + least(distinct_ratio, 0.3)) * 10000 + 0.5) AS BIGINT) AS q_micro
+        |  FROM f),
+        |per AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(ws_tokens) AS BIGINT) AS n_toks,
+        |    CAST(sum(q_micro) AS BIGINT) AS q_sum FROM m GROUP BY 1),
+        |tot AS (SELECT CAST(sum(n_docs) AS BIGINT) AS tot_docs,
+        |    CAST(sum(n_toks) AS BIGINT) AS tot_toks,
+        |    CAST(sum(q_sum) AS BIGINT) AS tot_q FROM per)
+        |SELECT source, tot_docs - n_docs AS docs_without,
+        |  tot_toks - n_toks AS tokens_without,
+        |  CASE WHEN tot_docs > n_docs
+        |    THEN (tot_q - q_sum) // (tot_docs - n_docs) END AS mean_quality_micro_without,
+        |  tot_q // tot_docs AS mean_quality_micro_full,
+        |  (n_toks * 1000) // tot_toks AS token_share_milli
+        |FROM per CROSS JOIN tot""".stripMargin,
+    // Incremental (new-vs-corpus) dedup: the exact md5 gate plus the
+    // SAME capped LSH bucket table as dedup_threshold_sweep restricted
+    // to new×corpus collisions, verified by exact 3-gram Jaccard >= .7.
+    "dedup_incremental" ->
+      s"""WITH bk0 AS (
+         |$minhashOracle),
+         |hot AS (SELECT band, bucket FROM bk0 GROUP BY 1, 2
+         |  HAVING count(*) > 1024),
+         |bk AS (SELECT * FROM bk0 WHERE NOT EXISTS (
+         |  SELECT 1 FROM hot h
+         |  WHERE h.band = bk0.band AND h.bucket = bk0.bucket)),
+         |ex AS (SELECT doc_id, md5(text) AS h FROM documents),
+         |exact AS (SELECT n.doc_id, min(c.doc_id) AS exact_of
+         |  FROM ex n JOIN ex c ON n.h = c.h AND c.doc_id % 10 >= 2
+         |  WHERE n.doc_id % 10 < 2 GROUP BY 1),
+         |cand AS (SELECT DISTINCT x.doc_id AS new_id, y.doc_id AS corp_id
+         |  FROM bk x JOIN bk y ON x.band = y.band AND x.bucket = y.bucket
+         |  WHERE x.doc_id % 10 < 2 AND y.doc_id % 10 >= 2),
+         |ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         |shs AS (SELECT doc_id, unnest(list_distinct(
+         |  [array_to_string(w[i:i+2], ' ') for i in range(1, len(w) - 1)])) AS s
+         |  FROM ws WHERE len(w) >= 3),
+         |szs AS (SELECT doc_id, count(*) AS n_sh FROM shs GROUP BY 1),
+         |ints AS (SELECT c.new_id, c.corp_id, count(*) AS n_int
+         |  FROM cand c JOIN shs p ON p.doc_id = c.new_id
+         |  JOIN shs q ON q.doc_id = c.corp_id AND p.s = q.s
+         |  GROUP BY 1, 2),
+         |near AS (SELECT i.new_id, min(i.corp_id) AS near_of
+         |  FROM ints i JOIN szs s1 ON s1.doc_id = i.new_id
+         |  JOIN szs s2 ON s2.doc_id = i.corp_id
+         |  WHERE i.n_int * 10 >= 7 * (s1.n_sh + s2.n_sh - i.n_int)
+         |  GROUP BY 1)
+         |SELECT d.doc_id,
+         |  CASE WHEN e.exact_of IS NOT NULL THEN 'exact'
+         |       WHEN nr.near_of IS NOT NULL THEN 'near'
+         |       ELSE 'kept' END AS outcome,
+         |  coalesce(e.exact_of, nr.near_of) AS dup_of
+         |FROM documents d
+         |LEFT JOIN exact e ON e.doc_id = d.doc_id
+         |LEFT JOIN near nr ON nr.new_id = d.doc_id
+         |WHERE d.doc_id % 10 < 2""".stripMargin,
+    // Hampel median/MAD outliers: both medians are the DISCRETE lower
+    // median — rank (cnt+1)//2 in (value, day) order — so every number
+    // is an integer shared bit-for-bit (no interpolated percentile).
+    "events_mad_outliers" ->
+      """WITH d AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+        |    count(*) AS n FROM events GROUP BY 1, 2),
+        |med AS (SELECT event_type, n AS med FROM (
+        |  SELECT event_type, n,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY n, day) AS rn,
+        |    count(*) OVER (PARTITION BY event_type) AS cnt
+        |  FROM d) WHERE rn = (cnt + 1) // 2),
+        |dev AS (SELECT d.event_type, day, n, med, abs(n - med) AS adev
+        |  FROM d JOIN med USING (event_type)),
+        |mad AS (SELECT event_type, adev AS mad FROM (
+        |  SELECT event_type, adev,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY adev, day) AS rn,
+        |    count(*) OVER (PARTITION BY event_type) AS cnt
+        |  FROM dev) WHERE rn = (cnt + 1) // 2)
+        |SELECT dev.event_type, day, n, med, mad,
+        |  adev > 3 * mad AS is_outlier
+        |FROM dev JOIN mad USING (event_type)""".stripMargin,
+    // Hard-negative mining: same hyperplane-LSH signature CTEs as the
+    // ANN oracles; in-bucket cosine in the [3000, 7000) x4 band, top-3
+    // per anchor with the topk_by tie-break (value DESC, smaller id).
+    "embed_hard_negatives" ->
+      s"""$lshSigCtes,
+         |a AS (SELECT vec_id AS anchor_id, emb AS ea, lsh_bucket
+         |  FROM sig WHERE vec_id % 20 = 0),
+         |sc AS (SELECT a.anchor_id, s.vec_id AS neg_id,
+         |    CAST(floor(list_dot_product(a.ea, s.emb) /
+         |      (sqrt(list_dot_product(a.ea, a.ea)) * sqrt(list_dot_product(s.emb, s.emb)))
+         |      * 10000 + 0.5) AS BIGINT) AS cos_x4
+         |  FROM a JOIN sig s ON s.lsh_bucket = a.lsh_bucket
+         |    AND s.vec_id <> a.anchor_id)
+         |SELECT anchor_id, CAST(rank AS BIGINT) AS rank, neg_id, cos_x4 FROM (
+         |  SELECT anchor_id, neg_id, cos_x4,
+         |    row_number() OVER (PARTITION BY anchor_id
+         |      ORDER BY cos_x4 DESC, neg_id) AS rank
+         |  FROM sc WHERE cos_x4 >= 3000 AND cos_x4 < 7000)
+         |WHERE rank <= 3""".stripMargin,
+    // Decayed trending: EXACT integer half-life weight 1e6 >> (age DIV 7)
+    // anchored at the newest day; rank window over the bounded census.
+    "events_trending_decay" ->
+      """WITH daily AS (SELECT event_type,
+        |    CAST(json_extract_string(props, '$.k') AS BIGINT) AS item,
+        |    epoch_us(ts) // 86400000000 AS day, count(*) AS n
+        |  FROM events GROUP BY 1, 2, 3),
+        |a AS (SELECT max(day) AS max_day FROM daily),
+        |sc AS (SELECT event_type, item,
+        |    CAST(sum(n * (1000000 >> CAST((max_day - day) // 7 AS INT))) AS BIGINT)
+        |      AS score_micro,
+        |    CAST(sum(n) AS BIGINT) AS n_events
+        |  FROM daily CROSS JOIN a GROUP BY 1, 2)
+        |SELECT event_type, CAST(rank AS BIGINT) AS rank, item,
+        |  score_micro, n_events FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY event_type
+        |    ORDER BY score_micro DESC, item) AS rank FROM sc)
+        |WHERE rank <= 10""".stripMargin,
+    // kNN label purity: same LSH signature CTEs + top-5 in-bucket
+    // neighbors (cos_x4 DESC, id tie-break), label agreement vote.
+    "embed_label_purity" ->
+      s"""$lshSigCtes,
+         |l AS (SELECT vec_id, label FROM embeddings),
+         |sc AS (SELECT a.vec_id, b.vec_id AS nid,
+         |    CAST(floor(list_dot_product(a.emb, b.emb) /
+         |      (sqrt(list_dot_product(a.emb, a.emb)) * sqrt(list_dot_product(b.emb, b.emb)))
+         |      * 10000 + 0.5) AS BIGINT) AS cos_x4
+         |  FROM sig a JOIN sig b ON a.lsh_bucket = b.lsh_bucket
+         |    AND a.vec_id <> b.vec_id),
+         |top AS (SELECT vec_id, nid FROM (
+         |  SELECT vec_id, nid,
+         |    row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY cos_x4 DESC, nid) AS rn FROM sc) WHERE rn <= 5)
+         |SELECT t.vec_id, l.label,
+         |  CAST(count(*) AS BIGINT) AS n_neighbors,
+         |  CAST(sum(CASE WHEN nl.label = l.label THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_agree,
+         |  (CAST(sum(CASE WHEN nl.label = l.label THEN 1 ELSE 0 END) AS BIGINT)
+         |    * 1000) // count(*) AS purity_milli,
+         |  2 * sum(CASE WHEN nl.label = l.label THEN 1 ELSE 0 END) < count(*)
+         |    AS suspect
+         |FROM top t JOIN l ON l.vec_id = t.vec_id
+         |JOIN l nl ON nl.vec_id = t.nid
+         |GROUP BY 1, 2""".stripMargin,
+    // CDC round-trip proof: the Spark side applies diff(A,B) to A with
+    // MERGE semantics; the oracle recomputes snapshot B DIRECTLY (same
+    // reprice/purge rules as sub_snapshot_diff, keys ≡0 mod 4 slice).
+    // Matching proves diff and apply compose losslessly.
+    "sub_apply_changeset" ->
+      """WITH base AS (SELECT o_orderkey, o_custkey,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS price_c
+        |  FROM orders WHERE o_orderkey % 4 = 0)
+        |SELECT o_orderkey, o_custkey,
+        |  CASE WHEN o_orderkey % 89 = 0 THEN (price_c * 105) // 100
+        |    ELSE price_c END AS price_c
+        |FROM base WHERE o_orderkey % 97 <> 0""".stripMargin,
+    // Bloom sizing advisor: the same rank-64 KMV NDV replica as
+    // sub_profile_columns, then pure integer sizing math (ln2 as the
+    // micro constant 693147; idealized fpp at optimal k is exactly
+    // 2^-k, so no runtime libm anywhere).
+    "sub_bloom_advisor" -> {
+      def ndvBranch(table: String, column: String) = {
+        val h = graft.functions.PortableHash.sqlH48(s"CAST($column AS VARCHAR)")
+        s"""SELECT '$table.$column' AS key_col,
+           |  (SELECT CASE WHEN count(*) < 64 THEN count(*)
+           |      ELSE CAST(floor(CAST(63.0 AS DOUBLE) * CAST(281474976710656.0 AS DOUBLE)
+           |        / max(h) + 0.5) AS BIGINT) END
+           |    FROM (SELECT h, row_number() OVER (ORDER BY h) AS rn
+           |      FROM (SELECT DISTINCT $h AS h FROM $table))
+           |    WHERE rn <= 64) AS ndv_est
+           |FROM (SELECT 1)""".stripMargin
+      }
+      s"""WITH cols AS (
+         |${Seq(("events", "user_id"), ("orders", "o_custkey"),
+              ("lineitem", "l_partkey"), ("lineitem", "l_suppkey"))
+             .map { case (t, c) => ndvBranch(t, c) }
+             .mkString("\n UNION ALL\n")}),
+         |x AS (SELECT key_col, ndv_est,
+         |    CAST(unnest([1048576, 8388608]) AS BIGINT) AS m_bits FROM cols),
+         |y AS (SELECT key_col, ndv_est, m_bits,
+         |    (m_bits * 1000) // ndv_est AS bits_per_key_milli,
+         |    greatest(1, (m_bits * 693147 + ndv_est * 500000)
+         |      // (ndv_est * 1000000)) AS k_opt
+         |  FROM x)
+         |SELECT key_col, ndv_est, m_bits, bits_per_key_milli, k_opt,
+         |  1000000 >> CAST(least(k_opt, 62) AS INT) AS fpp_micro,
+         |  (ndv_est * 9585060 + 999999) // 1000000 AS m_opt_1pct_bits
+         |FROM y""".stripMargin
+    },
     "text_lm_perplexity" -> {
       val plog = graft.operators.TextAnalysis.plog2MicroDuck("x")
       s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents

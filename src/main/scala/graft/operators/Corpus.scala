@@ -439,6 +439,41 @@ object Corpus {
           .as("dup_pct"))
   }
 
+  /** LEAVE-ONE-SOURCE-OUT ABLATION REPORT — the "which source is
+    * hurting the mix?" table a curation pass reads before dropping or
+    * capping a provider: for each source, the corpus WITHOUT it —
+    * docs, whitespace tokens, exact-integer mean quality (micro), and
+    * the source's own token share (milli). The per-source deltas of
+    * mean quality are the cheap first-order proxy for the full
+    * retraining ablation (a DataComp/Dolma-style source audit).
+    *
+    * Everything derives from ONE corpus scan: per-source partial sums
+    * (map-side combined) plus a 1-row broadcast of the totals — the
+    * "without s" aggregates are totals − source partials, never a
+    * second pass per source (which at 20 sources would be 20 corpus
+    * scans). All-integer: mean quality is an exact sum DIV count. */
+  def sourceAblation(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("source"),
+        TextAnalysis.qualityMicroCol.as("q_micro"),
+        size(split(col("text"), " ")).cast("long").as("ws_tokens"))
+    val per = docs.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("ws_tokens")).as("n_toks"),
+        sum(col("q_micro")).as("q_sum"))
+      .localCheckpoint(eager = false) // feeds tot AND the final select: one corpus scan
+    val tot = per.agg(sum(col("n_docs")).as("tot_docs"),
+      sum(col("n_toks")).as("tot_toks"), sum(col("q_sum")).as("tot_q"))
+    per.crossJoin(broadcast(tot))
+      .select(col("source"),
+        (col("tot_docs") - col("n_docs")).as("docs_without"),
+        (col("tot_toks") - col("n_toks")).as("tokens_without"),
+        when(col("tot_docs") > col("n_docs"),
+          expr("(tot_q - q_sum) DIV (tot_docs - n_docs)"))
+          .otherwise(lit(null).cast("long")).as("mean_quality_micro_without"),
+        expr("tot_q DIV tot_docs").as("mean_quality_micro_full"),
+        expr("(n_toks * 1000) DIV tot_toks").as("token_share_milli"))
+  }
+
   /** The unrolled DuckDB oracle for [[bpeLearnedMerges]] /
     * [[bpeEncode]] / [[bpeVocab]] (`mode` ∈ merges|encode|vocab):
     * k rounds of (pair-count → argmax → rewrite) CTEs

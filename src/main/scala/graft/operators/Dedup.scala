@@ -369,6 +369,63 @@ object Dedup {
           .otherwise(lit(null).cast("long")).as("mean_jac_x4"))
   }
 
+  /** INCREMENTAL DEDUP — the daily-crawl admission pass: dedup a NEW
+    * snapshot (here the deterministic `doc_id % 10 < 2` slice) against
+    * the EXISTING corpus without ever re-comparing the corpus to
+    * itself. This is the operation that makes dedup sustainable at
+    * 100 TB: the full-corpus pass ([[minhashKeepFirst]]) runs once;
+    * every arriving snapshot then costs |new|·bands candidate lookups
+    * — corpus×corpus never re-materializes, and the corpus side of
+    * every join is plain equi-keyed parquet (in production, the
+    * bucket table is a maintained index, exactly what
+    * [[graft.operators.Substrate]]'s IVM family refreshes).
+    *
+    * Two admission gates, mirroring the reference's exists-by-pid /
+    * exists-by-metadata cascade (F6/F7) at corpus scale:
+    *  - `exact`: full-text md5 equality against the corpus (the
+    *    cheap gate runs first — one (hash)-keyed join);
+    *  - `near`: LSH band-bucket collision (new×corpus only), verified
+    *    by true 3-gram Jaccard ≥ threshold — the same capped,
+    *    audited candidate shape as [[thresholdSweep]] (hot buckets
+    *    over `maxBucketSize` are excluded on BOTH engines).
+    * Output: one row per new doc — (doc_id, outcome ∈ exact|near|kept,
+    * dup_of = min matching corpus doc or null). */
+  def incrementalDedup(spark: SparkSession, sfDir: String,
+      thresholdX10: Long = 7, maxBucketSize: Int = 1024): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val isNew = col("doc_id") % 10 < 2
+    val hashed = docs.select(col("doc_id"), md5(col("text")).as("h"),
+      isNew.as("is_new"))
+    val exactMin = hashed.filter(!col("is_new"))
+      .groupBy(col("h")).agg(min(col("doc_id")).as("exact_of"))
+    val base = hashed.filter(col("is_new"))
+      .join(exactMin, Seq("h"), "left")
+      .select(col("doc_id"), col("exact_of"))
+    val bk = capHotKeys(
+      minhashLshBuckets(spark, sfDir).localCheckpoint(eager = false),
+      Seq("band", "bucket"), maxBucketSize)
+    val cand = bk.filter(col("doc_id") % 10 < 2)
+      .select(col("band"), col("bucket"), col("doc_id").as("new_id"))
+      .join(bk.filter(col("doc_id") % 10 >= 2)
+        .select(col("band").as("b2"), col("bucket").as("k2"),
+          col("doc_id").as("corp_id")),
+        col("band") === col("b2") && col("bucket") === col("k2"))
+      .select(col("new_id"), col("corp_id")).distinct()
+    val sh = withShingles(docs).select(col("doc_id"), col("sh"))
+    val near = cand
+      .join(sh.select(col("doc_id").as("new_id"), col("sh").as("sh1")), "new_id")
+      .join(sh.select(col("doc_id").as("corp_id"), col("sh").as("sh2")), "corp_id")
+      .filter(size(array_intersect(col("sh1"), col("sh2"))).cast("long") * 10 >=
+        lit(thresholdX10) * size(array_union(col("sh1"), col("sh2"))).cast("long"))
+      .groupBy(col("new_id")).agg(min(col("corp_id")).as("near_of"))
+    base.join(near, col("doc_id") === col("new_id"), "left_outer")
+      .select(col("doc_id"),
+        when(col("exact_of").isNotNull, lit("exact"))
+          .when(col("near_of").isNotNull, lit("near"))
+          .otherwise(lit("kept")).as("outcome"),
+        coalesce(col("exact_of"), col("near_of")).as("dup_of"))
+  }
+
   /** Sketch-quality evaluation: for every LSH candidate pair, the
     * minhash ESTIMATE of Jaccard (fraction of the 32 minima that
     * agree) against the exact shingle-set Jaccard, plus the absolute

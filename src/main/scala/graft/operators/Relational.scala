@@ -330,6 +330,85 @@ object Relational {
         col("cusum_milli"), col("is_shift"))
   }
 
+  /** MEDIAN/MAD ROBUST OUTLIER DAYS — the fourth monitor-family member
+    * and the robust-statistics counterpart of [[eventsSpikeDays]]: the
+    * spike detector's mean/stddev gate is itself dragged by the
+    * outliers it hunts (one 100× day inflates σ enough to hide the
+    * 10× days), while the median and the Median Absolute Deviation
+    * have a 50% breakdown point. A day is flagged when
+    * |n − median| > 3·MAD (the classic Hampel rule). Medians are the
+    * DISCRETE lower median — the value at rank (cnt+1) DIV 2 in
+    * (value, day) order — so every number is an integer shared
+    * bit-for-bit with the oracle (no interpolated percentile, whose
+    * halving differs across engines).
+    *
+    * Scale shape: the one corpus-sized pass is the map-side-combined
+    * (type, day) count; both median extractions are row_number windows
+    * PARTITIONED by type over the tiny daily table (days × types
+    * rows — calendar-bounded, never data-sized), joined back as
+    * |types|-row broadcasts. */
+  def eventsMadOutliers(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = Tables.events(spark, sfDir)
+      .groupBy(col("event_type"),
+        expr("unix_micros(ts) DIV 86400000000").as("day"))
+      .agg(count(lit(1)).as("n"))
+      .localCheckpoint(eager = false) // consumed by three plans below
+    def lowerMedian(df: DataFrame, value: String, out: String): DataFrame = {
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(col(value), col("day"))
+      df.withColumn("rn", row_number().over(w))
+        .withColumn("cnt", count(lit(1)).over(
+          Window.partitionBy(col("event_type"))))
+        .filter(col("rn") === expr("(cnt + 1) DIV 2"))
+        .select(col("event_type"), col(value).as(out))
+    }
+    val med = lowerMedian(daily, "n", "med")
+    val dev = daily.join(broadcast(med), "event_type")
+      .withColumn("adev", abs(col("n") - col("med")))
+    val mad = lowerMedian(dev, "adev", "mad")
+    dev.join(broadcast(mad), "event_type")
+      .select(col("event_type"), col("day"), col("n"), col("med"), col("mad"),
+        (col("adev") > lit(3L) * col("mad")).as("is_outlier"))
+  }
+
+  /** DECAYED TRENDING TOP-K — "what's hot right now" over the event
+    * stream: per (event_type, item) where item is the `k` field of the
+    * JSON props, an exponentially-decayed count with a 7-day half-life
+    * anchored at the newest day in the table. The decay weight is the
+    * EXACT integer `1000000 >> (age_days DIV 7)` — a true power-of-two
+    * half-life, so every score is a plain long both engines sum
+    * identically (no float decay drift), and items older than
+    * 20 half-lives contribute exactly zero.
+    *
+    * Scale shape: ONE corpus-sized pass — the map-side-combined
+    * (type, item, day) count; the max-day anchor is a 1-row broadcast;
+    * the rank window is PARTITIONED by event_type over the
+    * (items × days)-bounded census, never over raw events. */
+  def eventsTrendingDecay(spark: SparkSession, sfDir: String,
+      halfLifeDays: Long = 7, topK: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = Tables.events(spark, sfDir)
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("item"),
+        expr("unix_micros(ts) DIV 86400000000").as("day"))
+      .groupBy(col("event_type"), col("item"), col("day"))
+      .agg(count(lit(1)).as("n"))
+    val anchor = daily.agg(max(col("day")).as("max_day"))
+    val scored = daily.crossJoin(broadcast(anchor))
+      .withColumn("w_micro", expr(
+        s"shiftright(1000000L, CAST((max_day - day) DIV $halfLifeDays AS INT))"))
+      .groupBy(col("event_type"), col("item"))
+      .agg(sum(col("n") * col("w_micro")).as("score_micro"),
+        sum(col("n")).as("n_events"))
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("score_micro").desc, col("item"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= topK)
+      .select(col("event_type"), col("rank"), col("item"),
+        col("score_micro"), col("n_events"))
+  }
+
   /** Q4-shaped priority check: orders with at least one LATE line
     * (shipped more than 90 days after the order date), counted per
     * priority. The EXISTS is a LEFT SEMI join — equi on the order key
@@ -1268,6 +1347,47 @@ object Relational {
         (coalesce(col("spend_c"), lit(0L)) + coalesce(col("dspend"), lit(0L)))
           .as("spend_c"))
       .filter(col("n_orders") > 0)
+  }
+
+  /** CHANGESET APPLY (MERGE INTO) — the lakehouse write-path twin of
+    * [[snapshotDiff]]: apply an (op, key, new-values) changeset to the
+    * base snapshot with upsert semantics — `delete` drops the row,
+    * `update` replaces values, `insert` adds the row, absent keys
+    * carry. Correctness is pinned by the CDC ROUND-TRIP invariant:
+    * the changeset is diff(A, B), so apply(A, changeset) must equal
+    * snapshot B — and the DuckDB oracle recomputes B DIRECTLY, never
+    * replaying the merge. A green row proves diff and apply compose
+    * losslessly.
+    *
+    * Scale: one full-outer key join (zero-shuffle when both the table
+    * and changelog are key-bucketed — the Delta/Iceberg MERGE shape);
+    * the output slice (keys ≡0 mod 4) prunes BOTH inputs before the
+    * join because the predicate is on the join key. */
+  def applyChangeset(spark: SparkSession, sfDir: String): DataFrame = {
+    val (a0, b0) = snapshotVersions(spark, sfDir)
+    val slice = col("o_orderkey") % 4 === 0
+    val a = a0.filter(slice)
+    val b = b0.filter(slice)
+    // the changeset diff(A, B): op + the full new-side values
+    val cs = a.select(col("o_orderkey"), col("o_custkey").as("a_cust"),
+        col("price_c").as("a_price"))
+      .join(b.select(col("o_orderkey"), col("o_custkey").as("b_cust"),
+        col("price_c").as("b_price")), Seq("o_orderkey"), "full_outer")
+      .withColumn("op",
+        when(col("a_cust").isNull, lit("insert"))
+          .when(col("b_cust").isNull, lit("delete"))
+          .when(col("a_price") =!= col("b_price"), lit("update")))
+      .filter(col("op").isNotNull)
+      .select(col("o_orderkey"), col("op"),
+        col("b_cust").as("new_cust"), col("b_price").as("new_price"))
+    // MERGE INTO a USING cs ON key: the one full-outer key join
+    a.join(cs, Seq("o_orderkey"), "full_outer")
+      .filter(col("op").isNull || col("op") =!= "delete")
+      .select(col("o_orderkey"),
+        when(col("op").isin("insert", "update"), col("new_cust"))
+          .otherwise(col("o_custkey")).as("o_custkey"),
+        when(col("op").isin("insert", "update"), col("new_price"))
+          .otherwise(col("price_c")).as("price_c"))
   }
 
   /** Set operation: EXCEPT (distinct) — substrate capability. */

@@ -289,6 +289,90 @@ object Similarity {
           .otherwise(lit(null).cast("long")).as("mean_cos_x4"))
   }
 
+  /** HARD-NEGATIVE MINING for contrastive/embedding training — the
+    * batch that feeds a retriever's training loop: for each anchor
+    * vector (the deterministic `vec_id % 20 = 0` slice), the top-k
+    * same-LSH-bucket neighbors whose cosine falls in the HARD band
+    * [lo, hi) — similar enough to confuse the model, not so similar
+    * they're positives/near-dups (the standard mining recipe: ANCE /
+    * in-batch-negatives literature). Cosines compare as the rounded
+    * x4 integers shared bit-for-bit with the oracle (same convention
+    * as [[semanticSweep]]).
+    *
+    * Scale shape: candidate generation stays (bucket)-equi-keyed —
+    * anchors never cross buckets, so the join is |anchors|·bucket-size
+    * not |anchors|·N — and the per-anchor top-k rides the bounded
+    * O(k)-state `topk_by` aggregate (map-side partials), never a
+    * per-anchor window over all candidates. */
+  def hardNegatives(spark: SparkSession, sfDir: String, k: Int = 3,
+      loX4: Long = 3000L, hiX4: Long = 7000L): DataFrame = {
+    graft.plans.CosineSimilarity.register(spark)
+    graft.plans.BoundedAggregates.register(spark)
+    val emb = Tables.embeddings(spark, sfDir)
+      .join(lshSignatures(spark, sfDir).select(col("vec_id"), col("lsh_bucket")),
+        "vec_id")
+    val anchors = emb.filter(col("vec_id") % 20 === 0)
+      .select(col("lsh_bucket"), col("vec_id").as("anchor_id"),
+        col("embedding").as("ea"))
+    val cands = emb.select(col("lsh_bucket").as("b2"),
+      col("vec_id").as("neg_id"), col("embedding").as("en"))
+    anchors.join(cands,
+        col("lsh_bucket") === col("b2") && col("anchor_id") =!= col("neg_id"))
+      .withColumn("cos_x4",
+        floor(cosine(col("ea"), col("en")) * 10000 + 0.5).cast("long"))
+      .filter(col("cos_x4") >= loX4 && col("cos_x4") < hiX4)
+      .groupBy(col("anchor_id"))
+      .agg(call_function("topk_by",
+        col("cos_x4").cast("double"), col("neg_id"), lit(k)).as("top"))
+      .select(col("anchor_id"), posexplode(col("top")))
+      .select(col("anchor_id"), (col("pos") + 1).cast("long").as("rank"),
+        col("col.id").as("neg_id"), col("col.value").cast("long").as("cos_x4"))
+  }
+
+  /** KNN LABEL-PURITY AUDIT — the "confident learning"-style mislabel
+    * detector a labeled training set runs before fitting: for each
+    * vector, its k nearest same-LSH-bucket neighbors by cosine vote
+    * with their labels; a vector whose neighborhood majority disagrees
+    * with its own label (`2·n_agree < n_neighbors`) is a mislabel
+    * suspect. Complements [[centroidOutliers]] (global per-label
+    * geometry) with LOCAL neighborhood evidence — a point can sit near
+    * its centroid yet inside a cluster of another label.
+    *
+    * Scale shape: candidate generation is (bucket)-equi-keyed; the
+    * per-vector top-k rides the bounded O(k)-state `topk_by` aggregate
+    * (map-side partials, tie-break value DESC then smaller id); the
+    * neighbor-label lookup is one id-keyed equi-join against the
+    * vectors table — never a second pass over candidates. Vectors
+    * alone in their bucket have no evidence and drop out (inner). */
+  def labelPurity(spark: SparkSession, sfDir: String, k: Int = 5): DataFrame = {
+    graft.plans.CosineSimilarity.register(spark)
+    graft.plans.BoundedAggregates.register(spark)
+    val emb = Tables.embeddings(spark, sfDir)
+      .join(lshSignatures(spark, sfDir).select(col("vec_id"), col("lsh_bucket")),
+        "vec_id")
+    val a = emb.select(col("lsh_bucket"), col("vec_id"), col("label"),
+      col("embedding").as("ev"))
+    val b = emb.select(col("lsh_bucket").as("b2"), col("vec_id").as("nid"),
+      col("embedding").as("en"))
+    val top = a.join(b, col("lsh_bucket") === col("b2") && col("vec_id") =!= col("nid"))
+      .withColumn("cos_x4",
+        floor(cosine(col("ev"), col("en")) * 10000 + 0.5).cast("long"))
+      .groupBy(col("vec_id"), col("label"))
+      .agg(call_function("topk_by",
+        col("cos_x4").cast("double"), col("nid"), lit(k)).as("top"))
+      .select(col("vec_id"), col("label"), explode(col("top")).as("e"))
+      .select(col("vec_id"), col("label"), col("e.id").as("nid"))
+    val nlbl = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id").as("nid2"), col("label").as("nlabel"))
+    top.join(nlbl, col("nid") === col("nid2"))
+      .groupBy(col("vec_id"), col("label"))
+      .agg(count(lit(1)).as("n_neighbors"),
+        sum(when(col("nlabel") === col("label"), 1L).otherwise(0L)).as("n_agree"))
+      .select(col("vec_id"), col("label"), col("n_neighbors"), col("n_agree"),
+        expr("(n_agree * 1000) DIV n_neighbors").as("purity_milli"),
+        (lit(2L) * col("n_agree") < col("n_neighbors")).as("suspect"))
+  }
+
   /** Per-label centroid distance outliers: element-wise mean embedding
     * per label, then each vector's squared euclidean distance to its
     * label centroid, top-k outliers per label — the standard "mislabeled

@@ -217,6 +217,48 @@ object Substrate {
     *
     * Scale: one scan, map-side partial aggregation, 7×64 longs of
     * sketch state per partition — constant in rows. */
+  /** BLOOM-FILTER SIZING ADVISOR — the tuning-curve companion to
+    * [[graft.plans.BloomFns]] and the runtime-filter family: for each
+    * join-key column, its KMV NDV estimate (the same O(64)-state
+    * sketch as [[profileColumns]], one scan per table) and, for two
+    * candidate bit budgets, the resulting bits/key, the optimal hash
+    * count k = round(m/n · ln 2), and the idealized false-positive
+    * rate at that k — which is EXACTLY 2^−k, so the whole advisor
+    * stays in integer arithmetic (ln 2 enters as the compile-time
+    * micro constant 693147; no runtime libm call whose last ulp could
+    * differ across engines). `m_opt_1pct_bits` inverts the sizing for
+    * a 1% target (9.585060 bits/key, same constant convention).
+    *
+    * Scale: one scan per keyed table with map-side-combined sketch
+    * partials; everything after the 4-row NDV table is constant work. */
+  def bloomAdvisor(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.plans.BoundedAggregates.register(spark)
+    val k = Sketches.KmvK
+    def ndv(df: DataFrame, table: String, column: String): DataFrame =
+      df.select(graft.functions.PortableHash.md5Hash48(
+          col(column).cast("string")).as("h"))
+        .agg(call_function("kmv_sketch", col("h"), lit(k)).as("kmv"))
+        .select(lit(s"$table.$column").as("key_col"),
+          when(size(col("kmv")) < k, size(col("kmv")).cast("long"))
+            .otherwise(floor(lit((k - 1) * math.pow(2, 48)) /
+              element_at(col("kmv"), size(col("kmv"))).cast("double") + 0.5)
+              .cast("long")).as("ndv_est"))
+    val cols = ndv(Tables.events(spark, sfDir), "events", "user_id")
+      .unionAll(ndv(Tables.orders(spark, sfDir), "orders", "o_custkey"))
+      .unionAll(ndv(Tables.lineitem(spark, sfDir), "lineitem", "l_partkey"))
+      .unionAll(ndv(Tables.lineitem(spark, sfDir), "lineitem", "l_suppkey"))
+    cols.select(col("key_col"), col("ndv_est"),
+        explode(array(lit(1L << 20), lit(1L << 23))).as("m_bits"))
+      .select(col("key_col"), col("ndv_est"), col("m_bits"),
+        expr("(m_bits * 1000) DIV ndv_est").as("bits_per_key_milli"),
+        expr("greatest(1L, (m_bits * 693147 + ndv_est * 500000) DIV (ndv_est * 1000000))")
+          .as("k_opt"))
+      .withColumn("fpp_micro",
+        expr("shiftright(1000000L, CAST(least(k_opt, 62L) AS INT))"))
+      .withColumn("m_opt_1pct_bits",
+        expr("(ndv_est * 9585060 + 999999) DIV 1000000"))
+  }
+
   def profileColumns(spark: SparkSession, sfDir: String): DataFrame = {
     graft.plans.BoundedAggregates.register(spark)
     val k = Sketches.KmvK

@@ -55,6 +55,48 @@ object LifecycleJoin {
       .withColumn("matched", col("start_ts").isNotNull)
   }
 
+  /** BATCH TWIN of [[runLifecycle]], declared as the oracle query
+    * `stream_lifecycle_join` — the same join builder (same equi-key +
+    * time-range bound, same left-outer null semantics; the watermarks
+    * are no-ops on batch inputs, eliminated by Catalyst's
+    * EliminateEventTimeWatermark), driven by the deterministic
+    * events-table proxy: `view` events are run-starts, `click` events
+    * are finishes, `user_id` is the correlation key, and the run
+    * budget is 4 hours. This moves the lifecycle join from spec-only
+    * (LifecycleJoinSpec pins the streaming state story) onto the
+    * driver's hard DuckDB-hash signal: any drift in the join's range
+    * or null semantics now reds a CORRECTNESS row, not just a spec.
+    *
+    * Timestamps are emitted as exact epoch-micros longs
+    * (`unix_micros` ↔ DuckDB `epoch_us`), run_millis as the millis
+    * difference both engines floor identically — no float anywhere.
+    *
+    * Scale shape: the join shuffles both sides on the equi key with
+    * the range bound as a cheap residual — at 100 TB this is the
+    * standard skew-aware keyed join (AQE-splittable); nothing buffers
+    * beyond the per-key time window, exactly mirroring the streaming
+    * form's watermark-bounded state. */
+  def batchLifecycle(spark: org.apache.spark.sql.SparkSession,
+      sfDir: String): DataFrame = {
+    val ev = graft.Tables.events(spark, sfDir)
+    val starts = ev.filter(col("event_type") === "view")
+      .select(col("user_id").as("job_id"),
+        concat(lit("run-"), col("event_id").cast("string")).as("filename"),
+        concat(lit("instr-"), (col("user_id") % 4).cast("string"))
+          .as("instrument_name"),
+        col("ts").as("start_ts"))
+    val finishes = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("job_id"),
+        col("event_id").as("finish_event_id"),
+        col("ts").as("finish_ts"))
+    runLifecycle(starts, finishes, maxRun = "4 hours")
+      .select(col("job_id"), col("finish_event_id"),
+        unix_micros(col("finish_ts")).as("finish_us"),
+        col("run_filename"), col("instrument_name"),
+        unix_micros(col("start_ts")).as("start_us"),
+        col("run_millis"), col("matched"))
+  }
+
   /** The production wiring over the [[StressHarness.fileBus]] (the
     * sandbox's Kafka stand-in): ONE bus frame stream, split by the F1
     * byte-slice type filter into the pl72 and wrdn legs — both decode

@@ -518,4 +518,80 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(wins.isEmpty,
       "tertile cutoffs must come from the bounded topk_by sample, not ntile")
   }
+
+  test("source ablation: one corpus scan, totals ride a 1-row broadcast") {
+    val p = plan("corpus_source_ablation")
+    // per-source partials are localCheckpointed, so the documents scan
+    // appears exactly once even though `per` feeds totals AND output
+    assert(p.linesIterator.count(l =>
+        l.contains("FileScan parquet") && l.contains("documents")) <= 1,
+      s"ablation must derive both sides from ONE corpus scan:\n$p")
+    val badBnlj = p.linesIterator.filter(_.contains("BroadcastNestedLoopJoin"))
+      .filterNot(l => l.contains("BuildRight") && l.contains("Cross"))
+    assert(badBnlj.isEmpty && !p.contains("CartesianProduct"),
+      s"totals must be a 1-row broadcast:\n$p")
+  }
+
+  test("incremental dedup: every candidate join equi-keyed, no corpus self-pairs") {
+    val p = plan("dedup_incremental")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"new-vs-corpus candidates must stay (band,bucket)/(hash) equi-keyed:\n$p")
+  }
+
+  test("mad outliers: both median windows partitioned by event_type") {
+    assert(unpartitionedWindows("events_mad_outliers").isEmpty,
+      "medians are windows over the calendar-bounded daily table, " +
+        "PARTITIONED by event_type — never a global sort")
+    val p = plan("events_mad_outliers")
+    // med and mad join back as tiny broadcasts
+    assert(p.contains("BroadcastHashJoin"), s"median joins must broadcast:\n$p")
+  }
+
+  test("trending decay: rank window partitioned, anchor is a 1-row broadcast") {
+    assert(unpartitionedWindows("events_trending_decay").isEmpty,
+      "the rank window runs over the (items × days)-bounded census, " +
+        "PARTITIONED by event_type")
+    val p = plan("events_trending_decay")
+    val badBnlj = p.linesIterator.filter(_.contains("BroadcastNestedLoopJoin"))
+      .filterNot(l => l.contains("BuildRight") && l.contains("Cross"))
+    assert(badBnlj.isEmpty && !p.contains("CartesianProduct"),
+      s"max-day anchor must be a 1-row broadcast:\n$p")
+  }
+
+  test("label purity: bounded topk_by, id-keyed label lookup, no window") {
+    val p = plan("embed_label_purity")
+    assert(p.contains("ObjectHashAggregate"),
+      s"per-vector top-k must ride the O(k)-state aggregate:\n$p")
+    assert(!p.contains("Window") && !p.contains("CartesianProduct"),
+      s"the window formulation is the oracle, not the plan:\n$p")
+  }
+
+  test("apply changeset: key-slice filter reaches both parquet scans") {
+    val p = plan("sub_apply_changeset")
+    // the ≡0 mod 4 output slice is a join-key predicate, applied to
+    // base AND changeset BEFORE the full-outer joins — at 100 TB this
+    // is the difference between merging 1/4 and merging everything
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"MERGE must stay key-equi:\n$p")
+    assert(p.linesIterator.count(l => l.contains("Filter") &&
+        l.contains("% 4") && l.contains("o_orderkey")) >= 2,
+      s"key-slice must prune both inputs before the join:\n$p")
+  }
+
+  test("bloom advisor: KMV partials map-side, one scan per keyed table") {
+    val p = plan("sub_bloom_advisor")
+    assert(p.contains("ObjectHashAggregate") && p.contains("partial_kmv_sketch"),
+      s"NDV sketches must combine map-side:\n$p")
+    assert(!p.contains("Window"), s"advisor math is pure projection:\n$p")
+  }
+
+  test("hard negatives: bucket-equi candidates, bounded topk_by, no window") {
+    val p = plan("embed_hard_negatives")
+    assert(!p.contains("CartesianProduct"),
+      s"anchors must never cross buckets:\n$p")
+    assert(p.contains("ObjectHashAggregate"),
+      s"per-anchor top-k must ride the O(k)-state aggregate:\n$p")
+    assert(!p.contains("Window"),
+      s"the window formulation is the oracle, not the plan:\n$p")
+  }
 }
