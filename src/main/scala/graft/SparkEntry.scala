@@ -183,6 +183,14 @@ object SparkEntry {
     "embed_label_purity" -> ((s: SparkSession, d: String) => Similarity.labelPurity(s, d)),
     "sub_apply_changeset" -> (Relational.applyChangeset _),
     "sub_bloom_advisor" -> (Substrate.bloomAdvisor _),
+    "embed_kcenter_coreset" -> ((s: SparkSession, d: String) =>
+      Similarity.kcenterCoreset(s, d)),
+    "graph_triangles" -> (GraphOps.triangleCounts _),
+    "text_zipf_fit" -> ((s: SparkSession, d: String) => TextAnalysis.zipfFit(s, d)),
+    "text_hapax_ratio" -> (TextAnalysis.hapaxRatio _),
+    "events_dow_profile" -> (Relational.eventsDowProfile _),
+    "ann_lsh_multiprobe" -> ((s: SparkSession, d: String) =>
+      Similarity.annLshMultiprobe(s, d)),
     "dedup_keep_best" -> ((s: SparkSession, d: String) => Dedup.keepBestRepresentative(s, d)),
     "events_drift_psi" -> ((s: SparkSession, d: String) => Relational.eventsDriftPsi(s, d)),
     "sketch_hist_quantiles" -> ((s: SparkSession, d: String) => Sketches.histogramQuantiles(s, d)),
@@ -365,7 +373,9 @@ object SparkEntry {
     "stream_lifecycle_join", "corpus_source_ablation", "dedup_incremental",
     "events_mad_outliers", "embed_hard_negatives",
     "events_trending_decay", "embed_label_purity",
-    "sub_apply_changeset", "sub_bloom_advisor")
+    "sub_apply_changeset", "sub_bloom_advisor", "embed_kcenter_coreset",
+    "graph_triangles", "text_zipf_fit", "text_hapax_ratio",
+    "events_dow_profile", "ann_lsh_multiprobe")
 
   // --- generated DuckDB replicas of the portable-hash queries ----------
 
@@ -658,6 +668,31 @@ object SparkEntry {
        |  SELECT query_id, neighbor_id, cos_sim,
        |    row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank
        |  FROM scored) WHERE rank <= 5""".stripMargin
+  }
+
+  /** Greedy k-center replica: the k−1 selection rounds unroll into
+    * MATERIALIZED CTE pairs (state update via 1-row cross join, then
+    * the ORDER BY min_d DESC, vec_id LIMIT 1 argmax — the same
+    * max-distance/smaller-id tie-break as Spark's max(struct)). */
+  private def kcenterOracle(k: Int = 8): String = {
+    def cos(a: String, b: String) =
+      s"list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b)))"
+    val rounds = (1 until k).map { r =>
+      s"""s$r AS MATERIALIZED (SELECT s.vec_id, s.emb,
+         |  least(s.min_d, 10000 - CAST(floor((${cos("s.emb", "c.ce")}) * 10000 + 0.5) AS BIGINT)) AS min_d
+         |  FROM s${r - 1} s CROSS JOIN c${r - 1} c),
+         |c$r AS (SELECT vec_id AS cid, emb AS ce, min_d FROM s$r
+         |  ORDER BY min_d DESC, vec_id LIMIT 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+       |c0 AS (SELECT vec_id AS cid, emb AS ce FROM e ORDER BY vec_id LIMIT 1),
+       |s0 AS MATERIALIZED (SELECT vec_id, emb, CAST(20000 AS BIGINT) AS min_d FROM e),
+       |$rounds
+       |SELECT CAST(0 AS BIGINT) AS round, cid AS center_id,
+       |  CAST(20000 AS BIGINT) AS radius_x4 FROM c0
+       |${(1 until k).map(r =>
+            s"UNION ALL SELECT CAST($r AS BIGINT), cid, min_d FROM c$r")
+           .mkString("\n")}""".stripMargin
   }
 
   /** Two-stage near-dup replica: same-bucket pairs, exact cosine over
@@ -2460,6 +2495,98 @@ object SparkEntry {
          |  1000000 >> CAST(least(k_opt, 62) AS INT) AS fpp_micro,
          |  (ndv_est * 9585060 + 999999) // 1000000 AS m_opt_1pct_bits
          |FROM y""".stripMargin
+    },
+    "embed_kcenter_coreset" -> kcenterOracle(),
+    // Triangle census replica: canonical id-ordered 3-way pair join
+    // (the Spark side's degree-ordered orientation finds the SAME
+    // triangle set); same winnow pair builder as the pagerank oracle,
+    // with the 4096 hot-fingerprint cap mirrored.
+    "graph_triangles" ->
+      s"""${winnowCte()},
+         |fp0 AS (SELECT DISTINCT doc_id, wmin // 32768 AS fp_hash
+         |  FROM m WHERE cnt = 4),
+         |hot AS (SELECT fp_hash FROM fp0 GROUP BY 1 HAVING count(*) > 4096),
+         |fp AS (SELECT * FROM fp0 WHERE fp_hash NOT IN (SELECT fp_hash FROM hot)),
+         |p AS (SELECT a.doc_id AS id1, b.doc_id AS id2
+         |  FROM fp a JOIN fp b ON a.fp_hash = b.fp_hash AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2 HAVING count(*) >= 3),
+         |t AS (SELECT x.id1 AS a, x.id2 AS b, y.id2 AS c
+         |  FROM p x JOIN p y ON x.id2 = y.id1
+         |  JOIN p z ON z.id1 = x.id1 AND z.id2 = y.id2),
+         |members AS (SELECT a AS doc_id FROM t
+         |  UNION ALL SELECT b FROM t UNION ALL SELECT c FROM t)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_triangles
+         |FROM members GROUP BY 1""".stripMargin,
+    // Zipf fit replica: same bounded top-N, same integer plog2 micro
+    // logs, same shared right-shift, sums in HUGEINT, sign-safe //.
+    "text_zipf_fit" -> {
+      import graft.operators.TextAnalysis.plog2MicroDuck
+      s"""WITH v AS (SELECT w, CAST(count(*) AS BIGINT) AS freq FROM
+         |    (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+         |  WHERE w IS NOT NULL AND w <> '' GROUP BY w),
+         |top AS (SELECT w, freq FROM v ORDER BY freq DESC, w LIMIT 1000),
+         |r AS (SELECT freq,
+         |    CAST(row_number() OVER (ORDER BY freq DESC, w) AS BIGINT) AS rk
+         |  FROM top),
+         |fm AS (SELECT max(freq) AS fmax FROM top),
+         |sh AS (SELECT rk,
+         |    greatest(freq >> greatest(length(format('{:b}', fmax)) - 30, 0), 1) AS fs
+         |  FROM r CROSS JOIN fm),
+         |xy AS (SELECT ${plog2MicroDuck("rk")} AS x, ${plog2MicroDuck("fs")} AS y
+         |  FROM sh),
+         |s AS (SELECT CAST(count(*) AS HUGEINT) AS n_terms,
+         |    CAST(sum(x) AS HUGEINT) AS sx, CAST(sum(y) AS HUGEINT) AS sy,
+         |    CAST(sum(x * x) AS HUGEINT) AS sxx,
+         |    CAST(sum(x * y) AS HUGEINT) AS sxy FROM xy)
+         |SELECT CAST(n_terms AS BIGINT) AS n_terms,
+         |  CAST(CASE WHEN n_terms * sxy - sx * sy >= 0
+         |    THEN ((n_terms * sxy - sx * sy) * 1000) // (n_terms * sxx - sx * sx)
+         |    ELSE -(((sx * sy - n_terms * sxy) * 1000) // (n_terms * sxx - sx * sx))
+         |    END AS BIGINT) AS slope_milli
+         |FROM s""".stripMargin
+    },
+    // Hapax profile: integer vocabulary-richness rollup per source.
+    "text_hapax_ratio" ->
+      """WITH tf AS (SELECT source, w, count(*) AS f FROM
+        |    (SELECT source, unnest(string_split(text, ' ')) AS w FROM documents)
+        |  WHERE w IS NOT NULL AND w <> '' GROUP BY 1, 2)
+        |SELECT source, CAST(sum(f) AS BIGINT) AS n_tokens,
+        |  CAST(count(*) AS BIGINT) AS vocab,
+        |  CAST(sum(CASE WHEN f = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax,
+        |  (CAST(sum(CASE WHEN f = 1 THEN 1 ELSE 0 END) AS BIGINT) * 1000)
+        |    // count(*) AS hapax_milli,
+        |  (CAST(count(*) AS BIGINT) * 1000) // CAST(sum(f) AS BIGINT) AS ttr_milli
+        |FROM tf GROUP BY source""".stripMargin,
+    // Day-of-week profile: portable epoch_day % 7, exact milli shares.
+    "events_dow_profile" ->
+      """WITH c AS (SELECT event_type,
+        |    (epoch_us(ts) // 86400000000) % 7 AS dow, count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |t AS (SELECT event_type, CAST(sum(n) AS BIGINT) AS total FROM c GROUP BY 1)
+        |SELECT c.event_type, dow, CAST(n AS BIGINT) AS n,
+        |  (CAST(n AS BIGINT) * 1000) // total AS share_milli,
+        |  (CAST(n AS BIGINT) * 7000) // total - 1000 AS dev_milli
+        |FROM c JOIN t USING (event_type)""".stripMargin,
+    // Multiprobe LSH: home bucket + one-bit flips, same sig CTEs.
+    "ann_lsh_multiprobe" -> {
+      val flips = (-1 until graft.operators.Similarity.Planes).mkString(", ")
+      s"""$lshSigCtes,
+         |q AS (SELECT vec_id AS query_id, emb AS q_emb, lsh_bucket AS home
+         |  FROM sig WHERE vec_id < 10),
+         |pr AS (SELECT query_id, q_emb,
+         |    CASE WHEN f < 0 THEN home ELSE xor(home, 1 << f) END AS probe_bucket
+         |  FROM q CROSS JOIN (SELECT unnest([$flips]) AS f) t),
+         |scored AS (SELECT query_id, s.vec_id AS neighbor_id,
+         |    floor((list_dot_product(q_emb, s.emb) /
+         |      (sqrt(list_dot_product(q_emb, q_emb)) * sqrt(list_dot_product(s.emb, s.emb))))
+         |      * 10000 + 0.5) / 10000 AS cos_sim
+         |  FROM sig s JOIN pr ON s.lsh_bucket = pr.probe_bucket
+         |    AND s.vec_id <> pr.query_id)
+         |SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, cos_sim FROM (
+         |  SELECT query_id, neighbor_id, cos_sim,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY cos_sim DESC, neighbor_id) AS rank
+         |  FROM scored) WHERE rank <= 5""".stripMargin
     },
     "text_lm_perplexity" -> {
       val plog = graft.operators.TextAnalysis.plog2MicroDuck("x")

@@ -153,4 +153,49 @@ object GraphOps {
       .select(col("id1"), col("id2"))
     connectedComponentsStar(nodes, edges, "vec_id")
   }
+
+  /** TRIANGLE PARTICIPATION COUNTS over the winnow near-dup graph —
+    * the local-clustering census that separates PAIRWISE near-dups
+    * (chains: A~B~C where A̸~C — boilerplate drift, partial overlap)
+    * from genuinely CLUSTERED duplication (triangles — the same
+    * template/document in 3+ variants). High triangle count with
+    * modest degree = a tight duplicate clique; high degree with few
+    * triangles = a hub-like boilerplate carrier that [[pagerankNearDup]]
+    * also surfaces.
+    *
+    * The algorithm is the degree-ordered compact-forward count: every
+    * edge is ORIENTED from its lower (degree, id) endpoint to the
+    * higher, which bounds each node's forward-degree by O(√m) — the
+    * wedge join then fans out by forward-degree², never by raw hub
+    * degree², the difference between tractable and not once a
+    * boilerplate hub reaches 10⁵ neighbors at 100 TB. Wedges close
+    * into triangles via one (b, c)-keyed equi semi-join back against
+    * the oriented edges; each triangle materializes exactly once.
+    * The DuckDB oracle counts the same triangles from the canonical
+    * id-ordered pair list (p(a,b) ⋈ p(b,c) ⋈ p(a,c)) — value-equal,
+    * deliberately not the same plan. */
+  def triangleCounts(spark: SparkSession, sfDir: String): DataFrame = {
+    val pairs = Dedup.winnowSharedPairsAll(spark, sfDir)
+      .select(col("id1"), col("id2")).localCheckpoint(eager = false)
+    val und = pairs.union(pairs.select(col("id2").as("id1"), col("id1").as("id2")))
+    val deg = und.groupBy(col("id1")).agg(count(lit(1)).as("deg"))
+    val e = und
+      .join(deg.select(col("id1"), col("deg").as("d1")), "id1")
+      .join(deg.select(col("id1").as("id2"), col("deg").as("d2")), "id2")
+      .filter(col("d1") < col("d2") ||
+        (col("d1") === col("d2") && col("id1") < col("id2")))
+      .select(col("id1").as("src"), col("id2").as("dst"), col("d2").as("ddeg"))
+      .localCheckpoint(eager = false) // shared by the wedge AND closing sides
+    val wedges = e.select(col("src"), col("dst").as("b"), col("ddeg").as("db"))
+      .join(e.select(col("src"), col("dst").as("c"), col("ddeg").as("dc")), "src")
+      .filter(col("db") < col("dc") ||
+        (col("db") === col("dc") && col("b") < col("c")))
+    val tri = wedges
+      .join(e.select(col("src").as("b"), col("dst").as("c")), Seq("b", "c"))
+      .select(col("src").as("m1"), col("b").as("m2"), col("c").as("m3"))
+    tri.select(col("m1").as("doc_id"))
+      .union(tri.select(col("m2").as("doc_id")))
+      .union(tri.select(col("m3").as("doc_id")))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_triangles"))
+  }
 }

@@ -1349,6 +1349,30 @@ object Relational {
       .filter(col("n_orders") > 0)
   }
 
+  /** DAY-OF-WEEK SEASONALITY PROFILE — the monitor-family companion
+    * that separates "traffic is weird" from "it's Saturday": per
+    * (event_type, day-of-week) counts with each cell's share of the
+    * type's total and its deviation from the uniform 1/7 expectation,
+    * in exact milli units (`dev_milli = n·7·1000 DIV total − 1000`).
+    * Day-of-week is the portable `epoch_day % 7` — never an engine
+    * `dayofweek()` whose week-start convention differs. A CUSUM/EWMA
+    * alert that coincides with a |dev| the profile already explains
+    * is seasonality, not drift.
+    *
+    * Scale: one map-side-combined count to a ≤ 7·|types| census, one
+    * broadcast of per-type totals. */
+  def eventsDowProfile(spark: SparkSession, sfDir: String): DataFrame = {
+    val cells = Tables.events(spark, sfDir)
+      .groupBy(col("event_type"),
+        expr("(unix_micros(ts) DIV 86400000000) % 7").as("dow"))
+      .agg(count(lit(1)).as("n"))
+    val totals = cells.groupBy(col("event_type")).agg(sum(col("n")).as("total"))
+    cells.join(broadcast(totals), "event_type")
+      .select(col("event_type"), col("dow"), col("n"),
+        expr("(n * 1000) DIV total").as("share_milli"),
+        expr("(n * 7000) DIV total - 1000").as("dev_milli"))
+  }
+
   /** CHANGESET APPLY (MERGE INTO) — the lakehouse write-path twin of
     * [[snapshotDiff]]: apply an (op, key, new-values) changeset to the
     * base snapshot with upsert semantics — `delete` drops the row,

@@ -373,6 +373,54 @@ object Similarity {
         (lit(2L) * col("n_agree") < col("n_neighbors")).as("suspect"))
   }
 
+  /** GREEDY K-CENTER CORESET — diversity selection for training-data
+    * curation (the Gonzalez 2-approximation every "select a maximally
+    * diverse subset" pipeline runs): seed with the smallest vec_id,
+    * then k−1 rounds of "pick the point farthest from the chosen
+    * set". Distance is the integer cosine distance
+    * `d_x4 = 10000 − round(cos·10⁴)` ∈ [0, 20000], so every
+    * comparison and the emitted radii are exact longs. Output row r =
+    * (round, chosen center, coverage radius BEFORE adding it) — the
+    * radius column is the classic k-vs-coverage elbow curve.
+    *
+    * Scale shape: the per-point state is ONE long (min distance to
+    * the chosen set), updated per round by a 1-row broadcast of the
+    * new center — a narrow map over the corpus, no shuffle. The
+    * per-round argmax is a 1-row max(struct) aggregate (map-side
+    * partials), NEVER a sort; nothing is collected — the k rounds
+    * chain as one lazy plan with the state localCheckpointed every
+    * other round (the BPE-loop pattern, k is small by design).
+    * Already-chosen points have min_d = 0, so re-selection is
+    * impossible while any point remains uncovered. */
+  def kcenterCoreset(spark: SparkSession, sfDir: String, k: Int = 8): DataFrame = {
+    graft.plans.CosineSimilarity.register(spark)
+    val emb = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+    val seed = emb.agg(min(struct(col("vec_id"), col("e"))).as("s"))
+      .select(col("s.vec_id").as("cid"), col("s.e").as("ce"))
+      .localCheckpoint(eager = false)
+    var centers = seed.select(lit(0L).as("round"), col("cid").as("center_id"),
+      lit(20000L).as("radius_x4"))
+    var cur = seed
+    var state = emb.withColumn("min_d", lit(20000L))
+    for (r <- 1 until k) {
+      state = state.crossJoin(broadcast(cur))
+        .select(col("vec_id"), col("e"),
+          least(col("min_d"), lit(10000L) -
+            floor(cosine(col("e"), col("ce")) * 10000 + 0.5).cast("long"))
+            .as("min_d"))
+      if (r % 2 == 0) state = state.localCheckpoint(eager = false)
+      val sel = state
+        .agg(max(struct(col("min_d").as("d"), (-col("vec_id")).as("nid"),
+          col("e").as("emb"))).as("s"))
+        .localCheckpoint(eager = false) // feeds cur AND the output row
+      cur = sel.select((-col("s.nid")).as("cid"), col("s.emb").as("ce"))
+      centers = centers.unionAll(sel.select(lit(r.toLong).as("round"),
+        (-col("s.nid")).as("center_id"), col("s.d").as("radius_x4")))
+    }
+    centers
+  }
+
   /** Per-label centroid distance outliers: element-wise mean embedding
     * per label, then each vector's squared euclidean distance to its
     * label centroid, top-k outliers per label — the standard "mislabeled
@@ -634,6 +682,46 @@ object Similarity {
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos_sim").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos_sim"))
+  }
+
+  /** MULTIPROBE LSH ANN (Lv et al. 2007, "Multi-Probe LSH"): probe
+    * the query's home bucket PLUS the [[Planes]] buckets at Hamming
+    * distance 1 (each one sign-bit flip) — the standard recall
+    * recovery for hyperplane LSH, whose worst failure mode is a query
+    * sitting just across one hyperplane from its true neighbors.
+    * Recall rises toward brute-force while the probed fraction stays
+    * (Planes+1)/2^Planes of the corpus — the knob a 100 TB ANN serves
+    * instead of adding whole extra hash tables (memory-free, same
+    * bucket index).
+    *
+    * Scale shape: the probe set explodes on the BROADCAST query side
+    * (queries × (Planes+1) rows — tiny); candidate generation stays a
+    * bucket equi-join against the one corpus-side bucket index. Each
+    * vector lives in exactly one bucket and the probe buckets are
+    * distinct, so no (query, neighbor) pair duplicates — no dedup
+    * pass needed. */
+  def annLshMultiprobe(spark: SparkSession, sfDir: String, k: Int = 5): DataFrame = {
+    graft.plans.CosineSimilarity.register(spark)
+    val sigs = lshSignatures(spark, sfDir)
+    val emb = Tables.embeddings(spark, sfDir)
+      .join(sigs.select("vec_id", "lsh_bucket"), "vec_id")
+    val probes = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        col("lsh_bucket").as("home"),
+        explode(array((-1 until Planes).map(p => lit(p.toLong)): _*)).as("flip"))
+      .select(col("query_id"), col("q_emb"),
+        when(col("flip") < 0, col("home"))
+          .otherwise(expr("home ^ shiftleft(1L, CAST(flip AS INT))"))
+          .as("probe_bucket"))
+    val scored = emb.join(broadcast(probes),
+        col("lsh_bucket") === col("probe_bucket") && col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        PortableRound.pround(cosine(col("q_emb"), col("embedding")), 4).as("cos_sim"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos_sim"))
   }

@@ -806,4 +806,70 @@ object TextAnalysis {
         max(col("score_milli")).as("bin_max_milli"))
       .withColumn("keep_rate_milli", expr("(n_keep * 1000) DIV n"))
   }
+
+  /** ZIPF-LAW FIT over the top-N vocabulary — the one-number sanity
+    * check of a text corpus's naturalness (natural language sits near
+    * slope −1 in log-rank/log-frequency; template spam, tables, and
+    * synthetic floods bend the curve): least-squares slope of
+    * (plog2 rank, plog2 freq) over the top `topN` terms, in milli
+    * units. Both logs are the integer micro-bit [[plog2MicroSql]], so
+    * the fit is bit-identical across engines — and frequencies are
+    * RIGHT-SHIFTED by a shared power of two when the top frequency
+    * exceeds 30 bits (a constant offset in y, which a least-squares
+    * SLOPE is exactly invariant to), so the query survives corpus
+    * sizes where freq would overflow the plog2 mantissa multiply.
+    * Sums of log-products run in decimal(38,0)/HUGEINT (the
+    * events_spike_days convention) and the final division is the
+    * sign-safe truncating form (slope is negative).
+    *
+    * Scale shape: one corpus-sized vocab count (map-side combined),
+    * then TakeOrdered cuts to the BOUNDED top-N — the rank window and
+    * the fit sums never see more than `topN` rows. */
+  def zipfFit(spark: SparkSession, sfDir: String, topN: Int = 1000): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val vocab = Tables.documents(spark, sfDir)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+    val top = vocab.orderBy(col("freq").desc, col("w")).limit(topN)
+      .localCheckpoint(eager = false) // rank window + shift anchor share it
+    // rank over the bounded top-N table only (never the full vocab)
+    val ranked = top.withColumn("rk",
+      row_number().over(Window.orderBy(col("freq").desc, col("w"))).cast("long"))
+    val shifted = ranked
+      .crossJoin(broadcast(top.agg(max(col("freq")).as("fmax"))))
+      .withColumn("fs",
+        expr("greatest(shiftright(freq, greatest(length(bin(fmax)) - 30, 0)), 1L)"))
+      .withColumn("x", expr(plog2MicroSql("rk")))
+      .withColumn("y", expr(plog2MicroSql("fs")))
+    shifted.agg(count(lit(1)).as("n_terms"),
+        sum(col("x").cast("decimal(38,0)")).as("sx"),
+        sum(col("y").cast("decimal(38,0)")).as("sy"),
+        sum((col("x") * col("x")).cast("decimal(38,0)")).as("sxx"),
+        sum((col("x") * col("y")).cast("decimal(38,0)")).as("sxy"))
+      .select(col("n_terms"),
+        expr("""CAST(CASE WHEN n_terms * sxy - sx * sy >= 0
+            THEN ((n_terms * sxy - sx * sy) * 1000) DIV (n_terms * sxx - sx * sx)
+            ELSE -(((sx * sy - n_terms * sxy) * 1000) DIV (n_terms * sxx - sx * sx))
+            END AS BIGINT)""").as("slope_milli"))
+  }
+
+  /** HAPAX-LEGOMENA PROFILE per source — vocabulary-richness audit
+    * (a source whose hapax share collapses is template/boilerplate
+    * heavy; one whose type-token ratio explodes is likely noise or
+    * ID-like garbage): tokens, vocabulary size, hapax count, hapax
+    * share of vocabulary, and type-token ratio, all integer-exact.
+    * One corpus scan into a (source, term) count, then a
+    * source-keyed rollup — both map-side combined. */
+  def hapaxRatio(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("source"), explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy(col("source"), col("w")).agg(count(lit(1)).as("f"))
+      .groupBy(col("source"))
+      .agg(sum(col("f")).as("n_tokens"), count(lit(1)).as("vocab"),
+        sum(when(col("f") === 1, 1L).otherwise(0L)).as("hapax"))
+      .select(col("source"), col("n_tokens"), col("vocab"), col("hapax"),
+        expr("(hapax * 1000) DIV vocab").as("hapax_milli"),
+        expr("(vocab * 1000) DIV n_tokens").as("ttr_milli"))
 }

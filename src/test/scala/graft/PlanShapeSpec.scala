@@ -585,6 +585,45 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("Window"), s"advisor math is pure projection:\n$p")
   }
 
+  test("kcenter coreset: narrow per-round updates, argmax never sorts") {
+    val p = plan("embed_kcenter_coreset")
+    // per-round state updates ride 1-row broadcasts; the selection is
+    // a max(struct) aggregate — no Sort of the corpus, no window
+    val badBnlj = p.linesIterator.filter(_.contains("BroadcastNestedLoopJoin"))
+      .filterNot(l => l.contains("BuildRight") && l.contains("Cross"))
+    assert(badBnlj.isEmpty && !p.contains("CartesianProduct"),
+      s"center broadcasts must be 1-row BuildRight:\n$p")
+    assert(!p.contains("Window"), s"no window anywhere:\n$p")
+  }
+
+  test("triangles: oriented wedge join stays equi-keyed") {
+    val p = plan("graph_triangles")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"wedge + closing joins must be key-equi:\n$p")
+  }
+
+  test("zipf fit: vocabulary cut by TakeOrdered, never a global sort") {
+    // the declared query localCheckpoints the top-N table (shared by
+    // the rank window and the shift anchor), which hides its subtree —
+    // pin the top-N fragment's own plan instead
+    import org.apache.spark.sql.functions.{col, count, explode, lit, split}
+    val top = graft.Tables.documents(spark, sfDir)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("w")).limit(1000)
+    val p = top.queryExecution.executedPlan.toString
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-N must keep N rows per partition:\n$p")
+  }
+
+  test("multiprobe LSH: probes broadcast, candidates bucket-equi") {
+    val p = plan("ann_lsh_multiprobe")
+    assert(p.contains("BroadcastHashJoin"),
+      s"probe set must broadcast against the bucket index:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("hard negatives: bucket-equi candidates, bounded topk_by, no window") {
     val p = plan("embed_hard_negatives")
     assert(!p.contains("CartesianProduct"),

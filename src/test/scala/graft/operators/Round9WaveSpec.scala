@@ -1,0 +1,103 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.TestSpark
+
+/** Value-level invariants for the round-9 operator wave — the oracle
+  * gate proves engine agreement; these pin the SEMANTICS (the things
+  * that would stay wrong even if both engines agreed on them).
+  */
+class Round9WaveSpec extends AnyFunSuite {
+  import TestSpark.{spark, sfDir}
+
+  // --- embed_kcenter_coreset --------------------------------------------
+
+  test("kcenter: seed is min vec_id, radii nonincreasing, centers distinct") {
+    val rows = Similarity.kcenterCoreset(spark, sfDir).collect()
+      .sortBy(_.getAs[Long]("round"))
+    assert(rows.length == 8)
+    val minId = graft.Tables.embeddings(spark, sfDir)
+      .agg(min(col("vec_id"))).head().getLong(0)
+    assert(rows.head.getAs[Long]("center_id") == minId, "seed must be min vec_id")
+    // min_d only shrinks as centers accumulate, so max min_d (the
+    // radius at selection) is nonincreasing across rounds 1..k-1
+    val radii = rows.tail.map(_.getAs[Long]("radius_x4"))
+    assert(radii.zip(radii.tail).forall { case (a, b) => b <= a },
+      s"coverage radius must be nonincreasing: ${radii.toSeq}")
+    val ids = rows.map(_.getAs[Long]("center_id"))
+    assert(ids.distinct.length == ids.length, "a center must never repeat")
+  }
+
+  // --- ann_lsh_multiprobe -----------------------------------------------
+
+  test("multiprobe dominates single-probe: superset candidates, better-or-equal top-1") {
+    def top1(df: org.apache.spark.sql.DataFrame): Map[Long, Double] =
+      df.filter(col("rank") === 1).collect()
+        .map(r => r.getAs[Long]("query_id") -> r.getAs[Double]("cos_sim")).toMap
+    val single = top1(Similarity.annLshTopK(spark, sfDir)
+      .withColumn("rank", col("rank").cast("long")))
+    val multi = top1(Similarity.annLshMultiprobe(spark, sfDir))
+    // every query the home bucket answers, multiprobe answers at least
+    // as well (its candidate set is a superset)
+    for ((q, c) <- single) {
+      assert(multi.contains(q), s"query $q lost by multiprobe")
+      assert(multi(q) >= c - 1e-9, s"query $q: multiprobe top-1 ${multi(q)} < single $c")
+    }
+    assert(multi.size >= single.size, "multiprobe must answer at least as many queries")
+  }
+
+  // --- graph_triangles --------------------------------------------------
+
+  test("triangle counts: total participation divisible by 3") {
+    // every triangle contributes exactly one count to each of its 3
+    // members — the degree-ordered orientation must not double-count
+    val total = GraphOps.triangleCounts(spark, sfDir)
+      .agg(sum(col("n_triangles"))).head().getLong(0)
+    assert(total % 3 == 0, s"sum of participations must be 3×#triangles, got $total")
+    assert(total > 0, "fixture must contain at least one near-dup triangle")
+  }
+
+  // --- text_zipf_fit ----------------------------------------------------
+
+  test("zipf slope is negative and in a plausible band") {
+    val r = TextAnalysis.zipfFit(spark, sfDir).head()
+    val slope = r.getAs[Long]("slope_milli")
+    assert(slope < 0, s"rank-frequency slope must be negative, got $slope")
+    assert(slope > -4000, s"implausibly steep slope: $slope")
+  }
+
+  // --- events_trending_decay --------------------------------------------
+
+  test("trending decay: anchored-day events carry full weight, score <= n_events * 1e6") {
+    val rows = Relational.eventsTrendingDecay(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val score = r.getAs[Long]("score_micro")
+      val n = r.getAs[Long]("n_events")
+      assert(score <= n * 1000000L, s"decayed score cannot exceed undecayed: $r")
+      assert(score >= 0, s"score must be nonnegative: $r")
+    }
+  }
+
+  // --- sub_apply_changeset (CDC round trip) ------------------------------
+
+  test("apply(diff(A,B), A) == B on the full key space, not just the slice") {
+    // the declared query slices keys ≡0 mod 4 for output size; the
+    // invariant itself holds everywhere — spot-check by recomputing B
+    val merged = Relational.applyChangeset(spark, sfDir)
+      .withColumnRenamed("price_c", "m_price")
+    val ord = graft.Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"), col("o_custkey"),
+        (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long").as("price_c"))
+      .filter(col("o_orderkey") % 4 === 0)
+    val b = ord.filter(col("o_orderkey") % 97 =!= 0)
+      .withColumn("price_c", when(col("o_orderkey") % 89 === 0,
+        expr("price_c * 105 DIV 100")).otherwise(col("price_c")))
+    val mismatch = merged.join(b, Seq("o_orderkey"), "full_outer")
+      .filter(col("m_price").isNull || col("price_c").isNull ||
+        col("m_price") =!= col("price_c"))
+      .count()
+    assert(mismatch == 0, s"$mismatch rows diverge from snapshot B")
+  }
+}
