@@ -191,6 +191,9 @@ object SparkEntry {
     "events_dow_profile" -> (Relational.eventsDowProfile _),
     "ann_lsh_multiprobe" -> ((s: SparkSession, d: String) =>
       Similarity.annLshMultiprobe(s, d)),
+    "corpus_budget_mix" -> ((s: SparkSession, d: String) => Corpus.budgetMix(s, d)),
+    "embed_centroid_drift" -> (Similarity.centroidDrift _),
+    "events_transition_matrix" -> (Relational.eventsTransitionMatrix _),
     "dedup_keep_best" -> ((s: SparkSession, d: String) => Dedup.keepBestRepresentative(s, d)),
     "events_drift_psi" -> ((s: SparkSession, d: String) => Relational.eventsDriftPsi(s, d)),
     "sketch_hist_quantiles" -> ((s: SparkSession, d: String) => Sketches.histogramQuantiles(s, d)),
@@ -375,7 +378,8 @@ object SparkEntry {
     "events_trending_decay", "embed_label_purity",
     "sub_apply_changeset", "sub_bloom_advisor", "embed_kcenter_coreset",
     "graph_triangles", "text_zipf_fit", "text_hapax_ratio",
-    "events_dow_profile", "ann_lsh_multiprobe")
+    "events_dow_profile", "ann_lsh_multiprobe",
+    "corpus_budget_mix", "embed_centroid_drift", "events_transition_matrix")
 
   // --- generated DuckDB replicas of the portable-hash queries ----------
 
@@ -2588,6 +2592,69 @@ object SparkEntry {
          |      ORDER BY cos_sim DESC, neighbor_id) AS rank
          |  FROM scored) WHERE rank <= 5""".stripMargin
     },
+    // Budget-mix allocation: same q_micro CTE; the cumulative walk's
+    // window sum is CAST to BIGINT (DuckDB window sum -> HUGEINT).
+    "corpus_budget_mix" ->
+      """WITH f AS (SELECT source,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
+        |    (length(text)::DOUBLE - (len(string_split(text, ' ')) - 1))
+        |      / len(string_split(text, ' ')) AS avg_word_len,
+        |    len(list_distinct(string_split(text, ' ')))::DOUBLE
+        |      / len(string_split(text, ' ')) AS distinct_ratio,
+        |    ((length(t) - length(replace(t, ' the ', ''))) / 5
+        |      + (length(t) - length(replace(t, ' a ', ''))) / 3
+        |      + (length(t) - length(replace(t, ' of ', ''))) / 4
+        |      + (length(t) - length(replace(t, ' and ', ''))) / 5)
+        |      / len(string_split(text, ' ')) AS stop_ratio
+        |  FROM (SELECT source, text, ' ' || text || ' ' AS t FROM documents)),
+        |m AS (SELECT source, ws_tokens,
+        |    CAST(floor((CASE WHEN avg_word_len BETWEEN 3.0 AND 10.0 THEN 0.4 ELSE 0.0 END
+        |      + least(stop_ratio * 2.0, 0.3) + least(distinct_ratio, 0.3)) * 10000 + 0.5) AS BIGINT) AS q_micro
+        |  FROM f),
+        |per AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(ws_tokens) AS BIGINT) AS n_toks,
+        |    CAST(sum(q_micro) AS BIGINT) AS q_sum FROM m GROUP BY 1),
+        |per2 AS (SELECT source, n_toks, q_sum // n_docs AS mean_q_micro FROM per),
+        |b AS (SELECT (CAST(sum(n_toks) AS BIGINT) * 400) // 1000 AS budget_toks
+        |  FROM per2),
+        |wk AS (SELECT source, mean_q_micro, n_toks,
+        |    CAST(row_number() OVER (ORDER BY mean_q_micro DESC, source) AS BIGINT) AS rank,
+        |    CAST(coalesce(sum(n_toks) OVER (ORDER BY mean_q_micro DESC, source
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
+        |  FROM per2)
+        |SELECT source, rank, mean_q_micro, n_toks, budget_toks,
+        |  greatest(least(n_toks, budget_toks - cum_before), 0) AS alloc_toks,
+        |  (greatest(least(n_toks, budget_toks - cum_before), 0) * 1000) // n_toks
+        |    AS alloc_milli
+        |FROM wk CROSS JOIN b""".stripMargin,
+    // Centroid drift: exact DECIMAL(38,30) per-dimension means on both
+    // halves (the ann_centroid_outliers convention), cosine as x4 int.
+    "embed_centroid_drift" ->
+      """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS emb FROM embeddings),
+        |ex AS (SELECT label, vec_id % 2 = 0 AS old_half, unnest(emb) AS x,
+        |    generate_subscripts(emb, 1) AS pos FROM e),
+        |m AS (SELECT label, old_half, pos,
+        |    sum(CAST(x AS DECIMAL(38,30)))::DOUBLE / count(*) AS m,
+        |    count(*) AS n FROM ex GROUP BY 1, 2, 3),
+        |c AS (SELECT label, old_half, list(m ORDER BY pos) AS c,
+        |    CAST(max(n) AS BIGINT) AS n_vecs FROM m GROUP BY 1, 2)
+        |SELECT a.label, a.n_vecs AS n_old, b.n_vecs AS n_new,
+        |  CAST(floor(list_dot_product(a.c, b.c) /
+        |    (sqrt(list_dot_product(a.c, a.c)) * sqrt(list_dot_product(b.c, b.c)))
+        |    * 10000 + 0.5) AS BIGINT) AS centroid_cos_x4
+        |FROM c a JOIN c b ON a.label = b.label AND a.old_half AND NOT b.old_half""".stripMargin,
+    // Transition matrix: per-user lag bigrams, row-normalized milli.
+    "events_transition_matrix" ->
+      """WITH s AS (SELECT user_id, event_type,
+        |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      AS from_type
+        |  FROM events),
+        |b AS (SELECT from_type, event_type AS to_type, count(*) AS n
+        |  FROM s WHERE from_type IS NOT NULL GROUP BY 1, 2),
+        |t AS (SELECT from_type, CAST(sum(n) AS BIGINT) AS row_total FROM b GROUP BY 1)
+        |SELECT b.from_type, to_type, CAST(n AS BIGINT) AS n, row_total,
+        |  (CAST(n AS BIGINT) * 1000) // row_total AS prob_milli
+        |FROM b JOIN t USING (from_type)""".stripMargin,
     "text_lm_perplexity" -> {
       val plog = graft.operators.TextAnalysis.plog2MicroDuck("x")
       s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents

@@ -474,6 +474,47 @@ object Corpus {
         expr("(n_toks * 1000) DIV tot_toks").as("token_share_milli"))
   }
 
+  /** TOKEN-BUDGET MIX ALLOCATION — the greedy quality-first budget
+    * cut: rank sources by exact-integer mean quality (desc, source
+    * asc), allocate the token budget (`budgetMilli` of the corpus)
+    * cumulatively — full sources until the boundary, a partial
+    * allocation at the boundary source, zero beyond. The output table
+    * IS the mix spec a 100 TB materialization pass executes (per
+    * source: rank, mean quality, tokens available vs allocated, the
+    * allocated share of the source in milli).
+    *
+    * Scale: one corpus scan to the per-source census (map-side
+    * combined); ranking and the cumulative walk run over the
+    * |sources|-bounded census (documented unpartitioned window —
+    * source cardinality, never data-sized), budget as a 1-row
+    * broadcast. */
+  def budgetMix(spark: SparkSession, sfDir: String,
+      budgetMilli: Long = 400): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val per = Tables.documents(spark, sfDir)
+      .select(col("source"), TextAnalysis.qualityMicroCol.as("q_micro"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_toks"),
+        sum(col("q_micro")).as("q_sum"))
+      .withColumn("mean_q_micro", expr("q_sum DIV n_docs"))
+      .localCheckpoint(eager = false) // census feeds totals AND the walk
+    val budget = per.agg(
+      expr(s"(sum(n_toks) * $budgetMilli) DIV 1000").as("budget_toks"))
+    // bounded census walk: rank + running total of the sources above
+    val w = Window.orderBy(col("mean_q_micro").desc, col("source"))
+    per.crossJoin(broadcast(budget))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .withColumn("cum_before",
+        coalesce(sum(col("n_toks")).over(
+          w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("source"), col("rank"), col("mean_q_micro"),
+        col("n_toks"), col("budget_toks"),
+        greatest(least(col("n_toks"), col("budget_toks") - col("cum_before")),
+          lit(0L)).as("alloc_toks"))
+      .withColumn("alloc_milli", expr("(alloc_toks * 1000) DIV n_toks"))
+  }
+
   /** The unrolled DuckDB oracle for [[bpeLearnedMerges]] /
     * [[bpeEncode]] / [[bpeVocab]] (`mode` ∈ merges|encode|vocab):
     * k rounds of (pair-count → argmax → rewrite) CTEs

@@ -1373,6 +1373,34 @@ object Relational {
         expr("(n * 7000) DIV total - 1000").as("dev_milli"))
   }
 
+  /** EVENT-TYPE TRANSITION MATRIX — the first-order Markov census of
+    * user behavior (the sequence-mining staple behind funnel design
+    * and bot detection: a user whose `view → purchase` probability
+    * dwarfs the population's is a scripted client): per-user
+    * event-type bigrams in (ts, event_id) order, aggregated to the
+    * (from, to) matrix with exact milli transition probabilities
+    * (row-normalized).
+    *
+    * Scale: ONE user-keyed shuffle for the lag window (per-user
+    * sequences — the `sub_sessionize` shape), then a map-side-combined
+    * count to the ≤|types|² matrix; row totals join back as a
+    * |types|-row broadcast. */
+  def eventsTransitionMatrix(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val bigrams = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("from_type", lag(col("event_type"), 1).over(w))
+      .filter(col("from_type").isNotNull)
+      .select(col("from_type"), col("event_type").as("to_type"))
+      .groupBy(col("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val totals = bigrams.groupBy(col("from_type")).agg(sum(col("n")).as("row_total"))
+    bigrams.join(broadcast(totals), "from_type")
+      .select(col("from_type"), col("to_type"), col("n"), col("row_total"),
+        expr("(n * 1000) DIV row_total").as("prob_milli"))
+  }
+
   /** CHANGESET APPLY (MERGE INTO) — the lakehouse write-path twin of
     * [[snapshotDiff]]: apply an (op, key, new-values) changeset to the
     * base snapshot with upsert semantics — `delete` drops the row,

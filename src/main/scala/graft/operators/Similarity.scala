@@ -726,6 +726,45 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos_sim"))
   }
 
+  /** EMBEDDING CENTROID DRIFT — the embedding-space monitor for a
+    * model/encoder upgrade or a corpus refresh: split the vectors
+    * into the deterministic old/new halves (`vec_id % 2`), compute
+    * each label's exact per-dimension mean on both halves
+    * (decimal(38,30) sums — partition-order-independent), and report
+    * the cosine between the paired centroids as the x4 integer. A
+    * label whose centroid moved (cos ≪ 10000) flags re-embedding or
+    * distribution shift BEFORE the downstream ANN index or dedup
+    * thresholds silently degrade — the embedding twin of
+    * `events_drift_psi`.
+    *
+    * Scale: one scan exploded to (label, half, dim) partial sums —
+    * map-side combined to 2·|labels|·dims rows; the centroid pairing
+    * is a |labels|-row join; no window, no collect. */
+  def centroidDrift(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.plans.CosineSimilarity.register(spark)
+    val emb = Tables.embeddings(spark, sfDir)
+      .select(col("label"), (col("vec_id") % 2 === 0).as("old_half"),
+        col("embedding").cast("array<double>").as("e"))
+    val means = emb
+      .select(col("label"), col("old_half"), posexplode(col("e")).as(Seq("pos", "x")))
+      .groupBy(col("label"), col("old_half"), col("pos"))
+      .agg((sum(col("x").cast("decimal(38,30)")).cast("double") /
+        count(lit(1))).as("m"), count(lit(1)).as("n"))
+    val cent = means.groupBy(col("label"), col("old_half"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"),
+        max(col("n")).as("n_vecs"))
+      .select(col("label"), col("old_half"),
+        transform(col("pm"), s => s.getField("m")).as("c"), col("n_vecs"))
+    val a = cent.filter(col("old_half"))
+      .select(col("label"), col("c").as("c_old"), col("n_vecs").as("n_old"))
+    val b = cent.filter(!col("old_half"))
+      .select(col("label").as("l2"), col("c").as("c_new"), col("n_vecs").as("n_new"))
+    a.join(b, col("label") === col("l2"))
+      .select(col("label"), col("n_old"), col("n_new"),
+        floor(cosine(col("c_old"), col("c_new")) * 10000 + 0.5).cast("long")
+          .as("centroid_cos_x4"))
+  }
+
   /** SemDeDup-style semantic dedup (Abbas et al. 2023,
     * arXiv:2303.09540): cluster the embedding space into IVF cells,
     * compare pairs ONLY within a cell, and drop every vector that has

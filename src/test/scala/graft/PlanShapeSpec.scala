@@ -624,6 +624,31 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("budget mix: one corpus scan, census-only windows") {
+    val p = plan("corpus_budget_mix")
+    assert(p.linesIterator.count(l =>
+        l.contains("FileScan parquet") && l.contains("documents")) <= 1,
+      s"census must be localCheckpointed — one corpus scan:\n$p")
+    val badBnlj = p.linesIterator.filter(_.contains("BroadcastNestedLoopJoin"))
+      .filterNot(l => l.contains("BuildRight") && l.contains("Cross"))
+    assert(badBnlj.isEmpty && !p.contains("CartesianProduct"),
+      s"budget must be a 1-row broadcast:\n$p")
+  }
+
+  test("centroid drift: aggregate-only, no window, no cross product") {
+    val p = plan("embed_centroid_drift")
+    assert(!p.contains("Window") && !p.contains("CartesianProduct"),
+      s"drift is partial sums + a labels-row join:\n$p")
+  }
+
+  test("transition matrix: lag window user-partitioned, totals broadcast") {
+    assert(unpartitionedWindows("events_transition_matrix").isEmpty,
+      "the lag window must partition by user_id")
+    val p = plan("events_transition_matrix")
+    assert(p.contains("BroadcastHashJoin"),
+      s"row totals must broadcast back:\n$p")
+  }
+
   test("hard negatives: bucket-equi candidates, bounded topk_by, no window") {
     val p = plan("embed_hard_negatives")
     assert(!p.contains("CartesianProduct"),

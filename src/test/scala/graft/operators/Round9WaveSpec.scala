@@ -80,6 +80,62 @@ class Round9WaveSpec extends AnyFunSuite {
     }
   }
 
+  // --- corpus_budget_mix -------------------------------------------------
+
+  test("budget mix: allocation exactly exhausts the budget, never oversubscribes a source") {
+    val rows = Corpus.budgetMix(spark, sfDir).collect()
+    val budget = rows.head.getAs[Long]("budget_toks")
+    assert(rows.map(_.getAs[Long]("alloc_toks")).sum == budget,
+      "greedy fill with a partial boundary source must spend the budget exactly")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("alloc_toks") <= r.getAs[Long]("n_toks"),
+        s"allocated more than available: $r")
+    }
+    // ranks are a permutation of 1..n
+    assert(rows.map(_.getAs[Long]("rank")).sorted.toSeq ==
+      (1L to rows.length).toSeq)
+    // quality ordering: a fully-allocated source never ranks below a
+    // zero-allocated one
+    val byRank = rows.sortBy(_.getAs[Long]("rank"))
+    val firstZero = byRank.indexWhere(_.getAs[Long]("alloc_toks") == 0L)
+    if (firstZero >= 0)
+      assert(byRank.drop(firstZero).forall(_.getAs[Long]("alloc_toks") == 0L),
+        "allocation must be a prefix of the quality ranking")
+  }
+
+  // --- embed_centroid_drift ----------------------------------------------
+
+  test("centroid drift: halves partition each label, cosine bounded") {
+    val rows = Similarity.centroidDrift(spark, sfDir).collect()
+    val perLabel = graft.Tables.embeddings(spark, sfDir)
+      .groupBy(col("label")).agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(rows.length == perLabel.size)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_old") + r.getAs[Long]("n_new") ==
+        perLabel(r.getAs[Int]("label")), s"halves must partition the label: $r")
+      val c = r.getAs[Long]("centroid_cos_x4")
+      assert(c >= -10000 && c <= 10000, s"cosine out of range: $r")
+    }
+  }
+
+  // --- events_transition_matrix -------------------------------------------
+
+  test("transition matrix: bigram mass = events - users, rows normalize to ~1000") {
+    val rows = Relational.eventsTransitionMatrix(spark, sfDir).collect()
+    val ev = graft.Tables.events(spark, sfDir)
+    val expected = ev.count() - ev.select(col("user_id")).distinct().count()
+    assert(rows.map(_.getAs[Long]("n")).sum == expected,
+      "every user contributes exactly (events - 1) bigrams")
+    // per-row probabilities are floor-milli: each row's sum lands in
+    // (1000 - |types|, 1000]
+    rows.groupBy(_.getAs[String]("from_type")).foreach { case (f, rs) =>
+      val s = rs.map(_.getAs[Long]("prob_milli")).sum
+      assert(s <= 1000 && s > 1000 - rs.length,
+        s"row $f milli sum $s out of floor-division band")
+    }
+  }
+
   // --- sub_apply_changeset (CDC round trip) ------------------------------
 
   test("apply(diff(A,B), A) == B on the full key space, not just the slice") {
