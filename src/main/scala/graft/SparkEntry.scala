@@ -194,6 +194,8 @@ object SparkEntry {
     "corpus_budget_mix" -> ((s: SparkSession, d: String) => Corpus.budgetMix(s, d)),
     "embed_centroid_drift" -> (Similarity.centroidDrift _),
     "events_transition_matrix" -> (Relational.eventsTransitionMatrix _),
+    "events_monitor_ensemble" -> (Relational.eventsMonitorEnsemble _),
+    "text_entropy_profile" -> (TextAnalysis.entropyProfile _),
     "dedup_keep_best" -> ((s: SparkSession, d: String) => Dedup.keepBestRepresentative(s, d)),
     "events_drift_psi" -> ((s: SparkSession, d: String) => Relational.eventsDriftPsi(s, d)),
     "sketch_hist_quantiles" -> ((s: SparkSession, d: String) => Sketches.histogramQuantiles(s, d)),
@@ -379,7 +381,8 @@ object SparkEntry {
     "sub_apply_changeset", "sub_bloom_advisor", "embed_kcenter_coreset",
     "graph_triangles", "text_zipf_fit", "text_hapax_ratio",
     "events_dow_profile", "ann_lsh_multiprobe",
-    "corpus_budget_mix", "embed_centroid_drift", "events_transition_matrix")
+    "corpus_budget_mix", "embed_centroid_drift", "events_transition_matrix",
+    "events_monitor_ensemble", "text_entropy_profile")
 
   // --- generated DuckDB replicas of the portable-hash queries ----------
 
@@ -698,6 +701,112 @@ object SparkEntry {
             s"UNION ALL SELECT CAST($r AS BIGINT), cid, min_d FROM c$r")
            .mkString("\n")}""".stripMargin
   }
+
+  /** Global-mean spike replica — squared terms in HUGEINT to mirror
+    * Spark's DECIMAL(38,0) widening. Shared by the declared query and
+    * the monitor-ensemble composition. */
+  private def spikeDaysOracle: String =
+    """WITH d AS (SELECT CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+      |    count(*) AS c FROM events GROUP BY 1),
+      |m AS (SELECT CAST(count(*) AS HUGEINT) AS n, CAST(sum(c) AS HUGEINT) AS s,
+      |    CAST(sum(c * c) AS HUGEINT) AS q FROM d)
+      |SELECT day, c AS n_events, CAST(n * c - s AS BIGINT) AS dev_num,
+      |  (n*c - s)*(n*c - s) > 9 * (n*q - s*s) AS spike_3sigma,
+      |  (n*c - s)*(n*c - s) > (n*q - s*s) AS over_1sigma
+      |FROM d CROSS JOIN m""".stripMargin
+
+  /** Hampel median/MAD replica — discrete lower medians, shared by the
+    * declared query and the ensemble. */
+  private def madOutliersOracle: String =
+    """WITH d AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+      |    count(*) AS n FROM events GROUP BY 1, 2),
+      |med AS (SELECT event_type, n AS med FROM (
+      |  SELECT event_type, n,
+      |    row_number() OVER (PARTITION BY event_type ORDER BY n, day) AS rn,
+      |    count(*) OVER (PARTITION BY event_type) AS cnt
+      |  FROM d) WHERE rn = (cnt + 1) // 2),
+      |dev AS (SELECT d.event_type, day, n, med, abs(n - med) AS adev
+      |  FROM d JOIN med USING (event_type)),
+      |mad AS (SELECT event_type, adev AS mad FROM (
+      |  SELECT event_type, adev,
+      |    row_number() OVER (PARTITION BY event_type ORDER BY adev, day) AS rn,
+      |    count(*) OVER (PARTITION BY event_type) AS cnt
+      |  FROM dev) WHERE rn = (cnt + 1) // 2)
+      |SELECT dev.event_type, day, n, med, mad,
+      |  adev > 3 * mad AS is_outlier
+      |FROM dev JOIN mad USING (event_type)""".stripMargin
+
+  /** EWMA burst replica (3/4-decay integer weights), shared by the
+    * declared query and the ensemble. */
+  private def ewmaBurstOracle: String =
+    """WITH d AS (SELECT event_type,
+      |    CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+      |    CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1, 2),
+      |l AS (SELECT event_type, day, n,
+      |    lag(n, 1) OVER w AS g1, lag(n, 2) OVER w AS g2,
+      |    lag(n, 3) OVER w AS g3, lag(n, 4) OVER w AS g4,
+      |    lag(n, 5) OVER w AS g5, lag(n, 6) OVER w AS g6,
+      |    lag(n, 7) OVER w AS g7
+      |  FROM d WINDOW w AS (PARTITION BY event_type ORDER BY day)),
+      |s AS (SELECT event_type, day, n,
+      |    coalesce(g1, 0) * 4096 + coalesce(g2, 0) * 3072
+      |      + coalesce(g3, 0) * 2304 + coalesce(g4, 0) * 1728
+      |      + coalesce(g5, 0) * 1296 + coalesce(g6, 0) * 972
+      |      + coalesce(g7, 0) * 729 AS s,
+      |    (CASE WHEN g1 IS NOT NULL THEN 4096 ELSE 0 END)
+      |      + (CASE WHEN g2 IS NOT NULL THEN 3072 ELSE 0 END)
+      |      + (CASE WHEN g3 IS NOT NULL THEN 2304 ELSE 0 END)
+      |      + (CASE WHEN g4 IS NOT NULL THEN 1728 ELSE 0 END)
+      |      + (CASE WHEN g5 IS NOT NULL THEN 1296 ELSE 0 END)
+      |      + (CASE WHEN g6 IS NOT NULL THEN 972 ELSE 0 END)
+      |      + (CASE WHEN g7 IS NOT NULL THEN 729 ELSE 0 END) AS w_tot
+      |  FROM l)
+      |SELECT event_type, day, n,
+      |  CASE WHEN w_tot > 0 THEN (s * 1000) // w_tot END AS ewma_milli,
+      |  (w_tot > 0 AND n * w_tot > 2 * s) AS is_burst
+      |FROM s""".stripMargin
+
+  /** CUSUM replica via the prefix-sum identity, shared by the declared
+    * query and the ensemble. */
+  private def cusumShiftOracle: String =
+    """WITH d AS (SELECT event_type,
+      |    CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+      |    CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1, 2),
+      |r AS (SELECT event_type, day, n, row_number() OVER
+      |    (PARTITION BY event_type ORDER BY day) AS rn FROM d),
+      |cal AS (SELECT event_type,
+      |    (CAST(sum(n) AS BIGINT) * 1000) // CAST(count(*) AS BIGINT) AS mean_milli
+      |  FROM r WHERE rn <= 14 GROUP BY 1),
+      |x AS (SELECT d.event_type, day, n, mean_milli,
+      |    n * 1000 - mean_milli - mean_milli // 20 AS dev
+      |  FROM d JOIN cal USING (event_type)),
+      |c1 AS (SELECT event_type, day, n, mean_milli,
+      |    sum(dev) OVER (PARTITION BY event_type ORDER BY day
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p
+      |  FROM x),
+      |c2 AS (SELECT *, min(p) OVER (PARTITION BY event_type ORDER BY day
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pmin
+      |  FROM c1)
+      |SELECT event_type, day, n, mean_milli,
+      |  CAST(p - least(pmin, 0) AS BIGINT) AS cusum_milli,
+      |  (p - least(pmin, 0)) > 3 * mean_milli AS is_shift
+      |FROM c2""".stripMargin
+
+  /** Monitor-ensemble replica: the four detector oracles composed as
+    * subqueries — byte-identical to the standalone rows, so the
+    * ensemble cannot drift from its components. */
+  private def monitorEnsembleOracle: String =
+    s"""SELECT m.event_type, m.day, m.n,
+       |  s.spike_3sigma, m.is_outlier AS mad_outlier,
+       |  c.is_shift AS cusum_shift, e.is_burst AS ewma_burst,
+       |  CAST((CASE WHEN s.spike_3sigma THEN 1 ELSE 0 END)
+       |    + (CASE WHEN m.is_outlier THEN 1 ELSE 0 END)
+       |    + (CASE WHEN c.is_shift THEN 1 ELSE 0 END)
+       |    + (CASE WHEN e.is_burst THEN 1 ELSE 0 END) AS BIGINT) AS votes
+       |FROM ($madOutliersOracle) m
+       |JOIN ($cusumShiftOracle) c ON m.event_type = c.event_type AND m.day = c.day
+       |JOIN ($ewmaBurstOracle) e ON m.event_type = e.event_type AND m.day = e.day
+       |JOIN ($spikeDaysOracle) s ON m.day = s.day""".stripMargin
 
   /** Two-stage near-dup replica: same-bucket pairs, exact cosine over
     * candidates only (threshold on the RAW value, rounded for output). */
@@ -1659,15 +1768,7 @@ object SparkEntry {
     // side's DECIMAL(38,0) widening — both are exact past the Long
     // wrap point of s², so the kσ tests stay exact at any event count
     // whose deviations fit 10^38 (≫ any real corpus).
-    "events_spike_days" ->
-      """WITH d AS (SELECT CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
-        |    count(*) AS c FROM events GROUP BY 1),
-        |m AS (SELECT CAST(count(*) AS HUGEINT) AS n, CAST(sum(c) AS HUGEINT) AS s,
-        |    CAST(sum(c * c) AS HUGEINT) AS q FROM d)
-        |SELECT day, c AS n_events, CAST(n * c - s AS BIGINT) AS dev_num,
-        |  (n*c - s)*(n*c - s) > 9 * (n*q - s*s) AS spike_3sigma,
-        |  (n*c - s)*(n*c - s) > (n*q - s*s) AS over_1sigma
-        |FROM d CROSS JOIN m""".stripMargin,
+    "events_spike_days" -> spikeDaysOracle,
     // Same scoring subquery as the text_quality oracle; the decile test
     // is all-integer (rn <= (n+9)//10), no percent_rank double boundary.
     "corpus_quality_gate" ->
@@ -2374,24 +2475,7 @@ object SparkEntry {
     // Hampel median/MAD outliers: both medians are the DISCRETE lower
     // median — rank (cnt+1)//2 in (value, day) order — so every number
     // is an integer shared bit-for-bit (no interpolated percentile).
-    "events_mad_outliers" ->
-      """WITH d AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day,
-        |    count(*) AS n FROM events GROUP BY 1, 2),
-        |med AS (SELECT event_type, n AS med FROM (
-        |  SELECT event_type, n,
-        |    row_number() OVER (PARTITION BY event_type ORDER BY n, day) AS rn,
-        |    count(*) OVER (PARTITION BY event_type) AS cnt
-        |  FROM d) WHERE rn = (cnt + 1) // 2),
-        |dev AS (SELECT d.event_type, day, n, med, abs(n - med) AS adev
-        |  FROM d JOIN med USING (event_type)),
-        |mad AS (SELECT event_type, adev AS mad FROM (
-        |  SELECT event_type, adev,
-        |    row_number() OVER (PARTITION BY event_type ORDER BY adev, day) AS rn,
-        |    count(*) OVER (PARTITION BY event_type) AS cnt
-        |  FROM dev) WHERE rn = (cnt + 1) // 2)
-        |SELECT dev.event_type, day, n, med, mad,
-        |  adev > 3 * mad AS is_outlier
-        |FROM dev JOIN mad USING (event_type)""".stripMargin,
+    "events_mad_outliers" -> madOutliersOracle,
     // Hard-negative mining: same hyperplane-LSH signature CTEs as the
     // ANN oracles; in-bucket cosine in the [3000, 7000) x4 band, top-3
     // per anchor with the topk_by tie-break (value DESC, smaller id).
@@ -3493,33 +3577,7 @@ object SparkEntry {
     },
     // EWMA burst detector: α = 1/4 geometric weights as exact integers
     // 3^(j-1)·4^(7-j); ROWS-based lags over the observed daily series.
-    "events_ewma_burst" ->
-      """WITH d AS (SELECT event_type,
-        |    CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
-        |    CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1, 2),
-        |l AS (SELECT event_type, day, n,
-        |    lag(n, 1) OVER w AS g1, lag(n, 2) OVER w AS g2,
-        |    lag(n, 3) OVER w AS g3, lag(n, 4) OVER w AS g4,
-        |    lag(n, 5) OVER w AS g5, lag(n, 6) OVER w AS g6,
-        |    lag(n, 7) OVER w AS g7
-        |  FROM d WINDOW w AS (PARTITION BY event_type ORDER BY day)),
-        |s AS (SELECT event_type, day, n,
-        |    coalesce(g1, 0) * 4096 + coalesce(g2, 0) * 3072
-        |      + coalesce(g3, 0) * 2304 + coalesce(g4, 0) * 1728
-        |      + coalesce(g5, 0) * 1296 + coalesce(g6, 0) * 972
-        |      + coalesce(g7, 0) * 729 AS s,
-        |    (CASE WHEN g1 IS NOT NULL THEN 4096 ELSE 0 END)
-        |      + (CASE WHEN g2 IS NOT NULL THEN 3072 ELSE 0 END)
-        |      + (CASE WHEN g3 IS NOT NULL THEN 2304 ELSE 0 END)
-        |      + (CASE WHEN g4 IS NOT NULL THEN 1728 ELSE 0 END)
-        |      + (CASE WHEN g5 IS NOT NULL THEN 1296 ELSE 0 END)
-        |      + (CASE WHEN g6 IS NOT NULL THEN 972 ELSE 0 END)
-        |      + (CASE WHEN g7 IS NOT NULL THEN 729 ELSE 0 END) AS w_tot
-        |  FROM l)
-        |SELECT event_type, day, n,
-        |  CASE WHEN w_tot > 0 THEN (s * 1000) // w_tot END AS ewma_milli,
-        |  (w_tot > 0 AND n * w_tot > 2 * s) AS is_burst
-        |FROM s""".stripMargin,
+    "events_ewma_burst" -> ewmaBurstOracle,
     // kNN-graph label agreement: same IVF cell assignment as the ANN
     // oracles, edges ranked by the 4-decimal-rounded cosine.
     "embed_knn_agreement" ->
@@ -3697,29 +3755,29 @@ object SparkEntry {
     // CUSUM: the reset-at-zero recursion replayed as running-sum minus
     // clamped running-min — two ordinary cumulative windows, all
     // integer, no recursive CTE.
-    "events_cusum_shift" ->
-      """WITH d AS (SELECT event_type,
-        |    CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
-        |    CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1, 2),
-        |r AS (SELECT event_type, day, n, row_number() OVER
-        |    (PARTITION BY event_type ORDER BY day) AS rn FROM d),
-        |cal AS (SELECT event_type,
-        |    (CAST(sum(n) AS BIGINT) * 1000) // CAST(count(*) AS BIGINT) AS mean_milli
-        |  FROM r WHERE rn <= 14 GROUP BY 1),
-        |x AS (SELECT d.event_type, day, n, mean_milli,
-        |    n * 1000 - mean_milli - mean_milli // 20 AS dev
-        |  FROM d JOIN cal USING (event_type)),
-        |c1 AS (SELECT event_type, day, n, mean_milli,
-        |    sum(dev) OVER (PARTITION BY event_type ORDER BY day
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p
-        |  FROM x),
-        |c2 AS (SELECT *, min(p) OVER (PARTITION BY event_type ORDER BY day
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pmin
-        |  FROM c1)
-        |SELECT event_type, day, n, mean_milli,
-        |  CAST(p - least(pmin, 0) AS BIGINT) AS cusum_milli,
-        |  (p - least(pmin, 0)) > 3 * mean_milli AS is_shift
-        |FROM c2""".stripMargin,
+    "events_cusum_shift" -> cusumShiftOracle,
+    "events_monitor_ensemble" -> monitorEnsembleOracle,
+    // Entropy profile: HUGEINT term sums over the same plog2 micro
+    // logs; norm guard mirrors the Spark when(vocab > 1).
+    "text_entropy_profile" -> {
+      import graft.operators.TextAnalysis.plog2MicroDuck
+      s"""WITH tf AS (SELECT source, w, CAST(count(*) AS BIGINT) AS f FROM
+         |    (SELECT source, unnest(string_split(text, ' ')) AS w FROM documents)
+         |  WHERE w IS NOT NULL AND w <> '' GROUP BY 1, 2),
+         |per AS (SELECT source, CAST(sum(f) AS BIGINT) AS tot,
+         |    CAST(count(*) AS BIGINT) AS vocab FROM tf GROUP BY 1),
+         |terms AS (SELECT tf.source, tot, vocab,
+         |    CAST(f AS HUGEINT) * ((${plog2MicroDuck("tot")}) - (${plog2MicroDuck("f")})) AS term
+         |  FROM tf JOIN per USING (source)),
+         |h AS (SELECT source, tot, vocab, CAST(sum(term) AS HUGEINT) AS hsum
+         |  FROM terms GROUP BY 1, 2, 3)
+         |SELECT source, tot AS n_tokens, vocab,
+         |  CAST(hsum // tot AS BIGINT) AS entropy_micro_bits,
+         |  CASE WHEN vocab > 1
+         |    THEN (CAST(hsum // tot AS BIGINT) * 1000) // (${plog2MicroDuck("vocab")})
+         |  END AS norm_entropy_milli
+         |FROM h""".stripMargin
+    },
     // Semantic sweep: the LSH-verified cosine pairs (same sig CTEs as
     // the verified-pairs oracle, raw > 0 prefilter), x4-integer
     // threshold spine with the same left-join shape as the Jaccard

@@ -1373,6 +1373,46 @@ object Relational {
         expr("(n * 7000) DIV total - 1000").as("dev_milli"))
   }
 
+  /** MONITOR ENSEMBLE — the integration query over the four detector
+    * classes (the monitor family's `corpus_release_funnel`): per
+    * (type, day), the global-mean 3σ spike flag, the Hampel MAD
+    * outlier flag, the CUSUM level-shift flag, the EWMA burst flag,
+    * and the vote count — one alert row instead of four dashboards,
+    * where 1 vote = "one detector's model of normal disagrees" and
+    * 3+ votes = page someone. Each flag comes from the COMPONENT
+    * OPERATOR verbatim (and the oracle composes the component
+    * replicas verbatim), so the ensemble cannot drift from the
+    * standalone queries it summarizes.
+    *
+    * Scale: composition-by-join on the calendar-bounded daily
+    * censuses; each component is its own already-audited one-scan
+    * plan — in production all four read the same materialized daily
+    * table, and the joins are |days×types|-sized broadcasts. */
+  def eventsMonitorEnsemble(spark: SparkSession, sfDir: String): DataFrame = {
+    val mad = eventsMadOutliers(spark, sfDir)
+      .select(col("event_type"), col("day"), col("n"),
+        col("is_outlier").as("mad_outlier"))
+    val cusum = eventsCusumShift(spark, sfDir)
+      .select(col("event_type").as("c_type"), col("day").as("c_day"),
+        col("is_shift").as("cusum_shift"))
+    val ewma = eventsEwmaAnomaly(spark, sfDir)
+      .select(col("event_type").as("e_type"), col("day").as("e_day"),
+        col("is_burst").as("ewma_burst"))
+    val spike = eventsSpikeDays(spark, sfDir)
+      .select(col("day").as("s_day"), col("spike_3sigma"))
+    mad
+      .join(cusum, col("event_type") === col("c_type") && col("day") === col("c_day"))
+      .join(ewma, col("event_type") === col("e_type") && col("day") === col("e_day"))
+      .join(broadcast(spike), col("day") === col("s_day"))
+      .select(col("event_type"), col("day"), col("n"),
+        col("spike_3sigma"), col("mad_outlier"), col("cusum_shift"),
+        col("ewma_burst"),
+        (when(col("spike_3sigma"), 1L).otherwise(0L) +
+          when(col("mad_outlier"), 1L).otherwise(0L) +
+          when(col("cusum_shift"), 1L).otherwise(0L) +
+          when(col("ewma_burst"), 1L).otherwise(0L)).as("votes"))
+  }
+
   /** EVENT-TYPE TRANSITION MATRIX — the first-order Markov census of
     * user behavior (the sequence-mining staple behind funnel design
     * and bot detection: a user whose `view → purchase` probability

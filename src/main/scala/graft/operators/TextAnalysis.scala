@@ -854,6 +854,39 @@ object TextAnalysis {
             END AS BIGINT)""").as("slope_milli"))
   }
 
+  /** WORD-ENTROPY PROFILE per source — the Shannon-entropy audit next
+    * to [[hapaxRatio]]'s census: H = Σ (f/tot)·log2(tot/f) over the
+    * source's word distribution, in exact micro-bits via the integer
+    * [[plog2MicroSql]] (each term is f·(plog2 tot − plog2 f), summed
+    * in decimal(38,0)/HUGEINT, divided by tot) — low entropy =
+    * template/boilerplate-dominated source, entropy ≈ log2(vocab) =
+    * uniform noise. `norm_entropy_milli` reports H / log2(vocab).
+    * Headroom: plog2's internal multiply holds to 2^42 inputs, so per
+    * source ≤ 4·10¹² tokens — beyond that, pre-shift f and tot
+    * together (the entropy difference is shift-invariant).
+    *
+    * Scale: one scan to (source, term) counts (map-side combined,
+    * Heaps-bounded), per-source totals broadcast back, one rollup. */
+  def entropyProfile(spark: SparkSession, sfDir: String): DataFrame = {
+    val tf = Tables.documents(spark, sfDir)
+      .select(col("source"), explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy(col("source"), col("w")).agg(count(lit(1)).as("f"))
+    val per = tf.groupBy(col("source"))
+      .agg(sum(col("f")).as("tot"), count(lit(1)).as("vocab"))
+    val dTerm = expr(plog2MicroSql("tot")) - expr(plog2MicroSql("f"))
+    tf.join(broadcast(per), "source")
+      .withColumn("term", col("f").cast("decimal(38,0)") * dTerm)
+      .groupBy(col("source"), col("tot"), col("vocab"))
+      .agg(sum(col("term")).as("hsum"))
+      .select(col("source"), col("tot").as("n_tokens"), col("vocab"),
+        expr("CAST(hsum DIV tot AS BIGINT)").as("entropy_micro_bits"))
+      .withColumn("norm_entropy_milli",
+        when(col("vocab") > 1,
+          expr(s"(entropy_micro_bits * 1000) DIV (${plog2MicroSql("vocab")})"))
+          .otherwise(lit(null).cast("long")))
+  }
+
   /** HAPAX-LEGOMENA PROFILE per source — vocabulary-richness audit
     * (a source whose hapax share collapses is template/boilerplate
     * heavy; one whose type-token ratio explodes is likely noise or

@@ -649,6 +649,22 @@ class PlanShapeSpec extends AnyFunSuite {
       s"row totals must broadcast back:\n$p")
   }
 
+  test("monitor ensemble: census joins only, no cross product") {
+    val p = plan("events_monitor_ensemble")
+    assert(!p.contains("CartesianProduct"),
+      s"the four detector censuses compose by key joins:\n$p")
+    val badBnlj = p.linesIterator.filter(_.contains("BroadcastNestedLoopJoin"))
+      .filterNot(l => l.contains("BuildRight") && l.contains("Cross"))
+    assert(badBnlj.isEmpty, s"only 1-row stat broadcasts allowed:\n$p")
+  }
+
+  test("entropy profile: no window, totals broadcast to the term table") {
+    val p = plan("text_entropy_profile")
+    assert(!p.contains("Window"), s"entropy is aggregates only:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"per-source totals must broadcast back:\n$p")
+  }
+
   test("hard negatives: bucket-equi candidates, bounded topk_by, no window") {
     val p = plan("embed_hard_negatives")
     assert(!p.contains("CartesianProduct"),

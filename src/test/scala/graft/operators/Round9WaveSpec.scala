@@ -136,6 +136,42 @@ class Round9WaveSpec extends AnyFunSuite {
     }
   }
 
+  // --- events_monitor_ensemble --------------------------------------------
+
+  test("monitor ensemble: votes recount from flags, components agree with standalone queries") {
+    val rows = Relational.eventsMonitorEnsemble(spark, sfDir).collect()
+    rows.foreach { r =>
+      val votes = Seq("spike_3sigma", "mad_outlier", "cusum_shift", "ewma_burst")
+        .count(r.getAs[Boolean])
+      assert(r.getAs[Long]("votes") == votes, s"vote miscount: $r")
+    }
+    // composition check: the MAD flag column equals the standalone query
+    val standalone = Relational.eventsMadOutliers(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getAs[Long]("day")) -> r.getAs[Boolean]("is_outlier"))
+      .toMap
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("mad_outlier") ==
+        standalone((r.getString(0), r.getAs[Long]("day"))),
+        s"ensemble drifted from the standalone MAD flag: $r")
+    }
+    assert(rows.length == standalone.size)
+  }
+
+  // --- text_entropy_profile ------------------------------------------------
+
+  test("entropy profile: nonnegative, bounded by log2 vocab (plus chord slack)") {
+    val rows = TextAnalysis.entropyProfile(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val h = r.getAs[Long]("entropy_micro_bits")
+      assert(h >= 0, s"entropy negative: $r")
+      val norm = r.getAs[Long]("norm_entropy_milli")
+      // H <= log2(vocab); the piecewise-linear log allows <=0.086-bit
+      // error on each side, so allow 1200 milli
+      assert(norm >= 0 && norm <= 1200, s"normalized entropy out of band: $r")
+    }
+  }
+
   // --- sub_apply_changeset (CDC round trip) ------------------------------
 
   test("apply(diff(A,B), A) == B on the full key space, not just the slice") {
