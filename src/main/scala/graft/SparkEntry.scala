@@ -141,6 +141,7 @@ object SparkEntry {
     "mm_byte_ahash" -> ((s: SparkSession, d: String) => Multimodal.byteAHash(s, d)),
     "mm_decode_image" -> (ImageCodec.decodeImageStats _),
     "mm_image_ahash" -> (ImageCodec.imageAHash _),
+    "mm_image_phash" -> (ImageCodec.imagePHash _),
     "dedup_image_hamming" -> ((s: SparkSession, d: String) => ImageCodec.imageHammingPairs(s, d)),
     "mm_resize_real" -> (ImageCodec.resizeReal _),
     "mm_decode_audio" -> (AudioCodec.decodeAudioStats _),
@@ -382,7 +383,7 @@ object SparkEntry {
     "graph_triangles", "text_zipf_fit", "text_hapax_ratio",
     "events_dow_profile", "ann_lsh_multiprobe",
     "corpus_budget_mix", "embed_centroid_drift", "events_transition_matrix",
-    "events_monitor_ensemble", "text_entropy_profile")
+    "events_monitor_ensemble", "text_entropy_profile", "mm_image_phash")
 
   // --- generated DuckDB replicas of the portable-hash queries ----------
 
@@ -390,7 +391,10 @@ object SparkEntry {
     * deterministic gradient `(doc_id+x+y)%256`, failed-decode docs
     * excluded) — shared by `mm_image_ahash` and `dedup_image_hamming`.
     * Ends defining `ah(doc_id, ahash_hi, ahash_lo)`. */
-  private def imageAHashCte: String =
+  /** Gradient-pixel 8×8 block sums — the shared prefix of the aHash
+    * and DCT-pHash replicas (ends defining `b(doc_id, w, h, br, bc,
+    * bsum, bn)`). */
+  private def imageBlocksCte: String =
     """WITH d AS (SELECT doc_id, CAST(n_chars % 64 + 16 AS INT) AS w,
       |    CAST(n_chars % 48 + 16 AS INT) AS h FROM documents
       |  WHERE doc_id % 10 <> 0),
@@ -401,7 +405,10 @@ object SparkEntry {
       |  LATERAL (SELECT unnest(range(0, h)) AS y) ys),
       |b AS (SELECT doc_id, w, h, (y * 8) // h AS br, (x * 8) // w AS bc,
       |    CAST(sum(g) AS BIGINT) AS bsum, count(*) AS bn
-      |  FROM px GROUP BY 1, 2, 3, 4, 5),
+      |  FROM px GROUP BY 1, 2, 3, 4, 5)""".stripMargin
+
+  private def imageAHashCte: String =
+    s"""$imageBlocksCte,
       |t AS (SELECT doc_id, CAST(w AS BIGINT) * h AS n_px,
       |    CAST(sum(bsum) AS BIGINT) AS total FROM b GROUP BY 1, 2),
       |bits AS (SELECT b.doc_id, br * 8 + bc AS bit
@@ -414,6 +421,47 @@ object SparkEntry {
       |    THEN 1::BIGINT << CAST(bit AS INT) END), 0) AS BIGINT) AS ahash_lo
       |FROM t LEFT JOIN bits ON t.doc_id = bits.doc_id
       |GROUP BY 1)""".stripMargin
+
+  /** DCT-pHash replica: the same gradient block floor-means, then the
+    * separable integer DCT-II with the EXACT [[graft.operators
+    * .ImageCodec.DctK]] constants injected as literals (generated from
+    * the same array the engine uses — cross-engine parity never
+    * depends on two libm `cos` implementations), lower-median AC
+    * threshold, bit-packed halves. */
+  private def imagePHashOracle: String = {
+    val k = graft.operators.ImageCodec.DctK
+    val tExprs = (for (u <- 0 until 8; c <- 0 until 8) yield {
+      val terms = (0 until 8)
+        .map(r => s"(${k(u)(r)}) * m[${r * 8 + c + 1}]").mkString(" + ")
+      s"($terms) AS t_${u}_$c"
+    }).mkString(",\n  ")
+    val dExprs = (for (u <- 0 until 8; v <- 0 until 8) yield {
+      val terms = (0 until 8)
+        .map(c => s"(${k(v)(c)}) * t_${u}_$c").mkString(" + ")
+      s"($terms) AS d_${u}_$v"
+    }).mkString(",\n  ")
+    val acList = (1 until 64).map(b => s"d_${b / 8}_${b % 8}").mkString(", ")
+    val hiTerms = (32 until 64).map(b =>
+      s"CASE WHEN d_${b / 8}_${b % 8} > med THEN ${1L << (b - 32)} ELSE 0 END")
+      .mkString("\n    + ")
+    val loTerms = (1 until 32).map(b =>
+      s"CASE WHEN d_${b / 8}_${b % 8} > med THEN ${1L << b} ELSE 0 END")
+      .mkString("\n    + ")
+    s"""$imageBlocksCte,
+       |mm AS (SELECT doc_id, list(bsum // bn ORDER BY br * 8 + bc) AS m
+       |  FROM b GROUP BY 1),
+       |tt AS (SELECT doc_id,
+       |  $tExprs
+       |  FROM mm),
+       |dd AS (SELECT doc_id,
+       |  $dExprs
+       |  FROM tt),
+       |md AS (SELECT dd.*, list_sort([$acList])[32] AS med FROM dd)
+       |SELECT doc_id,
+       |  CAST($hiTerms AS BIGINT) AS phash_hi,
+       |  CAST($loTerms AS BIGINT) AS phash_lo
+       |FROM md""".stripMargin
+  }
 
   /** Winnowing CTE prefix shared by the fingerprint query and the
     * shared-pair join: positional 3-grams, packed (hash, pos) keys,
@@ -1202,6 +1250,10 @@ object SparkEntry {
     "mm_image_ahash" ->
       s"""$imageAHashCte
          |SELECT doc_id, ahash_hi, ahash_lo FROM ah""".stripMargin,
+    // Real DCT pHash over decoded pixels: exact-integer block means,
+    // fixed-point DCT with constants injected from ImageCodec.DctK,
+    // lower-median AC threshold.
+    "mm_image_phash" -> imagePHashOracle,
     // The oracle is the BRUTE-FORCE inverted-index Jaccard join over
     // the same batch/corpus split: the engine's PPJoin prefix filter is
     // lossless, so the gate proves the prefix plan equals the

@@ -199,6 +199,101 @@ object ImageCodec {
     (hi, lo)
   }
 
+  /** Fixed-point DCT-II basis for the 8×8 perceptual hash:
+    * `round(cos((2r+1)·u·π/16) · 2^14)`. Computed ONCE here and
+    * injected as literal integers into the DuckDB oracle SQL from
+    * this same array — so cross-engine parity never depends on two
+    * libm implementations agreeing about `cos` in the last ulp. */
+  val DctK: Array[Array[Long]] = Array.tabulate(8, 8) { (u, r) =>
+    math.round(math.cos((2 * r + 1) * u * math.Pi / 16) * 16384.0)
+  }
+
+  /** DCT perceptual hash (simplified pHash): 8×8 block floor-means
+    * (the SAME exact-integer block partition as [[ahashOf]]), an
+    * integer 2-D DCT-II over the mean matrix via [[DctK]], and one
+    * bit per AC coefficient — set when it exceeds the DISCRETE lower
+    * median of the 63 ACs (the DC term is excluded and bit 0 is
+    * always 0). Where aHash keys on per-block brightness, the DCT
+    * hash keys on the image's low-frequency STRUCTURE — robust to the
+    * global brightness/contrast shifts that flip aHash bits wholesale.
+    * All arithmetic is Long (|coef| ≤ 8²·2^28·255 ≈ 2^45), so the
+    * hash is bit-stable across JVMs and replicable in SQL. */
+  def phashOf(d: Decoded): (Long, Long) = {
+    val w = d.width; val h = d.height
+    val blockSum = Array.ofDim[Long](64)
+    val blockN = Array.ofDim[Long](64)
+    var y = 0
+    while (y < h) {
+      val br = y * 8 / h
+      var x = 0
+      while (x < w) {
+        blockSum(br * 8 + x * 8 / w) += d.luma(x, y)
+        blockN(br * 8 + x * 8 / w) += 1
+        x += 1
+      }
+      y += 1
+    }
+    val m = Array.tabulate(64)(b => blockSum(b) / blockN(b))
+    // separable DCT: t(u)(c) = Σ_r K(u)(r)·m(r)(c); dct(u)(v) = Σ_c K(v)(c)·t(u)(c)
+    val t = Array.ofDim[Long](8, 8)
+    var u = 0
+    while (u < 8) {
+      var c = 0
+      while (c < 8) {
+        var s = 0L; var r = 0
+        while (r < 8) { s += DctK(u)(r) * m(r * 8 + c); r += 1 }
+        t(u)(c) = s; c += 1
+      }
+      u += 1
+    }
+    val dct = Array.ofDim[Long](64)
+    u = 0
+    while (u < 8) {
+      var v = 0
+      while (v < 8) {
+        var s = 0L; var c = 0
+        while (c < 8) { s += DctK(v)(c) * t(u)(c); c += 1 }
+        dct(u * 8 + v) = s; v += 1
+      }
+      u += 1
+    }
+    val acs = java.util.Arrays.copyOfRange(dct, 1, 64)
+    val sorted = acs.clone(); java.util.Arrays.sort(sorted)
+    val med = sorted(31) // lower median of 63 values (rank 32)
+    var hi = 0L; var lo = 0L
+    var b = 1
+    while (b < 64) {
+      if (dct(b) > med) {
+        if (b < 32) lo |= 1L << b else hi |= 1L << (b - 32)
+      }
+      b += 1
+    }
+    (hi, lo)
+  }
+
+  /** The DCT perceptual hash over REAL decoded PNGs — the structural
+    * near-dup key next to [[imageAHash]]'s brightness key. Failed
+    * decodes are dropped (no pixels to hash). Narrow mapPartitions,
+    * zero shuffle — the 100 TB shape is a binary scan + projection. */
+  def imagePHash(spark: SparkSession, sfDir: String): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("phash_hi", LongType),
+      StructField("phash_lo", LongType)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
+    realImageBlobs(spark, sfDir).mapPartitions { rows =>
+      rows.flatMap { r =>
+        val docId = r.getLong(0)
+        decode(r.getAs[Array[Byte]](1)) match {
+          case Right(d) =>
+            val (hi, lo) = phashOf(d)
+            Some(Row(docId, hi, lo))
+          case Left(_) => None
+        }
+      }
+    }(enc)
+  }
+
   def imageAHash(spark: SparkSession, sfDir: String): DataFrame = {
     val outSchema = StructType(Seq(
       StructField("doc_id", LongType),

@@ -26,6 +26,26 @@ class ImageCodecSpec extends AnyFunSuite {
         s"pixel ($x,$y) did not survive the PNG round-trip")
   }
 
+  test("pHash: flat image hashes to zero; brightness shift is invariant where aHash is not") {
+    def gray(w: Int, h: Int)(f: (Int, Int) => Int): ImageCodec.Decoded = {
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_GRAY)
+      for (y <- 0 until h; x <- 0 until w)
+        img.getRaster.setSample(x, y, 0, f(x, y) & 0xff)
+      ImageCodec.Decoded(w, h, img)
+    }
+    // constant image: every DCT AC is 0, lower median 0, no bit > median
+    assert(ImageCodec.phashOf(gray(16, 16)((_, _) => 77)) == ((0L, 0L)))
+    // a global +40 brightness shift moves ONLY the DC coefficient —
+    // the AC pattern and therefore the pHash must be identical
+    def tex(x: Int, y: Int): Int = (x * 13 + y * 7) % 128
+    val base = ImageCodec.phashOf(gray(24, 24)(tex))
+    val brighter = ImageCodec.phashOf(gray(24, 24)((x, y) => tex(x, y) + 40))
+    assert(base == brighter, "pHash must survive a global brightness shift")
+    assert(base != ((0L, 0L)), "textured image must produce a nonzero hash")
+    // the DCT basis is orthogonal-ish fixed point: row 0 is all 16384
+    assert(ImageCodec.DctK(0).forall(_ == 16384L))
+  }
+
   test("jpeg, bmp and gif decode through the same entry point") {
     // JPEG is lossy: assert dims exact and mean luminance close.
     val src = new BufferedImage(16, 16, BufferedImage.TYPE_3BYTE_BGR)
