@@ -192,6 +192,7 @@ object SparkEntry {
     "events_dow_profile" -> (Relational.eventsDowProfile _),
     "ann_lsh_multiprobe" -> ((s: SparkSession, d: String) =>
       Similarity.annLshMultiprobe(s, d)),
+    "ann_multiprobe_recall" -> (Similarity.annMultiprobeRecall _),
     "corpus_budget_mix" -> ((s: SparkSession, d: String) => Corpus.budgetMix(s, d)),
     "embed_centroid_drift" -> (Similarity.centroidDrift _),
     "events_transition_matrix" -> (Relational.eventsTransitionMatrix _),
@@ -383,7 +384,8 @@ object SparkEntry {
     "graph_triangles", "text_zipf_fit", "text_hapax_ratio",
     "events_dow_profile", "ann_lsh_multiprobe",
     "corpus_budget_mix", "embed_centroid_drift", "events_transition_matrix",
-    "events_monitor_ensemble", "text_entropy_profile", "mm_image_phash")
+    "events_monitor_ensemble", "text_entropy_profile", "mm_image_phash",
+    "ann_multiprobe_recall")
 
   // --- generated DuckDB replicas of the portable-hash queries ----------
 
@@ -855,6 +857,30 @@ object SparkEntry {
        |JOIN ($cusumShiftOracle) c ON m.event_type = c.event_type AND m.day = c.day
        |JOIN ($ewmaBurstOracle) e ON m.event_type = e.event_type AND m.day = e.day
        |JOIN ($spikeDaysOracle) s ON m.day = s.day""".stripMargin
+
+  /** Multiprobe-LSH replica: home bucket + every one-bit flip on the
+    * query side, in-bucket cosine top-5. Shared by the declared query
+    * and the recall eval. */
+  private def annLshMultiprobeOracle: String = {
+    val flips = (-1 until graft.operators.Similarity.Planes).mkString(", ")
+    s"""$lshSigCtes,
+       |q AS (SELECT vec_id AS query_id, emb AS q_emb, lsh_bucket AS home
+       |  FROM sig WHERE vec_id < 10),
+       |pr AS (SELECT query_id, q_emb,
+       |    CASE WHEN f < 0 THEN home ELSE xor(home, 1 << f) END AS probe_bucket
+       |  FROM q CROSS JOIN (SELECT unnest([$flips]) AS f) t),
+       |scored AS (SELECT query_id, s.vec_id AS neighbor_id,
+       |    floor((list_dot_product(q_emb, s.emb) /
+       |      (sqrt(list_dot_product(q_emb, q_emb)) * sqrt(list_dot_product(s.emb, s.emb))))
+       |      * 10000 + 0.5) / 10000 AS cos_sim
+       |  FROM sig s JOIN pr ON s.lsh_bucket = pr.probe_bucket
+       |    AND s.vec_id <> pr.query_id)
+       |SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, cos_sim FROM (
+       |  SELECT query_id, neighbor_id, cos_sim,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY cos_sim DESC, neighbor_id) AS rank
+       |  FROM scored) WHERE rank <= 5""".stripMargin
+  }
 
   /** Two-stage near-dup replica: same-bucket pairs, exact cosine over
     * candidates only (threshold on the RAW value, rounded for output). */
@@ -2708,26 +2734,24 @@ object SparkEntry {
         |  (CAST(n AS BIGINT) * 7000) // total - 1000 AS dev_milli
         |FROM c JOIN t USING (event_type)""".stripMargin,
     // Multiprobe LSH: home bucket + one-bit flips, same sig CTEs.
-    "ann_lsh_multiprobe" -> {
-      val flips = (-1 until graft.operators.Similarity.Planes).mkString(", ")
-      s"""$lshSigCtes,
-         |q AS (SELECT vec_id AS query_id, emb AS q_emb, lsh_bucket AS home
-         |  FROM sig WHERE vec_id < 10),
-         |pr AS (SELECT query_id, q_emb,
-         |    CASE WHEN f < 0 THEN home ELSE xor(home, 1 << f) END AS probe_bucket
-         |  FROM q CROSS JOIN (SELECT unnest([$flips]) AS f) t),
-         |scored AS (SELECT query_id, s.vec_id AS neighbor_id,
-         |    floor((list_dot_product(q_emb, s.emb) /
-         |      (sqrt(list_dot_product(q_emb, q_emb)) * sqrt(list_dot_product(s.emb, s.emb))))
-         |      * 10000 + 0.5) / 10000 AS cos_sim
-         |  FROM sig s JOIN pr ON s.lsh_bucket = pr.probe_bucket
-         |    AND s.vec_id <> pr.query_id)
-         |SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, cos_sim FROM (
-         |  SELECT query_id, neighbor_id, cos_sim,
-         |    row_number() OVER (PARTITION BY query_id
-         |      ORDER BY cos_sim DESC, neighbor_id) AS rank
-         |  FROM scored) WHERE rank <= 5""".stripMargin
-    },
+    "ann_lsh_multiprobe" -> annLshMultiprobeOracle,
+    // Recall eval: exact top-5 vs the single-probe and multiprobe LSH
+    // answers, one row per (mode, query) — quantifying what the
+    // dominance spec only orders.
+    "ann_multiprobe_recall" ->
+      s"""SELECT mm.mode, bf.query_id, count(*) AS n_true,
+         |  count(c.neighbor_id) AS n_hits,
+         |  floor(CAST(count(c.neighbor_id) AS DOUBLE) / count(*)
+         |    * 10000 + 0.5) / 10000 AS recall
+         |FROM (SELECT unnest(['single', 'multiprobe']) AS mode) mm
+         |CROSS JOIN ($annBruteOracle) bf
+         |LEFT JOIN (
+         |  SELECT 'single' AS mode, query_id, neighbor_id FROM ($annLshOracle)
+         |  UNION ALL
+         |  SELECT 'multiprobe', query_id, neighbor_id FROM ($annLshMultiprobeOracle)
+         |) c ON c.mode = mm.mode AND bf.query_id = c.query_id
+         |  AND bf.neighbor_id = c.neighbor_id
+         |GROUP BY 1, 2""".stripMargin,
     // Budget-mix allocation: same q_micro CTE; the cumulative walk's
     // window sum is CAST to BIGINT (DuckDB window sum -> HUGEINT).
     "corpus_budget_mix" ->

@@ -765,6 +765,36 @@ object Similarity {
           .as("centroid_cos_x4"))
   }
 
+  /** MULTIPROBE RECALL EVAL — the tuning row that quantifies what the
+    * dominance spec only orders: recall@5 against the exact top-5 for
+    * the single-probe and multiprobe LSH answers, one row per
+    * (mode, query). The table answers "is one extra probe set worth
+    * it for OUR data" with a number, the same role
+    * [[annNprobeSweep]] plays for IVF.
+    *
+    * Scale: the exact side is [[annBruteForceTopK]] checkpointed
+    * once; both candidate sides are the already-audited bucket-equi
+    * plans; the compare is a (query, neighbor)-keyed left join over
+    * queries×k rows. */
+  def annMultiprobeRecall(spark: SparkSession, sfDir: String): DataFrame = {
+    val bf = annBruteForceTopK(spark, sfDir)
+      .select(col("query_id"), col("neighbor_id"))
+      .localCheckpoint(eager = false)
+    def recallOf(mode: String, cand: DataFrame): DataFrame =
+      bf.join(cand.select(col("query_id").as("c_query"),
+          col("neighbor_id").as("c_neighbor")),
+          col("query_id") === col("c_query") &&
+            col("neighbor_id") === col("c_neighbor"), "left")
+        .groupBy(col("query_id"))
+        .agg(count(lit(1)).as("n_true"), count(col("c_neighbor")).as("n_hits"))
+        .select(lit(mode).as("mode"), col("query_id"), col("n_true"),
+          col("n_hits"),
+          PortableRound.pround(col("n_hits").cast("double") / col("n_true"), 4)
+            .as("recall"))
+    recallOf("single", annLshTopK(spark, sfDir))
+      .unionAll(recallOf("multiprobe", annLshMultiprobe(spark, sfDir)))
+  }
+
   /** SemDeDup-style semantic dedup (Abbas et al. 2023,
     * arXiv:2303.09540): cluster the embedding space into IVF cells,
     * compare pairs ONLY within a cell, and drop every vector that has
