@@ -142,6 +142,8 @@ object SparkEntry {
     "mm_decode_image" -> (ImageCodec.decodeImageStats _),
     "mm_image_ahash" -> (ImageCodec.imageAHash _),
     "mm_image_phash" -> (ImageCodec.imagePHash _),
+    "dedup_phash_hamming" -> ((s: SparkSession, d: String) =>
+      ImageCodec.phashHammingPairs(s, d)),
     "dedup_image_hamming" -> ((s: SparkSession, d: String) => ImageCodec.imageHammingPairs(s, d)),
     "mm_resize_real" -> (ImageCodec.resizeReal _),
     "mm_decode_audio" -> (AudioCodec.decodeAudioStats _),
@@ -385,7 +387,7 @@ object SparkEntry {
     "events_dow_profile", "ann_lsh_multiprobe",
     "corpus_budget_mix", "embed_centroid_drift", "events_transition_matrix",
     "events_monitor_ensemble", "text_entropy_profile", "mm_image_phash",
-    "ann_multiprobe_recall")
+    "ann_multiprobe_recall", "dedup_phash_hamming")
 
   // --- generated DuckDB replicas of the portable-hash queries ----------
 
@@ -1280,6 +1282,26 @@ object SparkEntry {
     // fixed-point DCT with constants injected from ImageCodec.DctK,
     // lower-median AC threshold.
     "mm_image_phash" -> imagePHashOracle,
+    // pHash hamming pairs: the aHash-hamming replica over the DCT
+    // hash CTE (same banding, same popcount verify).
+    "dedup_phash_hamming" ->
+      s"""WITH ph AS (
+         |$imagePHashOracle),
+         |census AS (SELECT phash_hi AS hi, phash_lo AS lo, count(*) AS n_docs,
+         |    min(doc_id) AS rep_doc FROM ph GROUP BY 1, 2),
+         |bd AS (SELECT hi, lo, n_docs, rep_doc, band,
+         |    CASE band WHEN 0 THEN lo & 65535 WHEN 1 THEN (lo >> 16) & 65535
+         |         WHEN 2 THEN hi & 65535 ELSE (hi >> 16) & 65535 END AS bval
+         |  FROM census CROSS JOIN (SELECT unnest(range(0, 4)) AS band)),
+         |pairs AS (SELECT DISTINCT a.hi AS h1, a.lo AS l1, a.n_docs AS n1,
+         |    a.rep_doc AS rep_doc1, b.hi AS h2, b.lo AS l2, b.n_docs AS n2,
+         |    b.rep_doc AS rep_doc2
+         |  FROM bd a JOIN bd b ON a.band = b.band AND a.bval = b.bval
+         |    AND (a.hi < b.hi OR (a.hi = b.hi AND a.lo < b.lo)))
+         |SELECT rep_doc1, rep_doc2, n1, n2,
+         |  CAST(bit_count(xor(h1, h2)) + bit_count(xor(l1, l2)) AS INT) AS ham
+         |FROM pairs
+         |WHERE bit_count(xor(h1, h2)) + bit_count(xor(l1, l2)) <= 3""".stripMargin,
     // The oracle is the BRUTE-FORCE inverted-index Jaccard join over
     // the same batch/corpus split: the engine's PPJoin prefix filter is
     // lossless, so the gate proves the prefix plan equals the

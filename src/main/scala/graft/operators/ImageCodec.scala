@@ -383,21 +383,40 @@ object ImageCodec {
     *     exact popcount check then verifies each candidate (codegen'd
     *     `bit_count(xor)`, no UDF).
     */
-  def imageHammingPairs(spark: SparkSession, sfDir: String, maxHam: Int = 3): DataFrame = {
-    val ah = imageAHash(spark, sfDir).localCheckpoint() // one decode pass, two consumers
-    val census = ah.groupBy(col("ahash_hi"), col("ahash_lo"))
+  def imageHammingPairs(spark: SparkSession, sfDir: String, maxHam: Int = 3): DataFrame =
+    hammingPairsOf(
+      imageAHash(spark, sfDir).localCheckpoint(), // one decode pass, two consumers
+      "ahash_hi", "ahash_lo", maxHam)
+
+  /** The SAME 4×16-bit band-blocked hamming join over the DCT pHash —
+    * structural near-dup pairs where [[imageHammingPairs]] finds
+    * brightness-pattern pairs. One decode pass, identical plan shape
+    * (census → band explode → band-bucket equi self-join → exact
+    * popcount verify), so every scale argument carries over. */
+  def phashHammingPairs(spark: SparkSession, sfDir: String, maxHam: Int = 3): DataFrame =
+    hammingPairsOf(imagePHash(spark, sfDir).localCheckpoint(),
+      "phash_hi", "phash_lo", maxHam)
+
+  /** Band-blocked hamming self-join shared by the aHash and pHash
+    * pair queries: census to distinct 64-bit hashes first (identity
+    * classes never enter the pair space), 4×16-bit band buckets as
+    * candidates, exact popcount ≤ `maxHam` verify. */
+  private def hammingPairsOf(hashed: DataFrame, hiName: String,
+      loName: String, maxHam: Int): DataFrame = {
+    val census = hashed.groupBy(col(hiName), col(loName))
       .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("rep_doc"))
     val bandVal = (band: Int) => band match {
-      case 0 => col("ahash_lo").bitwiseAND(lit(65535L))
-      case 1 => shiftright(col("ahash_lo"), 16).bitwiseAND(lit(65535L))
-      case 2 => col("ahash_hi").bitwiseAND(lit(65535L))
-      case _ => shiftright(col("ahash_hi"), 16).bitwiseAND(lit(65535L))
+      case 0 => col(loName).bitwiseAND(lit(65535L))
+      case 1 => shiftright(col(loName), 16).bitwiseAND(lit(65535L))
+      case 2 => col(hiName).bitwiseAND(lit(65535L))
+      case _ => shiftright(col(hiName), 16).bitwiseAND(lit(65535L))
     }
-    val banded = census.select(col("ahash_hi"), col("ahash_lo"),
+    val banded = census.select(col(hiName), col(loName),
       col("n_docs"), col("rep_doc"),
       explode(array((0 until 4).map(b =>
         struct(lit(b).as("band"), bandVal(b).as("bval"))): _*)).as("bk"))
-      .select(col("ahash_hi"), col("ahash_lo"), col("n_docs"), col("rep_doc"),
+      .select(col(hiName).as("ahash_hi"), col(loName).as("ahash_lo"),
+        col("n_docs"), col("rep_doc"),
         col("bk.band").as("band"), col("bk.bval").as("bval"))
     val a = banded.select(col("band"), col("bval"),
       col("ahash_hi").as("h1"), col("ahash_lo").as("l1"),
