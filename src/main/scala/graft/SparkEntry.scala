@@ -199,6 +199,11 @@ object SparkEntry {
     "embed_centroid_drift" -> (Similarity.centroidDrift _),
     "events_transition_matrix" -> (Relational.eventsTransitionMatrix _),
     "events_monitor_ensemble" -> (Relational.eventsMonitorEnsemble _),
+    "events_seasonal_hampel" -> (Relational.eventsSeasonalHampel _),
+    "events_attribution_u" -> (Relational.attributionUShape _),
+    "graph_label_prop" -> ((s: SparkSession, d: String) =>
+      GraphOps.labelPropagation(s, d)),
+    "sub_join_order_advisor" -> (Substrate.joinOrderAdvisor _),
     "text_entropy_profile" -> (TextAnalysis.entropyProfile _),
     "dedup_keep_best" -> ((s: SparkSession, d: String) => Dedup.keepBestRepresentative(s, d)),
     "events_drift_psi" -> ((s: SparkSession, d: String) => Relational.eventsDriftPsi(s, d)),
@@ -387,7 +392,11 @@ object SparkEntry {
     "events_dow_profile", "ann_lsh_multiprobe",
     "corpus_budget_mix", "embed_centroid_drift", "events_transition_matrix",
     "events_monitor_ensemble", "text_entropy_profile", "mm_image_phash",
-    "ann_multiprobe_recall", "dedup_phash_hamming")
+    "ann_multiprobe_recall", "dedup_phash_hamming",
+    // round-9 additions (seasonal Hampel monitor, U-shaped attribution,
+    // LPA communities, join-order advisor):
+    "events_seasonal_hampel", "events_attribution_u",
+    "graph_label_prop", "sub_join_order_advisor")
 
   // --- generated DuckDB replicas of the portable-hash queries ----------
 
@@ -545,6 +554,37 @@ object SparkEntry {
        |SELECT r$iters.doc_id, r AS rank_micro,
        |  CAST(coalesce(dg.deg, 0) AS BIGINT) AS degree
        |FROM r$iters LEFT JOIN dg ON r$iters.doc_id = dg.src""".stripMargin
+  }
+
+  /** Label-propagation replica: the same winnow-pair edge list as
+    * [[pagerankOracle]], then [[graft.operators.GraphOps.labelPropagation]]'s
+    * synchronous lowest-label-wins rounds unrolled as materialized
+    * CTEs (each round: vote count → per-node max → min-label pick →
+    * left-join carry for isolated docs). */
+  private def labelPropOracle(rounds: Int = 4): String = {
+    val iterCtes = (1 to rounds).map { k =>
+      s"""v$k AS (SELECT e.dst, l.lbl, count(*) AS cnt
+         |  FROM e JOIN l${k - 1} l ON e.src = l.doc_id GROUP BY 1, 2),
+         |mx$k AS (SELECT dst, max(cnt) AS mx FROM v$k GROUP BY 1),
+         |pk$k AS (SELECT v.dst, min(v.lbl) AS new_lbl FROM v$k v
+         |  JOIN mx$k m ON v.dst = m.dst AND v.cnt = m.mx GROUP BY 1),
+         |l$k AS MATERIALIZED (SELECT l.doc_id,
+         |    coalesce(p.new_lbl, l.lbl) AS lbl
+         |  FROM l${k - 1} l LEFT JOIN pk$k p ON l.doc_id = p.dst)""".stripMargin
+    }.mkString(",\n")
+    s"""${winnowCte()},
+       |fp AS (SELECT DISTINCT doc_id, wmin // 32768 AS fp_hash
+       |  FROM m WHERE cnt = 4),
+       |p AS (SELECT a.doc_id AS id1, b.doc_id AS id2
+       |  FROM fp a JOIN fp b ON a.fp_hash = b.fp_hash AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2 HAVING count(*) >= 3),
+       |e AS (SELECT id1 AS src, id2 AS dst FROM p
+       |  UNION ALL SELECT id2, id1 FROM p),
+       |l0 AS MATERIALIZED (SELECT doc_id, doc_id AS lbl FROM documents),
+       |$iterCtes,
+       |sz AS (SELECT lbl, count(*) AS comm_size FROM l$rounds GROUP BY 1)
+       |SELECT f.doc_id, f.lbl AS community, sz.comm_size
+       |FROM l$rounds f JOIN sz ON f.lbl = sz.lbl""".stripMargin
   }
 
   /** MinHash+LSH replica: same shingles, same md5-derived 48-bit base
@@ -2576,6 +2616,91 @@ object SparkEntry {
     // median — rank (cnt+1)//2 in (value, day) order — so every number
     // is an integer shared bit-for-bit (no interpolated percentile).
     "events_mad_outliers" -> madOutliersOracle,
+    "events_seasonal_hampel" ->
+      """WITH d AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+        |    count(*) AS n FROM events GROUP BY 1, 2),
+        |d2 AS (SELECT event_type, day, n, day % 7 AS dow FROM d),
+        |dm AS (SELECT event_type, dow, n AS dow_med FROM (
+        |  SELECT event_type, dow, n, day,
+        |    row_number() OVER (PARTITION BY event_type, dow
+        |      ORDER BY n, day) AS rn,
+        |    count(*) OVER (PARTITION BY event_type, dow) AS cnt
+        |  FROM d2) WHERE rn = (cnt + 1) // 2),
+        |r AS (SELECT d2.event_type, day, d2.dow, n, dow_med,
+        |    n - dow_med AS resid
+        |  FROM d2 JOIN dm USING (event_type, dow)),
+        |mr AS (SELECT event_type, resid AS med_r FROM (
+        |  SELECT event_type, resid, day,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY resid, day) AS rn,
+        |    count(*) OVER (PARTITION BY event_type) AS cnt
+        |  FROM r) WHERE rn = (cnt + 1) // 2),
+        |dv AS (SELECT r.event_type, day, dow, n, dow_med, resid, med_r,
+        |    abs(resid - med_r) AS adev
+        |  FROM r JOIN mr USING (event_type)),
+        |md AS (SELECT event_type, adev AS mad_r FROM (
+        |  SELECT event_type, adev, day,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY adev, day) AS rn,
+        |    count(*) OVER (PARTITION BY event_type) AS cnt
+        |  FROM dv) WHERE rn = (cnt + 1) // 2)
+        |SELECT dv.event_type, day, dow, n, dow_med, resid, med_r, mad_r,
+        |  adev > 3 * mad_r AS is_anom
+        |FROM dv JOIN md USING (event_type)""".stripMargin,
+    "events_attribution_u" ->
+      """WITH t AS (SELECT event_id, user_id, epoch_us(ts) AS us, event_type
+        |  FROM events WHERE event_type <> 'purchase'),
+        |p AS (SELECT user_id, epoch_us(ts) AS cus FROM events
+        |  WHERE event_type = 'purchase' GROUP BY 1, 2),
+        |a AS (SELECT t.event_id, t.user_id, t.us, t.event_type,
+        |    min(p.cus) AS conv_us
+        |  FROM t JOIN p ON t.user_id = p.user_id AND p.cus >= t.us
+        |  GROUP BY 1, 2, 3, 4),
+        |r AS (SELECT event_type, us, event_id,
+        |    row_number() OVER (PARTITION BY user_id, conv_us
+        |      ORDER BY us, event_id) AS pos,
+        |    count(*) OVER (PARTITION BY user_id, conv_us) AS n
+        |  FROM a),
+        |c AS (SELECT event_type, pos, n,
+        |    CASE WHEN n = 1 THEN 1000
+        |         WHEN n = 2 THEN 500
+        |         WHEN pos = 1 THEN 400 + 200 % (n - 2)
+        |         WHEN pos = n THEN 400
+        |         ELSE 200 // (n - 2) END AS credit_milli
+        |  FROM r)
+        |SELECT event_type, count(*) AS n_touches,
+        |  CAST(sum(CASE WHEN pos = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_first,
+        |  CAST(sum(CASE WHEN pos = n THEN 1 ELSE 0 END) AS BIGINT) AS n_last,
+        |  CAST(sum(credit_milli) AS BIGINT) AS credit_milli
+        |FROM c GROUP BY 1""".stripMargin,
+    "graph_label_prop" -> labelPropOracle(),
+    "sub_join_order_advisor" ->
+      """WITH sc AS (SELECT count(*) AS n_c,
+        |    count(DISTINCT c_custkey) AS ndv_c_cust FROM customer),
+        |so AS (SELECT count(*) AS n_o,
+        |    count(DISTINCT o_custkey) AS ndv_o_cust,
+        |    count(DISTINCT o_orderkey) AS ndv_o_ord FROM orders),
+        |sl AS (SELECT count(*) AS n_l,
+        |    count(DISTINCT l_orderkey) AS ndv_l_ord FROM lineitem),
+        |aco AS (SELECT count(*) AS act_co FROM customer
+        |  JOIN orders ON c_custkey = o_custkey),
+        |aol AS (SELECT count(*) AS act_ol FROM orders
+        |  JOIN lineitem ON o_orderkey = l_orderkey),
+        |base AS (SELECT *,
+        |    (n_c * n_o) // greatest(ndv_c_cust, ndv_o_cust) AS est_co,
+        |    (n_o * n_l) // greatest(ndv_o_ord, ndv_l_ord) AS est_ol
+        |  FROM sc, so, sl, aco, aol),
+        |b2 AS (SELECT *,
+        |    (est_co * n_l) // greatest(ndv_o_ord, ndv_l_ord) AS est_final
+        |  FROM base),
+        |pl AS (SELECT 'customer_orders_first' AS plan, est_co AS est_inter,
+        |    act_co AS act_inter, est_final, est_co, est_ol FROM b2
+        |  UNION ALL SELECT 'orders_lineitem_first', est_ol, act_ol,
+        |    est_final, est_co, est_ol FROM b2)
+        |SELECT plan, est_inter, act_inter, est_final,
+        |  abs(est_inter - act_inter) * 1000 // act_inter AS abs_err_milli,
+        |  est_inter = least(est_co, est_ol) AS chosen
+        |FROM pl""".stripMargin,
     // Hard-negative mining: same hyperplane-LSH signature CTEs as the
     // ANN oracles; in-bucket cosine in the [3000, 7000) x4 band, top-3
     // per anchor with the topk_by tie-break (value DESC, smaller id).

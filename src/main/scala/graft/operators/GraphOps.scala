@@ -198,4 +198,50 @@ object GraphOps {
       .union(tri.select(col("m3").as("doc_id")))
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_triangles"))
   }
+
+  /** LABEL-PROPAGATION COMMUNITIES (Raghavan et al. 2007) over the
+    * winnow near-dup graph — the mesoscale view between
+    * [[connectedComponentsStar]]'s components (too coarse: one bridge
+    * edge merges two template families) and [[triangleCounts]]'s
+    * local census (too fine): each node adopts the MOST COMMON label
+    * among its neighbors, so sparse bridges lose the vote that a
+    * connected-components union would honor. Kept fully deterministic
+    * — the classic LPA's random tie-break and random update order are
+    * replaced by (a) lowest-label-wins ties and (b) SYNCHRONOUS
+    * rounds with a FIXED count, so the result is a pure function of
+    * the edge set and both engines replay it bit-for-bit (the oracle
+    * unrolls the same rounds as materialized CTEs).
+    *
+    * Scale: per round one (src)-keyed join edges⋈labels, one
+    * map-side-combined (dst, lbl) vote count, one (dst)-keyed max +
+    * min — all equi-keyed on node ids, state bounded by edges (the
+    * vote table is ≤ |E| rows). Isolated docs never enter the join
+    * and keep their own id as label via the final left join —
+    * edge-side cost scales with EDGES, not corpus size. Lineage
+    * truncated per round ([[Dedup]] loop discipline). */
+  def labelPropagation(spark: SparkSession, sfDir: String,
+      rounds: Int = 4): DataFrame = {
+    val pairs = Dedup.winnowSharedPairsAll(spark, sfDir)
+    val edges = pairs.select(col("id1").as("src"), col("id2").as("dst"))
+      .union(pairs.select(col("id2").as("src"), col("id1").as("dst")))
+      .localCheckpoint() // derived once, consumed every round
+    val docs = Tables.documents(spark, sfDir).select(col("doc_id"))
+    var labels = docs.select(col("doc_id"), col("doc_id").as("lbl"))
+    for (_ <- 1 to rounds) {
+      val votes = edges
+        .join(labels.withColumnRenamed("doc_id", "src"), "src")
+        .groupBy(col("dst"), col("lbl")).agg(count(lit(1)).as("cnt"))
+      val mx = votes.groupBy(col("dst")).agg(max(col("cnt")).as("mx"))
+      val pick = votes.join(mx, "dst").filter(col("cnt") === col("mx"))
+        .groupBy(col("dst")).agg(min(col("lbl")).as("new_lbl"))
+      labels = labels
+        .join(pick.withColumnRenamed("dst", "doc_id"), Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("new_lbl"), col("lbl")).as("lbl"))
+        .localCheckpoint()
+    }
+    val sizes = labels.groupBy(col("lbl")).agg(count(lit(1)).as("comm_size"))
+    labels.join(sizes, "lbl")
+      .select(col("doc_id"), col("lbl").as("community"), col("comm_size"))
+  }
 }

@@ -1373,6 +1373,103 @@ object Relational {
         expr("(n * 7000) DIV total - 1000").as("dev_milli"))
   }
 
+  /** SEASONAL HAMPEL — the deseasonalized robust monitor that closes
+    * the gap between [[eventsMadOutliers]] (which flags every busy
+    * Saturday on a weekly-patterned stream) and [[eventsDowProfile]]
+    * (which explains the pattern but flags nothing): subtract each
+    * (type, day-of-week)'s own lower-median baseline FIRST, then run
+    * the Hampel |resid − med| > 3·MAD rule on the residuals — the
+    * STL-decompose-then-test shape every production traffic monitor
+    * converges on, kept exactly engine-portable because seasonal
+    * baseline, residual median and MAD are all DISCRETE lower medians
+    * (rank `(cnt+1) DIV 2` in (value, day) order) over integer daily
+    * counts — no interpolation, no float.
+    *
+    * Scale: ONE corpus-sized pass (the map-side-combined (type, day)
+    * count); everything after runs on the calendar-bounded daily
+    * census — the three median extractions are row_number windows
+    * partitioned by type(×dow) over days×types rows, joined back as
+    * ≤ 7·|types|-row broadcasts. Runs unchanged on 100 TB of events. */
+  def eventsSeasonalHampel(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = Tables.events(spark, sfDir)
+      .groupBy(col("event_type"),
+        expr("unix_micros(ts) DIV 86400000000").as("day"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("dow", col("day") % 7)
+      .localCheckpoint(eager = false) // shared by the three median plans
+    def lowerMedianBy(df: DataFrame, parts: Seq[String], value: String,
+        out: String): DataFrame = {
+      val w = Window.partitionBy(parts.map(col): _*)
+        .orderBy(col(value), col("day"))
+      df.withColumn("rn", row_number().over(w))
+        .withColumn("cnt", count(lit(1)).over(
+          Window.partitionBy(parts.map(col): _*)))
+        .filter(col("rn") === expr("(cnt + 1) DIV 2"))
+        .select(parts.map(col) :+ col(value).as(out): _*)
+    }
+    val dowMed = lowerMedianBy(daily, Seq("event_type", "dow"), "n", "dow_med")
+    val resid = daily.join(broadcast(dowMed), Seq("event_type", "dow"))
+      .withColumn("resid", col("n") - col("dow_med"))
+    val medR = lowerMedianBy(resid, Seq("event_type"), "resid", "med_r")
+    val dev = resid.join(broadcast(medR), Seq("event_type"))
+      .withColumn("adev", abs(col("resid") - col("med_r")))
+    val madR = lowerMedianBy(dev, Seq("event_type"), "adev", "mad_r")
+    dev.join(broadcast(madR), Seq("event_type"))
+      .select(col("event_type"), col("day"), col("dow"), col("n"),
+        col("dow_med"), col("resid"), col("med_r"), col("mad_r"),
+        (col("adev") > lit(3L) * col("mad_r")).as("is_anom"))
+  }
+
+  /** U-SHAPED MULTI-TOUCH ATTRIBUTION — the position-based credit
+    * model next to [[graft.operators.Temporal.asofLastClick]]'s
+    * last-touch: every non-purchase event is a touch, assigned to the
+    * user's NEXT purchase (the forward native as-of join), and each
+    * conversion's 1000 milli-credits split 40/20/40 — first touch
+    * 400, last touch 400, the middle 200 divided evenly (integer
+    * floor, remainder to the first touch so every conversion's credits
+    * sum to EXACTLY 1000 — the invariant the spec pins). Touch paths
+    * of 1 or 2 events degenerate to 1000 and 500/500.
+    *
+    * Scale: the touch→conversion assignment is the native sort-merge
+    * as-of exec (user-keyed shuffle, O(1) state per user); position
+    * and path length are two frames of ONE (user, conv)-partitioned
+    * window over the same shuffle; the final rollup is a
+    * map-side-combined |channels|-row aggregate. No self-join, no
+    * driver loop. */
+  def attributionUShape(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val events = Tables.events(spark, sfDir)
+    val touches = events.filter(col("event_type") =!= "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"), col("event_type"))
+    val purchases = events.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"), col("ts"))
+      .agg(min(col("event_id")).as("conv_id"))
+    val matched = graft.plans.AsofJoinNative
+      .asofJoin(touches, purchases, Seq("user_id"), "ts", direction = "forward")
+      .filter(col("matched_ts").isNotNull)
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"), col("event_id"),
+        unix_micros(col("matched_ts")).as("conv_us"))
+    val w = Window.partitionBy(col("user_id"), col("conv_us"))
+      .orderBy(col("us"), col("event_id"))
+    val credited = matched
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .withColumn("n", count(lit(1)).over(
+        Window.partitionBy(col("user_id"), col("conv_us"))))
+      .withColumn("credit_milli",
+        when(col("n") === 1, 1000L)
+          .when(col("n") === 2, 500L)
+          .when(col("pos") === 1, lit(400L) + expr("200L % (n - 2)"))
+          .when(col("pos") === col("n"), 400L)
+          .otherwise(expr("200L DIV (n - 2)")))
+    credited.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_touches"),
+        sum(when(col("pos") === 1, 1L).otherwise(0L)).as("n_first"),
+        sum(when(col("pos") === col("n"), 1L).otherwise(0L)).as("n_last"),
+        sum(col("credit_milli")).as("credit_milli"))
+  }
+
   /** MONITOR ENSEMBLE — the integration query over the four detector
     * classes (the monitor family's `corpus_release_funnel`): per
     * (type, day), the global-mean 3σ spike flag, the Hampel MAD

@@ -712,4 +712,64 @@ object Substrate {
       .unpivot(Array(col("l_returnflag")),
         Array(col("price_cents"), col("discount_cents"), col("qty_cents")),
         "measure", "value_cents")
+
+  /** JOIN-ORDER ADVISOR — the System-R cardinality-estimation step as
+    * a first-class query (the optimizer-adjacent advisor next to
+    * [[skewAdvisor]] and [[bloomAdvisor]]): for the 3-table chain
+    * customer ⋈ orders ⋈ lineitem, estimate each candidate order's
+    * intermediate cardinality from per-table stats only —
+    * |A ⋈ B| ≈ |A|·|B| DIV max(ndv_A(k), ndv_B(k)), the classic
+    * uniform-containment formula — rank the orders by estimated total
+    * intermediate work, and report the ACTUAL intermediate counts
+    * beside the estimates so the row doubles as an estimate-quality
+    * eval (`abs_err_milli` = how far uniform-containment is from
+    * truth on this data). At 100 TB this is what an AQE-less planner
+    * (or a human ordering a 6-table query) consults before paying the
+    * shuffles; the stats side costs one map-side-combined scan per
+    * table and the whole decision is integer arithmetic.
+    *
+    * Scale: three stat scans + the two intermediate-count joins
+    * (each one equi-keyed shuffle; at calibration SF only — a
+    * production advisor would drop the actuals and keep the
+    * stats-only estimate, which never touches the fact table twice);
+    * all stat rows combine via 1-row broadcasts. */
+  def joinOrderAdvisor(spark: SparkSession, sfDir: String): DataFrame = {
+    val c = Tables.customer(spark, sfDir).select(col("c_custkey"))
+    val o = Tables.orders(spark, sfDir)
+      .select(col("o_custkey"), col("o_orderkey"))
+    val l = Tables.lineitem(spark, sfDir).select(col("l_orderkey"))
+    val sc = c.agg(count(lit(1)).as("n_c"),
+      countDistinct(col("c_custkey")).as("ndv_c_cust"))
+    val so = o.agg(count(lit(1)).as("n_o"),
+      countDistinct(col("o_custkey")).as("ndv_o_cust"),
+      countDistinct(col("o_orderkey")).as("ndv_o_ord"))
+    val sl = l.agg(count(lit(1)).as("n_l"),
+      countDistinct(col("l_orderkey")).as("ndv_l_ord"))
+    val aCO = c.join(o, col("c_custkey") === col("o_custkey"))
+      .agg(count(lit(1)).as("act_co"))
+    val aOL = o.join(l, col("o_orderkey") === col("l_orderkey"))
+      .agg(count(lit(1)).as("act_ol"))
+    val one = sc.crossJoin(broadcast(so)).crossJoin(broadcast(sl))
+      .crossJoin(broadcast(aCO)).crossJoin(broadcast(aOL))
+      .select(col("*"),
+        expr("(n_c * n_o) DIV greatest(ndv_c_cust, ndv_o_cust)").as("est_co"),
+        expr("(n_o * n_l) DIV greatest(ndv_o_ord, ndv_l_ord)").as("est_ol"))
+      // the final 3-way cardinality estimate is shared by both orders
+      // (the chain's last join key is o_orderkey either way)
+      .withColumn("est_final",
+        expr("(est_co * n_l) DIV greatest(ndv_o_ord, ndv_l_ord)"))
+    one.select(explode(array(
+        struct(lit("customer_orders_first").as("plan"),
+          col("est_co").as("est_inter"), col("act_co").as("act_inter")),
+        struct(lit("orders_lineitem_first").as("plan"),
+          col("est_ol").as("est_inter"), col("act_ol").as("act_inter"))))
+        .as("p"),
+        col("est_final"), col("est_co"), col("est_ol"))
+      .select(col("p.plan").as("plan"), col("p.est_inter").as("est_inter"),
+        col("p.act_inter").as("act_inter"), col("est_final"),
+        expr("abs(p.est_inter - p.act_inter) * 1000 DIV p.act_inter")
+          .as("abs_err_milli"),
+        (col("p.est_inter") === least(col("est_co"), col("est_ol")))
+          .as("chosen"))
+  }
 }

@@ -192,4 +192,97 @@ class Round9WaveSpec extends AnyFunSuite {
       .count()
     assert(mismatch == 0, s"$mismatch rows diverge from snapshot B")
   }
+
+  // --- events_seasonal_hampel -------------------------------------------
+
+  test("seasonal hampel: baseline is a member lower median, flag recounts") {
+    val rows = Relational.eventsSeasonalHampel(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    // the dow baseline must be an ACTUAL daily count of its own
+    // (type, dow) group, at the lower-median rank
+    rows.groupBy(r => (r.getAs[String]("event_type"), r.getAs[Long]("dow")))
+      .foreach { case ((t, dow), g) =>
+        val ns = g.map(_.getAs[Long]("n")).sorted
+        val med = ns((ns.length + 1) / 2 - 1)
+        assert(g.head.getAs[Long]("dow_med") == med,
+          s"($t, dow=$dow): dow_med ${g.head.getAs[Long]("dow_med")} != lower median $med")
+      }
+    // flag recount from the published columns
+    rows.foreach { r =>
+      val expect = math.abs(r.getAs[Long]("resid") - r.getAs[Long]("med_r")) >
+        3L * r.getAs[Long]("mad_r")
+      assert(r.getAs[Boolean]("is_anom") == expect, s"flag mismatch at $r")
+      assert(r.getAs[Long]("resid") ==
+        r.getAs[Long]("n") - r.getAs[Long]("dow_med"))
+    }
+    // same (type, day) coverage as the undeseasonalized Hampel twin
+    assert(rows.length ==
+      Relational.eventsMadOutliers(spark, sfDir).count())
+  }
+
+  // --- events_attribution_u ---------------------------------------------
+
+  test("attribution: credits conserve exactly 1000 per converted path") {
+    val rows = Relational.attributionUShape(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val credit = rows.map(_.getAs[Long]("credit_milli")).sum
+    val nFirst = rows.map(_.getAs[Long]("n_first")).sum
+    val nLast = rows.map(_.getAs[Long]("n_last")).sum
+    // one first and one last touch per converted path, and the
+    // 40/20/40 split must re-sum to exactly 1000 per path (the
+    // integer remainder lands on the first touch, never lost)
+    assert(nFirst == nLast, s"first/last path counts diverge: $nFirst vs $nLast")
+    assert(credit == 1000L * nFirst,
+      s"credit $credit != 1000 × $nFirst paths — credits leaked")
+    val touches = rows.map(_.getAs[Long]("n_touches")).sum
+    assert(touches >= nFirst, "every path has at least its first touch")
+  }
+
+  // --- graph_label_prop -------------------------------------------------
+
+  test("label prop: communities refine connected components, sizes recount") {
+    val lp = GraphOps.labelPropagation(spark, sfDir)
+    val rows = lp.collect()
+    val nDocs = graft.Tables.documents(spark, sfDir).count()
+    assert(rows.length == nDocs, "one labeled row per document")
+    // comm_size is the exact census of its own label
+    val sizes = rows.groupBy(_.getAs[Long]("community")).view.mapValues(_.length)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("comm_size") == sizes(r.getAs[Long]("community")),
+        s"comm_size mismatch at $r")
+    }
+    // labels only travel along edges, so a community can never span
+    // two connected components of the same graph
+    val pairs = Dedup.winnowSharedPairsAll(spark, sfDir)
+    val docs = graft.Tables.documents(spark, sfDir).select(col("doc_id"))
+    val cc = GraphOps.connectedComponentsStar(
+      docs, pairs.select(col("id1"), col("id2")), "doc_id")
+    val spanning = lp.join(cc, "doc_id")
+      .groupBy(col("community"))
+      .agg(countDistinct(col("cluster")).as("n_cc"))
+      .filter(col("n_cc") > 1).count()
+    assert(spanning == 0, s"$spanning communities span multiple components")
+  }
+
+  // --- sub_join_order_advisor -------------------------------------------
+
+  test("join-order advisor: actuals are true counts, exactly the cheaper plan chosen") {
+    val rows = Substrate.joinOrderAdvisor(spark, sfDir).collect()
+    assert(rows.length == 2)
+    val byPlan = rows.map(r => r.getAs[String]("plan") -> r).toMap
+    val c = graft.Tables.customer(spark, sfDir)
+    val o = graft.Tables.orders(spark, sfDir)
+    val l = graft.Tables.lineitem(spark, sfDir)
+    val actCO = c.join(o, col("c_custkey") === col("o_custkey")).count()
+    val actOL = o.join(l, col("o_orderkey") === col("l_orderkey")).count()
+    assert(byPlan("customer_orders_first").getAs[Long]("act_inter") == actCO)
+    assert(byPlan("orders_lineitem_first").getAs[Long]("act_inter") == actOL)
+    // chosen == this plan's estimate is the (possibly tied) minimum
+    val ests = rows.map(_.getAs[Long]("est_inter"))
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("chosen") ==
+        (r.getAs[Long]("est_inter") == ests.min), s"chosen flag wrong at $r")
+    }
+    assert(rows.count(_.getAs[Boolean]("chosen")) >= 1)
+  }
 }
