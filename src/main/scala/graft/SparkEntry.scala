@@ -204,6 +204,9 @@ object SparkEntry {
     "graph_label_prop" -> ((s: SparkSession, d: String) =>
       GraphOps.labelPropagation(s, d)),
     "sub_join_order_advisor" -> (Substrate.joinOrderAdvisor _),
+    "events_funnel_paths" -> ((s: SparkSession, d: String) =>
+      Relational.funnelPaths(s, d)),
+    "sub_window_funcs" -> (Substrate.windowRankFuncs _),
     "text_entropy_profile" -> (TextAnalysis.entropyProfile _),
     "dedup_keep_best" -> ((s: SparkSession, d: String) => Dedup.keepBestRepresentative(s, d)),
     "events_drift_psi" -> ((s: SparkSession, d: String) => Relational.eventsDriftPsi(s, d)),
@@ -396,7 +399,8 @@ object SparkEntry {
     // round-9 additions (seasonal Hampel monitor, U-shaped attribution,
     // LPA communities, join-order advisor):
     "events_seasonal_hampel", "events_attribution_u",
-    "graph_label_prop", "sub_join_order_advisor")
+    "graph_label_prop", "sub_join_order_advisor",
+    "events_funnel_paths", "sub_window_funcs")
 
   // --- generated DuckDB replicas of the portable-hash queries ----------
 
@@ -2674,6 +2678,48 @@ object SparkEntry {
         |  CAST(sum(credit_milli) AS BIGINT) AS credit_milli
         |FROM c GROUP BY 1""".stripMargin,
     "graph_label_prop" -> labelPropOracle(),
+    "events_funnel_paths" ->
+      """WITH t AS (SELECT event_id, user_id, epoch_us(ts) AS us, event_type
+        |  FROM events WHERE event_type <> 'purchase'),
+        |p AS (SELECT user_id, epoch_us(ts) AS cus FROM events
+        |  WHERE event_type = 'purchase' GROUP BY 1, 2),
+        |a AS (SELECT t.event_id, t.user_id, t.us, t.event_type,
+        |    min(p.cus) AS conv_us
+        |  FROM t JOIN p ON t.user_id = p.user_id AND p.cus >= t.us
+        |  GROUP BY 1, 2, 3, 4),
+        |pa AS (SELECT user_id, conv_us,
+        |    string_agg(event_type, '>' ORDER BY us, event_id) AS path,
+        |    count(*) AS n_touches
+        |  FROM a GROUP BY 1, 2),
+        |cs AS (SELECT path, count(*) AS n_conversions,
+        |    CAST(sum(n_touches) AS BIGINT) AS total_touches
+        |  FROM pa GROUP BY 1),
+        |r AS (SELECT path, n_conversions, total_touches,
+        |    total_touches * 1000 // n_conversions AS avg_len_milli,
+        |    row_number() OVER (ORDER BY n_conversions DESC, path) AS rank
+        |  FROM cs)
+        |SELECT CAST(rank AS BIGINT) AS rank, path, n_conversions,
+        |  total_touches, avg_len_milli
+        |FROM r WHERE rank <= 10""".stripMargin,
+    "sub_window_funcs" ->
+      """WITH li AS (SELECT l_returnflag, l_orderkey, l_linenumber,
+        |    CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS price_c
+        |  FROM lineitem),
+        |w AS (SELECT l_returnflag, l_orderkey, l_linenumber, price_c,
+        |    row_number() OVER win AS rn,
+        |    percent_rank() OVER win AS pct_rank,
+        |    cume_dist() OVER win AS cume,
+        |    ntile(4) OVER win AS quartile,
+        |    nth_value(price_c, 10) OVER win AS nth10_price_c,
+        |    lag(price_c, 1) OVER win AS prev_price_c,
+        |    lead(price_c, 1) OVER win AS next_price_c
+        |  FROM li WINDOW win AS (PARTITION BY l_returnflag
+        |    ORDER BY price_c, l_orderkey, l_linenumber))
+        |SELECT l_returnflag, l_orderkey, l_linenumber, price_c,
+        |  CAST(rn AS BIGINT) AS rn, pct_rank, cume,
+        |  CAST(quartile AS BIGINT) AS quartile, nth10_price_c,
+        |  prev_price_c, next_price_c
+        |FROM w WHERE rn % 997 = 0""".stripMargin,
     "sub_join_order_advisor" ->
       """WITH sc AS (SELECT count(*) AS n_c,
         |    count(DISTINCT c_custkey) AS ndv_c_cust FROM customer),

@@ -1470,6 +1470,57 @@ object Relational {
         sum(col("credit_milli")).as("credit_milli"))
   }
 
+  /** TOP CONVERTING PATHS — the sequence-mining companion to
+    * [[attributionUShape]] (same touch→conversion assignment, the
+    * path itself instead of the credit split): per conversion the
+    * ordered event-type path string of its touches, then the top-k
+    * paths by conversion count — what funnel designers read to learn
+    * which JOURNEYS convert, not just which channels. Ordering inside
+    * a path is (us, event_id) — unique, so the string is a pure
+    * function of the data on both engines (`array_sort` over structs
+    * here, `string_agg ... ORDER BY` in the oracle).
+    *
+    * Scale: the assignment is the native forward as-of (user-keyed
+    * shuffle); each path materializes via ONE bounded per-(user,
+    * conv) aggregate (state = that conversion's touches, session-
+    * bounded); the census is a map-side-combined (path) count and the
+    * top-k is sort+limit — Spark plans TakeOrdered (per-partition
+    * heaps + driver merge of k), never a single-partition window; the
+    * rank column is a window over the already-reduced ≤ k rows. */
+  def funnelPaths(spark: SparkSession, sfDir: String, topK: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val events = Tables.events(spark, sfDir)
+    val touches = events.filter(col("event_type") =!= "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"), col("event_type"))
+    val purchases = events.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"), col("ts"))
+      .agg(min(col("event_id")).as("conv_id"))
+    val matched = graft.plans.AsofJoinNative
+      .asofJoin(touches, purchases, Seq("user_id"), "ts", direction = "forward")
+      .filter(col("matched_ts").isNotNull)
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"), col("event_id"),
+        unix_micros(col("matched_ts")).as("conv_us"))
+    val paths = matched.groupBy(col("user_id"), col("conv_us"))
+      .agg(
+        concat_ws(">", transform(
+          array_sort(collect_list(struct(col("us"), col("event_id"),
+            col("event_type")))),
+          x => x.getField("event_type"))).as("path"),
+        count(lit(1)).as("n_touches"))
+    val census = paths.groupBy(col("path"))
+      .agg(count(lit(1)).as("n_conversions"),
+        sum(col("n_touches")).as("total_touches"))
+      .withColumn("avg_len_milli",
+        expr("total_touches * 1000 DIV n_conversions"))
+    val top = census
+      .orderBy(col("n_conversions").desc, col("path")).limit(topK)
+    top.withColumn("rank", row_number().over(
+        Window.orderBy(col("n_conversions").desc, col("path"))).cast("long"))
+      .select(col("rank"), col("path"), col("n_conversions"),
+        col("total_touches"), col("avg_len_milli"))
+  }
+
   /** MONITOR ENSEMBLE — the integration query over the four detector
     * classes (the monitor family's `corpus_release_funnel`): per
     * (type, day), the global-mean 3σ spike flag, the Hampel MAD

@@ -713,6 +713,41 @@ object Substrate {
         Array(col("price_cents"), col("discount_cents"), col("qty_cents")),
         "measure", "value_cents")
 
+  /** RANKING-FUNCTION SUBSTRATE — the remaining SQL window surface in
+    * one oracled query: `percent_rank`, `cume_dist`, `ntile`,
+    * `nth_value`, `lead`/`lag` over the same (returnflag)-partitioned
+    * price ordering. The ordering key (price_c, orderkey, linenumber)
+    * is UNIQUE, so every rank-derived number — including the two
+    * doubles, which are exact IEEE quotients of integers
+    * ((rn−1)/(n−1), rn/n) — is a pure function of the data on both
+    * engines; prices ride as integer cents. Output thinned to every
+    * 997th rank so the declared result stays bounded while sampling
+    * all three partitions end to end.
+    *
+    * Scale: one window pass over one shuffle; partition count here is
+    * |returnflag| = 3 (calibration data) — in production the same
+    * query partitions by a high-cardinality key, and nothing in the
+    * plan changes: no global sort, no single-partition window. */
+  def windowRankFuncs(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val li = Tables.lineitem(spark, sfDir)
+      .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
+        expr("CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)")
+          .as("price_c"))
+    val w = Window.partitionBy(col("l_returnflag"))
+      .orderBy(col("price_c"), col("l_orderkey"), col("l_linenumber"))
+    li.select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
+        col("price_c"),
+        row_number().over(w).cast("long").as("rn"),
+        percent_rank().over(w).as("pct_rank"),
+        cume_dist().over(w).as("cume"),
+        ntile(4).over(w).cast("long").as("quartile"),
+        nth_value(col("price_c"), 10).over(w).as("nth10_price_c"),
+        lag(col("price_c"), 1).over(w).as("prev_price_c"),
+        lead(col("price_c"), 1).over(w).as("next_price_c"))
+      .filter(col("rn") % 997 === 0)
+  }
+
   /** JOIN-ORDER ADVISOR — the System-R cardinality-estimation step as
     * a first-class query (the optimizer-adjacent advisor next to
     * [[skewAdvisor]] and [[bloomAdvisor]]): for the 3-table chain

@@ -264,6 +264,54 @@ class Round9WaveSpec extends AnyFunSuite {
     assert(spanning == 0, s"$spanning communities span multiple components")
   }
 
+  // --- events_funnel_paths ----------------------------------------------
+
+  test("funnel paths: census conserves attribution's path count, ranks well-formed") {
+    val top = Relational.funnelPaths(spark, sfDir).collect()
+      .sortBy(_.getAs[Long]("rank"))
+    assert(top.nonEmpty && top.length <= 10)
+    assert(top.map(_.getAs[Long]("rank")).toSeq ==
+      (1L to top.length).toSeq, "ranks are dense 1..k")
+    val convs = top.map(_.getAs[Long]("n_conversions"))
+    assert(convs.zip(convs.tail).forall { case (a, b) => b <= a },
+      "top-k is ordered by conversion count")
+    top.foreach { r =>
+      assert(r.getAs[Long]("total_touches") >= r.getAs[Long]("n_conversions"))
+      assert(r.getAs[Long]("avg_len_milli") ==
+        r.getAs[Long]("total_touches") * 1000 / r.getAs[Long]("n_conversions"))
+    }
+    // the unbounded census must count exactly the converted paths the
+    // attribution query credits (n_first = one per path)
+    val allPaths = Relational.funnelPaths(spark, sfDir, topK = Int.MaxValue)
+      .agg(sum(col("n_conversions"))).head().getLong(0)
+    val nPaths = Relational.attributionUShape(spark, sfDir)
+      .agg(sum(col("n_first"))).head().getLong(0)
+    assert(allPaths == nPaths,
+      s"path census $allPaths != attribution's $nPaths converted paths")
+  }
+
+  // --- sub_window_funcs -------------------------------------------------
+
+  test("window rank funcs: exact quotient identities against group sizes") {
+    val li = graft.Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_returnflag")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val rows = Substrate.windowRankFuncs(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val n = li(r.getAs[String]("l_returnflag"))
+      val rn = r.getAs[Long]("rn")
+      assert(r.getAs[Double]("pct_rank") ==
+        (rn - 1).toDouble / (n - 1).toDouble, s"pct_rank identity at $r")
+      assert(r.getAs[Double]("cume") == rn.toDouble / n.toDouble,
+        s"cume_dist identity at $r")
+      val q = r.getAs[Long]("quartile")
+      assert(q >= 1 && q <= 4)
+      // rn % 997 == 0 ≥ 997 > 10, so the nth_value frame is full here
+      assert(!r.isNullAt(r.fieldIndex("nth10_price_c")))
+    }
+  }
+
   // --- sub_join_order_advisor -------------------------------------------
 
   test("join-order advisor: actuals are true counts, exactly the cheaper plan chosen") {
