@@ -175,6 +175,8 @@ object SparkEntry {
     "dedup_substring_spans" -> ((s: SparkSession, d: String) =>
       Dedup.substringSpanStats(s, d)),
     "text_lm_perplexity" -> ((s: SparkSession, d: String) => TextAnalysis.lmPerplexity(s, d)),
+    "text_kn_perplexity" -> (TextAnalysis.knPerplexity _),
+    "corpus_moore_lewis" -> (TextAnalysis.mooreLewisSelect _),
     "stream_lifecycle_join" -> ((s: SparkSession, d: String) =>
       graft.streaming.LifecycleJoin.batchLifecycle(s, d)),
     "corpus_source_ablation" -> (Corpus.sourceAblation _),
@@ -400,7 +402,8 @@ object SparkEntry {
     // LPA communities, join-order advisor):
     "events_seasonal_hampel", "events_attribution_u",
     "graph_label_prop", "sub_join_order_advisor",
-    "events_funnel_paths", "sub_window_funcs")
+    "events_funnel_paths", "sub_window_funcs", "text_kn_perplexity",
+    "corpus_moore_lewis")
 
   // --- generated DuckDB replicas of the portable-hash queries ----------
 
@@ -3061,6 +3064,82 @@ object SparkEntry {
          |       WHEN nll_avg_micro <= t2 THEN 'middle'
          |       ELSE 'tail' END AS ppl_bucket
          |FROM pd CROSS JOIN cut""".stripMargin
+    },
+    "corpus_moore_lewis" -> {
+      val plog = graft.operators.TextAnalysis.plog2MicroDuck("x")
+      def model(pred: String, tag: String): String =
+        s"""uni_$tag AS (SELECT w1, count(*) AS c_w1 FROM (
+           |    SELECT unnest(w) AS w1 FROM d WHERE $pred) GROUP BY 1),
+           |tot_$tag AS (SELECT CAST(sum(c_w1) AS BIGINT) AS n_tok,
+           |    count(*) AS vocab FROM uni_$tag),
+           |bi_$tag AS (SELECT w1, w2, count(*) AS c12 FROM tr
+           |  WHERE $pred GROUP BY 1, 2),
+           |sc_$tag AS (SELECT tr.doc_id,
+           |    CASE WHEN bi.c12 IS NOT NULL AND u1.c_w1 IS NOT NULL
+           |      THEN bi.c12 ELSE (coalesce(u2.c_w1, 0) + 1) * 2 END AS num,
+           |    CASE WHEN bi.c12 IS NOT NULL AND u1.c_w1 IS NOT NULL
+           |      THEN u1.c_w1 ELSE (n_tok + vocab) * 5 END AS den
+           |  FROM tr LEFT JOIN bi_$tag bi ON tr.w1 = bi.w1 AND tr.w2 = bi.w2
+           |    LEFT JOIN uni_$tag u1 ON tr.w1 = u1.w1
+           |    LEFT JOIN uni_$tag u2 ON tr.w2 = u2.w1
+           |    CROSS JOIN tot_$tag),
+           |nl_$tag AS (SELECT doc_id, 30000000 - ($plog) AS nll FROM (
+           |    SELECT doc_id,
+           |      greatest((num * 1073741824) // den, 1) AS x FROM sc_$tag)),
+           |pd_$tag AS (SELECT doc_id, count(*) AS n_trans,
+           |    CAST(sum(nll) // count(*) AS BIGINT) AS nll_${tag}_micro
+           |  FROM nl_$tag GROUP BY 1)"""
+      s"""WITH d AS (SELECT doc_id, source, string_split(text, ' ') AS w
+         |    FROM documents WHERE len(string_split(text, ' ')) >= 2),
+         |tr AS (SELECT doc_id, source, t.w1 AS w1, t.w2 AS w2 FROM (
+         |    SELECT doc_id, source, unnest(list_transform(range(1, len(w)),
+         |      i -> {'w1': w[i], 'w2': w[i+1]})) AS t FROM d)),
+         |${model("source = 'src1'", "in")},
+         |${model("doc_id % 5 = 0", "gen")}
+         |SELECT a.doc_id, a.n_trans, a.nll_in_micro, b.nll_gen_micro,
+         |  a.nll_in_micro - b.nll_gen_micro AS ce_diff_micro,
+         |  a.nll_in_micro - b.nll_gen_micro <= 0 AS selected
+         |FROM pd_in a JOIN pd_gen b ON a.doc_id = b.doc_id""".stripMargin
+    },
+    "text_kn_perplexity" -> {
+      val plogNum = graft.operators.TextAnalysis.plog2MicroDuck("num_x")
+      val plogDen = graft.operators.TextAnalysis.plog2MicroDuck("den_x")
+      s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+         |    WHERE len(string_split(text, ' ')) >= 2),
+         |tr AS (SELECT doc_id, t.w1 AS w1, t.w2 AS w2 FROM (
+         |    SELECT doc_id, unnest(list_transform(range(1, len(w)),
+         |      i -> {'w1': w[i], 'w2': w[i+1]})) AS t FROM d)),
+         |bi AS (SELECT w1, w2, count(*) AS c12 FROM tr
+         |  WHERE doc_id % 5 = 0 GROUP BY 1, 2),
+         |ctx AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1,
+         |    count(*) AS n1p FROM bi GROUP BY 1),
+         |cont AS (SELECT w2, count(*) AS n1pr FROM bi GROUP BY 1),
+         |tot AS (SELECT (SELECT count(*) FROM bi) AS b,
+         |    (SELECT count(DISTINCT uw) FROM (
+         |      SELECT unnest(w) AS uw FROM d WHERE doc_id % 5 = 0)) AS v),
+         |sc AS (SELECT tr.doc_id,
+         |    CASE WHEN ctx.c1 IS NOT NULL
+         |      THEN greatest(4 * coalesce(bi.c12, 0) - 3, 0) * tot.b
+         |        + 3 * ctx.n1p * coalesce(cont.n1pr, 0)
+         |      ELSE coalesce(cont.n1pr, 0) + 1 END AS num0,
+         |    CASE WHEN ctx.c1 IS NOT NULL THEN 4 * ctx.c1 * tot.b
+         |      ELSE tot.b + tot.v END AS den_x,
+         |    CASE WHEN ctx.c1 IS NULL THEN 1 ELSE 0 END AS no_ctx,
+         |    CASE WHEN ctx.c1 IS NOT NULL AND bi.c12 IS NULL
+         |      THEN 1 ELSE 0 END AS backoff
+         |  FROM tr LEFT JOIN bi ON tr.w1 = bi.w1 AND tr.w2 = bi.w2
+         |    LEFT JOIN ctx ON tr.w1 = ctx.w1
+         |    LEFT JOIN cont ON tr.w2 = cont.w2
+         |    CROSS JOIN tot),
+         |sx AS (SELECT doc_id, greatest(num0, 1) AS num_x, den_x,
+         |    no_ctx, backoff FROM sc),
+         |nl AS (SELECT doc_id, ($plogDen) - ($plogNum) AS nll_micro,
+         |    no_ctx, backoff FROM sx)
+         |SELECT doc_id, count(*) AS n_trans,
+         |  CAST(sum(no_ctx) AS BIGINT) AS n_no_ctx,
+         |  CAST(sum(backoff) AS BIGINT) AS n_backoff,
+         |  CAST(sum(nll_micro) // count(*) AS BIGINT) AS nll_avg_micro
+         |FROM nl GROUP BY 1""".stripMargin
     },
     // Exact-integer Simpson numerator/denominator; only the final
     // ratio is portably rounded.

@@ -658,6 +658,168 @@ object TextAnalysis {
           .otherwise("tail").as("ppl_bucket"))
   }
 
+  /** KNESER–NEY bigram LM perplexity (Kneser & Ney 1995; the
+    * interpolated form of Chen & Goodman 1998) — the smoothing the
+    * n-gram LM literature converged on, next to [[lmPerplexity]]'s
+    * stupid backoff: instead of backing off to RAW unigram frequency
+    * (which loves "Francisco" — frequent, but only ever after "San"),
+    * the lower-order model is the CONTINUATION distribution
+    * P_cont(w2) = N1+(·w2)/B — how many distinct contexts w2 follows
+    * — interpolated under an absolute discount D = 3/4:
+    *
+    *   P(w2|w1) = max(c12 − D, 0)/c1 + D·N1+(w1·)/c1 · P_cont(w2)
+    *            = [max(4·c12 − 3, 0)·B + 3·N1+(w1·)·N1+(·w2)]
+    *              / [4·c1·B]
+    *
+    * — one exact integer rational per transition (the discount lives
+    * in quarters). An unseen context falls back to the add-one
+    * continuation (N1+(·w2)+1)/(B+V). The NLL is the difference of
+    * the portable [[plog2MicroSql]] applied to numerator and
+    * denominator directly (the [[vocabDrift]] discipline — no 2^30
+    * rescale, so the only width constraint is den = 4·c1·B ≤ 2^43:
+    * holds to c1·B ≈ 2.2·10¹², e.g. a 10⁶-count hot context against
+    * 2·10⁶ bigram types; beyond that, right-shift num and den by a
+    * shared power of two — the difference is shift-invariant).
+    *
+    * Trained on the same 20% `doc_id % 5 = 0` slice as
+    * [[lmPerplexity]], scored over the full corpus, so the two
+    * queries are directly comparable per doc_id — the A/B a pipeline
+    * runs before swapping its quality-filter LM.
+    *
+    * Scale: the model tables (bigram census + its two marginals +
+    * continuation counts) are Heaps-bounded and equi-join to the
+    * corpus-wide transition stream; the scoring pass is three left
+    * equi-joins + one per-doc aggregate — embarrassingly parallel,
+    * no window, no collect. */
+  def knPerplexity(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .filter(size(col("w")) >= 2)
+    val trans = docs.select(col("doc_id"),
+        explode(transform(sequence(lit(1), size(col("w")) - 1), i =>
+          struct(element_at(col("w"), i).as("w1"),
+            element_at(col("w"), i + 1).as("w2")))).as("t"))
+      .select(col("doc_id"), col("t.w1").as("w1"), col("t.w2").as("w2"))
+    val slice = col("doc_id") % 5 === 0
+    val bi = trans.filter(slice).groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c12"))
+      .localCheckpoint(eager = false) // feeds ctx, cont, totals, probe
+    val ctx = bi.groupBy(col("w1"))
+      .agg(sum(col("c12")).as("c1"), count(lit(1)).as("n1p"))
+    val cont = bi.groupBy(col("w2")).agg(count(lit(1)).as("n1pr"))
+    val vocab = docs.filter(slice).select(explode(col("w")).as("uw"))
+      .agg(countDistinct(col("uw")).as("v"))
+    val totals = bi.agg(count(lit(1)).as("b")).crossJoin(broadcast(vocab))
+
+    val scored = trans
+      .join(bi, Seq("w1", "w2"), "left")
+      .join(ctx, Seq("w1"), "left")
+      .join(cont, Seq("w2"), "left")
+      .crossJoin(broadcast(totals))
+    val seenCtx = col("c1").isNotNull
+    val num = when(seenCtx,
+        greatest(lit(4L) * coalesce(col("c12"), lit(0L)) - 3L, lit(0L)) *
+          col("b") + lit(3L) * col("n1p") * coalesce(col("n1pr"), lit(0L)))
+      .otherwise(coalesce(col("n1pr"), lit(0L)) + 1L)
+    val den = when(seenCtx, lit(4L) * col("c1") * col("b"))
+      .otherwise(col("b") + col("v"))
+    scored
+      .select(col("doc_id"),
+        greatest(num, lit(1L)).as("num_x"), den.as("den_x"),
+        when(seenCtx, 0L).otherwise(1L).as("no_ctx"),
+        when(seenCtx && col("c12").isNull, 1L).otherwise(0L).as("backoff"))
+      .select(col("doc_id"),
+        (expr(plog2MicroSql("den_x")) - expr(plog2MicroSql("num_x")))
+          .as("nll_micro"),
+        col("no_ctx"), col("backoff"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_trans"), sum(col("no_ctx")).as("n_no_ctx"),
+        sum(col("backoff")).as("n_backoff"),
+        sum(col("nll_micro")).as("sum_nll"))
+      .select(col("doc_id"), col("n_trans"), col("n_no_ctx"),
+        col("n_backoff"), expr("sum_nll DIV n_trans").as("nll_avg_micro"))
+  }
+
+  /** MOORE–LEWIS cross-entropy-difference data selection (Moore &
+    * Lewis 2010, "Intelligent Selection of Language Model Training
+    * Data") — the contrastive twin of [[lmPerplexity]]'s single-model
+    * filter and the LM-based counterpart of
+    * [[graft.operators.Corpus.dsirWeights]]: score every document by
+    * H_in(d) − H_gen(d), the per-token NLL under an IN-DOMAIN LM
+    * (trained on the `source = 'src1'` slice — the stand-in for the
+    * curated target corpus) minus the NLL under the GENERAL LM
+    * (trained on the same 20% `doc_id % 5 = 0` slice as
+    * [[lmPerplexity]]). Negative diff = "more like the target domain
+    * than like the crawl" — the classic selection criterion; the raw
+    * in-domain perplexity alone would just select SHORT/generic text.
+    *
+    * Both models are the identical stupid-backoff bigram (same
+    * num/den rationals, same 2^30 scale, same [[plog2MicroSql]]), so
+    * the difference cancels every shared convention and the whole
+    * score is integer-exact on both engines. Subtraction only — no
+    * negative division anywhere.
+    *
+    * Scale: ONE corpus-wide transition stream feeds both scoring
+    * passes; each model's tables are Heaps-bounded equi-join sides;
+    * the final merge is a doc_id-keyed join of two per-doc
+    * aggregates. No window, no collect. */
+  def mooreLewisSelect(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"), split(col("text"), " ").as("w"))
+      .filter(size(col("w")) >= 2)
+    val trans = docs.select(col("doc_id"), col("source"),
+        explode(transform(sequence(lit(1), size(col("w")) - 1), i =>
+          struct(element_at(col("w"), i).as("w1"),
+            element_at(col("w"), i + 1).as("w2")))).as("t"))
+      .select(col("doc_id"), col("source"),
+        col("t.w1").as("w1"), col("t.w2").as("w2"))
+      .localCheckpoint(eager = false) // shared by both models' train + score
+
+    def sbNll(trainPred: org.apache.spark.sql.Column, tag: String): DataFrame = {
+      val uni = docs.filter(trainPred).select(explode(col("w")).as("w1"))
+        .groupBy(col("w1")).agg(count(lit(1)).as("c_w1"))
+      val totals = uni.agg(sum(col("c_w1")).as("n_tok"),
+        count(lit(1)).as("vocab"))
+      val bi = trans.filter(trainPred).groupBy(col("w1"), col("w2"))
+        .agg(count(lit(1)).as("c12"))
+      val scored = trans
+        .join(bi, Seq("w1", "w2"), "left")
+        .join(uni, Seq("w1"), "left")
+        .join(uni.select(col("w1").as("w2"), col("c_w1").as("c_w2")),
+          Seq("w2"), "left")
+        .crossJoin(broadcast(totals))
+      val seen = col("c12").isNotNull && col("c_w1").isNotNull
+      val num = when(seen, col("c12"))
+        .otherwise((coalesce(col("c_w2"), lit(0L)) + 1L) * 2L)
+      val den = when(seen, col("c_w1"))
+        .otherwise((col("n_tok") + col("vocab")) * 5L)
+      scored
+        .select(col("doc_id"), num.as("num"), den.as("den"))
+        .select(col("doc_id"),
+          greatest(expr(numDenX("num", "den")), lit(1L)).as("x"))
+        .select(col("doc_id"),
+          (lit(30L * 1000000L) - expr(plog2MicroSql("x"))).as("nll"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_trans"),
+          sum(col("nll")).as("sum_nll"))
+        .select(col("doc_id"), col("n_trans"),
+          expr("sum_nll DIV n_trans").as(s"nll_${tag}_micro"))
+    }
+    val inDom = sbNll(col("source") === "src1", "in")
+    val gen = sbNll(col("doc_id") % 5 === 0, "gen").drop("n_trans")
+    inDom.join(gen, Seq("doc_id"))
+      .select(col("doc_id"), col("n_trans"),
+        col("nll_in_micro"), col("nll_gen_micro"),
+        (col("nll_in_micro") - col("nll_gen_micro")).as("ce_diff_micro"))
+      .withColumn("selected", col("ce_diff_micro") <= 0L)
+  }
+
+  // The 2^30-scaled ratio shared by the stupid-backoff scorers; split
+  // out so the select above stays readable. num/den must be simple
+  // column names.
+  private def numDenX(num: String, den: String): String =
+    s"($num * ${1L << 30}L) DIV $den"
+
   /** VOCABULARY DRIFT between two corpus slices — the distribution-
     * shift audit a pipeline runs when a new crawl snapshot lands (or
     * between train and eval mixes): per-term Jensen–Shannon divergence

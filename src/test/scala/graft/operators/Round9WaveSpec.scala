@@ -264,6 +264,51 @@ class Round9WaveSpec extends AnyFunSuite {
     assert(spanning == 0, s"$spanning communities span multiple components")
   }
 
+  // --- text_kn_perplexity -----------------------------------------------
+
+  test("KN perplexity: slice docs fully contexted, coverage matches stupid backoff") {
+    val kn = TextAnalysis.knPerplexity(spark, sfDir).collect()
+    kn.foreach { r =>
+      assert(r.getAs[Long]("nll_avg_micro") >= 0, s"p > 1 at $r")
+      assert(r.getAs[Long]("n_no_ctx") <= r.getAs[Long]("n_trans"))
+      // training-slice docs contributed every one of their contexts,
+      // so none can be unseen
+      if (r.getAs[Long]("doc_id") % 5 == 0)
+        assert(r.getAs[Long]("n_no_ctx") == 0,
+          s"slice doc with unseen context: $r")
+    }
+    // same transition stream as the stupid-backoff LM: identical doc
+    // coverage and per-doc transition counts
+    val sb = TextAnalysis.lmPerplexity(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_trans")).toMap
+    assert(kn.map(_.getAs[Long]("doc_id")).toSet == sb.keySet)
+    kn.foreach(r => assert(r.getAs[Long]("n_trans") ==
+      sb(r.getAs[Long]("doc_id")), s"n_trans mismatch at $r"))
+  }
+
+  // --- corpus_moore_lewis -----------------------------------------------
+
+  test("moore-lewis: in-domain docs score lower diff than out-of-domain") {
+    val df = TextAnalysis.mooreLewisSelect(spark, sfDir)
+    val rows = df.collect()
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("selected") ==
+        (r.getAs[Long]("ce_diff_micro") <= 0), s"selected flag at $r")
+      assert(r.getAs[Long]("ce_diff_micro") ==
+        r.getAs[Long]("nll_in_micro") - r.getAs[Long]("nll_gen_micro"))
+    }
+    // the selector must actually discriminate: the in-domain source's
+    // mean cross-entropy difference sits below the rest of the corpus
+    val bySrc = df.join(
+        graft.Tables.documents(spark, sfDir).select(col("doc_id"), col("source")),
+        "doc_id")
+      .groupBy(col("source") === "src1")
+      .agg(avg(col("ce_diff_micro"))).collect()
+      .map(r => r.getBoolean(0) -> r.getDouble(1)).toMap
+    assert(bySrc(true) < bySrc(false),
+      s"src1 mean diff ${bySrc(true)} must undercut others ${bySrc(false)}")
+  }
+
   // --- events_funnel_paths ----------------------------------------------
 
   test("funnel paths: census conserves attribution's path count, ranks well-formed") {
