@@ -206,6 +206,9 @@ object SparkEntry {
     "graph_label_prop" -> ((s: SparkSession, d: String) =>
       GraphOps.labelPropagation(s, d)),
     "sub_join_order_advisor" -> (Substrate.joinOrderAdvisor _),
+    "graph_kcore" -> ((s: SparkSession, d: String) =>
+      GraphOps.kcoreMembership(s, d)),
+    "events_forecast_snaive" -> (Relational.forecastSnaiveEval _),
     "events_funnel_paths" -> ((s: SparkSession, d: String) =>
       Relational.funnelPaths(s, d)),
     "sub_window_funcs" -> (Substrate.windowRankFuncs _),
@@ -403,7 +406,7 @@ object SparkEntry {
     "events_seasonal_hampel", "events_attribution_u",
     "graph_label_prop", "sub_join_order_advisor",
     "events_funnel_paths", "sub_window_funcs", "text_kn_perplexity",
-    "corpus_moore_lewis")
+    "corpus_moore_lewis", "graph_kcore", "events_forecast_snaive")
 
   // --- generated DuckDB replicas of the portable-hash queries ----------
 
@@ -592,6 +595,39 @@ object SparkEntry {
        |sz AS (SELECT lbl, count(*) AS comm_size FROM l$rounds GROUP BY 1)
        |SELECT f.doc_id, f.lbl AS community, sz.comm_size
        |FROM l$rounds f JOIN sz ON f.lbl = sz.lbl""".stripMargin
+  }
+
+  /** K-core replica: the same winnow-pair edge list, then
+    * [[graft.operators.GraphOps.kcoreMembership]]'s fixed-count peel
+    * rounds unrolled as materialized CTEs (peeling is idempotent at
+    * the fixed point, so both engines land on the same core). */
+  private def kcoreOracle(k: Int = 3, rounds: Int = 6): String = {
+    val iterCtes = (1 to rounds).map { r =>
+      s"""dg$r AS (SELECT doc_id, count(*) AS deg FROM (
+         |    SELECT id1 AS doc_id FROM e${r - 1}
+         |    UNION ALL SELECT id2 FROM e${r - 1}) GROUP BY 1),
+         |kp$r AS (SELECT doc_id FROM dg$r WHERE deg >= $k),
+         |e$r AS MATERIALIZED (SELECT e.id1, e.id2 FROM e${r - 1} e
+         |  JOIN kp$r a ON e.id1 = a.doc_id
+         |  JOIN kp$r b ON e.id2 = b.doc_id)""".stripMargin
+    }.mkString(",\n")
+    s"""${winnowCte()},
+       |fp AS (SELECT DISTINCT doc_id, wmin // 32768 AS fp_hash
+       |  FROM m WHERE cnt = 4),
+       |e0 AS MATERIALIZED (SELECT a.doc_id AS id1, b.doc_id AS id2
+       |  FROM fp a JOIN fp b ON a.fp_hash = b.fp_hash AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2 HAVING count(*) >= 3),
+       |degf AS (SELECT doc_id, count(*) AS deg_full FROM (
+       |    SELECT id1 AS doc_id FROM e0 UNION ALL SELECT id2 FROM e0)
+       |  GROUP BY 1),
+       |$iterCtes,
+       |core AS (SELECT doc_id, count(*) AS core_deg FROM (
+       |    SELECT id1 AS doc_id FROM e$rounds
+       |    UNION ALL SELECT id2 FROM e$rounds) GROUP BY 1)
+       |SELECT degf.doc_id, deg_full,
+       |  core.doc_id IS NOT NULL AS in_3core,
+       |  CAST(coalesce(core.core_deg, 0) AS BIGINT) AS core_deg
+       |FROM degf LEFT JOIN core ON degf.doc_id = core.doc_id""".stripMargin
   }
 
   /** MinHash+LSH replica: same shingles, same md5-derived 48-bit base
@@ -2681,6 +2717,22 @@ object SparkEntry {
         |  CAST(sum(credit_milli) AS BIGINT) AS credit_milli
         |FROM c GROUP BY 1""".stripMargin,
     "graph_label_prop" -> labelPropOracle(),
+    "graph_kcore" -> kcoreOracle(),
+    "events_forecast_snaive" ->
+      """WITH d AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+        |    count(*) AS n FROM events GROUP BY 1, 2),
+        |j AS (SELECT d.event_type, abs(d.n - p1.n) AS e1,
+        |    abs(d.n - p7.n) AS e7
+        |  FROM d JOIN d p1 ON d.event_type = p1.event_type
+        |      AND d.day = p1.day + 1
+        |    JOIN d p7 ON d.event_type = p7.event_type
+        |      AND d.day = p7.day + 7)
+        |SELECT event_type, count(*) AS n_days,
+        |  CAST(sum(e1) AS BIGINT) AS sum_abs_err_naive,
+        |  CAST(sum(e7) AS BIGINT) AS sum_abs_err_snaive,
+        |  CAST(sum(e7) AS BIGINT) * 1000
+        |    // greatest(CAST(sum(e1) AS BIGINT), 1) AS mase_milli
+        |FROM j GROUP BY 1""".stripMargin,
     "events_funnel_paths" ->
       """WITH t AS (SELECT event_id, user_id, epoch_us(ts) AS us, event_type
         |  FROM events WHERE event_type <> 'purchase'),

@@ -199,6 +199,73 @@ object GraphOps {
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_triangles"))
   }
 
+  /** K-CORE MEMBERSHIP (k = 3) over the winnow near-dup graph — the
+    * density census completing the graph family: [[triangleCounts]]
+    * finds LOCAL cliques, the 3-core finds the maximal subgraph where
+    * EVERY member keeps ≥ 3 near-dup neighbors after all weaker nodes
+    * are peeled away — the "template engine" core of a duplication
+    * structure (the classic Seidman 1983 / Matula–Beck peeling). A
+    * node with high degree but outside the 3-core leans on peripheral
+    * neighbors; a 3-core member survives on mutually-dense support.
+    *
+    * Determinism and oracle parity come from running a FIXED number
+    * of peel rounds on BOTH engines: peeling is idempotent once the
+    * fixed point is reached, so `rounds` extra rounds are no-ops and
+    * the unrolled DuckDB replica is bit-identical; the spec proves
+    * round `rounds` == round `rounds − 1` at test SFs (fixed point
+    * actually reached) — the check that would catch a graph needing
+    * more rounds.
+    *
+    * Scale: each round is one map-side-combined degree count over the
+    * surviving edge list plus two semi-joins (src, dst) back onto it
+    * — all equi-keyed on node ids, edge-bounded state, lineage
+    * truncated per round. Peel rounds needed in practice are tiny
+    * (the degeneracy ordering collapses geometrically); a 100 TB run
+    * sets `rounds` from the spec's fixed-point audit, not from
+    * corpus size. */
+  def kcoreMembership(spark: SparkSession, sfDir: String, k: Int = 3,
+      rounds: Int = 6): DataFrame = {
+    val pairs = Dedup.winnowSharedPairsAll(spark, sfDir)
+      .select(col("id1"), col("id2")).localCheckpoint()
+    val degFull = pairs.select(col("id1").as("doc_id"))
+      .union(pairs.select(col("id2").as("doc_id")))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("deg_full"))
+    val e = peel(pairs, k, rounds)
+    val core = e.select(col("id1").as("doc_id"))
+      .union(e.select(col("id2").as("doc_id")))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("core_deg"))
+    degFull.join(core, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("deg_full"),
+        col("core_deg").isNotNull.as("in_3core"),
+        coalesce(col("core_deg"), lit(0L)).as("core_deg"))
+  }
+
+  /** The final edge set after `rounds` peel rounds — exposed so the
+    * spec can prove the fixed point was reached (`rounds` vs
+    * `rounds − 1` identical). */
+  def kcoreEdges(spark: SparkSession, sfDir: String, k: Int = 3,
+      rounds: Int = 6): DataFrame =
+    peel(Dedup.winnowSharedPairsAll(spark, sfDir)
+      .select(col("id1"), col("id2")).localCheckpoint(), k, rounds)
+
+  /** `rounds` idempotent peel rounds: drop every node whose current
+    * degree is < k, restrict the edge list to survivors, repeat. */
+  private def peel(pairs: DataFrame, k: Int, rounds: Int): DataFrame = {
+    var e = pairs
+    for (_ <- 1 to rounds) {
+      val deg = e.select(col("id1").as("doc_id"))
+        .union(e.select(col("id2").as("doc_id")))
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("deg"))
+      val keep = deg.filter(col("deg") >= k).select(col("doc_id"))
+      e = e
+        .join(keep.withColumnRenamed("doc_id", "id1"), Seq("id1"), "left_semi")
+        .join(keep.withColumnRenamed("doc_id", "id2"), Seq("id2"), "left_semi")
+        .select(col("id1"), col("id2"))
+        .localCheckpoint()
+    }
+    e
+  }
+
   /** LABEL-PROPAGATION COMMUNITIES (Raghavan et al. 2007) over the
     * winnow near-dup graph — the mesoscale view between
     * [[connectedComponentsStar]]'s components (too coarse: one bridge

@@ -1470,6 +1470,43 @@ object Relational {
         sum(col("credit_milli")).as("credit_milli"))
   }
 
+  /** SEASONAL-NAIVE FORECAST EVAL (MASE; Hyndman & Koehler 2006) —
+    * the forecast-skill audit that tells a monitor's operator whether
+    * the weekly pattern [[eventsSeasonalHampel]] deseasonalizes is
+    * real SIGNAL: per event type, the mean absolute error of the
+    * seasonal-naive forecast (ŷ_d = y_{d−7}) against the naive one
+    * (ŷ_d = y_{d−1}) as the integer ratio `mase_milli` — below 1000
+    * means last week predicts today better than yesterday does, i.e.
+    * the seasonality is worth modeling; ≥ 1000 means a seasonal model
+    * would be noise-fitting. Scored only on days where BOTH lags
+    * exist, so the two errors are always comparable.
+    *
+    * Scale: one corpus-sized map-side-combined (type, day) count;
+    * both forecasts are day-shifted self-equi-joins of the
+    * calendar-bounded census — no window, no sort. */
+  def forecastSnaiveEval(spark: SparkSession, sfDir: String): DataFrame = {
+    val daily = Tables.events(spark, sfDir)
+      .groupBy(col("event_type"),
+        expr("unix_micros(ts) DIV 86400000000").as("day"))
+      .agg(count(lit(1)).as("n"))
+      .localCheckpoint(eager = false) // three self-join consumers
+    val d1 = daily.select(col("event_type"), (col("day") + 1L).as("day"),
+      col("n").as("f_naive"))
+    val d7 = daily.select(col("event_type"), (col("day") + 7L).as("day"),
+      col("n").as("f_snaive"))
+    daily.join(d1, Seq("event_type", "day"))
+      .join(d7, Seq("event_type", "day"))
+      .select(col("event_type"),
+        abs(col("n") - col("f_naive")).as("e1"),
+        abs(col("n") - col("f_snaive")).as("e7"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_days"),
+        sum(col("e1")).as("sum_abs_err_naive"),
+        sum(col("e7")).as("sum_abs_err_snaive"))
+      .withColumn("mase_milli",
+        expr("(sum_abs_err_snaive * 1000) DIV greatest(sum_abs_err_naive, 1)"))
+  }
+
   /** TOP CONVERTING PATHS — the sequence-mining companion to
     * [[attributionUShape]] (same touch→conversion assignment, the
     * path itself instead of the credit split): per conversion the

@@ -286,6 +286,53 @@ class Round9WaveSpec extends AnyFunSuite {
       sb(r.getAs[Long]("doc_id")), s"n_trans mismatch at $r"))
   }
 
+  // --- graph_kcore ------------------------------------------------------
+
+  test("kcore: fixed point reached, members mutually supported at degree >= 3") {
+    // peel rounds are idempotent at the fixed point — rounds vs
+    // rounds−1 must already agree, or the unrolled oracle would lie
+    val e5 = GraphOps.kcoreEdges(spark, sfDir, rounds = 5).collect().toSet
+    val e6 = GraphOps.kcoreEdges(spark, sfDir, rounds = 6).collect().toSet
+    assert(e5 == e6, s"peel not converged: ${e5.size} vs ${e6.size} edges")
+    val rows = GraphOps.kcoreMembership(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val inCore = r.getAs[Boolean]("in_3core")
+      val coreDeg = r.getAs[Long]("core_deg")
+      assert(coreDeg <= r.getAs[Long]("deg_full"))
+      if (inCore) {
+        assert(coreDeg >= 3, s"3-core member with core_deg < 3: $r")
+        assert(r.getAs[Long]("deg_full") >= 3)
+      } else assert(coreDeg == 0)
+    }
+    assert(rows.exists(_.getAs[Boolean]("in_3core")),
+      "fixture must contain a non-empty 3-core")
+    assert(rows.exists(r => !r.getAs[Boolean]("in_3core")),
+      "peeling must actually remove someone")
+  }
+
+  // --- events_forecast_snaive -------------------------------------------
+
+  test("snaive eval: MASE recomputes from the daily census") {
+    val daily = graft.Tables.events(spark, sfDir)
+      .groupBy(col("event_type"), expr("unix_micros(ts) DIV 86400000000").as("day"))
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val rows = Relational.forecastSnaiveEval(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val t = r.getAs[String]("event_type")
+      val scored = daily.keys.toSeq.filter(_._1 == t).map(_._2)
+        .filter(d => daily.contains((t, d - 1)) && daily.contains((t, d - 7)))
+      assert(r.getAs[Long]("n_days") == scored.size)
+      val s1 = scored.map(d => math.abs(daily((t, d)) - daily((t, d - 1)))).sum
+      val s7 = scored.map(d => math.abs(daily((t, d)) - daily((t, d - 7)))).sum
+      assert(r.getAs[Long]("sum_abs_err_naive") == s1)
+      assert(r.getAs[Long]("sum_abs_err_snaive") == s7)
+      assert(r.getAs[Long]("mase_milli") == s7 * 1000 / math.max(s1, 1))
+    }
+  }
+
   // --- corpus_moore_lewis -----------------------------------------------
 
   test("moore-lewis: in-domain docs score lower diff than out-of-domain") {
