@@ -209,6 +209,7 @@ object SparkEntry {
     "graph_kcore" -> ((s: SparkSession, d: String) =>
       GraphOps.kcoreMembership(s, d)),
     "events_forecast_snaive" -> (Relational.forecastSnaiveEval _),
+    "orders_rfm_segments" -> (Relational.ordersRfmSegments _),
     "events_funnel_paths" -> ((s: SparkSession, d: String) =>
       Relational.funnelPaths(s, d)),
     "sub_window_funcs" -> (Substrate.windowRankFuncs _),
@@ -406,7 +407,8 @@ object SparkEntry {
     "events_seasonal_hampel", "events_attribution_u",
     "graph_label_prop", "sub_join_order_advisor",
     "events_funnel_paths", "sub_window_funcs", "text_kn_perplexity",
-    "corpus_moore_lewis", "graph_kcore", "events_forecast_snaive")
+    "corpus_moore_lewis", "graph_kcore", "events_forecast_snaive",
+    "orders_rfm_segments")
 
   // --- generated DuckDB replicas of the portable-hash queries ----------
 
@@ -628,6 +630,58 @@ object SparkEntry {
        |  core.doc_id IS NOT NULL AS in_3core,
        |  CAST(coalesce(core.core_deg, 0) AS BIGINT) AS core_deg
        |FROM degf LEFT JOIN core ON degf.doc_id = core.doc_id""".stripMargin
+  }
+
+  /** RFM replica: same per-customer triple, same domain-bounded
+    * census cutoffs (rank ceil(q·N/5) walked over the partitioned
+    * cumulative census), same 1 + #{cutoffs below} scoring and
+    * segment CASE. Every sum that DuckDB would widen to HUGEINT is
+    * cast back to BIGINT. */
+  private def rfmOracle: String = {
+    val cutCols = (for (d <- Seq("r", "f", "m"); q <- 1 to 4) yield
+      s"max(CASE WHEN dim = '$d' AND q = $q THEN v END) AS ${d}$q")
+      .mkString(",\n    ")
+    def score(v: String, d: String): String =
+      "1 + " + (1 to 4).map(q =>
+        s"(CASE WHEN $v > ${d}$q THEN 1 ELSE 0 END)").mkString(" + ")
+    s"""WITH cust AS (
+       |  SELECT o_custkey,
+       |    (SELECT max(epoch_us(o_orderdate) // 86400000000) FROM orders)
+       |      - max(epoch_us(o_orderdate) // 86400000000) AS r_days,
+       |    count(*) AS f_cnt,
+       |    CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+       |      AS BIGINT) AS m_cents
+       |  FROM orders GROUP BY 1),
+       |cust2 AS (SELECT *, m_cents // 10000 AS m_bucket FROM cust),
+       |census AS (SELECT dim, v, count(*) AS cnt FROM (
+       |    SELECT 'r' AS dim, r_days AS v FROM cust2
+       |    UNION ALL SELECT 'f', f_cnt FROM cust2
+       |    UNION ALL SELECT 'm', m_bucket FROM cust2) GROUP BY 1, 2),
+       |cum AS (SELECT dim, v, cnt,
+       |    CAST(sum(cnt) OVER (PARTITION BY dim ORDER BY v) AS BIGINT)
+       |      AS cum FROM census),
+       |cuts AS (SELECT
+       |    $cutCols
+       |  FROM cum
+       |  CROSS JOIN (SELECT count(*) AS n_cust FROM cust2)
+       |  CROSS JOIN (SELECT unnest([1, 2, 3, 4]) AS q)
+       |  WHERE cum - cnt < (q * n_cust + 4) // 5
+       |    AND cum >= (q * n_cust + 4) // 5),
+       |scored AS (SELECT o_custkey, m_cents,
+       |    CAST(6 - (${score("r_days", "r")}) AS BIGINT) AS r_score,
+       |    CAST(${score("f_cnt", "f")} AS BIGINT) AS f_score,
+       |    CAST(${score("m_bucket", "m")} AS BIGINT) AS m_score
+       |  FROM cust2 CROSS JOIN cuts)
+       |SELECT r_score, f_score, m_score, count(*) AS n_cust,
+       |  CAST(sum(m_cents) AS BIGINT) AS m_cents_total,
+       |  CASE WHEN r_score >= 4 AND f_score >= 4 AND m_score >= 4
+       |      THEN 'champion'
+       |    WHEN f_score >= 4 THEN 'loyal'
+       |    WHEN m_score >= 4 THEN 'big_spender'
+       |    WHEN r_score <= 2 AND f_score >= 3 THEN 'at_risk'
+       |    WHEN r_score <= 2 THEN 'hibernating'
+       |    ELSE 'regular' END AS segment
+       |FROM scored GROUP BY 1, 2, 3""".stripMargin
   }
 
   /** MinHash+LSH replica: same shingles, same md5-derived 48-bit base
@@ -2733,6 +2787,7 @@ object SparkEntry {
         |  CAST(sum(e7) AS BIGINT) * 1000
         |    // greatest(CAST(sum(e1) AS BIGINT), 1) AS mase_milli
         |FROM j GROUP BY 1""".stripMargin,
+    "orders_rfm_segments" -> rfmOracle,
     "events_funnel_paths" ->
       """WITH t AS (SELECT event_id, user_id, epoch_us(ts) AS us, event_type
         |  FROM events WHERE event_type <> 'purchase'),

@@ -1507,6 +1507,89 @@ object Relational {
         expr("(sum_abs_err_snaive * 1000) DIV greatest(sum_abs_err_naive, 1)"))
   }
 
+  /** RFM SEGMENTATION (Hughes 1994 — the classic recency/frequency/
+    * monetary customer census behind every retention dashboard) over
+    * the orders table: each ordering customer gets three 1–5 quintile
+    * scores and a named segment, reported per segment with customer
+    * count and total monetary value.
+    *
+    * The quintiles are VALUE quantiles computed the scale-safe way:
+    * never a global sort over customers, but a cumulative walk over a
+    * DOMAIN-BOUNDED census — recency days are bounded by the calendar
+    * span, order counts by the max order frequency, and monetary is
+    * bucketed to $100 bins (cents DIV 10000) so its census is bounded
+    * by the price range, not the customer count. All three censuses
+    * ride ONE window PARTITIONED by dimension (a few thousand rows
+    * total — no single-partition pass over the corpus); cutoff_q =
+    * min census value whose cumulative count reaches ceil(q·N/5),
+    * pivoted to a 1-row broadcast. Scoring is then scalar: score =
+    * 1 + #{cutoffs strictly below the value} (recency inverted so
+    * fresher = higher). All-integer arithmetic end to end — cents via
+    * the portable floor(x·100+0.5), day arithmetic in epoch-micro DIV.
+    *
+    * Scale notes: one o_custkey-keyed shuffle builds the per-customer
+    * triple; the censuses are map-side-combined tiny aggregates; the
+    * cutoff row broadcasts back; the final segment rollup is ≤125
+    * groups. The $100 bin is the knob that keeps the monetary census
+    * bounded if the price domain widens. */
+  def ordersRfmSegments(spark: SparkSession, sfDir: String): DataFrame = {
+    val cents = expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)")
+    val ord = Tables.orders(spark, sfDir)
+    val maxDay = ord.agg(
+      max(expr("unix_micros(CAST(o_orderdate AS TIMESTAMP)) DIV 86400000000")).as("max_day"))
+    val cust = ord
+      .select(col("o_custkey"),
+        expr("unix_micros(CAST(o_orderdate AS TIMESTAMP)) DIV 86400000000").as("day"),
+        cents.as("cents"))
+      .groupBy(col("o_custkey"))
+      .agg(max(col("day")).as("last_day"), count(lit(1)).as("f_cnt"),
+        sum(col("cents")).as("m_cents"))
+      .crossJoin(broadcast(maxDay))
+      .select(col("o_custkey"), (col("max_day") - col("last_day")).as("r_days"),
+        col("f_cnt"), col("m_cents"),
+        expr("m_cents DIV 10000").as("m_bucket"))
+      .localCheckpoint(eager = false) // census + scoring consumers
+    // one partitioned window over the union of the three bounded censuses
+    val census = cust.select(lit("r").as("dim"), col("r_days").as("v"))
+      .union(cust.select(lit("f").as("dim"), col("f_cnt").as("v")))
+      .union(cust.select(lit("m").as("dim"), col("m_bucket").as("v")))
+      .groupBy(col("dim"), col("v")).agg(count(lit(1)).as("cnt"))
+    val cum = census.withColumn("cum", sum(col("cnt")).over(
+      Window.partitionBy(col("dim")).orderBy(col("v"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val n = cust.agg(count(lit(1)).as("n_cust"))
+    def cutCol(d: String, q: Int): Column =
+      max(when(col("dim") === d && col("q") === q, col("v"))).as(s"${d}$q")
+    val cuts = cum.crossJoin(broadcast(n))
+      .crossJoin(broadcast(spark.range(1).select(
+        explode(array(lit(1L), lit(2L), lit(3L), lit(4L))).as("q"))))
+      .filter(col("cum") - col("cnt") < expr("(q * n_cust + 4) DIV 5") &&
+        col("cum") >= expr("(q * n_cust + 4) DIV 5"))
+      .groupBy().agg(
+        cutCol("r", 1),
+        (for (d <- Seq("r", "f", "m"); q <- 1 to 4; if (d, q) != (("r", 1)))
+          yield cutCol(d, q)): _*)
+    def score(v: Column, d: String): Column =
+      lit(1) + (1 to 4).map(q =>
+        when(v > col(s"${d}$q"), 1).otherwise(0)).reduce(_ + _)
+    val scored = cust.crossJoin(broadcast(cuts))
+      .select(col("o_custkey"), col("m_cents"),
+        (lit(6) - score(col("r_days"), "r")).cast("long").as("r_score"),
+        score(col("f_cnt"), "f").cast("long").as("f_score"),
+        score(col("m_bucket"), "m").cast("long").as("m_score"))
+    scored
+      .groupBy(col("r_score"), col("f_score"), col("m_score"))
+      .agg(count(lit(1)).as("n_cust"), sum(col("m_cents")).as("m_cents_total"))
+      .withColumn("segment", expr(
+        """CASE WHEN r_score >= 4 AND f_score >= 4 AND m_score >= 4
+          |  THEN 'champion'
+          |WHEN f_score >= 4 THEN 'loyal'
+          |WHEN m_score >= 4 THEN 'big_spender'
+          |WHEN r_score <= 2 AND f_score >= 3 THEN 'at_risk'
+          |WHEN r_score <= 2 THEN 'hibernating'
+          |ELSE 'regular' END""".stripMargin))
+  }
+
   /** TOP CONVERTING PATHS — the sequence-mining companion to
     * [[attributionUShape]] (same touch→conversion assignment, the
     * path itself instead of the credit split): per conversion the

@@ -333,6 +333,55 @@ class Round9WaveSpec extends AnyFunSuite {
     }
   }
 
+  // --- orders_rfm_segments ----------------------------------------------
+
+  test("rfm: segment rollup recomputes from a hand-built scorer") {
+    val ord = graft.Tables.orders(spark, sfDir)
+      .select(col("o_custkey"),
+        expr("unix_micros(CAST(o_orderdate AS TIMESTAMP)) DIV 86400000000").as("day"),
+        expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)").as("cents"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val maxDay = ord.map(_._2).max
+    val cust = ord.groupBy(_._1).map { case (ck, rows) =>
+      (ck, maxDay - rows.map(_._2).max, rows.size.toLong,
+        rows.map(_._3).sum)
+    }.toSeq
+    val n = cust.size.toLong
+    // value-quantile cutoff: rank ceil(q*N/5) in the sorted multiset
+    def cutoffs(vs: Seq[Long]): Seq[Long] = {
+      val sorted = vs.sorted
+      (1 to 4).map(q => sorted(((q * n + 4) / 5 - 1).toInt))
+    }
+    val rc = cutoffs(cust.map(_._2))
+    val fc = cutoffs(cust.map(_._3))
+    val mc = cutoffs(cust.map(_._4 / 10000))
+    def sc(v: Long, cuts: Seq[Long]): Long = 1L + cuts.count(v > _)
+    val expected = cust.groupBy { case (_, r, f, m) =>
+      (6L - sc(r, rc), sc(f, fc), sc(m / 10000, mc))
+    }.map { case (k, rows) => k -> ((rows.size.toLong, rows.map(_._4).sum)) }
+    val rows = Relational.ordersRfmSegments(spark, sfDir).collect()
+    assert(rows.map(_.getAs[Long]("n_cust")).sum == n,
+      "every ordering customer lands in exactly one segment")
+    assert(rows.length == expected.size)
+    rows.foreach { r =>
+      val k = (r.getAs[Long]("r_score"), r.getAs[Long]("f_score"),
+        r.getAs[Long]("m_score"))
+      assert(Seq(k._1, k._2, k._3).forall(s => s >= 1 && s <= 5), s"$k")
+      val (en, em) = expected(k)
+      assert(r.getAs[Long]("n_cust") == en, s"count mismatch at $k")
+      assert(r.getAs[Long]("m_cents_total") == em, s"monetary mismatch at $k")
+      val seg = r.getAs[String]("segment")
+      val want =
+        if (k._1 >= 4 && k._2 >= 4 && k._3 >= 4) "champion"
+        else if (k._2 >= 4) "loyal"
+        else if (k._3 >= 4) "big_spender"
+        else if (k._1 <= 2 && k._2 >= 3) "at_risk"
+        else if (k._1 <= 2) "hibernating"
+        else "regular"
+      assert(seg == want)
+    }
+  }
+
   // --- corpus_moore_lewis -----------------------------------------------
 
   test("moore-lewis: in-domain docs score lower diff than out-of-domain") {
