@@ -210,6 +210,8 @@ object SparkEntry {
       GraphOps.kcoreMembership(s, d)),
     "events_forecast_snaive" -> (Relational.forecastSnaiveEval _),
     "orders_rfm_segments" -> (Relational.ordersRfmSegments _),
+    "sketch_kmv_setops" -> ((s: SparkSession, d: String) =>
+      Sketches.kmvSetOps(s, d)),
     "events_funnel_paths" -> ((s: SparkSession, d: String) =>
       Relational.funnelPaths(s, d)),
     "sub_window_funcs" -> (Substrate.windowRankFuncs _),
@@ -408,7 +410,7 @@ object SparkEntry {
     "graph_label_prop", "sub_join_order_advisor",
     "events_funnel_paths", "sub_window_funcs", "text_kn_perplexity",
     "corpus_moore_lewis", "graph_kcore", "events_forecast_snaive",
-    "orders_rfm_segments")
+    "orders_rfm_segments", "sketch_kmv_setops")
 
   // --- generated DuckDB replicas of the portable-hash queries ----------
 
@@ -2788,6 +2790,54 @@ object SparkEntry {
         |    // greatest(CAST(sum(e1) AS BIGINT), 1) AS mase_milli
         |FROM j GROUP BY 1""".stripMargin,
     "orders_rfm_segments" -> rfmOracle,
+    // Identical KMV set algebra: per-type top-64 of the portable hash,
+    // union sketch re-ranked from the two sketches, same double
+    // operation order in the estimates (((k−1)·2⁴⁸ / kth) · c) / k.
+    "sketch_kmv_setops" ->
+      s"""WITH h AS (SELECT DISTINCT event_type,
+         |    ${graft.functions.PortableHash.sqlH48("cast(user_id as varchar)")} AS h
+         |  FROM events),
+         |r AS (SELECT event_type, h,
+         |    row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn FROM h),
+         |sk AS (SELECT event_type, h FROM r WHERE rn <= 64),
+         |ty AS (SELECT DISTINCT event_type FROM events),
+         |pr AS (SELECT a.event_type AS t1, b.event_type AS t2
+         |  FROM ty a JOIN ty b ON a.event_type < b.event_type),
+         |uk AS (SELECT t1, t2, h,
+         |    row_number() OVER (PARTITION BY t1, t2 ORDER BY h) AS rn
+         |  FROM (SELECT DISTINCT pr.t1, pr.t2, s.h FROM pr JOIN sk s
+         |    ON s.event_type = pr.t1 OR s.event_type = pr.t2)),
+         |ukk AS (SELECT t1, t2, h FROM uk WHERE rn <= 64),
+         |ust AS (SELECT t1, t2, count(*) AS u_size, max(h) AS u_kth
+         |  FROM ukk GROUP BY 1, 2),
+         |ik AS (SELECT u.t1, u.t2, count(*) AS inter_k FROM ukk u
+         |  JOIN sk s1 ON s1.event_type = u.t1 AND s1.h = u.h
+         |  JOIN sk s2 ON s2.event_type = u.t2 AND s2.h = u.h GROUP BY 1, 2),
+         |du AS (SELECT DISTINCT event_type, user_id FROM events),
+         |sz AS (SELECT event_type, count(*) AS n FROM du GROUP BY 1),
+         |ei AS (SELECT a.event_type AS t1, b.event_type AS t2,
+         |    count(*) AS ei FROM du a JOIN du b
+         |  ON a.user_id = b.user_id AND a.event_type < b.event_type
+         |  GROUP BY 1, 2)
+         |SELECT ust.t1, ust.t2, u_size, u_kth,
+         |  coalesce(ik.inter_k, CAST(0 AS BIGINT)) AS inter_k,
+         |  CASE WHEN u_size < 64 THEN CAST(u_size AS DOUBLE)
+         |    ELSE ${graft.operators.PortableRound.sql(
+                "CAST(63.0 AS DOUBLE) * CAST(281474976710656.0 AS DOUBLE) / u_kth", 4)}
+         |    END AS est_union,
+         |  CASE WHEN u_size < 64
+         |    THEN CAST(coalesce(ik.inter_k, CAST(0 AS BIGINT)) AS DOUBLE)
+         |    ELSE ${graft.operators.PortableRound.sql(
+                "CAST(63.0 AS DOUBLE) * CAST(281474976710656.0 AS DOUBLE) / u_kth" +
+                  " * coalesce(ik.inter_k, CAST(0 AS BIGINT)) / CAST(64.0 AS DOUBLE)", 4)}
+         |    END AS est_inter,
+         |  s1.n + s2.n - coalesce(ei.ei, CAST(0 AS BIGINT)) AS exact_union,
+         |  coalesce(ei.ei, CAST(0 AS BIGINT)) AS exact_inter
+         |FROM ust
+         |LEFT JOIN ik ON ust.t1 = ik.t1 AND ust.t2 = ik.t2
+         |JOIN sz s1 ON s1.event_type = ust.t1
+         |JOIN sz s2 ON s2.event_type = ust.t2
+         |LEFT JOIN ei ON ust.t1 = ei.t1 AND ust.t2 = ei.t2""".stripMargin,
     "events_funnel_paths" ->
       """WITH t AS (SELECT event_id, user_id, epoch_us(ts) AS us, event_type
         |  FROM events WHERE event_type <> 'purchase'),

@@ -38,6 +38,74 @@ object Sketches {
           .otherwise(PortableRound.pround(est, 4)).as("est_distinct"))
   }
 
+  /** KMV SET ALGEBRA (Beyer et al. 2007, "On synopses for distinct-
+    * value estimation under multiset operations") — the reason KMV
+    * beats HLL for a lakehouse: sketches are MERGEABLE UNDER SET
+    * OPERATIONS. For every event-type pair this derives union,
+    * intersection, and Jaccard estimates of the distinct-USER
+    * audiences from the per-type k-min sketches alone:
+    *
+    *   - union sketch  = k smallest of S_A ∪ S_B (identical to the
+    *     k smallest of the FULL A ∪ B — any of those is among its own
+    *     side's k minima, so merging sketches loses nothing);
+    *   - est_union     = (k−1)·2⁴⁸ / kth-min of the union sketch;
+    *   - est_inter     = est_union · |K ∩ S_A ∩ S_B| / k (the union
+    *     sketch is a uniform sample of A ∪ B; membership in both
+    *     sketches marks the intersection elements).
+    *
+    * Pairs with an unsaturated union sketch (< k hashes) are EXACT by
+    * construction. The exact twin columns (one distinct + one
+    * user-keyed equi-join) ship alongside as the calibration audit,
+    * same pattern as [[histogramQuantiles]].
+    *
+    * Scale: the sketches aggregate with O(k) state and map-side
+    * partials; the pair fan-out handles |types|² SKETCH ROWS (tiny,
+    * broadcast), never row data — at 100 TB the set algebra costs the
+    * same 5×64 longs it costs here. The portable md5-48 hash makes
+    * sketch, estimates, and twins bit-replicable in the oracle. */
+  def kmvSetOps(spark: SparkSession, sfDir: String, k: Int = KmvK): DataFrame = {
+    BoundedAggregates.register(spark)
+    val ev = Tables.events(spark, sfDir)
+    val sk = ev
+      .select(col("event_type"),
+        PortableHash.md5Hash48(col("user_id").cast("string")).as("h"))
+      .groupBy(col("event_type"))
+      .agg(call_function("kmv_sketch", col("h"), lit(k)).as("kmv"))
+      .localCheckpoint(eager = false) // both sides of the pair join
+    val pairs = sk.select(col("event_type").as("t1"), col("kmv").as("kmv1"))
+      .join(broadcast(
+        sk.select(col("event_type").as("t2"), col("kmv").as("kmv2"))),
+        col("t1") < col("t2"))
+      .withColumn("uk", slice(
+        array_sort(array_distinct(concat(col("kmv1"), col("kmv2")))), 1, k))
+      .withColumn("u_size", size(col("uk")).cast("long"))
+      .withColumn("u_kth", element_at(col("uk"), size(col("uk"))))
+      .withColumn("inter_k", size(array_intersect(
+        array_intersect(col("uk"), col("kmv1")), col("kmv2"))).cast("long"))
+    // exact calibration twin: map-side distinct + one user-keyed join
+    val du = ev.select(col("event_type"), col("user_id")).distinct()
+      .localCheckpoint(eager = false)
+    val sizes = du.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+    val exactI = du.select(col("event_type").as("t1"), col("user_id"))
+      .join(du.select(col("event_type").as("t2"), col("user_id")), Seq("user_id"))
+      .filter(col("t1") < col("t2"))
+      .groupBy(col("t1"), col("t2")).agg(count(lit(1)).as("ei"))
+    val estU = lit((k - 1) * math.pow(2, 48)) / col("u_kth").cast("double")
+    pairs
+      .join(broadcast(sizes.select(col("event_type").as("t1"), col("n").as("n1"))), Seq("t1"))
+      .join(broadcast(sizes.select(col("event_type").as("t2"), col("n").as("n2"))), Seq("t2"))
+      .join(exactI, Seq("t1", "t2"), "left")
+      .select(col("t1"), col("t2"), col("u_size"), col("u_kth"), col("inter_k"),
+        when(col("u_size") < k, col("u_size").cast("double"))
+          .otherwise(PortableRound.pround(estU, 4)).as("est_union"),
+        when(col("u_size") < k, col("inter_k").cast("double"))
+          .otherwise(PortableRound.pround(
+            estU * col("inter_k").cast("double") / lit(k.toDouble), 4))
+          .as("est_inter"),
+        (col("n1") + col("n2") - coalesce(col("ei"), lit(0L))).as("exact_union"),
+        coalesce(col("ei"), lit(0L)).as("exact_inter"))
+  }
+
   val CmsDepth = 4
   val CmsWidth = 1024
 

@@ -382,6 +382,57 @@ class Round9WaveSpec extends AnyFunSuite {
     }
   }
 
+  // --- sketch_kmv_setops ------------------------------------------------
+
+  test("kmv set ops: union/intersection sketches recompute from raw hashes") {
+    def h48(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      java.lang.Long.parseLong(
+        d.take(6).map(b => f"${b & 0xff}%02x").mkString, 16)
+    }
+    val du = graft.Tables.events(spark, sfDir)
+      .select(col("event_type"), col("user_id")).distinct().collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val byType = du.groupBy(_._1).map { case (t, rs) =>
+      t -> rs.map(x => h48(x._2.toString)).distinct.sorted
+    }
+    val users = du.groupBy(_._1).map { case (t, rs) => t -> rs.map(_._2).toSet }
+    val k = Sketches.KmvK
+    def pr(x: Double): Double = math.floor(x * 10000.0 + 0.5) / 10000.0
+    val rows = Sketches.kmvSetOps(spark, sfDir).collect()
+    val types = byType.keys.toSeq.sorted
+    assert(rows.length == types.size * (types.size - 1) / 2,
+      "one row per unordered type pair")
+    rows.foreach { r =>
+      val (t1, t2) = (r.getAs[String]("t1"), r.getAs[String]("t2"))
+      assert(t1 < t2)
+      val s1 = byType(t1).take(k).toSet
+      val s2 = byType(t2).take(k).toSet
+      val uk = (s1 ++ s2).toSeq.sorted.take(k)
+      assert(r.getAs[Long]("u_size") == uk.size)
+      assert(r.getAs[Long]("u_kth") == uk.last)
+      val interK = uk.count(h => s1.contains(h) && s2.contains(h)).toLong
+      assert(r.getAs[Long]("inter_k") == interK)
+      val estU =
+        if (uk.size < k) uk.size.toDouble
+        else pr((k - 1) * math.pow(2, 48) / uk.last.toDouble)
+      assert(r.getAs[Double]("est_union") == estU)
+      val estI =
+        if (uk.size < k) interK.toDouble
+        else pr((k - 1) * math.pow(2, 48) / uk.last.toDouble * interK / k.toDouble)
+      assert(r.getAs[Double]("est_inter") == estI)
+      val exactI = (users(t1) & users(t2)).size.toLong
+      assert(r.getAs[Long]("exact_inter") == exactI)
+      assert(r.getAs[Long]("exact_union") == (users(t1) | users(t2)).size.toLong)
+      // the estimator must actually estimate: saturated unions land
+      // within 50% of truth at k=64 (std err ≈ 1/√(k−2) ≈ 13%)
+      if (uk.size == k)
+        assert(math.abs(estU - (users(t1) | users(t2)).size) <=
+          0.5 * (users(t1) | users(t2)).size, s"union estimate off: $r")
+    }
+  }
+
   // --- corpus_moore_lewis -----------------------------------------------
 
   test("moore-lewis: in-domain docs score lower diff than out-of-domain") {
