@@ -212,6 +212,7 @@ object SparkEntry {
     "orders_rfm_segments" -> (Relational.ordersRfmSegments _),
     "sketch_kmv_setops" -> ((s: SparkSession, d: String) =>
       Sketches.kmvSetOps(s, d)),
+    "text_readability" -> (TextAnalysis.readability _),
     "events_funnel_paths" -> ((s: SparkSession, d: String) =>
       Relational.funnelPaths(s, d)),
     "sub_window_funcs" -> (Substrate.windowRankFuncs _),
@@ -410,7 +411,7 @@ object SparkEntry {
     "graph_label_prop", "sub_join_order_advisor",
     "events_funnel_paths", "sub_window_funcs", "text_kn_perplexity",
     "corpus_moore_lewis", "graph_kcore", "events_forecast_snaive",
-    "orders_rfm_segments", "sketch_kmv_setops")
+    "orders_rfm_segments", "sketch_kmv_setops", "text_readability")
 
   // --- generated DuckDB replicas of the portable-hash queries ----------
 
@@ -2790,6 +2791,33 @@ object SparkEntry {
         |    // greatest(CAST(sum(e1) AS BIGINT), 1) AS mase_milli
         |FROM j GROUP BY 1""".stripMargin,
     "orders_rfm_segments" -> rfmOracle,
+    // Same integer Flesch/FK formulas; DuckDB counts vowel runs via
+    // regexp_extract_all (its regexp_count has no portable twin note
+    // needed — both count non-overlapping matches left to right).
+    "text_readability" ->
+      """WITH f AS (SELECT doc_id,
+        |    CAST(length(string_split(text, ' ')) AS BIGINT) AS n_words,
+        |    greatest(CAST(length(text) - length(replace(text, '.', ''))
+        |      + length(text) - length(replace(text, '!', ''))
+        |      + length(text) - length(replace(text, '?', ''))
+        |      AS BIGINT), 1) AS n_sentences,
+        |    CAST(length(regexp_extract_all(lower(text), '[aeiouy]+'))
+        |      AS BIGINT) AS n_syllables
+        |  FROM documents),
+        |g AS (SELECT *,
+        |    206835 - (1015 * n_words) // n_sentences
+        |      - (84600 * n_syllables) // n_words AS flesch_milli,
+        |    (390 * n_words) // n_sentences
+        |      + (11800 * n_syllables) // n_words - 15590 AS fk_grade_milli
+        |  FROM f WHERE n_words > 0)
+        |SELECT doc_id, n_words, n_sentences, n_syllables, flesch_milli,
+        |  fk_grade_milli,
+        |  CASE WHEN flesch_milli >= 90000 THEN 'very_easy'
+        |    WHEN flesch_milli >= 70000 THEN 'easy'
+        |    WHEN flesch_milli >= 50000 THEN 'medium'
+        |    WHEN flesch_milli >= 30000 THEN 'hard'
+        |    ELSE 'very_hard' END AS band
+        |FROM g""".stripMargin,
     // Identical KMV set algebra: per-type top-64 of the portable hash,
     // union sketch re-ranked from the two sketches, same double
     // operation order in the estimates (((k−1)·2⁴⁸ / kth) · c) / k.

@@ -110,6 +110,47 @@ object TextAnalysis {
         score.as("quality_score"))
   }
 
+  /** READABILITY SCORING (Flesch 1948 / Kincaid et al. 1975) — the
+    * classic document-difficulty features next to [[qualityScore]]'s
+    * Gopher/C4 heuristics: Flesch Reading Ease and Flesch–Kincaid
+    * grade level per document, in EXACT INTEGER milli-units so both
+    * engines agree bit-for-bit (the published coefficients ×1000,
+    * each ratio as a nonnegative integer DIV before the signed
+    * combination — no float anywhere):
+    *
+    *   flesch_milli = 206835 − (1015·W) DIV S − (84600·Y) DIV W
+    *   fk_grade_milli = (390·W) DIV S + (11800·Y) DIV W − 15590
+    *
+    * with W whitespace words, S sentence marks (`.!?`, floored at 1),
+    * and Y the standard vowel-group syllable proxy (maximal
+    * `[aeiouy]+` runs — the heuristic every readability library uses
+    * when no pronunciation dictionary is available). A CEFR-ish band
+    * label buckets the Flesch score for routing.
+    *
+    * Scale: one scan, fully codegen'd Column program — no shuffle, no
+    * UDF; the regex stays in the RE2 subset the oracle replicates. */
+  def readability(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = size(split(col("text"), " ")).cast("long")
+    def c1(p: String): Column =
+      (length(col("text")) - length(replace(col("text"), lit(p), lit("")))).cast("long")
+    val s = greatest(c1(".") + c1("!") + c1("?"), lit(1L))
+    val y = regexp_count(lower(col("text")), lit("[aeiouy]+")).cast("long")
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), w.as("n_words"), s.as("n_sentences"),
+        y.as("n_syllables"))
+      .filter(col("n_words") > 0)
+      .withColumn("flesch_milli", expr(
+        "206835 - (1015 * n_words) DIV n_sentences - (84600 * n_syllables) DIV n_words"))
+      .withColumn("fk_grade_milli", expr(
+        "(390 * n_words) DIV n_sentences + (11800 * n_syllables) DIV n_words - 15590"))
+      .withColumn("band", expr(
+        """CASE WHEN flesch_milli >= 90000 THEN 'very_easy'
+          |WHEN flesch_milli >= 70000 THEN 'easy'
+          |WHEN flesch_milli >= 50000 THEN 'medium'
+          |WHEN flesch_milli >= 30000 THEN 'hard'
+          |ELSE 'very_hard' END""".stripMargin))
+  }
+
   /** Token counting: whitespace tokens + a BPE-ish regex segmentation
     * (letters / single digits / punctuation as separate tokens). */
   def tokenStats(spark: SparkSession, sfDir: String): DataFrame =

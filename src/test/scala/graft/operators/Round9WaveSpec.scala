@@ -433,6 +433,36 @@ class Round9WaveSpec extends AnyFunSuite {
     }
   }
 
+  // --- text_readability -------------------------------------------------
+
+  test("readability: integer Flesch/FK recompute from raw text") {
+    val docs = graft.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val rows = TextAnalysis.readability(spark, sfDir).collect()
+    assert(rows.length == docs.count(_._2.split(" ", -1).nonEmpty))
+    rows.foreach { r =>
+      val text = docs(r.getAs[Long]("doc_id"))
+      val w = text.split(" ", -1).length.toLong
+      val s = math.max(text.count(c => c == '.' || c == '!' || c == '?'), 1).toLong
+      val y = "[aeiouy]+".r.findAllIn(text.toLowerCase).length.toLong
+      assert(r.getAs[Long]("n_words") == w)
+      assert(r.getAs[Long]("n_sentences") == s)
+      assert(r.getAs[Long]("n_syllables") == y, s"syllable proxy at $r")
+      val flesch = 206835L - (1015L * w) / s - (84600L * y) / w
+      val fk = (390L * w) / s + (11800L * y) / w - 15590L
+      assert(r.getAs[Long]("flesch_milli") == flesch)
+      assert(r.getAs[Long]("fk_grade_milli") == fk)
+      val band =
+        if (flesch >= 90000) "very_easy" else if (flesch >= 70000) "easy"
+        else if (flesch >= 50000) "medium" else if (flesch >= 30000) "hard"
+        else "very_hard"
+      assert(r.getAs[String]("band") == band)
+    }
+    // the corpus must exercise more than one band or the CASE is dead
+    assert(rows.map(_.getAs[String]("band")).distinct.length > 1)
+  }
+
   // --- corpus_moore_lewis -----------------------------------------------
 
   test("moore-lewis: in-domain docs score lower diff than out-of-domain") {
