@@ -213,6 +213,8 @@ object SparkEntry {
     "sketch_kmv_setops" -> ((s: SparkSession, d: String) =>
       Sketches.kmvSetOps(s, d)),
     "text_readability" -> (TextAnalysis.readability _),
+    "mm_shot_boundaries" -> ((s: SparkSession, d: String) =>
+      VideoCodec.shotBoundaries(s, d)),
     "events_funnel_paths" -> ((s: SparkSession, d: String) =>
       Relational.funnelPaths(s, d)),
     "sub_window_funcs" -> (Substrate.windowRankFuncs _),
@@ -411,7 +413,8 @@ object SparkEntry {
     "graph_label_prop", "sub_join_order_advisor",
     "events_funnel_paths", "sub_window_funcs", "text_kn_perplexity",
     "corpus_moore_lewis", "graph_kcore", "events_forecast_snaive",
-    "orders_rfm_segments", "sketch_kmv_setops", "text_readability")
+    "orders_rfm_segments", "sketch_kmv_setops", "text_readability",
+    "mm_shot_boundaries")
 
   // --- generated DuckDB replicas of the portable-hash queries ----------
 
@@ -2791,6 +2794,30 @@ object SparkEntry {
         |    // greatest(CAST(sum(e1) AS BIGINT), 1) AS mase_milli
         |FROM j GROUP BY 1""".stripMargin,
     "orders_rfm_segments" -> rfmOracle,
+    // Arithmetic replica of the decoded shot detector: the AVI frames
+    // are the deterministic gradient (doc_id + 7f + x + y) % 256, so
+    // each pixel's |Δ| to the next frame is 7 unless the value wraps
+    // (≥ 249 → 249); doc_id % 10 = 0 payloads are truncated and yield
+    // no pairs. Pixel grid unrolled via bounded static ranges.
+    "mm_shot_boundaries" ->
+      """WITH d AS (SELECT doc_id, n_chars % 5 + 2 AS n,
+        |    n_chars % 24 + 8 AS w, n_chars % 16 + 8 AS h
+        |  FROM documents WHERE doc_id % 10 <> 0),
+        |fr AS (SELECT doc_id, w, h, unnest(range(0, n - 1)) AS f FROM d),
+        |xs AS (SELECT unnest(range(0, 32)) AS x),
+        |ys AS (SELECT unnest(range(0, 24)) AS y),
+        |px AS (SELECT doc_id, f, w, h,
+        |    (doc_id + 7 * f + x + y) % 256 AS v
+        |  FROM fr CROSS JOIN xs CROSS JOIN ys WHERE x < w AND y < h),
+        |p AS (SELECT doc_id, f, w, h,
+        |    CAST(sum(CASE WHEN v >= 249 THEN 249 ELSE 7 END) AS BIGINT)
+        |      AS sad
+        |  FROM px GROUP BY 1, 2, 3, 4)
+        |SELECT doc_id, CAST(f AS INTEGER) AS f_from,
+        |  CAST(f + 1 AS INTEGER) AS f_to, sad,
+        |  sad * 100 // (w * h) AS mad_centi,
+        |  sad * 100 // (w * h) >= 1000 AS is_boundary
+        |FROM p""".stripMargin,
     // Same integer Flesch/FK formulas; DuckDB counts vowel runs via
     // regexp_extract_all (its regexp_count has no portable twin note
     // needed — both count non-overlapping matches left to right).

@@ -297,6 +297,60 @@ object VideoCodec {
     }(enc)
   }
 
+  /** SHOT-BOUNDARY DETECTION — the classic frame-differencing cut
+    * detector (the first stage of any video curation pipeline: segment
+    * into shots, then sample/caption per shot instead of per frame):
+    * for every consecutive decoded frame pair, the sum of absolute
+    * luma differences (SAD — exact long), its per-pixel mean in centi
+    * units, and a boundary flag when the mean jump clears the
+    * threshold. Real container walk + real ImageIO decode; truncated
+    * payloads contribute no pairs (the F11 failure channel).
+    *
+    * The generator's +7-per-frame gradient makes boundaries DATA-
+    * DEPENDENT: most pixel deltas are 7, wrap pixels jump 249, and the
+    * wrap fraction varies per (doc, frame) — so the flag genuinely
+    * discriminates and the DuckDB oracle replicates the decoded
+    * arithmetic bit-for-bit from the metadata alone.
+    *
+    * Scale: narrow mapPartitions over the blobs, zero shuffle; cost
+    * linear in decoded pixels. At 100 TB the sampled-decode path
+    * ([[decodeSampled]]) bounds which frames are ever touched. */
+  def shotBoundaries(spark: SparkSession, sfDir: String,
+      thresholdCenti: Long = 1000L): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("f_from", IntegerType),
+      StructField("f_to", IntegerType),
+      StructField("sad", LongType),
+      StructField("mad_centi", LongType),
+      StructField("is_boundary", BooleanType)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
+    realVideoBlobs(spark, sfDir).mapPartitions { rows =>
+      rows.flatMap { r =>
+        val docId = r.getLong(0)
+        decode(r.getAs[Array[Byte]](1)) match {
+          case Right(frames) =>
+            frames.sliding(2).collect { case Seq(a, b) =>
+              val da = a.decoded
+              val db = b.decoded
+              var sad = 0L
+              var y = 0
+              while (y < da.height) {
+                var x = 0
+                while (x < da.width) {
+                  sad += math.abs(db.luma(x, y) - da.luma(x, y)); x += 1
+                }
+                y += 1
+              }
+              val mad = sad * 100L / (da.width.toLong * da.height)
+              Row(docId, a.index, b.index, sad, mad, mad >= thresholdCenti)
+            }
+          case Left(_) => Iterator.empty
+        }
+      }
+    }(enc)
+  }
+
   /** Sampled-decode statistics via the idx1 INDEX-SEEK path (every 2nd
     * frame, cap 4): what a training pipeline actually runs — the codec
     * only ever touches the kept frames. Exact integers as above. */

@@ -463,6 +463,38 @@ class Round9WaveSpec extends AnyFunSuite {
     assert(rows.map(_.getAs[String]("band")).distinct.length > 1)
   }
 
+  // --- mm_shot_boundaries -----------------------------------------------
+
+  test("shot boundaries: SAD recomputes from the generator, both classes present") {
+    val meta = graft.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("n_chars")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val rows = VideoCodec.shotBoundaries(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    assert(!rows.exists(_.getAs[Long]("doc_id") % 10 == 0),
+      "truncated payloads must contribute no pairs")
+    val expectedPairs = meta.filter(_._1 % 10 != 0)
+      .map { case (_, nc) => VideoCodec.nFrames(nc) - 1 }.sum
+    assert(rows.length == expectedPairs)
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val nc = meta(id)
+      val (w, h) = (VideoCodec.frameW(nc), VideoCodec.frameH(nc))
+      val f = r.getAs[Int]("f_from")
+      assert(r.getAs[Int]("f_to") == f + 1)
+      var sad = 0L
+      for (x <- 0 until w; y <- 0 until h)
+        sad += math.abs(
+          VideoCodec.lumaAt(id, f + 1, x, y) - VideoCodec.lumaAt(id, f, x, y))
+      assert(r.getAs[Long]("sad") == sad, s"SAD mismatch at $r")
+      val mad = sad * 100L / (w.toLong * h)
+      assert(r.getAs[Long]("mad_centi") == mad)
+      assert(r.getAs[Boolean]("is_boundary") == (mad >= 1000L))
+    }
+    val flags = rows.map(_.getAs[Boolean]("is_boundary")).distinct
+    assert(flags.length == 2, "fixture must contain both cuts and non-cuts")
+  }
+
   // --- corpus_moore_lewis -----------------------------------------------
 
   test("moore-lewis: in-domain docs score lower diff than out-of-domain") {
