@@ -215,6 +215,7 @@ object SparkEntry {
     "text_readability" -> (TextAnalysis.readability _),
     "mm_shot_boundaries" -> ((s: SparkSession, d: String) =>
       VideoCodec.shotBoundaries(s, d)),
+    "events_user_gini" -> (Relational.eventsUserGini _),
     "events_funnel_paths" -> ((s: SparkSession, d: String) =>
       Relational.funnelPaths(s, d)),
     "sub_window_funcs" -> (Substrate.windowRankFuncs _),
@@ -414,7 +415,7 @@ object SparkEntry {
     "events_funnel_paths", "sub_window_funcs", "text_kn_perplexity",
     "corpus_moore_lewis", "graph_kcore", "events_forecast_snaive",
     "orders_rfm_segments", "sketch_kmv_setops", "text_readability",
-    "mm_shot_boundaries")
+    "mm_shot_boundaries", "events_user_gini")
 
   // --- generated DuckDB replicas of the portable-hash queries ----------
 
@@ -2794,6 +2795,27 @@ object SparkEntry {
         |    // greatest(CAST(sum(e1) AS BIGINT), 1) AS mase_milli
         |FROM j GROUP BY 1""".stripMargin,
     "orders_rfm_segments" -> rfmOracle,
+    // Same grouped-census Gini: the rank-weighted sum from the
+    // count-of-counts census, every HUGEINT-prone sum cast to BIGINT.
+    "events_user_gini" ->
+      """WITH pu AS (SELECT event_type, user_id, count(*) AS c
+        |  FROM events GROUP BY 1, 2),
+        |cen AS (SELECT event_type, c, count(*) AS m FROM pu GROUP BY 1, 2),
+        |cum AS (SELECT event_type, c, m,
+        |    CAST(coalesce(sum(m) OVER (PARTITION BY event_type ORDER BY c
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS r
+        |  FROM cen),
+        |g AS (SELECT event_type,
+        |    CAST(sum(m) AS BIGINT) AS n_users,
+        |    CAST(sum(c * m) AS BIGINT) AS total_events,
+        |    CAST(sum(c * (m * r + (m * (m + 1)) // 2)) AS BIGINT)
+        |      AS rank_weighted_sum
+        |  FROM cum GROUP BY 1)
+        |SELECT event_type, n_users, total_events, rank_weighted_sum,
+        |  (2 * rank_weighted_sum - (n_users + 1) * total_events) * 1000
+        |    // (n_users * total_events) AS gini_milli
+        |FROM g""".stripMargin,
     // Arithmetic replica of the decoded shot detector: the AVI frames
     // are the deterministic gradient (doc_id + 7f + x + y) % 256, so
     // each pixel's |Δ| to the next frame is 7 unless the value wraps

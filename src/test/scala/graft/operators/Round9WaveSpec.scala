@@ -495,6 +495,31 @@ class Round9WaveSpec extends AnyFunSuite {
     assert(flags.length == 2, "fixture must contain both cuts and non-cuts")
   }
 
+  // --- events_user_gini -------------------------------------------------
+
+  test("user gini: matches the sorted-definition coefficient exactly") {
+    val perUser = graft.Tables.events(spark, sfDir)
+      .groupBy(col("event_type"), col("user_id"))
+      .agg(count(lit(1)).as("c")).collect()
+      .map(r => (r.getString(0), r.getLong(2)))
+    val rows = Relational.eventsUserGini(spark, sfDir).collect()
+    assert(rows.length == perUser.map(_._1).distinct.length)
+    rows.foreach { r =>
+      val t = r.getAs[String]("event_type")
+      val cs = perUser.filter(_._1 == t).map(_._2).sorted
+      val n = cs.length.toLong
+      val s = cs.sum
+      val ranksum = cs.zipWithIndex.map { case (c, i) => (i + 1) * c }.sum
+      assert(r.getAs[Long]("n_users") == n)
+      assert(r.getAs[Long]("total_events") == s)
+      assert(r.getAs[Long]("rank_weighted_sum") == ranksum,
+        s"grouped rank sum must equal the sorted rank sum at $t")
+      val gini = (2 * ranksum - (n + 1) * s) * 1000 / (n * s)
+      assert(r.getAs[Long]("gini_milli") == gini)
+      assert(gini >= 0 && gini < 1000)
+    }
+  }
+
   // --- corpus_moore_lewis -----------------------------------------------
 
   test("moore-lewis: in-domain docs score lower diff than out-of-domain") {
