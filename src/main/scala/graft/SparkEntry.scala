@@ -216,6 +216,8 @@ object SparkEntry {
     "mm_shot_boundaries" -> ((s: SparkSession, d: String) =>
       VideoCodec.shotBoundaries(s, d)),
     "events_user_gini" -> (Relational.eventsUserGini _),
+    "graph_core_distance" -> ((s: SparkSession, d: String) =>
+      GraphOps.bfsDepthFromCore(s, d)),
     "events_funnel_paths" -> ((s: SparkSession, d: String) =>
       Relational.funnelPaths(s, d)),
     "sub_window_funcs" -> (Substrate.windowRankFuncs _),
@@ -415,7 +417,7 @@ object SparkEntry {
     "events_funnel_paths", "sub_window_funcs", "text_kn_perplexity",
     "corpus_moore_lewis", "graph_kcore", "events_forecast_snaive",
     "orders_rfm_segments", "sketch_kmv_setops", "text_readability",
-    "mm_shot_boundaries", "events_user_gini")
+    "mm_shot_boundaries", "events_user_gini", "graph_core_distance")
 
   // --- generated DuckDB replicas of the portable-hash queries ----------
 
@@ -610,7 +612,10 @@ object SparkEntry {
     * [[graft.operators.GraphOps.kcoreMembership]]'s fixed-count peel
     * rounds unrolled as materialized CTEs (peeling is idempotent at
     * the fixed point, so both engines land on the same core). */
-  private def kcoreOracle(k: Int = 3, rounds: Int = 6): String = {
+  /** Shared CTE block: winnow shingles → near-dup edge list `e0` →
+    * `rounds` k-core peel rounds ending at `e$rounds` (used by both
+    * the k-core and the BFS-depth replicas). */
+  private def kcorePeelCtes(k: Int, rounds: Int): String = {
     val iterCtes = (1 to rounds).map { r =>
       s"""dg$r AS (SELECT doc_id, count(*) AS deg FROM (
          |    SELECT id1 AS doc_id FROM e${r - 1}
@@ -626,10 +631,14 @@ object SparkEntry {
        |e0 AS MATERIALIZED (SELECT a.doc_id AS id1, b.doc_id AS id2
        |  FROM fp a JOIN fp b ON a.fp_hash = b.fp_hash AND a.doc_id < b.doc_id
        |  GROUP BY 1, 2 HAVING count(*) >= 3),
+       |$iterCtes""".stripMargin
+  }
+
+  private def kcoreOracle(k: Int = 3, rounds: Int = 6): String = {
+    s"""${kcorePeelCtes(k, rounds)},
        |degf AS (SELECT doc_id, count(*) AS deg_full FROM (
        |    SELECT id1 AS doc_id FROM e0 UNION ALL SELECT id2 FROM e0)
        |  GROUP BY 1),
-       |$iterCtes,
        |core AS (SELECT doc_id, count(*) AS core_deg FROM (
        |    SELECT id1 AS doc_id FROM e$rounds
        |    UNION ALL SELECT id2 FROM e$rounds) GROUP BY 1)
@@ -689,6 +698,34 @@ object SparkEntry {
        |    WHEN r_score <= 2 THEN 'hibernating'
        |    ELSE 'regular' END AS segment
        |FROM scored GROUP BY 1, 2, 3""".stripMargin
+  }
+
+  /** BFS-depth replica: the shared peel block seeds depth 0 at the
+    * 3-core, then `bfsRounds` unrolled min-propagation rounds over the
+    * undirected edge list (idempotent at the fixed point, like the
+    * peel itself). */
+  private def bfsDepthOracle(k: Int = 3, peelRounds: Int = 6,
+      bfsRounds: Int = 4): String = {
+    val rounds = (1 to bfsRounds).map { r =>
+      s"""d$r AS MATERIALIZED (SELECT doc_id, min(d) AS d FROM (
+         |    SELECT doc_id, d FROM d${r - 1}
+         |    UNION ALL
+         |    SELECT u.dst AS doc_id, p.d + 1 AS d
+         |    FROM d${r - 1} p JOIN und u ON p.doc_id = u.src)
+         |  GROUP BY 1)""".stripMargin
+    }.mkString(",\n")
+    s"""${kcorePeelCtes(k, peelRounds)},
+       |und AS MATERIALIZED (SELECT id1 AS src, id2 AS dst FROM e0
+       |  UNION ALL SELECT id2, id1 FROM e0),
+       |nodes AS (SELECT DISTINCT src AS doc_id FROM und),
+       |d0 AS MATERIALIZED (SELECT DISTINCT doc_id, CAST(0 AS BIGINT) AS d
+       |  FROM (SELECT id1 AS doc_id FROM e$peelRounds
+       |    UNION ALL SELECT id2 FROM e$peelRounds)),
+       |$rounds
+       |SELECT n.doc_id,
+       |  CAST(coalesce(f.d, -1) AS BIGINT) AS depth,
+       |  f.doc_id IS NOT NULL AS reached
+       |FROM nodes n LEFT JOIN d$bfsRounds f ON n.doc_id = f.doc_id""".stripMargin
   }
 
   /** MinHash+LSH replica: same shingles, same md5-derived 48-bit base
@@ -2779,6 +2816,7 @@ object SparkEntry {
         |FROM c GROUP BY 1""".stripMargin,
     "graph_label_prop" -> labelPropOracle(),
     "graph_kcore" -> kcoreOracle(),
+    "graph_core_distance" -> bfsDepthOracle(),
     "events_forecast_snaive" ->
       """WITH d AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day,
         |    count(*) AS n FROM events GROUP BY 1, 2),

@@ -248,6 +248,48 @@ object GraphOps {
     peel(Dedup.winnowSharedPairsAll(spark, sfDir)
       .select(col("id1"), col("id2")).localCheckpoint(), k, rounds)
 
+  /** BFS DEPTH FROM THE 3-CORE — the proximity census completing the
+    * k-core story: [[kcoreMembership]] names the dense duplication
+    * core; this labels every OTHER node in the near-dup graph with its
+    * hop distance to that core (multi-source BFS, min-depth
+    * propagation). Depth 0 = core member, depth d = d hops of
+    * near-duplication away, −1 = in the graph but not connected to
+    * any core within `bfsRounds` hops — the "satellite" documents a
+    * release can keep while dropping the template mass.
+    *
+    * Fixed-round min-propagation on BOTH engines (the oracle unrolls
+    * the same rounds); propagation is idempotent at the fixed point,
+    * and the spec proves rounds vs rounds−1 agree at test SFs.
+    *
+    * Scale: per round one depth⋈edges equi-join + a node-keyed min —
+    * frontier-bounded work, lineage truncated per round; `bfsRounds`
+    * is set from the fixed-point audit (near-dup components are
+    * shallow), never from corpus size. */
+  def bfsDepthFromCore(spark: SparkSession, sfDir: String, k: Int = 3,
+      peelRounds: Int = 6, bfsRounds: Int = 4): DataFrame = {
+    val pairs = Dedup.winnowSharedPairsAll(spark, sfDir)
+      .select(col("id1"), col("id2")).localCheckpoint()
+    val coreE = peel(pairs, k, peelRounds)
+    val nodes = pairs.select(col("id1").as("doc_id"))
+      .union(pairs.select(col("id2").as("doc_id"))).distinct()
+    val und = pairs.select(col("id1").as("src"), col("id2").as("dst"))
+      .union(pairs.select(col("id2").as("src"), col("id1").as("dst")))
+      .localCheckpoint()
+    var d = coreE.select(col("id1").as("doc_id"))
+      .union(coreE.select(col("id2").as("doc_id"))).distinct()
+      .withColumn("d", lit(0L)).localCheckpoint()
+    for (_ <- 1 to bfsRounds) {
+      val cand = d.join(und, col("doc_id") === col("src"))
+        .select(col("dst").as("doc_id"), (col("d") + 1L).as("d"))
+      d = d.union(cand).groupBy(col("doc_id")).agg(min(col("d")).as("d"))
+        .localCheckpoint()
+    }
+    nodes.join(d, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("d"), lit(-1L)).as("depth"),
+        col("d").isNotNull.as("reached"))
+  }
+
   /** `rounds` idempotent peel rounds: drop every node whose current
     * degree is < k, restrict the edge list to survivors, repeat. */
   private def peel(pairs: DataFrame, k: Int, rounds: Int): DataFrame = {

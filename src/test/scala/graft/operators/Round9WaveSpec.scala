@@ -520,6 +520,41 @@ class Round9WaveSpec extends AnyFunSuite {
     }
   }
 
+  // --- graph_core_distance ----------------------------------------------
+
+  test("core distance: converged BFS, core at 0, Lipschitz along edges") {
+    val r3 = GraphOps.bfsDepthFromCore(spark, sfDir, bfsRounds = 3).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val rows = GraphOps.bfsDepthFromCore(spark, sfDir).collect()
+    val d4 = rows.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(r3 == d4, "min-propagation must have reached its fixed point")
+    val core = GraphOps.kcoreMembership(spark, sfDir).collect()
+      .filter(_.getAs[Boolean]("in_3core")).map(_.getAs[Long]("doc_id")).toSet
+    rows.foreach { r =>
+      val (id, depth) = (r.getLong(0), r.getAs[Long]("depth"))
+      assert(r.getAs[Boolean]("reached") == (depth >= 0))
+      assert((depth == 0L) == core.contains(id),
+        s"depth 0 iff 3-core member: $r")
+    }
+    // distance is 1-Lipschitz along edges; reachability is
+    // component-wide once converged
+    val edges = Dedup.winnowSharedPairsAll(spark, sfDir)
+      .select(col("id1"), col("id2")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    edges.foreach { case (a, b) =>
+      val (da, db) = (d4(a), d4(b))
+      assert((da >= 0) == (db >= 0), s"reachability splits edge ($a,$b)")
+      if (da >= 0) assert(math.abs(da - db) <= 1,
+        s"BFS depths differ by >1 across edge ($a,$b): $da vs $db")
+    }
+    // the winnow fixture's components are dense cliques: a component
+    // either IS a 3-core or has none, so depth>0 satellites need not
+    // exist at small SF — but both reach classes must
+    assert(rows.exists(_.getAs[Boolean]("reached")) &&
+      rows.exists(!_.getAs[Boolean]("reached")),
+      "fixture must exercise both the reached and unreached branches")
+  }
+
   // --- corpus_moore_lewis -----------------------------------------------
 
   test("moore-lewis: in-domain docs score lower diff than out-of-domain") {
