@@ -218,6 +218,7 @@ object SparkEntry {
     "events_user_gini" -> (Relational.eventsUserGini _),
     "graph_core_distance" -> ((s: SparkSession, d: String) =>
       GraphOps.bfsDepthFromCore(s, d)),
+    "events_funnel_latency" -> (Relational.funnelLatency _),
     "events_funnel_paths" -> ((s: SparkSession, d: String) =>
       Relational.funnelPaths(s, d)),
     "sub_window_funcs" -> (Substrate.windowRankFuncs _),
@@ -417,7 +418,8 @@ object SparkEntry {
     "events_funnel_paths", "sub_window_funcs", "text_kn_perplexity",
     "corpus_moore_lewis", "graph_kcore", "events_forecast_snaive",
     "orders_rfm_segments", "sketch_kmv_setops", "text_readability",
-    "mm_shot_boundaries", "events_user_gini", "graph_core_distance")
+    "mm_shot_boundaries", "events_user_gini", "graph_core_distance",
+    "events_funnel_latency")
 
   // --- generated DuckDB replicas of the portable-hash queries ----------
 
@@ -2833,6 +2835,38 @@ object SparkEntry {
         |    // greatest(CAST(sum(e1) AS BIGINT), 1) AS mase_milli
         |FROM j GROUP BY 1""".stripMargin,
     "orders_rfm_segments" -> rfmOracle,
+    // Same 24 h funnel lock + bounded minute census: the latency
+    // domain is capped at 2880 min by the funnel windows, so the
+    // quantile walk runs over ≤2881 census rows on both engines.
+    "events_funnel_latency" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+        |v AS (SELECT user_id, min(us) AS view_us FROM e
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |c AS (SELECT e.user_id, min(us) AS click_us FROM e JOIN v USING (user_id)
+        |  WHERE event_type = 'click' AND us >= view_us
+        |    AND us <= view_us + 86400000000 GROUP BY 1),
+        |p AS (SELECT e.user_id, min(us) AS purchase_us FROM e JOIN c USING (user_id)
+        |  WHERE event_type = 'purchase' AND us >= click_us
+        |    AND us <= click_us + 86400000000 GROUP BY 1),
+        |cen AS (SELECT (p.purchase_us - v.view_us) // 60000000 AS mb,
+        |    count(*) AS m
+        |  FROM p JOIN v USING (user_id) GROUP BY 1),
+        |cum AS (SELECT mb, m,
+        |    CAST(sum(m) OVER (ORDER BY mb) AS BIGINT) AS cum FROM cen),
+        |tot AS (SELECT CAST(coalesce(sum(m), 0) AS BIGINT) AS n_conv,
+        |    CAST(sum(mb * m) AS BIGINT) AS sum_min FROM cen),
+        |cuts AS (SELECT
+        |    max(CASE WHEN q = 50 THEN mb END) AS p50_min,
+        |    max(CASE WHEN q = 90 THEN mb END) AS p90_min,
+        |    max(CASE WHEN q = 99 THEN mb END) AS p99_min
+        |  FROM cum CROSS JOIN tot
+        |  CROSS JOIN (SELECT unnest([50, 90, 99]) AS q)
+        |  WHERE cum - m < (q * n_conv + 99) // 100
+        |    AND cum >= (q * n_conv + 99) // 100)
+        |SELECT n_conv, p50_min, p90_min, p99_min,
+        |  CASE WHEN n_conv = 0 THEN NULL
+        |    ELSE (sum_min * 1000) // n_conv END AS mean_min_milli
+        |FROM cuts CROSS JOIN tot""".stripMargin,
     // Same grouped-census Gini: the rank-weighted sum from the
     // count-of-counts census, every HUGEINT-prone sum cast to BIGINT.
     "events_user_gini" ->

@@ -1066,6 +1066,52 @@ object Relational {
           + when(col("purchase_us").isNotNull, 1).otherwise(0)).as("stage"))
   }
 
+  /** FUNNEL TIME-TO-CONVERT (the latency distribution completing the
+    * funnel family: [[eventsFunnel]] says WHO converts,
+    * [[funnelPaths]] says HOW, this says HOW FAST): p50/p90/p99 and
+    * mean of view→purchase latency over completed funnels, in whole
+    * minutes (milli-minutes for the mean) — exact value quantiles,
+    * never an approximation.
+    *
+    * The exactness is affordable because the latency DOMAIN is bounded
+    * by the funnel definition itself: click ≤ view + 24 h and
+    * purchase ≤ click + 24 h (the wider consideration window the
+    * latency question wants — the strict 1 h funnel barely converts)
+    * cap the latency at 2880 minutes, so the minute census has ≤ 2881
+    * rows no matter how many conversions flow through it — the cumulative walk is a constant-size single task
+    * by construction, the same escape hatch a 100 TB run keeps.
+    *
+    * Scale: the funnel's user-keyed joins (one reusable partitioning),
+    * then one map-side-combined minute census; cutoffs and moments are
+    * broadcast 1-row aggregates. */
+  def funnelLatency(spark: SparkSession, sfDir: String): DataFrame = {
+    val census = eventsFunnel(spark, sfDir, windowUs = 86400L * 1000000L)
+      .filter(col("purchase_us").isNotNull)
+      .select(expr("(purchase_us - view_us) DIV 60000000").as("mb"))
+      .groupBy(col("mb")).agg(count(lit(1)).as("m"))
+      .localCheckpoint(eager = false) // cum walk + totals
+    val cum = census.withColumn("cum", sum(col("m")).over(
+      Window.orderBy(col("mb"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    // n_conv coalesced so a window with ZERO conversions reports an
+    // explicit 0 (null percentiles/mean), not an all-null row
+    val tot = census.agg(coalesce(sum(col("m")), lit(0L)).as("n_conv"),
+      sum(expr("mb * m")).as("sum_min"))
+    cum.crossJoin(broadcast(tot))
+      .crossJoin(broadcast(spark.range(1).select(
+        explode(array(lit(50L), lit(90L), lit(99L))).as("q"))))
+      .filter(col("cum") - col("m") < expr("(q * n_conv + 99) DIV 100") &&
+        col("cum") >= expr("(q * n_conv + 99) DIV 100"))
+      .groupBy().agg(
+        max(when(col("q") === 50, col("mb"))).as("p50_min"),
+        max(when(col("q") === 90, col("mb"))).as("p90_min"),
+        max(when(col("q") === 99, col("mb"))).as("p99_min"))
+      .crossJoin(broadcast(tot))
+      .select(col("n_conv"), col("p50_min"), col("p90_min"), col("p99_min"),
+        when(col("n_conv") > 0, expr("(sum_min * 1000) DIV n_conv"))
+          .as("mean_min_milli"))
+  }
+
   /** Population-Stability-Index drift monitor — the standard
     * data-quality gate between two snapshots of a feeding pipeline
     * (did the `value` distribution of each event type move between the

@@ -555,6 +555,28 @@ class Round9WaveSpec extends AnyFunSuite {
       "fixture must exercise both the reached and unreached branches")
   }
 
+  // --- events_funnel_latency --------------------------------------------
+
+  test("funnel latency: quantiles recompute from the completed funnels") {
+    val lats = Relational
+      .eventsFunnel(spark, sfDir, windowUs = 86400L * 1000000L).collect()
+      .filter(!_.isNullAt(3))
+      .map(r => (r.getAs[Long]("purchase_us") - r.getAs[Long]("view_us")) / 60000000L)
+      .sorted
+    val r = Relational.funnelLatency(spark, sfDir).head()
+    val n = lats.length.toLong
+    assert(n > 0, "the 24 h funnel must convert at sf0.001")
+    assert(r.getAs[Long]("n_conv") == n)
+    // domain bound from the funnel definition itself
+    assert(lats.forall(l => l >= 0 && l <= 2880))
+    def pct(q: Long): Long = lats(((q * n + 99) / 100 - 1).toInt)
+    assert(r.getAs[Long]("p50_min") == pct(50))
+    assert(r.getAs[Long]("p90_min") == pct(90))
+    assert(r.getAs[Long]("p99_min") == pct(99))
+    assert(r.getAs[Long]("mean_min_milli") == lats.sum * 1000 / n)
+    assert(pct(50) <= pct(90) && pct(90) <= pct(99))
+  }
+
   // --- corpus_moore_lewis -----------------------------------------------
 
   test("moore-lewis: in-domain docs score lower diff than out-of-domain") {
