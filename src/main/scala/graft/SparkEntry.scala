@@ -219,6 +219,7 @@ object SparkEntry {
     "graph_core_distance" -> ((s: SparkSession, d: String) =>
       GraphOps.bfsDepthFromCore(s, d)),
     "events_funnel_latency" -> (Relational.funnelLatency _),
+    "embed_alignment" -> (Similarity.embedAlignment _),
     "events_funnel_paths" -> ((s: SparkSession, d: String) =>
       Relational.funnelPaths(s, d)),
     "sub_window_funcs" -> (Substrate.windowRankFuncs _),
@@ -419,7 +420,7 @@ object SparkEntry {
     "corpus_moore_lewis", "graph_kcore", "events_forecast_snaive",
     "orders_rfm_segments", "sketch_kmv_setops", "text_readability",
     "mm_shot_boundaries", "events_user_gini", "graph_core_distance",
-    "events_funnel_latency")
+    "events_funnel_latency", "embed_alignment")
 
   // --- generated DuckDB replicas of the portable-hash queries ----------
 
@@ -2835,6 +2836,27 @@ object SparkEntry {
         |    // greatest(CAST(sum(e1) AS BIGINT), 1) AS mase_milli
         |FROM j GROUP BY 1""".stripMargin,
     "orders_rfm_segments" -> rfmOracle,
+    // Same closed-form pairwise identity over the same centi
+    // quantization; every sum cast back from HUGEINT to BIGINT.
+    "embed_alignment" ->
+      """WITH q AS (SELECT CAST(label AS BIGINT) AS label,
+        |    list_transform(embedding::DOUBLE[],
+        |      x -> CAST(floor(x * 100 + 0.5) AS BIGINT)) AS q
+        |  FROM embeddings),
+        |b AS (SELECT label, q FROM q
+        |  UNION ALL SELECT CAST(-1 AS BIGINT), q FROM q),
+        |ex AS (SELECT label, unnest(q) AS v,
+        |    generate_subscripts(q, 1) AS d FROM b),
+        |pd AS (SELECT label, d, CAST(sum(v * v) AS BIGINT) AS a,
+        |    CAST(sum(v) AS BIGINT) AS s FROM ex GROUP BY 1, 2),
+        |pl AS (SELECT label, CAST(sum(a) AS BIGINT) AS sum_sq,
+        |    CAST(sum(s * s) AS BIGINT) AS sum_s2 FROM pd GROUP BY 1),
+        |n AS (SELECT label, count(*) AS n_vecs FROM b GROUP BY 1)
+        |SELECT pl.label, n.n_vecs,
+        |  n_vecs * sum_sq - sum_s2 AS ssd_centi2,
+        |  ((n_vecs * sum_sq - sum_s2) * 100)
+        |    // ((n_vecs * (n_vecs - 1)) // 2) AS mean_sq_micro
+        |FROM pl JOIN n ON pl.label = n.label WHERE n_vecs >= 2""".stripMargin,
     // Same 24 h funnel lock + bounded minute census: the latency
     // domain is capped at 2880 min by the funnel windows, so the
     // quantile walk runs over ≤2881 census rows on both engines.

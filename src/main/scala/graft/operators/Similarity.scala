@@ -795,6 +795,52 @@ object Similarity {
       .unionAll(recallOf("multiprobe", annLshMultiprobe(spark, sfDir)))
   }
 
+  /** ALIGNMENT / UNIFORMITY AUDIT (Wang & Isola 2020, "Understanding
+    * contrastive representation learning through alignment and
+    * uniformity") — the embedding-quality report: per label the mean
+    * squared intra-label distance (alignment — small = same-class
+    * vectors sit together), plus a corpus-wide pseudo-label row
+    * (label −1) whose spread is the uniformity contrast (a good space
+    * has within-label ≪ overall).
+    *
+    * The trick that makes it exact at ANY scale: the pairwise sum
+    * needs NO pairwise join — Σ_{i<j}‖qᵢ−qⱼ‖² = n·Σᵢ‖qᵢ‖² − Σ_d Sd²
+    * (Sd the per-dimension coordinate sum), so the whole audit is two
+    * map-side-combined aggregates over (label, dim). Coordinates are
+    * quantized to centi fixed-point (floor(x·100 + 0.5) — one IEEE
+    * double op, bit-identical on both engines), making every later
+    * step long arithmetic. Headroom: num ≈ n²·d·q̄² per label must
+    * stay under 2⁵³/100 — at d=64 centi-quant that is ~3·10⁵ vectors
+    * per label; beyond that widen the two sums through decimal(38,0)
+    * on both engines (documented escape hatch, same policy as
+    * [[graft.operators.Relational.eventsUserGini]]).
+    *
+    * Scale: one scan exploded to (label, dim) partials, map-side
+    * combined to |labels|·d rows; no window, no join wider than the
+    * |labels|-row count join. */
+  def embedAlignment(spark: SparkSession, sfDir: String): DataFrame = {
+    val q = Tables.embeddings(spark, sfDir)
+      .select(col("label").cast("long").as("label"),
+        expr("transform(CAST(embedding AS ARRAY<DOUBLE>), " +
+          "x -> CAST(floor(x * 100 + 0.5) AS BIGINT))").as("q"))
+      .localCheckpoint(eager = false) // label rows + the -1 pseudo-label
+    val base = q.unionByName(q.select(lit(-1L).as("label"), col("q")))
+    val perDim = base
+      .select(col("label"), posexplode(col("q")).as(Seq("d", "v")))
+      .groupBy(col("label"), col("d"))
+      .agg(sum(expr("v * v")).as("a"), sum(col("v")).as("s"))
+    val counts = base.groupBy(col("label")).agg(count(lit(1)).as("n_vecs"))
+    perDim.groupBy(col("label"))
+      .agg(sum(col("a")).as("sum_sq"), sum(expr("s * s")).as("sum_s2"))
+      .join(broadcast(counts), Seq("label"))
+      .filter(col("n_vecs") >= 2)
+      .select(col("label"), col("n_vecs"),
+        expr("n_vecs * sum_sq - sum_s2").as("ssd_centi2"),
+        expr("""((n_vecs * sum_sq - sum_s2) * 100)
+          | DIV ((n_vecs * (n_vecs - 1)) DIV 2)""".stripMargin)
+          .as("mean_sq_micro"))
+  }
+
   /** SemDeDup-style semantic dedup (Abbas et al. 2023,
     * arXiv:2303.09540): cluster the embedding space into IVF cells,
     * compare pairs ONLY within a cell, and drop every vector that has

@@ -577,6 +577,47 @@ class Round9WaveSpec extends AnyFunSuite {
     assert(pct(50) <= pct(90) && pct(90) <= pct(99))
   }
 
+  // --- embed_alignment --------------------------------------------------
+
+  test("alignment: closed form equals brute-force pairwise sum, corpus pseudo-label composes") {
+    val vecs = graft.Tables.embeddings(spark, sfDir)
+      .select(col("label"), col("embedding")).collect()
+      .map(r => (r.getInt(0).toLong,
+        r.getSeq[Float](1).map(x => math.floor(x.toDouble * 100 + 0.5).toLong).toArray))
+    val rows = Similarity.embedAlignment(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("label") -> r).toMap
+    def brute(qs: Array[Array[Long]]): Long = {
+      var s = 0L
+      for (i <- qs.indices; j <- i + 1 until qs.length)
+        s += qs(i).zip(qs(j)).map { case (a, b) => (a - b) * (a - b) }.sum
+      s
+    }
+    val byLabel = vecs.groupBy(_._1).map { case (l, vs) => l -> vs.map(_._2) }
+    byLabel.foreach { case (l, qs) =>
+      val r = rows(l)
+      assert(r.getAs[Long]("n_vecs") == qs.length)
+      val ssd = brute(qs)
+      assert(r.getAs[Long]("ssd_centi2") == ssd,
+        s"identity must equal the O(n²) pairwise sum at label $l")
+      val np = qs.length.toLong * (qs.length - 1) / 2
+      assert(r.getAs[Long]("mean_sq_micro") == ssd * 100 / np)
+    }
+    val all = rows(-1L)
+    assert(all.getAs[Long]("n_vecs") == vecs.length)
+    assert(all.getAs[Long]("ssd_centi2") == brute(vecs.map(_._2)),
+      "the -1 pseudo-label must cover the whole corpus")
+    // the fixture's labels are RANDOM (embed_label_purity measures the
+    // same), so within-label spread ≈ corpus spread here — the audit's
+    // value is exactly that it makes this visible as a number; pin that
+    // every spread is positive and label/corpus agree within 2%
+    val allMean = all.getAs[Long]("mean_sq_micro")
+    byLabel.keys.foreach { l =>
+      val m = rows(l).getAs[Long]("mean_sq_micro")
+      assert(m > 0 && math.abs(m - allMean) * 50 < allMean,
+        s"random-label fixture: spread at $l should track the corpus")
+    }
+  }
+
   // --- corpus_moore_lewis -----------------------------------------------
 
   test("moore-lewis: in-domain docs score lower diff than out-of-domain") {
