@@ -220,6 +220,8 @@ object SparkEntry {
       GraphOps.bfsDepthFromCore(s, d)),
     "events_funnel_latency" -> (Relational.funnelLatency _),
     "embed_alignment" -> (Similarity.embedAlignment _),
+    "mm_audio_vad" -> ((s: SparkSession, d: String) =>
+      AudioCodec.audioVad(s, d)),
     "events_funnel_paths" -> ((s: SparkSession, d: String) =>
       Relational.funnelPaths(s, d)),
     "sub_window_funcs" -> (Substrate.windowRankFuncs _),
@@ -420,7 +422,7 @@ object SparkEntry {
     "corpus_moore_lewis", "graph_kcore", "events_forecast_snaive",
     "orders_rfm_segments", "sketch_kmv_setops", "text_readability",
     "mm_shot_boundaries", "events_user_gini", "graph_core_distance",
-    "events_funnel_latency", "embed_alignment")
+    "events_funnel_latency", "embed_alignment", "mm_audio_vad")
 
   // --- generated DuckDB replicas of the portable-hash queries ----------
 
@@ -2836,6 +2838,32 @@ object SparkEntry {
         |    // greatest(CAST(sum(e1) AS BIGINT), 1) AS mase_milli
         |FROM j GROUP BY 1""".stripMargin,
     "orders_rfm_segments" -> rfmOracle,
+    // Arithmetic replica of the decoded VAD: the PCM recurrence
+    // ((doc_id·31 + 7i) % 65536) − 32768, 80-sample frames, the same
+    // sum_abs < 12288·len gate, longest run via gaps-and-islands.
+    "mm_audio_vad" ->
+      """WITH d AS (SELECT doc_id, n_chars % 2000 + 500 AS n
+        |  FROM documents WHERE doc_id % 10 <> 0),
+        |sm AS (SELECT doc_id, i // 80 AS f,
+        |    abs((doc_id * 31 + 7 * i) % 65536 - 32768) AS a
+        |  FROM (SELECT doc_id, unnest(range(0, n)) AS i FROM d)),
+        |fr AS (SELECT doc_id, f, CAST(sum(a) AS BIGINT) AS sum_abs,
+        |    count(*) AS len FROM sm GROUP BY 1, 2),
+        |sf AS (SELECT doc_id, f, sum_abs < 12288 * len AS silent FROM fr),
+        |agg AS (SELECT doc_id, count(*) AS n_frames,
+        |    CAST(sum(CASE WHEN silent THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_silent
+        |  FROM sf GROUP BY 1),
+        |runs AS (SELECT doc_id,
+        |    f - row_number() OVER (PARTITION BY doc_id ORDER BY f) AS grp
+        |  FROM sf WHERE silent),
+        |rl AS (SELECT doc_id, count(*) AS run_len FROM runs GROUP BY doc_id, grp),
+        |lg AS (SELECT doc_id, CAST(max(run_len) AS BIGINT) AS longest
+        |  FROM rl GROUP BY 1)
+        |SELECT agg.doc_id, n_frames, n_silent,
+        |  coalesce(lg.longest, CAST(0 AS BIGINT)) AS longest_silence,
+        |  ((n_frames - n_silent) * 1000) // n_frames AS active_milli
+        |FROM agg LEFT JOIN lg ON agg.doc_id = lg.doc_id""".stripMargin,
     // Same closed-form pairwise identity over the same centi
     // quantization; every sum cast back from HUGEINT to BIGINT.
     "embed_alignment" ->

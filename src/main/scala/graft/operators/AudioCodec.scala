@@ -163,6 +163,59 @@ object AudioCodec {
     }(enc)
   }
 
+  /** SILENCE / ENERGY SEGMENTATION (energy-threshold VAD — the first
+    * stage of any speech curation pipeline: gate out silence, keep
+    * speech-dense clips): the decoded PCM splits into 10 ms frames
+    * (80 samples at 8 kHz, partial tail kept with its own length); a
+    * frame is SILENT when its mean |amplitude| is under 3/8 full
+    * scale (`sum_abs < 12288·len` — exact cross-multiplication, no
+    * division; 3/8 calibrated so the gate discriminates at every
+    * test SF of the sawtooth fixture). Per document: frame counts, the longest silent run,
+    * and the active ratio in milli — the "speech density" a sampler
+    * filters on. The generator's ±7-step sawtooth makes silence DATA-
+    * DEPENDENT (only docs whose ramp crosses the low-|value| band dip
+    * under the gate), so the flag genuinely discriminates and the
+    * oracle replays the arithmetic from the PCM recurrence.
+    *
+    * Scale: narrow mapPartitions over the blobs — the run-length scan
+    * is a single in-memory pass per doc, zero shuffle. */
+  def audioVad(spark: SparkSession, sfDir: String,
+      frameLen: Int = 80, meanGate: Long = 12288L): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("n_frames", LongType),
+      StructField("n_silent", LongType),
+      StructField("longest_silence", LongType),
+      StructField("active_milli", LongType)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
+    realAudioBlobs(spark, sfDir).mapPartitions { rows =>
+      rows.flatMap { r =>
+        val docId = r.getLong(0)
+        decode(r.getAs[Array[Byte]](1)) match {
+          case Right((_, samples)) =>
+            var nFrames = 0L; var nSilent = 0L
+            var longest = 0L; var run = 0L
+            var f = 0
+            while (f * frameLen < samples.length) {
+              val end = math.min((f + 1) * frameLen, samples.length)
+              var sumAbs = 0L
+              var i = f * frameLen
+              while (i < end) { sumAbs += math.abs(samples(i)); i += 1 }
+              nFrames += 1
+              if (sumAbs < meanGate * (end - f * frameLen)) {
+                nSilent += 1; run += 1
+                if (run > longest) longest = run
+              } else run = 0
+              f += 1
+            }
+            Some(Row(docId, nFrames, nSilent, longest,
+              (nFrames - nSilent) * 1000L / nFrames))
+          case Left(_) => None
+        }
+      }
+    }(enc)
+  }
+
   def decodeAudioStats(spark: SparkSession, sfDir: String): DataFrame = {
     val outSchema = StructType(Seq(
       StructField("doc_id", LongType),

@@ -618,6 +618,41 @@ class Round9WaveSpec extends AnyFunSuite {
     }
   }
 
+  // --- mm_audio_vad -----------------------------------------------------
+
+  test("audio vad: frame gates and run lengths recompute from the generator") {
+    val meta = graft.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("n_chars")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val rows = AudioCodec.audioVad(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    assert(!rows.exists(_.getAs[Long]("doc_id") % 10 == 0),
+      "truncated payloads must drop")
+    assert(rows.length == meta.count(_._1 % 10 != 0))
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val n = AudioCodec.nSamples(meta(id))
+      val silent = (0 until n).grouped(80).map { idxs =>
+        idxs.map(i => math.abs(AudioCodec.sampleAt(id, i)).toLong).sum <
+          12288L * idxs.length
+      }.toSeq
+      assert(r.getAs[Long]("n_frames") == silent.length)
+      assert(r.getAs[Long]("n_silent") == silent.count(identity))
+      val longest =
+        if (!silent.contains(true)) 0L
+        else silent.foldLeft((0L, 0L)) { case ((best, run), s) =>
+          if (s) (math.max(best, run + 1), run + 1) else (best, 0L)
+        }._1
+      assert(r.getAs[Long]("longest_silence") == longest, s"run length at $r")
+      assert(r.getAs[Long]("active_milli") ==
+        (silent.length - silent.count(identity)) * 1000L / silent.length)
+    }
+    // the sawtooth must make the gate discriminate across the corpus
+    assert(rows.exists(_.getAs[Long]("n_silent") > 0) &&
+      rows.exists(_.getAs[Long]("n_silent") == 0),
+      "fixture must contain both silent-bearing and fully-active docs")
+  }
+
   // --- corpus_moore_lewis -----------------------------------------------
 
   test("moore-lewis: in-domain docs score lower diff than out-of-domain") {
