@@ -222,6 +222,7 @@ object SparkEntry {
     "embed_alignment" -> (Similarity.embedAlignment _),
     "mm_audio_vad" -> ((s: SparkSession, d: String) =>
       AudioCodec.audioVad(s, d)),
+    "events_gap_census" -> (Relational.eventsGapCensus _),
     "events_funnel_paths" -> ((s: SparkSession, d: String) =>
       Relational.funnelPaths(s, d)),
     "sub_window_funcs" -> (Substrate.windowRankFuncs _),
@@ -422,7 +423,8 @@ object SparkEntry {
     "corpus_moore_lewis", "graph_kcore", "events_forecast_snaive",
     "orders_rfm_segments", "sketch_kmv_setops", "text_readability",
     "mm_shot_boundaries", "events_user_gini", "graph_core_distance",
-    "events_funnel_latency", "embed_alignment", "mm_audio_vad")
+    "events_funnel_latency", "embed_alignment", "mm_audio_vad",
+    "events_gap_census")
 
   // --- generated DuckDB replicas of the portable-hash queries ----------
 
@@ -2838,6 +2840,22 @@ object SparkEntry {
         |    // greatest(CAST(sum(e1) AS BIGINT), 1) AS mase_milli
         |FROM j GROUP BY 1""".stripMargin,
     "orders_rfm_segments" -> rfmOracle,
+    // Same distinct-day census + lag identity for gaps.
+    "events_gap_census" ->
+      """WITH d AS (SELECT DISTINCT event_type,
+        |    epoch_us(ts) // 86400000000 AS day FROM events),
+        |l AS (SELECT event_type, day,
+        |    lag(day) OVER (PARTITION BY event_type ORDER BY day) AS prev
+        |  FROM d),
+        |g AS (SELECT event_type, count(*) AS n_days,
+        |    max(day) - min(day) + 1 AS span_days,
+        |    coalesce(max(day - prev - 1), 0) AS longest_gap,
+        |    CAST(sum(CASE WHEN prev IS NOT NULL AND day > prev + 1
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_gaps
+        |  FROM l GROUP BY 1)
+        |SELECT event_type, n_days, span_days, longest_gap, n_gaps,
+        |  (n_days * 1000) // span_days AS completeness_milli
+        |FROM g""".stripMargin,
     // Arithmetic replica of the decoded VAD: the PCM recurrence
     // ((doc_id·31 + 7i) % 65536) − 32768, 80-sample frames, the same
     // sum_abs < 12288·len gate, longest run via gaps-and-islands.

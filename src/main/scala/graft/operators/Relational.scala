@@ -1636,6 +1636,37 @@ object Relational {
           |ELSE 'regular' END""".stripMargin))
   }
 
+  /** CALENDAR GAP CENSUS — the completeness monitor every ingestion
+    * dashboard runs before trusting a daily series ("which feeds have
+    * holes?"): per event type the calendar span, days present, days
+    * missing, the longest gap, and a completeness ratio in milli.
+    * Gaps are derived WITHOUT generating the calendar: day − (rank of
+    * day) is constant within a contiguous run (the gaps-and-islands
+    * identity), so runs = distinct values of that difference, and the
+    * longest gap is the max jump between consecutive present days
+    * minus one.
+    *
+    * Scale: the corpus collapses map-side to one row per (type, day);
+    * the window runs over that DOMAIN-BOUNDED census partitioned by
+    * type — never over raw events. */
+  def eventsGapCensus(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    Tables.events(spark, sfDir)
+      .select(col("event_type"),
+        expr("unix_micros(ts) DIV 86400000000").as("day"))
+      .distinct()
+      .withColumn("prev", lag(col("day"), 1).over(w))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_days"),
+        (max(col("day")) - min(col("day")) + 1L).as("span_days"),
+        coalesce(max(col("day") - col("prev") - 1L), lit(0L))
+          .as("longest_gap"),
+        sum(when(col("prev").isNotNull && col("day") > col("prev") + 1L, 1L)
+          .otherwise(0L)).as("n_gaps"))
+      .withColumn("completeness_milli",
+        expr("(n_days * 1000) DIV span_days"))
+  }
+
   /** USER-ACTIVITY GINI (Lorenz/Gini concentration; Gini 1912) — the
     * inequality audit behind "is this event type driven by a few
     * power users?": per event type the exact Gini coefficient of the

@@ -653,6 +653,29 @@ class Round9WaveSpec extends AnyFunSuite {
       "fixture must contain both silent-bearing and fully-active docs")
   }
 
+  // --- events_gap_census ------------------------------------------------
+
+  test("gap census: recomputes from the distinct-day sets") {
+    val days = graft.Tables.events(spark, sfDir)
+      .select(col("event_type"), expr("unix_micros(ts) DIV 86400000000").as("day"))
+      .distinct().collect().map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1).map { case (t, rs) => t -> rs.map(_._2).sorted }
+    val rows = Relational.eventsGapCensus(spark, sfDir).collect()
+    assert(rows.length == days.size)
+    rows.foreach { r =>
+      val t = r.getAs[String]("event_type")
+      val ds = days(t)
+      assert(r.getAs[Long]("n_days") == ds.length)
+      assert(r.getAs[Long]("span_days") == ds.last - ds.head + 1)
+      val jumps = ds.zip(ds.tail).map { case (a, b) => b - a - 1 }
+      assert(r.getAs[Long]("longest_gap") ==
+        (if (jumps.isEmpty) 0L else jumps.max))
+      assert(r.getAs[Long]("n_gaps") == jumps.count(_ > 0))
+      assert(r.getAs[Long]("completeness_milli") ==
+        ds.length * 1000L / (ds.last - ds.head + 1))
+    }
+  }
+
   // --- corpus_moore_lewis -----------------------------------------------
 
   test("moore-lewis: in-domain docs score lower diff than out-of-domain") {
