@@ -674,4 +674,77 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("Window"),
       s"the window formulation is the oracle, not the plan:\n$p")
   }
+
+  // --- round-9 session guards -------------------------------------------
+
+  test("rfm: the only window is the dim-partitioned census walk") {
+    assert(unpartitionedWindows("orders_rfm_segments").isEmpty,
+      "quintile cutoffs ride the dim-partitioned census window, " +
+        "never a sort over customers")
+    val p = plan("orders_rfm_segments")
+    assert(p.contains("BroadcastHashJoin") ||
+      p.contains("BroadcastNestedLoopJoin"),
+      s"the 12-cutoff row must broadcast back for scalar scoring:\n$p")
+  }
+
+  test("user gini: window partitioned by type over the count census") {
+    assert(unpartitionedWindows("events_user_gini").isEmpty,
+      "the rank-weighted sum walks the count-of-counts census " +
+        "partitioned by event_type — never a sort over users")
+  }
+
+  test("funnel latency: unpartitioned window only over the minute census") {
+    // the latency domain is capped at 2880 minutes by the funnel
+    // definition, so the census walk is the legitimate bounded case
+    val wins = unpartitionedWindows("events_funnel_latency")
+    assert(wins.forall(_.orderSpec.forall(_.child.references
+        .map(_.name).forall(_ == "mb"))),
+      s"unpartitioned window over non-census rows: $wins")
+  }
+
+  test("alignment: no window, no pairwise join — the identity is aggregates") {
+    val p = plan("embed_alignment")
+    assert(!p.contains("Window"), s"the closed form needs no window:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"),
+      s"no pairwise join may appear — that is the whole point:\n$p")
+  }
+
+  test("graph peel/BFS rounds: equi-joins only, never all-pairs") {
+    for (q <- Seq("graph_kcore", "graph_core_distance")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"),
+        s"$q: per-round degree/frontier joins must stay node-keyed:\n$p")
+    }
+  }
+
+  test("snaive eval: day-shifted equi self-joins, no window") {
+    val p = plan("events_forecast_snaive")
+    assert(!p.contains("Window"), s"both forecasts are self-joins:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("readability: single scan, zero exchanges") {
+    val p = plan("text_readability")
+    assert(!p.contains("Exchange"),
+      s"a per-doc Column program must not shuffle:\n$p")
+    assert(!p.contains("Window") && !p.contains("Join"), p)
+  }
+
+  test("gap census: lag window partitioned by type over the day census") {
+    assert(unpartitionedWindows("events_gap_census").isEmpty,
+      "the gap walk is partitioned by event_type over (type, day) rows")
+  }
+
+  test("kmv set ops: raw events only aggregated — pair work is sketch-sized") {
+    // the localCheckpointed sketch subtree appears as an ExistingRDD
+    // scan here; its O(k)-state kmv aggregate shape is pinned by the
+    // sketch_kmv_distinct guard
+    val p = plan("sketch_kmv_setops")
+    assert(!p.contains("CartesianProduct"),
+      s"the t1<t2 pair join must stay a broadcast over sketch rows:\n$p")
+    assert(p.contains("BroadcastHashJoin") ||
+      p.contains("BroadcastNestedLoopJoin"),
+      s"pair fan-out and exact twin must broadcast the small sides:\n$p")
+  }
 }
