@@ -223,6 +223,8 @@ object SparkEntry {
     "mm_audio_vad" -> ((s: SparkSession, d: String) =>
       AudioCodec.audioVad(s, d)),
     "events_gap_census" -> (Relational.eventsGapCensus _),
+    "embed_rank_corr" -> ((s: SparkSession, d: String) =>
+      Similarity.rankCorrInt8(s, d)),
     "events_funnel_paths" -> ((s: SparkSession, d: String) =>
       Relational.funnelPaths(s, d)),
     "sub_window_funcs" -> (Substrate.windowRankFuncs _),
@@ -424,7 +426,7 @@ object SparkEntry {
     "orders_rfm_segments", "sketch_kmv_setops", "text_readability",
     "mm_shot_boundaries", "events_user_gini", "graph_core_distance",
     "events_funnel_latency", "embed_alignment", "mm_audio_vad",
-    "events_gap_census")
+    "events_gap_census", "embed_rank_corr")
 
   // --- generated DuckDB replicas of the portable-hash queries ----------
 
@@ -2840,6 +2842,44 @@ object SparkEntry {
         |    // greatest(CAST(sum(e1) AS BIGINT), 1) AS mase_milli
         |FROM j GROUP BY 1""".stripMargin,
     "orders_rfm_segments" -> rfmOracle,
+    // Same int8 codes (per-vector 127/max_abs scale, floor+0.5), same
+    // exact top-20 side as the brute oracle, same integer Spearman.
+    "embed_rank_corr" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+        |cd AS (SELECT vec_id, list_transform(emb, x -> CAST(floor(
+        |    x * (CASE WHEN ma > 0 THEN 127.0 / ma ELSE 0 END) + 0.5)
+        |    AS BIGINT)) AS codes
+        |  FROM (SELECT vec_id, emb,
+        |    list_max(list_transform(emb, x -> abs(x))) AS ma FROM e)),
+        |q AS (SELECT vec_id AS query_id, emb AS q_emb FROM e WHERE vec_id < 10),
+        |scored AS (SELECT query_id, e.vec_id AS neighbor_id,
+        |    floor((list_dot_product(q_emb, emb) /
+        |      (sqrt(list_dot_product(q_emb, q_emb)) *
+        |       sqrt(list_dot_product(emb, emb)))) * 10000 + 0.5) / 10000
+        |      AS cos_sim
+        |  FROM e JOIN q ON e.vec_id <> q.query_id),
+        |top AS (SELECT query_id, neighbor_id,
+        |    CAST(rank AS BIGINT) AS rank_exact FROM (
+        |  SELECT query_id, neighbor_id,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY cos_sim DESC, neighbor_id) AS rank
+        |  FROM scored) WHERE rank <= 20),
+        |qd AS (SELECT t.query_id, t.neighbor_id, t.rank_exact,
+        |    CAST(list_dot_product(cq.codes, cn.codes) AS BIGINT) AS qdot
+        |  FROM top t
+        |  JOIN cd cq ON cq.vec_id = t.query_id
+        |  JOIN cd cn ON cn.vec_id = t.neighbor_id),
+        |rk AS (SELECT query_id, rank_exact,
+        |    CAST(row_number() OVER (PARTITION BY query_id
+        |      ORDER BY qdot DESC, neighbor_id) AS BIGINT) AS rank_q
+        |  FROM qd),
+        |ag AS (SELECT query_id, count(*) AS k,
+        |    CAST(sum((rank_exact - rank_q) * (rank_exact - rank_q))
+        |      AS BIGINT) AS sum_d2
+        |  FROM rk GROUP BY 1)
+        |SELECT query_id, k, sum_d2,
+        |  1000 - (6000 * sum_d2) // (k * (k * k - 1)) AS rho_milli
+        |FROM ag""".stripMargin,
     // Same distinct-day census + lag identity for gaps.
     "events_gap_census" ->
       """WITH d AS (SELECT DISTINCT event_type,

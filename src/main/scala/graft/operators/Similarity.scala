@@ -795,6 +795,54 @@ object Similarity {
       .unionAll(recallOf("multiprobe", annLshMultiprobe(spark, sfDir)))
   }
 
+  /** RANK-FIDELITY EVAL (Spearman 1904) — "how much ranking does int8
+    * quantization lose?", the question every serving stack answers
+    * before shipping quantized vectors: per query, the Spearman ρ
+    * between the EXACT cosine top-k ordering and the ordering the
+    * integer int8-code dot product induces on those same k neighbors,
+    * as the exact rational ρ_milli = 1000 − 6000·Σd² DIV k(k²−1).
+    * Completes the eval family (IVF recall, multiprobe recall, kNN
+    * agreement) with a rank-correlation lens — recall says WHICH
+    * neighbors survive, ρ says whether their ORDER does.
+    *
+    * Every quantity is exact: the code dot is a sum of int products
+    * (codes ≤ 127), ranks are row_numbers with id tie-breaks, and the
+    * Spearman formula is integer arithmetic end to end.
+    *
+    * Scale: the exact side is the audited brute baseline (queries are
+    * a fixed panel); the quantized side joins CODES to the k·|panel|
+    * candidate rows — at 100 TB the panel rides any candidate
+    * generator (IVF/LSH) and this query's own shape is unchanged. */
+  def rankCorrInt8(spark: SparkSession, sfDir: String, k: Int = 20): DataFrame = {
+    val codes = Tables.embeddings(spark, sfDir)
+      .withColumn("ed", col("embedding").cast("array<double>"))
+      .withColumn("ma", array_max(transform(col("ed"), v => abs(v))))
+      .withColumn("qs",
+        when(col("ma") > 0, lit(127.0) / col("ma")).otherwise(lit(0.0)))
+      .select(col("vec_id"), transform(col("ed"),
+        v => floor(v * col("qs") + lit(0.5)).cast("long")).as("codes"))
+      .localCheckpoint(eager = false) // query + neighbor consumers
+    val exact = annBruteForceTopK(spark, sfDir, k)
+      .select(col("query_id"), col("neighbor_id"),
+        col("rank").cast("long").as("rank_exact"))
+    val scored = exact
+      .join(broadcast(codes.select(col("vec_id").as("query_id"),
+        col("codes").as("qcodes"))), Seq("query_id"))
+      .join(codes.select(col("vec_id").as("neighbor_id"),
+        col("codes").as("ncodes")), Seq("neighbor_id"))
+      .withColumn("qdot", aggregate(
+        zip_with(col("qcodes"), col("ncodes"), (a, b) => a * b),
+        lit(0L), (acc, v) => acc + v))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("qdot").desc, col("neighbor_id"))
+    scored.withColumn("rank_q", row_number().over(w).cast("long"))
+      .withColumn("d", col("rank_exact") - col("rank_q"))
+      .groupBy(col("query_id"))
+      .agg(count(lit(1)).as("k"), sum(expr("d * d")).as("sum_d2"))
+      .withColumn("rho_milli",
+        expr("1000 - (6000 * sum_d2) DIV (k * (k * k - 1))"))
+  }
+
   /** ALIGNMENT / UNIFORMITY AUDIT (Wang & Isola 2020, "Understanding
     * contrastive representation learning through alignment and
     * uniformity") — the embedding-quality report: per label the mean

@@ -676,6 +676,43 @@ class Round9WaveSpec extends AnyFunSuite {
     }
   }
 
+  // --- embed_rank_corr --------------------------------------------------
+
+  test("rank corr: Spearman recomputes from exact top-20 + hand int8 dots") {
+    val emb = graft.Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def codesOf(v: Array[Double]): Array[Long] = {
+      val ma = v.map(math.abs).max
+      val qs = if (ma > 0) 127.0 / ma else 0.0
+      v.map(x => math.floor(x * qs + 0.5).toLong)
+    }
+    val exact = Similarity.annBruteForceTopK(spark, sfDir, 20).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"),
+        r.getInt(1).toLong))
+    val rows = Similarity.rankCorrInt8(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("query_id") -> r).toMap
+    assert(rows.size == exact.map(_._1).distinct.length)
+    exact.groupBy(_._1).foreach { case (q, top) =>
+      val qc = codesOf(emb(q))
+      val ranked = top.map { case (_, n, re) =>
+        val dot = qc.zip(codesOf(emb(n))).map { case (a, b) => a * b }.sum
+        (n, re, dot)
+      }.sortBy { case (n, _, dot) => (-dot, n) }
+        .zipWithIndex.map { case ((_, re, _), i) => (re, i + 1L) }
+      val sumD2 = ranked.map { case (re, rq) => (re - rq) * (re - rq) }.sum
+      val k = ranked.length.toLong
+      val r = rows(q)
+      assert(r.getAs[Long]("k") == k)
+      assert(r.getAs[Long]("sum_d2") == sumD2, s"sum_d2 at query $q")
+      assert(r.getAs[Long]("rho_milli") ==
+        1000L - 6000L * sumD2 / (k * (k * k - 1)))
+    }
+    // int8 at d=64 must preserve ranking better than chance
+    val rhos = rows.values.map(_.getAs[Long]("rho_milli")).toSeq
+    assert(rhos.sum / rhos.length > 0, s"mean rho must be positive: $rhos")
+  }
+
   // --- corpus_moore_lewis -----------------------------------------------
 
   test("moore-lewis: in-domain docs score lower diff than out-of-domain") {
