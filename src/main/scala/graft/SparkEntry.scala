@@ -225,6 +225,8 @@ object SparkEntry {
     "events_gap_census" -> (Relational.eventsGapCensus _),
     "embed_rank_corr" -> ((s: SparkSession, d: String) =>
       Similarity.rankCorrInt8(s, d)),
+    "events_markov_stationary" -> ((s: SparkSession, d: String) =>
+      Relational.markovStationary(s, d)),
     "events_funnel_paths" -> ((s: SparkSession, d: String) =>
       Relational.funnelPaths(s, d)),
     "sub_window_funcs" -> (Substrate.windowRankFuncs _),
@@ -426,7 +428,7 @@ object SparkEntry {
     "orders_rfm_segments", "sketch_kmv_setops", "text_readability",
     "mm_shot_boundaries", "events_user_gini", "graph_core_distance",
     "events_funnel_latency", "embed_alignment", "mm_audio_vad",
-    "events_gap_census", "embed_rank_corr")
+    "events_gap_census", "embed_rank_corr", "events_markov_stationary")
 
   // --- generated DuckDB replicas of the portable-hash queries ----------
 
@@ -735,6 +737,38 @@ object SparkEntry {
        |  CAST(coalesce(f.d, -1) AS BIGINT) AS depth,
        |  f.doc_id IS NOT NULL AS reached
        |FROM nodes n LEFT JOIN d$bfsRounds f ON n.doc_id = f.doc_id""".stripMargin
+  }
+
+  /** Stationary-flow replica: the transition-matrix CTEs, then
+    * `rounds` unrolled π·P steps with the identical per-term floor. */
+  private def markovStationaryOracle(rounds: Int = 8): String = {
+    val iter = (1 to rounds).map { r =>
+      s"""p$r AS MATERIALIZED (SELECT m.to_type AS event_type,
+         |    CAST(sum((p.pi * m.n) // m.row_total) AS BIGINT) AS pi
+         |  FROM p${r - 1} p JOIN m ON p.event_type = m.from_type
+         |  GROUP BY 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH s AS (SELECT user_id, event_type,
+       |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+       |      AS from_type
+       |  FROM events),
+       |b AS (SELECT from_type, event_type AS to_type, count(*) AS n
+       |  FROM s WHERE from_type IS NOT NULL GROUP BY 1, 2),
+       |t AS (SELECT from_type, CAST(sum(n) AS BIGINT) AS row_total
+       |  FROM b GROUP BY 1),
+       |m AS (SELECT b.from_type, b.to_type, CAST(n AS BIGINT) AS n,
+       |    row_total FROM b JOIN t USING (from_type)),
+       |tt AS (SELECT CAST(sum(n) AS BIGINT) AS t FROM m),
+       |p0 AS MATERIALIZED (SELECT from_type AS event_type,
+       |    (max(row_total) * 1000000) // (SELECT t FROM tt) AS pi
+       |  FROM m GROUP BY 1),
+       |$iter
+       |SELECT p0.event_type, p0.pi AS pi0_micro,
+       |  p$rounds.pi AS pi_stat_micro,
+       |  abs(p$rounds.pi - p${rounds - 1}.pi) AS delta_micro
+       |FROM p0
+       |JOIN p$rounds ON p0.event_type = p$rounds.event_type
+       |JOIN p${rounds - 1} ON p0.event_type = p${rounds - 1}.event_type""".stripMargin
   }
 
   /** MinHash+LSH replica: same shingles, same md5-derived 48-bit base
@@ -2842,6 +2876,9 @@ object SparkEntry {
         |    // greatest(CAST(sum(e1) AS BIGINT), 1) AS mase_milli
         |FROM j GROUP BY 1""".stripMargin,
     "orders_rfm_segments" -> rfmOracle,
+    // Same census power iteration, unrolled as materialized CTEs with
+    // the identical per-term floor.
+    "events_markov_stationary" -> markovStationaryOracle(),
     // Same int8 codes (per-vector 127/max_abs scale, floor+0.5), same
     // exact top-20 side as the brute oracle, same integer Spearman.
     "embed_rank_corr" ->

@@ -1825,6 +1825,52 @@ object Relational {
         expr("(n * 1000) DIV row_total").as("prob_milli"))
   }
 
+  /** MARKOV STATIONARY FLOW (power iteration on the transition
+    * census) — completes the Markov family: [[eventsTransitionMatrix]]
+    * says where users go NEXT, this says where the flow SETTLES (the
+    * long-run occupancy a capacity planner provisions for): π·P
+    * iterated `rounds` times from the observed from-type shares, all
+    * in exact micro integers — each term is the nonnegative
+    * `(π_f · n_ft) DIV row_total_f`, so both engines floor
+    * identically (per-round leak ≤ |types| micro, surfaced by the
+    * convergence column rather than hidden). `delta_micro` = |last −
+    * previous| is the audit that `rounds` suffices. Headroom:
+    * π ≤ 10⁶ and n_ft ≤ 9·10¹² per cell before the product needs
+    * decimal — far beyond any daily census.
+    *
+    * Scale: the iteration runs on the |types|² CENSUS, never the
+    * corpus — one corpus-sized bigram count feeds it, then every
+    * round is a broadcast join over ≤ 25 rows. */
+  def markovStationary(spark: SparkSession, sfDir: String,
+      rounds: Int = 8): DataFrame = {
+    val m = eventsTransitionMatrix(spark, sfDir)
+      .select(col("from_type"), col("to_type"), col("n"), col("row_total"))
+      .localCheckpoint()
+    val total = m.agg(sum(col("n")).as("t"))
+    val pi0 = m.groupBy(col("from_type")).agg(max(col("row_total")).as("rt"))
+      .crossJoin(broadcast(total))
+      .select(col("from_type").as("event_type"),
+        expr("(rt * 1000000) DIV t").as("pi"))
+      .localCheckpoint()
+    def step(pi: DataFrame): DataFrame =
+      pi.select(col("event_type").as("from_type"), col("pi"))
+        .join(broadcast(m), Seq("from_type"))
+        .select(col("to_type").as("event_type"),
+          expr("(pi * n) DIV row_total").as("term"))
+        .groupBy(col("event_type")).agg(sum(col("term")).as("pi"))
+        .localCheckpoint()
+    var prev = pi0
+    var cur = pi0
+    for (_ <- 1 to rounds) { prev = cur; cur = step(cur) }
+    pi0.select(col("event_type"), col("pi").as("pi0_micro"))
+      .join(cur.select(col("event_type"), col("pi").as("pi_stat_micro")),
+        Seq("event_type"))
+      .join(prev.select(col("event_type"), col("pi").as("pi_prev")),
+        Seq("event_type"))
+      .select(col("event_type"), col("pi0_micro"), col("pi_stat_micro"),
+        abs(col("pi_stat_micro") - col("pi_prev")).as("delta_micro"))
+  }
+
   /** CHANGESET APPLY (MERGE INTO) — the lakehouse write-path twin of
     * [[snapshotDiff]]: apply an (op, key, new-values) changeset to the
     * base snapshot with upsert semantics — `delete` drops the row,

@@ -713,6 +713,42 @@ class Round9WaveSpec extends AnyFunSuite {
     assert(rhos.sum / rhos.length > 0, s"mean rho must be positive: $rhos")
   }
 
+  // --- events_markov_stationary -----------------------------------------
+
+  test("markov stationary: hand-iterated power method, mass conserved up to floor leak") {
+    val m = Relational.eventsTransitionMatrix(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getAs[Long]("n"), r.getAs[Long]("row_total")))).toMap
+    val types = m.keys.map(_._1).toSeq.distinct.sorted
+    val total = m.values.map(_._1).sum
+    var pi = types.map(t =>
+      t -> m.filter(_._1._1 == t).head._2._2 * 1000000L / total).toMap
+    var prev = pi
+    for (_ <- 1 to 8) {
+      prev = pi
+      pi = types.map { to =>
+        to -> types.flatMap(f => m.get((f, to)).map { case (n, rt) =>
+          prev(f) * n / rt
+        }).sum
+      }.toMap
+    }
+    val rows = Relational.markovStationary(spark, sfDir).collect()
+    assert(rows.length == types.length)
+    rows.foreach { r =>
+      val t = r.getAs[String]("event_type")
+      assert(r.getAs[Long]("pi_stat_micro") == pi(t), s"stationary at $t")
+      assert(r.getAs[Long]("delta_micro") == math.abs(pi(t) - prev(t)))
+    }
+    // floor leak: each round floors types² terms, plus the π0 floor
+    val mass = rows.map(_.getAs[Long]("pi_stat_micro")).sum
+    val maxLeak = 8L * types.length * types.length + types.length
+    assert(mass <= 1000000L && mass >= 1000000L - maxLeak,
+      s"mass $mass outside the floor-leak envelope ($maxLeak)")
+    // 8 rounds must have effectively converged on a 5-state chain
+    assert(rows.forall(_.getAs[Long]("delta_micro") < 1000),
+      "power iteration far from fixed point at the audit round")
+  }
+
   // --- corpus_moore_lewis -----------------------------------------------
 
   test("moore-lewis: in-domain docs score lower diff than out-of-domain") {
