@@ -227,6 +227,8 @@ object SparkEntry {
       Similarity.rankCorrInt8(s, d)),
     "events_markov_stationary" -> ((s: SparkSession, d: String) =>
       Relational.markovStationary(s, d)),
+    "graph_modularity" -> ((s: SparkSession, d: String) =>
+      GraphOps.modularity(s, d)),
     "events_funnel_paths" -> ((s: SparkSession, d: String) =>
       Relational.funnelPaths(s, d)),
     "sub_window_funcs" -> (Substrate.windowRankFuncs _),
@@ -428,7 +430,8 @@ object SparkEntry {
     "orders_rfm_segments", "sketch_kmv_setops", "text_readability",
     "mm_shot_boundaries", "events_user_gini", "graph_core_distance",
     "events_funnel_latency", "embed_alignment", "mm_audio_vad",
-    "events_gap_census", "embed_rank_corr", "events_markov_stationary")
+    "events_gap_census", "embed_rank_corr", "events_markov_stationary",
+    "graph_modularity")
 
   // --- generated DuckDB replicas of the portable-hash queries ----------
 
@@ -593,7 +596,10 @@ object SparkEntry {
     * synchronous lowest-label-wins rounds unrolled as materialized
     * CTEs (each round: vote count → per-node max → min-label pick →
     * left-join carry for isolated docs). */
-  private def labelPropOracle(rounds: Int = 4): String = {
+  /** Shared CTE block: winnow edges `p`/`e` + `rounds` LPA label
+    * rounds ending at `l$rounds` (used by the LPA and modularity
+    * replicas). */
+  private def lpaCtes(rounds: Int): String = {
     val iterCtes = (1 to rounds).map { k =>
       s"""v$k AS (SELECT e.dst, l.lbl, count(*) AS cnt
          |  FROM e JOIN l${k - 1} l ON e.src = l.doc_id GROUP BY 1, 2),
@@ -607,17 +613,49 @@ object SparkEntry {
     s"""${winnowCte()},
        |fp AS (SELECT DISTINCT doc_id, wmin // 32768 AS fp_hash
        |  FROM m WHERE cnt = 4),
-       |p AS (SELECT a.doc_id AS id1, b.doc_id AS id2
+       |p AS MATERIALIZED (SELECT a.doc_id AS id1, b.doc_id AS id2
        |  FROM fp a JOIN fp b ON a.fp_hash = b.fp_hash AND a.doc_id < b.doc_id
        |  GROUP BY 1, 2 HAVING count(*) >= 3),
        |e AS (SELECT id1 AS src, id2 AS dst FROM p
        |  UNION ALL SELECT id2, id1 FROM p),
        |l0 AS MATERIALIZED (SELECT doc_id, doc_id AS lbl FROM documents),
-       |$iterCtes,
+       |$iterCtes""".stripMargin
+  }
+
+  private def labelPropOracle(rounds: Int = 4): String =
+    s"""${lpaCtes(rounds)},
        |sz AS (SELECT lbl, count(*) AS comm_size FROM l$rounds GROUP BY 1)
        |SELECT f.doc_id, f.lbl AS community, sz.comm_size
        |FROM l$rounds f JOIN sz ON f.lbl = sz.lbl""".stripMargin
-  }
+
+  /** Modularity replica: same LPA labels, same edge list, the exact
+    * per-community Q term with the sign-safe floor division. */
+  private def modularityOracle(rounds: Int = 4): String =
+    s"""${lpaCtes(rounds)},
+       |mm AS (SELECT count(*) AS m FROM p),
+       |deg AS (SELECT doc_id, count(*) AS d FROM (
+       |    SELECT id1 AS doc_id FROM p UNION ALL SELECT id2 FROM p)
+       |  GROUP BY 1),
+       |degc AS (SELECT l.lbl AS community,
+       |    CAST(sum(deg.d) AS BIGINT) AS deg_sum, count(*) AS n_nodes
+       |  FROM deg JOIN l$rounds l ON deg.doc_id = l.doc_id GROUP BY 1),
+       |ein AS (SELECT a.lbl AS community, count(*) AS e_in
+       |  FROM p JOIN l$rounds a ON p.id1 = a.doc_id
+       |  JOIN l$rounds b ON p.id2 = b.doc_id
+       |  WHERE a.lbl = b.lbl GROUP BY 1)
+       |SELECT degc.community, n_nodes, deg_sum,
+       |  coalesce(ein.e_in, CAST(0 AS BIGINT)) AS e_in,
+       |  4 * m * coalesce(ein.e_in, CAST(0 AS BIGINT))
+       |    - deg_sum * deg_sum AS q_num,
+       |  CASE WHEN 4 * m * coalesce(ein.e_in, CAST(0 AS BIGINT))
+       |      - deg_sum * deg_sum >= 0
+       |    THEN ((4 * m * coalesce(ein.e_in, CAST(0 AS BIGINT))
+       |      - deg_sum * deg_sum) * 1000000) // (4 * m * m)
+       |    ELSE -((-(4 * m * coalesce(ein.e_in, CAST(0 AS BIGINT))
+       |      - deg_sum * deg_sum) * 1000000) // (4 * m * m))
+       |  END AS q_term_micro
+       |FROM degc LEFT JOIN ein ON degc.community = ein.community
+       |CROSS JOIN mm""".stripMargin
 
   /** K-core replica: the same winnow-pair edge list, then
     * [[graft.operators.GraphOps.kcoreMembership]]'s fixed-count peel
@@ -2879,6 +2917,7 @@ object SparkEntry {
     // Same census power iteration, unrolled as materialized CTEs with
     // the identical per-term floor.
     "events_markov_stationary" -> markovStationaryOracle(),
+    "graph_modularity" -> modularityOracle(),
     // Same int8 codes (per-vector 127/max_abs scale, floor+0.5), same
     // exact top-20 side as the brute oracle, same integer Spearman.
     "embed_rank_corr" ->

@@ -328,6 +328,51 @@ object GraphOps {
     * and keep their own id as label via the final left join —
     * edge-side cost scales with EDGES, not corpus size. Lineage
     * truncated per round ([[Dedup]] loop discipline). */
+  /** MODULARITY AUDIT (Newman & Girvan 2004) of the LPA partition —
+    * the score that closes the community loop: [[labelPropagation]]
+    * PRODUCES a partition, modularity says whether it is BETTER THAN
+    * CHANCE (Q > 0: more intra-community edges than a random graph
+    * with the same degrees would give). Per community the exact
+    * integer Q term: q_num = 4m·e_in − deg_sum², q_term_micro =
+    * sign-safe q_num·10⁶ DIV 4m² (negative terms flag communities
+    * worse than random — the actionable signal). Global Q is the sum
+    * of the micro terms. Headroom: q_num·10⁶ needs m ≲ 1.5·10⁶
+    * edges in long arithmetic; past that widen the two products
+    * through decimal(38,0) on both engines (the documented policy of
+    * [[graft.operators.Relational.eventsUserGini]]).
+    *
+    * Scale: e_in and deg_sum are two label-keyed equi-joins over the
+    * edge list + map-side aggregates; m broadcasts as one row. Only
+    * noded communities appear (singleton isolated docs carry no
+    * edges and contribute exactly 0). */
+  def modularity(spark: SparkSession, sfDir: String): DataFrame = {
+    val pairs = Dedup.winnowSharedPairsAll(spark, sfDir)
+      .select(col("id1"), col("id2")).localCheckpoint()
+    val labels = labelPropagation(spark, sfDir)
+      .select(col("doc_id"), col("community")).localCheckpoint()
+    val mrow = pairs.agg(count(lit(1)).as("m"))
+    val ein = pairs
+      .join(labels.select(col("doc_id").as("id1"), col("community").as("c1")), "id1")
+      .join(labels.select(col("doc_id").as("id2"), col("community").as("c2")), "id2")
+      .filter(col("c1") === col("c2"))
+      .groupBy(col("c1").as("community")).agg(count(lit(1)).as("e_in"))
+    val degc = pairs.select(col("id1").as("doc_id"))
+      .union(pairs.select(col("id2").as("doc_id")))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("d"))
+      .join(labels, "doc_id")
+      .groupBy(col("community"))
+      .agg(sum(col("d")).as("deg_sum"), count(lit(1)).as("n_nodes"))
+    degc.join(ein, Seq("community"), "left")
+      .crossJoin(broadcast(mrow))
+      .select(col("community"), col("n_nodes"), col("deg_sum"),
+        coalesce(col("e_in"), lit(0L)).as("e_in"), col("m"))
+      .withColumn("q_num", expr("4 * m * e_in - deg_sum * deg_sum"))
+      .withColumn("q_term_micro", expr(
+        """CASE WHEN q_num >= 0 THEN (q_num * 1000000) DIV (4 * m * m)
+          |ELSE -((-q_num * 1000000) DIV (4 * m * m)) END""".stripMargin))
+      .drop("m")
+  }
+
   def labelPropagation(spark: SparkSession, sfDir: String,
       rounds: Int = 4): DataFrame = {
     val pairs = Dedup.winnowSharedPairsAll(spark, sfDir)

@@ -749,6 +749,39 @@ class Round9WaveSpec extends AnyFunSuite {
       "power iteration far from fixed point at the audit round")
   }
 
+  // --- graph_modularity -------------------------------------------------
+
+  test("modularity: Q terms recompute from edges+labels, LPA beats chance") {
+    val pairs = Dedup.winnowSharedPairsAll(spark, sfDir)
+      .select(col("id1"), col("id2")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val labels = GraphOps.labelPropagation(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("community")).toMap
+    val m = pairs.length.toLong
+    val rows = GraphOps.modularity(spark, sfDir).collect()
+    val noded = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+    assert(rows.map(_.getAs[Long]("n_nodes")).sum == noded.length,
+      "every noded doc lands in exactly one community row")
+    rows.foreach { r =>
+      val c = r.getAs[Long]("community")
+      val members = noded.filter(labels(_) == c).toSet
+      val ein = pairs.count(p => members(p._1) && members(p._2)).toLong
+      val degSum = pairs.map(p =>
+        (if (members(p._1)) 1L else 0L) + (if (members(p._2)) 1L else 0L)).sum
+      assert(r.getAs[Long]("e_in") == ein, s"e_in at community $c")
+      assert(r.getAs[Long]("deg_sum") == degSum)
+      val qNum = 4 * m * ein - degSum * degSum
+      assert(r.getAs[Long]("q_num") == qNum)
+      val expectedTerm =
+        if (qNum >= 0) qNum * 1000000L / (4 * m * m)
+        else -(-qNum * 1000000L / (4 * m * m))
+      assert(r.getAs[Long]("q_term_micro") == expectedTerm)
+    }
+    // dense near-dup cliques: the LPA partition must beat chance
+    val q = rows.map(_.getAs[Long]("q_term_micro")).sum
+    assert(q > 0, s"modularity of the near-dup communities must be positive: $q")
+  }
+
   // --- corpus_moore_lewis -----------------------------------------------
 
   test("moore-lewis: in-domain docs score lower diff than out-of-domain") {
