@@ -229,6 +229,7 @@ object SparkEntry {
       Relational.markovStationary(s, d)),
     "graph_modularity" -> ((s: SparkSession, d: String) =>
       GraphOps.modularity(s, d)),
+    "mm_image_entropy" -> (ImageCodec.imageEntropy _),
     "events_funnel_paths" -> ((s: SparkSession, d: String) =>
       Relational.funnelPaths(s, d)),
     "sub_window_funcs" -> (Substrate.windowRankFuncs _),
@@ -431,7 +432,7 @@ object SparkEntry {
     "mm_shot_boundaries", "events_user_gini", "graph_core_distance",
     "events_funnel_latency", "embed_alignment", "mm_audio_vad",
     "events_gap_census", "embed_rank_corr", "events_markov_stationary",
-    "graph_modularity")
+    "graph_modularity", "mm_image_entropy")
 
   // --- generated DuckDB replicas of the portable-hash queries ----------
 
@@ -2914,6 +2915,28 @@ object SparkEntry {
         |    // greatest(CAST(sum(e1) AS BIGINT), 1) AS mase_milli
         |FROM j GROUP BY 1""".stripMargin,
     "orders_rfm_segments" -> rfmOracle,
+    // Gradient replica of the decoded histogram entropy: pixel
+    // (doc_id + x + y) % 256, the same integer micro-log on both the
+    // per-bin counts and N.
+    "mm_image_entropy" -> {
+      val plogC = graft.operators.TextAnalysis.plog2MicroDuck("c")
+      val plogN = graft.operators.TextAnalysis.plog2MicroDuck("n")
+      s"""WITH d AS (SELECT doc_id, n_chars % 64 + 16 AS w,
+         |    n_chars % 48 + 16 AS h
+         |  FROM documents WHERE doc_id % 10 <> 0),
+         |xs AS (SELECT unnest(range(0, 80)) AS x),
+         |ys AS (SELECT unnest(range(0, 64)) AS y),
+         |px AS (SELECT doc_id, (doc_id + x + y) % 256 AS v
+         |  FROM d CROSS JOIN xs CROSS JOIN ys WHERE x < w AND y < h),
+         |hc AS (SELECT doc_id, v, count(*) AS c FROM px GROUP BY 1, 2),
+         |np AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n,
+         |    count(*) AS n_distinct,
+         |    CAST(sum(c * ($plogC)) AS BIGINT) AS wsum
+         |  FROM hc GROUP BY 1)
+         |SELECT doc_id, n AS n_pixels, n_distinct,
+         |  ($plogN) - wsum // n AS entropy_micro
+         |FROM np""".stripMargin
+    },
     // Same census power iteration, unrolled as materialized CTEs with
     // the identical per-term floor.
     "events_markov_stationary" -> markovStationaryOracle(),

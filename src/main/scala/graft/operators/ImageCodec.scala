@@ -166,6 +166,59 @@ object ImageCodec {
     * 32-bit halves (`ahash_hi`, `ahash_lo`) so neither side needs a
     * signed 2⁶³ wrap the oracle can't express. Failed decodes are
     * dropped (they have no pixels to hash). */
+  /** HISTOGRAM ENTROPY of the decoded image (the classic flat-image /
+    * synthetic-screenshot detector a multimodal curation pipeline
+    * gates on: near-zero entropy = blank or banded, high = textured):
+    * Shannon H = log2(N) − Σ c·log2(c) / N over the 256-bin luma
+    * histogram, computed ENTIRELY in the engine-portable integer
+    * micro-log ([[graft.operators.TextAnalysis.plog2MicroSql]]'s JVM
+    * twin below) — no libm, so the decoded-side value and the
+    * oracle's gradient replica agree bit-for-bit. Real ImageIO
+    * decode; truncated payloads drop.
+    *
+    * Scale: narrow mapPartitions, one histogram pass per doc, zero
+    * shuffle. */
+  def imageEntropy(spark: SparkSession, sfDir: String): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("n_pixels", LongType),
+      StructField("n_distinct", LongType),
+      StructField("entropy_micro", LongType)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
+    realImageBlobs(spark, sfDir).mapPartitions { rows =>
+      rows.flatMap { r =>
+        val docId = r.getLong(0)
+        decode(r.getAs[Array[Byte]](1)) match {
+          case Right(d) =>
+            val hist = new Array[Long](256)
+            var y = 0
+            while (y < d.height) {
+              var x = 0
+              while (x < d.width) { hist(d.luma(x, y)) += 1; x += 1 }
+              y += 1
+            }
+            val n = d.width.toLong * d.height
+            var wsum = 0L
+            var nd = 0L
+            var v = 0
+            while (v < 256) {
+              if (hist(v) > 0) { nd += 1; wsum += hist(v) * plog2MicroJvm(hist(v)) }
+              v += 1
+            }
+            Some(Row(docId, n, nd, plog2MicroJvm(n) - wsum / n))
+          case Left(_) => None
+        }
+      }
+    }(enc)
+  }
+
+  /** JVM twin of the engine-portable integer micro-log2 (identical
+    * piecewise-linear formula — `e·10⁶ + (x − 2^e)·10⁶ DIV 2^e`). */
+  def plog2MicroJvm(x: Long): Long = {
+    val e = 63 - java.lang.Long.numberOfLeadingZeros(x)
+    e * 1000000L + ((x - (1L << e)) * 1000000L) / (1L << e)
+  }
+
   /** The 64-bit average hash of one decoded image as (hi, lo) halves —
     * shared by the batch query and the streaming admission gate. */
   def ahashOf(d: Decoded): (Long, Long) = {

@@ -782,6 +782,35 @@ class Round9WaveSpec extends AnyFunSuite {
     assert(q > 0, s"modularity of the near-dup communities must be positive: $q")
   }
 
+  // --- mm_image_entropy -------------------------------------------------
+
+  test("image entropy: recomputes from the gradient, bounded by log2 support") {
+    val meta = graft.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("n_chars")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val rows = ImageCodec.imageEntropy(spark, sfDir).collect()
+    assert(rows.length == meta.count(_._1 % 10 != 0))
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val (w, h) = ((meta(id) % 64 + 16).toInt, (meta(id) % 48 + 16).toInt)
+      val hist = new Array[Long](256)
+      for (x <- 0 until w; y <- 0 until h) hist(((id + x + y) % 256).toInt) += 1
+      val n = w.toLong * h
+      val wsum = hist.filter(_ > 0)
+        .map(c => c * ImageCodec.plog2MicroJvm(c)).sum
+      val ent = ImageCodec.plog2MicroJvm(n) - wsum / n
+      assert(r.getAs[Long]("n_pixels") == n)
+      assert(r.getAs[Long]("n_distinct") == hist.count(_ > 0))
+      assert(r.getAs[Long]("entropy_micro") == ent, s"entropy at $id")
+      // H ≤ log2(support) up to the piecewise-linear chord slack
+      assert(ent >= 0 &&
+        ent <= ImageCodec.plog2MicroJvm(hist.count(_ > 0).toLong) + 86000,
+        s"entropy out of band: $r")
+    }
+    // dims vary, so support (and entropy) must vary across the corpus
+    assert(rows.map(_.getAs[Long]("entropy_micro")).distinct.length > 1)
+  }
+
   // --- corpus_moore_lewis -----------------------------------------------
 
   test("moore-lewis: in-domain docs score lower diff than out-of-domain") {
