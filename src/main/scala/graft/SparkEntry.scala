@@ -230,6 +230,8 @@ object SparkEntry {
     "graph_modularity" -> ((s: SparkSession, d: String) =>
       GraphOps.modularity(s, d)),
     "mm_image_entropy" -> (ImageCodec.imageEntropy _),
+    "text_ndcg_eval" -> ((s: SparkSession, d: String) =>
+      TextAnalysis.ndcgEval(s, d)),
     "events_funnel_paths" -> ((s: SparkSession, d: String) =>
       Relational.funnelPaths(s, d)),
     "sub_window_funcs" -> (Substrate.windowRankFuncs _),
@@ -432,7 +434,7 @@ object SparkEntry {
     "mm_shot_boundaries", "events_user_gini", "graph_core_distance",
     "events_funnel_latency", "embed_alignment", "mm_audio_vad",
     "events_gap_census", "embed_rank_corr", "events_markov_stationary",
-    "graph_modularity", "mm_image_entropy")
+    "graph_modularity", "mm_image_entropy", "text_ndcg_eval")
 
   // --- generated DuckDB replicas of the portable-hash queries ----------
 
@@ -1405,6 +1407,63 @@ object SparkEntry {
         |SELECT query_id, CAST(rank AS INT) AS rank, doc_id,
         |  floor(CAST(s AS DOUBLE) * 10000 + 0.5) / 10000 AS score
         |FROM r WHERE rank <= 10""".stripMargin,
+    // Same BM25 top-10 chain + the q_micro grade bucket + the literal
+    // milli discount table; ideal reorder is a per-query window.
+    "text_ndcg_eval" ->
+      """WITH q(query_id, term) AS (VALUES
+        |    (1,'hash'),(1,'join'),(1,'merge'),
+        |    (2,'window'),(2,'sort'),(2,'order'),
+        |    (3,'stream'),(3,'batch'),(3,'fast'),
+        |    (4,'vector'),(4,'query'),(4,'scan')),
+        |ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |st AS (SELECT count(*) AS n_docs, sum(len(w)) AS tot FROM ws),
+        |tf AS (SELECT doc_id, term, count(*) AS tf, max(dl) AS dl
+        |  FROM (SELECT doc_id, len(w) AS dl, unnest(w) AS term FROM ws)
+        |  WHERE term IN (SELECT term FROM q) GROUP BY 1, 2),
+        |dfc AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |c AS (SELECT query_id, doc_id,
+        |    CAST(floor((
+        |      ((CAST(n_docs AS DOUBLE) - df + 0.5) / (CAST(df AS DOUBLE) + 0.5)) *
+        |      ((CAST(tf AS DOUBLE) * 2.2) / (CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75 *
+        |        (CAST(dl AS DOUBLE) / (CAST(tot AS DOUBLE) / n_docs)))))
+        |    ) * 1000000 + 0.5) / 1000000 AS DECIMAL(28,6)) AS c
+        |  FROM tf JOIN q USING (term) JOIN dfc USING (term) CROSS JOIN st),
+        |s AS (SELECT query_id, doc_id, sum(c) AS s FROM c GROUP BY 1, 2),
+        |r AS (SELECT query_id, doc_id,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY s DESC, doc_id)
+        |      AS rank
+        |  FROM s),
+        |topk AS (SELECT query_id, doc_id, rank FROM r WHERE rank <= 10),
+        |gr AS (SELECT doc_id, least(3, CAST(floor((
+        |      CASE WHEN avg_word_len BETWEEN 3.0 AND 10.0 THEN 0.4 ELSE 0.0 END
+        |      + least(stop_ratio * 2.0, 0.3) + least(distinct_ratio, 0.3))
+        |      * 10000 + 0.5) AS BIGINT) // 2500) AS grade
+        |  FROM (SELECT doc_id,
+        |    (length(text)::DOUBLE - (len(string_split(text, ' ')) - 1))
+        |      / len(string_split(text, ' ')) AS avg_word_len,
+        |    len(list_distinct(string_split(text, ' ')))::DOUBLE
+        |      / len(string_split(text, ' ')) AS distinct_ratio,
+        |    ((length(t) - length(replace(t, ' the ', ''))) / 5
+        |      + (length(t) - length(replace(t, ' a ', ''))) / 3
+        |      + (length(t) - length(replace(t, ' of ', ''))) / 4
+        |      + (length(t) - length(replace(t, ' and ', ''))) / 5)
+        |      / len(string_split(text, ' ')) AS stop_ratio
+        |  FROM (SELECT doc_id, text, ' ' || text || ' ' AS t FROM documents))),
+        |dt(rk, disc) AS (VALUES (1,1000),(2,631),(3,500),(4,431),(5,387),
+        |    (6,356),(7,333),(8,315),(9,301),(10,289)),
+        |j AS (SELECT t.query_id, t.rank, gr.grade,
+        |    row_number() OVER (PARTITION BY t.query_id
+        |      ORDER BY gr.grade DESC, t.doc_id) AS irank
+        |  FROM topk t JOIN gr ON t.doc_id = gr.doc_id),
+        |ag AS (SELECT query_id, count(*) AS n_ranked,
+        |    CAST(sum(grade * d1.disc) AS BIGINT) AS dcg_milli,
+        |    CAST(sum(grade * d2.disc) AS BIGINT) AS idcg_milli
+        |  FROM j JOIN dt d1 ON j.rank = d1.rk JOIN dt d2 ON j.irank = d2.rk
+        |  GROUP BY 1)
+        |SELECT query_id, n_ranked, dcg_milli, idcg_milli,
+        |  CASE WHEN idcg_milli > 0
+        |    THEN (dcg_milli * 1000) // idcg_milli END AS ndcg_milli
+        |FROM ag""".stripMargin,
     // Winnowing: key packs (hash, pos) so the window min is the
     // lexicographic pair min — all integer, bit-identical by design.
     "text_winnow_fp" ->

@@ -560,6 +560,48 @@ object TextAnalysis {
         PortableRound.pround(col("s").cast("double"), 4).as("score"))
   }
 
+  /** The fixed milli discount table 1000/log2(i+1) for ranks 1..10 —
+    * literal constants on BOTH engines, so NDCG needs no runtime log. */
+  val NdcgDiscMilli: Seq[Long] =
+    Seq(1000L, 631L, 500L, 431L, 387L, 356L, 333L, 315L, 301L, 289L)
+
+  /** NDCG@10 RANKING EVAL (Järvelin & Kekäläinen 2002) of the BM25
+    * retriever against quality-derived graded relevance — the
+    * position-weighted eval completing the retrieval family: recall
+    * says WHAT came back, Spearman says whether order is stable,
+    * NDCG says whether the GOOD documents are on top. Relevance
+    * grade = `least(3, q_micro DIV 2500)` (the Gopher/C4 quality
+    * score bucketed to 0–3); discounts are the fixed milli table
+    * [[NdcgDiscMilli]] (1/log2(i+1) ×1000 — literal constants, no
+    * runtime log); DCG and ideal-DCG are exact integer sums and
+    * `ndcg_milli = dcg·1000 DIV idcg` (null when a query's pool has
+    * no relevant docs at all).
+    *
+    * Scale: rides [[bm25TopK]]'s audited plan; grades join on doc_id;
+    * the ideal reorder is a window over ≤ k rows per query. */
+  def ndcgEval(spark: SparkSession, sfDir: String, k: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val discArr = array(NdcgDiscMilli.map(lit): _*)
+    val grades = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), qualityMicroCol.as("qm"))
+      .withColumn("grade", expr("least(3L, qm DIV 2500)"))
+      .select(col("doc_id"), col("grade"))
+    val ranked = bm25TopK(spark, sfDir, k)
+      .select(col("query_id"), col("rank"), col("doc_id"))
+      .join(grades, "doc_id")
+    val iw = Window.partitionBy(col("query_id"))
+      .orderBy(col("grade").desc, col("doc_id"))
+    ranked
+      .withColumn("irank", row_number().over(iw))
+      .withColumn("dg", col("grade") * element_at(discArr, col("rank")))
+      .withColumn("ig", col("grade") * element_at(discArr, col("irank")))
+      .groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_ranked"), sum(col("dg")).as("dcg_milli"),
+        sum(col("ig")).as("idcg_milli"))
+      .withColumn("ndcg_milli", expr(
+        "CASE WHEN idcg_milli > 0 THEN (dcg_milli * 1000) DIV idcg_milli END"))
+  }
+
   /** Engine-portable log2 of positive-integer SQL expression `x`, in
     * micro-units (1e6 = one bit): `e + (x - 2^e)/2^e` where
     * `e = ⌊log2 x⌋` comes from the binary-string length (`bin(x)`

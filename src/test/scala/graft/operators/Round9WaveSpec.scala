@@ -811,6 +811,34 @@ class Round9WaveSpec extends AnyFunSuite {
     assert(rows.map(_.getAs[Long]("entropy_micro")).distinct.length > 1)
   }
 
+  // --- text_ndcg_eval ---------------------------------------------------
+
+  test("ndcg: recomputes from bm25 ranks + quality grades; ideal dominates") {
+    val qm = graft.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), TextAnalysis.qualityMicroCol.as("qm")).collect()
+      .map(r => r.getLong(0) -> math.min(3L, r.getLong(1) / 2500)).toMap
+    val ranked = TextAnalysis.bm25TopK(spark, sfDir, 10).collect()
+      .map(r => (r.getAs[Int]("query_id"), r.getInt(1), r.getAs[Long]("doc_id")))
+    val disc = TextAnalysis.NdcgDiscMilli
+    val rows = TextAnalysis.ndcgEval(spark, sfDir).collect()
+      .map(r => r.getAs[Int]("query_id") -> r).toMap
+    ranked.groupBy(_._1).foreach { case (q, rs) =>
+      val dcg = rs.map { case (_, rank, d) => qm(d) * disc(rank - 1) }.sum
+      val idealGrades = rs.map { case (_, _, d) => (qm(d), d) }
+        .sortBy { case (g, d) => (-g, d) }.map(_._1)
+      val idcg = idealGrades.zipWithIndex.map { case (g, i) => g * disc(i) }.sum
+      val r = rows(q)
+      assert(r.getAs[Long]("n_ranked") == rs.length)
+      assert(r.getAs[Long]("dcg_milli") == dcg, s"dcg at query $q")
+      assert(r.getAs[Long]("idcg_milli") == idcg)
+      assert(idcg >= dcg, "the ideal reorder can only improve DCG")
+      if (idcg > 0)
+        assert(r.getAs[Long]("ndcg_milli") == dcg * 1000 / idcg)
+      else assert(r.isNullAt(r.fieldIndex("ndcg_milli")))
+    }
+    assert(rows.nonEmpty)
+  }
+
   // --- corpus_moore_lewis -----------------------------------------------
 
   test("moore-lewis: in-domain docs score lower diff than out-of-domain") {
