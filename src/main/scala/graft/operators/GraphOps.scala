@@ -348,7 +348,7 @@ object GraphOps {
   def modularity(spark: SparkSession, sfDir: String): DataFrame = {
     val pairs = Dedup.winnowSharedPairsAll(spark, sfDir)
       .select(col("id1"), col("id2")).localCheckpoint()
-    val labels = labelPropagation(spark, sfDir)
+    val labels = labelPropagationFrom(spark, sfDir, pairs)
       .select(col("doc_id"), col("community")).localCheckpoint()
     val mrow = pairs.agg(count(lit(1)).as("m"))
     val ein = pairs
@@ -374,8 +374,15 @@ object GraphOps {
   }
 
   def labelPropagation(spark: SparkSession, sfDir: String,
-      rounds: Int = 4): DataFrame = {
-    val pairs = Dedup.winnowSharedPairsAll(spark, sfDir)
+      rounds: Int = 4): DataFrame =
+    labelPropagationFrom(spark, sfDir,
+      Dedup.winnowSharedPairsAll(spark, sfDir), rounds)
+
+  /** [[labelPropagation]] over a caller-supplied pair list — lets
+    * [[modularity]] share ONE winnow pair build instead of paying the
+    * shingle census twice. */
+  def labelPropagationFrom(spark: SparkSession, sfDir: String,
+      pairs: DataFrame, rounds: Int = 4): DataFrame = {
     val edges = pairs.select(col("id1").as("src"), col("id2").as("dst"))
       .union(pairs.select(col("id2").as("src"), col("id1").as("dst")))
       .localCheckpoint() // derived once, consumed every round
