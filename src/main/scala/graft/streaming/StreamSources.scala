@@ -503,6 +503,43 @@ object StreamSources {
         OutputMode.Append, GroupStateTimeout.NoTimeout)(snaiveUpdate)
   }
 
+  /** State transition of the STREAMING gap monitor — the live twin of
+    * [[graft.operators.Relational.eventsGapCensus]]: per event-type
+    * key the state is ONE long (the last closed day); a day arriving
+    * more than one past it emits the hole it closes over
+    * (gap_start, gap_len) — the alert feed whose batch twin is the
+    * backfill census. Days inside a batch are processed in day order;
+    * cross-batch order is the upstream watermarked window's closure
+    * order. */
+  def gapUpdate(key: String, rows: Iterator[(String, Long, Long)],
+      state: GroupState[Long])
+      : Iterator[(String, Long, Long)] = {
+    var last = state.getOption.getOrElse(Long.MinValue)
+    val out = rows.toSeq.sortBy(_._2).flatMap { case (et, day, _) =>
+      val gap = if (last != Long.MinValue && day > last + 1)
+        Some((et, last + 1, day - last - 1)) else None
+      if (day > last) last = day
+      gap
+    }
+    state.update(last)
+    out.iterator
+  }
+
+  /** The streaming calendar-gap alert feed over closed
+    * (event_type, day, n) daily counts: 1 long of state per key,
+    * append mode — emits one (type, gap_start, gap_len) row per hole
+    * as the day after it closes. */
+  def gapMonitorStream(daily: Dataset[(String, Long, Long)])
+      : Dataset[(String, Long, Long)] = {
+    implicit val stateEnc: org.apache.spark.sql.Encoder[Long] =
+      org.apache.spark.sql.Encoders.scalaLong
+    implicit val outEnc: org.apache.spark.sql.Encoder[(String, Long, Long)] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[(String, Long, Long)]()
+    daily.groupByKey(_._1)(org.apache.spark.sql.Encoders.STRING)
+      .flatMapGroupsWithState[Long, (String, Long, Long)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout)(gapUpdate)
+  }
+
   /** State transition of the STREAMING transition-bigram feed — the
     * live twin of [[graft.operators.Relational.eventsTransitionMatrix]]:
     * per user, every event after the first emits its
