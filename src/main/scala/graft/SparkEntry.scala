@@ -232,6 +232,7 @@ object SparkEntry {
     "mm_image_entropy" -> (ImageCodec.imageEntropy _),
     "text_ndcg_eval" -> ((s: SparkSession, d: String) =>
       TextAnalysis.ndcgEval(s, d)),
+    "events_ohlc_hourly" -> (Relational.eventsOhlcHourly _),
     "events_funnel_paths" -> ((s: SparkSession, d: String) =>
       Relational.funnelPaths(s, d)),
     "sub_window_funcs" -> (Substrate.windowRankFuncs _),
@@ -434,7 +435,8 @@ object SparkEntry {
     "mm_shot_boundaries", "events_user_gini", "graph_core_distance",
     "events_funnel_latency", "embed_alignment", "mm_audio_vad",
     "events_gap_census", "embed_rank_corr", "events_markov_stationary",
-    "graph_modularity", "mm_image_entropy", "text_ndcg_eval")
+    "graph_modularity", "mm_image_entropy", "text_ndcg_eval",
+    "events_ohlc_hourly")
 
   // --- generated DuckDB replicas of the portable-hash queries ----------
 
@@ -1407,6 +1409,19 @@ object SparkEntry {
         |SELECT query_id, CAST(rank AS INT) AS rank, doc_id,
         |  floor(CAST(s AS DOUBLE) * 10000 + 0.5) / 10000 AS score
         |FROM r WHERE rank <= 10""".stripMargin,
+    // Same struct-lexicographic open/close resolution (µs, event_id,
+    // cents), every sum/extreme cast to BIGINT.
+    "events_ohlc_hourly" ->
+      """WITH e AS (SELECT event_type,
+        |    epoch_us(ts) // 3600000000 AS hr, epoch_us(ts) AS us,
+        |    event_id, CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM events)
+        |SELECT event_type, hr, count(*) AS n,
+        |  (min({'us': us, 'eid': event_id, 'c': cents})).c AS open_cents,
+        |  max(cents) AS high_cents,
+        |  min(cents) AS low_cents,
+        |  (max({'us': us, 'eid': event_id, 'c': cents})).c AS close_cents
+        |FROM e GROUP BY 1, 2""".stripMargin,
     // Same BM25 top-10 chain + the q_micro grade bucket + the literal
     // milli discount table; ideal reorder is a per-query window.
     "text_ndcg_eval" ->

@@ -1636,6 +1636,34 @@ object Relational {
           |ELSE 'regular' END""".stripMargin))
   }
 
+  /** OHLC DOWNSAMPLING (the financial-candlestick reduction every
+    * time-series store ships): per (event_type, hour) the open /
+    * high / low / close of `value` in exact cents, plus the bar's
+    * event count. Open and close are the values of the FIRST and LAST
+    * event in the bar — resolved deterministically as the min/max of
+    * the (µs, event_id, cents) struct (lexicographic struct min/max,
+    * identical on both engines; event_id breaks µs ties), so no
+    * window and no self-join is needed.
+    *
+    * Scale: ONE map-side-combinable aggregate over the corpus — the
+    * struct min/max carries 3 longs of state per (type, hour) group,
+    * exactly like max(); nothing shuffles but the bar keys. */
+  def eventsOhlcHourly(spark: SparkSession, sfDir: String): DataFrame = {
+    val cents = expr("CAST(floor(value * 100 + 0.5) AS BIGINT)")
+    Tables.events(spark, sfDir)
+      .select(col("event_type"),
+        expr("unix_micros(ts) DIV 3600000000").as("hr"),
+        expr("unix_micros(ts)").as("us"), col("event_id"), cents.as("cents"))
+      .groupBy(col("event_type"), col("hr"))
+      .agg(count(lit(1)).as("n"),
+        min(struct(col("us"), col("event_id"), col("cents")))
+          .getField("cents").as("open_cents"),
+        max(col("cents")).as("high_cents"),
+        min(col("cents")).as("low_cents"),
+        max(struct(col("us"), col("event_id"), col("cents")))
+          .getField("cents").as("close_cents"))
+  }
+
   /** CALENDAR GAP CENSUS — the completeness monitor every ingestion
     * dashboard runs before trusting a daily series ("which feeds have
     * holes?"): per event type the calendar span, days present, days

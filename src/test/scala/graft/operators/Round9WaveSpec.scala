@@ -839,6 +839,32 @@ class Round9WaveSpec extends AnyFunSuite {
     assert(rows.nonEmpty)
   }
 
+  // --- events_ohlc_hourly -----------------------------------------------
+
+  test("ohlc: bars recompute from raw events, invariants hold") {
+    val ev = graft.Tables.events(spark, sfDir)
+      .select(col("event_type"), expr("unix_micros(ts)").as("us"),
+        col("event_id"), expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").as("c"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val rows = Relational.eventsOhlcHourly(spark, sfDir).collect()
+    val byBar = ev.groupBy(e => (e._1, e._2 / 3600000000L))
+    assert(rows.length == byBar.size)
+    rows.foreach { r =>
+      val k = (r.getAs[String]("event_type"), r.getAs[Long]("hr"))
+      val bar = byBar(k)
+      assert(r.getAs[Long]("n") == bar.length)
+      assert(r.getAs[Long]("high_cents") == bar.map(_._4).max)
+      assert(r.getAs[Long]("low_cents") == bar.map(_._4).min)
+      val open = bar.minBy(e => (e._2, e._3))._4
+      val close = bar.maxBy(e => (e._2, e._3))._4
+      assert(r.getAs[Long]("open_cents") == open, s"open at $k")
+      assert(r.getAs[Long]("close_cents") == close, s"close at $k")
+      assert(r.getAs[Long]("low_cents") <= open && open <= r.getAs[Long]("high_cents"))
+      assert(r.getAs[Long]("low_cents") <= close && close <= r.getAs[Long]("high_cents"))
+    }
+  }
+
   // --- corpus_moore_lewis -----------------------------------------------
 
   test("moore-lewis: in-domain docs score lower diff than out-of-domain") {
