@@ -233,6 +233,7 @@ object SparkEntry {
     "text_ndcg_eval" -> ((s: SparkSession, d: String) =>
       TextAnalysis.ndcgEval(s, d)),
     "events_ohlc_hourly" -> (Relational.eventsOhlcHourly _),
+    "mm_crossmodal_audit" -> (Multimodal.crossmodalDedupAudit _),
     "events_funnel_paths" -> ((s: SparkSession, d: String) =>
       Relational.funnelPaths(s, d)),
     "sub_window_funcs" -> (Substrate.windowRankFuncs _),
@@ -436,7 +437,7 @@ object SparkEntry {
     "events_funnel_latency", "embed_alignment", "mm_audio_vad",
     "events_gap_census", "embed_rank_corr", "events_markov_stationary",
     "graph_modularity", "mm_image_entropy", "text_ndcg_eval",
-    "events_ohlc_hourly")
+    "events_ohlc_hourly", "mm_crossmodal_audit")
 
   // --- generated DuckDB replicas of the portable-hash queries ----------
 
@@ -1409,6 +1410,52 @@ object SparkEntry {
         |SELECT query_id, CAST(rank AS INT) AS rank, doc_id,
         |  floor(CAST(s AS DOUBLE) * 10000 + 0.5) / 10000 AS score
         |FROM r WHERE rank <= 10""".stripMargin,
+    // Composes the winnow pair chain with the image-aHash and
+    // (renamed) audio-envelope CTE blocks; nulls propagate through
+    // the xor/bit_count exactly like the Spark left joins.
+    "mm_crossmodal_audit" ->
+      s"""${winnowCte()},
+         |${imageAHashCte.stripPrefix("WITH ")},
+         |ad AS (SELECT doc_id, CAST(n_chars % 2000 + 500 AS INT) AS n
+         |  FROM documents WHERE doc_id % 10 <> 0),
+         |asm AS (SELECT doc_id, n, t2.i,
+         |    abs(((doc_id * 31 + t2.i * 7) % 65536) - 32768) AS a
+         |  FROM ad, LATERAL (SELECT unnest(range(0, n)) AS i) t2),
+         |aw AS (SELECT doc_id, n, (i * 64) // n AS b2,
+         |    CAST(sum(a) AS BIGINT) AS ws2, count(*) AS wn
+         |  FROM asm GROUP BY 1, 2, 3),
+         |atot AS (SELECT doc_id, CAST(sum(ws2) AS BIGINT) AS total2
+         |  FROM aw GROUP BY 1),
+         |abits AS (SELECT aw.doc_id, aw.b2,
+         |    CASE WHEN ws2 * n > total2 * wn THEN 1 ELSE 0 END AS bit2
+         |  FROM aw JOIN atot ON aw.doc_id = atot.doc_id),
+         |afp AS (SELECT doc_id,
+         |    CAST(sum(CASE WHEN b2 >= 32 AND bit2 = 1
+         |      THEN CAST(1 AS BIGINT) << (b2 - 32) ELSE 0 END) AS BIGINT) AS fp_hi,
+         |    CAST(sum(CASE WHEN b2 < 32 AND bit2 = 1
+         |      THEN CAST(1 AS BIGINT) << b2 ELSE 0 END) AS BIGINT) AS fp_lo
+         |  FROM abits GROUP BY 1),
+         |tfp AS (SELECT DISTINCT doc_id, wmin // 32768 AS fp_hash
+         |  FROM m WHERE cnt = 4),
+         |tp AS (SELECT x.doc_id AS id1, y.doc_id AS id2,
+         |    count(*) AS n_shared
+         |  FROM tfp x JOIN tfp y
+         |    ON x.fp_hash = y.fp_hash AND x.doc_id < y.doc_id
+         |  GROUP BY 1, 2 HAVING count(*) >= 3)
+         |SELECT tp.id1, tp.id2, tp.n_shared,
+         |  CAST(bit_count(xor(i1.ahash_hi, i2.ahash_hi))
+         |    + bit_count(xor(i1.ahash_lo, i2.ahash_lo)) AS INT) AS img_ham,
+         |  CAST(bit_count(xor(a1.fp_hi, a2.fp_hi))
+         |    + bit_count(xor(a1.fp_lo, a2.fp_lo)) AS INT) AS audio_ham,
+         |  CAST(bit_count(xor(i1.ahash_hi, i2.ahash_hi))
+         |    + bit_count(xor(i1.ahash_lo, i2.ahash_lo)) AS INT) <= 3 AS img_dup,
+         |  CAST(bit_count(xor(a1.fp_hi, a2.fp_hi))
+         |    + bit_count(xor(a1.fp_lo, a2.fp_lo)) AS INT) <= 3 AS audio_dup
+         |FROM tp
+         |LEFT JOIN ah i1 ON tp.id1 = i1.doc_id
+         |LEFT JOIN ah i2 ON tp.id2 = i2.doc_id
+         |LEFT JOIN afp a1 ON tp.id1 = a1.doc_id
+         |LEFT JOIN afp a2 ON tp.id2 = a2.doc_id""".stripMargin,
     // Same struct-lexicographic open/close resolution (µs, event_id,
     // cents), every sum/extreme cast to BIGINT.
     "events_ohlc_hourly" ->

@@ -30,6 +30,43 @@ import graft.Tables
   */
 object Multimodal {
 
+  /** CROSS-MODAL DEDUP AUDIT — the integration query the three
+    * modality families exist for: every TEXT near-dup pair (winnow
+    * fingerprints) scored against the decoded IMAGE aHash and AUDIO
+    * envelope-hash hamming distances of the same two documents. A
+    * pair that is text-near but image/audio-far is a re-captioned
+    * asset; near on all three is a true duplicate; the nulls are the
+    * failed-decode channel (F11) surfacing honestly. Flags use the
+    * same ham ≤ 3 gate as the per-modality census queries.
+    *
+    * Scale: the pair list is the audited winnow join; the hashes
+    * attach via four doc_id equi-joins — 2×64 bits per doc, no
+    * pairwise work beyond the pairs that already exist. */
+  def crossmodalDedupAudit(spark: org.apache.spark.sql.SparkSession,
+      sfDir: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val pairs = Dedup.winnowSharedPairsAll(spark, sfDir)
+      .select(col("id1"), col("id2"), col("n_shared"))
+    val img = ImageCodec.imageAHash(spark, sfDir).localCheckpoint(eager = false)
+    val aud = AudioCodec.audioFingerprint(spark, sfDir).localCheckpoint(eager = false)
+    pairs
+      .join(img.select(col("doc_id").as("id1"), col("ahash_hi").as("ih1"),
+        col("ahash_lo").as("il1")), Seq("id1"), "left")
+      .join(img.select(col("doc_id").as("id2"), col("ahash_hi").as("ih2"),
+        col("ahash_lo").as("il2")), Seq("id2"), "left")
+      .join(aud.select(col("doc_id").as("id1"), col("fp_hi").as("ah1"),
+        col("fp_lo").as("al1")), Seq("id1"), "left")
+      .join(aud.select(col("doc_id").as("id2"), col("fp_hi").as("ah2"),
+        col("fp_lo").as("al2")), Seq("id2"), "left")
+      .select(col("id1"), col("id2"), col("n_shared"),
+        expr("CAST(bit_count(ih1 ^ ih2) + bit_count(il1 ^ il2) AS INT)")
+          .as("img_ham"),
+        expr("CAST(bit_count(ah1 ^ ah2) + bit_count(al1 ^ al2) AS INT)")
+          .as("audio_ham"))
+      .withColumn("img_dup", col("img_ham") <= 3)
+      .withColumn("audio_dup", col("audio_ham") <= 3)
+  }
+
   val MetadataSchema: StructType = StructType(Seq(
     StructField("modality", StringType),
     StructField("width", IntegerType),

@@ -865,6 +865,37 @@ class Round9WaveSpec extends AnyFunSuite {
     }
   }
 
+  // --- mm_crossmodal_audit ----------------------------------------------
+
+  test("crossmodal audit: hamming recomputes from per-modality hashes, F11 nulls") {
+    val img = ImageCodec.imageAHash(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val aud = AudioCodec.audioFingerprint(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val pairs = Dedup.winnowSharedPairsAll(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("id1"), r.getAs[Long]("id2")) ->
+        r.getAs[Long]("n_shared")).toMap
+    val rows = Multimodal.crossmodalDedupAudit(spark, sfDir).collect()
+    assert(rows.length == pairs.size, "one audit row per text near-dup pair")
+    def ham(a: (Long, Long), b: (Long, Long)): Int =
+      java.lang.Long.bitCount(a._1 ^ b._1) + java.lang.Long.bitCount(a._2 ^ b._2)
+    rows.foreach { r =>
+      val (i, j) = (r.getAs[Long]("id1"), r.getAs[Long]("id2"))
+      assert(r.getAs[Long]("n_shared") == pairs((i, j)))
+      val imgIdx = r.fieldIndex("img_ham")
+      if (i % 10 == 0 || j % 10 == 0) {
+        assert(r.isNullAt(imgIdx), s"failed decode must null img_ham: $r")
+        assert(r.isNullAt(r.fieldIndex("audio_ham")))
+        assert(r.isNullAt(r.fieldIndex("img_dup")))
+      } else {
+        assert(r.getInt(imgIdx) == ham(img(i), img(j)), s"img ham at ($i,$j)")
+        assert(r.getAs[Int]("audio_ham") == ham(aud(i), aud(j)))
+        assert(r.getAs[Boolean]("img_dup") == (ham(img(i), img(j)) <= 3))
+        assert(r.getAs[Boolean]("audio_dup") == (ham(aud(i), aud(j)) <= 3))
+      }
+    }
+  }
+
   // --- corpus_moore_lewis -----------------------------------------------
 
   test("moore-lewis: in-domain docs score lower diff than out-of-domain") {
