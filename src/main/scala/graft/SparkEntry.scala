@@ -234,6 +234,8 @@ object SparkEntry {
       TextAnalysis.ndcgEval(s, d)),
     "events_ohlc_hourly" -> (Relational.eventsOhlcHourly _),
     "mm_crossmodal_audit" -> (Multimodal.crossmodalDedupAudit _),
+    "sketch_group_quantiles" -> ((s: SparkSession, d: String) =>
+      Sketches.groupHistQuantiles(s, d)),
     "events_funnel_paths" -> ((s: SparkSession, d: String) =>
       Relational.funnelPaths(s, d)),
     "sub_window_funcs" -> (Substrate.windowRankFuncs _),
@@ -437,7 +439,7 @@ object SparkEntry {
     "events_funnel_latency", "embed_alignment", "mm_audio_vad",
     "events_gap_census", "embed_rank_corr", "events_markov_stationary",
     "graph_modularity", "mm_image_entropy", "text_ndcg_eval",
-    "events_ohlc_hourly", "mm_crossmodal_audit")
+    "events_ohlc_hourly", "mm_crossmodal_audit", "sketch_group_quantiles")
 
   // --- generated DuckDB replicas of the portable-hash queries ----------
 
@@ -1410,6 +1412,33 @@ object SparkEntry {
         |SELECT query_id, CAST(rank AS INT) AS rank, doc_id,
         |  floor(CAST(s AS DOUBLE) * 10000 + 0.5) / 10000 AS score
         |FROM r WHERE rank <= 10""".stripMargin,
+    // Same per-type bin census + partitioned cumulative walk + bin
+    // interpolation, all integer cents.
+    "sketch_group_quantiles" ->
+      """WITH e AS (SELECT event_type,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS c FROM events),
+        |st AS (SELECT event_type, min(c) AS cmin, max(c) AS cmax,
+        |    count(*) AS n FROM e GROUP BY 1),
+        |bn AS (SELECT e.event_type,
+        |    ((c - cmin) * 128) // (cmax - cmin + 1) AS bin,
+        |    cmin, cmax, n, count(*) AS cnt
+        |  FROM e JOIN st ON e.event_type = st.event_type
+        |  GROUP BY 1, 2, 3, 4, 5),
+        |cm AS (SELECT event_type, bin, cmin, cmax, n, cnt,
+        |    CAST(coalesce(sum(cnt) OVER (PARTITION BY event_type
+        |      ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING
+        |      AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
+        |  FROM bn),
+        |q AS (SELECT cm.*, qq.q_pct,
+        |    (qq.q_pct * n + 99) // 100 AS r
+        |  FROM cm CROSS JOIN (SELECT unnest([50, 95]) AS q_pct) qq
+        |  WHERE cum_before < (qq.q_pct * n + 99) // 100
+        |    AND cum_before + cnt >= (qq.q_pct * n + 99) // 100)
+        |SELECT event_type, CAST(q_pct AS BIGINT) AS q_pct, n,
+        |  (cmin + (bin * (cmax - cmin + 1)) // 128)
+        |    + ((r - cum_before) * (((bin + 1) * (cmax - cmin + 1)) // 128
+        |      - (bin * (cmax - cmin + 1)) // 128)) // cnt AS est_cents
+        |FROM q""".stripMargin,
     // Composes the winnow pair chain with the image-aHash and
     // (renamed) audio-envelope CTE blocks; nulls propagate through
     // the xor/bit_count exactly like the Spark left joins.

@@ -256,6 +256,51 @@ object Sketches {
     exact
   }
 
+  /** PER-GROUP histogram quantiles — [[histogramQuantiles]] lifted to
+    * a grouping key (per event type here): the bounded-state way to
+    * get per-key percentiles at 100 TB, where per-key sorts (the
+    * window formulation) and per-key exact rank reads are both off
+    * the table. Two passes: per-type min/max (tiny), then ONE
+    * map-side-combined (type, bin) count; each percentile interpolates
+    * inside its holding bin walked by a TYPE-PARTITIONED cumulative
+    * window over the bins census. Values are exact integer cents and
+    * every later step integer arithmetic, so the estimates replicate
+    * bit-for-bit — same discipline as the global estimator, whose
+    * calibration twin quantifies the ≤ one-bin-width error.
+    *
+    * Scale: state is |types|·bins counters; no sort, no per-row
+    * window, the census walk is partitioned. */
+  def groupHistQuantiles(spark: SparkSession, sfDir: String,
+      bins: Int = 128, pcts: Seq[Int] = Seq(50, 95)): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cents = expr("CAST(floor(value * 100 + 0.5) AS BIGINT)")
+    val ev = Tables.events(spark, sfDir)
+      .select(col("event_type"), cents.as("c"))
+    val stats = ev.groupBy(col("event_type"))
+      .agg(min(col("c")).as("cmin"), max(col("c")).as("cmax"),
+        count(lit(1)).as("n"))
+    val binned = ev.join(broadcast(stats), "event_type")
+      .select(col("event_type"),
+        expr(s"((c - cmin) * $bins) DIV (cmax - cmin + 1)").as("bin"),
+        col("cmin"), col("cmax"), col("n"))
+      .groupBy(col("event_type"), col("bin"), col("cmin"), col("cmax"), col("n"))
+      .agg(count(lit(1)).as("cnt"))
+    val cum = binned.withColumn("cum_before",
+      coalesce(sum(col("cnt")).over(
+        Window.partitionBy(col("event_type")).orderBy(col("bin"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    cum.crossJoin(broadcast(spark.range(1).select(
+        explode(array(pcts.map(p => lit(p.toLong)): _*)).as("q_pct"))))
+      .withColumn("r", expr("(q_pct * n + 99) DIV 100"))
+      .filter(col("cum_before") < col("r") &&
+        col("cum_before") + col("cnt") >= col("r"))
+      .withColumn("lo", expr(s"cmin + (bin * (cmax - cmin + 1)) DIV $bins"))
+      .withColumn("width", expr(
+        s"((bin + 1) * (cmax - cmin + 1)) DIV $bins - (bin * (cmax - cmin + 1)) DIV $bins"))
+      .select(col("event_type"), col("q_pct"), col("n"),
+        expr("lo + ((r - cum_before) * width) DIV cnt").as("est_cents"))
+  }
+
   /** Deterministic WEIGHTED k-sample per group — Efraimidis–Spirakis
     * exponential-clock sampling (Efraimidis & Spirakis 2006: keep the
     * k items minimizing −ln(uᵢ)/wᵢ), derandomized the same way as

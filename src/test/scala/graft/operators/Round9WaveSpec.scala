@@ -896,6 +896,29 @@ class Round9WaveSpec extends AnyFunSuite {
     }
   }
 
+  // --- sketch_group_quantiles -------------------------------------------
+
+  test("group quantiles: estimate lands within one bin width of the exact rank value") {
+    val vals = graft.Tables.events(spark, sfDir)
+      .select(col("event_type"), expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").as("c"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1).map { case (t, rs) => t -> rs.map(_._2).sorted }
+    val rows = Sketches.groupHistQuantiles(spark, sfDir).collect()
+    assert(rows.length == vals.size * 2, "two percentiles per type")
+    rows.foreach { r =>
+      val t = r.getAs[String]("event_type")
+      val cs = vals(t)
+      val n = cs.length.toLong
+      assert(r.getAs[Long]("n") == n)
+      val q = r.getAs[Long]("q_pct")
+      val exact = cs(((q * n + 99) / 100 - 1).toInt)
+      val binWidth = (cs.last - cs.head + 1 + 127) / 128
+      assert(math.abs(r.getAs[Long]("est_cents") - exact) <= binWidth,
+        s"estimate off by more than a bin at ($t, p$q): " +
+          s"est ${r.getAs[Long]("est_cents")} vs exact $exact (bin $binWidth)")
+    }
+  }
+
   // --- corpus_moore_lewis -----------------------------------------------
 
   test("moore-lewis: in-domain docs score lower diff than out-of-domain") {
