@@ -236,6 +236,8 @@ object SparkEntry {
     "mm_crossmodal_audit" -> (Multimodal.crossmodalDedupAudit _),
     "sketch_group_quantiles" -> ((s: SparkSession, d: String) =>
       Sketches.groupHistQuantiles(s, d)),
+    "dedup_edit_distance" -> ((s: SparkSession, d: String) =>
+      Dedup.editDistancePairs(s, d)),
     "events_funnel_paths" -> ((s: SparkSession, d: String) =>
       Relational.funnelPaths(s, d)),
     "sub_window_funcs" -> (Substrate.windowRankFuncs _),
@@ -439,7 +441,8 @@ object SparkEntry {
     "events_funnel_latency", "embed_alignment", "mm_audio_vad",
     "events_gap_census", "embed_rank_corr", "events_markov_stationary",
     "graph_modularity", "mm_image_entropy", "text_ndcg_eval",
-    "events_ohlc_hourly", "mm_crossmodal_audit", "sketch_group_quantiles")
+    "events_ohlc_hourly", "mm_crossmodal_audit", "sketch_group_quantiles",
+    "dedup_edit_distance")
 
   // --- generated DuckDB replicas of the portable-hash queries ----------
 
@@ -1412,6 +1415,28 @@ object SparkEntry {
         |SELECT query_id, CAST(rank AS INT) AS rank, doc_id,
         |  floor(CAST(s AS DOUBLE) * 10000 + 0.5) / 10000 AS score
         |FROM r WHERE rank <= 10""".stripMargin,
+    // Same winnow candidates + DuckDB's classic levenshtein — the
+    // metric itself is exact on both engines.
+    "dedup_edit_distance" ->
+      s"""${winnowCte()},
+         |tfp AS (SELECT DISTINCT doc_id, wmin // 32768 AS fp_hash
+         |  FROM m WHERE cnt = 4),
+         |tp AS (SELECT x.doc_id AS id1, y.doc_id AS id2,
+         |    count(*) AS n_shared
+         |  FROM tfp x JOIN tfp y
+         |    ON x.fp_hash = y.fp_hash AND x.doc_id < y.doc_id
+         |  GROUP BY 1, 2 HAVING count(*) >= 3),
+         |dd AS (SELECT doc_id, text,
+         |    CAST(length(text) AS BIGINT) AS len FROM documents)
+         |SELECT tp.id1, tp.id2, tp.n_shared,
+         |  CAST(levenshtein(a.text, b.text) AS BIGINT) AS edit_dist,
+         |  greatest(a.len, b.len) AS max_len,
+         |  (CAST(levenshtein(a.text, b.text) AS BIGINT) * 1000)
+         |    // greatest(a.len, b.len) AS edit_milli,
+         |  (CAST(levenshtein(a.text, b.text) AS BIGINT) * 1000)
+         |    // greatest(a.len, b.len) <= 200 AS is_near
+         |FROM tp JOIN dd a ON tp.id1 = a.doc_id
+         |JOIN dd b ON tp.id2 = b.doc_id""".stripMargin,
     // Same per-type bin census + partitioned cumulative walk + bin
     // interpolation, all integer cents.
     "sketch_group_quantiles" ->

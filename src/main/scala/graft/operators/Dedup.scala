@@ -1054,4 +1054,34 @@ object Dedup {
       .select(col("id1"), col("id2"), col("n1"), col("n2"), col("shared"),
         expr("shared * 1000000 DIV (n1 + n2 - shared)").as("jac_micro"))
   }
+
+  /** EDIT-DISTANCE VERIFY over the winnow candidates — the character-
+    * level confirmation pass the token-level verifiers can't do
+    * (shingle Jaccard is blind to within-token edits; Levenshtein
+    * counts them): exact edit distance between each candidate pair's
+    * texts, normalized to milli by the longer length, flagged near at
+    * ≤ 20% edits. Both engines ship the CLASSIC Wagner–Fischer
+    * metric, so the values — not just the flags — gate-compare
+    * exactly.
+    *
+    * Scale: the O(len²) dynamic program runs ONLY on candidate pairs
+    * the winnow blocking already bounded — the textbook blocked-
+    * verify shape; the text payloads attach via two doc_id equi-joins. */
+  def editDistancePairs(spark: SparkSession, sfDir: String,
+      nearMilli: Long = 200L): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text"), length(col("text")).cast("long").as("len"))
+      .localCheckpoint(eager = false) // both pair sides
+    winnowSharedPairsAll(spark, sfDir)
+      .select(col("id1"), col("id2"), col("n_shared"))
+      .join(docs.select(col("doc_id").as("id1"), col("text").as("t1"),
+        col("len").as("len1")), Seq("id1"))
+      .join(docs.select(col("doc_id").as("id2"), col("text").as("t2"),
+        col("len").as("len2")), Seq("id2"))
+      .select(col("id1"), col("id2"), col("n_shared"),
+        levenshtein(col("t1"), col("t2")).cast("long").as("edit_dist"),
+        greatest(col("len1"), col("len2")).as("max_len"))
+      .withColumn("edit_milli", expr("(edit_dist * 1000) DIV max_len"))
+      .withColumn("is_near", col("edit_milli") <= nearMilli)
+  }
 }

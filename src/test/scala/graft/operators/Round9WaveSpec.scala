@@ -919,6 +919,42 @@ class Round9WaveSpec extends AnyFunSuite {
     }
   }
 
+  // --- dedup_edit_distance ----------------------------------------------
+
+  test("edit distance: hand Wagner-Fischer agrees, candidates skew near") {
+    def lev(a: String, b: String): Long = {
+      val prev = Array.tabulate(b.length + 1)(_.toLong)
+      val cur = new Array[Long](b.length + 1)
+      for (i <- 1 to a.length) {
+        cur(0) = i
+        for (j <- 1 to b.length)
+          cur(j) = math.min(math.min(cur(j - 1) + 1, prev(j) + 1),
+            prev(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+        Array.copy(cur, 0, prev, 0, cur.length)
+      }
+      prev(b.length)
+    }
+    val texts = graft.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val rows = Dedup.editDistancePairs(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (i, j) = (r.getAs[Long]("id1"), r.getAs[Long]("id2"))
+      val d = lev(texts(i), texts(j))
+      assert(r.getAs[Long]("edit_dist") == d, s"levenshtein at ($i,$j)")
+      val maxLen = math.max(texts(i).length, texts(j).length).toLong
+      assert(r.getAs[Long]("max_len") == maxLen)
+      assert(r.getAs[Long]("edit_milli") == d * 1000 / maxLen)
+      assert(r.getAs[Boolean]("is_near") == (d * 1000 / maxLen <= 200))
+    }
+    // winnow candidates are text-near by construction: the median
+    // candidate must sit well under a random-pair distance (~1000)
+    val milli = rows.map(_.getAs[Long]("edit_milli")).sorted
+    assert(milli(milli.length / 2) < 800,
+      s"candidate pairs should skew near: median ${milli(milli.length / 2)}")
+  }
+
   // --- corpus_moore_lewis -----------------------------------------------
 
   test("moore-lewis: in-domain docs score lower diff than out-of-domain") {
