@@ -238,6 +238,7 @@ object SparkEntry {
       Sketches.groupHistQuantiles(s, d)),
     "dedup_edit_distance" -> ((s: SparkSession, d: String) =>
       Dedup.editDistancePairs(s, d)),
+    "orders_basket_rules" -> (Relational.basketRules _),
     "events_funnel_paths" -> ((s: SparkSession, d: String) =>
       Relational.funnelPaths(s, d)),
     "sub_window_funcs" -> (Substrate.windowRankFuncs _),
@@ -442,7 +443,7 @@ object SparkEntry {
     "events_gap_census", "embed_rank_corr", "events_markov_stationary",
     "graph_modularity", "mm_image_entropy", "text_ndcg_eval",
     "events_ohlc_hourly", "mm_crossmodal_audit", "sketch_group_quantiles",
-    "dedup_edit_distance")
+    "dedup_edit_distance", "orders_basket_rules")
 
   // --- generated DuckDB replicas of the portable-hash queries ----------
 
@@ -1415,6 +1416,26 @@ object SparkEntry {
         |SELECT query_id, CAST(rank AS INT) AS rank, doc_id,
         |  floor(CAST(s AS DOUBLE) * 10000 + 0.5) / 10000 AS score
         |FROM r WHERE rank <= 10""".stripMargin,
+    // Same distinct brand baskets, same integer support/conf/lift.
+    "orders_basket_rules" ->
+      """WITH b AS (SELECT DISTINCT l_orderkey, p_brand
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey),
+        |n AS (SELECT count(DISTINCT l_orderkey) AS n_orders FROM b),
+        |mg AS (SELECT p_brand, count(*) AS n_b FROM b GROUP BY 1),
+        |pr AS (SELECT x.p_brand AS brand_a, y.p_brand AS brand_b,
+        |    count(*) AS n_ab
+        |  FROM b x JOIN b y ON x.l_orderkey = y.l_orderkey
+        |    AND x.p_brand <> y.p_brand
+        |  GROUP BY 1, 2)
+        |SELECT brand_a, brand_b, n_ab, ma.n_b AS n_a, mb.n_b AS n_b,
+        |  n_orders,
+        |  (n_ab * 1000000) // n_orders AS support_micro,
+        |  (n_ab * 1000000) // ma.n_b AS conf_micro,
+        |  (n_ab * n_orders * 1000) // (ma.n_b * mb.n_b) AS lift_milli
+        |FROM pr
+        |JOIN mg ma ON pr.brand_a = ma.p_brand
+        |JOIN mg mb ON pr.brand_b = mb.p_brand
+        |CROSS JOIN n""".stripMargin,
     // Same winnow candidates + DuckDB's classic levenshtein — the
     // metric itself is exact on both engines.
     "dedup_edit_distance" ->

@@ -1636,6 +1636,48 @@ object Relational {
           |ELSE 'regular' END""".stripMargin))
   }
 
+  /** MARKET-BASKET ASSOCIATION RULES (Agrawal & Srikant 1994 — the
+    * classic co-occurrence miner): each order is a basket of the
+    * BRANDS it contains (brand granularity keeps the item domain
+    * bounded at scale); for every ordered brand pair (a → b) the
+    * support, confidence, and lift in exact integer micro/milli:
+    * support = n_ab/N, confidence = n_ab/n_a, lift = n_ab·N/(n_a·n_b)
+    * — lift > 1000 milli marks genuinely associated brands. Headroom:
+    * n_ab·N·1000 needs N ≲ 3·10⁶ baskets per the usual long budget;
+    * past that widen through decimal(38,0) (the documented policy).
+    *
+    * Scale: baskets collapse map-side to DISTINCT (order, brand); the
+    * pair fan-out is an orderkey-keyed self-join whose per-order
+    * output is bounded by (brands/order choose 2) — never a cross of
+    * the catalog; the brand marginals broadcast back. */
+  def basketRules(spark: SparkSession, sfDir: String): DataFrame = {
+    val baskets = Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_partkey"))
+      .join(broadcast(Tables.part(spark, sfDir)
+        .select(col("p_partkey"), col("p_brand"))),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("l_orderkey"), col("p_brand")).distinct()
+      .localCheckpoint(eager = false) // marginals + both pair sides
+    val n = baskets.agg(countDistinct(col("l_orderkey")).as("n_orders"))
+    val marg = baskets.groupBy(col("p_brand")).agg(count(lit(1)).as("n_b"))
+    val pairs = baskets.select(col("l_orderkey"), col("p_brand").as("brand_a"))
+      .join(baskets.select(col("l_orderkey"), col("p_brand").as("brand_b")),
+        Seq("l_orderkey"))
+      .filter(col("brand_a") =!= col("brand_b"))
+      .groupBy(col("brand_a"), col("brand_b")).agg(count(lit(1)).as("n_ab"))
+    pairs
+      .join(broadcast(marg.select(col("p_brand").as("brand_a"),
+        col("n_b").as("n_a"))), Seq("brand_a"))
+      .join(broadcast(marg.select(col("p_brand").as("brand_b"),
+        col("n_b").as("n_bb"))), Seq("brand_b"))
+      .crossJoin(broadcast(n))
+      .select(col("brand_a"), col("brand_b"), col("n_ab"),
+        col("n_a"), col("n_bb").as("n_b"), col("n_orders"),
+        expr("(n_ab * 1000000) DIV n_orders").as("support_micro"),
+        expr("(n_ab * 1000000) DIV n_a").as("conf_micro"),
+        expr("(n_ab * n_orders * 1000) DIV (n_a * n_bb)").as("lift_milli"))
+  }
+
   /** OHLC DOWNSAMPLING (the financial-candlestick reduction every
     * time-series store ships): per (event_type, hour) the open /
     * high / low / close of `value` in exact cents, plus the bar's

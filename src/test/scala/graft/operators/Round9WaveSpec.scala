@@ -955,6 +955,37 @@ class Round9WaveSpec extends AnyFunSuite {
       s"candidate pairs should skew near: median ${milli(milli.length / 2)}")
   }
 
+  // --- orders_basket_rules ----------------------------------------------
+
+  test("basket rules: support/conf/lift recompute, rule identities hold") {
+    val baskets = graft.Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_partkey"))
+      .join(graft.Tables.part(spark, sfDir)
+        .select(col("p_partkey"), col("p_brand")),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("l_orderkey"), col("p_brand")).distinct().collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val byOrder = baskets.groupBy(_._1).map { case (o, rs) => o -> rs.map(_._2).toSet }
+    val n = byOrder.size.toLong
+    val marg = baskets.groupBy(_._2).map { case (b, rs) => b -> rs.size.toLong }
+    val rows = Relational.basketRules(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val got = rows.map(r => (r.getAs[String]("brand_a"),
+      r.getAs[String]("brand_b")) -> r).toMap
+    rows.foreach { r =>
+      val (a, b) = (r.getAs[String]("brand_a"), r.getAs[String]("brand_b"))
+      val nab = byOrder.values.count(s => s(a) && s(b)).toLong
+      assert(r.getAs[Long]("n_ab") == nab, s"pair count at ($a,$b)")
+      assert(r.getAs[Long]("n_a") == marg(a) && r.getAs[Long]("n_b") == marg(b))
+      assert(r.getAs[Long]("n_orders") == n)
+      assert(r.getAs[Long]("support_micro") == nab * 1000000L / n)
+      assert(r.getAs[Long]("conf_micro") == nab * 1000000L / marg(a))
+      assert(r.getAs[Long]("lift_milli") == nab * n * 1000L / (marg(a) * marg(b)))
+      // the reverse rule exists with identical n_ab (support symmetric)
+      assert(got((b, a)).getAs[Long]("n_ab") == nab)
+    }
+  }
+
   // --- corpus_moore_lewis -----------------------------------------------
 
   test("moore-lewis: in-domain docs score lower diff than out-of-domain") {
