@@ -222,7 +222,8 @@ object GraphOps {
     * truncated per round. Peel rounds needed in practice are tiny
     * (the degeneracy ordering collapses geometrically); a 100 TB run
     * sets `rounds` from the spec's fixed-point audit, not from
-    * corpus size. */
+    * corpus size. Audited converged at sf0.1 too (rounds 5 == 6,
+    * round-9 session log). */
   def kcoreMembership(spark: SparkSession, sfDir: String, k: Int = 3,
       rounds: Int = 6): DataFrame = {
     val pairs = Dedup.winnowSharedPairsAll(spark, sfDir)

@@ -736,6 +736,34 @@ class PlanShapeSpec extends AnyFunSuite {
       "the gap walk is partitioned by event_type over (type, day) rows")
   }
 
+  test("ohlc: one aggregate, no window, no join") {
+    val p = plan("events_ohlc_hourly")
+    assert(!p.contains("Window") && !p.contains("Join"),
+      s"open/close must ride the struct extremes inside ONE aggregate:\n$p")
+    assert(p.contains("HashAggregate") || p.contains("SortAggregate"), p)
+  }
+
+  test("basket rules: orderkey-bounded pair join, marginals broadcast") {
+    val p = plan("orders_basket_rules")
+    assert(!p.contains("CartesianProduct"),
+      s"the pair fan-out must stay keyed on l_orderkey:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"brand marginals and the basket total must broadcast:\n$p")
+  }
+
+  test("edit distance + crossmodal: verify joins equi-keyed on doc ids") {
+    for (q <- Seq("dedup_edit_distance", "mm_crossmodal_audit")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"),
+        s"$q: payloads attach by doc_id equi-joins only:\n$p")
+    }
+  }
+
+  test("group quantiles: census window partitioned by event_type") {
+    assert(unpartitionedWindows("sketch_group_quantiles").isEmpty,
+      "the cumulative walk must ride the type-partitioned bins census")
+  }
+
   test("kmv set ops: raw events only aggregated — pair work is sketch-sized") {
     // the localCheckpointed sketch subtree appears as an ExistingRDD
     // scan here; its O(k)-state kmv aggregate shape is pinned by the
