@@ -239,6 +239,7 @@ object SparkEntry {
     "dedup_edit_distance" -> ((s: SparkSession, d: String) =>
       Dedup.editDistancePairs(s, d)),
     "orders_basket_rules" -> (Relational.basketRules _),
+    "events_pareto_share" -> (Relational.eventsParetoShare _),
     "events_funnel_paths" -> ((s: SparkSession, d: String) =>
       Relational.funnelPaths(s, d)),
     "sub_window_funcs" -> (Substrate.windowRankFuncs _),
@@ -443,7 +444,7 @@ object SparkEntry {
     "events_gap_census", "embed_rank_corr", "events_markov_stationary",
     "graph_modularity", "mm_image_entropy", "text_ndcg_eval",
     "events_ohlc_hourly", "mm_crossmodal_audit", "sketch_group_quantiles",
-    "dedup_edit_distance", "orders_basket_rules")
+    "dedup_edit_distance", "orders_basket_rules", "events_pareto_share")
 
   // --- generated DuckDB replicas of the portable-hash queries ----------
 
@@ -1416,6 +1417,30 @@ object SparkEntry {
         |SELECT query_id, CAST(rank AS INT) AS rank, doc_id,
         |  floor(CAST(s AS DOUBLE) * 10000 + 0.5) / 10000 AS score
         |FROM r WHERE rank <= 10""".stripMargin,
+    // Same census cutoff + share scan, every sum cast to BIGINT.
+    "events_pareto_share" ->
+      """WITH pu AS (SELECT event_type, user_id, count(*) AS c
+        |  FROM events GROUP BY 1, 2),
+        |cen AS (SELECT event_type, c, count(*) AS m FROM pu GROUP BY 1, 2),
+        |cum AS (SELECT event_type, c, m,
+        |    CAST(sum(m) OVER (PARTITION BY event_type ORDER BY c)
+        |      AS BIGINT) AS cum FROM cen),
+        |tot AS (SELECT event_type, CAST(sum(m) AS BIGINT) AS n_users,
+        |    CAST(sum(c * m) AS BIGINT) AS total_events FROM cen GROUP BY 1),
+        |cut AS (SELECT cum.event_type, cum.c AS cutoff
+        |  FROM cum JOIN tot ON cum.event_type = tot.event_type
+        |  WHERE cum - m < (9 * n_users + 9) // 10
+        |    AND cum >= (9 * n_users + 9) // 10),
+        |sh AS (SELECT pu.event_type, cutoff,
+        |    CAST(sum(CASE WHEN c >= cutoff THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_top,
+        |    CAST(sum(CASE WHEN c >= cutoff THEN c ELSE 0 END) AS BIGINT)
+        |      AS top_events
+        |  FROM pu JOIN cut ON pu.event_type = cut.event_type
+        |  GROUP BY 1, 2)
+        |SELECT sh.event_type, n_users, total_events, cutoff, n_top,
+        |  top_events, (top_events * 1000) // total_events AS top_share_milli
+        |FROM sh JOIN tot ON sh.event_type = tot.event_type""".stripMargin,
     // Same distinct brand baskets, same integer support/conf/lift.
     "orders_basket_rules" ->
       """WITH b AS (SELECT DISTINCT l_orderkey, p_brand

@@ -1737,6 +1737,44 @@ object Relational {
         expr("(n_days * 1000) DIV span_days"))
   }
 
+  /** PARETO TOP-DECILE SHARE — the "80/20" reading of the same
+    * concentration [[eventsUserGini]] summarizes as one coefficient:
+    * per event type, the p90 activity cutoff (value quantile over the
+    * count-of-counts census, RFM's convention — ties keep everyone at
+    * the cutoff), how many users clear it, and the share of all
+    * events they generate, in exact milli. Gini says HOW unequal;
+    * this says WHO to capacity-plan for.
+    *
+    * Scale: same bounded machinery as the Gini — per-user counts
+    * map-side combine, the census walk is type-partitioned, and the
+    * cutoff row joins back by type (broadcast). */
+  def eventsParetoShare(spark: SparkSession, sfDir: String): DataFrame = {
+    val perUser = Tables.events(spark, sfDir)
+      .groupBy(col("event_type"), col("user_id"))
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint(eager = false) // census + share scan
+    val census = perUser.groupBy(col("event_type"), col("c"))
+      .agg(count(lit(1)).as("m"))
+    val cum = census.withColumn("cum", sum(col("m")).over(
+      Window.partitionBy(col("event_type")).orderBy(col("c"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val tot = census.groupBy(col("event_type"))
+      .agg(sum(col("m")).as("n_users"), sum(expr("c * m")).as("total_events"))
+    val cut = cum.join(broadcast(tot), "event_type")
+      .filter(col("cum") - col("m") < expr("(9 * n_users + 9) DIV 10") &&
+        col("cum") >= expr("(9 * n_users + 9) DIV 10"))
+      .select(col("event_type"), col("c").as("cutoff"))
+    perUser.join(broadcast(cut), "event_type")
+      .groupBy(col("event_type"), col("cutoff"))
+      .agg(sum(when(col("c") >= col("cutoff"), 1L).otherwise(0L)).as("n_top"),
+        sum(when(col("c") >= col("cutoff"), col("c")).otherwise(0L))
+          .as("top_events"))
+      .join(broadcast(tot), "event_type")
+      .select(col("event_type"), col("n_users"), col("total_events"),
+        col("cutoff"), col("n_top"), col("top_events"),
+        expr("(top_events * 1000) DIV total_events").as("top_share_milli"))
+  }
+
   /** USER-ACTIVITY GINI (Lorenz/Gini concentration; Gini 1912) — the
     * inequality audit behind "is this event type driven by a few
     * power users?": per event type the exact Gini coefficient of the

@@ -986,6 +986,34 @@ class Round9WaveSpec extends AnyFunSuite {
     }
   }
 
+  // --- events_pareto_share ----------------------------------------------
+
+  test("pareto share: cutoff is the p90 order statistic, share recomputes") {
+    val perUser = graft.Tables.events(spark, sfDir)
+      .groupBy(col("event_type"), col("user_id"))
+      .agg(count(lit(1)).as("c")).collect()
+      .map(r => (r.getString(0), r.getLong(2)))
+      .groupBy(_._1).map { case (t, rs) => t -> rs.map(_._2).sorted }
+    val rows = Relational.eventsParetoShare(spark, sfDir).collect()
+    assert(rows.length == perUser.size)
+    rows.foreach { r =>
+      val t = r.getAs[String]("event_type")
+      val cs = perUser(t)
+      val n = cs.length.toLong
+      val cutoff = cs(((9 * n + 9) / 10 - 1).toInt)
+      assert(r.getAs[Long]("n_users") == n)
+      assert(r.getAs[Long]("total_events") == cs.sum)
+      assert(r.getAs[Long]("cutoff") == cutoff, s"p90 cutoff at $t")
+      val top = cs.filter(_ >= cutoff)
+      assert(r.getAs[Long]("n_top") == top.length)
+      assert(r.getAs[Long]("top_events") == top.sum)
+      assert(r.getAs[Long]("top_share_milli") == top.sum * 1000 / cs.sum)
+      // the top decile (plus cutoff ties) must out-earn its headcount
+      assert(top.sum * n >= top.length.toLong * cs.sum,
+        s"top users must hold at least a proportional share at $t")
+    }
+  }
+
   // --- corpus_moore_lewis -----------------------------------------------
 
   test("moore-lewis: in-domain docs score lower diff than out-of-domain") {
