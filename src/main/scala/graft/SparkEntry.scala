@@ -240,6 +240,8 @@ object SparkEntry {
       Dedup.editDistancePairs(s, d)),
     "orders_basket_rules" -> (Relational.basketRules _),
     "events_pareto_share" -> (Relational.eventsParetoShare _),
+    "embed_kmeans_elbow" -> ((s: SparkSession, d: String) =>
+      Similarity.kmeansElbow(s, d)),
     "events_funnel_paths" -> ((s: SparkSession, d: String) =>
       Relational.funnelPaths(s, d)),
     "sub_window_funcs" -> (Substrate.windowRankFuncs _),
@@ -444,7 +446,8 @@ object SparkEntry {
     "events_gap_census", "embed_rank_corr", "events_markov_stationary",
     "graph_modularity", "mm_image_entropy", "text_ndcg_eval",
     "events_ohlc_hourly", "mm_crossmodal_audit", "sketch_group_quantiles",
-    "dedup_edit_distance", "orders_basket_rules", "events_pareto_share")
+    "dedup_edit_distance", "orders_basket_rules", "events_pareto_share",
+    "embed_kmeans_elbow")
 
   // --- generated DuckDB replicas of the portable-hash queries ----------
 
@@ -1417,6 +1420,24 @@ object SparkEntry {
         |SELECT query_id, CAST(rank AS INT) AS rank, doc_id,
         |  floor(CAST(s AS DOUBLE) * 10000 + 0.5) / 10000 AS score
         |FROM r WHERE rank <= 10""".stripMargin,
+    // Same nested centroid ladder + the list-diff dot product, one
+    // UNION ALL block per rung.
+    "embed_kmeans_elbow" -> Seq(10, 20, 40).map { k =>
+      s"""SELECT CAST($k AS BIGINT) AS k_centroids,
+         |  CAST(count(*) AS BIGINT) AS n_vecs,
+         |  CAST(sum(CAST(floor(md * 10000 + 0.5) AS BIGINT)) AS BIGINT)
+         |    AS inertia_x4,
+         |  CAST(sum(CAST(floor(md * 10000 + 0.5) AS BIGINT)) AS BIGINT)
+         |    // count(*) AS mean_inertia_x4
+         |FROM (
+         |  SELECT e.vec_id, min(list_dot_product(
+         |      [e.emb[i] - c.emb[i] for i in range(1, len(e.emb) + 1)],
+         |      [e.emb[i] - c.emb[i] for i in range(1, len(e.emb) + 1)])) AS md
+         |  FROM (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings) e
+         |  JOIN (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+         |    WHERE vec_id < $k) c ON true
+         |  GROUP BY 1)""".stripMargin
+    }.mkString("\nUNION ALL\n"),
     // Same census cutoff + share scan, every sum cast to BIGINT.
     "events_pareto_share" ->
       """WITH pu AS (SELECT event_type, user_id, count(*) AS c

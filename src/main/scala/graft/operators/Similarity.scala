@@ -795,6 +795,38 @@ object Similarity {
       .unionAll(recallOf("multiprobe", annLshMultiprobe(spark, sfDir)))
   }
 
+  /** K-MEANS ELBOW ADVISOR — the tuning curve behind the IVF
+    * centroid-count knob (joins the nprobe/LSH-band/threshold advisor
+    * family): total within-cluster inertia for a NESTED ladder of
+    * centroid sets (`vec_id < k`, so each k's centroids contain the
+    * previous — inertia is PROVABLY nonincreasing, the spec pins it),
+    * reported per k with the exact-integer x4 per-vector floor so the
+    * sum is partition-order-independent. The marginal inertia drop
+    * between rungs is the elbow the operator reads.
+    *
+    * Scale: per rung one broadcast of k centroid rows against the
+    * embedding scan (the standard assignment cost), a vec-keyed min,
+    * and a 1-row sum; rungs share the checkpointed projection. */
+  def kmeansElbow(spark: SparkSession, sfDir: String,
+      ks: Seq[Int] = Seq(10, 20, 40)): DataFrame = {
+    graft.plans.L2Distance.register(spark)
+    val emb = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+      .localCheckpoint(eager = false) // all rungs + all centroid sets
+    ks.map { k =>
+      val cent = emb.filter(col("vec_id") < k)
+        .select(col("vec_id").as("cid"), col("e").as("c"))
+      emb.crossJoin(broadcast(cent))
+        .select(col("vec_id"), l2d2(col("e"), col("c")).as("d2"))
+        .groupBy(col("vec_id")).agg(min(col("d2")).as("md"))
+        .agg(count(lit(1)).as("n_vecs"),
+          sum(floor(col("md") * 10000 + 0.5).cast("long")).as("inertia_x4"))
+        .select(lit(k.toLong).as("k_centroids"), col("n_vecs"),
+          col("inertia_x4"),
+          expr("inertia_x4 DIV n_vecs").as("mean_inertia_x4"))
+    }.reduce(_.unionByName(_))
+  }
+
   /** RANK-FIDELITY EVAL (Spearman 1904) — "how much ranking does int8
     * quantization lose?", the question every serving stack answers
     * before shipping quantized vectors: per query, the Spearman ρ

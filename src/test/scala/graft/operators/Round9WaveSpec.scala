@@ -1014,6 +1014,34 @@ class Round9WaveSpec extends AnyFunSuite {
     }
   }
 
+  // --- embed_kmeans_elbow -----------------------------------------------
+
+  test("kmeans elbow: inertia recomputes, nested ladders are monotone") {
+    val emb = graft.Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+    val rows = Similarity.kmeansElbow(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("k_centroids") -> r).toMap
+    assert(rows.keySet == Set(10L, 20L, 40L))
+    def d2(a: Array[Double], b: Array[Double]): Double =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val inertias = Seq(10, 20, 40).map { k =>
+      val cents = emb.filter(_._1 < k).map(_._2)
+      val inertia = emb.map { case (_, e) =>
+        math.floor(cents.map(c => d2(e, c)).min * 10000 + 0.5).toLong
+      }.sum
+      val r = rows(k.toLong)
+      assert(r.getAs[Long]("n_vecs") == emb.length)
+      assert(r.getAs[Long]("inertia_x4") == inertia, s"inertia at k=$k")
+      assert(r.getAs[Long]("mean_inertia_x4") == inertia / emb.length)
+      inertia
+    }
+    // nested centroid sets: more centroids can only tighten the fit
+    assert(inertias(0) >= inertias(1) && inertias(1) >= inertias(2),
+      s"nested ladder must be monotone: $inertias")
+    assert(inertias(2) > 0, "stride centroids cannot fit the corpus exactly")
+  }
+
   // --- corpus_moore_lewis -----------------------------------------------
 
   test("moore-lewis: in-domain docs score lower diff than out-of-domain") {
