@@ -242,6 +242,7 @@ object SparkEntry {
     "events_pareto_share" -> (Relational.eventsParetoShare _),
     "embed_kmeans_elbow" -> ((s: SparkSession, d: String) =>
       Similarity.kmeansElbow(s, d)),
+    "mm_image_edges" -> (ImageCodec.imageEdgeDensity _),
     "events_funnel_paths" -> ((s: SparkSession, d: String) =>
       Relational.funnelPaths(s, d)),
     "sub_window_funcs" -> (Substrate.windowRankFuncs _),
@@ -447,7 +448,7 @@ object SparkEntry {
     "graph_modularity", "mm_image_entropy", "text_ndcg_eval",
     "events_ohlc_hourly", "mm_crossmodal_audit", "sketch_group_quantiles",
     "dedup_edit_distance", "orders_basket_rules", "events_pareto_share",
-    "embed_kmeans_elbow")
+    "embed_kmeans_elbow", "mm_image_edges")
 
   // --- generated DuckDB replicas of the portable-hash queries ----------
 
@@ -1420,6 +1421,33 @@ object SparkEntry {
         |SELECT query_id, CAST(rank AS INT) AS rank, doc_id,
         |  floor(CAST(s AS DOUBLE) * 10000 + 0.5) / 10000 AS score
         |FROM r WHERE rank <= 10""".stripMargin,
+    // Gradient replica of the decoded edge mass: |Δ| is 1 except at
+    // the wrap seam (value 255 → 0), horizontally and vertically.
+    "mm_image_edges" ->
+      """WITH d AS (SELECT doc_id, n_chars % 64 + 16 AS w,
+        |    n_chars % 48 + 16 AS h
+        |  FROM documents WHERE doc_id % 10 <> 0),
+        |xs AS (SELECT unnest(range(0, 80)) AS x),
+        |ys AS (SELECT unnest(range(0, 64)) AS y),
+        |px AS (SELECT doc_id, w, h, x, y,
+        |    (doc_id + x + y) % 256 AS v
+        |  FROM d CROSS JOIN xs CROSS JOIN ys WHERE x < w AND y < h),
+        |g AS (SELECT doc_id,
+        |    CAST(sum(CASE WHEN x + 1 < w THEN 1 ELSE 0 END)
+        |      + sum(CASE WHEN y + 1 < h THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_pairs,
+        |    CAST(sum(CASE WHEN x + 1 < w THEN
+        |        CASE WHEN v = 255 THEN 255 ELSE 1 END ELSE 0 END)
+        |      + sum(CASE WHEN y + 1 < h THEN
+        |        CASE WHEN v = 255 THEN 255 ELSE 1 END ELSE 0 END)
+        |      AS BIGINT) AS grad_sum,
+        |    CAST(sum(CASE WHEN x + 1 < w AND v = 255 THEN 1 ELSE 0 END)
+        |      + sum(CASE WHEN y + 1 < h AND v = 255 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS strong_edges
+        |  FROM px GROUP BY 1)
+        |SELECT doc_id, n_pairs, grad_sum,
+        |  (grad_sum * 100) // n_pairs AS grad_mean_centi, strong_edges
+        |FROM g""".stripMargin,
     // Same nested centroid ladder + the list-diff dot product, one
     // UNION ALL block per rung.
     "embed_kmeans_elbow" -> Seq(10, 20, 40).map { k =>

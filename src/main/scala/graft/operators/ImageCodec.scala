@@ -212,6 +212,55 @@ object ImageCodec {
     }(enc)
   }
 
+  /** EDGE-DENSITY FEATURE of the decoded image (gradient magnitude —
+    * the blur/flat detector paired with [[imageEntropy]]'s histogram
+    * view: entropy sees VALUE diversity, edges see SPATIAL structure):
+    * the exact sum of |∂x| + |∂y| luma differences over the decoded
+    * pixels, its per-pair centi mean, and the strong-edge count
+    * (|Δ| ≥ 128 — on the synthetic gradient these are exactly the
+    * wrap seams, so the count is data-dependent and the oracle
+    * replays it arithmetically). Real ImageIO decode; truncated
+    * payloads drop.
+    *
+    * Scale: narrow mapPartitions, one pass per doc, zero shuffle. */
+  def imageEdgeDensity(spark: SparkSession, sfDir: String): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("n_pairs", LongType),
+      StructField("grad_sum", LongType),
+      StructField("grad_mean_centi", LongType),
+      StructField("strong_edges", LongType)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
+    realImageBlobs(spark, sfDir).mapPartitions { rows =>
+      rows.flatMap { r =>
+        val docId = r.getLong(0)
+        decode(r.getAs[Array[Byte]](1)) match {
+          case Right(d) =>
+            var sum = 0L; var strong = 0L; var pairs = 0L
+            var y = 0
+            while (y < d.height) {
+              var x = 0
+              while (x < d.width) {
+                val v = d.luma(x, y)
+                if (x + 1 < d.width) {
+                  val dx = math.abs(d.luma(x + 1, y) - v)
+                  sum += dx; pairs += 1; if (dx >= 128) strong += 1
+                }
+                if (y + 1 < d.height) {
+                  val dy = math.abs(d.luma(x, y + 1) - v)
+                  sum += dy; pairs += 1; if (dy >= 128) strong += 1
+                }
+                x += 1
+              }
+              y += 1
+            }
+            Some(Row(docId, pairs, sum, sum * 100L / pairs, strong))
+          case Left(_) => None
+        }
+      }
+    }(enc)
+  }
+
   /** JVM twin of the engine-portable integer micro-log2 (identical
     * piecewise-linear formula — `e·10⁶ + (x − 2^e)·10⁶ DIV 2^e`). */
   def plog2MicroJvm(x: Long): Long = {

@@ -1042,6 +1042,38 @@ class Round9WaveSpec extends AnyFunSuite {
     assert(inertias(2) > 0, "stride centroids cannot fit the corpus exactly")
   }
 
+  // --- mm_image_edges ---------------------------------------------------
+
+  test("image edges: gradient mass recomputes, strong edges are the wrap seams") {
+    val meta = graft.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("n_chars")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val rows = ImageCodec.imageEdgeDensity(spark, sfDir).collect()
+    assert(rows.length == meta.count(_._1 % 10 != 0))
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val (w, h) = ((meta(id) % 64 + 16).toInt, (meta(id) % 48 + 16).toInt)
+      def v(x: Int, y: Int): Long = (id + x + y) % 256
+      var sum = 0L; var strong = 0L; var pairs = 0L
+      for (x <- 0 until w; y <- 0 until h) {
+        if (x + 1 < w) {
+          val d = math.abs(v(x + 1, y) - v(x, y))
+          sum += d; pairs += 1; if (d >= 128) strong += 1
+        }
+        if (y + 1 < h) {
+          val d = math.abs(v(x, y + 1) - v(x, y))
+          sum += d; pairs += 1; if (d >= 128) strong += 1
+        }
+      }
+      assert(r.getAs[Long]("n_pairs") == pairs)
+      assert(r.getAs[Long]("grad_sum") == sum, s"gradient mass at $id")
+      assert(r.getAs[Long]("grad_mean_centi") == sum * 100 / pairs)
+      assert(r.getAs[Long]("strong_edges") == strong)
+    }
+    // wrap seams exist for most images — the feature must discriminate
+    assert(rows.map(_.getAs[Long]("strong_edges")).distinct.length > 1)
+  }
+
   // --- corpus_moore_lewis -----------------------------------------------
 
   test("moore-lewis: in-domain docs score lower diff than out-of-domain") {
