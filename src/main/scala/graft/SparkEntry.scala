@@ -243,6 +243,7 @@ object SparkEntry {
     "embed_kmeans_elbow" -> ((s: SparkSession, d: String) =>
       Similarity.kmeansElbow(s, d)),
     "mm_image_edges" -> (ImageCodec.imageEdgeDensity _),
+    "events_streak_census" -> (Relational.eventsStreakCensus _),
     "events_funnel_paths" -> ((s: SparkSession, d: String) =>
       Relational.funnelPaths(s, d)),
     "sub_window_funcs" -> (Substrate.windowRankFuncs _),
@@ -448,7 +449,7 @@ object SparkEntry {
     "graph_modularity", "mm_image_entropy", "text_ndcg_eval",
     "events_ohlc_hourly", "mm_crossmodal_audit", "sketch_group_quantiles",
     "dedup_edit_distance", "orders_basket_rules", "events_pareto_share",
-    "embed_kmeans_elbow", "mm_image_edges")
+    "embed_kmeans_elbow", "mm_image_edges", "events_streak_census")
 
   // --- generated DuckDB replicas of the portable-hash queries ----------
 
@@ -1421,6 +1422,19 @@ object SparkEntry {
         |SELECT query_id, CAST(rank AS INT) AS rank, doc_id,
         |  floor(CAST(s AS DOUBLE) * 10000 + 0.5) / 10000 AS score
         |FROM r WHERE rank <= 10""".stripMargin,
+    // Same user-partitioned gaps-and-islands over the distinct-day census.
+    "events_streak_census" ->
+      """WITH ud AS (SELECT DISTINCT user_id,
+        |    epoch_us(ts) // 86400000000 AS day FROM events),
+        |i AS (SELECT user_id, day,
+        |    day - row_number() OVER (PARTITION BY user_id ORDER BY day)
+        |      AS grp FROM ud),
+        |runs AS (SELECT user_id, grp, count(*) AS run
+        |  FROM i GROUP BY 1, 2),
+        |best AS (SELECT user_id, CAST(max(run) AS BIGINT) AS best_streak
+        |  FROM runs GROUP BY 1)
+        |SELECT best_streak, count(*) AS n_users
+        |FROM best GROUP BY 1""".stripMargin,
     // Gradient replica of the decoded edge mass: |Δ| is 1 except at
     // the wrap seam (value 255 → 0), horizontally and vertically.
     "mm_image_edges" ->

@@ -1737,6 +1737,29 @@ object Relational {
         expr("(n_days * 1000) DIV span_days"))
   }
 
+  /** ACTIVITY-STREAK CENSUS — the engagement-depth distribution
+    * behind every retention dashboard's "streak" widget: per user the
+    * LONGEST run of consecutive active days (gaps-and-islands: day −
+    * row_number is constant within a run), then the census of how
+    * many users top out at each streak length. Reads next to
+    * [[eventsRetention]]'s cohort view: retention says users came
+    * BACK, streaks say how long they STAYED continuous.
+    *
+    * Scale: the corpus collapses map-side to DISTINCT (user, day);
+    * both windows are USER-partitioned over that census; the final
+    * output is a streak-length census bounded by the calendar. */
+  def eventsStreakCensus(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+    Tables.events(spark, sfDir)
+      .select(col("user_id"),
+        expr("unix_micros(ts) DIV 86400000000").as("day"))
+      .distinct()
+      .withColumn("grp", col("day") - row_number().over(w))
+      .groupBy(col("user_id"), col("grp")).agg(count(lit(1)).as("run"))
+      .groupBy(col("user_id")).agg(max(col("run")).as("best_streak"))
+      .groupBy(col("best_streak")).agg(count(lit(1)).as("n_users"))
+  }
+
   /** PARETO TOP-DECILE SHARE — the "80/20" reading of the same
     * concentration [[eventsUserGini]] summarizes as one coefficient:
     * per event type, the p90 activity cutoff (value quantile over the

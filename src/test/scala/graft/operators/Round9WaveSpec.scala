@@ -1074,6 +1074,29 @@ class Round9WaveSpec extends AnyFunSuite {
     assert(rows.map(_.getAs[Long]("strong_edges")).distinct.length > 1)
   }
 
+  // --- events_streak_census ---------------------------------------------
+
+  test("streak census: per-user longest runs recompute from distinct days") {
+    val ud = graft.Tables.events(spark, sfDir)
+      .select(col("user_id"), expr("unix_micros(ts) DIV 86400000000").as("day"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    val best = ud.groupBy(_._1).map { case (_, rs) =>
+      val days = rs.map(_._2).sorted
+      var bestRun = 1L; var run = 1L
+      days.zip(days.tail).foreach { case (a, b) =>
+        if (b == a + 1) { run += 1; bestRun = math.max(bestRun, run) }
+        else run = 1
+      }
+      bestRun
+    }.toSeq
+    val expected = best.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val rows = Relational.eventsStreakCensus(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("best_streak") -> r.getAs[Long]("n_users")).toMap
+    assert(rows == expected, s"census mismatch: $rows vs $expected")
+    assert(rows.values.sum == ud.map(_._1).distinct.length.toLong,
+      "every active user lands in exactly one streak bucket")
+  }
+
   // --- corpus_moore_lewis -----------------------------------------------
 
   test("moore-lewis: in-domain docs score lower diff than out-of-domain") {
