@@ -244,6 +244,7 @@ object SparkEntry {
       Similarity.kmeansElbow(s, d)),
     "mm_image_edges" -> (ImageCodec.imageEdgeDensity _),
     "events_streak_census" -> (Relational.eventsStreakCensus _),
+    "events_entropy_rate" -> (Relational.eventsEntropyRate _),
     "events_funnel_paths" -> ((s: SparkSession, d: String) =>
       Relational.funnelPaths(s, d)),
     "sub_window_funcs" -> (Substrate.windowRankFuncs _),
@@ -449,7 +450,8 @@ object SparkEntry {
     "graph_modularity", "mm_image_entropy", "text_ndcg_eval",
     "events_ohlc_hourly", "mm_crossmodal_audit", "sketch_group_quantiles",
     "dedup_edit_distance", "orders_basket_rules", "events_pareto_share",
-    "embed_kmeans_elbow", "mm_image_edges", "events_streak_census")
+    "embed_kmeans_elbow", "mm_image_edges", "events_streak_census",
+    "events_entropy_rate")
 
   // --- generated DuckDB replicas of the portable-hash queries ----------
 
@@ -797,7 +799,10 @@ object SparkEntry {
 
   /** Stationary-flow replica: the transition-matrix CTEs, then
     * `rounds` unrolled π·P steps with the identical per-term floor. */
-  private def markovStationaryOracle(rounds: Int = 8): String = {
+  /** Shared CTE block: transition census `m` + π₀ + `rounds` unrolled
+    * π·P steps ending at `p$rounds` (used by the stationary and
+    * entropy-rate replicas). */
+  private def markovCtes(rounds: Int): String = {
     val iter = (1 to rounds).map { r =>
       s"""p$r AS MATERIALIZED (SELECT m.to_type AS event_type,
          |    CAST(sum((p.pi * m.n) // m.row_total) AS BIGINT) AS pi
@@ -818,7 +823,11 @@ object SparkEntry {
        |p0 AS MATERIALIZED (SELECT from_type AS event_type,
        |    (max(row_total) * 1000000) // (SELECT t FROM tt) AS pi
        |  FROM m GROUP BY 1),
-       |$iter
+       |$iter""".stripMargin
+  }
+
+  private def markovStationaryOracle(rounds: Int = 8): String = {
+    s"""${markovCtes(rounds)}
        |SELECT p0.event_type, p0.pi AS pi0_micro,
        |  p$rounds.pi AS pi_stat_micro,
        |  abs(p$rounds.pi - p${rounds - 1}.pi) AS delta_micro
@@ -1422,6 +1431,23 @@ object SparkEntry {
         |SELECT query_id, CAST(rank AS INT) AS rank, doc_id,
         |  floor(CAST(s AS DOUBLE) * 10000 + 0.5) / 10000 AS score
         |FROM r WHERE rank <= 10""".stripMargin,
+    // Same census composition: the shared Markov CTE block supplies
+    // the matrix and the round-8 π; the conditional entropy divides
+    // the weighted plog sum once per row like the Spark side.
+    "events_entropy_rate" -> {
+      val plogRt = graft.operators.TextAnalysis.plog2MicroDuck("rt")
+      val plogNn = graft.operators.TextAnalysis.plog2MicroDuck("nn")
+      s"""${markovCtes(8)},
+         |ct AS (SELECT from_type AS event_type, max(rt) AS rt,
+         |    CAST(sum(term) AS BIGINT) AS tsum FROM (
+         |  SELECT from_type, rt, nn, nn * (($plogRt) - ($plogNn)) AS term
+         |  FROM (SELECT from_type, n AS nn, row_total AS rt FROM m))
+         |  GROUP BY 1)
+         |SELECT ct.event_type, p8.pi AS pi_stat_micro,
+         |  tsum // rt AS cond_entropy_micro,
+         |  (p8.pi * (tsum // rt)) // 1000000 AS contrib_micro
+         |FROM ct JOIN p8 ON ct.event_type = p8.event_type""".stripMargin
+    },
     // Same user-partitioned gaps-and-islands over the distinct-day census.
     "events_streak_census" ->
       """WITH ud AS (SELECT DISTINCT user_id,

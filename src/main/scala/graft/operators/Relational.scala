@@ -2002,6 +2002,39 @@ object Relational {
         abs(col("pi_stat_micro") - col("pi_prev")).as("delta_micro"))
   }
 
+  /** ENTROPY RATE of the user-flow chain (Shannon 1948's source rate,
+    * composed from two existing censuses): per from-state the
+    * conditional next-step entropy H_i = Σ_j p_ij·log2(1/p_ij) in
+    * exact micro-bits via the portable integer log
+    * ([[graft.operators.TextAnalysis.plog2MicroSql]] — the weighted
+    * sum divides ONCE by the row total so floors don't accumulate),
+    * weighted by [[markovStationary]]'s π to its contribution to the
+    * chain's entropy rate H = Σ_i π_i·H_i — the "how predictable is
+    * user behavior" number a sequence model's achievable perplexity
+    * bottoms out at. Headroom: n_ij·plog ≲ 2⁶³ needs n_ij ≤ ~2·10¹¹
+    * per cell (decimal hatch past that, the documented policy).
+    *
+    * Scale: everything runs on the |types|² census; the stationary
+    * weights reuse the audited power iteration. */
+  def eventsEntropyRate(spark: SparkSession, sfDir: String): DataFrame = {
+    val plogRt = graft.operators.TextAnalysis.plog2MicroSql("rt")
+    val plogNn = graft.operators.TextAnalysis.plog2MicroSql("nn")
+    val cond = eventsTransitionMatrix(spark, sfDir)
+      .select(col("from_type"), col("n").as("nn"), col("row_total").as("rt"))
+      .withColumn("term", expr(s"nn * (($plogRt) - ($plogNn))"))
+      .groupBy(col("from_type"))
+      .agg(max(col("rt")).as("rt"), sum(col("term")).as("tsum"))
+      .select(col("from_type").as("event_type"),
+        expr("tsum DIV rt").as("cond_entropy_micro"))
+    markovStationary(spark, sfDir)
+      .select(col("event_type"), col("pi_stat_micro"))
+      .join(cond, Seq("event_type"))
+      .select(col("event_type"), col("pi_stat_micro"),
+        col("cond_entropy_micro"),
+        expr("(pi_stat_micro * cond_entropy_micro) DIV 1000000")
+          .as("contrib_micro"))
+  }
+
   /** CHANGESET APPLY (MERGE INTO) — the lakehouse write-path twin of
     * [[snapshotDiff]]: apply an (op, key, new-values) changeset to the
     * base snapshot with upsert semantics — `delete` drops the row,

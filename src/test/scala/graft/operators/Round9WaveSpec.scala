@@ -1097,6 +1097,34 @@ class Round9WaveSpec extends AnyFunSuite {
       "every active user lands in exactly one streak bucket")
   }
 
+  // --- events_entropy_rate ----------------------------------------------
+
+  test("entropy rate: recomposes from the matrix + stationary pi, bounded") {
+    def plog(x: Long): Long = ImageCodec.plog2MicroJvm(x)
+    val m = Relational.eventsTransitionMatrix(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getAs[Long]("n"), r.getAs[Long]("row_total")))).toMap
+    val pi = Relational.markovStationary(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("pi_stat_micro")).toMap
+    val rows = Relational.eventsEntropyRate(spark, sfDir).collect()
+    assert(rows.length == pi.size)
+    rows.foreach { r =>
+      val t = r.getAs[String]("event_type")
+      val cells = m.filter(_._1._1 == t)
+      val rt = cells.head._2._2
+      val tsum = cells.values.map { case (n, _) => n * (plog(rt) - plog(n)) }.sum
+      val h = tsum / rt
+      assert(r.getAs[Long]("pi_stat_micro") == pi(t))
+      assert(r.getAs[Long]("cond_entropy_micro") == h, s"H at $t")
+      assert(r.getAs[Long]("contrib_micro") == pi(t) * h / 1000000L)
+      // H_i ∈ [0, log2(fanout)] up to the piecewise-linear chord slack
+      assert(h >= 0 && h <= plog(cells.size.toLong) + 2 * 86000,
+        s"conditional entropy out of band at $t: $h")
+    }
+    val rate = rows.map(_.getAs[Long]("contrib_micro")).sum
+    assert(rate > 0, "a non-deterministic chain must have positive rate")
+  }
+
   // --- corpus_moore_lewis -----------------------------------------------
 
   test("moore-lewis: in-domain docs score lower diff than out-of-domain") {
