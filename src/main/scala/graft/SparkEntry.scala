@@ -245,6 +245,7 @@ object SparkEntry {
     "mm_image_edges" -> (ImageCodec.imageEdgeDensity _),
     "events_streak_census" -> (Relational.eventsStreakCensus _),
     "events_entropy_rate" -> (Relational.eventsEntropyRate _),
+    "embed_norm_profile" -> (Similarity.embedNormProfile _),
     "events_funnel_paths" -> ((s: SparkSession, d: String) =>
       Relational.funnelPaths(s, d)),
     "sub_window_funcs" -> (Substrate.windowRankFuncs _),
@@ -451,7 +452,7 @@ object SparkEntry {
     "events_ohlc_hourly", "mm_crossmodal_audit", "sketch_group_quantiles",
     "dedup_edit_distance", "orders_basket_rules", "events_pareto_share",
     "embed_kmeans_elbow", "mm_image_edges", "events_streak_census",
-    "events_entropy_rate")
+    "events_entropy_rate", "embed_norm_profile")
 
   // --- generated DuckDB replicas of the portable-hash queries ----------
 
@@ -1431,6 +1432,23 @@ object SparkEntry {
         |SELECT query_id, CAST(rank AS INT) AS rank, doc_id,
         |  floor(CAST(s AS DOUBLE) * 10000 + 0.5) / 10000 AS score
         |FROM r WHERE rank <= 10""".stripMargin,
+    // Same centi-norm census + label-partitioned median walk.
+    "embed_norm_profile" ->
+      """WITH nv AS (SELECT CAST(label AS BIGINT) AS label,
+        |    CAST(floor(list_dot_product(embedding::DOUBLE[],
+        |      embedding::DOUBLE[]) * 100 + 0.5) AS BIGINT) AS n2c
+        |  FROM embeddings),
+        |cen AS (SELECT label, n2c, count(*) AS m FROM nv GROUP BY 1, 2),
+        |cum AS (SELECT label, n2c, m,
+        |    CAST(sum(m) OVER (PARTITION BY label ORDER BY n2c)
+        |      AS BIGINT) AS cum FROM cen),
+        |tot AS (SELECT label, CAST(sum(m) AS BIGINT) AS n_vecs,
+        |    min(n2c) AS min_norm2_centi, max(n2c) AS max_norm2_centi
+        |  FROM cen GROUP BY 1)
+        |SELECT cum.label, n_vecs, min_norm2_centi,
+        |  n2c AS p50_norm2_centi, max_norm2_centi
+        |FROM cum JOIN tot ON cum.label = tot.label
+        |WHERE cum - m < (n_vecs + 1) // 2 AND cum >= (n_vecs + 1) // 2""".stripMargin,
     // Same census composition: the shared Markov CTE block supplies
     // the matrix and the round-8 π; the conditional entropy divides
     // the weighted plog sum once per row like the Spark side.

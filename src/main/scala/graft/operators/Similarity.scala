@@ -795,6 +795,46 @@ object Similarity {
       .unionAll(recallOf("multiprobe", annLshMultiprobe(spark, sfDir)))
   }
 
+  /** NORM PROFILE per label — the norm-collapse detector an embedding
+    * monitor runs beside [[centroidDrift]] (drift moves the MEAN;
+    * collapse shrinks the NORMS — both silently break cosine
+    * thresholds downstream): per label the min / median / max of the
+    * squared vector norms in centi fixed-point. The median is a value
+    * quantile over the CENTI-NORM CENSUS — unit-ish norms quantize
+    * into a bounded value domain, so the cumulative walk never sees a
+    * per-vector row (the RFM/Gini census discipline).
+    *
+    * The norm² fold is the index-order `zip_with`/`aggregate` chain
+    * with established bit-parity to DuckDB's `list_dot_product`.
+    *
+    * Scale: one scan → (label, centi-norm) census, map-side combined;
+    * a label-partitioned walk over census rows; extremes are plain
+    * aggregates. */
+  def embedNormProfile(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val norm2 = aggregate(
+      zip_with(col("e"), col("e"), (p, q) => p * q), lit(0.0),
+      (acc, v) => acc + v)
+    val nv = Tables.embeddings(spark, sfDir)
+      .select(col("label").cast("long").as("label"),
+        col("embedding").cast("array<double>").as("e"))
+      .select(col("label"),
+        floor(norm2 * 100 + 0.5).cast("long").as("n2c"))
+    val census = nv.groupBy(col("label"), col("n2c"))
+      .agg(count(lit(1)).as("m"))
+    val cum = census.withColumn("cum", sum(col("m")).over(
+      Window.partitionBy(col("label")).orderBy(col("n2c"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val tot = census.groupBy(col("label"))
+      .agg(sum(col("m")).as("n_vecs"), min(col("n2c")).as("min_norm2_centi"),
+        max(col("n2c")).as("max_norm2_centi"))
+    cum.join(broadcast(tot), "label")
+      .filter(col("cum") - col("m") < expr("(n_vecs + 1) DIV 2") &&
+        col("cum") >= expr("(n_vecs + 1) DIV 2"))
+      .select(col("label"), col("n_vecs"), col("min_norm2_centi"),
+        col("n2c").as("p50_norm2_centi"), col("max_norm2_centi"))
+  }
+
   /** K-MEANS ELBOW ADVISOR — the tuning curve behind the IVF
     * centroid-count knob (joins the nprobe/LSH-band/threshold advisor
     * family): total within-cluster inertia for a NESTED ladder of

@@ -1125,6 +1125,31 @@ class Round9WaveSpec extends AnyFunSuite {
     assert(rate > 0, "a non-deterministic chain must have positive rate")
   }
 
+  // --- embed_norm_profile -----------------------------------------------
+
+  test("norm profile: median is the true per-label order statistic") {
+    val norms = graft.Tables.embeddings(spark, sfDir)
+      .select(col("label"), col("embedding")).collect()
+      .map { r =>
+        val e = r.getSeq[Float](1).map(_.toDouble)
+        (r.getInt(0).toLong,
+          math.floor(e.map(x => x * x).sum * 100 + 0.5).toLong)
+      }
+    val rows = Similarity.embedNormProfile(spark, sfDir).collect()
+    val byLabel = norms.groupBy(_._1).map { case (l, rs) => l -> rs.map(_._2).sorted }
+    assert(rows.length == byLabel.size)
+    rows.foreach { r =>
+      val l = r.getAs[Long]("label")
+      val ns = byLabel(l)
+      val n = ns.length.toLong
+      assert(r.getAs[Long]("n_vecs") == n)
+      assert(r.getAs[Long]("min_norm2_centi") == ns.head)
+      assert(r.getAs[Long]("max_norm2_centi") == ns.last)
+      assert(r.getAs[Long]("p50_norm2_centi") == ns(((n + 1) / 2 - 1).toInt),
+        s"median at label $l")
+    }
+  }
+
   // --- corpus_moore_lewis -----------------------------------------------
 
   test("moore-lewis: in-domain docs score lower diff than out-of-domain") {
