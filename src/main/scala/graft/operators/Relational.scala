@@ -1973,10 +1973,15 @@ object Relational {
     * corpus — one corpus-sized bigram count feeds it, then every
     * round is a broadcast join over ≤ 25 rows. */
   def markovStationary(spark: SparkSession, sfDir: String,
-      rounds: Int = 8): DataFrame = {
-    val m = eventsTransitionMatrix(spark, sfDir)
+      rounds: Int = 8): DataFrame =
+    markovStationaryFrom(eventsTransitionMatrix(spark, sfDir)
       .select(col("from_type"), col("to_type"), col("n"), col("row_total"))
-      .localCheckpoint()
+      .localCheckpoint(), rounds)
+
+  /** [[markovStationary]] over a caller-supplied (checkpointed)
+    * transition census — lets [[eventsEntropyRate]] share ONE census
+    * build instead of paying the corpus-sized bigram count twice. */
+  def markovStationaryFrom(m: DataFrame, rounds: Int = 8): DataFrame = {
     val total = m.agg(sum(col("n")).as("t"))
     val pi0 = m.groupBy(col("from_type")).agg(max(col("row_total")).as("rt"))
       .crossJoin(broadcast(total))
@@ -2019,14 +2024,17 @@ object Relational {
   def eventsEntropyRate(spark: SparkSession, sfDir: String): DataFrame = {
     val plogRt = graft.operators.TextAnalysis.plog2MicroSql("rt")
     val plogNn = graft.operators.TextAnalysis.plog2MicroSql("nn")
-    val cond = eventsTransitionMatrix(spark, sfDir)
+    val m = eventsTransitionMatrix(spark, sfDir)
+      .select(col("from_type"), col("to_type"), col("n"), col("row_total"))
+      .localCheckpoint() // entropy terms + the power iteration
+    val cond = m
       .select(col("from_type"), col("n").as("nn"), col("row_total").as("rt"))
       .withColumn("term", expr(s"nn * (($plogRt) - ($plogNn))"))
       .groupBy(col("from_type"))
       .agg(max(col("rt")).as("rt"), sum(col("term")).as("tsum"))
       .select(col("from_type").as("event_type"),
         expr("tsum DIV rt").as("cond_entropy_micro"))
-    markovStationary(spark, sfDir)
+    markovStationaryFrom(m)
       .select(col("event_type"), col("pi_stat_micro"))
       .join(cond, Seq("event_type"))
       .select(col("event_type"), col("pi_stat_micro"),
