@@ -246,6 +246,7 @@ object SparkEntry {
     "events_streak_census" -> (Relational.eventsStreakCensus _),
     "events_entropy_rate" -> (Relational.eventsEntropyRate _),
     "embed_norm_profile" -> (Similarity.embedNormProfile _),
+    "mm_release_funnel" -> (Multimodal.releaseFunnel _),
     "events_funnel_paths" -> ((s: SparkSession, d: String) =>
       Relational.funnelPaths(s, d)),
     "sub_window_funcs" -> (Substrate.windowRankFuncs _),
@@ -452,7 +453,7 @@ object SparkEntry {
     "events_ohlc_hourly", "mm_crossmodal_audit", "sketch_group_quantiles",
     "dedup_edit_distance", "orders_basket_rules", "events_pareto_share",
     "embed_kmeans_elbow", "mm_image_edges", "events_streak_census",
-    "events_entropy_rate", "embed_norm_profile")
+    "events_entropy_rate", "embed_norm_profile", "mm_release_funnel")
 
   // --- generated DuckDB replicas of the portable-hash queries ----------
 
@@ -836,6 +837,71 @@ object SparkEntry {
        |JOIN p$rounds ON p0.event_type = p$rounds.event_type
        |JOIN p${rounds - 1} ON p0.event_type = p${rounds - 1}.event_type""".stripMargin
   }
+
+  /** Shared by the per-modality entry and the multimodal funnel. */
+  private def imageEntropyOracle: String = {
+      val plogC = graft.operators.TextAnalysis.plog2MicroDuck("c")
+      val plogN = graft.operators.TextAnalysis.plog2MicroDuck("n")
+      s"""WITH d AS (SELECT doc_id, n_chars % 64 + 16 AS w,
+         |    n_chars % 48 + 16 AS h
+         |  FROM documents WHERE doc_id % 10 <> 0),
+         |xs AS (SELECT unnest(range(0, 80)) AS x),
+         |ys AS (SELECT unnest(range(0, 64)) AS y),
+         |px AS (SELECT doc_id, (doc_id + x + y) % 256 AS v
+         |  FROM d CROSS JOIN xs CROSS JOIN ys WHERE x < w AND y < h),
+         |hc AS (SELECT doc_id, v, count(*) AS c FROM px GROUP BY 1, 2),
+         |np AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n,
+         |    count(*) AS n_distinct,
+         |    CAST(sum(c * ($plogC)) AS BIGINT) AS wsum
+         |  FROM hc GROUP BY 1)
+         |SELECT doc_id, n AS n_pixels, n_distinct,
+         |  ($plogN) - wsum // n AS entropy_micro
+         |FROM np""".stripMargin
+  }
+
+  private def audioVadOracle: String =
+    """WITH d AS (SELECT doc_id, n_chars % 2000 + 500 AS n
+        |  FROM documents WHERE doc_id % 10 <> 0),
+        |sm AS (SELECT doc_id, i // 80 AS f,
+        |    abs((doc_id * 31 + 7 * i) % 65536 - 32768) AS a
+        |  FROM (SELECT doc_id, unnest(range(0, n)) AS i FROM d)),
+        |fr AS (SELECT doc_id, f, CAST(sum(a) AS BIGINT) AS sum_abs,
+        |    count(*) AS len FROM sm GROUP BY 1, 2),
+        |sf AS (SELECT doc_id, f, sum_abs < 12288 * len AS silent FROM fr),
+        |agg AS (SELECT doc_id, count(*) AS n_frames,
+        |    CAST(sum(CASE WHEN silent THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_silent
+        |  FROM sf GROUP BY 1),
+        |runs AS (SELECT doc_id,
+        |    f - row_number() OVER (PARTITION BY doc_id ORDER BY f) AS grp
+        |  FROM sf WHERE silent),
+        |rl AS (SELECT doc_id, count(*) AS run_len FROM runs GROUP BY doc_id, grp),
+        |lg AS (SELECT doc_id, CAST(max(run_len) AS BIGINT) AS longest
+        |  FROM rl GROUP BY 1)
+        |SELECT agg.doc_id, n_frames, n_silent,
+        |  coalesce(lg.longest, CAST(0 AS BIGINT)) AS longest_silence,
+        |  ((n_frames - n_silent) * 1000) // n_frames AS active_milli
+        |FROM agg LEFT JOIN lg ON agg.doc_id = lg.doc_id""".stripMargin
+
+  private def shotBoundariesOracle: String =
+    """WITH d AS (SELECT doc_id, n_chars % 5 + 2 AS n,
+        |    n_chars % 24 + 8 AS w, n_chars % 16 + 8 AS h
+        |  FROM documents WHERE doc_id % 10 <> 0),
+        |fr AS (SELECT doc_id, w, h, unnest(range(0, n - 1)) AS f FROM d),
+        |xs AS (SELECT unnest(range(0, 32)) AS x),
+        |ys AS (SELECT unnest(range(0, 24)) AS y),
+        |px AS (SELECT doc_id, f, w, h,
+        |    (doc_id + 7 * f + x + y) % 256 AS v
+        |  FROM fr CROSS JOIN xs CROSS JOIN ys WHERE x < w AND y < h),
+        |p AS (SELECT doc_id, f, w, h,
+        |    CAST(sum(CASE WHEN v >= 249 THEN 249 ELSE 7 END) AS BIGINT)
+        |      AS sad
+        |  FROM px GROUP BY 1, 2, 3, 4)
+        |SELECT doc_id, CAST(f AS INTEGER) AS f_from,
+        |  CAST(f + 1 AS INTEGER) AS f_to, sad,
+        |  sad * 100 // (w * h) AS mad_centi,
+        |  sad * 100 // (w * h) >= 1000 AS is_boundary
+        |FROM p""".stripMargin
 
   /** MinHash+LSH replica: same shingles, same md5-derived 48-bit base
     * hash, same 32 (a,b) permutations, same 8×4 banding. */
@@ -1432,6 +1498,26 @@ object SparkEntry {
         |SELECT query_id, CAST(rank AS INT) AS rank, doc_id,
         |  floor(CAST(s AS DOUBLE) * 10000 + 0.5) / 10000 AS score
         |FROM r WHERE rank <= 10""".stripMargin,
+    // Composes the three per-modality replicas (CTE-scoped in their
+    // own subqueries, so names can't collide) with the same gates;
+    // failed decodes null through the left joins identically.
+    "mm_release_funnel" ->
+      s"""SELECT d.doc_id, d.doc_id % 10 <> 0 AS decoded,
+         |  ie.entropy_micro >= 6000000 AS textured,
+         |  av.active_milli >= 900 AS speech_dense,
+         |  sb.n_cuts,
+         |  sb.n_cuts >= 1 AS has_cuts,
+         |  CASE WHEN d.doc_id % 10 <> 0 THEN
+         |    ie.entropy_micro >= 6000000 AND av.active_milli >= 900
+         |      AND sb.n_cuts >= 1 END AS passed_all
+         |FROM documents d
+         |LEFT JOIN ($imageEntropyOracle) ie ON d.doc_id = ie.doc_id
+         |LEFT JOIN ($audioVadOracle) av ON d.doc_id = av.doc_id
+         |LEFT JOIN (SELECT doc_id,
+         |    CAST(sum(CASE WHEN is_boundary THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_cuts
+         |  FROM ($shotBoundariesOracle) GROUP BY 1) sb
+         |  ON d.doc_id = sb.doc_id""".stripMargin,
     // Same centi-norm census + label-partitioned median walk.
     "embed_norm_profile" ->
       """WITH nv AS (SELECT CAST(label AS BIGINT) AS label,
@@ -3246,25 +3332,7 @@ object SparkEntry {
     // Gradient replica of the decoded histogram entropy: pixel
     // (doc_id + x + y) % 256, the same integer micro-log on both the
     // per-bin counts and N.
-    "mm_image_entropy" -> {
-      val plogC = graft.operators.TextAnalysis.plog2MicroDuck("c")
-      val plogN = graft.operators.TextAnalysis.plog2MicroDuck("n")
-      s"""WITH d AS (SELECT doc_id, n_chars % 64 + 16 AS w,
-         |    n_chars % 48 + 16 AS h
-         |  FROM documents WHERE doc_id % 10 <> 0),
-         |xs AS (SELECT unnest(range(0, 80)) AS x),
-         |ys AS (SELECT unnest(range(0, 64)) AS y),
-         |px AS (SELECT doc_id, (doc_id + x + y) % 256 AS v
-         |  FROM d CROSS JOIN xs CROSS JOIN ys WHERE x < w AND y < h),
-         |hc AS (SELECT doc_id, v, count(*) AS c FROM px GROUP BY 1, 2),
-         |np AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n,
-         |    count(*) AS n_distinct,
-         |    CAST(sum(c * ($plogC)) AS BIGINT) AS wsum
-         |  FROM hc GROUP BY 1)
-         |SELECT doc_id, n AS n_pixels, n_distinct,
-         |  ($plogN) - wsum // n AS entropy_micro
-         |FROM np""".stripMargin
-    },
+    "mm_image_entropy" -> imageEntropyOracle,
     // Same census power iteration, unrolled as materialized CTEs with
     // the identical per-term floor.
     "events_markov_stationary" -> markovStationaryOracle(),
@@ -3326,29 +3394,7 @@ object SparkEntry {
     // Arithmetic replica of the decoded VAD: the PCM recurrence
     // ((doc_id·31 + 7i) % 65536) − 32768, 80-sample frames, the same
     // sum_abs < 12288·len gate, longest run via gaps-and-islands.
-    "mm_audio_vad" ->
-      """WITH d AS (SELECT doc_id, n_chars % 2000 + 500 AS n
-        |  FROM documents WHERE doc_id % 10 <> 0),
-        |sm AS (SELECT doc_id, i // 80 AS f,
-        |    abs((doc_id * 31 + 7 * i) % 65536 - 32768) AS a
-        |  FROM (SELECT doc_id, unnest(range(0, n)) AS i FROM d)),
-        |fr AS (SELECT doc_id, f, CAST(sum(a) AS BIGINT) AS sum_abs,
-        |    count(*) AS len FROM sm GROUP BY 1, 2),
-        |sf AS (SELECT doc_id, f, sum_abs < 12288 * len AS silent FROM fr),
-        |agg AS (SELECT doc_id, count(*) AS n_frames,
-        |    CAST(sum(CASE WHEN silent THEN 1 ELSE 0 END) AS BIGINT)
-        |      AS n_silent
-        |  FROM sf GROUP BY 1),
-        |runs AS (SELECT doc_id,
-        |    f - row_number() OVER (PARTITION BY doc_id ORDER BY f) AS grp
-        |  FROM sf WHERE silent),
-        |rl AS (SELECT doc_id, count(*) AS run_len FROM runs GROUP BY doc_id, grp),
-        |lg AS (SELECT doc_id, CAST(max(run_len) AS BIGINT) AS longest
-        |  FROM rl GROUP BY 1)
-        |SELECT agg.doc_id, n_frames, n_silent,
-        |  coalesce(lg.longest, CAST(0 AS BIGINT)) AS longest_silence,
-        |  ((n_frames - n_silent) * 1000) // n_frames AS active_milli
-        |FROM agg LEFT JOIN lg ON agg.doc_id = lg.doc_id""".stripMargin,
+    "mm_audio_vad" -> audioVadOracle,
     // Same closed-form pairwise identity over the same centi
     // quantization; every sum cast back from HUGEINT to BIGINT.
     "embed_alignment" ->
@@ -3428,25 +3474,7 @@ object SparkEntry {
     // each pixel's |Δ| to the next frame is 7 unless the value wraps
     // (≥ 249 → 249); doc_id % 10 = 0 payloads are truncated and yield
     // no pairs. Pixel grid unrolled via bounded static ranges.
-    "mm_shot_boundaries" ->
-      """WITH d AS (SELECT doc_id, n_chars % 5 + 2 AS n,
-        |    n_chars % 24 + 8 AS w, n_chars % 16 + 8 AS h
-        |  FROM documents WHERE doc_id % 10 <> 0),
-        |fr AS (SELECT doc_id, w, h, unnest(range(0, n - 1)) AS f FROM d),
-        |xs AS (SELECT unnest(range(0, 32)) AS x),
-        |ys AS (SELECT unnest(range(0, 24)) AS y),
-        |px AS (SELECT doc_id, f, w, h,
-        |    (doc_id + 7 * f + x + y) % 256 AS v
-        |  FROM fr CROSS JOIN xs CROSS JOIN ys WHERE x < w AND y < h),
-        |p AS (SELECT doc_id, f, w, h,
-        |    CAST(sum(CASE WHEN v >= 249 THEN 249 ELSE 7 END) AS BIGINT)
-        |      AS sad
-        |  FROM px GROUP BY 1, 2, 3, 4)
-        |SELECT doc_id, CAST(f AS INTEGER) AS f_from,
-        |  CAST(f + 1 AS INTEGER) AS f_to, sad,
-        |  sad * 100 // (w * h) AS mad_centi,
-        |  sad * 100 // (w * h) >= 1000 AS is_boundary
-        |FROM p""".stripMargin,
+    "mm_shot_boundaries" -> shotBoundariesOracle,
     // Same integer Flesch/FK formulas; DuckDB counts vowel runs via
     // regexp_extract_all (its regexp_count has no portable twin note
     // needed — both count non-overlapping matches left to right).

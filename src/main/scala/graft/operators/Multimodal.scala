@@ -30,6 +30,42 @@ import graft.Tables
   */
 object Multimodal {
 
+  /** MULTIMODAL RELEASE FUNNEL — the admission dashboard composing
+    * the decode-gate family (the multimodal twin of
+    * `corpus_release_funnel`): per document the decode gate (F11),
+    * the TEXTURE gate (image histogram entropy ≥ 6 bits — flat/banded
+    * assets drop), the SPEECH-DENSITY gate (audio active ratio ≥ 900
+    * milli), and the STRUCTURE gate (≥ 1 video shot boundary), plus
+    * the conjunctive `passed_all`. Failed decodes carry honest nulls
+    * through every downstream flag.
+    *
+    * Scale: three narrow decode passes (each already audited) + three
+    * doc_id equi-joins — the funnel adds no shuffle of its own. */
+  def releaseFunnel(spark: org.apache.spark.sql.SparkSession,
+      sfDir: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val ie = ImageCodec.imageEntropy(spark, sfDir)
+      .select(col("doc_id"), col("entropy_micro"))
+    val av = AudioCodec.audioVad(spark, sfDir)
+      .select(col("doc_id"), col("active_milli"))
+    val sb = VideoCodec.shotBoundaries(spark, sfDir)
+      .groupBy(col("doc_id"))
+      .agg(sum(when(col("is_boundary"), 1L).otherwise(0L)).as("n_cuts"))
+    graft.Tables.documents(spark, sfDir).select(col("doc_id"))
+      .join(ie, Seq("doc_id"), "left")
+      .join(av, Seq("doc_id"), "left")
+      .join(sb, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        (col("doc_id") % 10 =!= 0).as("decoded"),
+        (col("entropy_micro") >= 6000000L).as("textured"),
+        (col("active_milli") >= 900L).as("speech_dense"),
+        col("n_cuts"),
+        (col("n_cuts") >= 1L).as("has_cuts"))
+      .withColumn("passed_all",
+        when(col("decoded"),
+          col("textured") && col("speech_dense") && col("has_cuts")))
+  }
+
   /** CROSS-MODAL DEDUP AUDIT — the integration query the three
     * modality families exist for: every TEXT near-dup pair (winnow
     * fingerprints) scored against the decoded IMAGE aHash and AUDIO

@@ -1150,6 +1150,43 @@ class Round9WaveSpec extends AnyFunSuite {
     }
   }
 
+  // --- mm_release_funnel ------------------------------------------------
+
+  test("multimodal funnel: flags recompose from the component queries") {
+    val ent = ImageCodec.imageEntropy(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getAs[Long]("entropy_micro")).toMap
+    val act = AudioCodec.audioVad(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getAs[Long]("active_milli")).toMap
+    val cuts = VideoCodec.shotBoundaries(spark, sfDir).collect()
+      .groupBy(_.getAs[Long]("doc_id"))
+      .map { case (d, rs) => d -> rs.count(_.getAs[Boolean]("is_boundary")).toLong }
+    val rows = Multimodal.releaseFunnel(spark, sfDir).collect()
+    val nDocs = graft.Tables.documents(spark, sfDir).count()
+    assert(rows.length == nDocs, "one funnel row per document, failed or not")
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      if (id % 10 == 0) {
+        assert(!r.getAs[Boolean]("decoded"))
+        assert(r.isNullAt(r.fieldIndex("textured")) &&
+          r.isNullAt(r.fieldIndex("passed_all")),
+          s"failed decode must null the gates: $r")
+      } else {
+        assert(r.getAs[Boolean]("decoded"))
+        assert(r.getAs[Boolean]("textured") == (ent(id) >= 6000000L))
+        assert(r.getAs[Boolean]("speech_dense") == (act(id) >= 900L))
+        assert(r.getAs[Long]("n_cuts") == cuts(id))
+        assert(r.getAs[Boolean]("has_cuts") == (cuts(id) >= 1))
+        assert(r.getAs[Boolean]("passed_all") ==
+          (ent(id) >= 6000000L && act(id) >= 900L && cuts(id) >= 1))
+      }
+    }
+    // each gate must actually discriminate on the fixture
+    val ok = rows.filter(_.getAs[Boolean]("decoded"))
+    for (c <- Seq("textured", "speech_dense", "has_cuts"))
+      assert(ok.map(_.getAs[Boolean](c)).distinct.length == 2,
+        s"gate $c never fires or never blocks")
+  }
+
   // --- corpus_moore_lewis -----------------------------------------------
 
   test("moore-lewis: in-domain docs score lower diff than out-of-domain") {
