@@ -247,6 +247,7 @@ object SparkEntry {
     "events_entropy_rate" -> (Relational.eventsEntropyRate _),
     "embed_norm_profile" -> (Similarity.embedNormProfile _),
     "mm_release_funnel" -> (Multimodal.releaseFunnel _),
+    "events_new_returning" -> (Relational.eventsNewVsReturning _),
     "events_funnel_paths" -> ((s: SparkSession, d: String) =>
       Relational.funnelPaths(s, d)),
     "sub_window_funcs" -> (Substrate.windowRankFuncs _),
@@ -453,7 +454,8 @@ object SparkEntry {
     "events_ohlc_hourly", "mm_crossmodal_audit", "sketch_group_quantiles",
     "dedup_edit_distance", "orders_basket_rules", "events_pareto_share",
     "embed_kmeans_elbow", "mm_image_edges", "events_streak_census",
-    "events_entropy_rate", "embed_norm_profile", "mm_release_funnel")
+    "events_entropy_rate", "embed_norm_profile", "mm_release_funnel",
+    "events_new_returning")
 
   // --- generated DuckDB replicas of the portable-hash queries ----------
 
@@ -1498,6 +1500,20 @@ object SparkEntry {
         |SELECT query_id, CAST(rank AS INT) AS rank, doc_id,
         |  floor(CAST(s AS DOUBLE) * 10000 + 0.5) / 10000 AS score
         |FROM r WHERE rank <= 10""".stripMargin,
+    // Same distinct-day census + user-keyed first-day split.
+    "events_new_returning" ->
+      """WITH ud AS (SELECT DISTINCT user_id,
+        |    epoch_us(ts) // 86400000000 AS day FROM events),
+        |f AS (SELECT user_id, min(day) AS first_day FROM ud GROUP BY 1),
+        |g AS (SELECT day,
+        |    CAST(sum(CASE WHEN day = first_day THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_new,
+        |    CAST(sum(CASE WHEN day <> first_day THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_returning
+        |  FROM ud JOIN f USING (user_id) GROUP BY 1)
+        |SELECT day, n_new, n_returning,
+        |  (n_returning * 1000) // (n_new + n_returning) AS returning_milli
+        |FROM g""".stripMargin,
     // Composes the three per-modality replicas (CTE-scoped in their
     // own subqueries, so names can't collide) with the same gates;
     // failed decodes null through the left joins identically.

@@ -1737,6 +1737,32 @@ object Relational {
         expr("(n_days * 1000) DIV span_days"))
   }
 
+  /** NEW vs RETURNING daily actives — the growth-accounting split
+    * every DAU chart draws (next to [[eventsRetention]]'s cohort
+    * matrix: retention follows a cohort FORWARD, this reads each day
+    * BACKWARD): per day the active users seen for the first time vs
+    * returning, and the returning share in milli.
+    *
+    * Scale: the corpus collapses map-side to DISTINCT (user, day);
+    * first-seen day is a user-keyed min reusing that census's
+    * partitioning; the final census is calendar-bounded. */
+  def eventsNewVsReturning(spark: SparkSession, sfDir: String): DataFrame = {
+    val ud = Tables.events(spark, sfDir)
+      .select(col("user_id"),
+        expr("unix_micros(ts) DIV 86400000000").as("day"))
+      .distinct()
+      .localCheckpoint(eager = false) // min-day + census consumers
+    val first = ud.groupBy(col("user_id")).agg(min(col("day")).as("first_day"))
+    ud.join(first, "user_id")
+      .groupBy(col("day"))
+      .agg(sum(when(col("day") === col("first_day"), 1L).otherwise(0L))
+          .as("n_new"),
+        sum(when(col("day") =!= col("first_day"), 1L).otherwise(0L))
+          .as("n_returning"))
+      .withColumn("returning_milli",
+        expr("(n_returning * 1000) DIV (n_new + n_returning)"))
+  }
+
   /** ACTIVITY-STREAK CENSUS — the engagement-depth distribution
     * behind every retention dashboard's "streak" widget: per user the
     * LONGEST run of consecutive active days (gaps-and-islands: day −

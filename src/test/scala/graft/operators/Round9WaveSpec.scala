@@ -1187,6 +1187,28 @@ class Round9WaveSpec extends AnyFunSuite {
         s"gate $c never fires or never blocks")
   }
 
+  // --- events_new_returning ---------------------------------------------
+
+  test("new vs returning: conservation identities hold per day and overall") {
+    val ud = graft.Tables.events(spark, sfDir)
+      .select(col("user_id"), expr("unix_micros(ts) DIV 86400000000").as("day"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    val first = ud.groupBy(_._1).map { case (u, rs) => u -> rs.map(_._2).min }
+    val rows = Relational.eventsNewVsReturning(spark, sfDir).collect()
+    assert(rows.length == ud.map(_._2).distinct.length)
+    rows.foreach { r =>
+      val d = r.getAs[Long]("day")
+      val active = ud.filter(_._2 == d)
+      val nNew = active.count(a => first(a._1) == d).toLong
+      assert(r.getAs[Long]("n_new") == nNew)
+      assert(r.getAs[Long]("n_returning") == active.length - nNew)
+      assert(r.getAs[Long]("returning_milli") ==
+        (active.length - nNew) * 1000 / active.length)
+    }
+    // every user is new exactly once: Σ n_new == distinct users
+    assert(rows.map(_.getAs[Long]("n_new")).sum == first.size.toLong)
+  }
+
   // --- corpus_moore_lewis -----------------------------------------------
 
   test("moore-lewis: in-domain docs score lower diff than out-of-domain") {
