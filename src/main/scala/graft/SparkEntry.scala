@@ -248,6 +248,7 @@ object SparkEntry {
     "embed_norm_profile" -> (Similarity.embedNormProfile _),
     "mm_release_funnel" -> (Multimodal.releaseFunnel _),
     "events_new_returning" -> (Relational.eventsNewVsReturning _),
+    "text_quality_chi2" -> (TextAnalysis.qualityReadabilityChi2 _),
     "events_funnel_paths" -> ((s: SparkSession, d: String) =>
       Relational.funnelPaths(s, d)),
     "sub_window_funcs" -> (Substrate.windowRankFuncs _),
@@ -455,7 +456,7 @@ object SparkEntry {
     "dedup_edit_distance", "orders_basket_rules", "events_pareto_share",
     "embed_kmeans_elbow", "mm_image_edges", "events_streak_census",
     "events_entropy_rate", "embed_norm_profile", "mm_release_funnel",
-    "events_new_returning")
+    "events_new_returning", "text_quality_chi2")
 
   // --- generated DuckDB replicas of the portable-hash queries ----------
 
@@ -1500,6 +1501,56 @@ object SparkEntry {
         |SELECT query_id, CAST(rank AS INT) AS rank, doc_id,
         |  floor(CAST(s AS DOUBLE) * 10000 + 0.5) / 10000 AS score
         |FROM r WHERE rank <= 10""".stripMargin,
+    // Composes the q_micro grade block (ndcg's gr CTE) with the
+    // readability band block (renamed rf/rg), then the same
+    // no-early-division χ² term.
+    "text_quality_chi2" ->
+      """WITH gr AS (SELECT doc_id, least(3, CAST(floor((
+        |      CASE WHEN avg_word_len BETWEEN 3.0 AND 10.0 THEN 0.4 ELSE 0.0 END
+        |      + least(stop_ratio * 2.0, 0.3) + least(distinct_ratio, 0.3))
+        |      * 10000 + 0.5) AS BIGINT) // 2500) AS qgrade
+        |  FROM (SELECT doc_id,
+        |    (length(text)::DOUBLE - (len(string_split(text, ' ')) - 1))
+        |      / len(string_split(text, ' ')) AS avg_word_len,
+        |    len(list_distinct(string_split(text, ' ')))::DOUBLE
+        |      / len(string_split(text, ' ')) AS distinct_ratio,
+        |    ((length(t) - length(replace(t, ' the ', ''))) / 5
+        |      + (length(t) - length(replace(t, ' a ', ''))) / 3
+        |      + (length(t) - length(replace(t, ' of ', ''))) / 4
+        |      + (length(t) - length(replace(t, ' and ', ''))) / 5)
+        |      / len(string_split(text, ' ')) AS stop_ratio
+        |  FROM (SELECT doc_id, text, ' ' || text || ' ' AS t FROM documents))),
+        |rf AS (SELECT doc_id,
+        |    CAST(length(string_split(text, ' ')) AS BIGINT) AS n_words,
+        |    greatest(CAST(length(text) - length(replace(text, '.', ''))
+        |      + length(text) - length(replace(text, '!', ''))
+        |      + length(text) - length(replace(text, '?', ''))
+        |      AS BIGINT), 1) AS n_sentences,
+        |    CAST(length(regexp_extract_all(lower(text), '[aeiouy]+'))
+        |      AS BIGINT) AS n_syllables
+        |  FROM documents),
+        |rg AS (SELECT doc_id,
+        |    206835 - (1015 * n_words) // n_sentences
+        |      - (84600 * n_syllables) // n_words AS flesch_milli
+        |  FROM rf WHERE n_words > 0),
+        |rb AS (SELECT doc_id,
+        |    CASE WHEN flesch_milli >= 90000 THEN 'very_easy'
+        |      WHEN flesch_milli >= 70000 THEN 'easy'
+        |      WHEN flesch_milli >= 50000 THEN 'medium'
+        |      WHEN flesch_milli >= 30000 THEN 'hard'
+        |      ELSE 'very_hard' END AS band FROM rg),
+        |cells AS (SELECT qgrade, band, count(*) AS obs
+        |  FROM rb JOIN gr USING (doc_id) GROUP BY 1, 2),
+        |rm AS (SELECT qgrade, CAST(sum(obs) AS BIGINT) AS row_n
+        |  FROM cells GROUP BY 1),
+        |cm AS (SELECT band, CAST(sum(obs) AS BIGINT) AS col_n
+        |  FROM cells GROUP BY 1),
+        |nn AS (SELECT CAST(sum(obs) AS BIGINT) AS n FROM cells)
+        |SELECT qgrade, cells.band, obs, row_n, col_n,
+        |  ((obs * n - row_n * col_n) * (obs * n - row_n * col_n) * 1000)
+        |    // (n * row_n * col_n) AS chi2_term_milli
+        |FROM cells JOIN rm USING (qgrade) JOIN cm ON cells.band = cm.band
+        |CROSS JOIN nn""".stripMargin,
     // Same distinct-day census + user-keyed first-day split.
     "events_new_returning" ->
       """WITH ud AS (SELECT DISTINCT user_id,

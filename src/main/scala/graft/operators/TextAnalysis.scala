@@ -560,6 +560,41 @@ object TextAnalysis {
         PortableRound.pround(col("s").cast("double"), 4).as("score"))
   }
 
+  /** QUALITY × READABILITY INDEPENDENCE AUDIT (Pearson's χ² shape —
+    * the first categorical-statistics query in the suite): the
+    * contingency census of the Gopher/C4 quality grade (0–3, the
+    * [[ndcgEval]] bucketing) against the Flesch [[readability]] band,
+    * with each cell's exact-integer χ² term
+    * `(obs·n − row·col)²·1000 DIV (n·row·col)` — algebraically
+    * `(obs − E)²/E` scaled ×1000·n/n, no division before the final
+    * floor, so both engines agree bit-for-bit. A large Σ says the
+    * two axes measure DIFFERENT things (keep both gates); a tiny one
+    * says they're redundant. Headroom: obs·n ≲ 3·10⁹ docs before
+    * the square needs decimal(38,0) (documented hatch).
+    *
+    * Scale: two single-scan Column programs joined on doc_id, then a
+    * ≤ 4×5-cell census with broadcast marginals. */
+  def qualityReadabilityChi2(spark: SparkSession, sfDir: String): DataFrame = {
+    val grades = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), qualityMicroCol.as("qm"))
+      .withColumn("qgrade", expr("least(3L, qm DIV 2500)"))
+      .select(col("doc_id"), col("qgrade"))
+    val cells = readability(spark, sfDir).select(col("doc_id"), col("band"))
+      .join(grades, "doc_id")
+      .groupBy(col("qgrade"), col("band")).agg(count(lit(1)).as("obs"))
+      .localCheckpoint(eager = false) // marginals + cells
+    val rowM = cells.groupBy(col("qgrade")).agg(sum(col("obs")).as("row_n"))
+    val colM = cells.groupBy(col("band")).agg(sum(col("obs")).as("col_n"))
+    val n = cells.agg(sum(col("obs")).as("n"))
+    cells.join(broadcast(rowM), "qgrade").join(broadcast(colM), "band")
+      .crossJoin(broadcast(n))
+      .select(col("qgrade"), col("band"), col("obs"), col("row_n"),
+        col("col_n"),
+        expr("""((obs * n - row_n * col_n) * (obs * n - row_n * col_n)
+          | * 1000) DIV (n * row_n * col_n)""".stripMargin)
+          .as("chi2_term_milli"))
+  }
+
   /** The fixed milli discount table 1000/log2(i+1) for ranks 1..10 —
     * literal constants on BOTH engines, so NDCG needs no runtime log. */
   val NdcgDiscMilli: Seq[Long] =

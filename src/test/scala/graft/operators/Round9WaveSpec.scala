@@ -1209,6 +1209,35 @@ class Round9WaveSpec extends AnyFunSuite {
     assert(rows.map(_.getAs[Long]("n_new")).sum == first.size.toLong)
   }
 
+  // --- text_quality_chi2 ------------------------------------------------
+
+  test("quality chi2: contingency recomputes, marginals conserve, terms exact") {
+    val qg = graft.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), TextAnalysis.qualityMicroCol.as("qm")).collect()
+      .map(r => r.getLong(0) -> math.min(3L, r.getLong(1) / 2500)).toMap
+    val bands = TextAnalysis.readability(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("band")).toMap
+    val expected = bands.toSeq.map { case (d, b) => (qg(d), b) }
+      .groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val got = TextAnalysis.qualityReadabilityChi2(spark, sfDir).collect()
+    assert(got.length == expected.size)
+    val n = bands.size.toLong
+    val rowM = expected.groupBy(_._1._1).map { case (g, v) => g -> v.values.sum }
+    val colM = expected.groupBy(_._1._2).map { case (b, v) => b -> v.values.sum }
+    got.foreach { r =>
+      val k = (r.getAs[Long]("qgrade"), r.getAs[String]("band"))
+      val obs = r.getAs[Long]("obs")
+      assert(obs == expected(k), s"cell $k")
+      assert(r.getAs[Long]("row_n") == rowM(k._1))
+      assert(r.getAs[Long]("col_n") == colM(k._2))
+      val dev = obs * n - rowM(k._1) * colM(k._2)
+      assert(r.getAs[Long]("chi2_term_milli") ==
+        dev * dev * 1000 / (n * rowM(k._1) * colM(k._2)))
+    }
+    assert(got.map(_.getAs[Long]("obs")).sum == n,
+      "cells must partition the corpus")
+  }
+
   // --- corpus_moore_lewis -----------------------------------------------
 
   test("moore-lewis: in-domain docs score lower diff than out-of-domain") {
