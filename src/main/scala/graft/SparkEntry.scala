@@ -249,6 +249,7 @@ object SparkEntry {
     "mm_release_funnel" -> (Multimodal.releaseFunnel _),
     "events_new_returning" -> (Relational.eventsNewVsReturning _),
     "text_quality_chi2" -> (TextAnalysis.qualityReadabilityChi2 _),
+    "orders_cohort_revenue" -> (Relational.ordersCohortRevenue _),
     "events_funnel_paths" -> ((s: SparkSession, d: String) =>
       Relational.funnelPaths(s, d)),
     "sub_window_funcs" -> (Substrate.windowRankFuncs _),
@@ -456,7 +457,7 @@ object SparkEntry {
     "dedup_edit_distance", "orders_basket_rules", "events_pareto_share",
     "embed_kmeans_elbow", "mm_image_edges", "events_streak_census",
     "events_entropy_rate", "embed_norm_profile", "mm_release_funnel",
-    "events_new_returning", "text_quality_chi2")
+    "events_new_returning", "text_quality_chi2", "orders_cohort_revenue")
 
   // --- generated DuckDB replicas of the portable-hash queries ----------
 
@@ -1501,6 +1502,19 @@ object SparkEntry {
         |SELECT query_id, CAST(rank AS INT) AS rank, doc_id,
         |  floor(CAST(s AS DOUBLE) * 10000 + 0.5) / 10000 AS score
         |FROM r WHERE rank <= 10""".stripMargin,
+    // Same cohort min + rollup, exact cents.
+    "orders_cohort_revenue" ->
+      """WITH o AS (SELECT o_custkey,
+        |    CAST(year(o_orderdate) AS BIGINT) AS yr,
+        |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM orders),
+        |c AS (SELECT o_custkey, min(yr) AS cohort_year FROM o GROUP BY 1)
+        |SELECT cohort_year, yr AS order_year,
+        |  count(DISTINCT o.o_custkey) AS n_customers,
+        |  count(*) AS n_orders,
+        |  CAST(sum(cents) AS BIGINT) AS revenue_cents
+        |FROM o JOIN c USING (o_custkey)
+        |GROUP BY 1, 2""".stripMargin,
     // Composes the q_micro grade block (ndcg's gr CTE) with the
     // readability band block (renamed rf/rg), then the same
     // no-early-division χ² term.

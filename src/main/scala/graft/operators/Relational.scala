@@ -1636,6 +1636,29 @@ object Relational {
           |ELSE 'regular' END""".stripMargin))
   }
 
+  /** COHORT REVENUE PROGRESSION (the finance reading of retention —
+    * [[eventsRetention]] counts heads, this follows MONEY): customers
+    * cohorted by first-order year; per (cohort_year, order_year) the
+    * active customers, order count, and exact revenue cents — the LTV
+    * table a growth model calibrates on.
+    *
+    * Scale: one o_custkey-keyed min for the cohort label (the same
+    * shuffle the per-customer rollup reuses), then a tiny
+    * (cohort, year) census; revenue is exact integer cents. */
+  def ordersCohortRevenue(spark: SparkSession, sfDir: String): DataFrame = {
+    val ord = Tables.orders(spark, sfDir)
+      .select(col("o_custkey"),
+        year(col("o_orderdate").cast("timestamp")).cast("long").as("yr"),
+        expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)").as("cents"))
+      .localCheckpoint(eager = false) // cohort min + the rollup
+    val cohort = ord.groupBy(col("o_custkey"))
+      .agg(min(col("yr")).as("cohort_year"))
+    ord.join(cohort, "o_custkey")
+      .groupBy(col("cohort_year"), col("yr").as("order_year"))
+      .agg(countDistinct(col("o_custkey")).as("n_customers"),
+        count(lit(1)).as("n_orders"), sum(col("cents")).as("revenue_cents"))
+  }
+
   /** MARKET-BASKET ASSOCIATION RULES (Agrawal & Srikant 1994 — the
     * classic co-occurrence miner): each order is a basket of the
     * BRANDS it contains (brand granularity keeps the item domain

@@ -1238,6 +1238,33 @@ class Round9WaveSpec extends AnyFunSuite {
       "cells must partition the corpus")
   }
 
+  // --- orders_cohort_revenue --------------------------------------------
+
+  test("cohort revenue: triangular table recomputes, revenue conserves") {
+    val ord = graft.Tables.orders(spark, sfDir)
+      .select(col("o_custkey"),
+        year(col("o_orderdate").cast("timestamp")).cast("long").as("yr"),
+        expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)").as("cents"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val cohort = ord.groupBy(_._1).map { case (c, rs) => c -> rs.map(_._2).min }
+    val rows = Relational.ordersCohortRevenue(spark, sfDir).collect()
+    rows.foreach { r =>
+      val (cy, oy) = (r.getAs[Long]("cohort_year"), r.getAs[Long]("order_year"))
+      assert(oy >= cy, "no order can predate its customer's cohort")
+      val sel = ord.filter(o => cohort(o._1) == cy && o._2 == oy)
+      assert(r.getAs[Long]("n_customers") == sel.map(_._1).distinct.length)
+      assert(r.getAs[Long]("n_orders") == sel.length)
+      assert(r.getAs[Long]("revenue_cents") == sel.map(_._3).sum,
+        s"revenue at ($cy, $oy)")
+    }
+    assert(rows.map(_.getAs[Long]("revenue_cents")).sum == ord.map(_._3).sum,
+      "the cohort table must conserve total revenue")
+    // diagonal completeness: every cohort has its own birth-year row
+    val cys = rows.map(_.getAs[Long]("cohort_year")).distinct
+    cys.foreach(cy => assert(rows.exists(r =>
+      r.getAs[Long]("cohort_year") == cy && r.getAs[Long]("order_year") == cy)))
+  }
+
   // --- corpus_moore_lewis -----------------------------------------------
 
   test("moore-lewis: in-domain docs score lower diff than out-of-domain") {
