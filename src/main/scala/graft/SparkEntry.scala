@@ -250,6 +250,8 @@ object SparkEntry {
     "events_new_returning" -> (Relational.eventsNewVsReturning _),
     "text_quality_chi2" -> (TextAnalysis.qualityReadabilityChi2 _),
     "orders_cohort_revenue" -> (Relational.ordersCohortRevenue _),
+    "embed_pq_distortion" -> ((s: SparkSession, d: String) =>
+      Similarity.pqDistortion(s, d)),
     "events_funnel_paths" -> ((s: SparkSession, d: String) =>
       Relational.funnelPaths(s, d)),
     "sub_window_funcs" -> (Substrate.windowRankFuncs _),
@@ -457,7 +459,8 @@ object SparkEntry {
     "dedup_edit_distance", "orders_basket_rules", "events_pareto_share",
     "embed_kmeans_elbow", "mm_image_edges", "events_streak_census",
     "events_entropy_rate", "embed_norm_profile", "mm_release_funnel",
-    "events_new_returning", "text_quality_chi2", "orders_cohort_revenue")
+    "events_new_returning", "text_quality_chi2", "orders_cohort_revenue",
+    "embed_pq_distortion")
 
   // --- generated DuckDB replicas of the portable-hash queries ----------
 
@@ -1502,6 +1505,32 @@ object SparkEntry {
         |SELECT query_id, CAST(rank AS INT) AS rank, doc_id,
         |  floor(CAST(s AS DOUBLE) * 10000 + 0.5) / 10000 AS score
         |FROM r WHERE rank <= 10""".stripMargin,
+    // Same encode chain as ann_pq_adc_topk (sub/cw/enc0/struct-min),
+    // distortion floored to micro per (vec, s) before the sums.
+    "embed_pq_distortion" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ed FROM embeddings),
+        |sub AS (SELECT vec_id, s, ed[s*16+1 : s*16+16] AS sv
+        |  FROM e, range(0, 4) t(s)),
+        |cw AS (SELECT CAST(vec_id // 8 AS INT) AS cw_id, s, sv AS cw_sv
+        |  FROM sub WHERE vec_id % 8 = 0 AND vec_id < 128),
+        |enc0 AS (SELECT x.vec_id, x.s, c.cw_id,
+        |    list_dot_product(list_transform(range(1,17), i -> x.sv[i] - c.cw_sv[i]),
+        |                     list_transform(range(1,17), i -> x.sv[i] - c.cw_sv[i])) AS d2
+        |  FROM sub x JOIN cw c USING (s)),
+        |best AS (SELECT vec_id, s,
+        |    min({'d': d2, 'c': cw_id}).c AS code,
+        |    CAST(floor(min({'d': d2, 'c': cw_id}).d * 1000000 + 0.5)
+        |      AS BIGINT) AS md6
+        |  FROM enc0 GROUP BY 1, 2),
+        |usage AS (SELECT s, code, count(*) AS cnt FROM best GROUP BY 1, 2),
+        |us AS (SELECT s, count(*) AS codes_used,
+        |    CAST(max(cnt) AS BIGINT) AS top_cnt FROM usage GROUP BY 1)
+        |SELECT best.s, count(*) AS n_vecs,
+        |  CAST(sum(md6) AS BIGINT) AS total_dist_micro,
+        |  CAST(sum(md6) AS BIGINT) // count(*) AS mean_dist_micro,
+        |  us.codes_used, (us.top_cnt * 1000) // count(*) AS top_code_share_milli
+        |FROM best JOIN us USING (s)
+        |GROUP BY best.s, us.codes_used, us.top_cnt""".stripMargin,
     // Same cohort min + rollup, exact cents.
     "orders_cohort_revenue" ->
       """WITH o AS (SELECT o_custkey,

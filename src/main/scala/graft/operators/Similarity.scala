@@ -665,6 +665,56 @@ object Similarity {
         PortableRound.pround(col("approx"), 6).as("approx_d2"))
   }
 
+  /** PQ DISTORTION / CODEBOOK-UTILIZATION AUDIT — the calibration
+    * row behind [[pqAdcTopK]]'s memory layout (the knob sheet for
+    * subspaces × codebook bits): per subspace the exact quantization
+    * distortion (each vector's min codeword d², floored to micro
+    * BEFORE summing so the total is partition-order-independent) and
+    * the codebook utilization (codewords actually used + the hottest
+    * codeword's share — dead codewords are wasted bits, a hot one is
+    * a collapsed subspace). Reads next to [[embed_rank_corr]]: ρ says
+    * what quantization costs in ORDER, this says where the bits go.
+    *
+    * Scale: the same broadcast-codebook encode as the serving path —
+    * corpus never shuffles during encoding; the audit aggregates are
+    * (s)- and (s, code)-keyed censuses. */
+  def pqDistortion(spark: SparkSession, sfDir: String,
+      subspaces: Int = 4, subDim: Int = 16, codebook: Int = 16,
+      stride: Int = 8): DataFrame = {
+    graft.plans.L2Distance.register(spark)
+    val e = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("ed"))
+    def subRows(df: DataFrame, idAlias: String) = df
+      .select(col("vec_id").as(idAlias),
+        explode_outer(sequence(lit(0), lit(subspaces - 1))).as("s"), col("ed"))
+      .filter(col("s").isNotNull)
+      .select(col(idAlias), col("s"),
+        slice(col("ed"), col("s") * subDim + 1, lit(subDim)).as("sv"))
+    val cw = subRows(
+        e.filter(col("vec_id") % stride === 0 && col("vec_id") < codebook * stride),
+        "cw_vec")
+      .select((col("cw_vec") / stride).cast("int").as("cw_id"), col("s"),
+        col("sv").as("cw_sv"))
+    val best = subRows(e, "vec_id").join(broadcast(cw), "s")
+      .groupBy(col("vec_id"), col("s"))
+      .agg(min(struct(l2d2(col("sv"), col("cw_sv")).as("d"),
+        col("cw_id").as("c"))).as("m"))
+      .select(col("vec_id"), col("s"), col("m.c").as("code"),
+        expr("CAST(floor(m.d * 1000000 + 0.5) AS BIGINT)").as("md6"))
+    val usage = best.groupBy(col("s"), col("code"))
+      .agg(count(lit(1)).as("cnt"))
+    val us = usage.groupBy(col("s"))
+      .agg(count(lit(1)).as("codes_used"), max(col("cnt")).as("top_cnt"))
+    best.groupBy(col("s"))
+      .agg(count(lit(1)).as("n_vecs"), sum(col("md6")).as("total_dist_micro"))
+      .join(broadcast(us), "s")
+      .select(col("s").cast("long").as("s"), col("n_vecs"),
+        col("total_dist_micro"),
+        expr("total_dist_micro DIV n_vecs").as("mean_dist_micro"),
+        col("codes_used"),
+        expr("(top_cnt * 1000) DIV n_vecs").as("top_code_share_milli"))
+  }
+
   /** Bucketed ANN: brute-force only within the query's LSH bucket —
     * the candidate join is (bucket) equi-keyed, so the corpus shuffles
     * once on bucket instead of crossing with every query. */

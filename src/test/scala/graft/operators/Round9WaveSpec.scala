@@ -1265,6 +1265,40 @@ class Round9WaveSpec extends AnyFunSuite {
       r.getAs[Long]("cohort_year") == cy && r.getAs[Long]("order_year") == cy)))
   }
 
+  // --- embed_pq_distortion ----------------------------------------------
+
+  test("pq distortion: per-subspace audit recomputes from hand encoding") {
+    val emb = graft.Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    val cws = emb.filter { case (id, _) => id % 8 == 0 && id < 128 }
+      .map { case (id, e) => (id / 8).toInt -> e }
+    val rows = Similarity.pqDistortion(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("s") -> r).toMap
+    assert(rows.keySet == Set(0L, 1L, 2L, 3L))
+    for (s <- 0 until 4) {
+      def sv(e: Array[Double]) = e.slice(s * 16, s * 16 + 16)
+      val encoded = emb.toSeq.map { case (_, e) =>
+        val cands = cws.toSeq.map { case (cid, c) =>
+          val d = sv(e).zip(sv(c)).map { case (a, b) => (a - b) * (a - b) }.sum
+          (d, cid)
+        }
+        val best = cands.minBy { case (d, cid) => (d, cid) }
+        (best._2, math.floor(best._1 * 1000000 + 0.5).toLong)
+      }
+      val r = rows(s.toLong)
+      assert(r.getAs[Long]("n_vecs") == emb.size)
+      assert(r.getAs[Long]("total_dist_micro") == encoded.map(_._2).sum,
+        s"distortion at subspace $s")
+      assert(r.getAs[Long]("mean_dist_micro") ==
+        encoded.map(_._2).sum / emb.size)
+      val usage = encoded.groupBy(_._1).view.mapValues(_.size.toLong)
+      assert(r.getAs[Long]("codes_used") == usage.size)
+      assert(r.getAs[Long]("top_code_share_milli") ==
+        usage.values.max * 1000 / emb.size)
+    }
+  }
+
   // --- corpus_moore_lewis -----------------------------------------------
 
   test("moore-lewis: in-domain docs score lower diff than out-of-domain") {
