@@ -252,6 +252,7 @@ object SparkEntry {
     "orders_cohort_revenue" -> (Relational.ordersCohortRevenue _),
     "embed_pq_distortion" -> ((s: SparkSession, d: String) =>
       Similarity.pqDistortion(s, d)),
+    "events_ab_srm" -> (Relational.eventsAbSrm _),
     "events_funnel_paths" -> ((s: SparkSession, d: String) =>
       Relational.funnelPaths(s, d)),
     "sub_window_funcs" -> (Substrate.windowRankFuncs _),
@@ -460,7 +461,7 @@ object SparkEntry {
     "embed_kmeans_elbow", "mm_image_edges", "events_streak_census",
     "events_entropy_rate", "embed_norm_profile", "mm_release_funnel",
     "events_new_returning", "text_quality_chi2", "orders_cohort_revenue",
-    "embed_pq_distortion")
+    "embed_pq_distortion", "events_ab_srm")
 
   // --- generated DuckDB replicas of the portable-hash queries ----------
 
@@ -1505,6 +1506,32 @@ object SparkEntry {
         |SELECT query_id, CAST(rank AS INT) AS rank, doc_id,
         |  floor(CAST(s AS DOUBLE) * 10000 + 0.5) / 10000 AS score
         |FROM r WHERE rank <= 10""".stripMargin,
+    // Same portable hash split + distinct censuses; the SRM χ² and
+    // reach milli are nonneg-DIV integer arithmetic throughout.
+    "events_ab_srm" -> {
+      val h = graft.functions.PortableHash.sqlH48("'ab:' || CAST(user_id AS VARCHAR)")
+      s"""WITH u AS (SELECT user_id, ($h) % 2 AS arm
+         |  FROM (SELECT DISTINCT user_id FROM events)),
+         |g AS (SELECT
+         |    CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS g_a,
+         |    CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS g_b
+         |  FROM u),
+         |tu AS (SELECT DISTINCT event_type, user_id FROM events),
+         |per AS (SELECT event_type,
+         |    CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS users_a,
+         |    CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS users_b
+         |  FROM tu JOIN u USING (user_id) GROUP BY 1)
+         |SELECT event_type, users_a, users_b, g_a, g_b,
+         |  (users_a * 1000) // g_a AS reach_a_milli,
+         |  (users_b * 1000) // g_b AS reach_b_milli,
+         |  (users_a * 1000) // g_a - (users_b * 1000) // g_b
+         |    AS reach_diff_milli,
+         |  ((g_a - g_b) * (g_a - g_b) * 1000) // (g_a + g_b)
+         |    AS srm_chi2_milli
+         |FROM per CROSS JOIN g""".stripMargin
+    },
     // Same encode chain as ann_pq_adc_topk (sub/cw/enc0/struct-min),
     // distortion floored to micro per (vec, s) before the sums.
     "embed_pq_distortion" ->

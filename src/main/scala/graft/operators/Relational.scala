@@ -1760,6 +1760,47 @@ object Relational {
         expr("(n_days * 1000) DIV span_days"))
   }
 
+  /** A/B SPLIT + SAMPLE-RATIO-MISMATCH GUARDRAIL (the first
+    * experimentation-family query: the health check every A/B
+    * platform runs before reading a single metric): users are
+    * deterministically hash-split 50/50 (the portable md5-48, so the
+    * assignment replays identically everywhere — the derandomized
+    * randomization the samplers already use), and the query reports
+    * the global arm sizes with the SRM χ² statistic
+    * `(n_a − n_b)²·1000 DIV n` (the 1-df Pearson test against the
+    * declared ratio — a large value means the split infrastructure
+    * itself is broken) plus, per event type, each arm's reach and
+    * the signed reach difference — the per-metric readout that is
+    * only interpretable when SRM is clean.
+    *
+    * Scale: one distinct-user pass for the split (map-side), one
+    * distinct (type, user) census; the 1-row global split broadcasts. */
+  def eventsAbSrm(spark: SparkSession, sfDir: String): DataFrame = {
+    val bucket = pmod(graft.functions.PortableHash.md5Hash48(
+      concat(lit("ab:"), col("user_id").cast("string"))), lit(2L))
+    val users = Tables.events(spark, sfDir).select(col("user_id")).distinct()
+      .select(col("user_id"), bucket.as("arm"))
+      .localCheckpoint(eager = false) // global split + per-type joins
+    val g = users.agg(
+      sum(when(col("arm") === 0, 1L).otherwise(0L)).as("g_a"),
+      sum(when(col("arm") === 1, 1L).otherwise(0L)).as("g_b"))
+    Tables.events(spark, sfDir)
+      .select(col("event_type"), col("user_id")).distinct()
+      .join(users, "user_id")
+      .groupBy(col("event_type"))
+      .agg(sum(when(col("arm") === 0, 1L).otherwise(0L)).as("users_a"),
+        sum(when(col("arm") === 1, 1L).otherwise(0L)).as("users_b"))
+      .crossJoin(broadcast(g))
+      .select(col("event_type"), col("users_a"), col("users_b"),
+        col("g_a"), col("g_b"),
+        expr("(users_a * 1000) DIV g_a").as("reach_a_milli"),
+        expr("(users_b * 1000) DIV g_b").as("reach_b_milli"),
+        expr("(users_a * 1000) DIV g_a - (users_b * 1000) DIV g_b")
+          .as("reach_diff_milli"),
+        expr("((g_a - g_b) * (g_a - g_b) * 1000) DIV (g_a + g_b)")
+          .as("srm_chi2_milli"))
+  }
+
   /** NEW vs RETURNING daily actives — the growth-accounting split
     * every DAU chart draws (next to [[eventsRetention]]'s cohort
     * matrix: retention follows a cohort FORWARD, this reads each day

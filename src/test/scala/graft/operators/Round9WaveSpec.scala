@@ -1299,6 +1299,42 @@ class Round9WaveSpec extends AnyFunSuite {
     }
   }
 
+  // --- events_ab_srm ----------------------------------------------------
+
+  test("ab srm: hash split recomputes, chi2 small for a healthy split") {
+    def h48(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      java.lang.Long.parseLong(
+        d.take(6).map(b => f"${b & 0xff}%02x").mkString, 16)
+    }
+    val users = graft.Tables.events(spark, sfDir)
+      .select(col("user_id")).distinct().collect().map(_.getLong(0))
+    val arm = users.map(u => u -> h48(s"ab:$u") % 2).toMap
+    val (ga, gb) = (arm.values.count(_ == 0).toLong, arm.values.count(_ == 1).toLong)
+    val tu = graft.Tables.events(spark, sfDir)
+      .select(col("event_type"), col("user_id")).distinct().collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val rows = Relational.eventsAbSrm(spark, sfDir).collect()
+    assert(rows.length == tu.map(_._1).distinct.length)
+    rows.foreach { r =>
+      val t = r.getAs[String]("event_type")
+      val us = tu.filter(_._1 == t).map(_._2)
+      val ua = us.count(arm(_) == 0).toLong
+      assert(r.getAs[Long]("users_a") == ua, s"arm A reach at $t")
+      assert(r.getAs[Long]("users_b") == us.length - ua)
+      assert(r.getAs[Long]("g_a") == ga && r.getAs[Long]("g_b") == gb)
+      assert(r.getAs[Long]("reach_a_milli") == ua * 1000 / ga)
+      assert(r.getAs[Long]("reach_diff_milli") ==
+        ua * 1000 / ga - (us.length - ua) * 1000 / gb)
+      assert(r.getAs[Long]("srm_chi2_milli") ==
+        (ga - gb) * (ga - gb) * 1000 / (ga + gb))
+    }
+    // a correct hash split must be healthy: χ² < 3.84 (5% critical, 1 df)
+    assert(rows.head.getAs[Long]("srm_chi2_milli") < 3840,
+      s"hash split itself shows SRM: ${rows.head}")
+  }
+
   // --- corpus_moore_lewis -----------------------------------------------
 
   test("moore-lewis: in-domain docs score lower diff than out-of-domain") {
