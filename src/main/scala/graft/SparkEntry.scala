@@ -253,6 +253,7 @@ object SparkEntry {
     "embed_pq_distortion" -> ((s: SparkSession, d: String) =>
       Similarity.pqDistortion(s, d)),
     "events_ab_srm" -> (Relational.eventsAbSrm _),
+    "events_ab_lift" -> (Relational.eventsAbLift _),
     "events_funnel_paths" -> ((s: SparkSession, d: String) =>
       Relational.funnelPaths(s, d)),
     "sub_window_funcs" -> (Substrate.windowRankFuncs _),
@@ -461,7 +462,7 @@ object SparkEntry {
     "embed_kmeans_elbow", "mm_image_edges", "events_streak_census",
     "events_entropy_rate", "embed_norm_profile", "mm_release_funnel",
     "events_new_returning", "text_quality_chi2", "orders_cohort_revenue",
-    "embed_pq_distortion", "events_ab_srm")
+    "embed_pq_distortion", "events_ab_srm", "events_ab_lift")
 
   // --- generated DuckDB replicas of the portable-hash queries ----------
 
@@ -1506,6 +1507,28 @@ object SparkEntry {
         |SELECT query_id, CAST(rank AS INT) AS rank, doc_id,
         |  floor(CAST(s AS DOUBLE) * 10000 + 0.5) / 10000 AS score
         |FROM r WHERE rank <= 10""".stripMargin,
+    // Same hash assignment + (type, arm) rollup; nonneg cents per the
+    // schema contract keep every DIV portable.
+    "events_ab_lift" -> {
+      val h = graft.functions.PortableHash.sqlH48("'ab:' || CAST(user_id AS VARCHAR)")
+      s"""WITH e AS (SELECT event_type, ($h) % 2 AS arm,
+         |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+         |  FROM events),
+         |g AS (SELECT event_type,
+         |    CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+         |    CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+         |    CAST(sum(CASE WHEN arm = 0 THEN cents ELSE 0 END) AS BIGINT)
+         |      AS cents_a,
+         |    CAST(sum(CASE WHEN arm = 1 THEN cents ELSE 0 END) AS BIGINT)
+         |      AS cents_b
+         |  FROM e GROUP BY 1)
+         |SELECT event_type, n_a, n_b, cents_a, cents_b,
+         |  (cents_a * 1000) // n_a AS mean_a_mc,
+         |  (cents_b * 1000) // n_b AS mean_b_mc,
+         |  (cents_a * 1000) // n_a - (cents_b * 1000) // n_b
+         |    AS mean_diff_mc
+         |FROM g""".stripMargin
+    },
     // Same portable hash split + distinct censuses; the SRM χ² and
     // reach milli are nonneg-DIV integer arithmetic throughout.
     "events_ab_srm" -> {

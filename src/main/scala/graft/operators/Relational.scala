@@ -1801,6 +1801,38 @@ object Relational {
           .as("srm_chi2_milli"))
   }
 
+  /** A/B VALUE LIFT READOUT — the metric read [[eventsAbSrm]] gates:
+    * per event type each arm's event count, exact value cents, and
+    * mean value in milli-cents (single floor per arm), with the
+    * signed mean difference (subtraction of already-floored means —
+    * portable without sign-safe division). Same deterministic hash
+    * assignment as the guardrail, so the two queries read the same
+    * experiment by construction.
+    *
+    * Scale: the split is a user-keyed broadcast-able dimension; the
+    * readout is one (type, arm) map-side-combined aggregate. The
+    * nonneg DIVs ride on `value ≥ 0` (the schema's contract); a
+    * signed metric would need the sign-safe CASE split both engines
+    * share (see text_vocab_drift). */
+  def eventsAbLift(spark: SparkSession, sfDir: String): DataFrame = {
+    val bucket = pmod(graft.functions.PortableHash.md5Hash48(
+      concat(lit("ab:"), col("user_id").cast("string"))), lit(2L))
+    Tables.events(spark, sfDir)
+      .select(col("event_type"), bucket.as("arm"),
+        expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").as("cents"))
+      .groupBy(col("event_type"))
+      .agg(sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n_b"),
+        sum(when(col("arm") === 0, col("cents")).otherwise(0L)).as("cents_a"),
+        sum(when(col("arm") === 1, col("cents")).otherwise(0L)).as("cents_b"))
+      .select(col("event_type"), col("n_a"), col("n_b"),
+        col("cents_a"), col("cents_b"),
+        expr("(cents_a * 1000) DIV n_a").as("mean_a_mc"),
+        expr("(cents_b * 1000) DIV n_b").as("mean_b_mc"),
+        expr("(cents_a * 1000) DIV n_a - (cents_b * 1000) DIV n_b")
+          .as("mean_diff_mc"))
+  }
+
   /** NEW vs RETURNING daily actives — the growth-accounting split
     * every DAU chart draws (next to [[eventsRetention]]'s cohort
     * matrix: retention follows a cohort FORWARD, this reads each day

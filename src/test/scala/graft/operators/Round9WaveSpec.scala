@@ -1335,6 +1335,41 @@ class Round9WaveSpec extends AnyFunSuite {
       s"hash split itself shows SRM: ${rows.head}")
   }
 
+  // --- events_ab_lift ---------------------------------------------------
+
+  test("ab lift: per-arm means recompute, assignment matches the SRM split") {
+    def h48(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      java.lang.Long.parseLong(
+        d.take(6).map(b => f"${b & 0xff}%02x").mkString, 16)
+    }
+    val ev = graft.Tables.events(spark, sfDir)
+      .select(col("event_type"), col("user_id"),
+        expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").as("c")).collect()
+      .map(r => (r.getString(0), h48(s"ab:${r.getLong(1)}") % 2, r.getLong(2)))
+    val rows = Relational.eventsAbLift(spark, sfDir).collect()
+    assert(rows.length == ev.map(_._1).distinct.length)
+    rows.foreach { r =>
+      val t = r.getAs[String]("event_type")
+      val a = ev.filter(e => e._1 == t && e._2 == 0)
+      val b = ev.filter(e => e._1 == t && e._2 == 1)
+      assert(r.getAs[Long]("n_a") == a.length && r.getAs[Long]("n_b") == b.length)
+      assert(r.getAs[Long]("cents_a") == a.map(_._3).sum)
+      assert(r.getAs[Long]("cents_b") == b.map(_._3).sum)
+      val (ma, mb) = (a.map(_._3).sum * 1000 / a.length,
+        b.map(_._3).sum * 1000 / b.length)
+      assert(r.getAs[Long]("mean_a_mc") == ma)
+      assert(r.getAs[Long]("mean_b_mc") == mb)
+      assert(r.getAs[Long]("mean_diff_mc") == ma - mb)
+      // no treatment exists — arm means differ only by sampling noise,
+      // which at sf0.001's per-arm counts can reach ~20%; pin the
+      // order of magnitude, not a tight band
+      assert(ma < 2 * mb && mb < 2 * ma,
+        s"null experiment shows implausible lift at $t: $ma vs $mb")
+    }
+  }
+
   // --- corpus_moore_lewis -----------------------------------------------
 
   test("moore-lewis: in-domain docs score lower diff than out-of-domain") {
