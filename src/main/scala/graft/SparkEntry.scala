@@ -254,6 +254,8 @@ object SparkEntry {
       Similarity.pqDistortion(s, d)),
     "events_ab_srm" -> (Relational.eventsAbSrm _),
     "events_ab_lift" -> (Relational.eventsAbLift _),
+    "text_winnow_density" -> ((s: SparkSession, d: String) =>
+      TextAnalysis.winnowDensity(s, d)),
     "events_funnel_paths" -> ((s: SparkSession, d: String) =>
       Relational.funnelPaths(s, d)),
     "sub_window_funcs" -> (Substrate.windowRankFuncs _),
@@ -462,7 +464,8 @@ object SparkEntry {
     "embed_kmeans_elbow", "mm_image_edges", "events_streak_census",
     "events_entropy_rate", "embed_norm_profile", "mm_release_funnel",
     "events_new_returning", "text_quality_chi2", "orders_cohort_revenue",
-    "embed_pq_distortion", "events_ab_srm", "events_ab_lift")
+    "embed_pq_distortion", "events_ab_srm", "events_ab_lift",
+    "text_winnow_density")
 
   // --- generated DuckDB replicas of the portable-hash queries ----------
 
@@ -1507,6 +1510,19 @@ object SparkEntry {
         |SELECT query_id, CAST(rank AS INT) AS rank, doc_id,
         |  floor(CAST(s AS DOUBLE) * 10000 + 0.5) / 10000 AS score
         |FROM r WHERE rank <= 10""".stripMargin,
+    // The winnow CTE chain's own bookkeeping: window rows with cnt=4
+    // are the full windows, distinct wmin among them the fingerprints.
+    "text_winnow_density" ->
+      s"""${winnowCte()},
+         |a AS (SELECT doc_id, count(*) AS n_grams,
+         |    CAST(sum(CASE WHEN cnt = 4 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_windows,
+         |    CAST(count(DISTINCT CASE WHEN cnt = 4 THEN wmin END)
+         |      AS BIGINT) AS n_fps
+         |  FROM m GROUP BY 1)
+         |SELECT doc_id, n_grams, n_windows, n_fps,
+         |  (n_fps * 1000) // n_windows AS density_milli
+         |FROM a WHERE n_windows >= 1""".stripMargin,
     // Same hash assignment + (type, arm) rollup; nonneg cents per the
     // schema contract keep every DIV portable.
     "events_ab_lift" -> {

@@ -496,6 +496,47 @@ object TextAnalysis {
         expr("wmin DIV 32768").as("fp_hash"))
   }
 
+  /** WINNOW DENSITY AUDIT (Schleimer–Wilkerson–Aiken 2003's §3
+    * guarantee, checked on OUR corpus): per document the gram count,
+    * full windows, distinct fingerprints selected, and the selection
+    * density in milli. Winnowing promises density ∈ [1/w, 1] with
+    * expectation 2/(w+1) (≈ 400 milli at w = 4) — the number that
+    * sizes every downstream fingerprint join; a corpus whose density
+    * drifts (adversarial or degenerate text) silently changes the
+    * dedup candidate volume, and this census is the alarm.
+    *
+    * Scale: the same doc-keyed window pass as the fingerprint
+    * derivation (shared shape, not shared plan — the audit is
+    * deployed independently); output is one row per doc. */
+  def winnowDensity(spark: SparkSession, sfDir: String,
+      w: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val words = col("__w")
+    val grams = Tables.documents(spark, sfDir)
+      .withColumn("__w", split(col("text"), " "))
+      .select(col("doc_id"), posexplode(
+        when(size(words) >= 3,
+          transform(sequence(lit(0), size(words) - 3), i =>
+            concat_ws(" ", element_at(words, i + 1),
+              element_at(words, i + 2), element_at(words, i + 3))))
+          .otherwise(array())).as(Seq("pos", "gram")))
+      .filter(col("pos") < 32768)
+    val keyed = grams.select(col("doc_id"), col("pos"),
+      (graft.functions.PortableHash.md5Hash48(col("gram")) * lit(32768L) +
+        col("pos")).as("key"))
+    val win = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(0, w - 1)
+    keyed
+      .withColumn("wmin", min(col("key")).over(win))
+      .withColumn("cnt", count(lit(1)).over(win))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("cnt") === w, 1L).otherwise(0L)).as("n_windows"),
+        countDistinct(when(col("cnt") === w, col("wmin"))).as("n_fps"))
+      .filter(col("n_windows") >= 1)
+      .withColumn("density_milli", expr("(n_fps * 1000) DIV n_windows"))
+  }
+
   /** BM25 retrieval: top-k documents per query for a small literal
     * query set (k1 = 1.2, b = 0.75, Robertson rational idf — same
     * log-free shape as [[tfidfTopTerms]]).

@@ -1370,6 +1370,31 @@ class Round9WaveSpec extends AnyFunSuite {
     }
   }
 
+  // --- text_winnow_density ----------------------------------------------
+
+  test("winnow density: bounds hold, fingerprints reconcile with the dedup chain") {
+    val rows = TextAnalysis.winnowDensity(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (nw, nf) = (r.getAs[Long]("n_windows"), r.getAs[Long]("n_fps"))
+      assert(r.getAs[Long]("n_grams") == nw + 3,
+        "full windows = grams - w + 1 under the 32768 prefix cap")
+      // Schleimer et al. §3: every selected key serves ≤ w windows and
+      // every window is served → density ∈ [1/w, 1]
+      assert(nf * 4 >= nw, s"density below the 1/w guarantee: $r")
+      assert(nf <= nw, s"more fingerprints than windows: $r")
+      assert(r.getAs[Long]("density_milli") == nf * 1000 / nw)
+    }
+    // expectation 2/(w+1) = 400 milli; the corpus mean must sit near it
+    val mean = rows.map(_.getAs[Long]("density_milli")).sum / rows.length
+    assert(mean > 300 && mean < 500, s"corpus density far from 2/(w+1): $mean")
+    // reconciliation: n_fps sums to the dedup chain's fingerprint count
+    val chainFps = TextAnalysis.winnowFingerprints(spark, sfDir)
+      .select(col("doc_id"), col("fp_hash"), col("pos")).count()
+    assert(rows.map(_.getAs[Long]("n_fps")).sum == chainFps,
+      "the audit must count exactly the fingerprints the dedup chain emits")
+  }
+
   // --- corpus_moore_lewis -----------------------------------------------
 
   test("moore-lewis: in-domain docs score lower diff than out-of-domain") {
