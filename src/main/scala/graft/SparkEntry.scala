@@ -256,6 +256,8 @@ object SparkEntry {
     "events_ab_lift" -> (Relational.eventsAbLift _),
     "text_winnow_density" -> ((s: SparkSession, d: String) =>
       TextAnalysis.winnowDensity(s, d)),
+    "corpus_pack_waste" -> ((s: SparkSession, d: String) =>
+      Corpus.packWasteAudit(s, d)),
     "events_funnel_paths" -> ((s: SparkSession, d: String) =>
       Relational.funnelPaths(s, d)),
     "sub_window_funcs" -> (Substrate.windowRankFuncs _),
@@ -465,7 +467,7 @@ object SparkEntry {
     "events_entropy_rate", "embed_norm_profile", "mm_release_funnel",
     "events_new_returning", "text_quality_chi2", "orders_cohort_revenue",
     "embed_pq_distortion", "events_ab_srm", "events_ab_lift",
-    "text_winnow_density")
+    "text_winnow_density", "corpus_pack_waste")
 
   // --- generated DuckDB replicas of the portable-hash queries ----------
 
@@ -1510,6 +1512,26 @@ object SparkEntry {
         |SELECT query_id, CAST(rank AS INT) AS rank, doc_id,
         |  floor(CAST(s AS DOUBLE) * 10000 + 0.5) / 10000 AS score
         |FROM r WHERE rank <= 10""".stripMargin,
+    // Same packer CTE + two rollups, exact integer fill ratio.
+    "corpus_pack_waste" ->
+      """WITH t AS (SELECT doc_id, lang, doc_id % 8 AS shard,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS tokens
+        |  FROM documents),
+        |c AS (SELECT doc_id, lang, shard, tokens,
+        |    sum(tokens) OVER (PARTITION BY lang, shard ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM t),
+        |b AS (SELECT lang, shard,
+        |    CAST(floor((cum - tokens) / 2048) AS BIGINT) AS bin_id,
+        |    count(*) AS n_docs, CAST(sum(tokens) AS BIGINT) AS bin_tokens
+        |  FROM c GROUP BY 1, 2, 3)
+        |SELECT lang, shard, count(*) AS n_bins,
+        |  CAST(sum(bin_tokens) AS BIGINT) AS packed_tokens,
+        |  count(*) * 2048 AS capacity_tokens,
+        |  (CAST(sum(bin_tokens) AS BIGINT) * 1000) // (count(*) * 2048)
+        |    AS fill_milli,
+        |  CAST(max(bin_tokens) AS BIGINT) AS max_bin_tokens
+        |FROM b GROUP BY 1, 2""".stripMargin,
     // The winnow CTE chain's own bookkeeping: window rows with cnt=4
     // are the full windows, distinct wmin among them the fingerprints.
     "text_winnow_density" ->

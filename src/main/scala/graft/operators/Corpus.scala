@@ -882,6 +882,32 @@ object Corpus {
         floor((col("cum_tokens") - col("tokens")) / budget).as("bin_id"))
   }
 
+  /** PACKING-WASTE AUDIT — the fill-efficiency report on
+    * [[packTokenBins]]' layout (padding waste is THE packing metric:
+    * every wasted token is a wasted training FLOP): per (lang, shard)
+    * the bin count, packed tokens, nominal capacity, the exact milli
+    * fill ratio, and the largest single bin (the overflow indicator —
+    * concat-then-chunk lets a long doc spill past the budget; a
+    * max_bin far above it says the budget is mis-sized for the doc
+    * length distribution).
+    *
+    * Scale: rides the packer's one (lang, shard)-keyed window shuffle,
+    * then two tiny censuses. */
+  def packWasteAudit(spark: SparkSession, sfDir: String,
+      budget: Long = 2048, shards: Int = 8): DataFrame = {
+    val bins = packTokenBins(spark, sfDir, budget, shards)
+      .groupBy(col("lang"), col("shard"), col("bin_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("tokens")).as("bin_tokens"))
+    bins.groupBy(col("lang"), col("shard"))
+      .agg(count(lit(1)).as("n_bins"), sum(col("bin_tokens")).as("packed_tokens"),
+        max(col("bin_tokens")).as("max_bin_tokens"))
+      .select(col("lang"), col("shard"), col("n_bins"), col("packed_tokens"),
+        (col("n_bins") * budget).as("capacity_tokens"),
+        expr(s"(packed_tokens * 1000) DIV (n_bins * $budget)")
+          .as("fill_milli"),
+        col("max_bin_tokens"))
+  }
+
   /** Per-source document cap: keep the `cap` highest-quality documents
     * of every source (quality = lexical diversity, the same
     * distinct-word ratio the cleaning gate uses; ties break on

@@ -1395,6 +1395,36 @@ class Round9WaveSpec extends AnyFunSuite {
       "the audit must count exactly the fingerprints the dedup chain emits")
   }
 
+  // --- corpus_pack_waste ------------------------------------------------
+
+  test("pack waste: audit recomputes from the packer, tokens conserve") {
+    val packed = Corpus.packTokenBins(spark, sfDir).collect()
+      .map(r => (r.getAs[String]("lang"), r.getAs[Long]("shard"),
+        r.getAs[Long]("bin_id"), r.getAs[Long]("tokens")))
+    val rows = Corpus.packWasteAudit(spark, sfDir).collect()
+    val byGroup = packed.groupBy(p => (p._1, p._2))
+    assert(rows.length == byGroup.size)
+    rows.foreach { r =>
+      val k = (r.getAs[String]("lang"), r.getAs[Long]("shard"))
+      val g = byGroup(k)
+      val bins = g.groupBy(_._3).view.mapValues(_.map(_._4).sum)
+      assert(r.getAs[Long]("n_bins") == bins.size)
+      assert(r.getAs[Long]("packed_tokens") == g.map(_._4).sum,
+        s"token conservation at $k")
+      assert(r.getAs[Long]("capacity_tokens") == bins.size * 2048L)
+      assert(r.getAs[Long]("fill_milli") ==
+        g.map(_._4).sum * 1000 / (bins.size * 2048L))
+      assert(r.getAs[Long]("max_bin_tokens") == bins.values.max)
+      // concat-then-chunk: bins 0..n−2 each span a full budget, so
+      // fill ≥ (n−1)/n — only a lone partial bin may run sparse
+      if (bins.size > 1)
+        assert(r.getAs[Long]("fill_milli") >= (bins.size - 1) * 1000L / bins.size,
+          s"packing below the concat-then-chunk floor at $k: $r")
+    }
+    assert(rows.map(_.getAs[Long]("packed_tokens")).sum ==
+      packed.map(_._4).sum, "global token conservation")
+  }
+
   // --- corpus_moore_lewis -----------------------------------------------
 
   test("moore-lewis: in-domain docs score lower diff than out-of-domain") {
