@@ -258,6 +258,7 @@ object SparkEntry {
       TextAnalysis.winnowDensity(s, d)),
     "corpus_pack_waste" -> ((s: SparkSession, d: String) =>
       Corpus.packWasteAudit(s, d)),
+    "graph_assortativity" -> (GraphOps.degreeAssortativity _),
     "events_funnel_paths" -> ((s: SparkSession, d: String) =>
       Relational.funnelPaths(s, d)),
     "sub_window_funcs" -> (Substrate.windowRankFuncs _),
@@ -467,7 +468,7 @@ object SparkEntry {
     "events_entropy_rate", "embed_norm_profile", "mm_release_funnel",
     "events_new_returning", "text_quality_chi2", "orders_cohort_revenue",
     "embed_pq_distortion", "events_ab_srm", "events_ab_lift",
-    "text_winnow_density", "corpus_pack_waste")
+    "text_winnow_density", "corpus_pack_waste", "graph_assortativity")
 
   // --- generated DuckDB replicas of the portable-hash queries ----------
 
@@ -1512,6 +1513,37 @@ object SparkEntry {
         |SELECT query_id, CAST(rank AS INT) AS rank, doc_id,
         |  floor(CAST(s AS DOUBLE) * 10000 + 0.5) / 10000 AS score
         |FROM r WHERE rank <= 10""".stripMargin,
+    // Same arc-degree moments; the symmetric-marginal identity makes
+    // r a pure rational — sign-safe floor division on both engines.
+    "graph_assortativity" ->
+      s"""${winnowCte()},
+         |fp2 AS (SELECT DISTINCT doc_id, wmin // 32768 AS fp_hash
+         |  FROM m WHERE cnt = 4),
+         |p AS (SELECT a.doc_id AS id1, b.doc_id AS id2
+         |  FROM fp2 a JOIN fp2 b ON a.fp_hash = b.fp_hash
+         |    AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2 HAVING count(*) >= 3),
+         |deg AS (SELECT doc_id, count(*) AS d FROM (
+         |    SELECT id1 AS doc_id FROM p UNION ALL SELECT id2 FROM p)
+         |  GROUP BY 1),
+         |arcs AS (SELECT u, v FROM (
+         |    SELECT id1 AS u, id2 AS v FROM p
+         |    UNION ALL SELECT id2, id1 FROM p)),
+         |j AS (SELECT du.d AS du, dv.d AS dv FROM arcs
+         |  JOIN deg du ON arcs.u = du.doc_id
+         |  JOIN deg dv ON arcs.v = dv.doc_id),
+         |agg AS (SELECT CAST(count(*) AS BIGINT) AS m,
+         |    CAST(sum(du * dv) AS BIGINT) AS sxy,
+         |    CAST(sum(du) AS BIGINT) AS sx,
+         |    CAST(sum(du * du) AS BIGINT) AS sxx FROM j)
+         |SELECT m, sxy, sx, sxx,
+         |  m * sxy - sx * sx AS r_num,
+         |  m * sxx - sx * sx AS r_den,
+         |  CASE WHEN m * sxy - sx * sx >= 0
+         |    THEN ((m * sxy - sx * sx) * 1000) // (m * sxx - sx * sx)
+         |    ELSE -((-(m * sxy - sx * sx) * 1000) // (m * sxx - sx * sx))
+         |  END AS assort_milli
+         |FROM agg""".stripMargin,
     // Same packer CTE + two rollups, exact integer fill ratio.
     "corpus_pack_waste" ->
       """WITH t AS (SELECT doc_id, lang, doc_id % 8 AS shard,

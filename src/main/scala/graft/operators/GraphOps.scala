@@ -249,6 +249,40 @@ object GraphOps {
     peel(Dedup.winnowSharedPairsAll(spark, sfDir)
       .select(col("id1"), col("id2")).localCheckpoint(), k, rounds)
 
+  /** DEGREE ASSORTATIVITY (Newman 2002) of the near-dup graph — do
+    * high-degree template hubs link to other hubs (assortative,
+    * r > 0) or to leaves (disassortative, r < 0)? The structural
+    * fingerprint that distinguishes mirror farms (hub-hub) from
+    * template stamping (hub-leaf). For an UNDIRECTED graph read as
+    * both directed arcs, the endpoint-degree marginals coincide, so
+    * Pearson's r collapses to the EXACT RATIONAL
+    * (m·Σxy − S²) / (m·Σx² − S²) — no square root, pure integer
+    * arithmetic, reported sign-safe in milli alongside its raw
+    * numerator/denominator. Headroom: m·Σxy ≲ 2⁶³ needs
+    * m·deg² ≲ 10¹⁴ (decimal hatch past that, the documented policy).
+    *
+    * Scale: degrees are one map-side count; the arc table joins them
+    * by node id; the moments are one 1-row aggregate. */
+  def degreeAssortativity(spark: SparkSession, sfDir: String): DataFrame = {
+    val pairs = Dedup.winnowSharedPairsAll(spark, sfDir)
+      .select(col("id1"), col("id2")).localCheckpoint()
+    val deg = pairs.select(col("id1").as("doc_id"))
+      .union(pairs.select(col("id2").as("doc_id")))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("d"))
+    val arcs = pairs.select(col("id1").as("u"), col("id2").as("v"))
+      .union(pairs.select(col("id2").as("u"), col("id1").as("v")))
+      .join(deg.select(col("doc_id").as("u"), col("d").as("du")), Seq("u"))
+      .join(deg.select(col("doc_id").as("v"), col("d").as("dv")), Seq("v"))
+    arcs.agg(count(lit(1)).as("m"), sum(expr("du * dv")).as("sxy"),
+        sum(col("du")).as("sx"), sum(expr("du * du")).as("sxx"))
+      .select(col("m"), col("sxy"), col("sx"), col("sxx"),
+        expr("m * sxy - sx * sx").as("r_num"),
+        expr("m * sxx - sx * sx").as("r_den"))
+      .withColumn("assort_milli", expr(
+        """CASE WHEN r_num >= 0 THEN (r_num * 1000) DIV r_den
+          |ELSE -((-r_num * 1000) DIV r_den) END""".stripMargin))
+  }
+
   /** BFS DEPTH FROM THE 3-CORE — the proximity census completing the
     * k-core story: [[kcoreMembership]] names the dense duplication
     * core; this labels every OTHER node in the near-dup graph with its

@@ -1425,6 +1425,33 @@ class Round9WaveSpec extends AnyFunSuite {
       packed.map(_._4).sum, "global token conservation")
   }
 
+  // --- graph_assortativity ----------------------------------------------
+
+  test("assortativity: exact rational equals hand Pearson on arc degrees") {
+    val pairs = Dedup.winnowSharedPairsAll(spark, sfDir)
+      .select(col("id1"), col("id2")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val deg = pairs.flatMap(p => Seq(p._1, p._2))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val arcs = pairs.flatMap(p => Seq((p._1, p._2), (p._2, p._1)))
+      .map { case (u, v) => (deg(u), deg(v)) }
+    val m = arcs.length.toLong
+    val sxy = arcs.map { case (x, y) => x * y }.sum
+    val sx = arcs.map(_._1).sum
+    val sxx = arcs.map(x => x._1 * x._1).sum
+    val r = GraphOps.degreeAssortativity(spark, sfDir).head()
+    assert(r.getAs[Long]("m") == m)
+    assert(r.getAs[Long]("sxy") == sxy && r.getAs[Long]("sx") == sx &&
+      r.getAs[Long]("sxx") == sxx)
+    val (num, den) = (m * sxy - sx * sx, m * sxx - sx * sx)
+    assert(r.getAs[Long]("r_num") == num && r.getAs[Long]("r_den") == den)
+    val milli = if (num >= 0) num * 1000 / den else -(-num * 1000 / den)
+    assert(r.getAs[Long]("assort_milli") == milli)
+    // Pearson is bounded: |r| ≤ 1 (floor keeps us inside ±1000)
+    assert(math.abs(milli) <= 1000, s"correlation out of range: $milli")
+    assert(den > 0, "degenerate graph: zero degree variance")
+  }
+
   // --- corpus_moore_lewis -----------------------------------------------
 
   test("moore-lewis: in-domain docs score lower diff than out-of-domain") {
