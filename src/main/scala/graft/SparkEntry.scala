@@ -259,6 +259,7 @@ object SparkEntry {
     "corpus_pack_waste" -> ((s: SparkSession, d: String) =>
       Corpus.packWasteAudit(s, d)),
     "graph_assortativity" -> (GraphOps.degreeAssortativity _),
+    "embed_pq_recall" -> (Similarity.pqRecall _),
     "events_funnel_paths" -> ((s: SparkSession, d: String) =>
       Relational.funnelPaths(s, d)),
     "sub_window_funcs" -> (Substrate.windowRankFuncs _),
@@ -468,7 +469,8 @@ object SparkEntry {
     "events_entropy_rate", "embed_norm_profile", "mm_release_funnel",
     "events_new_returning", "text_quality_chi2", "orders_cohort_revenue",
     "embed_pq_distortion", "events_ab_srm", "events_ab_lift",
-    "text_winnow_density", "corpus_pack_waste", "graph_assortativity")
+    "text_winnow_density", "corpus_pack_waste", "graph_assortativity",
+    "embed_pq_recall")
 
   // --- generated DuckDB replicas of the portable-hash queries ----------
 
@@ -917,6 +919,33 @@ object SparkEntry {
         |  sad * 100 // (w * h) AS mad_centi,
         |  sad * 100 // (w * h) >= 1000 AS is_boundary
         |FROM p""".stripMargin
+
+  private def annPqAdcOracle: String =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ed FROM embeddings),
+        |sub AS (SELECT vec_id, s, ed[s*16+1 : s*16+16] AS sv
+        |  FROM e, range(0, 4) t(s)),
+        |cw AS (SELECT CAST(vec_id // 8 AS INT) AS cw_id, s, sv AS cw_sv
+        |  FROM sub WHERE vec_id % 8 = 0 AND vec_id < 128),
+        |enc0 AS (SELECT x.vec_id, x.s, c.cw_id,
+        |    list_dot_product(list_transform(range(1,17), i -> x.sv[i] - c.cw_sv[i]),
+        |                     list_transform(range(1,17), i -> x.sv[i] - c.cw_sv[i])) AS d2
+        |  FROM sub x JOIN cw c USING (s)),
+        |codes AS (SELECT vec_id, s, min({'d': d2, 'c': cw_id}).c AS code
+        |  FROM enc0 GROUP BY 1, 2),
+        |lut AS (SELECT q.vec_id AS query_id, q.s, c.cw_id,
+        |    list_dot_product(list_transform(range(1,17), i -> q.sv[i] - c.cw_sv[i]),
+        |                     list_transform(range(1,17), i -> q.sv[i] - c.cw_sv[i])) AS qd2
+        |  FROM sub q JOIN cw c USING (s) WHERE q.vec_id < 10),
+        |sc AS (SELECT l.query_id, cd.vec_id AS neighbor_id,
+        |    sum(CASE WHEN cd.s = 0 THEN l.qd2 END) + sum(CASE WHEN cd.s = 1 THEN l.qd2 END)
+        |      + sum(CASE WHEN cd.s = 2 THEN l.qd2 END) + sum(CASE WHEN cd.s = 3 THEN l.qd2 END) AS approx
+        |  FROM codes cd JOIN lut l ON cd.s = l.s AND cd.code = l.cw_id
+        |  WHERE cd.vec_id <> l.query_id GROUP BY 1, 2)
+        |SELECT query_id, rank, neighbor_id,
+        |  floor(approx * 1000000 + 0.5) / 1000000 AS approx_d2
+        |FROM (SELECT query_id, neighbor_id, approx,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY approx, neighbor_id) AS rank
+        |  FROM sc) WHERE rank <= 5""".stripMargin
 
   /** MinHash+LSH replica: same shingles, same md5-derived 48-bit base
     * hash, same 32 (a,b) permutations, same 8×4 banding. */
@@ -1513,6 +1542,17 @@ object SparkEntry {
         |SELECT query_id, CAST(rank AS INT) AS rank, doc_id,
         |  floor(CAST(s AS DOUBLE) * 10000 + 0.5) / 10000 AS score
         |FROM r WHERE rank <= 10""".stripMargin,
+    // Brute truth vs the PQ-ADC answers, both as scoped subqueries;
+    // same rounded-recall arithmetic as the other recall evals.
+    "embed_pq_recall" ->
+      s"""SELECT bf.query_id, count(*) AS n_true,
+         |  count(pq.neighbor_id) AS n_hits,
+         |  floor(CAST(count(pq.neighbor_id) AS DOUBLE) / count(*)
+         |    * 10000 + 0.5) / 10000 AS recall
+         |FROM ($annBruteOracle) bf
+         |LEFT JOIN ($annPqAdcOracle) pq
+         |  ON bf.query_id = pq.query_id AND bf.neighbor_id = pq.neighbor_id
+         |GROUP BY bf.query_id""".stripMargin,
     // Same arc-degree moments; the symmetric-marginal identity makes
     // r a pure rational — sign-safe floor division on both engines.
     "graph_assortativity" ->
@@ -3096,32 +3136,7 @@ object SparkEntry {
     // diff with itself), the argmin is a lexicographic struct min, and
     // the ADC total is four single-row sums added in fixed syntactic
     // order — every step bit-deterministic on both engines.
-    "ann_pq_adc_topk" ->
-      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ed FROM embeddings),
-        |sub AS (SELECT vec_id, s, ed[s*16+1 : s*16+16] AS sv
-        |  FROM e, range(0, 4) t(s)),
-        |cw AS (SELECT CAST(vec_id // 8 AS INT) AS cw_id, s, sv AS cw_sv
-        |  FROM sub WHERE vec_id % 8 = 0 AND vec_id < 128),
-        |enc0 AS (SELECT x.vec_id, x.s, c.cw_id,
-        |    list_dot_product(list_transform(range(1,17), i -> x.sv[i] - c.cw_sv[i]),
-        |                     list_transform(range(1,17), i -> x.sv[i] - c.cw_sv[i])) AS d2
-        |  FROM sub x JOIN cw c USING (s)),
-        |codes AS (SELECT vec_id, s, min({'d': d2, 'c': cw_id}).c AS code
-        |  FROM enc0 GROUP BY 1, 2),
-        |lut AS (SELECT q.vec_id AS query_id, q.s, c.cw_id,
-        |    list_dot_product(list_transform(range(1,17), i -> q.sv[i] - c.cw_sv[i]),
-        |                     list_transform(range(1,17), i -> q.sv[i] - c.cw_sv[i])) AS qd2
-        |  FROM sub q JOIN cw c USING (s) WHERE q.vec_id < 10),
-        |sc AS (SELECT l.query_id, cd.vec_id AS neighbor_id,
-        |    sum(CASE WHEN cd.s = 0 THEN l.qd2 END) + sum(CASE WHEN cd.s = 1 THEN l.qd2 END)
-        |      + sum(CASE WHEN cd.s = 2 THEN l.qd2 END) + sum(CASE WHEN cd.s = 3 THEN l.qd2 END) AS approx
-        |  FROM codes cd JOIN lut l ON cd.s = l.s AND cd.code = l.cw_id
-        |  WHERE cd.vec_id <> l.query_id GROUP BY 1, 2)
-        |SELECT query_id, rank, neighbor_id,
-        |  floor(approx * 1000000 + 0.5) / 1000000 AS approx_d2
-        |FROM (SELECT query_id, neighbor_id, approx,
-        |    row_number() OVER (PARTITION BY query_id ORDER BY approx, neighbor_id) AS rank
-        |  FROM sc) WHERE rank <= 5""".stripMargin,
+    "ann_pq_adc_topk" -> annPqAdcOracle,
     // IVF-PQ: coarse L2 assignment (struct-min argmin over the centroid
     // cross), residual slicing, PQ encode, probed-cell LUT join, and the
     // fixed-order ADC sum — every arithmetic step the bit-deterministic

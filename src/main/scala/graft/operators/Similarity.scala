@@ -1011,6 +1011,30 @@ object Similarity {
           .as("mean_sq_micro"))
   }
 
+  /** PQ-ADC RECALL EVAL — the missing cell of the eval matrix (IVF
+    * recall, multiprobe recall, nprobe sweep, int8 ρ … and now the
+    * compressed-codes path): recall@5 of [[pqAdcTopK]]'s asymmetric-
+    * distance answers against the exact brute top-5, per query. Read
+    * WITH [[pqDistortion]]: distortion says what the codes lose in
+    * DISTANCE, this says what that costs in ANSWERS.
+    *
+    * Scale: both sides are the already-audited plans; the compare is
+    * a (query, neighbor)-keyed left join over queries×k rows. */
+  def pqRecall(spark: SparkSession, sfDir: String): DataFrame = {
+    val bf = annBruteForceTopK(spark, sfDir)
+      .select(col("query_id"), col("neighbor_id"))
+      .localCheckpoint(eager = false)
+    bf.join(pqAdcTopK(spark, sfDir)
+        .select(col("query_id").as("c_query"), col("neighbor_id").as("c_neighbor")),
+        col("query_id") === col("c_query") &&
+          col("neighbor_id") === col("c_neighbor"), "left")
+      .groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_true"), count(col("c_neighbor")).as("n_hits"))
+      .select(col("query_id"), col("n_true"), col("n_hits"),
+        PortableRound.pround(col("n_hits").cast("double") / col("n_true"), 4)
+          .as("recall"))
+  }
+
   /** SemDeDup-style semantic dedup (Abbas et al. 2023,
     * arXiv:2303.09540): cluster the embedding space into IVF cells,
     * compare pairs ONLY within a cell, and drop every vector that has

@@ -1452,6 +1452,30 @@ class Round9WaveSpec extends AnyFunSuite {
     assert(den > 0, "degenerate graph: zero degree variance")
   }
 
+  // --- embed_pq_recall --------------------------------------------------
+
+  test("pq recall: hits recount from the two audited answer sets") {
+    val bf = Similarity.annBruteForceTopK(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val pq = Similarity.pqAdcTopK(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val rows = Similarity.pqRecall(spark, sfDir).collect()
+    assert(rows.length == bf.map(_._1).size)
+    rows.foreach { r =>
+      val q = r.getAs[Long]("query_id")
+      val truth = bf.filter(_._1 == q)
+      val hits = truth.count(pq.contains).toLong
+      assert(r.getAs[Long]("n_true") == truth.size)
+      assert(r.getAs[Long]("n_hits") == hits, s"hit count at query $q")
+      assert(r.getAs[Double]("recall") ==
+        math.floor(hits.toDouble / truth.size * 10000 + 0.5) / 10000)
+    }
+    // the fixture's RANDOM embeddings are PQ's adversarial case, but
+    // codes must still answer far above chance (top-5 of ~500 ≈ 1%)
+    val mean = rows.map(_.getAs[Double]("recall")).sum / rows.length
+    assert(mean > 0.05, s"PQ-ADC recall indistinguishable from chance: $mean")
+  }
+
   // --- corpus_moore_lewis -----------------------------------------------
 
   test("moore-lewis: in-domain docs score lower diff than out-of-domain") {
