@@ -260,6 +260,7 @@ object SparkEntry {
       Corpus.packWasteAudit(s, d)),
     "graph_assortativity" -> (GraphOps.degreeAssortativity _),
     "embed_pq_recall" -> (Similarity.pqRecall _),
+    "events_stickiness" -> (Relational.eventsStickiness _),
     "events_funnel_paths" -> ((s: SparkSession, d: String) =>
       Relational.funnelPaths(s, d)),
     "sub_window_funcs" -> (Substrate.windowRankFuncs _),
@@ -470,7 +471,7 @@ object SparkEntry {
     "events_new_returning", "text_quality_chi2", "orders_cohort_revenue",
     "embed_pq_distortion", "events_ab_srm", "events_ab_lift",
     "text_winnow_density", "corpus_pack_waste", "graph_assortativity",
-    "embed_pq_recall")
+    "embed_pq_recall", "events_stickiness")
 
   // --- generated DuckDB replicas of the portable-hash queries ----------
 
@@ -1542,6 +1543,22 @@ object SparkEntry {
         |SELECT query_id, CAST(rank AS INT) AS rank, doc_id,
         |  floor(CAST(s AS DOUBLE) * 10000 + 0.5) / 10000 AS score
         |FROM r WHERE rank <= 10""".stripMargin,
+    // Same WAU fan-out + DAU census, day-keyed join.
+    "events_stickiness" ->
+      """WITH ud AS (SELECT DISTINCT user_id,
+        |    CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day FROM events),
+        |b AS (SELECT min(day) AS min_day, max(day) AS max_day FROM ud),
+        |f AS (SELECT user_id, day + k AS report_day
+        |  FROM ud CROSS JOIN (SELECT unnest(range(0, 7)) AS k)),
+        |w AS (SELECT report_day, count(DISTINCT user_id) AS wau
+        |  FROM f CROSS JOIN b
+        |  WHERE report_day >= min_day + 6 AND report_day <= max_day
+        |  GROUP BY 1),
+        |d AS (SELECT day AS report_day, count(DISTINCT user_id) AS dau
+        |  FROM ud GROUP BY 1)
+        |SELECT w.report_day, dau, wau,
+        |  (dau * 1000) // wau AS stickiness_milli
+        |FROM w JOIN d USING (report_day)""".stripMargin,
     // Brute truth vs the PQ-ADC answers, both as scoped subqueries;
     // same rounded-recall arithmetic as the other recall evals.
     "embed_pq_recall" ->

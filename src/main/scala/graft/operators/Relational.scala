@@ -1760,6 +1760,26 @@ object Relational {
         expr("(n_days * 1000) DIV span_days"))
   }
 
+  /** DAU/WAU STICKINESS — the engagement ratio every growth report
+    * leads with (how much of the weekly audience shows up on a given
+    * day): per full-window report day the daily actives, the sliding
+    * 7-day actives from [[eventsWau]], and their milli ratio.
+    * Composes two audited censuses; DAU ≤ WAU by construction (the
+    * spec pins it), so the ratio is a true fraction.
+    *
+    * Scale: the DAU census is map-side; the WAU side is the audited
+    * bounded ×7 fan-out; the join is day-keyed and tiny. */
+  def eventsStickiness(spark: SparkSession, sfDir: String): DataFrame = {
+    val dau = Tables.events(spark, sfDir)
+      .select(col("user_id"),
+        expr("unix_micros(ts) DIV 86400000000").as("report_day"))
+      .distinct()
+      .groupBy(col("report_day")).agg(countDistinct(col("user_id")).as("dau"))
+    eventsWau(spark, sfDir).join(dau, "report_day")
+      .select(col("report_day"), col("dau"), col("wau"),
+        expr("(dau * 1000) DIV wau").as("stickiness_milli"))
+  }
+
   /** A/B SPLIT + SAMPLE-RATIO-MISMATCH GUARDRAIL (the first
     * experimentation-family query: the health check every A/B
     * platform runs before reading a single metric): users are

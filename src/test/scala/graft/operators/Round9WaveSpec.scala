@@ -1476,6 +1476,27 @@ class Round9WaveSpec extends AnyFunSuite {
     assert(mean > 0.05, s"PQ-ADC recall indistinguishable from chance: $mean")
   }
 
+  // --- events_stickiness ------------------------------------------------
+
+  test("stickiness: DAU/WAU recompute, ratio bounded by construction") {
+    val ud = graft.Tables.events(spark, sfDir)
+      .select(col("user_id"), expr("unix_micros(ts) DIV 86400000000").as("day"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    val rows = Relational.eventsStickiness(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val d = r.getAs[Long]("report_day")
+      val dau = ud.filter(_._2 == d).map(_._1).distinct.length.toLong
+      val wau = ud.filter(u => u._2 >= d - 6 && u._2 <= d)
+        .map(_._1).distinct.length.toLong
+      assert(r.getAs[Long]("dau") == dau, s"DAU at $d")
+      assert(r.getAs[Long]("wau") == wau, s"WAU at $d")
+      assert(dau <= wau, "a daily active is weekly active by definition")
+      assert(r.getAs[Long]("stickiness_milli") == dau * 1000 / wau)
+      assert(r.getAs[Long]("stickiness_milli") <= 1000)
+    }
+  }
+
   // --- corpus_moore_lewis -----------------------------------------------
 
   test("moore-lewis: in-domain docs score lower diff than out-of-domain") {
