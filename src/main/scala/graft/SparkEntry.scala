@@ -261,6 +261,8 @@ object SparkEntry {
     "graph_assortativity" -> (GraphOps.degreeAssortativity _),
     "embed_pq_recall" -> (Similarity.pqRecall _),
     "events_stickiness" -> (Relational.eventsStickiness _),
+    "sketch_kmv_wau" -> ((s: SparkSession, d: String) =>
+      Sketches.kmvWau(s, d)),
     "events_funnel_paths" -> ((s: SparkSession, d: String) =>
       Relational.funnelPaths(s, d)),
     "sub_window_funcs" -> (Substrate.windowRankFuncs _),
@@ -471,7 +473,7 @@ object SparkEntry {
     "events_new_returning", "text_quality_chi2", "orders_cohort_revenue",
     "embed_pq_distortion", "events_ab_srm", "events_ab_lift",
     "text_winnow_density", "corpus_pack_waste", "graph_assortativity",
-    "embed_pq_recall", "events_stickiness")
+    "embed_pq_recall", "events_stickiness", "sketch_kmv_wau")
 
   // --- generated DuckDB replicas of the portable-hash queries ----------
 
@@ -1543,6 +1545,48 @@ object SparkEntry {
         |SELECT query_id, CAST(rank AS INT) AS rank, doc_id,
         |  floor(CAST(s AS DOUBLE) * 10000 + 0.5) / 10000 AS score
         |FROM r WHERE rank <= 10""".stripMargin,
+    // Same daily top-64 sketches, union-merged per report day by
+    // re-ranking, same estimate arithmetic as sketch_kmv_distinct.
+    "sketch_kmv_wau" ->
+      s"""WITH uh AS (SELECT DISTINCT
+         |    CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+         |    ${graft.functions.PortableHash.sqlH48("cast(user_id as varchar)")} AS h
+         |  FROM events),
+         |b AS (SELECT min(day) AS min_day, max(day) AS max_day FROM uh),
+         |sk AS (SELECT day, h FROM (SELECT day, h,
+         |    row_number() OVER (PARTITION BY day ORDER BY h) AS rn FROM uh)
+         |  WHERE rn <= 64),
+         |fan AS (SELECT DISTINCT day + k AS report_day, h
+         |  FROM sk CROSS JOIN (SELECT unnest(range(0, 7)) AS k)),
+         |uk AS (SELECT report_day, h,
+         |    row_number() OVER (PARTITION BY report_day ORDER BY h) AS rn
+         |  FROM fan),
+         |m AS (SELECT report_day, CAST(count(*) AS BIGINT) AS k_used,
+         |    max(h) AS kth_min
+         |  FROM uk CROSS JOIN b
+         |  WHERE rn <= 64 AND report_day >= min_day + 6
+         |    AND report_day <= max_day
+         |  GROUP BY 1),
+         |w AS (SELECT report_day, wau FROM (
+         |  WITH ud AS (SELECT DISTINCT user_id,
+         |      CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day FROM events),
+         |  bb AS (SELECT min(day) AS min_day, max(day) AS max_day FROM ud),
+         |  f AS (SELECT user_id, day + k AS report_day
+         |    FROM ud CROSS JOIN (SELECT unnest(range(0, 7)) AS k))
+         |  SELECT report_day, count(DISTINCT user_id) AS wau
+         |  FROM f CROSS JOIN bb
+         |  WHERE report_day >= min_day + 6 AND report_day <= max_day
+         |  GROUP BY 1)),
+         |e AS (SELECT m.report_day, k_used, kth_min,
+         |    CASE WHEN k_used < 64 THEN CAST(k_used AS DOUBLE)
+         |      ELSE ${graft.operators.PortableRound.sql(
+                "CAST(63.0 AS DOUBLE) * CAST(281474976710656.0 AS DOUBLE) / kth_min", 4)}
+         |    END AS est_wau, w.wau
+         |  FROM m JOIN w ON m.report_day = w.report_day)
+         |SELECT report_day, k_used, kth_min, est_wau, wau AS exact_wau,
+         |  ${graft.operators.PortableRound.sql(
+              "(est_wau - CAST(wau AS DOUBLE)) / CAST(wau AS DOUBLE)", 4)} AS rel_err
+         |FROM e""".stripMargin,
     // Same WAU fan-out + DAU census, day-keyed join.
     "events_stickiness" ->
       """WITH ud AS (SELECT DISTINCT user_id,

@@ -38,6 +38,53 @@ object Sketches {
           .otherwise(PortableRound.pround(est, 4)).as("est_distinct"))
   }
 
+  /** KMV SLIDING WAU — the sketch answer to the query [[graft
+    * .operators.Relational.eventsWau]] answers exactly: the 7-day
+    * sliding distinct-user count per report day, estimated by MERGING
+    * the seven daily KMV sketches (union-merge = k smallest of the
+    * concatenation — the mergeability [[kmvSetOps]] proves). THE
+    * scale contrast of the sketch family: the exact path fans every
+    * (user, day) row out ×7 and re-distincts per report day; this
+    * path fans out 64 LONGS per day — at 10⁹ DAU that is the
+    * difference between shuffling the audience and shuffling 448
+    * longs. The exact WAU ships alongside as the calibration twin
+    * with the signed error (the histogram-quantile discipline).
+    *
+    * Days with < k distinct users keep their union exact by
+    * construction. Full report windows only, matching the exact twin. */
+  def kmvWau(spark: SparkSession, sfDir: String, k: Int = KmvK): DataFrame = {
+    BoundedAggregates.register(spark)
+    val daily = Tables.events(spark, sfDir)
+      .select(expr("unix_micros(ts) DIV 86400000000").as("day"),
+        PortableHash.md5Hash48(col("user_id").cast("string")).as("h"))
+      .groupBy(col("day"))
+      .agg(call_function("kmv_sketch", col("h"), lit(k)).as("kmv"))
+      .localCheckpoint(eager = false) // bounds + the ×7 sketch fan-out
+    val bounds = daily.agg(min(col("day")).as("min_day"),
+      max(col("day")).as("max_day"))
+    val merged = daily
+      .select(col("day"), explode(sequence(col("day"), col("day") + 6))
+        .as("report_day"), col("kmv"))
+      .groupBy(col("report_day"))
+      .agg(flatten(collect_list(col("kmv"))).as("all_h"))
+      .withColumn("uk", slice(array_sort(array_distinct(col("all_h"))), 1, k))
+      .crossJoin(broadcast(bounds))
+      .filter(col("report_day") >= col("min_day") + 6 &&
+        col("report_day") <= col("max_day"))
+      .select(col("report_day"), size(col("uk")).cast("long").as("k_used"),
+        element_at(col("uk"), size(col("uk"))).as("kth_min"))
+    val est = lit((k - 1) * math.pow(2, 48)) / col("kth_min").cast("double")
+    merged
+      .withColumn("est_wau", when(col("k_used") < k,
+        col("k_used").cast("double")).otherwise(PortableRound.pround(est, 4)))
+      .join(graft.operators.Relational.eventsWau(spark, sfDir), "report_day")
+      .select(col("report_day"), col("k_used"), col("kth_min"),
+        col("est_wau"), col("wau").as("exact_wau"),
+        PortableRound.pround(
+          (col("est_wau") - col("wau").cast("double")) /
+            col("wau").cast("double"), 4).as("rel_err"))
+  }
+
   /** KMV SET ALGEBRA (Beyer et al. 2007, "On synopses for distinct-
     * value estimation under multiset operations") — the reason KMV
     * beats HLL for a lakehouse: sketches are MERGEABLE UNDER SET

@@ -1497,6 +1497,42 @@ class Round9WaveSpec extends AnyFunSuite {
     }
   }
 
+  // --- sketch_kmv_wau ---------------------------------------------------
+
+  test("kmv wau: merged sketch equals k-min of the 7-day hash union") {
+    def h48(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      java.lang.Long.parseLong(
+        d.take(6).map(b => f"${b & 0xff}%02x").mkString, 16)
+    }
+    val ud = graft.Tables.events(spark, sfDir)
+      .select(col("user_id"), expr("unix_micros(ts) DIV 86400000000").as("day"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    val k = Sketches.KmvK
+    def pr(x: Double): Double = math.floor(x * 10000.0 + 0.5) / 10000.0
+    val rows = Sketches.kmvWau(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val d = r.getAs[Long]("report_day")
+      val win = ud.filter(u => u._2 >= d - 6 && u._2 <= d)
+      val hashes = win.map(u => h48(u._1.toString)).distinct.sorted
+      val uk = hashes.take(k)
+      assert(r.getAs[Long]("k_used") == uk.length)
+      assert(r.getAs[Long]("kth_min") == uk.last, s"kth min at $d")
+      val exact = win.map(_._1).distinct.length.toLong
+      assert(r.getAs[Long]("exact_wau") == exact)
+      val est =
+        if (uk.length < k) uk.length.toDouble
+        else pr((k - 1) * math.pow(2, 48) / uk.last.toDouble)
+      assert(r.getAs[Double]("est_wau") == est)
+      assert(r.getAs[Double]("rel_err") == pr((est - exact) / exact))
+      // k=64 → std err ≈ 1/√62 ≈ 12.7%; 4σ sanity band
+      assert(math.abs(r.getAs[Double]("rel_err")) < 0.5,
+        s"sketch estimate far off at $d: $r")
+    }
+  }
+
   // --- corpus_moore_lewis -----------------------------------------------
 
   test("moore-lewis: in-domain docs score lower diff than out-of-domain") {
