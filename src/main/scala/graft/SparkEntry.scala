@@ -263,6 +263,8 @@ object SparkEntry {
     "events_stickiness" -> (Relational.eventsStickiness _),
     "sketch_kmv_wau" -> ((s: SparkSession, d: String) =>
       Sketches.kmvWau(s, d)),
+    "graph_rich_club" -> ((s: SparkSession, d: String) =>
+      GraphOps.richClub(s, d)),
     "events_funnel_paths" -> ((s: SparkSession, d: String) =>
       Relational.funnelPaths(s, d)),
     "sub_window_funcs" -> (Substrate.windowRankFuncs _),
@@ -473,7 +475,8 @@ object SparkEntry {
     "events_new_returning", "text_quality_chi2", "orders_cohort_revenue",
     "embed_pq_distortion", "events_ab_srm", "events_ab_lift",
     "text_winnow_density", "corpus_pack_waste", "graph_assortativity",
-    "embed_pq_recall", "events_stickiness", "sketch_kmv_wau")
+    "embed_pq_recall", "events_stickiness", "sketch_kmv_wau",
+    "graph_rich_club")
 
   // --- generated DuckDB replicas of the portable-hash queries ----------
 
@@ -1545,6 +1548,35 @@ object SparkEntry {
         |SELECT query_id, CAST(rank AS INT) AS rank, doc_id,
         |  floor(CAST(s AS DOUBLE) * 10000 + 0.5) / 10000 AS score
         |FROM r WHERE rank <= 10""".stripMargin,
+    // Same club membership per rung over the shared winnow pairs.
+    "graph_rich_club" -> {
+      val rungs = Seq(2, 4, 8).map { k =>
+        s"""SELECT CAST($k AS BIGINT) AS k,
+           |  (SELECT CAST(count(*) AS BIGINT) FROM deg WHERE d > $k)
+           |    AS n_club,
+           |  (SELECT CAST(count(*) AS BIGINT) FROM p
+           |    JOIN deg a ON p.id1 = a.doc_id AND a.d > $k
+           |    JOIN deg b ON p.id2 = b.doc_id AND b.d > $k) AS e_club,
+           |  CASE WHEN (SELECT count(*) FROM deg WHERE d > $k) >= 2
+           |    THEN ((SELECT CAST(count(*) AS BIGINT) FROM p
+           |        JOIN deg a ON p.id1 = a.doc_id AND a.d > $k
+           |        JOIN deg b ON p.id2 = b.doc_id AND b.d > $k) * 2 * 1000)
+           |      // ((SELECT CAST(count(*) AS BIGINT) FROM deg WHERE d > $k)
+           |        * ((SELECT CAST(count(*) AS BIGINT) FROM deg WHERE d > $k) - 1))
+           |  END AS phi_milli""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""${winnowCte()},
+         |fp3 AS (SELECT DISTINCT doc_id, wmin // 32768 AS fp_hash
+         |  FROM m WHERE cnt = 4),
+         |p AS MATERIALIZED (SELECT a.doc_id AS id1, b.doc_id AS id2
+         |  FROM fp3 a JOIN fp3 b ON a.fp_hash = b.fp_hash
+         |    AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2 HAVING count(*) >= 3),
+         |deg AS MATERIALIZED (SELECT doc_id, count(*) AS d FROM (
+         |    SELECT id1 AS doc_id FROM p UNION ALL SELECT id2 FROM p)
+         |  GROUP BY 1)
+         |$rungs""".stripMargin
+    },
     // Same daily top-64 sketches, union-merged per report day by
     // re-ranking, same estimate arithmetic as sketch_kmv_distinct.
     "sketch_kmv_wau" ->

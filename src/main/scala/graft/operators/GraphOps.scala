@@ -249,6 +249,39 @@ object GraphOps {
     peel(Dedup.winnowSharedPairsAll(spark, sfDir)
       .select(col("id1"), col("id2")).localCheckpoint(), k, rounds)
 
+  /** RICH-CLUB COEFFICIENT ladder (Zhou & Mondragón 2004) — the
+    * complement to [[degreeAssortativity]]'s single number: for each
+    * degree threshold k, do the >k-degree "club" members link to each
+    * other more densely than random? φ(k) = 2·E_k / (N_k·(N_k−1)) in
+    * exact milli per rung. A rising ladder = a template-hub oligarchy
+    * (the mirror-farm core); flat = duplication spread evenly.
+    *
+    * Scale: degrees are one map-side count; each rung is two
+    * semi-joins of the edge list against the club membership (the
+    * k-core peel shape without iteration) plus a 1-row count. */
+  def richClub(spark: SparkSession, sfDir: String,
+      ks: Seq[Int] = Seq(2, 4, 8)): DataFrame = {
+    val pairs = Dedup.winnowSharedPairsAll(spark, sfDir)
+      .select(col("id1"), col("id2")).localCheckpoint()
+    val deg = pairs.select(col("id1").as("doc_id"))
+      .union(pairs.select(col("id2").as("doc_id")))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("d"))
+      .localCheckpoint(eager = false) // one membership table per rung
+    ks.map { k =>
+      val club = deg.filter(col("d") > k).select(col("doc_id"))
+      val nK = club.agg(count(lit(1)).as("n_club"))
+      val eK = pairs
+        .join(club.withColumnRenamed("doc_id", "id1"), Seq("id1"), "left_semi")
+        .join(club.withColumnRenamed("doc_id", "id2"), Seq("id2"), "left_semi")
+        .agg(count(lit(1)).as("e_club"))
+      eK.crossJoin(broadcast(nK))
+        .select(lit(k.toLong).as("k"), col("n_club"), col("e_club"),
+          expr("""CASE WHEN n_club >= 2
+            |THEN (2 * e_club * 1000) DIV (n_club * (n_club - 1)) END"""
+            .stripMargin).as("phi_milli"))
+    }.reduce(_.unionByName(_))
+  }
+
   /** DEGREE ASSORTATIVITY (Newman 2002) of the near-dup graph — do
     * high-degree template hubs link to other hubs (assortative,
     * r > 0) or to leaves (disassortative, r < 0)? The structural

@@ -1533,6 +1533,34 @@ class Round9WaveSpec extends AnyFunSuite {
     }
   }
 
+  // --- graph_rich_club --------------------------------------------------
+
+  test("rich club: ladder recomputes, clubs nest as k rises") {
+    val pairs = Dedup.winnowSharedPairsAll(spark, sfDir)
+      .select(col("id1"), col("id2")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val deg = pairs.flatMap(p => Seq(p._1, p._2))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val rows = GraphOps.richClub(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("k") -> r).toMap
+    assert(rows.keySet == Set(2L, 4L, 8L))
+    val stats = Seq(2, 4, 8).map { k =>
+      val club = deg.filter(_._2 > k).keySet
+      val e = pairs.count(p => club(p._1) && club(p._2)).toLong
+      val n = club.size.toLong
+      val r = rows(k.toLong)
+      assert(r.getAs[Long]("n_club") == n, s"club size at k=$k")
+      assert(r.getAs[Long]("e_club") == e)
+      if (n >= 2) assert(r.getAs[Long]("phi_milli") ==
+        2 * e * 1000 / (n * (n - 1)))
+      else assert(r.isNullAt(r.fieldIndex("phi_milli")))
+      (n, e)
+    }
+    // clubs nest: members and internal edges shrink as k rises
+    assert(stats(0)._1 >= stats(1)._1 && stats(1)._1 >= stats(2)._1)
+    assert(stats(0)._2 >= stats(1)._2 && stats(1)._2 >= stats(2)._2)
+  }
+
   // --- corpus_moore_lewis -----------------------------------------------
 
   test("moore-lewis: in-domain docs score lower diff than out-of-domain") {
