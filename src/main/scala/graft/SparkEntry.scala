@@ -265,6 +265,7 @@ object SparkEntry {
       Sketches.kmvWau(s, d)),
     "graph_rich_club" -> ((s: SparkSession, d: String) =>
       GraphOps.richClub(s, d)),
+    "events_hour_heatmap" -> (Relational.eventsHourHeatmap _),
     "events_funnel_paths" -> ((s: SparkSession, d: String) =>
       Relational.funnelPaths(s, d)),
     "sub_window_funcs" -> (Substrate.windowRankFuncs _),
@@ -476,7 +477,7 @@ object SparkEntry {
     "embed_pq_distortion", "events_ab_srm", "events_ab_lift",
     "text_winnow_density", "corpus_pack_waste", "graph_assortativity",
     "embed_pq_recall", "events_stickiness", "sketch_kmv_wau",
-    "graph_rich_club")
+    "graph_rich_club", "events_hour_heatmap")
 
   // --- generated DuckDB replicas of the portable-hash queries ----------
 
@@ -1548,6 +1549,16 @@ object SparkEntry {
         |SELECT query_id, CAST(rank AS INT) AS rank, doc_id,
         |  floor(CAST(s AS DOUBLE) * 10000 + 0.5) / 10000 AS score
         |FROM r WHERE rank <= 10""".stripMargin,
+    // Same epoch-integer grid + weekday totals.
+    "events_hour_heatmap" ->
+      """WITH c AS (SELECT (epoch_us(ts) // 86400000000) % 7 AS dow,
+        |    (epoch_us(ts) // 3600000000) % 24 AS hour, count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |t AS (SELECT dow, CAST(sum(n) AS BIGINT) AS dow_total
+        |  FROM c GROUP BY 1)
+        |SELECT c.dow, hour, n, dow_total,
+        |  (n * 1000) // dow_total AS share_milli
+        |FROM c JOIN t USING (dow)""".stripMargin,
     // Same club membership per rung over the shared winnow pairs.
     "graph_rich_club" -> {
       val rungs = Seq(2, 4, 8).map { k =>

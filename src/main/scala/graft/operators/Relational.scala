@@ -1760,6 +1760,28 @@ object Relational {
         expr("(n_days * 1000) DIV span_days"))
   }
 
+  /** DOW × HOUR ACTIVITY HEATMAP — the load-shape census behind
+    * capacity planning and anomaly baselines (the 2-D refinement of
+    * [[eventsDowProfile]]): per (day-of-week, hour-of-day) cell the
+    * event count and its milli share WITHIN the weekday — the shape a
+    * scheduler provisions against and the expected-traffic surface a
+    * monitor normalizes by. Epoch-integer dow/hour arithmetic
+    * (day 0 = Thursday, the Unix epoch convention) so both engines
+    * agree with no calendar library.
+    *
+    * Scale: one corpus-sized map-side-combined count into ≤ 168
+    * cells; weekday totals broadcast back. */
+  def eventsHourHeatmap(spark: SparkSession, sfDir: String): DataFrame = {
+    val cells = Tables.events(spark, sfDir)
+      .select(expr("(unix_micros(ts) DIV 86400000000) % 7").as("dow"),
+        expr("(unix_micros(ts) DIV 3600000000) % 24").as("hour"))
+      .groupBy(col("dow"), col("hour")).agg(count(lit(1)).as("n"))
+    val tot = cells.groupBy(col("dow")).agg(sum(col("n")).as("dow_total"))
+    cells.join(broadcast(tot), "dow")
+      .select(col("dow"), col("hour"), col("n"), col("dow_total"),
+        expr("(n * 1000) DIV dow_total").as("share_milli"))
+  }
+
   /** DAU/WAU STICKINESS — the engagement ratio every growth report
     * leads with (how much of the weekly audience shows up on a given
     * day): per full-window report day the daily actives, the sliding

@@ -1561,6 +1561,30 @@ class Round9WaveSpec extends AnyFunSuite {
     assert(stats(0)._2 >= stats(1)._2 && stats(1)._2 >= stats(2)._2)
   }
 
+  // --- events_hour_heatmap ----------------------------------------------
+
+  test("hour heatmap: cells recompute, weekday shares band to 1000") {
+    val ev = graft.Tables.events(spark, sfDir)
+      .select(expr("unix_micros(ts)").as("us")).collect().map(_.getLong(0))
+    val cells = ev.map(us => (us / 86400000000L % 7, us / 3600000000L % 24))
+      .groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val rows = Relational.eventsHourHeatmap(spark, sfDir).collect()
+    assert(rows.length == cells.size)
+    val dowTot = cells.groupBy(_._1._1).map { case (d, v) => d -> v.values.sum }
+    rows.foreach { r =>
+      val k = (r.getAs[Long]("dow"), r.getAs[Long]("hour"))
+      assert(r.getAs[Long]("n") == cells(k), s"cell $k")
+      assert(r.getAs[Long]("dow_total") == dowTot(k._1))
+      assert(r.getAs[Long]("share_milli") == cells(k) * 1000 / dowTot(k._1))
+    }
+    // floor-milli shares per weekday band into (1000 - cells, 1000]
+    rows.groupBy(_.getAs[Long]("dow")).foreach { case (d, rs) =>
+      val s = rs.map(_.getAs[Long]("share_milli")).sum
+      assert(s <= 1000 && s > 1000 - rs.length,
+        s"dow $d share sum $s out of floor band")
+    }
+  }
+
   // --- corpus_moore_lewis -----------------------------------------------
 
   test("moore-lewis: in-domain docs score lower diff than out-of-domain") {
