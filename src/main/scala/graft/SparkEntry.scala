@@ -266,6 +266,8 @@ object SparkEntry {
     "graph_rich_club" -> ((s: SparkSession, d: String) =>
       GraphOps.richClub(s, d)),
     "events_hour_heatmap" -> (Relational.eventsHourHeatmap _),
+    "corpus_temp_sweep" -> ((s: SparkSession, d: String) =>
+      Corpus.temperatureSweep(s, d)),
     "events_funnel_paths" -> ((s: SparkSession, d: String) =>
       Relational.funnelPaths(s, d)),
     "sub_window_funcs" -> (Substrate.windowRankFuncs _),
@@ -477,7 +479,7 @@ object SparkEntry {
     "embed_pq_distortion", "events_ab_srm", "events_ab_lift",
     "text_winnow_density", "corpus_pack_waste", "graph_assortativity",
     "embed_pq_recall", "events_stickiness", "sketch_kmv_wau",
-    "graph_rich_club", "events_hour_heatmap")
+    "graph_rich_club", "events_hour_heatmap", "corpus_temp_sweep")
 
   // --- generated DuckDB replicas of the portable-hash queries ----------
 
@@ -1549,6 +1551,31 @@ object SparkEntry {
         |SELECT query_id, CAST(rank AS INT) AS rank, doc_id,
         |  floor(CAST(s AS DOUBLE) * 10000 + 0.5) / 10000 AS score
         |FROM r WHERE rank <= 10""".stripMargin,
+    // Same hash, same three cross-multiplied keep tests (the quartic
+    // on the hash's top bits), one UNION ALL block per rung.
+    "corpus_temp_sweep" -> {
+      val h = graft.functions.PortableHash.sqlH48("concat('temp:', CAST(doc_id AS VARCHAR))")
+      val m4 = 1000000L / 1024L
+      def rung(tau: Long, keep: String) =
+        s"""SELECT CAST($tau AS BIGINT) AS tau_milli, lang,
+           |  CAST(max(n_lang) AS BIGINT) AS n_lang,
+           |  count(*) AS n_kept,
+           |  (count(*) * 1000) // (SELECT count(*) FROM base WHERE $keep)
+           |    AS mix_share_milli
+           |FROM base WHERE $keep GROUP BY lang""".stripMargin
+      s"""WITH cnt AS (SELECT lang, count(*) AS n_lang FROM documents
+         |  GROUP BY 1),
+         |cp AS (SELECT min(n_lang) AS cap FROM cnt),
+         |base AS MATERIALIZED (SELECT d.lang, n_lang, cap,
+         |    ($h) % 1000000 AS h,
+         |    (($h) % 1000000) // 1024 AS h4
+         |  FROM documents d JOIN cnt USING (lang) CROSS JOIN cp)
+         |${rung(1000L, "h * n_lang < cap * 1000000")}
+         |UNION ALL
+         |${rung(500L, "h * h * n_lang < cap * 1000000 * 1000000")}
+         |UNION ALL
+         |${rung(250L, s"h4 * h4 * h4 * h4 * n_lang < cap * $m4 * $m4 * $m4 * $m4")}""".stripMargin
+    },
     // Same epoch-integer grid + weekday totals.
     "events_hour_heatmap" ->
       """WITH c AS (SELECT (epoch_us(ts) // 86400000000) % 7 AS dow,

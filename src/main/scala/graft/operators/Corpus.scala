@@ -138,6 +138,51 @@ object Corpus {
       .select(col("doc_id"), col("lang"))
   }
 
+  /** TEMPERATURE-SWEEP MIXING ADVISOR — the tuning curve behind
+    * [[temperatureSample]]'s single τ = 0.5 (joining the
+    * nprobe/band/elbow advisor family): per τ ∈ {1, 1/2, 1/4} and
+    * language, how many documents the temperature gate keeps and the
+    * resulting mixture share. τ = 1 flattens to the min-language cap
+    * (uniform mixture), τ → 0 keeps everything (proportional) — the
+    * ladder shows exactly what each half-step of flattening costs in
+    * data. Keep tests are pure integer cross-multiplications of the
+    * SAME portable hash (u < (cap/n)^τ ⇔ u^{1/τ}·n^… < cap·mod^…);
+    * the quartic rung uses the hash's top bits so u⁴ stays in Long
+    * (coarser threshold, and only LOOSER — the keep sets still nest,
+    * which the spec pins).
+    *
+    * Scale: one lang census + three filters over the same scan —
+    * counts map-side combine; nothing shuffles but ≤ 3·|langs| rows. */
+  def temperatureSweep(spark: SparkSession, sfDir: String,
+      mod: Long = 1000000L): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val counts = docs.groupBy(col("lang")).agg(count(lit(1)).as("n_lang"))
+    val cap = counts.agg(min(col("n_lang")).as("cap"))
+    val h = pmod(PortableHash.md5Hash48(
+      concat(lit("temp:"), col("doc_id").cast("string"))), lit(mod))
+    val base = docs.join(broadcast(counts), "lang")
+      .crossJoin(broadcast(cap))
+      .select(col("lang"), col("n_lang"), col("cap"), h.as("h"),
+        (h / lit(1024L)).cast("long").as("h4"))
+      .localCheckpoint(eager = false) // three rungs, one scan
+    val mod4 = mod / 1024L
+    def rung(tauMilli: Long, keep: Column): DataFrame = {
+      val kept = base.filter(keep)
+        .groupBy(col("lang")).agg(count(lit(1)).as("n_kept"),
+          max(col("n_lang")).as("n_lang"))
+      val tot = kept.agg(sum(col("n_kept")).as("tot_kept"))
+      kept.crossJoin(broadcast(tot))
+        .select(lit(tauMilli).as("tau_milli"), col("lang"), col("n_lang"),
+          col("n_kept"),
+          expr("(n_kept * 1000) DIV tot_kept").as("mix_share_milli"))
+    }
+    rung(1000L, expr("h * n_lang < cap * 1000000"))
+      .unionByName(rung(500L,
+        expr("h * h * n_lang < cap * 1000000 * 1000000")))
+      .unionByName(rung(250L,
+        expr(s"h4 * h4 * h4 * h4 * n_lang < cap * $mod4 * $mod4 * $mod4 * $mod4")))
+  }
+
   /** One row per token instance (split on single space, empties from
     * leading/double spaces dropped — mirrored exactly in the oracles). */
   private def tokenRows(spark: SparkSession, sfDir: String): DataFrame =

@@ -1585,6 +1585,52 @@ class Round9WaveSpec extends AnyFunSuite {
     }
   }
 
+  // --- corpus_temp_sweep ------------------------------------------------
+
+  test("temperature sweep: rungs recompute from hashes, keep sets nest") {
+    def h48(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      java.lang.Long.parseLong(
+        d.take(6).map(b => f"${b & 0xff}%02x").mkString, 16)
+    }
+    val docs = graft.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val nLang = docs.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val cap = nLang.values.min
+    val mod = 1000000L
+    val m4 = mod / 1024L
+    def kept(tau: Long): Map[String, Long] = docs.filter { case (id, l) =>
+      val h = h48(s"temp:$id") % mod
+      val h4 = h / 1024L
+      val n = nLang(l)
+      tau match {
+        case 1000L => h * n < cap * mod
+        case 500L  => h * h * n < cap * mod * mod
+        case 250L  => h4 * h4 * h4 * h4 * n < cap * m4 * m4 * m4 * m4
+      }
+    }.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val rows = Corpus.temperatureSweep(spark, sfDir).collect()
+    Seq(1000L, 500L, 250L).foreach { tau =>
+      val exp = kept(tau)
+      val tot = exp.values.sum
+      val got = rows.filter(_.getAs[Long]("tau_milli") == tau)
+      assert(got.length == exp.size, s"lang rows at tau=$tau")
+      got.foreach { r =>
+        val l = r.getAs[String]("lang")
+        assert(r.getAs[Long]("n_kept") == exp(l), s"kept at ($tau, $l)")
+        assert(r.getAs[Long]("n_lang") == nLang(l))
+        assert(r.getAs[Long]("mix_share_milli") == exp(l) * 1000 / tot)
+      }
+    }
+    // the flattening ladder nests: lower τ keeps a superset per lang
+    nLang.keys.foreach { l =>
+      val k = Seq(1000L, 500L, 250L).map(t => kept(t).getOrElse(l, 0L))
+      assert(k(0) <= k(1) && k(1) <= k(2), s"nesting broken at $l: $k")
+    }
+  }
+
   // --- corpus_moore_lewis -----------------------------------------------
 
   test("moore-lewis: in-domain docs score lower diff than out-of-domain") {
