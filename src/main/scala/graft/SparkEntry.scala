@@ -268,6 +268,7 @@ object SparkEntry {
     "events_hour_heatmap" -> (Relational.eventsHourHeatmap _),
     "corpus_temp_sweep" -> ((s: SparkSession, d: String) =>
       Corpus.temperatureSweep(s, d)),
+    "orders_backlog_aging" -> (Relational.ordersBacklogAging _),
     "events_funnel_paths" -> ((s: SparkSession, d: String) =>
       Relational.funnelPaths(s, d)),
     "sub_window_funcs" -> (Substrate.windowRankFuncs _),
@@ -479,7 +480,8 @@ object SparkEntry {
     "embed_pq_distortion", "events_ab_srm", "events_ab_lift",
     "text_winnow_density", "corpus_pack_waste", "graph_assortativity",
     "embed_pq_recall", "events_stickiness", "sketch_kmv_wau",
-    "graph_rich_club", "events_hour_heatmap", "corpus_temp_sweep")
+    "graph_rich_club", "events_hour_heatmap", "corpus_temp_sweep",
+    "orders_backlog_aging")
 
   // --- generated DuckDB replicas of the portable-hash queries ----------
 
@@ -1551,6 +1553,24 @@ object SparkEntry {
         |SELECT query_id, CAST(rank AS INT) AS rank, doc_id,
         |  floor(CAST(s AS DOUBLE) * 10000 + 0.5) / 10000 AS score
         |FROM r WHERE rank <= 10""".stripMargin,
+    // Same snapshot max + literal bucket boundaries, exact cents.
+    "orders_backlog_aging" ->
+      """WITH o AS (SELECT o_orderstatus, o_orderpriority,
+        |    epoch_us(o_orderdate) // 86400000000 AS day,
+        |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM orders),
+        |s AS (SELECT max(day) AS snap_day FROM o),
+        |a AS (SELECT o_orderpriority, cents, snap_day - day AS age_days
+        |  FROM o CROSS JOIN s WHERE o_orderstatus <> 'F')
+        |SELECT o_orderpriority,
+        |  CASE WHEN age_days <= 30 THEN '0-30'
+        |    WHEN age_days <= 90 THEN '31-90'
+        |    WHEN age_days <= 365 THEN '91-365'
+        |    ELSE '365+' END AS age_bucket,
+        |  count(*) AS n_orders,
+        |  CAST(sum(cents) AS BIGINT) AS value_cents,
+        |  max(age_days) AS oldest_days
+        |FROM a GROUP BY 1, 2""".stripMargin,
     // Same hash, same three cross-multiplied keep tests (the quartic
     // on the hash's top bits), one UNION ALL block per rung.
     "corpus_temp_sweep" -> {

@@ -1636,6 +1636,36 @@ object Relational {
           |ELSE 'regular' END""".stripMargin))
   }
 
+  /** OPEN-ORDER BACKLOG AGING (the operations report every
+    * fulfillment dashboard leads with): orders still open ('O' /
+    * 'P' status) bucketed by age at the snapshot instant (the corpus
+    * max order date), per (priority, age bucket) with counts and
+    * exact value cents — the table that says WHERE the backlog money
+    * is stuck and for HOW long. Epoch-day integer aging, literal
+    * bucket boundaries shared by both engines.
+    *
+    * Scale: one scan, CASE bucketing, a ≤ 5×4-cell census; the
+    * snapshot max is a 1-row broadcast. */
+  def ordersBacklogAging(spark: SparkSession, sfDir: String): DataFrame = {
+    val day = expr("unix_micros(CAST(o_orderdate AS TIMESTAMP)) DIV 86400000000")
+    val ord = Tables.orders(spark, sfDir)
+      .select(col("o_orderstatus"), col("o_orderpriority"), day.as("day"),
+        expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)").as("cents"))
+      .localCheckpoint(eager = false) // snapshot max + the census
+    val snap = ord.agg(max(col("day")).as("snap_day"))
+    ord.filter(col("o_orderstatus") =!= "F")
+      .crossJoin(broadcast(snap))
+      .withColumn("age_days", col("snap_day") - col("day"))
+      .withColumn("age_bucket", expr(
+        """CASE WHEN age_days <= 30 THEN '0-30'
+          |WHEN age_days <= 90 THEN '31-90'
+          |WHEN age_days <= 365 THEN '91-365'
+          |ELSE '365+' END""".stripMargin))
+      .groupBy(col("o_orderpriority"), col("age_bucket"))
+      .agg(count(lit(1)).as("n_orders"), sum(col("cents")).as("value_cents"),
+        max(col("age_days")).as("oldest_days"))
+  }
+
   /** COHORT REVENUE PROGRESSION (the finance reading of retention —
     * [[eventsRetention]] counts heads, this follows MONEY): customers
     * cohorted by first-order year; per (cohort_year, order_year) the

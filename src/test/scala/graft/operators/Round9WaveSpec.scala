@@ -1631,6 +1631,34 @@ class Round9WaveSpec extends AnyFunSuite {
     }
   }
 
+  // --- orders_backlog_aging ---------------------------------------------
+
+  test("backlog aging: buckets recompute, open value conserves") {
+    val ord = graft.Tables.orders(spark, sfDir)
+      .select(col("o_orderstatus"), col("o_orderpriority"),
+        expr("unix_micros(CAST(o_orderdate AS TIMESTAMP)) DIV 86400000000").as("day"),
+        expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)").as("cents"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val snap = ord.map(_._3).max
+    val open = ord.filter(_._1 != "F")
+    def bucket(age: Long): String =
+      if (age <= 30) "0-30" else if (age <= 90) "31-90"
+      else if (age <= 365) "91-365" else "365+"
+    val rows = Relational.ordersBacklogAging(spark, sfDir).collect()
+    rows.foreach { r =>
+      val k = (r.getAs[String]("o_orderpriority"), r.getAs[String]("age_bucket"))
+      val sel = open.filter(o => o._2 == k._1 && bucket(snap - o._3) == k._2)
+      assert(r.getAs[Long]("n_orders") == sel.length, s"count at $k")
+      assert(r.getAs[Long]("value_cents") == sel.map(_._4).sum)
+      assert(r.getAs[Long]("oldest_days") == sel.map(o => snap - o._3).max)
+    }
+    assert(rows.map(_.getAs[Long]("n_orders")).sum == open.length.toLong,
+      "every open order lands in exactly one cell")
+    assert(rows.map(_.getAs[Long]("value_cents")).sum ==
+      open.map(_._4).sum, "open value conserves across the census")
+  }
+
   // --- corpus_moore_lewis -----------------------------------------------
 
   test("moore-lewis: in-domain docs score lower diff than out-of-domain") {
