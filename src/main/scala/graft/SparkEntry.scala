@@ -166,6 +166,11 @@ object SparkEntry {
     "text_bm25_topk" -> ((s: SparkSession, d: String) => TextAnalysis.bm25TopK(s, d)),
     "text_winnow_fp" -> ((s: SparkSession, d: String) => TextAnalysis.winnowFingerprints(s, d)),
     "dedup_winnow_pairs" -> ((s: SparkSession, d: String) => Dedup.winnowSharedPairs(s, d)),
+    // The BUILD step of the graph family: materializes the near-dup
+    // edge list once per session; the nine graph_* queries consume the
+    // memoized table instead of re-deriving the winnow census.
+    "graph_edges_build" -> ((s: SparkSession, d: String) =>
+      Dedup.winnowEdgesMaterialized(s, d)),
     "graph_pagerank_neardup" -> ((s: SparkSession, d: String) => GraphOps.pagerankNearDup(s, d)),
     "dedup_winnow_recall" -> ((s: SparkSession, d: String) => Dedup.winnowRecallEval(s, d)),
     "dedup_winnow_recall_slice2" -> ((s: SparkSession, d: String) =>
@@ -402,7 +407,8 @@ object SparkEntry {
     "corpus_dsir_weights", "ann_ivf_recall", "dedup_minhash_est_err",
     "corpus_span_corruption", "text_lang_confusion", "events_funnel",
     "q4_late_orders", "q19_brand_revenue", "text_bm25_topk",
-    "text_winnow_fp", "dedup_winnow_pairs", "graph_pagerank_neardup",
+    "text_winnow_fp", "dedup_winnow_pairs", "graph_edges_build",
+    "graph_pagerank_neardup",
     "events_retention", "corpus_quality_gate", "events_wau",
     "dedup_winnow_recall", "sub_full_outer", "events_spike_days",
     // round-6 additions (real media codecs + exact set-similarity):
@@ -2256,6 +2262,14 @@ object SparkEntry {
         |  GROUP BY 1, 2)
         |SELECT id1, id2, n_shared FROM p WHERE n_shared >= 3
         |ORDER BY n_shared DESC, id1, id2 LIMIT 20""".stripMargin,
+    // Full (un-limited) edge list — the graph family's build step.
+    "graph_edges_build" ->
+      s"""${winnowCte()},
+        |fp AS (SELECT DISTINCT doc_id, wmin // 32768 AS fp_hash
+        |  FROM m WHERE cnt = 4)
+        |SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS n_shared
+        |FROM fp a JOIN fp b ON a.fp_hash = b.fp_hash AND a.doc_id < b.doc_id
+        |GROUP BY 1, 2 HAVING count(*) >= 3""".stripMargin,
     "graph_pagerank_neardup" -> pagerankOracle(),
     // Composes the winnow CTE chain (candidates) with the exact
     // shingle-Jaccard chain (truth) over the SHARED ws CTE; the

@@ -773,7 +773,8 @@ object Dedup {
     * Deterministic: (n_shared desc, id1, id2) top-k. */
   def winnowSharedPairs(spark: SparkSession, sfDir: String,
       minShared: Int = 3, k: Int = 20): DataFrame =
-    winnowSharedPairsAll(spark, sfDir, minShared)
+    (if (minShared == 3) winnowEdgesMaterialized(spark, sfDir)
+     else winnowSharedPairsAll(spark, sfDir, minShared))
       .orderBy(col("n_shared").desc, col("id1"), col("id2")).limit(k)
 
   /** The full (un-limited) shared-fingerprint pair set — the near-dup
@@ -802,6 +803,35 @@ object Dedup {
       .groupBy(col("id1"), col("id2")).agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
   }
+
+  /** BUILD-ONCE near-dup edge list — the materialized table the whole
+    * graph-analytics family ([[graft.operators.GraphOps]]) and the
+    * downstream dedup verifiers consume, instead of each query
+    * re-deriving the winnow shingle census (round-9 verdict item #1).
+    *
+    * Per (application, sfDir) the default-parameter
+    * [[winnowSharedPairsAll]] runs EXACTLY ONCE: the result is eagerly
+    * `localCheckpoint`ed (materialized to executor block storage,
+    * lineage truncated) and memoized, so every later consumer's plan
+    * starts from a `LogicalRDD` scan of the stored rows — the explode +
+    * window + self-join behind the edge list never re-executes
+    * (GraphEdgesSpec pins both the instance reuse and the plan shape).
+    *
+    * At 100 TB this is a bucketed table: `CREATE TABLE winnow_edges
+    * ... CLUSTERED BY (id1)` written by the `graph_edges_build` job and
+    * refreshed incrementally (the [[dedup_incremental]] delta shape),
+    * with each graph query reading the table instead of holding
+    * executor-local checkpoint blocks. `localCheckpoint` is the
+    * single-JVM stand-in with the same two properties that matter:
+    * compute-once and lineage truncation. The memo key includes the
+    * applicationId so a DataFrame bound to a stopped session can never
+    * leak into a later one. */
+  private val edgesMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+  def winnowEdgesMaterialized(spark: SparkSession, sfDir: String): DataFrame =
+    edgesMemo.computeIfAbsent(
+      spark.sparkContext.applicationId + "|" + sfDir,
+      _ => winnowSharedPairsAll(spark, sfDir).localCheckpoint())
 
   /** Winnow-candidate CALIBRATION — the evaluation harness that
     * justifies replacing the exact shingle-Jaccard join with the
@@ -1072,7 +1102,7 @@ object Dedup {
     val docs = Tables.documents(spark, sfDir)
       .select(col("doc_id"), col("text"), length(col("text")).cast("long").as("len"))
       .localCheckpoint(eager = false) // both pair sides
-    winnowSharedPairsAll(spark, sfDir)
+    winnowEdgesMaterialized(spark, sfDir)
       .select(col("id1"), col("id2"), col("n_shared"))
       .join(docs.select(col("doc_id").as("id1"), col("text").as("t1"),
         col("len").as("len1")), Seq("id1"))

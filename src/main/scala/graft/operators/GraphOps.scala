@@ -38,7 +38,7 @@ object GraphOps {
     * r_{k+1}(v) = 150000 + (85 * Σ_{u~v} (r_k(u) DIV deg(u))) DIV 100,
     * r_0 = 1e6 micro-units for every document. */
   def pagerankNearDup(spark: SparkSession, sfDir: String, iters: Int = 3): DataFrame = {
-    val pairs = Dedup.winnowSharedPairsAll(spark, sfDir)
+    val pairs = Dedup.winnowEdgesMaterialized(spark, sfDir)
     val edges = pairs.select(col("id1").as("src"), col("id2").as("dst"))
       .union(pairs.select(col("id2").as("src"), col("id1").as("dst")))
     // degree travels WITH each edge (one window over the edge shuffle),
@@ -175,8 +175,8 @@ object GraphOps {
     * id-ordered pair list (p(a,b) ⋈ p(b,c) ⋈ p(a,c)) — value-equal,
     * deliberately not the same plan. */
   def triangleCounts(spark: SparkSession, sfDir: String): DataFrame = {
-    val pairs = Dedup.winnowSharedPairsAll(spark, sfDir)
-      .select(col("id1"), col("id2")).localCheckpoint(eager = false)
+    val pairs = Dedup.winnowEdgesMaterialized(spark, sfDir)
+      .select(col("id1"), col("id2"))
     val und = pairs.union(pairs.select(col("id2").as("id1"), col("id1").as("id2")))
     val deg = und.groupBy(col("id1")).agg(count(lit(1)).as("deg"))
     val e = und
@@ -226,8 +226,8 @@ object GraphOps {
     * round-9 session log). */
   def kcoreMembership(spark: SparkSession, sfDir: String, k: Int = 3,
       rounds: Int = 6): DataFrame = {
-    val pairs = Dedup.winnowSharedPairsAll(spark, sfDir)
-      .select(col("id1"), col("id2")).localCheckpoint()
+    val pairs = Dedup.winnowEdgesMaterialized(spark, sfDir)
+      .select(col("id1"), col("id2"))
     val degFull = pairs.select(col("id1").as("doc_id"))
       .union(pairs.select(col("id2").as("doc_id")))
       .groupBy(col("doc_id")).agg(count(lit(1)).as("deg_full"))
@@ -246,8 +246,8 @@ object GraphOps {
     * `rounds − 1` identical). */
   def kcoreEdges(spark: SparkSession, sfDir: String, k: Int = 3,
       rounds: Int = 6): DataFrame =
-    peel(Dedup.winnowSharedPairsAll(spark, sfDir)
-      .select(col("id1"), col("id2")).localCheckpoint(), k, rounds)
+    peel(Dedup.winnowEdgesMaterialized(spark, sfDir)
+      .select(col("id1"), col("id2")), k, rounds)
 
   /** RICH-CLUB COEFFICIENT ladder (Zhou & Mondragón 2004) — the
     * complement to [[degreeAssortativity]]'s single number: for each
@@ -261,8 +261,8 @@ object GraphOps {
     * k-core peel shape without iteration) plus a 1-row count. */
   def richClub(spark: SparkSession, sfDir: String,
       ks: Seq[Int] = Seq(2, 4, 8)): DataFrame = {
-    val pairs = Dedup.winnowSharedPairsAll(spark, sfDir)
-      .select(col("id1"), col("id2")).localCheckpoint()
+    val pairs = Dedup.winnowEdgesMaterialized(spark, sfDir)
+      .select(col("id1"), col("id2"))
     val deg = pairs.select(col("id1").as("doc_id"))
       .union(pairs.select(col("id2").as("doc_id")))
       .groupBy(col("doc_id")).agg(count(lit(1)).as("d"))
@@ -297,8 +297,8 @@ object GraphOps {
     * Scale: degrees are one map-side count; the arc table joins them
     * by node id; the moments are one 1-row aggregate. */
   def degreeAssortativity(spark: SparkSession, sfDir: String): DataFrame = {
-    val pairs = Dedup.winnowSharedPairsAll(spark, sfDir)
-      .select(col("id1"), col("id2")).localCheckpoint()
+    val pairs = Dedup.winnowEdgesMaterialized(spark, sfDir)
+      .select(col("id1"), col("id2"))
     val deg = pairs.select(col("id1").as("doc_id"))
       .union(pairs.select(col("id2").as("doc_id")))
       .groupBy(col("doc_id")).agg(count(lit(1)).as("d"))
@@ -335,8 +335,8 @@ object GraphOps {
     * shallow), never from corpus size. */
   def bfsDepthFromCore(spark: SparkSession, sfDir: String, k: Int = 3,
       peelRounds: Int = 6, bfsRounds: Int = 4): DataFrame = {
-    val pairs = Dedup.winnowSharedPairsAll(spark, sfDir)
-      .select(col("id1"), col("id2")).localCheckpoint()
+    val pairs = Dedup.winnowEdgesMaterialized(spark, sfDir)
+      .select(col("id1"), col("id2"))
     val coreE = peel(pairs, k, peelRounds)
     val nodes = pairs.select(col("id1").as("doc_id"))
       .union(pairs.select(col("id2").as("doc_id"))).distinct()
@@ -414,8 +414,8 @@ object GraphOps {
     * noded communities appear (singleton isolated docs carry no
     * edges and contribute exactly 0). */
   def modularity(spark: SparkSession, sfDir: String): DataFrame = {
-    val pairs = Dedup.winnowSharedPairsAll(spark, sfDir)
-      .select(col("id1"), col("id2")).localCheckpoint()
+    val pairs = Dedup.winnowEdgesMaterialized(spark, sfDir)
+      .select(col("id1"), col("id2"))
     val labels = labelPropagationFrom(spark, sfDir, pairs)
       .select(col("doc_id"), col("community")).localCheckpoint()
     val mrow = pairs.agg(count(lit(1)).as("m"))
@@ -444,7 +444,7 @@ object GraphOps {
   def labelPropagation(spark: SparkSession, sfDir: String,
       rounds: Int = 4): DataFrame =
     labelPropagationFrom(spark, sfDir,
-      Dedup.winnowSharedPairsAll(spark, sfDir), rounds)
+      Dedup.winnowEdgesMaterialized(spark, sfDir), rounds)
 
   /** [[labelPropagation]] over a caller-supplied pair list — lets
     * [[modularity]] share ONE winnow pair build instead of paying the

@@ -81,7 +81,7 @@ object Multimodal {
   def crossmodalDedupAudit(spark: org.apache.spark.sql.SparkSession,
       sfDir: String): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions._
-    val pairs = Dedup.winnowSharedPairsAll(spark, sfDir)
+    val pairs = Dedup.winnowEdgesMaterialized(spark, sfDir)
       .select(col("id1"), col("id2"), col("n_shared"))
     val img = ImageCodec.imageAHash(spark, sfDir).localCheckpoint(eager = false)
     val aud = AudioCodec.audioFingerprint(spark, sfDir).localCheckpoint(eager = false)

@@ -288,7 +288,11 @@ class PlanShapeSpec extends AnyFunSuite {
   }
 
   test("winnow pairs: fingerprint self-join is shuffle-keyed, not nested-loop") {
-    val p = plan("dedup_winnow_pairs")
+    // the declared query consumes the build-once checkpoint (its own
+    // plan is a Scan ExistingRDD — see GraphEdgesSpec), so the join
+    // shape is pinned on the UN-memoized builder that feeds the build
+    val p = graft.operators.Dedup.winnowSharedPairsAll(spark, sfDir)
+      .queryExecution.executedPlan.toString
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
       s"overlap join must block on the fingerprint key:\n$p")
     assert(p.contains("SortMergeJoin"),

@@ -1,0 +1,54 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark.{spark, sfDir}
+import graft.SparkEntry
+
+/** The build-once contract of [[Dedup.winnowEdgesMaterialized]]
+  * (round-9 verdict item #1): one winnow pair build feeds the whole
+  * graph family. Three guards:
+  *   1. memoization — repeated calls return the SAME DataFrame
+  *      instance (same checkpointed RDD underneath);
+  *   2. plan shape — a graph query's physical plan scans the
+  *      materialized rows (`Scan ExistingRDD`) and contains NO
+  *      `Generate` (the winnow gram explode) and NO window over
+  *      doc positions: the census provably does not re-run;
+  *   3. values — the materialized table row-matches a fresh
+  *      un-memoized [[Dedup.winnowSharedPairsAll]] build.
+  */
+class GraphEdgesSpec extends AnyFunSuite {
+
+  test("winnowEdgesMaterialized memoizes per (app, sfDir)") {
+    val a = Dedup.winnowEdgesMaterialized(spark, sfDir)
+    val b = Dedup.winnowEdgesMaterialized(spark, sfDir)
+    assert(a eq b, "second call must return the memoized instance")
+  }
+
+  test("graph consumers scan the checkpoint; winnow census absent from their plans") {
+    Dedup.winnowEdgesMaterialized(spark, sfDir) // ensure built
+    for (q <- Seq("graph_triangles", "graph_assortativity", "graph_rich_club")) {
+      val p = SparkEntry.queries(q)(spark, sfDir)
+        .queryExecution.executedPlan.toString
+      assert(p.contains("ExistingRDD"),
+        s"$q must read the materialized edge list:\n$p")
+      assert(!p.contains("Generate"),
+        s"$q re-derives the winnow gram explode:\n$p")
+    }
+  }
+
+  test("pagerank consumes the build (ExistingRDD present, no gram explode)") {
+    Dedup.winnowEdgesMaterialized(spark, sfDir)
+    val p = GraphOps.pagerankNearDup(spark, sfDir, iters = 1)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("ExistingRDD") && !p.contains("Generate"), p)
+  }
+
+  test("materialized edges value-match a fresh un-memoized build") {
+    val mat = Dedup.winnowEdgesMaterialized(spark, sfDir)
+      .collect().map(_.toSeq).toSet
+    val fresh = Dedup.winnowSharedPairsAll(spark, sfDir)
+      .collect().map(_.toSeq).toSet
+    assert(mat == fresh)
+    assert(mat.nonEmpty, "sf0.001 winnow edge list should be non-empty")
+  }
+}
