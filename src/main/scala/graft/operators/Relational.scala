@@ -1467,6 +1467,57 @@ object Relational {
         (col("adev") > lit(3L) * col("mad_r")).as("is_anom"))
   }
 
+  /** WINDOWED seasonal-Hampel — [[eventsSeasonalHampel]] scoped to
+    * fixed `windowDays` calendar blocks (`win = day DIV windowDays`):
+    * every median partitions by (event_type, win[, dow]) instead of
+    * the whole history. This is the STREAMABLE form of the monitor
+    * (round-9 verdict item #6): exact global medians need unbounded
+    * state, but per-window medians need at most `windowDays` daily
+    * counts per key — so the streaming twin
+    * ([[graft.streaming.StreamSources.hampelMonitorStream]]) holds
+    * ≤ windowDays (day, n) pairs per event type and emits EXACTLY
+    * these rows when a window closes (spec-pinned stream==batch
+    * across micro-batch boundaries; no approximation, the error
+    * bound is zero by construction — the honest alternative to a P²
+    * estimate).
+    *
+    * Scale: identical plan shape to the global monitor — one
+    * calendar-bounded daily census, three flag-partitioned lower-
+    * median windows (now further partitioned by `win`, so single-task
+    * volume SHRINKS vs the global variant), medians broadcast back. */
+  def eventsHampelWindowed(spark: SparkSession, sfDir: String,
+      windowDays: Int = 28): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = Tables.events(spark, sfDir)
+      .groupBy(col("event_type"),
+        expr("unix_micros(ts) DIV 86400000000").as("day"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("dow", col("day") % 7)
+      .withColumn("win", expr(s"day DIV $windowDays"))
+      .localCheckpoint(eager = false) // shared by the three median plans
+    def lowerMedianBy(df: DataFrame, parts: Seq[String], value: String,
+        out: String): DataFrame = {
+      val w = Window.partitionBy(parts.map(col): _*)
+        .orderBy(col(value), col("day"))
+      df.withColumn("rn", row_number().over(w))
+        .withColumn("cnt", count(lit(1)).over(
+          Window.partitionBy(parts.map(col): _*)))
+        .filter(col("rn") === expr("(cnt + 1) DIV 2"))
+        .select(parts.map(col) :+ col(value).as(out): _*)
+    }
+    val dowMed = lowerMedianBy(daily, Seq("event_type", "win", "dow"), "n", "dow_med")
+    val resid = daily.join(broadcast(dowMed), Seq("event_type", "win", "dow"))
+      .withColumn("resid", col("n") - col("dow_med"))
+    val medR = lowerMedianBy(resid, Seq("event_type", "win"), "resid", "med_r")
+    val dev = resid.join(broadcast(medR), Seq("event_type", "win"))
+      .withColumn("adev", abs(col("resid") - col("med_r")))
+    val madR = lowerMedianBy(dev, Seq("event_type", "win"), "adev", "mad_r")
+    dev.join(broadcast(madR), Seq("event_type", "win"))
+      .select(col("event_type"), col("win"), col("day"), col("dow"), col("n"),
+        col("dow_med"), col("resid"), col("med_r"), col("mad_r"),
+        (col("adev") > lit(3L) * col("mad_r")).as("is_anom"))
+  }
+
   /** U-SHAPED MULTI-TOUCH ATTRIBUTION — the position-based credit
     * model next to [[graft.operators.Temporal.asofLastClick]]'s
     * last-touch: every non-purchase event is a touch, assigned to the

@@ -730,6 +730,51 @@ class StreamSubstrateSpec extends AnyFunSuite {
     info(f"ingested 300 msgs in $secs%.1f s → $rate%.0f msg/s")
     assert(rate > 1.0, f"below the reference envelope: $rate%.2f msg/s")
   }
+
+  test("streaming windowed-Hampel: closed windows equal the batch windowed monitor") {
+    import org.apache.spark.sql.streaming.TestGroupState
+    val sfDir = graft.TestSpark.sfDir
+    val daily = graft.Tables.events(spark, sfDir)
+      .groupBy(col("event_type"), expr("unix_micros(ts) DIV 86400000000").as("day"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // batch twin, restricted to windows the stream will have CLOSED
+    // (every win except each key's last)
+    val lastWin = daily.groupBy(_._1).map { case (k, rs) =>
+      k -> rs.map(r => Math.floorDiv(r._2, 28L)).max
+    }
+    val expected = graft.operators.Relational.eventsHampelWindowed(spark, sfDir)
+      .collect().map { r =>
+        (r.getString(0), r.getAs[Long]("win"), r.getAs[Long]("day"),
+          r.getAs[Long]("dow"), r.getAs[Long]("n"), r.getAs[Long]("dow_med"),
+          r.getAs[Long]("resid"), r.getAs[Long]("med_r"),
+          r.getAs[Long]("mad_r"), r.getAs[Boolean]("is_anom"))
+      }.filter(t => t._2 < lastWin(t._1)).toSet
+    assert(expected.nonEmpty, "need at least one closed window at this SF")
+    // replay each key's days through the state transition in 4 chunks
+    // (micro-batch boundaries land mid-window on purpose)
+    val emitted = scala.collection.mutable.ArrayBuffer
+      .empty[(String, Long, Long, Long, Long, Long, Long, Long, Long, Boolean)]
+    daily.groupBy(_._1).foreach { case (key, rows) =>
+      val ordered = rows.map(r => (key, r._2, r._3)).sortBy(_._2)
+      var stateValue: Option[Array[Long]] = None
+      ordered.grouped(math.max(1, ordered.length / 4 + 1)).foreach { chunk =>
+        val st = TestGroupState.create[Array[Long]](
+          optionalState = stateValue.map(org.apache.spark.api.java.Optional.of[Array[Long]])
+            .getOrElse(org.apache.spark.api.java.Optional.empty[Array[Long]]()),
+          timeoutConf = org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout,
+          batchProcessingTimeMs = 1000L,
+          eventTimeWatermarkMs = org.apache.spark.api.java.Optional.empty[Long](),
+          hasTimedOut = false)
+        emitted ++= StreamSources.hampelUpdate(28)(key, chunk.iterator, st)
+        stateValue = Some(st.get)
+        assert(st.get.length <= 1 + 2 * 28,
+          "state must stay bounded: the win id + one (day, n) pair per window day")
+      }
+    }
+    assert(emitted.toSet == expected,
+      "closed streaming windows must reproduce the batch windowed Hampel rows exactly")
+  }
 }
 
 class CheckpointRecoverySpec extends AnyFunSuite {
