@@ -210,6 +210,10 @@ object SparkEntry {
     "events_seasonal_hampel" -> (Relational.eventsSeasonalHampel _),
     "events_hampel_windowed" -> ((s: SparkSession, d: String) =>
       Relational.eventsHampelWindowed(s, d)),
+    "events_level_shift" -> (Relational.eventsLevelShift _),
+    "orders_abc_classes" -> (Relational.ordersAbcClasses _),
+    "text_ttr_curve" -> ((s: SparkSession, d: String) =>
+      TextAnalysis.ttrCurve(s, d)),
     "events_attribution_u" -> (Relational.attributionUShape _),
     "graph_label_prop" -> ((s: SparkSession, d: String) =>
       GraphOps.labelPropagation(s, d)),
@@ -496,7 +500,8 @@ object SparkEntry {
     "graph_rich_club", "events_hour_heatmap", "corpus_temp_sweep",
     "orders_backlog_aging",
     // round-10 additions:
-    "dedup_bucket_refresh", "events_hampel_windowed")
+    "dedup_bucket_refresh", "events_hampel_windowed",
+    "events_level_shift", "orders_abc_classes", "text_ttr_curve")
 
   // --- generated DuckDB replicas of the portable-hash queries ----------
 
@@ -3792,6 +3797,73 @@ object SparkEntry {
         |SELECT dv.event_type, win, day, dow, n, dow_med, resid, med_r, mad_r,
         |  adev > 3 * mad_r AS is_anom
         |FROM dv JOIN md USING (event_type, win)""".stripMargin,
+    // Depth-1 binary segmentation: maximize S_l²/n_l + S_r²/n_r in
+    // exact integer milli; argmax via the lexicographic struct max
+    // (ties -> earliest day through the negated-day field).
+    "events_level_shift" ->
+      """WITH d AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+        |    count(*) AS n FROM events GROUP BY 1, 2),
+        |t AS (SELECT event_type, CAST(sum(n) AS BIGINT) AS s_tot,
+        |    count(*) AS n_tot FROM d GROUP BY 1),
+        |p AS (SELECT d.event_type, day,
+        |    CAST(sum(n) OVER (PARTITION BY d.event_type ORDER BY day)
+        |      AS BIGINT) AS s_l,
+        |    CAST(row_number() OVER (PARTITION BY d.event_type ORDER BY day)
+        |      AS BIGINT) AS n_l,
+        |    s_tot, n_tot
+        |  FROM d JOIN t USING (event_type)),
+        |f AS (SELECT event_type, day, s_l, n_l, s_tot, n_tot,
+        |    (s_l * s_l * 1000) // n_l +
+        |    ((s_tot - s_l) * (s_tot - s_l) * 1000) // (n_tot - n_l) AS fm
+        |  FROM p WHERE n_l < n_tot),
+        |b AS (SELECT event_type, max({'f': fm, 'nd': -day, 'day': day,
+        |    's_l': s_l, 'n_l': n_l, 's_tot': s_tot, 'n_tot': n_tot}) AS bs
+        |  FROM f GROUP BY 1)
+        |SELECT event_type, (bs).day AS split_day, (bs).n_tot AS n_days,
+        |  ((bs).s_l * 1000) // (bs).n_l AS mean_left_milli,
+        |  (((bs).s_tot - (bs).s_l) * 1000) // ((bs).n_tot - (bs).n_l)
+        |    AS mean_right_milli,
+        |  (bs).f - ((bs).s_tot * (bs).s_tot * 1000) // (bs).n_tot
+        |    AS gain_milli
+        |FROM b""".stripMargin,
+    // ABC classes over exact E4 part revenue; boundaries integer
+    // cross-multiplied, prefix order (rev desc, partkey) on both sides.
+    "orders_abc_classes" ->
+      """WITH pr AS (SELECT l_partkey,
+        |    CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) *
+        |      CAST((1 - CAST(l_discount AS DECIMAL(18,2))) * 100 AS BIGINT))
+        |      AS BIGINT) AS rev_e4
+        |  FROM lineitem GROUP BY 1),
+        |c AS (SELECT l_partkey, rev_e4,
+        |    CAST(sum(rev_e4) OVER (ORDER BY rev_e4 DESC, l_partkey)
+        |      AS BIGINT) AS cum_e4,
+        |    (SELECT CAST(sum(rev_e4) AS BIGINT) FROM pr) AS tot_e4
+        |  FROM pr),
+        |cl AS (SELECT rev_e4, tot_e4,
+        |    CASE WHEN cum_e4 * 100 <= tot_e4 * 80 THEN 'A'
+        |         WHEN cum_e4 * 100 <= tot_e4 * 95 THEN 'B'
+        |         ELSE 'C' END AS abc_class
+        |  FROM c)
+        |SELECT abc_class, count(*) AS n_parts,
+        |  CAST(sum(rev_e4) AS BIGINT) AS class_rev_e4,
+        |  (CAST(sum(rev_e4) AS BIGINT) * 1000) // max(tot_e4)
+        |    AS rev_share_milli
+        |FROM cl GROUP BY 1""".stripMargin,
+    // Standardized TTR at fixed prefixes; docs shorter than k skip
+    // that rung on both engines.
+    "text_ttr_curve" ->
+      """WITH ws AS (SELECT lang, doc_id, string_split(text, ' ') AS w,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |ks(k) AS (VALUES (CAST(50 AS BIGINT)), (CAST(100 AS BIGINT)),
+        |    (CAST(200 AS BIGINT))),
+        |r AS (SELECT lang, k,
+        |    CAST(len(list_distinct(w[1:k])) AS BIGINT) AS types
+        |  FROM ws JOIN ks ON n_tokens >= k)
+        |SELECT lang, k, count(*) AS n_docs,
+        |  CAST(sum(types) AS BIGINT) AS sum_types,
+        |  (CAST(sum(types) AS BIGINT) * 1000) // (count(*) * k) AS ttr_milli
+        |FROM r GROUP BY 1, 2""".stripMargin,
     "events_attribution_u" ->
       """WITH t AS (SELECT event_id, user_id, epoch_us(ts) AS us, event_type
         |  FROM events WHERE event_type <> 'purchase'),

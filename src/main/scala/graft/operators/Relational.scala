@@ -2399,4 +2399,106 @@ object Relational {
         |FROM prefiltered JOIN urgent ON l_orderkey = o_orderkey
         |GROUP BY 1""".stripMargin)
   }
+
+  /** LEVEL-SHIFT CHANGEPOINT (binary-segmentation depth 1) over the
+    * per-type daily census — the offline twin of the CUSUM monitor:
+    * CUSUM answers "did the level shift past the calibrated mean",
+    * this answers WHERE the single best shift sits. For each
+    * event_type the split s maximizes the two-segment fit
+    * f(s) = S_l²/n_l + S_r²/n_r (equivalent to minimizing total SSE —
+    * the Σx² term is split-invariant), evaluated in EXACT integer
+    * milli via floor division on both engines; ties break to the
+    * earliest split day through the lexicographic struct max (the
+    * portable argmax of the OHLC pattern — no window, no sort).
+    *
+    * Scale: one corpus-sized map-side daily count; prefix sums ride a
+    * calendar-bounded per-type window (the monitor-family census
+    * contract); the argmax is a map-side-combined struct max; totals
+    * broadcast. Headroom: S²·1000 needs Σn ≲ 3·10⁶ per type — past
+    * that, widen through decimal(38,0) (the eventsUserGini policy).
+    */
+  def eventsLevelShift(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = Tables.events(spark, sfDir)
+      .groupBy(col("event_type"),
+        expr("unix_micros(ts) DIV 86400000000").as("day"))
+      .agg(count(lit(1)).as("n"))
+    val tot = daily.groupBy(col("event_type"))
+      .agg(sum(col("n")).as("s_tot"), count(lit(1)).as("n_tot"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    val pre = daily
+      .withColumn("s_l", sum(col("n")).over(w))
+      .withColumn("n_l", row_number().over(w).cast("long"))
+      .join(broadcast(tot), Seq("event_type"))
+      .filter(col("n_l") < col("n_tot"))
+      .withColumn("f_milli", expr(
+        """(s_l * s_l * 1000) DIV n_l +
+          |((s_tot - s_l) * (s_tot - s_l) * 1000) DIV (n_tot - n_l)"""
+          .stripMargin))
+    pre.groupBy(col("event_type"))
+      .agg(max(struct(col("f_milli"), (-col("day")).as("negday"),
+        col("day"), col("s_l"), col("n_l"), col("s_tot"), col("n_tot")))
+        .as("b"))
+      .select(col("event_type"),
+        col("b.day").as("split_day"),
+        col("b.n_tot").as("n_days"),
+        expr("(b.s_l * 1000) DIV b.n_l").as("mean_left_milli"),
+        expr("((b.s_tot - b.s_l) * 1000) DIV (b.n_tot - b.n_l)")
+          .as("mean_right_milli"),
+        expr("b.f_milli - (b.s_tot * b.s_tot * 1000) DIV b.n_tot")
+          .as("gain_milli"))
+  }
+
+  /** ABC INVENTORY CLASSIFICATION — the classic Pareto cut on part
+    * revenue (A: first 80% of revenue, B: to 95%, C: the tail),
+    * summarized per class. Revenue is exact E4 units (cents × cents,
+    * the q15 idiom); class boundaries are integer cross-multiplied
+    * (cum·100 ≤ 80·total — never a division); ranking ties break by
+    * partkey so both engines walk the identical prefix order.
+    *
+    * Scale: per-part revenue collapses map-side on l_partkey (the
+    * fact table never sorts); the cumulative share uses the
+    * DISTRIBUTED prefix-sum (range repartition → parallel per-
+    * partition windows → broadcast cross-partition offsets), so no
+    * single task ever holds the part dimension; the closing rollup is
+    * a 3-row aggregate. */
+  def ordersAbcClasses(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val revE4 = (dec(col("l_extendedprice")) * 100).cast("long") *
+      ((lit(1).cast("decimal(18,2)") - dec(col("l_discount"))) * 100).cast("long")
+    val perPart = Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_partkey")).agg(sum(revE4).as("rev_e4"))
+    // DISTRIBUTED prefix sum — the cumulative revenue share never runs
+    // a single-task global sort: range-repartition by (rev desc, key),
+    // per-partition prefix windows run in parallel, and the cross-
+    // partition offsets ride a ≤ #partitions-row broadcast (the
+    // layout-pass shape). localCheckpoint because the ranged table
+    // feeds BOTH the offset aggregate and the prefix window (range
+    // boundary seeds must not re-draw — the zorder flake).
+    val parted = perPart
+      .repartitionByRange(col("rev_e4").desc, col("l_partkey"))
+      .withColumn("pid", spark_partition_id().cast("long"))
+      .localCheckpoint()
+    val offsets = parted.groupBy(col("pid")).agg(sum(col("rev_e4")).as("psum"))
+      .withColumn("offset", coalesce(sum(col("psum")).over(
+        Window.orderBy(col("pid"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("pid"), col("offset"))
+    val wIn = Window.partitionBy(col("pid"))
+      .orderBy(col("rev_e4").desc, col("l_partkey"))
+    val tot = perPart.agg(sum(col("rev_e4")).as("tot_e4"))
+    parted
+      .withColumn("inpfx", sum(col("rev_e4")).over(wIn))
+      .join(broadcast(offsets), Seq("pid"))
+      .withColumn("cum_e4", col("offset") + col("inpfx"))
+      .crossJoin(broadcast(tot))
+      .withColumn("abc_class",
+        when(col("cum_e4") * 100 <= col("tot_e4") * 80, "A")
+          .when(col("cum_e4") * 100 <= col("tot_e4") * 95, "B")
+          .otherwise("C"))
+      .groupBy(col("abc_class"))
+      .agg(count(lit(1)).as("n_parts"),
+        sum(col("rev_e4")).as("class_rev_e4"),
+        expr("(sum(rev_e4) * 1000) DIV first(tot_e4)").as("rev_share_milli"))
+  }
 }

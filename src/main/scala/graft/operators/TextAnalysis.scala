@@ -1226,4 +1226,32 @@ object TextAnalysis {
       .select(col("source"), col("n_tokens"), col("vocab"), col("hapax"),
         expr("(hapax * 1000) DIV vocab").as("hapax_milli"),
         expr("(vocab * 1000) DIV n_tokens").as("ttr_milli"))
+
+  /** TYPE-TOKEN-RATIO CURVE — lexical diversity at FIXED prefix sizes
+    * (the standardized-TTR answer to raw TTR's length bias, which the
+    * hapax census above measures only at full length): for prefix
+    * sizes k ∈ {50, 100, 200}, the distinct-type count of each doc's
+    * first k tokens, aggregated per (lang, k) as corpus TTR in exact
+    * milli. A flat curve = repetitive boilerplate; a steep one =
+    * vocabulary-rich prose — the diversity axis of the quality gates.
+    *
+    * Scale: one narrow pass — the per-doc distinct count is a
+    * codegen'd `slice → array_distinct → size` over the already-split
+    * token array (no explode, no shuffle until the |langs|·|ks|-row
+    * rollup, which combines map-side). Docs shorter than k skip that
+    * rung (both engines filter identically). */
+  def ttrCurve(spark: SparkSession, sfDir: String,
+      ks: Seq[Int] = Seq(50, 100, 200)): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("lang"), col("doc_id"), split(col("text"), " ").as("w"))
+      .withColumn("n_tokens", size(col("w")).cast("long"))
+    ks.map { k =>
+      docs.filter(col("n_tokens") >= k)
+        .select(col("lang"), lit(k.toLong).as("k"),
+          size(array_distinct(slice(col("w"), 1, k))).cast("long").as("types"))
+        .groupBy(col("lang"), col("k"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("types")).as("sum_types"))
+        .withColumn("ttr_milli", expr("(sum_types * 1000) DIV (n_docs * k)"))
+    }.reduce(_.unionByName(_))
+  }
 }

@@ -223,6 +223,16 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("abc classes: distributed prefix sum — range exchange, pid-partitioned window, no single-task sort over parts") {
+    val df = graft.operators.Relational.ordersAbcClasses(spark, sfDir)
+    val p = df.queryExecution.executedPlan.toString
+    // the cumulative share must ride the pid-partitioned window; the
+    // only unpartitioned window allowed is the <= #partitions-row
+    // offset table
+    assert(p.contains("hashpartitioning(pid"), s"prefix window must partition by pid:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("source cap: salted partial top-k precedes the per-source window") {
     val p = plan("corpus_source_cap")
     // two row_number windows: (source, salt) then (source) —
