@@ -124,7 +124,8 @@ object SparkEntry {
     "ann_brute_topk" -> ((s: SparkSession, d: String) => Similarity.annBruteForceTopK(s, d)),
     "ann_cosine_pairs" -> ((s: SparkSession, d: String) => Similarity.cosineThresholdPairs(s, d)),
     "ann_lsh_topk" -> ((s: SparkSession, d: String) => Similarity.annLshTopK(s, d)),
-    "dedup_lsh_verified_pairs" -> ((s: SparkSession, d: String) => Similarity.lshVerifiedPairs(s, d)),
+    "dedup_lsh_verified_pairs" -> ((s: SparkSession, d: String) =>
+      Similarity.lshPairsMaterialized(s, d)),
     "ann_ivf_topk" -> ((s: SparkSession, d: String) => Similarity.annIvfTopK(s, d)),
     "ann_ivf_recall" -> ((s: SparkSession, d: String) => Similarity.annIvfRecall(s, d)),
     "ann_ivf_kmeans_topk" -> ((s: SparkSession, d: String) => Similarity.kmeansIvfTopK(s, d)),
@@ -187,6 +188,7 @@ object SparkEntry {
     "corpus_source_ablation" -> (Corpus.sourceAblation _),
     "dedup_incremental" -> ((s: SparkSession, d: String) => Dedup.incrementalDedup(s, d)),
     "dedup_bucket_refresh" -> ((s: SparkSession, d: String) => Dedup.bucketRefresh(s, d)),
+    "embed_index_refresh" -> ((s: SparkSession, d: String) => Similarity.indexRefresh(s, d)),
     "events_mad_outliers" -> (Relational.eventsMadOutliers _),
     "embed_hard_negatives" -> ((s: SparkSession, d: String) => Similarity.hardNegatives(s, d)),
     "events_trending_decay" -> ((s: SparkSession, d: String) =>
@@ -501,7 +503,8 @@ object SparkEntry {
     "orders_backlog_aging",
     // round-10 additions:
     "dedup_bucket_refresh", "events_hampel_windowed",
-    "events_level_shift", "orders_abc_classes", "text_ttr_curve")
+    "events_level_shift", "orders_abc_classes", "text_ttr_curve",
+    "embed_index_refresh")
 
   // --- generated DuckDB replicas of the portable-hash queries ----------
 
@@ -2374,6 +2377,21 @@ object SparkEntry {
         |GROUP BY 1, 2 HAVING count(*) >= 3""".stripMargin,
     "ann_lsh_topk" -> annLshOracle,
     "dedup_lsh_verified_pairs" -> lshVerifiedPairsOracle,
+    // Vector-index IVM: oracle = the FULL REBUILD over corpus ∪
+    // admitted (admission = the new×corpus bucket-collision +
+    // exact-cosine gate); hash equality proves refresh ≡ rebuild.
+    "embed_index_refresh" ->
+      s"""$lshSigCtes,
+         |dup AS (SELECT DISTINCT a.vec_id AS new_id
+         |  FROM sig a JOIN sig b ON a.lsh_bucket = b.lsh_bucket
+         |    AND a.vec_id % 10 < 2 AND b.vec_id % 10 >= 2
+         |  WHERE list_dot_product(a.emb, b.emb) /
+         |    (sqrt(list_dot_product(a.emb, a.emb)) *
+         |     sqrt(list_dot_product(b.emb, b.emb))) > 0.4)
+         |SELECT s.vec_id, em.label, s.lsh_bucket
+         |FROM sig s JOIN embeddings em ON s.vec_id = em.vec_id
+         |WHERE s.vec_id % 10 >= 2
+         |   OR s.vec_id NOT IN (SELECT new_id FROM dup)""".stripMargin,
     "mm_decode_stats" -> mmDecodeOracle,
     // blake2b-512 has no DuckDB builtin: the oracle joins expected
     // digests generated by an INDEPENDENT implementation (Python

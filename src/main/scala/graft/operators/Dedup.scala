@@ -641,7 +641,8 @@ object Dedup {
     * transitive clusters). Singletons keep their own id as cluster. */
   def clusterLabels(spark: SparkSession, sfDir: String): DataFrame = {
     val nodes = Tables.embeddings(spark, sfDir).select(col("vec_id"))
-    val edges = Similarity.lshVerifiedPairs(spark, sfDir).select(col("id1"), col("id2"))
+    val edges = Similarity.lshPairsMaterialized(spark, sfDir)
+      .select(col("id1"), col("id2"))
     connectedComponents(nodes, edges)
   }
 

@@ -149,7 +149,7 @@ object GraphOps {
     * [[Dedup.clusterLabels]], different round complexity. */
   def ccStarLabels(spark: SparkSession, sfDir: String): DataFrame = {
     val nodes = Tables.embeddings(spark, sfDir).select(col("vec_id"))
-    val edges = Similarity.lshVerifiedPairs(spark, sfDir)
+    val edges = Similarity.lshPairsMaterialized(spark, sfDir)
       .select(col("id1"), col("id2"))
     connectedComponentsStar(nodes, edges, "vec_id")
   }

@@ -56,7 +56,10 @@ class PlanShapeSpec extends AnyFunSuite {
   }
 
   test("lsh-verified pairs: bucket equi-join, NO nested-loop anywhere") {
-    val p = plan("dedup_lsh_verified_pairs")
+    // the declared query consumes the build-once checkpoint, so the
+    // join shape is pinned on the un-memoized builder feeding it
+    val p = graft.operators.Similarity.lshVerifiedPairs(spark, sfDir)
+      .queryExecution.executedPlan.toString
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
       s"candidate generation must be the bucket equi-join, not all-pairs:\n$p")
   }

@@ -43,6 +43,24 @@ class GraphEdgesSpec extends AnyFunSuite {
     assert(p.contains("ExistingRDD") && !p.contains("Generate"), p)
   }
 
+  test("lsh pair list memoizes and cc_star consumes the checkpoint") {
+    val a = Similarity.lshPairsMaterialized(spark, sfDir)
+    val b = Similarity.lshPairsMaterialized(spark, sfDir)
+    assert(a eq b)
+    val p = SparkEntry.queries("graph_cc_star")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("ExistingRDD"),
+      s"cc_star must read the materialized pair list:\n$p")
+  }
+
+  test("materialized lsh pairs value-match a fresh un-memoized build") {
+    val mat = Similarity.lshPairsMaterialized(spark, sfDir)
+      .collect().map(_.toSeq).toSet
+    val fresh = Similarity.lshVerifiedPairs(spark, sfDir)
+      .collect().map(_.toSeq).toSet
+    assert(mat == fresh)
+  }
+
   test("materialized edges value-match a fresh un-memoized build") {
     val mat = Dedup.winnowEdgesMaterialized(spark, sfDir)
       .collect().map(_.toSeq).toSet

@@ -562,6 +562,37 @@ class StreamSubstrateSpec extends AnyFunSuite {
     assert(rows(1) == ((9L, 2L, 70L, 70L)))
   }
 
+  test("streaming windowed-Hampel end-to-end: window emits only when the next block opens") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, Long, Long)]
+    val q = StreamSources.hampelMonitorStream(input.toDS(), windowDays = 7)
+      .toDF("event_type", "win", "day", "dow", "n", "dow_med", "resid",
+        "med_r", "mad_r", "is_anom")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("hampel_out").start()
+    // days 0..6 fill window 0 — nothing emits while it is open
+    input.addData((0L to 3L).map(d => ("a", d, 100L)): _*)
+    q.processAllAvailable()
+    input.addData((4L to 6L).map(d => ("a", d, if (d == 5L) 500L else 100L)): _*)
+    q.processAllAvailable()
+    assert(spark.sql("select * from hampel_out").count() == 0,
+      "an open window must not emit")
+    // day 7 opens window 1 → window 0's 7 rows emit, spike day flagged
+    input.addData(("a", 7L, 100L))
+    q.processAllAvailable()
+    val rows = spark.sql("select * from hampel_out").collect()
+      .map(r => (r.getLong(2), r.getLong(4), r.getBoolean(9))).sortBy(_._1)
+    q.stop()
+    assert(rows.map(_._1).toSeq == (0L to 6L), s"window 0 must emit whole: ${rows.toSeq}")
+    // with 7 distinct dows each dow-median = its own n → resid 0 → only
+    // the spike day can flag... and with MAD 0 any nonzero adev flags;
+    // here every resid is 0 so nothing is anomalous EXCEPT nothing:
+    // per-dow medians absorb the spike (1 sample per dow). The honest
+    // single-sample-per-dow behavior: no flags.
+    assert(rows.forall(!_._3), s"one-sample dows self-absorb: ${rows.toSeq}")
+    assert(rows.count(_._2 == 500L) == 1)
+  }
+
   test("streaming gap monitor: emitted holes recompose the batch gap census") {
     import org.apache.spark.sql.streaming.TestGroupState
     val sfDir = graft.TestSpark.sfDir
