@@ -213,7 +213,11 @@ object SparkEntry {
     "events_hampel_windowed" -> ((s: SparkSession, d: String) =>
       Relational.eventsHampelWindowed(s, d)),
     "events_level_shift" -> (Relational.eventsLevelShift _),
+    "events_seasonality_strength" -> (Relational.eventsSeasonalityStrength _),
+    "text_burstiness" -> ((s: SparkSession, d: String) =>
+      TextAnalysis.termBurstiness(s, d)),
     "orders_abc_classes" -> (Relational.ordersAbcClasses _),
+    "orders_reorder_intervals" -> (Relational.ordersReorderIntervals _),
     "text_ttr_curve" -> ((s: SparkSession, d: String) =>
       TextAnalysis.ttrCurve(s, d)),
     "events_attribution_u" -> (Relational.attributionUShape _),
@@ -504,7 +508,8 @@ object SparkEntry {
     // round-10 additions:
     "dedup_bucket_refresh", "events_hampel_windowed",
     "events_level_shift", "orders_abc_classes", "text_ttr_curve",
-    "embed_index_refresh")
+    "embed_index_refresh", "events_seasonality_strength",
+    "text_burstiness", "orders_reorder_intervals")
 
   // --- generated DuckDB replicas of the portable-hash queries ----------
 
@@ -3844,6 +3849,44 @@ object SparkEntry {
         |  (bs).f - ((bs).s_tot * (bs).s_tot * 1000) // (bs).n_tot
         |    AS gain_milli
         |FROM b""".stripMargin,
+    // One-way dow ANOVA in milli-scaled integer moments; ssb clamps
+    // at 0 (per-term floors can undershoot by < |dows|).
+    "events_seasonality_strength" ->
+      """WITH d AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+        |    count(*) AS n FROM events GROUP BY 1, 2),
+        |d2 AS (SELECT event_type, day, n, day % 7 AS dow FROM d),
+        |bd AS (SELECT event_type,
+        |    CAST(sum((s_d * s_d * 1000) // n_d) AS BIGINT) AS f_milli
+        |  FROM (SELECT event_type, dow, CAST(sum(n) AS BIGINT) AS s_d,
+        |      count(*) AS n_d FROM d2 GROUP BY 1, 2)
+        |  GROUP BY 1),
+        |t AS (SELECT event_type, CAST(sum(n) AS BIGINT) AS s,
+        |    CAST(sum(n * n) AS BIGINT) AS sumsq, count(*) AS n_days
+        |  FROM d2 GROUP BY 1),
+        |m AS (SELECT t.event_type, n_days, s AS total_events,
+        |    greatest(f_milli - (s * s * 1000) // n_days, 0) AS ssb_milli,
+        |    sumsq * 1000 - (s * s * 1000) // n_days AS sst_milli
+        |  FROM t JOIN bd USING (event_type))
+        |SELECT event_type, n_days, total_events, ssb_milli, sst_milli,
+        |  CASE WHEN sst_milli > 0 THEN (ssb_milli * 1000) // sst_milli
+        |       ELSE 0 END AS eta_milli
+        |FROM m""".stripMargin,
+    // Church & Gale dispersion over the docs a term occurs in; top-N
+    // by (total desc, term) on both engines.
+    "text_burstiness" ->
+      """WITH td AS (SELECT term, doc_id, count(*) AS c FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |    FROM documents)
+        |  WHERE regexp_matches(term, '^[a-z]+$') GROUP BY 1, 2),
+        |top AS (SELECT term, CAST(sum(c) AS BIGINT) AS total FROM td
+        |  GROUP BY 1 ORDER BY total DESC, term LIMIT 20),
+        |m AS (SELECT td.term, max(total) AS total, count(*) AS df,
+        |    CAST(sum(c * c) AS BIGINT) AS sumsq
+        |  FROM td JOIN top USING (term) GROUP BY 1)
+        |SELECT term, df, total,
+        |  ((df * sumsq - total * total) * 1000) // (total * (df - 1))
+        |    AS d_milli
+        |FROM m WHERE df > 1""".stripMargin,
     // ABC classes over exact E4 part revenue; boundaries integer
     // cross-multiplied, prefix order (rev desc, partkey) on both sides.
     "orders_abc_classes" ->
@@ -3867,6 +3910,33 @@ object SparkEntry {
         |  (CAST(sum(rev_e4) AS BIGINT) * 1000) // max(tot_e4)
         |    AS rev_share_milli
         |FROM cl GROUP BY 1""".stripMargin,
+    // Reorder gaps: customer-keyed lag, then segment medians from the
+    // (segment, gap) census — discrete lower median at rank (N+1)//2.
+    "orders_reorder_intervals" ->
+      """WITH o AS (SELECT o_custkey,
+        |    CAST(floor(epoch(CAST(o_orderdate AS TIMESTAMP))) AS BIGINT)
+        |      // 86400 AS day, o_orderkey
+        |  FROM orders),
+        |g AS (SELECT o_custkey, day - lag(day) OVER (
+        |    PARTITION BY o_custkey ORDER BY day, o_orderkey) AS gap
+        |  FROM o),
+        |gs AS (SELECT c_mktsegment, gap FROM g
+        |  JOIN customer ON o_custkey = c_custkey WHERE gap IS NOT NULL),
+        |census AS (SELECT c_mktsegment, gap, count(*) AS m
+        |  FROM gs GROUP BY 1, 2),
+        |t AS (SELECT c_mktsegment, CAST(sum(m) AS BIGINT) AS n_gaps,
+        |    CAST(sum(gap * m) AS BIGINT) AS sum_gap, max(gap) AS max_gap
+        |  FROM census GROUP BY 1),
+        |med AS (SELECT c.c_mktsegment, min(gap) AS median_gap FROM (
+        |    SELECT c_mktsegment, gap,
+        |      CAST(sum(m) OVER (PARTITION BY c_mktsegment ORDER BY gap)
+        |        AS BIGINT) AS cum
+        |    FROM census) c
+        |  JOIN t ON c.c_mktsegment = t.c_mktsegment
+        |  WHERE cum >= (n_gaps + 1) // 2 GROUP BY 1)
+        |SELECT t.c_mktsegment, n_gaps, median_gap,
+        |  (sum_gap * 1000) // n_gaps AS mean_gap_milli, max_gap
+        |FROM t JOIN med ON t.c_mktsegment = med.c_mktsegment""".stripMargin,
     // Standardized TTR at fixed prefixes; docs shorter than k skip
     // that rung on both engines.
     "text_ttr_curve" ->

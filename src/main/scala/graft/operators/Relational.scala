@@ -2501,4 +2501,88 @@ object Relational {
         sum(col("rev_e4")).as("class_rev_e4"),
         expr("(sum(rev_e4) * 1000) DIV first(tot_e4)").as("rev_share_milli"))
   }
+
+  /** SEASONALITY STRENGTH (one-way ANOVA eta-squared by day-of-week)
+    * — the single number behind [[eventsDowProfile]]'s table: how much
+    * of the daily-count variance does the weekly cycle explain?
+    * eta_milli = SS_between/SS_total in milli, computed from pure
+    * integer moments (S, Sigma-x-squared per type; S_d, N_d per dow) with
+    * every rational term floored identically on both engines
+    * (milli-scaled floor division, the level-shift discipline);
+    * SS_between clamps at 0 because per-term floors can undershoot by
+    * < |dows|. A value near 1000 = counts are a pure weekly pattern
+    * ([[eventsForecastSnaive]] will look good); near 0 = the dow
+    * profile is noise.
+    *
+    * Scale: one corpus-sized map-side daily count, then ONE pass of
+    * map-side-combined (type, dow) and (type) moments — no window at
+    * all, everything |types|·7-bounded. */
+  def eventsSeasonalityStrength(spark: SparkSession, sfDir: String): DataFrame = {
+    val daily = Tables.events(spark, sfDir)
+      .groupBy(col("event_type"),
+        expr("unix_micros(ts) DIV 86400000000").as("day"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("dow", col("day") % 7)
+      .localCheckpoint(eager = false) // the dow and total moments share it
+    val byDow = daily.groupBy(col("event_type"), col("dow"))
+      .agg(sum(col("n")).as("s_d"), count(lit(1)).as("n_d"))
+      .groupBy(col("event_type"))
+      .agg(sum(expr("(s_d * s_d * 1000) DIV n_d")).as("f_milli"))
+    val tot = daily.groupBy(col("event_type"))
+      .agg(sum(col("n")).as("s"), sum(expr("n * n")).as("sumsq"),
+        count(lit(1)).as("n_days"))
+    tot.join(byDow, Seq("event_type"))
+      .withColumn("s2n_milli", expr("(s * s * 1000) DIV n_days"))
+      .withColumn("ssb_milli", greatest(expr("f_milli - s2n_milli"), lit(0L)))
+      .withColumn("sst_milli", expr("sumsq * 1000 - s2n_milli"))
+      .select(col("event_type"), col("n_days"), col("s").as("total_events"),
+        col("ssb_milli"), col("sst_milli"),
+        expr("""CASE WHEN sst_milli > 0
+          |THEN (ssb_milli * 1000) DIV sst_milli ELSE 0 END""".stripMargin)
+          .as("eta_milli"))
+  }
+
+  /** REORDER-INTERVAL CENSUS — the purchase-cadence profile per market
+    * segment (the recency axis of [[ordersRfmSegments]] extended to
+    * the full gap distribution): per customer the day gaps between
+    * consecutive orders (deterministic (day, orderkey) order), then
+    * per segment the DISCRETE lower median, exact milli mean, and max
+    * gap. The replenishment statistic inventory planners read next to
+    * the ABC classes.
+    *
+    * Scale: the lag window is customer-keyed (the as-of shuffle
+    * shape, O(1) state per row); the median never sorts raw gaps —
+    * it reads the (segment, gap) CENSUS (bounded by the calendar
+    * span) with a census-ordered cumulative window, the
+    * [[eventsUserGini]] discipline; the dim join broadcasts. */
+  def ordersReorderIntervals(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val o = Tables.orders(spark, sfDir).select(col("o_custkey"),
+      expr("unix_micros(CAST(o_orderdate AS TIMESTAMP)) DIV 86400000000")
+        .as("day"), col("o_orderkey"))
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("day"), col("o_orderkey"))
+    val gaps = o.withColumn("prev", lag(col("day"), 1).over(w))
+      .filter(col("prev").isNotNull)
+      .select(col("o_custkey"), (col("day") - col("prev")).as("gap"))
+      .join(broadcast(Tables.customer(spark, sfDir)
+        .select(col("c_custkey"), col("c_mktsegment"))),
+        col("o_custkey") === col("c_custkey"))
+    val census = gaps.groupBy(col("c_mktsegment"), col("gap"))
+      .agg(count(lit(1)).as("m"))
+      .localCheckpoint(eager = false) // totals AND the median share it
+    val tot = census.groupBy(col("c_mktsegment"))
+      .agg(sum(col("m")).as("n_gaps"),
+        sum(expr("gap * m")).as("sum_gap"), max(col("gap")).as("max_gap"))
+    val wc = Window.partitionBy(col("c_mktsegment")).orderBy(col("gap"))
+    val med = census.withColumn("cum", sum(col("m")).over(wc))
+      .join(broadcast(tot.select(col("c_mktsegment"), col("n_gaps"))),
+        Seq("c_mktsegment"))
+      .filter(col("cum") >= expr("(n_gaps + 1) DIV 2"))
+      .groupBy(col("c_mktsegment")).agg(min(col("gap")).as("median_gap"))
+    tot.join(med, Seq("c_mktsegment"))
+      .select(col("c_mktsegment"), col("n_gaps"), col("median_gap"),
+        expr("(sum_gap * 1000) DIV n_gaps").as("mean_gap_milli"),
+        col("max_gap"))
+  }
 }

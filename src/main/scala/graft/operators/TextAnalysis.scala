@@ -1254,4 +1254,38 @@ object TextAnalysis {
         .withColumn("ttr_milli", expr("(sum_types * 1000) DIV (n_docs * k)"))
     }.reduce(_.unionByName(_))
   }
+
+  /** TERM BURSTINESS (Church & Gale's clumping diagnostic) — for the
+    * top-`topN` corpus terms, the per-document dispersion index
+    * D = var/mean of the term's counts over the documents it occurs
+    * in, exact milli: D_milli = ((df·Σc² − (Σc)²)·1000) DIV
+    * (Σc·(df−1)). Function words sit near the Poisson floor (D ≈ 1);
+    * content/boilerplate terms clump (D ≫ 1) — the axis that separates
+    * a frequent-because-common word from a frequent-because-duplicated
+    * one, which the dedup family then explains.
+    *
+    * Scale: (term, doc) counts combine map-side; the top-N terms
+    * arrive via TakeOrdered (per-partition heaps, never a vocabulary
+    * sort) and broadcast back as a semi-join filter; the moments are
+    * one |topN|-row aggregate. Numerator headroom: df·Σc² ≲ 2⁶³ holds
+    * to ~10⁹ docs × typical counts; decimal hatch documented past it. */
+  def termBurstiness(spark: SparkSession, sfDir: String,
+      topN: Int = 20): DataFrame = {
+    val td = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .filter(col("term").rlike("^[a-z]+$"))
+      .groupBy(col("term"), col("doc_id")).agg(count(lit(1)).as("c"))
+      .localCheckpoint(eager = false) // top-N pick AND moments share it
+    val top = td.groupBy(col("term")).agg(sum(col("c")).as("total"))
+      .orderBy(col("total").desc, col("term")).limit(topN)
+    td.join(broadcast(top), Seq("term"))
+      .groupBy(col("term"))
+      .agg(max(col("total")).as("total"),
+        count(lit(1)).as("df"),
+        sum(expr("c * c")).as("sumsq"))
+      .filter(col("df") > 1)
+      .select(col("term"), col("df"), col("total"),
+        expr("((df * sumsq - total * total) * 1000) DIV (total * (df - 1))")
+          .as("d_milli"))
+  }
 }
