@@ -29,8 +29,21 @@ object Bench {
     s(s.length / 2)
   }
 
+  /** Build-once families reset before timing their declared BUILD query,
+    * so the build query reports the real build cost (cold memo) and the
+    * family's consumers report steady-state marginal cost — instead of
+    * the build landing on whichever consumer happens to run first
+    * (VERDICT r10 "What's wrong" #3). Repeats of the build query each
+    * pay a fresh build; consumers later in the same round-robin pass
+    * hit the rebuilt memo. */
+  val coldStartFamilies: Map[String, String] = Map(
+    "graph_edges_build" -> graft.operators.Dedup.EdgesFamily,
+    "dedup_lsh_verified_pairs" -> graft.operators.Similarity.LshPairsFamily)
+
   /** One timed, fully-materialized run; -1.0 on failure. */
   def once(spark: SparkSession, sfDir: String, name: String): Double = {
+    coldStartFamilies.get(name)
+      .foreach(graft.operators.BuildOnce.clearFamily)
     val t0 = System.nanoTime()
     try SparkEntry.queries(name)(spark, sfDir)
       .write.format("noop").mode("overwrite").save()

@@ -863,15 +863,14 @@ object Dedup {
     * with each graph query reading the table instead of holding
     * executor-local checkpoint blocks. `localCheckpoint` is the
     * single-JVM stand-in with the same two properties that matter:
-    * compute-once and lineage truncation. The memo key includes the
-    * applicationId so a DataFrame bound to a stopped session can never
-    * leak into a later one. */
-  private val edgesMemo =
-    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+    * compute-once and lineage truncation. Memoization, racing, and
+    * eviction live in [[BuildOnce]] (keyed by applicationId so a
+    * DataFrame bound to a stopped session can never leak into a later
+    * one, and evicted when the application ends). */
+  val EdgesFamily = "winnow_edges"
   def winnowEdgesMaterialized(spark: SparkSession, sfDir: String): DataFrame =
-    edgesMemo.computeIfAbsent(
-      spark.sparkContext.applicationId + "|" + sfDir,
-      _ => winnowSharedPairsAll(spark, sfDir).localCheckpoint())
+    BuildOnce.get(spark, EdgesFamily, sfDir)(
+      winnowSharedPairsAll(spark, sfDir).localCheckpoint())
 
   /** Winnow-candidate CALIBRATION — the evaluation harness that
     * justifies replacing the exact shingle-Jaccard join with the

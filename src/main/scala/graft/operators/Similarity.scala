@@ -250,12 +250,10 @@ object Similarity {
     * scans the materialized rows. At 100 TB: a bucketed table
     * refreshed with the admitted-doc delta, exactly like the winnow
     * edge list. */
-  private val lshPairsMemo =
-    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+  val LshPairsFamily = "lsh_pairs"
   def lshPairsMaterialized(spark: SparkSession, sfDir: String): DataFrame =
-    lshPairsMemo.computeIfAbsent(
-      spark.sparkContext.applicationId + "|" + sfDir,
-      _ => lshVerifiedPairs(spark, sfDir).localCheckpoint())
+    BuildOnce.get(spark, LshPairsFamily, sfDir)(
+      lshVerifiedPairs(spark, sfDir).localCheckpoint())
 
   /** IVM REFRESH of the hyperplane-LSH vector index — the embedding-
     * side twin of [[graft.operators.Dedup.bucketRefresh]], proving the

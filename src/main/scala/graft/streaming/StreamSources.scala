@@ -604,8 +604,15 @@ object StreamSources {
     * window-finalized re-read shape of [[windowedPsi]]). Days inside a
     * batch are processed in day order; cross-batch order is the
     * upstream watermarked daily census's closure order (the
-    * [[gapUpdate]] contract). State layout: [win, d1, n1, d2, n2, …]. */
-  def hampelUpdate(windowDays: Int)(key: String,
+    * [[gapUpdate]] contract). State layout: [win, d1, n1, d2, n2, …].
+    *
+    * `onLateDrop` fires for every contract-violating row (a day whose
+    * window already closed): the batch==stream invariant silently
+    * diverges if the upstream ordering contract breaks, so violations
+    * must be COUNTABLE — the stream wires a LongAccumulator here
+    * (ADVICE r10: silent drops made contract violations undetectable). */
+  def hampelUpdate(windowDays: Int,
+      onLateDrop: (String, Long) => Unit = (_, _) => ())(key: String,
       rows: Iterator[(String, Long, Long)],
       state: GroupState[Array[Long]])
       : Iterator[(String, Long, Long, Long, Long, Long, Long, Long, Long, Boolean)] = {
@@ -622,8 +629,9 @@ object StreamSources {
       else if (w > win) {
         out ++= hampelWindow(et, win, buf)
         win = w; buf = Vector((day, n))
-      } // w < win: late day after its window closed — the upstream
-        // watermark already finalized it; contract-dropped like gapUpdate
+      } else onLateDrop(et, day) // w < win: late day after its window
+        // closed — the upstream watermark already finalized it;
+        // contract-dropped like gapUpdate, but COUNTED via onLateDrop
     }
     state.update(Array(win) ++ buf.flatMap(p => Array(p._1, p._2)))
     out.iterator
@@ -643,10 +651,16 @@ object StreamSources {
         (String, Long, Long, Long, Long, Long, Long, Long, Long, Boolean)] =
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[
         (String, Long, Long, Long, Long, Long, Long, Long, Long, Boolean)]()
+    // Ordering-contract violations (late days for closed windows) are
+    // counted in a named accumulator, visible in the Spark UI/metrics
+    // and assertable in specs — never silently swallowed.
+    val late = daily.sparkSession.sparkContext
+      .longAccumulator("hampel_late_dropped")
     daily.groupByKey(_._1)(org.apache.spark.sql.Encoders.STRING)
       .flatMapGroupsWithState[Array[Long],
         (String, Long, Long, Long, Long, Long, Long, Long, Long, Boolean)](
-        OutputMode.Append, GroupStateTimeout.NoTimeout)(hampelUpdate(windowDays))
+        OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        hampelUpdate(windowDays, (_, _) => late.add(1L)))
   }
 
   /** State transition of the STREAMING transition-bigram feed — the

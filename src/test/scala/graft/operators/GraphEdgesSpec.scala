@@ -61,6 +61,18 @@ class GraphEdgesSpec extends AnyFunSuite {
     assert(mat == fresh)
   }
 
+  test("clearFamily forces a cold rebuild (the bench's honest-accounting knob)") {
+    val a = Dedup.winnowEdgesMaterialized(spark, sfDir)
+    val lsh = Similarity.lshPairsMaterialized(spark, sfDir)
+    BuildOnce.clearFamily(Dedup.EdgesFamily)
+    val b = Dedup.winnowEdgesMaterialized(spark, sfDir)
+    assert(!(a eq b), "after clearFamily the build must run again")
+    assert(lsh eq Similarity.lshPairsMaterialized(spark, sfDir),
+      "clearing one family must not evict the other")
+    assert(b eq Dedup.winnowEdgesMaterialized(spark, sfDir),
+      "the rebuilt instance is memoized again")
+  }
+
   test("materialized edges value-match a fresh un-memoized build") {
     val mat = Dedup.winnowEdgesMaterialized(spark, sfDir)
       .collect().map(_.toSeq).toSet

@@ -806,6 +806,35 @@ class StreamSubstrateSpec extends AnyFunSuite {
     assert(emitted.toSet == expected,
       "closed streaming windows must reproduce the batch windowed Hampel rows exactly")
   }
+
+  test("hampelUpdate counts contract-violating late days instead of silent drops") {
+    import org.apache.spark.sql.streaming.TestGroupState
+    def freshState(v: Option[Array[Long]]) = TestGroupState.create[Array[Long]](
+      optionalState = v.map(org.apache.spark.api.java.Optional.of[Array[Long]])
+        .getOrElse(org.apache.spark.api.java.Optional.empty[Array[Long]]()),
+      timeoutConf = org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout,
+      batchProcessingTimeMs = 1000L,
+      eventTimeWatermarkMs = org.apache.spark.api.java.Optional.empty[Long](),
+      hasTimedOut = false)
+    val dropped = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+    val count = (et: String, d: Long) => { dropped += (et -> d); () }
+    // windowDays=7: days 0,1 open window 0; day 7 closes it
+    val s1 = freshState(None)
+    val out1 = StreamSources.hampelUpdate(7, count)(
+      "a", Iterator(("a", 0L, 5L), ("a", 1L, 6L), ("a", 7L, 4L)), s1).toSeq
+    assert(out1.size == 2 && dropped.isEmpty)
+    // day 2 arrives AFTER window 0 closed: counted, no emission, and the
+    // open-window state is untouched (batch==stream invariant preserved
+    // for everything the stream still owns)
+    val s2 = freshState(Some(s1.get))
+    val out2 = StreamSources.hampelUpdate(7, count)(
+      "a", Iterator(("a", 2L, 9L)), s2).toSeq
+    assert(out2.isEmpty)
+    assert(dropped.toList == List("a" -> 2L),
+      "the late day must surface through the drop channel")
+    assert(s2.get.sameElements(s1.get),
+      "a late day must not corrupt the open window's buffered state")
+  }
 }
 
 class CheckpointRecoverySpec extends AnyFunSuite {
