@@ -189,6 +189,8 @@ object SparkEntry {
     "dedup_incremental" -> ((s: SparkSession, d: String) => Dedup.incrementalDedup(s, d)),
     "dedup_bucket_refresh" -> ((s: SparkSession, d: String) => Dedup.bucketRefresh(s, d)),
     "embed_index_refresh" -> ((s: SparkSession, d: String) => Similarity.indexRefresh(s, d)),
+    "dedup_fp_refresh" -> (Dedup.fpRefresh _),
+    "corpus_daily_increment" -> (Dedup.dailyIncrement _),
     "events_mad_outliers" -> (Relational.eventsMadOutliers _),
     "embed_hard_negatives" -> ((s: SparkSession, d: String) => Similarity.hardNegatives(s, d)),
     "events_trending_decay" -> ((s: SparkSession, d: String) =>
@@ -513,7 +515,9 @@ object SparkEntry {
     "dedup_bucket_refresh", "events_hampel_windowed",
     "events_level_shift", "orders_abc_classes", "text_ttr_curve",
     "embed_index_refresh", "events_seasonality_strength",
-    "text_burstiness", "orders_reorder_intervals")
+    "text_burstiness", "orders_reorder_intervals",
+    // round-11 additions:
+    "dedup_fp_refresh", "corpus_daily_increment")
 
   // --- generated DuckDB replicas of the portable-hash queries ----------
 
@@ -612,6 +616,81 @@ object SparkEntry {
        |    count(*) OVER (PARTITION BY doc_id ORDER BY pos
        |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS cnt
        |  FROM k)""".stripMargin
+
+  /** [[winnowCte]] without its `WITH ` prefix, for composing the winnow
+    * chain AFTER other CTE blocks in one WITH list. */
+  private def winnowChain(where: String = ""): String =
+    winnowCte(where).stripPrefix("WITH ")
+
+  /** The incremental-dedup ADMISSION CASCADE as a composable CTE block
+    * ending in `kept` (the new-slice docs that survive the exact md5
+    * gate and the capped-LSH near gate) — the replica shared by the IVM
+    * refresh oracles (`dedup_fp_refresh`, the `corpus_daily_increment`
+    * stages). Byte-for-byte the `dedup_incremental` chain, with the
+    * shingle CTEs prefixed `a_` so the block composes with the winnow
+    * chain (which owns ws/g/gr/k/m). */
+  private def admissionKeptCtes: String =
+    s"""bk0 AS (
+       |$minhashOracle),
+       |hot AS (SELECT band, bucket FROM bk0 GROUP BY 1, 2
+       |  HAVING count(*) > 1024),
+       |bk AS (SELECT * FROM bk0 WHERE NOT EXISTS (
+       |  SELECT 1 FROM hot h
+       |  WHERE h.band = bk0.band AND h.bucket = bk0.bucket)),
+       |ex AS (SELECT doc_id, md5(text) AS h FROM documents),
+       |exact AS (SELECT n.doc_id, min(c.doc_id) AS exact_of
+       |  FROM ex n JOIN ex c ON n.h = c.h AND c.doc_id % 10 >= 2
+       |  WHERE n.doc_id % 10 < 2 GROUP BY 1),
+       |cand AS (SELECT DISTINCT x.doc_id AS new_id, y.doc_id AS corp_id
+       |  FROM bk x JOIN bk y ON x.band = y.band AND x.bucket = y.bucket
+       |  WHERE x.doc_id % 10 < 2 AND y.doc_id % 10 >= 2),
+       |a_ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       |a_shs AS (SELECT doc_id, unnest(list_distinct(
+       |  [array_to_string(w[i:i+2], ' ') for i in range(1, len(w) - 1)])) AS s
+       |  FROM a_ws WHERE len(w) >= 3),
+       |a_szs AS (SELECT doc_id, count(*) AS n_sh FROM a_shs GROUP BY 1),
+       |ints AS (SELECT c.new_id, c.corp_id, count(*) AS n_int
+       |  FROM cand c JOIN a_shs p ON p.doc_id = c.new_id
+       |  JOIN a_shs q ON q.doc_id = c.corp_id AND p.s = q.s
+       |  GROUP BY 1, 2),
+       |near AS (SELECT i.new_id, min(i.corp_id) AS near_of
+       |  FROM ints i JOIN a_szs s1 ON s1.doc_id = i.new_id
+       |  JOIN a_szs s2 ON s2.doc_id = i.corp_id
+       |  WHERE i.n_int * 10 >= 7 * (s1.n_sh + s2.n_sh - i.n_int)
+       |  GROUP BY 1),
+       |kept AS (SELECT d.doc_id FROM documents d
+       |  LEFT JOIN exact e ON e.doc_id = d.doc_id
+       |  LEFT JOIN near nr ON nr.new_id = d.doc_id
+       |  WHERE d.doc_id % 10 < 2
+       |    AND e.exact_of IS NULL AND nr.near_of IS NULL)""".stripMargin
+
+  /** Fingerprint-table IVM oracle: the FULL winnow rebuild over
+    * corpus ∪ admitted — hash equality against the Spark side's
+    * existing ∪ delta union proves refresh ≡ rebuild (winnowing is
+    * per-document, so the union IS the rebuild). */
+  private def fpRefreshOracle: String =
+    s"""WITH $admissionKeptCtes,
+       |${winnowChain(
+           " WHERE doc_id % 10 >= 2 OR doc_id IN (SELECT doc_id FROM kept)")}
+       |SELECT DISTINCT doc_id, wmin // 32768 AS fp_hash
+       |FROM m WHERE cnt = 4""".stripMargin
+
+  /** Vector-index IVM replica (the FULL REBUILD over corpus ∪ admitted;
+    * admission = new×corpus bucket-collision + exact-cosine gate) —
+    * shared by the declared refresh query and the day-2 increment's
+    * `signatures_added` stage. */
+  private def embedIndexRefreshOracle: String =
+    s"""$lshSigCtes,
+       |dup AS (SELECT DISTINCT a.vec_id AS new_id
+       |  FROM sig a JOIN sig b ON a.lsh_bucket = b.lsh_bucket
+       |    AND a.vec_id % 10 < 2 AND b.vec_id % 10 >= 2
+       |  WHERE list_dot_product(a.emb, b.emb) /
+       |    (sqrt(list_dot_product(a.emb, a.emb)) *
+       |     sqrt(list_dot_product(b.emb, b.emb))) > 0.4)
+       |SELECT s.vec_id, em.label, s.lsh_bucket
+       |FROM sig s JOIN embeddings em ON s.vec_id = em.vec_id
+       |WHERE s.vec_id % 10 >= 2
+       |   OR s.vec_id NOT IN (SELECT new_id FROM dup)""".stripMargin
 
   /** Winnow-recall replica, parameterized by the calibration-slice
     * predicate (shared by the full and sliced declared queries —
@@ -2397,18 +2476,7 @@ object SparkEntry {
     // Vector-index IVM: oracle = the FULL REBUILD over corpus ∪
     // admitted (admission = the new×corpus bucket-collision +
     // exact-cosine gate); hash equality proves refresh ≡ rebuild.
-    "embed_index_refresh" ->
-      s"""$lshSigCtes,
-         |dup AS (SELECT DISTINCT a.vec_id AS new_id
-         |  FROM sig a JOIN sig b ON a.lsh_bucket = b.lsh_bucket
-         |    AND a.vec_id % 10 < 2 AND b.vec_id % 10 >= 2
-         |  WHERE list_dot_product(a.emb, b.emb) /
-         |    (sqrt(list_dot_product(a.emb, a.emb)) *
-         |     sqrt(list_dot_product(b.emb, b.emb))) > 0.4)
-         |SELECT s.vec_id, em.label, s.lsh_bucket
-         |FROM sig s JOIN embeddings em ON s.vec_id = em.vec_id
-         |WHERE s.vec_id % 10 >= 2
-         |   OR s.vec_id NOT IN (SELECT new_id FROM dup)""".stripMargin,
+    "embed_index_refresh" -> embedIndexRefreshOracle,
     "mm_decode_stats" -> mmDecodeOracle,
     // blake2b-512 has no DuckDB builtin: the oracle joins expected
     // digests generated by an INDEPENDENT implementation (Python
@@ -3766,6 +3834,48 @@ object SparkEntry {
          |SELECT doc_id, band, bucket FROM bk0
          |WHERE doc_id % 10 >= 2
          |   OR doc_id IN (SELECT doc_id FROM kept)""".stripMargin,
+    // Fingerprint-table IVM: oracle = FULL winnow rebuild over
+    // corpus ∪ admitted; Spark side = stored corpus fingerprints ∪ a
+    // delta pass over only the admitted slice. Hash equality proves
+    // refresh ≡ rebuild (completes the maintained-index trio).
+    "dedup_fp_refresh" -> fpRefreshOracle,
+    // Day-2 incremental integration: each stage's already-proven
+    // replica scoped in its own derived table (DuckDB allows WITH
+    // inside a derived table), counted. The edge delta counts
+    // fingerprint pairs with >= 3 shared fps and >= 1 admitted side
+    // over the refreshed table — corpus-corpus pair counts cannot
+    // change when docs are only added, so this IS the edge-list delta.
+    "corpus_daily_increment" ->
+      s"""SELECT stage, n FROM (
+         |SELECT 'docs_admitted' AS stage, CAST(count(*) AS BIGINT) AS n
+         |FROM (WITH $admissionKeptCtes SELECT doc_id FROM kept)
+         |UNION ALL
+         |SELECT 'buckets_added', CAST(count(*) AS BIGINT)
+         |FROM (WITH $admissionKeptCtes
+         |  SELECT b.doc_id FROM bk0 b JOIN kept k ON b.doc_id = k.doc_id)
+         |UNION ALL
+         |SELECT 'fingerprints_added', CAST(count(*) AS BIGINT)
+         |FROM (WITH $admissionKeptCtes,
+         |  ${winnowChain(" WHERE doc_id IN (SELECT doc_id FROM kept)")}
+         |  SELECT DISTINCT doc_id, wmin // 32768 AS fp_hash
+         |  FROM m WHERE cnt = 4)
+         |UNION ALL
+         |SELECT 'signatures_added', CAST(count(*) AS BIGINT)
+         |FROM ($embedIndexRefreshOracle) WHERE vec_id % 10 < 2
+         |UNION ALL
+         |SELECT 'edges_added', CAST(count(*) AS BIGINT)
+         |FROM (WITH $admissionKeptCtes,
+         |  ${winnowChain(
+              " WHERE doc_id % 10 >= 2 OR doc_id IN (SELECT doc_id FROM kept)")},
+         |  rf AS (SELECT DISTINCT doc_id, wmin // 32768 AS fp_hash
+         |    FROM m WHERE cnt = 4),
+         |  pe AS (SELECT DISTINCT least(a.doc_id, b.doc_id) AS id1,
+         |      greatest(a.doc_id, b.doc_id) AS id2, a.fp_hash
+         |    FROM rf a JOIN rf b ON a.fp_hash = b.fp_hash
+         |      AND a.doc_id <> b.doc_id
+         |    WHERE a.doc_id % 10 < 2)
+         |  SELECT id1, id2 FROM pe GROUP BY 1, 2 HAVING count(*) >= 3)
+         |) ORDER BY stage""".stripMargin,
     // Hampel median/MAD outliers: both medians are the DISCRETE lower
     // median — rank (cnt+1)//2 in (value, day) order — so every number
     // is an integer shared bit-for-bit (no interpolated percentile).
