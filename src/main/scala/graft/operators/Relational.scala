@@ -386,9 +386,16 @@ object Relational {
     * the rank window is PARTITIONED by event_type over the
     * (items × days)-bounded census, never over raw events. */
   def eventsTrendingDecay(spark: SparkSession, sfDir: String,
+      halfLifeDays: Long = 7, topK: Int = 10): DataFrame =
+    trendingDecayOf(Tables.events(spark, sfDir), halfLifeDays, topK)
+
+  /** Same, over a caller-supplied events slice — the prefix-restricted
+    * form the streaming-twin spec compares each closed anchor against
+    * (the [[TextAnalysis.winnowFingerprints]] factoring discipline). */
+  def trendingDecayOf(events: DataFrame,
       halfLifeDays: Long = 7, topK: Int = 10): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val daily = Tables.events(spark, sfDir)
+    val daily = events
       .select(col("event_type"),
         get_json_object(col("props"), "$.k").cast("long").as("item"),
         expr("unix_micros(ts) DIV 86400000000").as("day"))

@@ -663,6 +663,123 @@ object StreamSources {
         hampelUpdate(windowDays, (_, _) => late.add(1L)))
   }
 
+  /** State transition of the STREAMING decayed-trending monitor — the
+    * live twin of [[graft.operators.Relational.eventsTrendingDecay]]
+    * (the last monitor-family member without one, round-10 verdict
+    * item #6). Key = event_type (top-K ranking needs all of a type's
+    * items together — the same per-type shape as any ranked monitor;
+    * sharding would go by (type, item-salt) with a downstream top-K
+    * merge). Input = the closed (event_type, item, day, n) daily
+    * census.
+    *
+    * The integer half-life weight `1e6 >> ((anchor−day) DIV hl)`
+    * RE-ANCHORS as days advance, and a shifted SUM cannot be rescaled
+    * exactly (n·(w>>1) ≠ (n·w)>>1 for odd w, and a non-multiple-of-7
+    * anchor move shifts different days by different amounts), so the
+    * exact bounded state is the per-(item, day) count inside the decay
+    * HORIZON: the weight is exactly 0 once (anchor−day) DIV hl ≥ 20
+    * (1e6 < 2^20), so days older than 20·hl are dropped — zero
+    * approximation, ≤ 20·hl (day, n) pairs per live item, plus one
+    * all-time total per item (`n_events` in the batch output counts
+    * ALL days). State layout:
+    * [anchor, (item, total, m, (day, n)×m)×items].
+    *
+    * Emission contract (the [[hampelUpdate]] window-close shape): when
+    * a day LATER than the current anchor arrives, the top-K table AS OF
+    * the old anchor is final — emit it, advance the anchor, prune the
+    * horizon. Each emitted (anchor) block equals the batch query over
+    * the prefix day ≤ anchor bit-for-bit (spec-pinned across
+    * micro-batch boundaries). Late days (day < anchor) are counted via
+    * `onLateDrop`, never silently swallowed. */
+  def trendingUpdate(halfLifeDays: Int = 7, topK: Int = 10,
+      onLateDrop: (String, Long) => Unit = (_, _) => ())(key: String,
+      rows: Iterator[(String, Long, Long, Long)],
+      state: GroupState[Array[Long]])
+      : Iterator[(String, Long, Long, Long, Long, Long)] = {
+    val horizon = 20L * halfLifeDays
+    var anchor = Long.MinValue
+    // item -> (all-time total, day -> n inside horizon); insertion
+    // order is irrelevant — emission sorts, state encoding is stable
+    val items = scala.collection.mutable.LinkedHashMap
+      .empty[Long, (Long, scala.collection.mutable.TreeMap[Long, Long])]
+    state.getOption.foreach { a =>
+      anchor = a(0)
+      var i = 1
+      while (i < a.length) {
+        val m = a(i + 2).toInt
+        val days = scala.collection.mutable.TreeMap.empty[Long, Long]
+        var j = 0
+        while (j < m) { days(a(i + 3 + 2 * j)) = a(i + 4 + 2 * j); j += 1 }
+        items(a(i)) = (a(i + 1), days)
+        i += 3 + 2 * m
+      }
+    }
+    val out = scala.collection.mutable.ArrayBuffer
+      .empty[(String, Long, Long, Long, Long, Long)]
+    def emitTopK(a: Long): Unit = {
+      val ranked = items.toSeq.map { case (item, (total, days)) =>
+        // every retained day has (a−d) DIV hl < 20 by the horizon
+        // prune, so the shift is a true decay (no 64-bit wrap)
+        val score = days.iterator
+          .map { case (d, n) => n * (1000000L >> ((a - d) / halfLifeDays).toInt) }
+          .sum
+        (item, score, total)
+      }.sortBy { case (item, score, _) => (-score, item) }.take(topK)
+      ranked.zipWithIndex.foreach { case ((item, score, total), i) =>
+        out += ((key, a, (i + 1).toLong, item, score, total))
+      }
+    }
+    rows.toSeq.sortBy(r => (r._3, r._2)).foreach { case (et, item, day, n) =>
+      if (anchor == Long.MinValue) anchor = day
+      if (day < anchor) onLateDrop(et, day)
+      else {
+        if (day > anchor) {
+          emitTopK(anchor)
+          anchor = day
+          items.foreachEntry { case (_, (_, days)) =>
+            days.filterInPlace((d, _) => anchor - d < horizon)
+          }
+        }
+        val (total, days) = items.getOrElse(item,
+          (0L, scala.collection.mutable.TreeMap.empty[Long, Long]))
+        days(day) = days.getOrElse(day, 0L) + n
+        items(item) = (total + n, days)
+      }
+    }
+    state.update(Array(anchor) ++ items.toArray.flatMap {
+      case (item, (total, days)) =>
+        Array(item, total, days.size.toLong) ++
+          days.toArray.flatMap(p => Array(p._1, p._2))
+    })
+    out.iterator
+  }
+
+  /** The streaming decayed-trending top-K feed over the closed
+    * (event_type, item, day, n) daily census: bounded state
+    * (per item one all-time total + ≤ 20·halfLife in-horizon day
+    * counts), append mode — emits a type's final top-K table as its
+    * anchor day closes, bit-identical to the batch monitor over the
+    * same prefix. Ordering-contract violations count into the
+    * `trending_late_dropped` accumulator (the [[hampelMonitorStream]]
+    * discipline). */
+  def trendingTopkStream(daily: Dataset[(String, Long, Long, Long)],
+      halfLifeDays: Int = 7, topK: Int = 10)
+      : Dataset[(String, Long, Long, Long, Long, Long)] = {
+    implicit val stateEnc: org.apache.spark.sql.Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+    implicit val outEnc: org.apache.spark.sql.Encoder[
+        (String, Long, Long, Long, Long, Long)] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[
+        (String, Long, Long, Long, Long, Long)]()
+    val late = daily.sparkSession.sparkContext
+      .longAccumulator("trending_late_dropped")
+    daily.groupByKey(_._1)(org.apache.spark.sql.Encoders.STRING)
+      .flatMapGroupsWithState[Array[Long],
+        (String, Long, Long, Long, Long, Long)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        trendingUpdate(halfLifeDays, topK, (_, _) => late.add(1L)))
+  }
+
   /** State transition of the STREAMING transition-bigram feed — the
     * live twin of [[graft.operators.Relational.eventsTransitionMatrix]]:
     * per user, every event after the first emits its

@@ -593,6 +593,37 @@ class StreamSubstrateSpec extends AnyFunSuite {
     assert(rows.count(_._2 == 500L) == 1)
   }
 
+  test("streaming trending-decay end-to-end: top-K emits as each anchor closes") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, Long, Long, Long)]
+    val q = StreamSources.trendingTopkStream(input.toDS(), halfLifeDays = 7, topK = 2)
+      .toDF("event_type", "anchor_day", "rank", "item", "score_micro", "n_events")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("trending_out").start()
+    // day 0: items 1 (n=5) and 2 (n=3) — nothing emits while day 0 is open
+    input.addData(("a", 1L, 0L, 5L), ("a", 2L, 0L, 3L))
+    q.processAllAvailable()
+    assert(spark.sql("select * from trending_out").count() == 0,
+      "an open anchor must not emit")
+    // day 8 closes day 0 → top-2 as of day 0: item1 5e6, item2 3e6
+    input.addData(("a", 2L, 8L, 10L))
+    q.processAllAvailable()
+    val d0 = spark.sql("select * from trending_out").collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+      .sortBy(_._2)
+    assert(d0.toSeq == Seq((0L, 1L, 1L, 5000000L, 5L), (0L, 2L, 2L, 3000000L, 3L)))
+    // day 9 closes day 8: age(day0)=8 → one half-life → weight 500000;
+    // item2 = 10*1e6 + 3*500000 = 11.5e6 overtakes item1 = 5*500000
+    input.addData(("a", 1L, 9L, 1L))
+    q.processAllAvailable()
+    val d8 = spark.sql("select * from trending_out").collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+      .filter(_._1 == 8L).sortBy(_._2)
+    q.stop()
+    assert(d8.toSeq == Seq((8L, 1L, 2L, 11500000L, 13L), (8L, 2L, 1L, 2500000L, 5L)),
+      s"re-anchored weights must decay the stale item: ${d8.toSeq}")
+  }
+
   test("streaming gap monitor: emitted holes recompose the batch gap census") {
     import org.apache.spark.sql.streaming.TestGroupState
     val sfDir = graft.TestSpark.sfDir
@@ -805,6 +836,63 @@ class StreamSubstrateSpec extends AnyFunSuite {
     }
     assert(emitted.toSet == expected,
       "closed streaming windows must reproduce the batch windowed Hampel rows exactly")
+  }
+
+  test("streaming trending-decay: every closed anchor equals the batch monitor on its prefix") {
+    import org.apache.spark.sql.streaming.TestGroupState
+    val dayExpr = expr("unix_micros(ts) DIV 86400000000")
+    val census = graft.Tables.events(spark, graft.TestSpark.sfDir)
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("item"),
+        dayExpr.as("day"))
+      .groupBy(col("event_type"), col("item"), col("day"))
+      .agg(count(lit(1)).as("n"))
+      .as[(String, Long, Long, Long)].collect().toSeq
+    val types = census.map(_._1).distinct.sorted
+    assert(types.nonEmpty)
+    val emitted = scala.collection.mutable.Map
+      .empty[(String, Long), Seq[(String, Long, Long, Long, Long, Long)]]
+    types.foreach { et =>
+      val rows = census.filter(_._1 == et).sortBy(r => (r._3, r._2))
+      val maxDay = rows.map(_._3).max
+      val nItems = rows.map(_._2).distinct.size
+      // n=0 sentinel one day past the end closes the final anchor
+      val withFlush = rows :+ ((et, -1L, maxDay + 1L, 0L))
+      var stateValue: Option[Array[Long]] = None
+      val got = scala.collection.mutable.ArrayBuffer
+        .empty[(String, Long, Long, Long, Long, Long)]
+      // replay in 4 chunks: micro-batch boundaries land mid-anchor
+      withFlush.grouped(math.max(1, withFlush.length / 4 + 1)).foreach { chunk =>
+        val st = TestGroupState.create[Array[Long]](
+          optionalState = stateValue.map(org.apache.spark.api.java.Optional.of[Array[Long]])
+            .getOrElse(org.apache.spark.api.java.Optional.empty[Array[Long]]()),
+          timeoutConf = org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout,
+          batchProcessingTimeMs = 1000L,
+          eventTimeWatermarkMs = org.apache.spark.api.java.Optional.empty[Long](),
+          hasTimedOut = false)
+        got ++= StreamSources.trendingUpdate()(et, chunk.iterator, st)
+        stateValue = Some(st.get)
+        assert(st.get.length <= 1 + (nItems + 1) * (3 + 2 * 140),
+          "state must stay bounded: per item one total + in-horizon day counts")
+      }
+      got.groupBy(r => (r._1, r._2)).foreach { case (k, v) => emitted(k) = v.toSeq }
+    }
+    types.foreach { et =>
+      val anchors = emitted.keys.collect { case (t, a) if t == et => a }.toSeq.sorted
+      assert(anchors.nonEmpty, s"type $et must close at least one anchor")
+      Seq(anchors.head, anchors(anchors.size / 2), anchors.last).distinct.foreach { a =>
+        val batch = graft.operators.Relational.trendingDecayOf(
+            graft.Tables.events(spark, graft.TestSpark.sfDir)
+              .filter(col("event_type") === et && dayExpr <= a))
+          .collect()
+          .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+            r.getLong(3), r.getLong(4))).toSet
+        val stream = emitted((et, a))
+          .map(t => (t._1, t._3, t._4, t._5, t._6)).toSet
+        assert(stream == batch,
+          s"closed anchor must equal the batch prefix: type=$et anchor=$a")
+      }
+    }
   }
 
   test("hampelUpdate counts contract-violating late days instead of silent drops") {
