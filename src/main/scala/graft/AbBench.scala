@@ -34,7 +34,42 @@ object AbBench {
     "skip_workload_zonemaps_h" ->
       (() => operators.Substrate.zoneMapsBench(spark, sfDir, "hilbert")),
     "skip_workload_zonemaps_lin" ->
-      (() => operators.Substrate.zoneMapsBench(spark, sfDir, "linear")))
+      (() => operators.Substrate.zoneMapsBench(spark, sfDir, "linear")),
+    "lp_pairs_build" ->
+      (() => operators.Dedup.winnowSharedPairsAll(spark, sfDir, minShared = 1)),
+    "lp_full" ->
+      (() => operators.GraphOps.linkPrediction(spark, sfDir)),
+    "lp_wedge_raw" -> { () =>
+      import org.apache.spark.sql.functions._
+      val pairs = operators.Dedup
+        .winnowSharedPairsAll(spark, sfDir, minShared = 1)
+        .select(col("id1"), col("id2")).localCheckpoint()
+      val und = pairs.union(
+        pairs.select(col("id2").as("id1"), col("id1").as("id2")))
+      val deg = und.groupBy(col("id1")).agg(count(lit(1)).as("deg"))
+      val mids = und.select(col("id2").as("w"), col("id1").as("u"))
+        .join(deg.select(col("id1").as("w"), col("deg")), Seq("w"))
+        .filter(col("deg") >= 2 && col("deg") <= 4096)
+        .select(col("w"), col("u"), col("deg")).localCheckpoint(eager = false)
+      mids.join(mids.select(col("w"), col("u").as("v")), Seq("w"))
+        .filter(col("u") < col("v"))
+    },
+    "lp_wedge_agg" -> { () =>
+      import org.apache.spark.sql.functions._
+      val pairs = operators.Dedup
+        .winnowSharedPairsAll(spark, sfDir, minShared = 1)
+        .select(col("id1"), col("id2")).localCheckpoint()
+      val und = pairs.union(
+        pairs.select(col("id2").as("id1"), col("id1").as("id2")))
+      val deg = und.groupBy(col("id1")).agg(count(lit(1)).as("deg"))
+      val mids = und.select(col("id2").as("w"), col("id1").as("u"))
+        .join(deg.select(col("id1").as("w"), col("deg")), Seq("w"))
+        .filter(col("deg") >= 2 && col("deg") <= 4096)
+        .select(col("w"), col("u"), col("deg")).localCheckpoint(eager = false)
+      mids.join(mids.select(col("w"), col("u").as("v")), Seq("w"))
+        .filter(col("u") < col("v"))
+        .groupBy(col("u"), col("v")).agg(count(lit(1)).as("n"))
+    })
 
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)

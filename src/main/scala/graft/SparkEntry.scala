@@ -201,6 +201,9 @@ object SparkEntry {
     "embed_kcenter_coreset" -> ((s: SparkSession, d: String) =>
       Similarity.kcenterCoreset(s, d)),
     "graph_triangles" -> (GraphOps.triangleCounts _),
+    "graph_link_prediction" -> ((s: SparkSession, d: String) =>
+      GraphOps.linkPrediction(s, d)),
+    "embed_silhouette" -> (Similarity.silhouetteSimplified _),
     "text_zipf_fit" -> ((s: SparkSession, d: String) => TextAnalysis.zipfFit(s, d)),
     "text_hapax_ratio" -> (TextAnalysis.hapaxRatio _),
     "events_dow_profile" -> (Relational.eventsDowProfile _),
@@ -517,7 +520,8 @@ object SparkEntry {
     "embed_index_refresh", "events_seasonality_strength",
     "text_burstiness", "orders_reorder_intervals",
     // round-11 additions:
-    "dedup_fp_refresh", "corpus_daily_increment")
+    "dedup_fp_refresh", "corpus_daily_increment", "graph_link_prediction",
+    "embed_silhouette")
 
   // --- generated DuckDB replicas of the portable-hash queries ----------
 
@@ -2384,6 +2388,35 @@ object SparkEntry {
         |FROM fp a JOIN fp b ON a.fp_hash = b.fp_hash AND a.doc_id < b.doc_id
         |GROUP BY 1, 2 HAVING count(*) >= 3""".stripMargin,
     "graph_pagerank_neardup" -> pagerankOracle(),
+    // Adamic–Adar replica: same winnow edge list, same integer-micro
+    // portable log2 weight (1e12 // plog2micro(deg)), wedge-join
+    // candidates, existing edges excluded, total-order top-20.
+    "graph_link_prediction" -> {
+      val plogDeg = graft.operators.TextAnalysis.plog2MicroDuck("dg.deg")
+      s"""${winnowCte()},
+         |fp AS (SELECT DISTINCT doc_id, wmin // 32768 AS fp_hash
+         |  FROM m WHERE cnt = 4),
+         |p AS MATERIALIZED (SELECT a.doc_id AS id1, b.doc_id AS id2
+         |  FROM fp a JOIN fp b ON a.fp_hash = b.fp_hash AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2 HAVING count(*) >= 1),
+         |e AS (SELECT id1 AS src, id2 AS dst FROM p
+         |  UNION ALL SELECT id2, id1 FROM p),
+         |dg AS (SELECT src, count(*) AS deg FROM e GROUP BY 1),
+         |mids AS (SELECT e.dst AS w, e.src AS u,
+         |    1000000000000 // ($plogDeg) AS aa_micro
+         |  FROM e JOIN dg ON e.dst = dg.src
+         |  WHERE dg.deg BETWEEN 2 AND 4096),
+         |w2 AS (SELECT a.u AS u, b.u AS v, a.aa_micro
+         |  FROM mids a JOIN mids b ON a.w = b.w AND a.u < b.u),
+         |sc AS (SELECT u AS id1, v AS id2,
+         |    CAST(count(*) AS BIGINT) AS n_common,
+         |    CAST(sum(aa_micro) AS BIGINT) AS score_micro
+         |  FROM w2 GROUP BY 1, 2),
+         |nl AS (SELECT sc.* FROM sc WHERE NOT EXISTS (
+         |  SELECT 1 FROM p WHERE p.id1 = sc.id1 AND p.id2 = sc.id2))
+         |SELECT id1, id2, n_common, score_micro FROM nl
+         |ORDER BY score_micro DESC, id1, id2 LIMIT 20""".stripMargin
+    },
     // Composes the winnow CTE chain (candidates) with the exact
     // shingle-Jaccard chain (truth) over the SHARED ws CTE; the
     // threshold test is integer cross-multiplied like the Spark side.
@@ -2459,6 +2492,40 @@ object SparkEntry {
         |  floor((dist2) * 10000 + 0.5) / 10000 AS dist2
         |FROM r WHERE rank <= 10""".stripMargin,
     "ann_ivf_kmeans_topk" -> ivfKmeansOracle,
+    // Simplified silhouette: DECIMAL(38,30) centroid means, index-order
+    // dist2 folds, one-division x4 ratio floored BEFORE aggregation,
+    // sign-safe DIV for the mean — every reported number an integer.
+    "embed_silhouette" ->
+      """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS emb FROM embeddings),
+        |ex AS (SELECT label, unnest(emb) AS x,
+        |    generate_subscripts(emb, 1) AS pos FROM e),
+        |m AS (SELECT label, pos,
+        |    sum(CAST(x AS DECIMAL(38,30)))::DOUBLE / count(*) AS m
+        |  FROM ex GROUP BY 1, 2),
+        |c AS (SELECT label AS clabel, list(m ORDER BY pos) AS c FROM m GROUP BY 1),
+        |d0 AS (SELECT e.vec_id, e.label, c.clabel,
+        |    [e.emb[i] - c.c[i] for i in range(1, len(e.emb) + 1)] AS diff
+        |  FROM e CROSS JOIN c),
+        |d AS (SELECT vec_id, label, clabel,
+        |    list_dot_product(diff, diff) AS dist2 FROM d0),
+        |own AS (SELECT vec_id, label, dist2 AS a2 FROM d WHERE label = clabel),
+        |oth AS (SELECT vec_id, min(dist2) AS b2 FROM d
+        |  WHERE label <> clabel GROUP BY 1),
+        |s AS (SELECT o.vec_id, o.label,
+        |    CASE WHEN greatest(o.a2, t.b2) > 0
+        |      THEN CAST(floor((t.b2 - o.a2) / greatest(o.a2, t.b2) * 10000 + 0.5)
+        |        AS BIGINT)
+        |      ELSE 0 END AS s_x4
+        |  FROM own o JOIN oth t USING (vec_id))
+        |SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
+        |  CASE WHEN sum(s_x4) >= 0
+        |    THEN CAST(sum(s_x4) AS BIGINT) // count(*)
+        |    ELSE -(CAST(-sum(s_x4) AS BIGINT) // count(*)) END AS mean_s_x4,
+        |  CAST(min(s_x4) AS BIGINT) AS min_s_x4,
+        |  CAST(max(s_x4) AS BIGINT) AS max_s_x4,
+        |  CAST(sum(CASE WHEN s_x4 < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_negative
+        |FROM s GROUP BY label
+        |ORDER BY label""".stripMargin,
     // Same distinct-3-gram shingles as the dedup family; eval set =
     // doc_id < 20, contamination = >= 3 shared shingles.
     "corpus_decontaminate" ->

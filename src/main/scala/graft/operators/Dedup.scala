@@ -529,10 +529,26 @@ object Dedup {
   def dailyIncrement(spark: SparkSession, sfDir: String): DataFrame = {
     def stage(name: String, df: DataFrame): DataFrame =
       df.agg(count(lit(1)).as("n")).select(lit(name).as("stage"), col("n"))
-    val isNewDoc = col("doc_id") % 10 < 2
-    val refreshedFp = fpRefresh(spark, sfDir).localCheckpoint(eager = false)
+    val docs = Tables.documents(spark, sfDir)
+    val isNew = col("doc_id") % 10 < 2
+    // ONE admission-cascade evaluation feeds every doc-side stage (the
+    // nightly job's real shape: the cascade output is a table, not a
+    // subquery re-run per consumer) — eagerly checkpointed, 3 consumers
+    val admitted = incrementalDedup(spark, sfDir)
+      .filter(col("outcome") === "kept").select(col("doc_id"))
+      .localCheckpoint()
+    val newDocs = docs.join(admitted, Seq("doc_id"), "left_semi")
+    val bucketsDelta = bandSignature(minhashSignaturesOf(newDocs))
+    val fpDelta = TextAnalysis.winnowFingerprints(newDocs, 4)
+      .select(col("doc_id"), col("fp_hash")).distinct()
+      .localCheckpoint(eager = false) // stage count + refreshed union
+    val refreshedFp = TextAnalysis
+      .winnowFingerprints(docs.filter(!isNew), 4)
+      .select(col("doc_id"), col("fp_hash")).distinct()
+      .unionByName(fpDelta)
+      .localCheckpoint(eager = false) // both sides of the edge join
     val capped = capHotKeys(refreshedFp, Seq("fp_hash"), 4096)
-    val edges = capped.filter(isNewDoc)
+    val edges = capped.filter(isNew)
       .select(col("fp_hash"), col("doc_id").as("ida"))
       .join(capped.select(col("fp_hash").as("h2"), col("doc_id").as("idb")),
         col("fp_hash") === col("h2") && col("ida") =!= col("idb"))
@@ -541,12 +557,10 @@ object Dedup {
       .distinct() // both-admitted pairs arrive once per side
       .groupBy(col("id1"), col("id2")).agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= 3)
-    stage("docs_admitted", incrementalDedup(spark, sfDir)
-        .filter(col("outcome") === "kept"))
-      .unionByName(stage("buckets_added",
-        bucketRefresh(spark, sfDir).filter(isNewDoc)))
+    stage("docs_admitted", admitted)
+      .unionByName(stage("buckets_added", bucketsDelta))
       .unionByName(stage("edges_added", edges))
-      .unionByName(stage("fingerprints_added", refreshedFp.filter(isNewDoc)))
+      .unionByName(stage("fingerprints_added", fpDelta))
       .unionByName(stage("signatures_added",
         Similarity.indexRefresh(spark, sfDir).filter(col("vec_id") % 10 < 2)))
       .orderBy(col("stage"))

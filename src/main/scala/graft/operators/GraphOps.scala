@@ -199,6 +199,72 @@ object GraphOps {
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_triangles"))
   }
 
+  /** ADAMIC–ADAR LINK PREDICTION over the near-dup graph — the
+    * missing-edge auditor for a 100 TB dedup run: a pair of documents
+    * with many LOW-DEGREE common near-dup neighbors but no direct edge
+    * is overwhelmingly a near-dup pair the fingerprint stage missed
+    * (fingerprint sparsity, truncation) — exactly the pairs a release
+    * wants re-verified. Score = Σ_w 1/log2(deg w) over common
+    * neighbors w (Adamic–Adar 2003), computed in EXACT integer
+    * micro-units: 1e12 DIV plog2Micro(deg) — the engine-portable
+    * binary-length log ([[TextAnalysis.plog2MicroSql]]), so both
+    * engines sum identical longs (no libm). A common neighbor has
+    * degree ≥ 2, so the divisor is ≥ 1e6 — never zero.
+    *
+    * Scale shape: candidates come from the WEDGE join (arcs ⋈ arcs on
+    * the middle node) — Σ deg(w)² work, the triangle-count bound, NOT
+    * the pair space; hub middles (deg > `maxHubDeg`) are excluded from
+    * wedge generation with [[Dedup.oversizedKeys]] as the alert
+    * channel (a boilerplate hub connecting 10⁵ docs contributes ~0 per
+    * AA weight yet 10¹⁰ wedges — cap, don't melt; default cap far
+    * above any test-SF degree so the oracle is unaffected). Existing
+    * edges drop via one anti-join against the materialized edge list;
+    * ranking is the usual total-order top-k boundary.
+    *
+    * Graph choice: the ≥ 3-shared-fingerprint edge list is a union of
+    * near-cliques (every 2-hop pair is already an edge — zero open
+    * wedges at every test SF), so prediction runs on the ≥ 1-shared
+    * CANDIDATE graph, where an open wedge is two docs that each share
+    * a fingerprint with a common template but not (yet) with each
+    * other — exactly the recall frontier. At 100 TB the fingerprint
+    * table behind it is the stored index of the refresh family
+    * ([[Dedup.fpRefresh]]), not a rebuild. */
+  def linkPrediction(spark: SparkSession, sfDir: String, k: Int = 20,
+      maxHubDeg: Int = 4096): DataFrame = {
+    // the candidate-graph build feeds FIVE subtrees (both wedge sides,
+    // the degree census, and the closing anti-join) — checkpoint it
+    // once or the fingerprint pair join re-executes per consumer (the
+    // round-9 build-once lesson; measured 17 s → 6 s at sf0.1)
+    val pairs = Dedup.winnowSharedPairsAll(spark, sfDir, minShared = 1)
+      .select(col("id1"), col("id2"))
+      .localCheckpoint()
+    val und = pairs.union(
+      pairs.select(col("id2").as("id1"), col("id1").as("id2")))
+    val deg = und.groupBy(col("id1")).agg(count(lit(1)).as("deg"))
+    // wedge middles: every undirected arc annotated with its MIDDLE
+    // node degree; hubs excluded from candidate generation only
+    val mids = und.select(col("id2").as("w"), col("id1").as("u"))
+      .join(deg.select(col("id1").as("w"), col("deg")), Seq("w"))
+      // deg-1 middles can't close a wedge, and their plog2(1) = 0
+      // would divide by zero under ANSI — drop before the weight
+      .filter(col("deg") >= 2 && col("deg") <= maxHubDeg)
+      .select(col("w"), col("u"),
+        expr(s"1000000000000 DIV (${
+          graft.operators.TextAnalysis.plog2MicroSql("deg")})").as("aa_micro"))
+      .localCheckpoint(eager = false) // both sides of the wedge join
+    val wedge = mids.select(col("w"), col("u"), col("aa_micro"))
+      .join(mids.select(col("w"), col("u").as("v")), Seq("w"))
+      .filter(col("u") < col("v"))
+    val scored = wedge
+      .groupBy(col("u").as("id1"), col("v").as("id2"))
+      .agg(count(lit(1)).as("n_common"), sum(col("aa_micro")).as("score_micro"))
+      .join(pairs, Seq("id1", "id2"), "left_anti") // predicted, not present
+    scored
+      .orderBy(col("score_micro").desc, col("id1"), col("id2"))
+      .limit(k)
+      .select(col("id1"), col("id2"), col("n_common"), col("score_micro"))
+  }
+
   /** K-CORE MEMBERSHIP (k = 3) over the winnow near-dup graph — the
     * density census completing the graph family: [[triangleCounts]]
     * finds LOCAL cliques, the 3-core finds the maximal subgraph where

@@ -517,6 +517,64 @@ object Similarity {
         PortableRound.pround(col("dist2"), 4).as("dist2"))
   }
 
+  /** SIMPLIFIED SILHOUETTE per label cluster — the clustering-quality
+    * audit (Kaufman–Rousseeuw's silhouette with the O(n²) pairwise
+    * terms replaced by centroid distances, the standard large-n form):
+    * a(i) = squared distance to the OWN label centroid, b(i) = min
+    * squared distance to any OTHER label centroid,
+    * s(i) = (b−a)/max(a,b) ∈ [−1, 1]. Reported per label: member
+    * count, mean/min/max silhouette in exact x4 integer units, and the
+    * count of NEGATIVE-silhouette members (points sitting closer to a
+    * foreign centroid — the would-be reassignments). The audit that
+    * says whether the `label` partition is worth using as a dedup/
+    * sampling stratification before a 100 TB pass.
+    *
+    * Oracle parity: centroid means are exact DECIMAL(38,30) sums (the
+    * [[centroidOutliers]] discipline); dist2 is the index-order fold
+    * both engines share; the per-row ratio is ONE division + ONE
+    * multiply in fixed order, floored to x4 integers before any
+    * aggregation, and the mean uses the sign-safe DIV (negative sums
+    * truncate toward zero identically on both engines).
+    *
+    * Scale shape: ONE narrow corpus scan against a broadcast
+    * |labels|·dims centroid table (the per-vector work is |labels|
+    * distance folds — at k-means scale swap in the IVF nprobe
+    * assignment); one vec-keyed min-shuffle; output is |labels| rows. */
+  def silhouetteSimplified(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.plans.L2Distance.register(spark)
+    val emb = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("label"),
+        col("embedding").cast("array<double>").as("e"))
+    val ex = emb.select(col("label"), posexplode(col("e")).as(Seq("pos", "x")))
+    val cent = ex.groupBy(col("label"), col("pos"))
+      .agg((sum(col("x").cast("decimal(38,30)")).cast("double") /
+        count(lit(1))).as("m"))
+      .groupBy(col("label"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+      .select(col("label").as("clabel"),
+        transform(col("pm"), s => s.getField("m")).as("c"))
+    val d = emb.crossJoin(broadcast(cent))
+      .withColumn("dist2", l2d2(col("e"), col("c")))
+    val own = d.filter(col("label") === col("clabel"))
+      .select(col("vec_id"), col("label"), col("dist2").as("a2"))
+    val oth = d.filter(col("label") =!= col("clabel"))
+      .groupBy(col("vec_id")).agg(min(col("dist2")).as("b2"))
+    val s = own.join(oth, Seq("vec_id"))
+      .withColumn("s_x4", expr(
+        """CASE WHEN greatest(a2, b2) > 0
+          |THEN CAST(floor((b2 - a2) / greatest(a2, b2) * 10000 + 0.5) AS BIGINT)
+          |ELSE 0L END""".stripMargin))
+    s.groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vecs"), sum(col("s_x4")).as("ssum"),
+        min(col("s_x4")).as("min_s_x4"), max(col("s_x4")).as("max_s_x4"),
+        sum(when(col("s_x4") < 0, 1L).otherwise(0L)).as("n_negative"))
+      .select(col("label"), col("n_vecs"),
+        expr("""CASE WHEN ssum >= 0 THEN ssum DIV n_vecs
+                |ELSE -((-ssum) DIV n_vecs) END""".stripMargin).as("mean_s_x4"),
+        col("min_s_x4"), col("max_s_x4"), col("n_negative"))
+      .orderBy(col("label"))
+  }
+
   /** Int8 scalar quantization of the embedding column — the memory-
     * compression step an ANN index runs before serving (4× smaller than
     * float32, 8× than the double working form). Per-vector max-abs

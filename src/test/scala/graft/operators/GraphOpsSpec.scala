@@ -60,4 +60,83 @@ class GraphOpsSpec extends AnyFunSuite {
     (100L to 103L).foreach(i => assert(got(i) == 100L, s"cycle node $i"))
     assert(got(200L) == 200L && got(201L) == 201L, "singletons label themselves")
   }
+
+  test("Adamic–Adar link prediction matches a brute-force recount") {
+    val edges = Dedup.winnowSharedPairsAll(spark, sfDir, minShared = 1)
+      .select(col("id1"), col("id2")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val nbrs = scala.collection.mutable.Map
+      .empty[Long, scala.collection.mutable.Set[Long]]
+    edges.foreach { case (a, b) =>
+      nbrs.getOrElseUpdate(a, scala.collection.mutable.Set.empty) += b
+      nbrs.getOrElseUpdate(b, scala.collection.mutable.Set.empty) += a
+    }
+    val edgeSet = edges.map { case (a, b) => (a.min(b), a.max(b)) }.toSet
+    // brute force: every node pair with >=1 common neighbor of deg>=2
+    val scored = scala.collection.mutable.Map.empty[(Long, Long), (Long, Long)]
+    nbrs.foreach { case (w, ns) =>
+      val d = ns.size.toLong
+      if (d >= 2 && d <= 4096) {
+        val aa = 1000000000000L / ImageCodec.plog2MicroJvm(d)
+        val sorted = ns.toSeq.sorted
+        for (i <- sorted.indices; j <- (i + 1) until sorted.size) {
+          val key = (sorted(i), sorted(j))
+          val (n0, s0) = scored.getOrElse(key, (0L, 0L))
+          scored(key) = (n0 + 1, s0 + aa)
+        }
+      }
+    }
+    val expected = scored.toSeq
+      .filter { case (k, _) => !edgeSet.contains(k) }
+      .map { case ((a, b), (n, s)) => (a, b, n, s) }
+      .sortBy { case (a, b, _, s) => (-s, a, b) }.take(20)
+    val got = GraphOps.linkPrediction(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == expected, s"got=$got\nexpected=$expected")
+    assert(got.nonEmpty, "the >=1-shared graph must have open wedges")
+    got.foreach { case (a, b, _, _) =>
+      assert(!edgeSet.contains((a, b)), "predicted pairs must not be edges")
+    }
+  }
+
+  test("simplified silhouette matches a brute-force recount") {
+    val vecs = graft.Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("label"),
+        col("embedding").cast("array<double>"))
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1),
+        r.getSeq[Double](2).toArray))
+    // exact decimal centroid means, like the operator
+    val cents = vecs.groupBy(_._2).map { case (lab, vs) =>
+      val dims = vs.head._3.length
+      // exact decimal SUM, then double division — the operator's
+      // sum(decimal).cast(double) / count order exactly
+      lab -> Array.tabulate(dims) { d =>
+        vs.map(v => BigDecimal(v._3(d))).sum.toDouble / vs.length
+      }
+    }
+    def dist2(a: Array[Double], c: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { val d = a(i) - c(i); s += d * d; i += 1 }
+      s
+    }
+    val sx4 = vecs.map { case (id, lab, e) =>
+      val a2 = dist2(e, cents(lab))
+      val b2 = cents.filter(_._1 != lab).map(c => dist2(e, c._2)).min
+      val s = if (math.max(a2, b2) > 0)
+        math.floor((b2 - a2) / math.max(a2, b2) * 10000 + 0.5).toLong else 0L
+      (lab, s)
+    }
+    val expected = sx4.groupBy(_._1).map { case (lab, ss) =>
+      val sum = ss.map(_._2).sum; val n = ss.length.toLong
+      val mean = if (sum >= 0) sum / n else -((-sum) / n)
+      (lab, n, mean, ss.map(_._2).min, ss.map(_._2).max,
+        ss.count(_._2 < 0).toLong)
+    }.toSet
+    val got = Similarity.silhouetteSimplified(spark, sfDir).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSet
+    assert(got == expected)
+    assert(got.nonEmpty)
+  }
 }
