@@ -38,7 +38,8 @@ object Bench {
     * hit the rebuilt memo. */
   val coldStartFamilies: Map[String, String] = Map(
     "graph_edges_build" -> graft.operators.Dedup.EdgesFamily,
-    "dedup_lsh_verified_pairs" -> graft.operators.Similarity.LshPairsFamily)
+    "dedup_lsh_verified_pairs" -> graft.operators.Similarity.LshPairsFamily,
+    "graph_candidates_build" -> graft.operators.GraphOps.CandidatesFamily)
 
   /** One timed, fully-materialized run; -1.0 on failure. */
   def once(spark: SparkSession, sfDir: String, name: String): Double = {

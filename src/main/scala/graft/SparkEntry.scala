@@ -201,6 +201,12 @@ object SparkEntry {
     "embed_kcenter_coreset" -> ((s: SparkSession, d: String) =>
       Similarity.kcenterCoreset(s, d)),
     "graph_triangles" -> (GraphOps.triangleCounts _),
+    // The BUILD step of the link-prediction candidate graph (the
+    // minShared=1 recall-frontier pair list) — the graph_edges_build
+    // pattern: materialized once per session, cold-charged here by the
+    // bench, consumed as a memo scan by graph_link_prediction.
+    "graph_candidates_build" -> ((s: SparkSession, d: String) =>
+      GraphOps.candidatePairsMaterialized(s, d)),
     "graph_link_prediction" -> ((s: SparkSession, d: String) =>
       GraphOps.linkPrediction(s, d)),
     "embed_silhouette" -> (Similarity.silhouetteSimplified _),
@@ -469,7 +475,11 @@ object SparkEntry {
     "sub_snapshot_diff", "corpus_bpe_fertility", "corpus_report_card",
     "range_overlap_agg", "sub_incremental_agg", "skew_advisor",
     "dedup_lsh_curve_advisor", "corpus_semantic_decontaminate",
-    "text_quality_agreement", "dedup_cluster_census",
+    // the LSH-pairs family BUILD runs before its consumers (Bench
+    // cold-resets it per repeat — r11 advice: without it in the
+    // headline set the build cost landed on dedup_cluster_census):
+    "text_quality_agreement", "dedup_lsh_verified_pairs",
+    "dedup_cluster_census",
     // round-8 additions (vocab drift, weighted sampling, EWMA bursts,
     // kNN-graph audit, calibration, grouping-sets/unpivot substrate):
     "text_vocab_drift", "sketch_weighted_sample", "events_ewma_burst",
@@ -519,8 +529,12 @@ object SparkEntry {
     "events_level_shift", "orders_abc_classes", "text_ttr_curve",
     "embed_index_refresh", "events_seasonality_strength",
     "text_burstiness", "orders_reorder_intervals",
-    // round-11 additions:
-    "dedup_fp_refresh", "corpus_daily_increment", "graph_link_prediction",
+    // round-11 additions (round 12: the candidate-graph BUILD runs
+    // before its consumer, mirroring graph_edges_build — Bench
+    // cold-resets the lp_candidates family per build repeat, so
+    // graph_link_prediction reports steady-state marginal cost):
+    "dedup_fp_refresh", "corpus_daily_increment",
+    "graph_candidates_build", "graph_link_prediction",
     "embed_silhouette")
 
   // --- generated DuckDB replicas of the portable-hash queries ----------
@@ -2388,6 +2402,15 @@ object SparkEntry {
         |FROM fp a JOIN fp b ON a.fp_hash = b.fp_hash AND a.doc_id < b.doc_id
         |GROUP BY 1, 2 HAVING count(*) >= 3""".stripMargin,
     "graph_pagerank_neardup" -> pagerankOracle(),
+    // The minShared=1 candidate pair list (the link-prediction build
+    // step): the graph_edges_build replica with the HAVING floor at 1.
+    "graph_candidates_build" ->
+      s"""${winnowCte()},
+         |fp AS (SELECT DISTINCT doc_id, wmin // 32768 AS fp_hash
+         |  FROM m WHERE cnt = 4)
+         |SELECT a.doc_id AS id1, b.doc_id AS id2
+         |FROM fp a JOIN fp b ON a.fp_hash = b.fp_hash AND a.doc_id < b.doc_id
+         |GROUP BY 1, 2 HAVING count(*) >= 1""".stripMargin,
     // Adamic–Adar replica: same winnow edge list, same integer-micro
     // portable log2 weight (1e12 // plog2micro(deg)), wedge-join
     // candidates, existing edges excluded, total-order top-20.
@@ -4500,6 +4523,9 @@ object SparkEntry {
          |WHERE rank <= 3""".stripMargin,
     // Decayed trending: EXACT integer half-life weight 1e6 >> (age DIV 7)
     // anchored at the newest day; rank window over the bounded census.
+    // The >= 20-half-life horizon clamp mirrors the Spark side: both
+    // engines state exact-zero weight past the horizon explicitly
+    // instead of relying on engine-specific >> overflow semantics.
     "events_trending_decay" ->
       """WITH daily AS (SELECT event_type,
         |    CAST(json_extract_string(props, '$.k') AS BIGINT) AS item,
@@ -4507,7 +4533,8 @@ object SparkEntry {
         |  FROM events GROUP BY 1, 2, 3),
         |a AS (SELECT max(day) AS max_day FROM daily),
         |sc AS (SELECT event_type, item,
-        |    CAST(sum(n * (1000000 >> CAST((max_day - day) // 7 AS INT))) AS BIGINT)
+        |    CAST(sum(n * (CASE WHEN (max_day - day) // 7 >= 20 THEN 0
+        |      ELSE 1000000 >> CAST((max_day - day) // 7 AS INT) END)) AS BIGINT)
         |      AS score_micro,
         |    CAST(sum(n) AS BIGINT) AS n_events
         |  FROM daily CROSS JOIN a GROUP BY 1, 2)

@@ -4,18 +4,32 @@ import java.util.concurrent.ConcurrentHashMap
 
 import org.apache.spark.scheduler.{SparkListener, SparkListenerApplicationEnd}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.LogicalRDD
 
 /** Compute-once registry behind the build-once artifacts
-  * ([[Dedup.winnowEdgesMaterialized]], [[Similarity.lshPairsMaterialized]]):
-  * one `localCheckpoint`ed build per (application, family, sfDir), every
-  * later consumer receives the SAME DataFrame instance (plan = a scan of
-  * the stored rows — GraphEdgesSpec pins both properties).
+  * ([[Dedup.winnowEdgesMaterialized]], [[Similarity.lshPairsMaterialized]],
+  * [[GraphOps.candidatePairsMaterialized]]): one `localCheckpoint`ed build
+  * per (application, family, sfDir), every later consumer receives the
+  * SAME DataFrame instance (plan = a scan of the stored rows —
+  * GraphEdgesSpec pins both properties).
   *
-  * Lifecycle fixes over the round-10 inline ConcurrentHashMaps (ADVICE.md):
+  * Lifecycle fixes over the round-10 inline ConcurrentHashMaps (ADVICE.md
+  * r10 + r11):
   *  - the build runs OUTSIDE any map lock: `computeIfAbsent` would execute
   *    the whole Spark job while holding the bin lock, blocking concurrent
   *    same-bin lookups — here a losing racer just discards its build
   *    (`putIfAbsent` decides; both candidates are value-identical);
+  *  - DISCARDED entries release their executor block storage (r11 advice):
+  *    a localCheckpoint pins the materialized RDD's blocks until
+  *    application end, so every eviction path — `clearFamily` before each
+  *    timed build repeat, `putIfAbsent` race losers, app-end cleanup,
+  *    `clearAll` — unpersists the checkpointed RDD behind the dropped
+  *    DataFrame instead of leaking one full edge-list/LSH-pair checkpoint
+  *    per bench pass (a checkpoint's plan is a single [[LogicalRDD]] leaf,
+  *    so releasing the plan's LogicalRDD leaves frees exactly its blocks);
+  *  - entries are keyed STRUCTURALLY (appId, family, sfDir) — the r10
+  *    string key `appId|family|sfDir` let an sfDir containing the
+  *    delimiter cross-evict another family (r11 advice);
   *  - entries EVICT when their application ends (one SparkListener per
   *    application), so a JVM that starts/stops many sessions — test
   *    suites, notebooks — never accumulates checkpointed DataFrames
@@ -28,19 +42,29 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    consumer happened to run first).
   */
 object BuildOnce {
-  private val memos = new ConcurrentHashMap[String, DataFrame]()
+  private final case class Key(appId: String, family: String, k: String)
+  private val memos = new ConcurrentHashMap[Key, DataFrame]()
   private val hooked = ConcurrentHashMap.newKeySet[String]()
 
-  private def key(appId: String, family: String, k: String): String =
-    appId + "|" + family + "|" + k
+  /** Free the executor block storage behind a discarded entry. A
+    * build-once DataFrame is an eager `localCheckpoint`, whose analyzed
+    * plan is exactly one [[LogicalRDD]] leaf over the persisted RDD —
+    * unpersisting those leaves releases the blocks immediately instead
+    * of at application end. Best-effort: a stopped SparkContext (app-end
+    * eviction) has nothing left to free and must not throw. */
+  private def release(df: DataFrame): Unit =
+    try df.queryExecution.analyzed.collect { case lr: LogicalRDD => lr.rdd }
+      .foreach(_.unpersist(blocking = false))
+    catch { case _: Throwable => () }
 
   /** Memoized `build` per (application, family, key). The by-name build
     * is evaluated at most once per caller; concurrent racers resolve via
-    * `putIfAbsent` (first writer wins, value-identical losers discard). */
+    * `putIfAbsent` (first writer wins; the value-identical loser's
+    * checkpoint blocks are released, not leaked). */
   def get(spark: SparkSession, family: String, k: String)
       (build: => DataFrame): DataFrame = {
     val appId = spark.sparkContext.applicationId
-    val full = key(appId, family, k)
+    val full = Key(appId, family, k)
     val hit = memos.get(full)
     if (hit != null) return hit
     val built = build // outside the map lock — this runs Spark jobs
@@ -48,19 +72,30 @@ object BuildOnce {
     if (hooked.add(appId)) {
       spark.sparkContext.addSparkListener(new SparkListener {
         override def onApplicationEnd(e: SparkListenerApplicationEnd): Unit = {
-          memos.keySet.removeIf(_.startsWith(appId + "|"))
+          removeMatching(_.appId == appId)
           hooked.remove(appId)
         }
       })
     }
-    if (prev != null) prev else built
+    if (prev != null) { release(built); prev } else built
   }
 
-  /** Evict one family's entries (all applications) — the bench's
-    * cold-start knob for timing a declared build query honestly. */
-  def clearFamily(family: String): Unit =
-    memos.keySet.removeIf(_.contains("|" + family + "|"))
+  /** Remove-and-release every entry whose key matches `p`. */
+  private def removeMatching(p: Key => Boolean): Unit = {
+    val it = memos.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      if (p(e.getKey)) { release(e.getValue); it.remove() }
+    }
+  }
 
-  /** Evict everything (test isolation). */
-  def clearAll(): Unit = memos.clear()
+  /** Evict one family's entries (all applications), releasing their
+    * checkpoint blocks — the bench's cold-start knob for timing a
+    * declared build query honestly. Exact segment match on the
+    * structured key: an sfDir that happens to CONTAIN another family's
+    * name can never cross-evict it (r11 advice). */
+  def clearFamily(family: String): Unit = removeMatching(_.family == family)
+
+  /** Evict everything (test isolation), releasing all blocks. */
+  def clearAll(): Unit = removeMatching(_ => true)
 }

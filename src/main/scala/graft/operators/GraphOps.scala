@@ -214,11 +214,12 @@ object GraphOps {
     * Scale shape: candidates come from the WEDGE join (arcs ⋈ arcs on
     * the middle node) — Σ deg(w)² work, the triangle-count bound, NOT
     * the pair space; hub middles (deg > `maxHubDeg`) are excluded from
-    * wedge generation with [[Dedup.oversizedKeys]] as the alert
-    * channel (a boilerplate hub connecting 10⁵ docs contributes ~0 per
-    * AA weight yet 10¹⁰ wedges — cap, don't melt; default cap far
-    * above any test-SF degree so the oracle is unaffected). Existing
-    * edges drop via one anti-join against the materialized edge list;
+    * wedge generation with [[linkPredictionDroppedHubs]] as the alert
+    * channel — the cap-and-alert discipline of every capped join here
+    * (a boilerplate hub connecting 10⁵ docs contributes ~0 per AA
+    * weight yet 10¹⁰ wedges — cap, don't melt; default cap far above
+    * any test-SF degree so the oracle is unaffected). Existing edges
+    * drop via one anti-join against the materialized edge list;
     * ranking is the usual total-order top-k boundary.
     *
     * Graph choice: the ≥ 3-shared-fingerprint edge list is a union of
@@ -232,12 +233,12 @@ object GraphOps {
   def linkPrediction(spark: SparkSession, sfDir: String, k: Int = 20,
       maxHubDeg: Int = 4096): DataFrame = {
     // the candidate-graph build feeds FIVE subtrees (both wedge sides,
-    // the degree census, and the closing anti-join) — checkpoint it
-    // once or the fingerprint pair join re-executes per consumer (the
-    // round-9 build-once lesson; measured 17 s → 6 s at sf0.1)
-    val pairs = Dedup.winnowSharedPairsAll(spark, sfDir, minShared = 1)
-      .select(col("id1"), col("id2"))
-      .localCheckpoint()
+    // the degree census, and the closing anti-join) AND re-ran per
+    // invocation — it is now the [[candidatePairsMaterialized]]
+    // build-once family (r11 verdict #4), so repeats pay only the
+    // wedge/anti-join marginal cost and the bench charges the build to
+    // its declared `graph_candidates_build` row
+    val pairs = candidatePairsMaterialized(spark, sfDir)
     val und = pairs.union(
       pairs.select(col("id2").as("id1"), col("id1").as("id2")))
     val deg = und.groupBy(col("id1")).agg(count(lit(1)).as("deg"))
@@ -263,6 +264,39 @@ object GraphOps {
       .orderBy(col("score_micro").desc, col("id1"), col("id2"))
       .limit(k)
       .select(col("id1"), col("id2"), col("n_common"), col("score_micro"))
+  }
+
+  /** BUILD-ONCE link-prediction candidate graph — the minShared = 1
+    * shared-fingerprint pair list [[linkPrediction]] consumes. This is
+    * the recall-frontier twin of [[Dedup.winnowEdgesMaterialized]]
+    * (the ≥ 3-shared edge list): per (application, sfDir) the pair
+    * join behind it runs EXACTLY ONCE, is `localCheckpoint`ed, and
+    * every consumer's plan starts from a scan of the stored rows. At
+    * 100 TB it is a bucketed table written by the
+    * `graph_candidates_build` job and refreshed with the admitted-doc
+    * delta exactly like the edge list ([[Dedup.fpRefresh]] shape) —
+    * `localCheckpoint` is the single-JVM stand-in. Lifecycle (memo,
+    * racing, eviction, block release) lives in [[BuildOnce]]. */
+  val CandidatesFamily = "lp_candidates"
+  def candidatePairsMaterialized(spark: SparkSession, sfDir: String): DataFrame =
+    BuildOnce.get(spark, CandidatesFamily, sfDir)(
+      Dedup.winnowSharedPairsAll(spark, sfDir, minShared = 1)
+        .select(col("id1"), col("id2")).localCheckpoint())
+
+  /** The ALERT channel for [[linkPrediction]]'s hub cap (cap, don't
+    * silently melt — the [[Dedup.oversizedKeys]] discipline): nodes of
+    * the candidate graph whose degree exceeds `maxHubDeg`, i.e. the
+    * middles excluded from wedge generation. Empty at every test SF
+    * (the default cap is far above any test-SF degree); a production
+    * run reports these alongside the prediction table so a drop is a
+    * visible, queryable fact rather than a silent recall loss. */
+  def linkPredictionDroppedHubs(spark: SparkSession, sfDir: String,
+      maxHubDeg: Int = 4096): DataFrame = {
+    val pairs = candidatePairsMaterialized(spark, sfDir)
+    val und = pairs.union(
+      pairs.select(col("id2").as("id1"), col("id1").as("id2")))
+    und.groupBy(col("id1").as("doc_id")).agg(count(lit(1)).as("deg"))
+      .filter(col("deg") > maxHubDeg)
   }
 
   /** K-CORE MEMBERSHIP (k = 3) over the winnow near-dup graph — the

@@ -379,7 +379,15 @@ object Relational {
     * EXACT integer `1000000 >> (age_days DIV 7)` — a true power-of-two
     * half-life, so every score is a plain long both engines sum
     * identically (no float decay drift), and items older than
-    * 20 half-lives contribute exactly zero.
+    * 20 half-lives contribute exactly zero. The zero is enforced by an
+    * explicit horizon clamp, not by the shift alone: Java/Spark
+    * `shiftright` masks the shift amount to 6 bits, so an un-clamped
+    * day ≥ 64 half-lives older than the anchor would WRAP back to full
+    * weight (r11 advice) — the clamp keeps the batch monitor
+    * bit-identical to its streaming twin
+    * ([[graft.streaming.StreamSources.trendingUpdate]], which prunes
+    * the same 20-half-life horizon out of state) on histories of any
+    * span.
     *
     * Scale shape: ONE corpus-sized pass — the map-side-combined
     * (type, item, day) count; the max-day anchor is a 1-row broadcast;
@@ -404,7 +412,8 @@ object Relational {
     val anchor = daily.agg(max(col("day")).as("max_day"))
     val scored = daily.crossJoin(broadcast(anchor))
       .withColumn("w_micro", expr(
-        s"shiftright(1000000L, CAST((max_day - day) DIV $halfLifeDays AS INT))"))
+        s"CASE WHEN (max_day - day) DIV $halfLifeDays >= 20 THEN 0L ELSE " +
+          s"shiftright(1000000L, CAST((max_day - day) DIV $halfLifeDays AS INT)) END"))
       .groupBy(col("event_type"), col("item"))
       .agg(sum(col("n") * col("w_micro")).as("score_micro"),
         sum(col("n")).as("n_events"))

@@ -663,6 +663,20 @@ object StreamSources {
         hampelUpdate(windowDays, (_, _) => late.add(1L)))
   }
 
+  /** Side-store contract bounding [[trendingUpdate]]'s per-item state
+    * (r11 verdict #5): `save` receives a dormant item's all-time total
+    * as it leaves streaming state; `load` must return the latest saved
+    * total when the item reappears (None for never-seen items). The
+    * implementation must be Serializable (it ships inside the state
+    * function's closure) and, on a real cluster, must be an EXTERNAL
+    * shared store (KV / lakehouse table keyed by (type, item)) — a
+    * per-executor map would lose totals across partition reassignment.
+    * Local-mode specs use a driver-side map. */
+  trait TrendingStore extends Serializable {
+    def save(eventType: String, item: Long, total: Long): Unit
+    def load(eventType: String, item: Long): Option[Long]
+  }
+
   /** State transition of the STREAMING decayed-trending monitor — the
     * live twin of [[graft.operators.Relational.eventsTrendingDecay]]
     * (the last monitor-family member without one, round-10 verdict
@@ -690,9 +704,26 @@ object StreamSources {
     * horizon. Each emitted (anchor) block equals the batch query over
     * the prefix day ≤ anchor bit-for-bit (spec-pinned across
     * micro-batch boundaries). Late days (day < anchor) are counted via
-    * `onLateDrop`, never silently swallowed. */
+    * `onLateDrop`, never silently swallowed.
+    *
+    * STATE BOUND (r11 verdict #5): without `store`, DORMANT items —
+    * all in-horizon days expired — keep their all-time total in state
+    * forever, because the batch output's `n_events` counts all days;
+    * state then grows with distinct (type, item). Passing a
+    * [[TrendingStore]] bounds it: on each anchor advance, items left
+    * with zero in-horizon days are EVICTED to the store
+    * (`save(type, item, total)`) and REHYDRATED from it on
+    * reappearance (`load` seeds the total before the new day's count),
+    * so state holds only LIVE items — ≤ (3 + 2·20·hl) longs each —
+    * and the emitted rows stay bit-identical to batch whenever each
+    * type keeps ≥ topK live items (a dormant item's score is exactly 0,
+    * so it can only enter the batch top-K when fewer than topK live
+    * items exist — the spec pins eviction + rehydration == batch). In
+    * production the store is an external KV/lakehouse table keyed by
+    * (type, item); here a driver-side map suffices for local mode. */
   def trendingUpdate(halfLifeDays: Int = 7, topK: Int = 10,
-      onLateDrop: (String, Long) => Unit = (_, _) => ())(key: String,
+      onLateDrop: (String, Long) => Unit = (_, _) => (),
+      store: Option[TrendingStore] = None)(key: String,
       rows: Iterator[(String, Long, Long, Long)],
       state: GroupState[Array[Long]])
       : Iterator[(String, Long, Long, Long, Long, Long)] = {
@@ -739,9 +770,26 @@ object StreamSources {
           items.foreachEntry { case (_, (_, days)) =>
             days.filterInPlace((d, _) => anchor - d < horizon)
           }
+          // bounded-state mode: dormant items (zero in-horizon days)
+          // leave state for the store; their all-time total comes back
+          // via rehydration if the item ever reappears
+          store.foreach { s =>
+            val dormant = items.collect {
+              case (it, (tot, ds)) if ds.isEmpty => (it, tot)
+            }.toSeq
+            dormant.foreach { case (it, tot) =>
+              s.save(key, it, tot); items.remove(it)
+            }
+          }
         }
-        val (total, days) = items.getOrElse(item,
-          (0L, scala.collection.mutable.TreeMap.empty[Long, Long]))
+        val (total, days) = items.get(item) match {
+          case Some(v) => v
+          case None =>
+            // first sight this horizon: seed the all-time total from
+            // the store (0 for a genuinely new item)
+            (store.fold(0L)(_.load(key, item).getOrElse(0L)),
+              scala.collection.mutable.TreeMap.empty[Long, Long])
+        }
         days(day) = days.getOrElse(day, 0L) + n
         items(item) = (total + n, days)
       }
@@ -761,9 +809,13 @@ object StreamSources {
     * anchor day closes, bit-identical to the batch monitor over the
     * same prefix. Ordering-contract violations count into the
     * `trending_late_dropped` accumulator (the [[hampelMonitorStream]]
-    * discipline). */
+    * discipline). Pass a [[TrendingStore]] to evict dormant items and
+    * cap state at the live-item census (see [[trendingUpdate]]'s
+    * state-bound contract); the default keeps them, matching the batch
+    * output on types with fewer than topK live items too. */
   def trendingTopkStream(daily: Dataset[(String, Long, Long, Long)],
-      halfLifeDays: Int = 7, topK: Int = 10)
+      halfLifeDays: Int = 7, topK: Int = 10,
+      store: Option[TrendingStore] = None)
       : Dataset[(String, Long, Long, Long, Long, Long)] = {
     implicit val stateEnc: org.apache.spark.sql.Encoder[Array[Long]] =
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
@@ -777,7 +829,7 @@ object StreamSources {
       .flatMapGroupsWithState[Array[Long],
         (String, Long, Long, Long, Long, Long)](
         OutputMode.Append, GroupStateTimeout.NoTimeout)(
-        trendingUpdate(halfLifeDays, topK, (_, _) => late.add(1L)))
+        trendingUpdate(halfLifeDays, topK, (_, _) => late.add(1L), store))
   }
 
   /** State transition of the STREAMING transition-bigram feed — the

@@ -895,6 +895,83 @@ class StreamSubstrateSpec extends AnyFunSuite {
     }
   }
 
+  test("trending store: eviction + rehydration keeps state at the live census and reproduces batch rows") {
+    import org.apache.spark.sql.streaming.TestGroupState
+    val et = "evict_t"
+    // (type, item, day, n): item 3 is the dormancy probe — a 100-event
+    // burst at day 0, silence past the 140-day horizon, reappearance at
+    // day 300. Items 1 and 2 keep >= topK live items at every anchor,
+    // so the batch top-K never reaches a dormant (score-0) row and the
+    // bounded-state stream must match it bit-for-bit.
+    val census: Seq[(String, Long, Long, Long)] = Seq(
+      (et, 1L, 0L, 5L), (et, 2L, 0L, 3L), (et, 3L, 0L, 100L),
+      (et, 2L, 10L, 3L),
+      (et, 1L, 150L, 5L), (et, 2L, 150L, 3L),
+      (et, 2L, 160L, 3L),
+      (et, 1L, 300L, 5L), (et, 2L, 300L, 3L), (et, 3L, 300L, 50L))
+    val backing = scala.collection.mutable.Map.empty[(String, Long), Long]
+    val store = new StreamSources.TrendingStore {
+      def save(t: String, item: Long, total: Long): Unit = backing((t, item)) = total
+      def load(t: String, item: Long): Option[Long] = backing.get((t, item))
+    }
+    // state layout decoder: [anchor, (item, total, m, (day, n) x m) x items]
+    def stateItems(a: Array[Long]): Set[Long] = {
+      var i = 1
+      val s = scala.collection.mutable.Set.empty[Long]
+      while (i < a.length) { s += a(i); i += 3 + 2 * a(i + 2).toInt }
+      s.toSet
+    }
+    val withFlush = census :+ ((et, -1L, 301L, 0L)) // sentinel closes anchor 300
+    var stateValue: Option[Array[Long]] = None
+    var lastItems: Set[Long] = Set.empty
+    val got = scala.collection.mutable.ArrayBuffer
+      .empty[(String, Long, Long, Long, Long, Long)]
+    withFlush.grouped(3).foreach { chunk =>
+      val st = TestGroupState.create[Array[Long]](
+        optionalState = stateValue.map(org.apache.spark.api.java.Optional.of[Array[Long]])
+          .getOrElse(org.apache.spark.api.java.Optional.empty[Array[Long]]()),
+        timeoutConf = org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout,
+        batchProcessingTimeMs = 1000L,
+        eventTimeWatermarkMs = org.apache.spark.api.java.Optional.empty[Long](),
+        hasTimedOut = false)
+      got ++= StreamSources.trendingUpdate(halfLifeDays = 7, topK = 2,
+        store = Some(store))(et, chunk.iterator, st)
+      stateValue = Some(st.get)
+      lastItems = stateItems(st.get)
+      // bounded-state contract: only LIVE items (>= 1 in-horizon day)
+      // ever sit in state, each <= 3 + 2*20*7 longs
+      assert(lastItems.size <= 4, s"state must hold only live items: $lastItems")
+    }
+    // the dormancy probe was evicted with its pre-silence total intact...
+    assert(backing((et, 3L)) == 100L,
+      "eviction must hand the store the item's all-time total")
+    // ...and after reappearing its state total is the rehydrated sum
+    assert(lastItems.contains(3L), "reappeared item must be live again")
+    // every closed anchor equals the batch monitor over the same prefix
+    // (the un-evicted twin's invariant, now under eviction+rehydration)
+    val evRows = census.flatMap { case (t, item, day, n) =>
+      Seq.fill(n.toInt)((t, s"""{"k":$item}""", day)) }
+    val events = evRows.toDF("event_type", "props", "day")
+      .withColumn("ts", expr("timestamp_micros(day * 86400000000)"))
+    val anchors = got.map(_._2).distinct.sorted
+    assert(anchors == Seq(0L, 10L, 150L, 160L, 300L))
+    anchors.foreach { a =>
+      val batch = graft.operators.Relational.trendingDecayOf(
+          events.filter(col("day") <= a), halfLifeDays = 7, topK = 2)
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4))).toSet
+      val stream = got.filter(_._2 == a)
+        .map(t => (t._1, t._3, t._4, t._5, t._6)).toSet
+      assert(stream == batch,
+        s"closed anchor must equal the batch prefix under eviction: anchor=$a")
+    }
+    // the money row: the reappeared item ranks first at anchor 300 with
+    // n_events = 150 — the rehydrated 100 plus the new 50
+    assert(got.exists(r => r._2 == 300L && r._3 == 1L && r._4 == 3L && r._6 == 150L),
+      s"rehydrated total must reach the emitted row: ${got.filter(_._2 == 300L)}")
+  }
+
   test("hampelUpdate counts contract-violating late days instead of silent drops") {
     import org.apache.spark.sql.streaming.TestGroupState
     def freshState(v: Option[Array[Long]]) = TestGroupState.create[Array[Long]](
