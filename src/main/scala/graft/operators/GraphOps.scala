@@ -231,14 +231,22 @@ object GraphOps {
     * table behind it is the stored index of the refresh family
     * ([[Dedup.fpRefresh]]), not a rebuild. */
   def linkPrediction(spark: SparkSession, sfDir: String, k: Int = 20,
-      maxHubDeg: Int = 4096): DataFrame = {
+      maxHubDeg: Int = 4096): DataFrame =
     // the candidate-graph build feeds FIVE subtrees (both wedge sides,
     // the degree census, and the closing anti-join) AND re-ran per
     // invocation — it is now the [[candidatePairsMaterialized]]
     // build-once family (r11 verdict #4), so repeats pay only the
     // wedge/anti-join marginal cost and the bench charges the build to
     // its declared `graph_candidates_build` row
-    val pairs = candidatePairsMaterialized(spark, sfDir)
+    linkPredictionOf(candidatePairsMaterialized(spark, sfDir), k, maxHubDeg)
+
+  /** Same, over a caller-supplied (id1, id2) candidate edge list — the
+    * prefix-factoring discipline ([[graft.operators.Relational
+    * .trendingDecayOf]]): the hub-cap semantics are spec-testable on
+    * synthetic graphs where the cap actually bites, which no test-SF
+    * corpus reaches (sf0.1 max degree 311 vs the 4096 default). */
+  def linkPredictionOf(pairs: DataFrame, k: Int = 20,
+      maxHubDeg: Int = 4096): DataFrame = {
     val und = pairs.union(
       pairs.select(col("id2").as("id1"), col("id1").as("id2")))
     val deg = und.groupBy(col("id1")).agg(count(lit(1)).as("deg"))
@@ -291,8 +299,11 @@ object GraphOps {
     * run reports these alongside the prediction table so a drop is a
     * visible, queryable fact rather than a silent recall loss. */
   def linkPredictionDroppedHubs(spark: SparkSession, sfDir: String,
-      maxHubDeg: Int = 4096): DataFrame = {
-    val pairs = candidatePairsMaterialized(spark, sfDir)
+      maxHubDeg: Int = 4096): DataFrame =
+    droppedHubsOf(candidatePairsMaterialized(spark, sfDir), maxHubDeg)
+
+  /** [[linkPredictionDroppedHubs]] over a caller-supplied edge list. */
+  def droppedHubsOf(pairs: DataFrame, maxHubDeg: Int = 4096): DataFrame = {
     val und = pairs.union(
       pairs.select(col("id2").as("id1"), col("id1").as("id2")))
     und.groupBy(col("id1").as("doc_id")).agg(count(lit(1)).as("deg"))

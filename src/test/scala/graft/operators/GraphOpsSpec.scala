@@ -99,6 +99,43 @@ class GraphOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("hub cap: over-cap middles generate no wedges, the alert channel reports them") {
+    // the executable half of the SCALING_r12 flag contract: the wedge
+    // workload is sum(min(deg, cap)^2), so a hub past the cap must
+    // contribute ZERO candidate pairs — visibly (alert), not silently.
+    // Synthetic graph: hub 100 with six leaves (deg 6), one open wedge
+    // 10-20-30 (middle deg 2), one triangle 40-50-60 (all closed).
+    import spark.implicits._
+    val pairs = Seq(
+      (100L, 101L), (100L, 102L), (100L, 103L),
+      (100L, 104L), (100L, 105L), (100L, 106L),
+      (10L, 20L), (20L, 30L),
+      (40L, 50L), (50L, 60L), (40L, 60L)).toDF("id1", "id2")
+    // capped run: hub (deg 6 > 4) excluded from wedge generation
+    val capped = GraphOps.linkPredictionOf(pairs, k = 20, maxHubDeg = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // only the open wedge survives: middle 20 has deg 2, so the exact
+    // AA score is 1e12 DIV plog2micro(2) = 1e12 / 1e6 = 1e6; the
+    // triangle's wedges all close onto existing edges (anti-joined out)
+    assert(capped.toSeq == Seq((10L, 30L, 1L, 1000000L)), capped.toSeq.toString)
+    // alert channel: exactly the hub, with its full degree
+    val dropped = GraphOps.droppedHubsOf(pairs, maxHubDeg = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(dropped.toSeq == Seq((100L, 6L)), dropped.toSeq.toString)
+    // uncapped run: the 15 leaf pairs reappear, each weaker than the
+    // deg-2 wedge (AA decreases with middle degree), so (10,30) still
+    // ranks first — the cap changed coverage, never relative order
+    val full = GraphOps.linkPredictionOf(pairs, k = 20, maxHubDeg = 4096)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(full.length == 16, s"15 hub pairs + 1 open wedge: ${full.length}")
+    assert(full.head == ((10L, 30L, 1L, 1000000L)), full.head.toString)
+    val hubScores = full.tail.map(_._4).toSet
+    assert(hubScores.size == 1 && hubScores.head < 1000000L,
+      s"hub-mediated pairs share one sub-1e6 AA weight: $hubScores")
+    assert(GraphOps.droppedHubsOf(pairs, maxHubDeg = 4096).count() == 0,
+      "default-cap alert must be empty on this graph")
+  }
+
   test("simplified silhouette matches a brute-force recount") {
     val vecs = graft.Tables.embeddings(spark, sfDir)
       .select(col("vec_id"), col("label"),
