@@ -54,6 +54,39 @@ object AbBench {
       mids.join(mids.select(col("w"), col("u").as("v")), Seq("w"))
         .filter(col("u") < col("v"))
     },
+    // r12 A/B: collapse middles with IDENTICAL neighbor sets into one
+    // class row (near-clique template data ⇒ large classes), generate
+    // each class's C(s,2) pairs ONCE with the class count as the
+    // multiplier — exact same (n_common, score) sums, Σ class-distinct
+    // deg² generated rows instead of Σ deg².
+    // RESULT (recorded, BENCHNOTES r12): LOSES at sf0.1 — 21.4 s vs
+    // 12.4 s for the join form. The 5.3× (u,v) multiplicity comes from
+    // middles with DIFFERENT neighbor sets sharing pair subsets, so
+    // classes barely collapse and the collect_list + array-key group +
+    // double explode is pure overhead. Kept as the recorded negative.
+    "lp_wedge_agg_classes" -> { () =>
+      import org.apache.spark.sql.functions._
+      val pairs = operators.Dedup
+        .winnowSharedPairsAll(spark, sfDir, minShared = 1)
+        .select(col("id1"), col("id2")).localCheckpoint()
+      val und = pairs.union(
+        pairs.select(col("id2").as("id1"), col("id1").as("id2")))
+      val nbrs = und.groupBy(col("id2").as("w"))
+        .agg(sort_array(collect_list(col("id1"))).as("ns"))
+        .filter(size(col("ns")) >= 2 && size(col("ns")) <= 4096)
+      val classes = nbrs.groupBy(col("ns"))
+        .agg(count(lit(1)).as("n_w"))
+        .withColumn("aa_micro", expr(s"1000000000000 DIV (${
+          operators.TextAnalysis.plog2MicroSql("size(ns)")})"))
+      classes
+        .select(posexplode(col("ns")).as(Seq("i", "u")),
+          col("ns"), col("n_w"), col("aa_micro"))
+        .select(col("u"), explode(expr("slice(ns, i + 2, size(ns))")).as("v"),
+          col("n_w"), col("aa_micro"))
+        .groupBy(col("u"), col("v"))
+        .agg(sum(col("n_w")).as("n"),
+          sum(col("n_w") * col("aa_micro")).as("score_micro"))
+    },
     "lp_wedge_agg" -> { () =>
       import org.apache.spark.sql.functions._
       val pairs = operators.Dedup
