@@ -210,6 +210,14 @@ object SparkEntry {
     "graph_link_prediction" -> ((s: SparkSession, d: String) =>
       GraphOps.linkPrediction(s, d)),
     "embed_silhouette" -> (Similarity.silhouetteSimplified _),
+    // round-12 additions: MMR diverse selection, ACF seasonality
+    // discovery, b-bit signature-compression calibration
+    "embed_mmr_select" -> ((s: SparkSession, d: String) =>
+      Similarity.mmrSelect(s, d)),
+    "events_acf" -> ((s: SparkSession, d: String) =>
+      Relational.eventsAcf(s, d)),
+    "dedup_minhash_bbit" -> ((s: SparkSession, d: String) =>
+      Dedup.minhashBbitError(s, d)),
     "text_zipf_fit" -> ((s: SparkSession, d: String) => TextAnalysis.zipfFit(s, d)),
     "text_hapax_ratio" -> (TextAnalysis.hapaxRatio _),
     "events_dow_profile" -> (Relational.eventsDowProfile _),
@@ -535,7 +543,9 @@ object SparkEntry {
     // graph_link_prediction reports steady-state marginal cost):
     "dedup_fp_refresh", "corpus_daily_increment",
     "graph_candidates_build", "graph_link_prediction",
-    "embed_silhouette")
+    "embed_silhouette",
+    // round-12 additions:
+    "embed_mmr_select", "events_acf", "dedup_minhash_bbit")
 
   // --- generated DuckDB replicas of the portable-hash queries ----------
 
@@ -1292,6 +1302,91 @@ object SparkEntry {
        |${(1 until k).map(r =>
             s"UNION ALL SELECT CAST($r AS BIGINT), cid, min_d FROM c$r")
            .mkString("\n")}""".stripMargin
+  }
+
+  /** MMR replica (Carbonell–Goldstein, λ in tenths): query/seed =
+    * smallest vec_id (also S₀), k−1 unrolled greedy rounds each
+    * picking argmax lam·rel − (10−lam)·max_sim with (score DESC,
+    * vec_id) total order — the kcenterOracle chain with a max-sim
+    * state instead of min-dist and a static relevance column. */
+  private def mmrOracle(k: Int = 8, lam: Int = 7): String = {
+    def cos(a: String, b: String) =
+      s"list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b)))"
+    def x4(e: String) = s"CAST(floor(($e) * 10000 + 0.5) AS BIGINT)"
+    val rounds = (1 until k).map { r =>
+      s"""c$r AS (SELECT vec_id, emb, rel, ms, $lam*rel - ${10 - lam}*ms AS sc
+         |  FROM s${r - 1} WHERE NOT sel ORDER BY sc DESC, vec_id LIMIT 1),
+         |s$r AS MATERIALIZED (SELECT s.vec_id, s.emb, s.rel,
+         |  greatest(s.ms, ${x4(cos("s.emb", "c.emb"))}) AS ms,
+         |  s.sel OR s.vec_id = c.vec_id AS sel
+         |  FROM s${r - 1} s CROSS JOIN c$r c)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+       |q AS (SELECT vec_id AS qid, emb AS qe FROM e ORDER BY vec_id LIMIT 1),
+       |s0 AS MATERIALIZED (SELECT e.vec_id, e.emb,
+       |  ${x4(cos("e.emb", "q.qe"))} AS rel, ${x4(cos("e.emb", "q.qe"))} AS ms,
+       |  e.vec_id = q.qid AS sel FROM e CROSS JOIN q),
+       |$rounds
+       |SELECT CAST(0 AS BIGINT) AS round, qid AS vec_id,
+       |  CAST(10000 AS BIGINT) AS rel_x4, CAST(10000 AS BIGINT) AS max_sim_x4,
+       |  CAST(${lam * 10000 - (10 - lam) * 10000} AS BIGINT) AS mmr_score FROM q
+       |${(1 until k).map(r =>
+            s"UNION ALL SELECT CAST($r AS BIGINT), vec_id, rel, ms, sc FROM c$r")
+           .mkString("\n")}""".stripMargin
+  }
+
+  /** b-bit minwise replica: the minhashEstErr chain with the low-bit
+    * masked match count and the Li–König unbiased estimator in exact
+    * sign-safe milli-units. */
+  private def minhashBbitOracle(bBits: Int = 4): String = {
+    import graft.operators.Dedup.{Bands, MinhashPerm}
+    val h48 = graft.functions.PortableHash.sqlH48("s")
+    val rows = MinhashPerm / Bands
+    val twoB = 1L << bBits
+    val den = MinhashPerm * (twoB - 1)
+    val mins = (0 until MinhashPerm).map(i =>
+      s"min((h * ${2 * i + 1} + ${104729L * (i + 1)}) % 2147483647) AS m$i").mkString(", ")
+    val bandCase = (0 until Bands).map(b =>
+      s"WHEN $b THEN md5(concat_ws(':', ${(0 until rows).map(k => s"m${b * rows + k}").mkString(", ")}))")
+      .mkString(" ")
+    val eqF = (0 until MinhashPerm).map(i =>
+      s"CASE WHEN a.m$i = b.m$i THEN 1 ELSE 0 END").mkString(" + ")
+    val eqB = (0 until MinhashPerm).map(i =>
+      s"CASE WHEN a.m$i % $twoB = b.m$i % $twoB THEN 1 ELSE 0 END").mkString(" + ")
+    s"""WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       |sh AS (SELECT doc_id, unnest(list_distinct(
+       |  [array_to_string(w[i:i+2], ' ') for i in range(1, len(w) - 1)])) AS s
+       |  FROM ws WHERE len(w) >= 3),
+       |hh AS (SELECT doc_id, $h48 AS h FROM sh),
+       |sig AS (SELECT doc_id, $mins FROM hh GROUP BY doc_id),
+       |bk AS (SELECT doc_id, band, CASE band $bandCase END AS bucket
+       |  FROM sig CROSS JOIN (VALUES ${(0 until Bands).map(b => s"($b)").mkString(",")}) AS t(band)),
+       |cand AS (SELECT DISTINCT x.doc_id AS doc1, y.doc_id AS doc2
+       |  FROM bk x JOIN bk y ON x.band = y.band AND x.bucket = y.bucket
+       |    AND x.doc_id < y.doc_id),
+       |pairs AS (SELECT c.doc1, c.doc2, ($eqF) AS nf, ($eqB) AS nb
+       |  FROM cand c JOIN sig a ON a.doc_id = c.doc1 JOIN sig b ON b.doc_id = c.doc2),
+       |szs AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+       |ints AS (SELECT p.doc_id AS doc1, q.doc_id AS doc2, count(*) AS n_int
+       |  FROM sh p JOIN sh q ON p.s = q.s AND p.doc_id < q.doc_id GROUP BY 1, 2),
+       |t AS (SELECT pr.doc1, pr.doc2,
+       |  CAST(pr.nf AS BIGINT) AS n_equal_full, CAST(pr.nb AS BIGINT) AS n_equal_bbit,
+       |  CAST((1000 * pr.nf) // $MinhashPerm AS BIGINT) AS est_full_milli,
+       |  CAST(CASE WHEN pr.nb * $twoB >= $MinhashPerm
+       |    THEN (1000 * (pr.nb * $twoB - $MinhashPerm)) // $den
+       |    ELSE -((1000 * ($MinhashPerm - pr.nb * $twoB)) // $den) END AS BIGINT)
+       |    AS est_bbit_milli,
+       |  CAST((1000 * coalesce(i.n_int, 0)) //
+       |    (s1.n_sh + s2.n_sh - coalesce(i.n_int, 0)) AS BIGINT) AS jaccard_milli
+       |  FROM pairs pr
+       |  JOIN szs s1 ON s1.doc_id = pr.doc1
+       |  JOIN szs s2 ON s2.doc_id = pr.doc2
+       |  LEFT JOIN ints i ON i.doc1 = pr.doc1 AND i.doc2 = pr.doc2)
+       |SELECT doc1, doc2, n_equal_full, n_equal_bbit, est_full_milli,
+       |  est_bbit_milli, jaccard_milli,
+       |  abs(est_full_milli - jaccard_milli) AS err_full_milli,
+       |  abs(est_bbit_milli - jaccard_milli) AS err_bbit_milli
+       |FROM t""".stripMargin
   }
 
   /** Global-mean spike replica — squared terms in HUGEINT to mirror
@@ -4615,6 +4710,35 @@ object SparkEntry {
          |FROM y""".stripMargin
     },
     "embed_kcenter_coreset" -> kcenterOracle(),
+    "embed_mmr_select" -> mmrOracle(),
+    "dedup_minhash_bbit" -> minhashBbitOracle(),
+    // ACF over the calendar spine (missing days are zero-count rows);
+    // dev = T*x - S is the spike-days mean-centering; sums are HUGEINT
+    // internally (DuckDB sum) and CAST back to BIGINT at the boundary;
+    // acf_milli is the sign-safe floor-vs-truncate-proof DIV, NULL on
+    // a constant series (den = 0), never a division error.
+    "events_acf" ->
+      """WITH d AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+        |    count(*) AS n FROM events GROUP BY 1, 2),
+        |rng AS (SELECT event_type, min(day) AS mn, max(day) AS mx FROM d GROUP BY 1),
+        |spine AS (SELECT event_type, unnest(generate_series(mn, mx)) AS day FROM rng),
+        |x AS (SELECT s.event_type, s.day, coalesce(d.n, 0) AS x
+        |  FROM spine s LEFT JOIN d USING (event_type, day)),
+        |st AS (SELECT event_type, count(*) AS t_days, sum(x) AS s FROM x GROUP BY 1),
+        |dev AS (SELECT x.event_type, x.day, st.t_days * x.x - st.s AS dev
+        |  FROM x JOIN st USING (event_type)),
+        |dn AS (SELECT event_type, sum(dev * dev) AS den FROM dev GROUP BY 1),
+        |nm AS (SELECT a.event_type, l.lag, sum(a.dev * b.dev) AS num
+        |  FROM dev a
+        |  CROSS JOIN (SELECT unnest(generate_series(1, 7)) AS lag) l
+        |  JOIN dev b ON b.event_type = a.event_type AND b.day = a.day + l.lag
+        |  GROUP BY 1, 2)
+        |SELECT nm.event_type, CAST(nm.lag AS BIGINT) AS lag,
+        |  CAST(nm.num AS BIGINT) AS num, CAST(dn.den AS BIGINT) AS den,
+        |  CAST(CASE WHEN dn.den = 0 THEN NULL
+        |    WHEN nm.num >= 0 THEN (1000 * nm.num) // dn.den
+        |    ELSE -((1000 * (-nm.num)) // dn.den) END AS BIGINT) AS acf_milli
+        |FROM nm JOIN dn USING (event_type)""".stripMargin,
     // Triangle census replica: canonical id-ordered 3-way pair join
     // (the Spark side's degree-ordered orientation finds the SAME
     // triangle set); same winnow pair builder as the pagerank oracle,

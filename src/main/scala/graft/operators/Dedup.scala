@@ -607,6 +607,68 @@ object Dedup {
         PortableRound.pround(abs(est - exact), 4).as("abs_err"))
   }
 
+  /** B-BIT MINWISE HASHING evaluation (Li & König 2010) — the
+    * signature-compression calibrator next to
+    * [[minhashEstimationError]]: keeping only the lowest `bBits` of
+    * each of the 32 minima shrinks a stored signature 32/b-fold
+    * (2048 → 128 bits at b = 4 — the difference between a dedup index
+    * that fits executor memory at 100 TB and one that doesn't), at
+    * the price of accidental low-bit collisions. The unbiased
+    * estimator corrects for them exactly:
+    *   Ĵ = (M − C)/(1 − C),  M = match fraction, C = 2^−b
+    * which in integers is `(n_match·2^b − 32) DIV (32·(2^b − 1))` —
+    * a plain signed ratio in milli-units (sign-safe DIV on both
+    * engines: a pair can match FEWER than the 32·C expected chance
+    * collisions, making the estimate legitimately negative). Reported
+    * per LSH candidate pair side-by-side with the full-width estimate
+    * and the exact shingle Jaccard, so the b-vs-error trade is a
+    * queryable table, not a paper citation.
+    *
+    * Scale shape: identical to [[minhashEstimationError]] — one
+    * checkpointed signature pass, the capped bucket equi self-join
+    * for candidates, doc-keyed joins; every emitted number is an
+    * exact integer, so aggregation order is irrelevant. */
+  def minhashBbitError(spark: SparkSession, sfDir: String,
+      bBits: Int = 4): DataFrame = {
+    val sig = minhashSignatures(spark, sfDir).localCheckpoint()
+    val buckets = bandSignature(sig)
+    val cand = buckets.as("x").join(buckets.as("y"),
+        col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc1"), col("y.doc_id").as("doc2"))
+      .distinct()
+    val s1 = sig.select(col("doc_id").as("doc1") +:
+      (0 until MinhashPerm).map(i => col(s"m$i").as(s"a$i")): _*)
+    val s2 = sig.select(col("doc_id").as("doc2") +:
+      (0 until MinhashPerm).map(i => col(s"m$i").as(s"b$i")): _*)
+    val twoB = 1L << bBits
+    // the minima are nonnegative (% 2147483647 of nonnegative hashes),
+    // so % 2^b is the low-bit mask on both engines
+    val nEqFull = (0 until MinhashPerm).map(i =>
+      when(col(s"a$i") === col(s"b$i"), 1L).otherwise(0L)).reduce(_ + _)
+    val nEqB = (0 until MinhashPerm).map(i =>
+      when(col(s"a$i") % twoB === col(s"b$i") % twoB, 1L).otherwise(0L))
+      .reduce(_ + _)
+    val docs = withShingles(Tables.documents(spark, sfDir))
+      .select(col("doc_id"), col("sh"))
+    cand.join(s1, "doc1").join(s2, "doc2")
+      .withColumn("n_equal_full", nEqFull)
+      .withColumn("n_equal_bbit", nEqB)
+      .join(docs.select(col("doc_id").as("doc1"), col("sh").as("sh1")), "doc1")
+      .join(docs.select(col("doc_id").as("doc2"), col("sh").as("sh2")), "doc2")
+      .withColumn("n_int", size(array_intersect(col("sh1"), col("sh2"))).cast("long"))
+      .withColumn("n_uni", size(array_union(col("sh1"), col("sh2"))).cast("long"))
+      .select(col("doc1"), col("doc2"), col("n_equal_full"), col("n_equal_bbit"),
+        expr(s"(1000 * n_equal_full) DIV $MinhashPerm").as("est_full_milli"),
+        expr(s"""CASE WHEN n_equal_bbit * $twoB >= $MinhashPerm
+                 THEN (1000 * (n_equal_bbit * $twoB - $MinhashPerm)) DIV (${MinhashPerm * (twoB - 1)})
+                 ELSE -((1000 * ($MinhashPerm - n_equal_bbit * $twoB)) DIV (${MinhashPerm * (twoB - 1)})) END""")
+          .as("est_bbit_milli"),
+        expr("(1000 * n_int) DIV n_uni").as("jaccard_milli"))
+      .withColumn("err_full_milli", abs(col("est_full_milli") - col("jaccard_milli")))
+      .withColumn("err_bbit_milli", abs(col("est_bbit_milli") - col("jaccard_milli")))
+  }
+
   /** LSH BAND-CONFIGURATION ADVISOR — the S-curve analysis every
     * MinHash deployment does before burning a cluster-day on the wrong
     * (bands, rows) choice: for each way of splitting the 32

@@ -425,6 +425,68 @@ object Relational {
         col("score_micro"), col("n_events"))
   }
 
+  /** LAG-k AUTOCORRELATION of the daily event count per type — the
+    * ACF profile (Box & Jenkins) completing the seasonality family:
+    * [[eventsSeasonalityStrength]] tests ONE candidate period by
+    * ANOVA, [[eventsDowProfile]] assumes the weekly one; the ACF
+    * measures every lag 1..`maxLag` directly, the standard
+    * period-discovery step before either. Exact integer end-to-end:
+    * over the CALENDAR spine (missing days count 0 — gaps are real
+    * signal, not absent rows), the centered deviation is the
+    * integer `dev_t = T·x_t − S` (T spine days, S total events — the
+    * spike-days discipline, mean-centering without division), so
+    *   acf_milli(k) = (1000 · Σ dev_t·dev_{t+k}) DIV Σ dev_t²
+    * is a plain integer ratio, sign-safe-DIV'd on both engines
+    * (numerator may be negative; |num| ≤ den by Cauchy–Schwarz, so
+    * the quotient fits trivially — the 1000·num product routes
+    * through DECIMAL(38,0) so the long-overflow ceiling is the den
+    * SUM, ~2⁶³/(T·x_max²), documented headroom at any test SF).
+    * den = 0 (a constant series) yields NULL, never a division error.
+    *
+    * Scale shape: one map-side-combined daily census, a per-type
+    * 2-row-broadcast spine explode, ONE (type, day)-keyed equi
+    * self-join fanned per lag (census × maxLag rows, never raw
+    * events), and a (type, lag) aggregate. */
+  def eventsAcf(spark: SparkSession, sfDir: String, maxLag: Int = 7): DataFrame =
+    acfOf(Tables.events(spark, sfDir)
+      .select(col("event_type"), expr("unix_micros(ts) DIV 86400000000").as("day"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("n")), maxLag)
+
+  /** Same, over a caller-supplied (event_type, day, n) daily census —
+    * spec-testable on synthetic series with known ACF. */
+  def acfOf(daily: DataFrame, maxLag: Int = 7): DataFrame = {
+    val spine = daily.groupBy(col("event_type"))
+      .agg(min(col("day")).as("mn"), max(col("day")).as("mx"))
+      .select(col("event_type"), explode(expr("sequence(mn, mx)")).as("day"))
+    val x = spine.join(daily, Seq("event_type", "day"), "left")
+      .select(col("event_type"), col("day"), coalesce(col("n"), lit(0L)).as("x"))
+      .localCheckpoint(eager = false) // feeds stats + both lag-join sides
+    val stats = x.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("t_days"), sum(col("x")).as("s"))
+    val dev = x.join(broadcast(stats), "event_type")
+      .select(col("event_type"), col("day"),
+        (col("t_days") * col("x") - col("s")).as("dev"))
+      .localCheckpoint(eager = false)
+    val den = dev.groupBy(col("event_type"))
+      .agg(sum(col("dev") * col("dev")).as("den"))
+    val lags = daily.sparkSession.range(1, maxLag + 1)
+      .select(col("id").as("lag"))
+    val num = dev.crossJoin(broadcast(lags))
+      .select(col("event_type"), (col("day") + col("lag")).as("day2"),
+        col("lag"), col("dev"))
+      .join(dev.select(col("event_type"), col("day").as("day2"),
+        col("dev").as("dev2")), Seq("event_type", "day2"))
+      .groupBy(col("event_type"), col("lag"))
+      .agg(sum(col("dev") * col("dev2")).as("num"))
+    num.join(broadcast(den), "event_type")
+      .select(col("event_type"), col("lag"), col("num"), col("den"),
+        expr("""CASE WHEN den = 0 THEN NULL
+                WHEN num >= 0 THEN CAST((1000 * CAST(num AS DECIMAL(38,0))) DIV den AS BIGINT)
+                ELSE -CAST((1000 * CAST(-num AS DECIMAL(38,0))) DIV den AS BIGINT) END""")
+          .as("acf_milli"))
+  }
+
   /** Q4-shaped priority check: orders with at least one LATE line
     * (shipped more than 90 days after the order date), counted per
     * priority. The EXISTS is a LEFT SEMI join — equi on the order key

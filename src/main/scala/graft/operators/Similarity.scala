@@ -476,6 +476,78 @@ object Similarity {
     centers
   }
 
+  /** MAXIMAL MARGINAL RELEVANCE selection (Carbonell & Goldstein 1998)
+    * — the relevance-AND-diversity greedy the curation pipelines run
+    * where [[kcenterCoreset]] runs diversity-only: round r picks
+    * argmax λ·rel(d) − (1−λ)·max_{s∈S} sim(d, s). Query = the
+    * smallest-vec_id embedding (the kcenter seed discipline), which is
+    * also S₀, so round 1 reduces to pure relevance and every later
+    * round trades relevance against redundancy with what is already
+    * selected. All arithmetic is exact-integer: rel and max-sim in
+    * cosine x4 units (floor(cos·10⁴ + 0.5)), λ in TENTHS so the score
+    * is the plain long `lam·rel − (10−lam)·max_sim` — no division, no
+    * float, identical on both engines. Output row r = (round, chosen
+    * id, its relevance, its max-sim BEFORE being added, its score);
+    * the round-0 row is the query/seed itself (rel = max_sim = 10⁴ by
+    * definition).
+    *
+    * Scale shape (the [[kcenterCoreset]] loop): per-point state is ONE
+    * long (max sim to the selected set) plus the static relevance,
+    * updated per round by a 1-row broadcast of the new pick; the
+    * per-round argmax is a 1-row max(struct) aggregate — map-side
+    * partials, never a sort, nothing collected; the k rounds chain as
+    * one lazy plan, state localCheckpoint'ed every other round.
+    * Re-selection is impossible by construction (the `sel` flag is
+    * part of the state, filtered before the argmax) — an exact-tie
+    * duplicate vector can never shadow an unselected one. */
+  def mmrSelect(spark: SparkSession, sfDir: String, k: Int = 8,
+      lamTenths: Int = 7): DataFrame = {
+    graft.plans.CosineSimilarity.register(spark)
+    mmrSelectOf(Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("e")),
+      k, lamTenths)
+  }
+
+  /** Same, over a caller-supplied (vec_id, e) table — spec-testable on
+    * synthetic vectors (the prefix-factoring discipline). */
+  def mmrSelectOf(emb: DataFrame, k: Int = 8, lamTenths: Int = 7): DataFrame = {
+    val lam = lamTenths.toLong
+    def cosX4(a: Column, b: Column): Column =
+      floor(cosine(a, b) * 10000 + 0.5).cast("long")
+    val seed = emb.agg(min(struct(col("vec_id"), col("e"))).as("s"))
+      .select(col("s.vec_id").as("cid"), col("s.e").as("ce"))
+      .localCheckpoint(eager = false)
+    var picks = seed.select(lit(0L).as("round"), col("cid").as("vec_id"),
+      lit(10000L).as("rel_x4"), lit(10000L).as("max_sim_x4"),
+      lit(lam * 10000L - (10 - lam) * 10000L).as("mmr_score"))
+    var state = emb.crossJoin(broadcast(seed))
+      .withColumn("rel_x4", cosX4(col("e"), col("ce")))
+      .select(col("vec_id"), col("e"), col("rel_x4"),
+        col("rel_x4").as("max_sim_x4"), // S0 = {seed} = the query
+        (col("vec_id") === col("cid")).as("sel"))
+    var cur = seed
+    for (r <- 1 until k) {
+      if (r > 1) {
+        state = state.crossJoin(broadcast(cur))
+          .select(col("vec_id"), col("e"), col("rel_x4"),
+            greatest(col("max_sim_x4"), cosX4(col("e"), col("ce"))).as("max_sim_x4"),
+            (col("sel") || col("vec_id") === col("cid")).as("sel"))
+        if (r % 2 == 0) state = state.localCheckpoint(eager = false)
+      }
+      val score = lit(lam) * col("rel_x4") - lit(10L - lam) * col("max_sim_x4")
+      val sel = state.filter(!col("sel"))
+        .agg(max(struct(score.as("sc"), (-col("vec_id")).as("nid"),
+          col("rel_x4").as("rel"), col("max_sim_x4").as("ms"),
+          col("e").as("emb"))).as("s"))
+        .localCheckpoint(eager = false) // feeds cur AND the output row
+      cur = sel.select((-col("s.nid")).as("cid"), col("s.emb").as("ce"))
+      picks = picks.unionAll(sel.select(lit(r.toLong).as("round"),
+        (-col("s.nid")).as("vec_id"), col("s.rel").as("rel_x4"),
+        col("s.ms").as("max_sim_x4"), col("s.sc").as("mmr_score")))
+    }
+    picks
+  }
+
   /** Per-label centroid distance outliers: element-wise mean embedding
     * per label, then each vector's squared euclidean distance to its
     * label centroid, top-k outliers per label — the standard "mislabeled
