@@ -972,6 +972,73 @@ class StreamSubstrateSpec extends AnyFunSuite {
       s"rehydrated total must reach the emitted row: ${got.filter(_._2 == 300L)}")
   }
 
+  test("streaming ACF end-to-end: the lag table emits as each anchor closes") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, Long, Long)]
+    val q = StreamSources.acfMonitorStream(input.toDS(), maxLag = 7)
+      .toDF("event_type", "anchor_day", "lag", "num", "den", "acf_milli")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("acf_out").start()
+    input.addData(("a", 0L, 2L), ("a", 1L, 4L))
+    q.processAllAvailable()
+    // anchor 0 closed with T = 1: no lag has a pair yet — no rows
+    assert(spark.sql("select * from acf_out").count() == 0)
+    input.addData(("a", 3L, 6L)) // closes anchor 1 (T = 2, x = [2, 4])
+    q.processAllAvailable()
+    val rows = spark.sql("select * from acf_out").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), if (r.isNullAt(5)) None else Some(r.getLong(5))))
+    // hand check: S=6, Q=20, P1=8 → den=8, num1=−4 → acf −500 milli
+    assert(rows.toSeq == Seq(("a", 1L, 1L, -4L, 8L, Some(-500L))), rows.toSeq.toString)
+    q.stop()
+  }
+
+  test("streaming ACF: every closed anchor equals the batch monitor on its prefix, with constant state") {
+    import org.apache.spark.sql.streaming.TestGroupState
+    val census = graft.Tables.events(spark, graft.TestSpark.sfDir)
+      .select(col("event_type"), expr("unix_micros(ts) DIV 86400000000").as("day"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("n"))
+      .as[(String, Long, Long)].collect().toSeq
+    val types = census.map(_._1).distinct.sorted
+    assert(types.nonEmpty)
+    types.foreach { et =>
+      val rows = census.filter(_._1 == et).sortBy(_._2)
+      val maxDay = rows.map(_._2).max
+      val withFlush = rows :+ ((et, maxDay + 1L, 0L)) // closes the final anchor
+      var stateValue: Option[Array[Long]] = None
+      val got = scala.collection.mutable.ArrayBuffer
+        .empty[(String, Long, Long, Long, Long, Option[Long])]
+      withFlush.grouped(math.max(1, withFlush.length / 4 + 1)).foreach { chunk =>
+        val st = TestGroupState.create[Array[Long]](
+          optionalState = stateValue.map(org.apache.spark.api.java.Optional.of[Array[Long]])
+            .getOrElse(org.apache.spark.api.java.Optional.empty[Array[Long]]()),
+          timeoutConf = org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout,
+          batchProcessingTimeMs = 1000L,
+          eventTimeWatermarkMs = org.apache.spark.api.java.Optional.empty[Long](),
+          hasTimedOut = false)
+        got ++= StreamSources.acfUpdate()(et, chunk.iterator, st)
+        stateValue = Some(st.get)
+        assert(st.get.length == 5 + 3 * 7,
+          "ACF state is CONSTANT-size sufficient statistics, never the series")
+      }
+      val anchors = got.map(_._2).distinct.sorted
+      assert(anchors.nonEmpty, s"type $et must close at least one anchor")
+      Seq(anchors.head, anchors(anchors.size / 2), anchors.last).distinct.foreach { a =>
+        val prefix = rows.filter(_._2 <= a)
+          .toDF("event_type", "day", "n")
+        val batch = graft.operators.Relational.acfOf(prefix).collect()
+          .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+            if (r.isNullAt(4)) None else Some(r.getLong(4)))).toSet
+        val stream = got.filter(_._2 == a)
+          .map(x => (x._1, x._3, x._4, x._5, x._6)).toSet
+        assert(stream == batch,
+          s"closed ACF anchor must equal the batch prefix: type=$et anchor=$a\n" +
+            s"stream=$stream\nbatch=$batch")
+      }
+    }
+  }
+
   test("hampelUpdate counts contract-violating late days instead of silent drops") {
     import org.apache.spark.sql.streaming.TestGroupState
     def freshState(v: Option[Array[Long]]) = TestGroupState.create[Array[Long]](
