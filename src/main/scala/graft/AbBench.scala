@@ -39,6 +39,32 @@ object AbBench {
       (() => operators.Dedup.winnowSharedPairsAll(spark, sfDir, minShared = 1)),
     "lp_full" ->
       (() => operators.GraphOps.linkPrediction(spark, sfDir)),
+    // r12 A/B: the wedge WITHOUT the per-invocation lazy mids
+    // checkpoint — now that pairs is a memo scan, ReuseExchange may
+    // cover both wedge sides, and dropping the checkpoint stops the
+    // per-repeat block accumulation behind the in-session slowdown.
+    "lp_full_nockpt" -> { () =>
+      import org.apache.spark.sql.functions._
+      val pairs = operators.GraphOps.candidatePairsMaterialized(spark, sfDir)
+      val und = pairs.union(
+        pairs.select(col("id2").as("id1"), col("id1").as("id2")))
+      val deg = und.groupBy(col("id1")).agg(count(lit(1)).as("deg"))
+      val mids = und.select(col("id2").as("w"), col("id1").as("u"))
+        .join(deg.select(col("id1").as("w"), col("deg")), Seq("w"))
+        .filter(col("deg") >= 2 && col("deg") <= 4096)
+        .select(col("w"), col("u"),
+          expr(s"1000000000000 DIV (${
+            operators.TextAnalysis.plog2MicroSql("deg")})").as("aa_micro"))
+      val wedge = mids.select(col("w"), col("u"), col("aa_micro"))
+        .join(mids.select(col("w"), col("u").as("v")), Seq("w"))
+        .filter(col("u") < col("v"))
+      wedge.groupBy(col("u").as("id1"), col("v").as("id2"))
+        .agg(count(lit(1)).as("n_common"), sum(col("aa_micro")).as("score_micro"))
+        .join(pairs, Seq("id1", "id2"), "left_anti")
+        .orderBy(col("score_micro").desc, col("id1"), col("id2"))
+        .limit(20)
+        .select(col("id1"), col("id2"), col("n_common"), col("score_micro"))
+    },
     "lp_wedge_raw" -> { () =>
       import org.apache.spark.sql.functions._
       val pairs = operators.Dedup

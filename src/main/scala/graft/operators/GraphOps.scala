@@ -260,7 +260,11 @@ object GraphOps {
       .select(col("w"), col("u"),
         expr(s"1000000000000 DIV (${
           graft.operators.TextAnalysis.plog2MicroSql("deg")})").as("aa_micro"))
-      .localCheckpoint(eager = false) // both sides of the wedge join
+    // NO checkpoint on mids (r12 A/B `lp_full_nockpt`, adopted): with
+    // `pairs` a memo scan, both wedge sides are the identical subplan
+    // and ReuseExchange dedupes the shuffle — measured 12.9 → 10.7 s
+    // at sf0.1, and repeats stop pinning one lazy checkpoint each
+    // (the in-session block pressure behind the ALL-mode slowdown)
     val wedge = mids.select(col("w"), col("u"), col("aa_micro"))
       .join(mids.select(col("w"), col("u").as("v")), Seq("w"))
       .filter(col("u") < col("v"))
