@@ -41,19 +41,27 @@ object Bench {
     "dedup_lsh_verified_pairs" -> graft.operators.Similarity.LshPairsFamily,
     "graph_candidates_build" -> graft.operators.GraphOps.CandidatesFamily)
 
-  /** One timed, fully-materialized run; -1.0 on failure. */
+  /** One timed, fully-materialized run; -1.0 on failure. After the
+    * action completes (timing stopped), the per-invocation lazy
+    * checkpoint blocks are swept ([[graft.operators.BuildOnce
+    * .releaseScoped]], r12 verdict #3) so a long multi-query session
+    * holds steady-state block storage instead of accumulating one set
+    * per run — the measured mechanism behind ALL-mode inflation. */
   def once(spark: SparkSession, sfDir: String, name: String): Double = {
     coldStartFamilies.get(name)
       .foreach(graft.operators.BuildOnce.clearFamily)
     val t0 = System.nanoTime()
-    try SparkEntry.queries(name)(spark, sfDir)
-      .write.format("noop").mode("overwrite").save()
-    catch {
+    val elapsed = try {
+      SparkEntry.queries(name)(spark, sfDir)
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    } catch {
       case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getClass.getSimpleName}: ${e.getMessage}")
-        return -1.0
+        -1.0
     }
-    (System.nanoTime() - t0) / 1e9
+    graft.operators.BuildOnce.releaseScoped(spark)
+    elapsed
   }
 
   /** All N timed repeats for one query (any may be -1.0 on failure). */

@@ -218,6 +218,19 @@ object SparkEntry {
       Relational.eventsAcf(s, d)),
     "dedup_minhash_bbit" -> ((s: SparkSession, d: String) =>
       Dedup.minhashBbitError(s, d)),
+    // round-13 additions: the capped-join ALERT channels as declared,
+    // oracle-gated queries (r12 verdict #5) — the monitoring surface a
+    // 100 TB operator actually reads next to the prediction/dedup
+    // tables. Caps chosen to BITE at every test SF (candidate-graph
+    // max degree 36/39/311, LSH bucket max 4/3/14 at sf0.001/0.01/0.1),
+    // so the gated rows are non-empty evidence, not vacuous empties.
+    "graph_dropped_hubs" -> ((s: SparkSession, d: String) =>
+      GraphOps.linkPredictionDroppedHubs(s, d, maxHubDeg = 16)),
+    "dedup_oversized_buckets" -> ((s: SparkSession, d: String) =>
+      Dedup.oversizedBuckets(Dedup.minhashLshBuckets(s, d), cap = 2)
+        .select(org.apache.spark.sql.functions.col("band").cast("long").as("band"),
+          org.apache.spark.sql.functions.col("bucket"),
+          org.apache.spark.sql.functions.col("n_docs"))),
     "text_zipf_fit" -> ((s: SparkSession, d: String) => TextAnalysis.zipfFit(s, d)),
     "text_hapax_ratio" -> (TextAnalysis.hapaxRatio _),
     "events_dow_profile" -> (Relational.eventsDowProfile _),
@@ -545,7 +558,10 @@ object SparkEntry {
     "graph_candidates_build", "graph_link_prediction",
     "embed_silhouette",
     // round-12 additions:
-    "embed_mmr_select", "events_acf", "dedup_minhash_bbit")
+    "embed_mmr_select", "events_acf", "dedup_minhash_bbit",
+    // round-13 additions (the alert channels — cheap censuses, but the
+    // monitoring surface belongs in the headline set it guards):
+    "graph_dropped_hubs", "dedup_oversized_buckets")
 
   // --- generated DuckDB replicas of the portable-hash queries ----------
 
@@ -1140,8 +1156,13 @@ object SparkEntry {
        |  FROM ws WHERE len(w) >= 3),
        |hh AS (SELECT doc_id, $h48 AS h FROM sh),
        |sig AS (SELECT doc_id, $mins FROM hh GROUP BY doc_id),
-       |bk AS (SELECT doc_id, band, CASE band $bandCase END AS bucket
+       |bk0 AS (SELECT doc_id, band, CASE band $bandCase END AS bucket
        |  FROM sig CROSS JOIN (VALUES ${(0 until Bands).map(b => s"($b)").mkString(",")}) AS t(band)),
+       |hot AS (SELECT band, bucket FROM bk0 GROUP BY 1, 2
+       |  HAVING count(*) > 1024),
+       |bk AS (SELECT * FROM bk0 WHERE NOT EXISTS (
+       |  SELECT 1 FROM hot h
+       |  WHERE h.band = bk0.band AND h.bucket = bk0.bucket)),
        |cand AS (SELECT DISTINCT x.doc_id AS doc1, y.doc_id AS doc2
        |  FROM bk x JOIN bk y ON x.band = y.band AND x.bucket = y.bucket
        |    AND x.doc_id < y.doc_id),
@@ -1359,8 +1380,13 @@ object SparkEntry {
        |  FROM ws WHERE len(w) >= 3),
        |hh AS (SELECT doc_id, $h48 AS h FROM sh),
        |sig AS (SELECT doc_id, $mins FROM hh GROUP BY doc_id),
-       |bk AS (SELECT doc_id, band, CASE band $bandCase END AS bucket
+       |bk0 AS (SELECT doc_id, band, CASE band $bandCase END AS bucket
        |  FROM sig CROSS JOIN (VALUES ${(0 until Bands).map(b => s"($b)").mkString(",")}) AS t(band)),
+       |hot AS (SELECT band, bucket FROM bk0 GROUP BY 1, 2
+       |  HAVING count(*) > 1024),
+       |bk AS (SELECT * FROM bk0 WHERE NOT EXISTS (
+       |  SELECT 1 FROM hot h
+       |  WHERE h.band = bk0.band AND h.bucket = bk0.bucket)),
        |cand AS (SELECT DISTINCT x.doc_id AS doc1, y.doc_id AS doc2
        |  FROM bk x JOIN bk y ON x.band = y.band AND x.bucket = y.bucket
        |    AND x.doc_id < y.doc_id),
@@ -2506,6 +2532,28 @@ object SparkEntry {
          |SELECT a.doc_id AS id1, b.doc_id AS id2
          |FROM fp a JOIN fp b ON a.fp_hash = b.fp_hash AND a.doc_id < b.doc_id
          |GROUP BY 1, 2 HAVING count(*) >= 1""".stripMargin,
+    // Alert channel (r12 verdict #5): candidate-graph hubs above the
+    // wedge cap — the degree census over the same minShared=1 pair
+    // list, HAVING above the declared low cap so the channel carries
+    // rows at every test SF.
+    "graph_dropped_hubs" ->
+      s"""${winnowCte()},
+         |fp AS (SELECT DISTINCT doc_id, wmin // 32768 AS fp_hash
+         |  FROM m WHERE cnt = 4),
+         |p AS (SELECT a.doc_id AS id1, b.doc_id AS id2
+         |  FROM fp a JOIN fp b ON a.fp_hash = b.fp_hash AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |e AS (SELECT id1 AS src FROM p UNION ALL SELECT id2 FROM p)
+         |SELECT src AS doc_id, CAST(count(*) AS BIGINT) AS deg
+         |FROM e GROUP BY 1 HAVING count(*) > 16""".stripMargin,
+    // Alert channel: oversized LSH buckets (the capHotKeys census) at
+    // a low cap that bites at every test SF.
+    "dedup_oversized_buckets" ->
+      s"""WITH bk AS (
+         |$minhashOracle)
+         |SELECT CAST(band AS BIGINT) AS band, bucket,
+         |  CAST(count(*) AS BIGINT) AS n_docs
+         |FROM bk GROUP BY 1, 2 HAVING count(*) > 2""".stripMargin,
     // Adamic–Adar replica: same winnow edge list, same integer-micro
     // portable log2 weight (1e12 // plog2micro(deg)), wedge-join
     // candidates, existing edges excluded, total-order top-20.

@@ -27,6 +27,9 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // sweep per-invocation lazy-checkpoint blocks between queries
+      // (quiescent point; BuildOnce memos are spared) — r12 verdict #3
+      graft.operators.BuildOnce.releaseScoped(spark)
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

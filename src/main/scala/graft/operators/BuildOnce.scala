@@ -93,9 +93,78 @@ object BuildOnce {
     * checkpoint blocks — the bench's cold-start knob for timing a
     * declared build query honestly. Exact segment match on the
     * structured key: an sfDir that happens to CONTAIN another family's
-    * name can never cross-evict it (r11 advice). */
-  def clearFamily(family: String): Unit = removeMatching(_.family == family)
+    * name can never cross-evict it (r11 advice).
+    *
+    * HARNESS-BOUNDARY CONTRACT (r12 advice): releasing the blocks
+    * behind a checkpoint-truncated plan makes any PREVIOUSLY RETURNED
+    * memo instance fail with "checkpoint block not found" on
+    * re-execution instead of recomputing — eager release trades the
+    * block leak for that hard edge. clearFamily/clearAll may therefore
+    * only be called at a quiescent point of a SINGLE-THREADED harness
+    * (between bench repeats, between test suites), never while another
+    * thread may still re-execute a memo DataFrame and never from
+    * library code on the query path. [[enforceSingleThreaded]] asserts
+    * the no-concurrent-clear half of that contract at runtime. */
+  def clearFamily(family: String): Unit = enforceSingleThreaded {
+    removeMatching(_.family == family)
+  }
 
-  /** Evict everything (test isolation), releasing all blocks. */
-  def clearAll(): Unit = removeMatching(_ => true)
+  /** Evict everything (test isolation), releasing all blocks. Same
+    * harness-boundary contract as [[clearFamily]]. */
+  def clearAll(): Unit = enforceSingleThreaded {
+    removeMatching(_ => true)
+  }
+
+  /** RDD ids backing the live memo DataFrames — the blocks a
+    * harness-boundary sweep must NOT release. */
+  private def memoRddIds: Set[Int] = {
+    val out = scala.collection.mutable.Set.empty[Int]
+    memos.values().forEach { df =>
+      try df.queryExecution.analyzed.collect { case lr: LogicalRDD => lr.rdd.id }
+        .foreach(out.add)
+      catch { case _: Throwable => () }
+    }
+    out.toSet
+  }
+
+  /** HARNESS-BOUNDARY block sweep (r12 verdict #3): unpersist every
+    * persistent RDD in the context EXCEPT those backing live BuildOnce
+    * memos. The per-invocation lazy `localCheckpoint`s on the query
+    * paths (capHotKeys, winnow truth sides, iterative loop lineage
+    * truncation, …) otherwise pin executor block storage until the
+    * ContextCleaner happens to GC them — the measured mechanism behind
+    * the 282-query ALL-mode inflation (BENCHNOTES r12: late-alphabet
+    * heavy queries ran ~1.35–2× their clean-JVM time under accumulated
+    * block pressure). One sweep per completed query keeps the session
+    * at steady-state block occupancy.
+    *
+    * Same contract class as [[clearFamily]]: callers must be at a
+    * QUIESCENT single-threaded harness point (after a query's action
+    * completed, before the next query's plan is built) — a released
+    * materialized checkpoint fails re-execution rather than
+    * recomputing. Bench/Verify call it between queries; library code
+    * on the query path never may. */
+  def releaseScoped(spark: SparkSession): Unit = {
+    val keep = memoRddIds
+    spark.sparkContext.getPersistentRDDs.foreach { case (id, rdd) =>
+      if (!keep.contains(id))
+        try rdd.unpersist(blocking = false) catch { case _: Throwable => () }
+    }
+  }
+
+  /** Runtime tripwire for the clear-path contract: two clears racing
+    * each other is definitive proof the caller is NOT the quiescent
+    * single-threaded harness the scaladoc demands, so fail loudly
+    * instead of letting the release race surface later as an opaque
+    * "checkpoint block not found" inside some consumer's job. (The
+    * full contract — no concurrent CONSUMERS either — is not cheaply
+    * checkable here; this catches the detectable half.) */
+  private val clearing = new java.util.concurrent.atomic.AtomicBoolean(false)
+  private def enforceSingleThreaded(body: => Unit): Unit = {
+    if (!clearing.compareAndSet(false, true))
+      throw new IllegalStateException(
+        "BuildOnce.clearFamily/clearAll raced another clear: these are " +
+          "single-threaded harness-boundary calls (see scaladoc)")
+    try body finally clearing.set(false)
+  }
 }

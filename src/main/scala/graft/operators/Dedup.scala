@@ -574,13 +574,22 @@ object Dedup {
     * [[Similarity.annIvfRecall]]).
     *
     * Scale shape: ONE signature pass (localCheckpoint'ed — banding and
-    * both pair sides reuse it), the usual bucket equi self-join for
-    * candidates, then doc-keyed joins; est/exact/err are exact-integer
-    * or identical-IEEE arithmetic, so the evaluator itself is
-    * oracle-checkable. */
-  def minhashEstimationError(spark: SparkSession, sfDir: String): DataFrame = {
+    * both pair sides reuse it), the CAPPED bucket equi self-join for
+    * candidates (r12 advice: the docstring claimed the cap but the
+    * join ran uncapped — a viral bucket of mass-identical docs made
+    * the CALIBRATOR quadratic in that bucket while the production
+    * paths it calibrates were capped; now it routes through
+    * [[capHotKeys]] with the same default and the cap is mirrored in
+    * the oracle), then doc-keyed joins; est/exact/err are
+    * exact-integer or identical-IEEE arithmetic, so the evaluator
+    * itself is oracle-checkable. */
+  def minhashEstimationError(spark: SparkSession, sfDir: String,
+      maxBucketSize: Int = 1024): DataFrame = {
     val sig = minhashSignatures(spark, sfDir).localCheckpoint()
-    val buckets = bandSignature(sig)
+    // banding is a cheap projection over the signature checkpoint, so
+    // the census + anti-join inside the cap re-read the stored rows,
+    // not the signature derivation — no extra checkpoint needed
+    val buckets = capHotKeys(bandSignature(sig), Seq("band", "bucket"), maxBucketSize)
     val cand = buckets.as("x").join(buckets.as("y"),
         col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
           col("x.doc_id") < col("y.doc_id"))
@@ -626,12 +635,15 @@ object Dedup {
     *
     * Scale shape: identical to [[minhashEstimationError]] — one
     * checkpointed signature pass, the capped bucket equi self-join
-    * for candidates, doc-keyed joins; every emitted number is an
-    * exact integer, so aggregation order is irrelevant. */
+    * for candidates (routed through [[capHotKeys]] since r13; the r12
+    * code joined uncapped while claiming the cap — same fix and same
+    * oracle mirror as the est-err calibrator), doc-keyed joins; every
+    * emitted number is an exact integer, so aggregation order is
+    * irrelevant. */
   def minhashBbitError(spark: SparkSession, sfDir: String,
-      bBits: Int = 4): DataFrame = {
+      bBits: Int = 4, maxBucketSize: Int = 1024): DataFrame = {
     val sig = minhashSignatures(spark, sfDir).localCheckpoint()
-    val buckets = bandSignature(sig)
+    val buckets = capHotKeys(bandSignature(sig), Seq("band", "bucket"), maxBucketSize)
     val cand = buckets.as("x").join(buckets.as("y"),
         col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
           col("x.doc_id") < col("y.doc_id"))

@@ -682,12 +682,26 @@ object StreamSources {
     * OF the old anchor (lags 1..min(L, T−1) — the batch inner lag
     * join emits exactly those); `acf_milli` is None when den = 0 (a
     * constant prefix), mirroring the batch NULL. Exact-integer
-    * throughout: the 1000·num product routes through BigInt, whose
-    * truncate-toward-zero division IS the batch sign-safe DIV. Late
+    * throughout: num and den ASSEMBLE in BigInt from the Long
+    * sufficient statistics (r12 advice — Long intermediates like
+    * t·t·p(k−1) overflow at tighter thresholds than the batch path's
+    * sum(dev·dev), silently breaking the bit-identity contract on
+    * long/high-count series; the state stays 5+3L longs, only the
+    * emit-time arithmetic widens), and BigInt's truncate-toward-zero
+    * division IS the batch sign-safe DIV. The emitted num/den columns
+    * narrow back to Long — exact whenever the batch Long sums
+    * themselves fit, i.e. the same documented headroom bound. Late
     * days (day < anchor) count via `onLateDrop`, never silently
-    * swallowed ([[hampelUpdate]] discipline). */
+    * swallowed ([[hampelUpdate]] discipline). Days further than
+    * `maxGapDays` PAST the anchor also route to `onLateDrop` instead
+    * of advancing it (r12 advice): the zero-fill loop is O(gap), so
+    * one corrupt far-future timestamp would otherwise spin millions
+    * of pushes AND poison the monitor permanently (every later real
+    * day lands behind the bogus anchor) — cap-and-alert, matching the
+    * capped-join discipline everywhere else. */
   def acfUpdate(maxLag: Int = 7,
-      onLateDrop: (String, Long) => Unit = (_, _) => ())(key: String,
+      onLateDrop: (String, Long) => Unit = (_, _) => (),
+      maxGapDays: Long = 3650L)(key: String,
       rows: Iterator[(String, Long, Long)],
       state: GroupState[Array[Long]])
       : Iterator[(String, Long, Long, Long, Long, Option[Long])] = {
@@ -721,22 +735,27 @@ object StreamSources {
     val out = scala.collection.mutable.ArrayBuffer
       .empty[(String, Long, Long, Long, Long, Option[Long])]
     def emit(a: Long): Unit = {
-      val den = t * t * q - t * s * s
+      val tB = BigInt(t); val sB = BigInt(s)
+      val den = tB * tB * q - tB * sB * sB
       var k = 1
       while (k <= math.min(L.toLong, t - 1)) {
         val head = first.take(k).sum
         val tail = last.slice(L - k, L).sum
-        val num = t * t * p(k - 1) - t * s * (2 * s - tail - head) + (t - k) * s * s
-        val acf = if (den == 0) None
-          else Some((BigInt(num) * 1000 / BigInt(den)).toLong)
-        out += ((key, a, k.toLong, num, den, acf))
+        val num = tB * tB * p(k - 1) - tB * sB * (2 * s - tail - head) +
+          BigInt(t - k) * sB * sB
+        val acf = if (den == 0) None else Some((num * 1000 / den).toLong)
+        out += ((key, a, k.toLong, num.toLong, den.toLong, acf))
         k += 1
       }
     }
     rows.toSeq.sortBy(_._2).foreach { case (et, day, n) =>
       if (anchor == Long.MinValue) { anchor = day; pending = n }
       else if (day == anchor) pending += n
-      else if (day < anchor) onLateDrop(et, day)
+      // out-of-contract days — late, OR implausibly far future (a
+      // corrupt timestamp would otherwise spin the O(gap) zero-fill
+      // and permanently misanchor the monitor) — are counted, never
+      // silently swallowed and never allowed to move the anchor
+      else if (day < anchor || day - anchor > maxGapDays) onLateDrop(et, day)
       else {
         push(pending)
         emit(anchor)
@@ -753,9 +772,10 @@ object StreamSources {
     * census: constant 5 + 3·maxLag longs of state per type, append
     * mode — emits a type's full lag-1..maxLag ACF table as each anchor
     * day closes, bit-identical to the batch monitor over the same
-    * prefix. Late days count into the `acf_late_dropped` accumulator. */
+    * prefix. Late days AND days beyond the `maxGapDays` sanity horizon
+    * count into the `acf_late_dropped` accumulator. */
   def acfMonitorStream(daily: Dataset[(String, Long, Long)],
-      maxLag: Int = 7)
+      maxLag: Int = 7, maxGapDays: Long = 3650L)
       : Dataset[(String, Long, Long, Long, Long, Option[Long])] = {
     implicit val stateEnc: org.apache.spark.sql.Encoder[Array[Long]] =
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
@@ -769,7 +789,7 @@ object StreamSources {
       .flatMapGroupsWithState[Array[Long],
         (String, Long, Long, Long, Long, Option[Long])](
         OutputMode.Append, GroupStateTimeout.NoTimeout)(
-        acfUpdate(maxLag, (_, _) => late.add(1L)))
+        acfUpdate(maxLag, (_, _) => late.add(1L), maxGapDays))
   }
 
   /** Side-store contract bounding [[trendingUpdate]]'s per-item state

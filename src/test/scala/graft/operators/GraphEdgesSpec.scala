@@ -73,6 +73,27 @@ class GraphEdgesSpec extends AnyFunSuite {
       "the rebuilt instance is memoized again")
   }
 
+  test("releaseScoped sweeps per-invocation checkpoint blocks but spares live memos") {
+    val memo = Dedup.winnowEdgesMaterialized(spark, sfDir) // live memo
+    // a per-invocation-style lazy checkpoint, materialized → its RDD
+    // is persisted and would otherwise pin blocks until GC
+    val scratch = spark.range(1000).toDF("x").localCheckpoint(eager = false)
+    assert(scratch.count() == 1000)
+    val scratchIds = scratch.queryExecution.analyzed.collect {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.id
+    }.toSet
+    assert(scratchIds.nonEmpty &&
+      scratchIds.subsetOf(spark.sparkContext.getPersistentRDDs.keySet),
+      "the materialized lazy checkpoint must be persisted before the sweep")
+    BuildOnce.releaseScoped(spark)
+    assert(scratchIds.intersect(spark.sparkContext.getPersistentRDDs.keySet).isEmpty,
+      "the sweep must unpersist the per-invocation checkpoint")
+    // the memo survives: same live instance, still scannable
+    assert(memo eq Dedup.winnowEdgesMaterialized(spark, sfDir),
+      "the sweep must not evict the memo entry")
+    assert(memo.count() > 0, "the memo's blocks must still be readable")
+  }
+
   test("materialized edges value-match a fresh un-memoized build") {
     val mat = Dedup.winnowEdgesMaterialized(spark, sfDir)
       .collect().map(_.toSeq).toSet

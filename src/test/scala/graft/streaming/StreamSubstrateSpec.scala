@@ -972,6 +972,63 @@ class StreamSubstrateSpec extends AnyFunSuite {
       s"rehydrated total must reach the emitted row: ${got.filter(_._2 == 300L)}")
   }
 
+  test("trending store: below topK live items the stream omits the dormant zero-score rows batch includes") {
+    import org.apache.spark.sql.streaming.TestGroupState
+    // The scaladoc'd >= topK precondition from the OTHER side (r12
+    // advice): when a type drops BELOW topK live items, the batch
+    // monitor back-fills its top-K with dormant score-0 rows while the
+    // bounded-state stream has evicted them — this pins that intended
+    // divergence shape so a refactor can't change it unnoticed.
+    val et = "below_k"
+    // item 2 goes dormant past the 140-day horizon and never returns,
+    // so at anchor 150 only item 1 is live — below topK = 2
+    val census: Seq[(String, Long, Long, Long)] = Seq(
+      (et, 1L, 0L, 5L), (et, 2L, 0L, 3L),
+      (et, 1L, 150L, 5L))
+    val backing = scala.collection.mutable.Map.empty[(String, Long), Long]
+    val store = new StreamSources.TrendingStore {
+      def save(t: String, item: Long, total: Long): Unit = backing((t, item)) = total
+      def load(t: String, item: Long): Option[Long] = backing.get((t, item))
+    }
+    val withFlush = census :+ ((et, -1L, 151L, 0L)) // sentinel closes anchor 150
+    var stateValue: Option[Array[Long]] = None
+    val got = scala.collection.mutable.ArrayBuffer
+      .empty[(String, Long, Long, Long, Long, Long)]
+    withFlush.grouped(2).foreach { chunk =>
+      val st = TestGroupState.create[Array[Long]](
+        optionalState = stateValue.map(org.apache.spark.api.java.Optional.of[Array[Long]])
+          .getOrElse(org.apache.spark.api.java.Optional.empty[Array[Long]]()),
+        timeoutConf = org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout,
+        batchProcessingTimeMs = 1000L,
+        eventTimeWatermarkMs = org.apache.spark.api.java.Optional.empty[Long](),
+        hasTimedOut = false)
+      got ++= StreamSources.trendingUpdate(halfLifeDays = 7, topK = 2,
+        store = Some(store))(et, chunk.iterator, st)
+      stateValue = Some(st.get)
+    }
+    assert(backing((et, 2L)) == 3L, "the dormant item must be evicted to the store")
+    val evRows = census.flatMap { case (t, item, day, n) =>
+      Seq.fill(n.toInt)((t, s"""{"k":$item}""", day)) }
+    val events = evRows.toDF("event_type", "props", "day")
+      .withColumn("ts", expr("timestamp_micros(day * 86400000000)"))
+    def batchAt(a: Long) = graft.operators.Relational.trendingDecayOf(
+        events.filter(col("day") <= a), halfLifeDays = 7, topK = 2)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    // anchor 0: both items live (>= topK) — stream == batch, the precondition side
+    assert(got.filter(_._2 == 0L).map(t => (t._1, t._3, t._4, t._5, t._6)).toSet
+      == batchAt(0L).toSet, "at >= topK live items the stream matches batch")
+    // anchor 150: batch back-fills rank 2 with the dormant score-0 item;
+    // the stream emits ONLY the live item's row — and that row still
+    // matches the batch rank-1 row bit-for-bit
+    val batch150 = batchAt(150L)
+    assert(batch150.exists(r => r._3 == 2L && r._4 == 0L),
+      s"batch must include the dormant zero-score row: ${batch150.toSeq}")
+    val stream150 = got.filter(_._2 == 150L).map(t => (t._1, t._3, t._4, t._5, t._6))
+    assert(stream150.toSet == batch150.filter(_._4 > 0L).toSet,
+      s"stream must emit exactly the live rows: stream=${stream150.toSeq} batch=${batch150.toSeq}")
+  }
+
   test("streaming ACF end-to-end: the lag table emits as each anchor closes") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(String, Long, Long)]
@@ -1037,6 +1094,80 @@ class StreamSubstrateSpec extends AnyFunSuite {
             s"stream=$stream\nbatch=$batch")
       }
     }
+  }
+
+  test("acfUpdate: a corrupt far-future day is counted and dropped, never advances the anchor") {
+    import org.apache.spark.sql.streaming.TestGroupState
+    def freshState(v: Option[Array[Long]]) = TestGroupState.create[Array[Long]](
+      optionalState = v.map(org.apache.spark.api.java.Optional.of[Array[Long]])
+        .getOrElse(org.apache.spark.api.java.Optional.empty[Array[Long]]()),
+      timeoutConf = org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout,
+      batchProcessingTimeMs = 1000L,
+      eventTimeWatermarkMs = org.apache.spark.api.java.Optional.empty[Long](),
+      hasTimedOut = false)
+    val dropped = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+    val count = (et: String, d: Long) => { dropped += (et -> d); () }
+    // the r12-advice poison scenario: one corrupt timestamp ~2700 years
+    // out would spin O(gap) zero-fills AND permanently misanchor the
+    // monitor (every later real day becomes a "late" drop forever)
+    val s1 = freshState(None)
+    StreamSources.acfUpdate(7, count)("a",
+      Iterator(("a", 0L, 2L), ("a", 1L, 4L), ("a", 999999L, 5L)), s1)
+    assert(dropped.toSeq == Seq("a" -> 999999L),
+      "the far-future day must route to the drop channel")
+    assert(s1.get(0) == 1L, "the anchor must not advance past the sanity horizon")
+    // the monitor keeps working: the next REAL day closes anchor 1
+    // exactly as if the corrupt row never arrived
+    val s2 = freshState(Some(s1.get))
+    val out = StreamSources.acfUpdate(7, count)("a",
+      Iterator(("a", 3L, 6L)), s2).toSeq
+    assert(out == Seq(("a", 1L, 1L, -4L, 8L, Some(-500L))), out.toString)
+    // a gap INSIDE the horizon still zero-fills normally (day 3 above
+    // skipped day 2 — T counts the spine, not the rows)
+    assert(s2.get(2) == 3L, "in-horizon gaps must still zero-fill the spine")
+  }
+
+  test("acfUpdate: emit-time BigInt assembly matches batch where Long intermediates would wrap") {
+    import org.apache.spark.sql.streaming.TestGroupState
+    // A 100-day series of ~5e6 daily counts: the emitted num/den are
+    // small (alternating ±1e3 noise), and the batch Long sums are fine
+    // (den = Σ dev² = 1e12), but the stream's OLD Long intermediates
+    // t·t·q ≈ 2.5e19 and t·t·p(k) ≈ 2.5e19 wrap 2⁶³ (r12 advice) — so
+    // this series distinguishes BigInt assembly from Long assembly.
+    val et = "bigcount"
+    val c = 5000000L; val d = 1000L
+    val rows: Seq[(String, Long, Long)] =
+      (0L until 100L).map(day => (et, day, c + (if (day % 2 == 0) d else -d)))
+    val withFlush = rows :+ ((et, 100L, 0L)) // closes anchor 99
+    var stateValue: Option[Array[Long]] = None
+    val got = scala.collection.mutable.ArrayBuffer
+      .empty[(String, Long, Long, Long, Long, Option[Long])]
+    withFlush.grouped(25).foreach { chunk =>
+      val st = TestGroupState.create[Array[Long]](
+        optionalState = stateValue.map(org.apache.spark.api.java.Optional.of[Array[Long]])
+          .getOrElse(org.apache.spark.api.java.Optional.empty[Array[Long]]()),
+        timeoutConf = org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout,
+        batchProcessingTimeMs = 1000L,
+        eventTimeWatermarkMs = org.apache.spark.api.java.Optional.empty[Long](),
+        hasTimedOut = false)
+      got ++= StreamSources.acfUpdate()(et, chunk.iterator, st)
+      stateValue = Some(st.get)
+    }
+    // hand check at the closed anchor 99 (T = 100, dev_t = ±T·d):
+    // den = Σ dev² = 100·(100·1000)² = 1e12; lag-1 pairs are all
+    // anti-aligned → num₁ = −99·1e10, acf₁ = −990 milli; lag-2 pairs
+    // all aligned → num₂ = +98·1e10, acf₂ = +980 milli
+    val at99 = got.filter(_._2 == 99L).map(r => (r._3, r._4, r._5, r._6)).sortBy(_._1)
+    assert(at99.take(2) == Seq(
+      (1L, -990000000000L, 1000000000000L, Some(-990L)),
+      (2L, 980000000000L, 1000000000000L, Some(980L))), at99.toString)
+    // and the full table equals the batch monitor on the same prefix
+    val batch = graft.operators.Relational.acfOf(
+        rows.toDF("event_type", "day", "n")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        if (r.isNullAt(4)) None else Some(r.getLong(4)))).toSet
+    assert(got.filter(_._2 == 99L).map(x => (x._1, x._3, x._4, x._5, x._6)).toSet
+      == batch, "closed anchor must equal batch on the wide-count series")
   }
 
   test("hampelUpdate counts contract-violating late days instead of silent drops") {
