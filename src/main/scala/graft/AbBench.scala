@@ -128,7 +128,78 @@ object AbBench {
       mids.join(mids.select(col("w"), col("u").as("v")), Seq("w"))
         .filter(col("u") < col("v"))
         .groupBy(col("u"), col("v")).agg(count(lit(1)).as("n"))
-    })
+    }) ++ wedgeAggCases(spark, sfDir)
+
+  /** r13 wedge-AGGREGATE A/B (VERDICT r12 ask #4): the measured 10 s of
+    * graph_link_prediction is the (u, v) aggregate over 56.4 M wedge
+    * rows → 10.7 M keys. All arms share ONE memoized candidate build +
+    * ONE lazily-checkpointed mids table, so only the aggregate differs:
+    *  - `sum`:    the production groupBy(u, v).agg(count, sum) baseline
+    *  - `packed`: (u << 32 | v) single-long grouping key — halves the
+    *    key bytes through the exchange and lets HashAggregate use its
+    *    single-column fast row path (valid while ids < 2³¹; a 100 TB
+    *    deployment with wider ids keeps the two-column form)
+    *  - `salted`: two-level aggregate — partial on (u, v, pmod(w, 16))
+    *    then final on (u, v); pays a second exchange to test whether
+    *    per-key multiplicity concentration is what the single-level
+    *    partial aggregation is missing */
+  private def wedgeAggCases(spark: SparkSession, sfDir: String)
+      : Map[String, () => org.apache.spark.sql.DataFrame] = {
+    import org.apache.spark.sql.functions._
+    def mids() = {
+      val pairs = operators.GraphOps.candidatePairsMaterialized(spark, sfDir)
+      val und = pairs.union(
+        pairs.select(col("id2").as("id1"), col("id1").as("id2")))
+      val deg = und.groupBy(col("id1")).agg(count(lit(1)).as("deg"))
+      und.select(col("id2").as("w"), col("id1").as("u"))
+        .join(deg.select(col("id1").as("w"), col("deg")), Seq("w"))
+        .filter(col("deg") >= 2 && col("deg") <= 4096)
+        .select(col("w"), col("u"),
+          expr(s"1000000000000 DIV (${
+            operators.TextAnalysis.plog2MicroSql("deg")})").as("aa_micro"))
+        .localCheckpoint(eager = false)
+    }
+    def wedge() = {
+      val m = mids()
+      m.join(m.select(col("w"), col("u").as("v")), Seq("w"))
+        .filter(col("u") < col("v"))
+    }
+    Map(
+      // r13 hub-cap curve (VERDICT r12 ask #1): the same declared
+      // consumer at LOWERED caps, so the capped wedge bound
+      // Σ_{deg≤cap} deg² is MEASURED biting — at sf0.1 (cap64 drops
+      // 3976 hubs: 113 M → 1.9 M wedge rows) and at sf1 (cap256 drops
+      // 48 151 of 50 000 nodes: 124 G → 73 M; the uncapped default is
+      // infeasible there, which IS the contract's point).
+      "lp_full_cap1024" -> (() =>
+        operators.GraphOps.linkPrediction(spark, sfDir, maxHubDeg = 1024)),
+      "lp_full_cap256" -> (() =>
+        operators.GraphOps.linkPrediction(spark, sfDir, maxHubDeg = 256)),
+      "lp_full_cap64" -> (() =>
+        operators.GraphOps.linkPrediction(spark, sfDir, maxHubDeg = 64)),
+      "lp_dropped_cap256" -> (() =>
+        operators.GraphOps.linkPredictionDroppedHubs(spark, sfDir, maxHubDeg = 256)),
+      "lp_wagg_sum" -> { () =>
+        wedge().groupBy(col("u"), col("v"))
+          .agg(count(lit(1)).as("n_common"), sum(col("aa_micro")).as("score_micro"))
+      },
+      "lp_wagg_packed" -> { () =>
+        wedge()
+          .select((shiftleft(col("u"), 32) bitwiseOR col("v")).as("uv"), col("aa_micro"))
+          .groupBy(col("uv"))
+          .agg(count(lit(1)).as("n_common"), sum(col("aa_micro")).as("score_micro"))
+          .select(shiftright(col("uv"), 32).as("u"),
+            (col("uv") bitwiseAND lit(0xffffffffL)).as("v"),
+            col("n_common"), col("score_micro"))
+      },
+      "lp_wagg_salted" -> { () =>
+        wedge()
+          .groupBy(col("u"), col("v"), pmod(col("w"), lit(16)).as("salt"))
+          .agg(count(lit(1)).as("n1"), sum(col("aa_micro")).as("s1"))
+          .groupBy(col("u"), col("v"))
+          .agg(sum(col("n1")).as("n_common"), sum(col("s1")).as("score_micro"))
+      })
+  }
 
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)

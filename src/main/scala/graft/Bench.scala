@@ -22,7 +22,11 @@ import org.apache.spark.sql.SparkSession
   *     bench_out.json) as a belt-and-braces channel.
   */
 object Bench {
-  val Repeats = 3
+  /** Timed passes per query (median-of-N). Env-overridable for the
+    * sf1 scaling leg, where 3 full passes of the measurable set would
+    * eat the round budget; official sf0.001–0.1 artifacts stay at 3. */
+  val Repeats: Int =
+    sys.env.get("SPARK_GRAFT_BENCH_REPEATS").map(_.toInt).getOrElse(3)
 
   def median(xs: Seq[Double]): Double = {
     val s = xs.sorted

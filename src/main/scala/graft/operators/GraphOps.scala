@@ -268,9 +268,30 @@ object GraphOps {
     val wedge = mids.select(col("w"), col("u"), col("aa_micro"))
       .join(mids.select(col("w"), col("u").as("v")), Seq("w"))
       .filter(col("u") < col("v"))
+    // The (u, v) aggregate is the measured cost center (r12: 56.4 M
+    // wedge rows → 10.7 M keys, ~10 s of the 13 s total; map-side
+    // combine removes only 11% because one pair's wedges spread across
+    // w-partitions — AbBench probe, r13). Packing the pair into ONE
+    // long key (u·2³² + v) ships 16 B/row through that irreducible
+    // exchange instead of 24 B and takes HashAggregate's single-long
+    // fast path — measured 7% off the stage (lp_wagg_packed 6.61 s vs
+    // 7.08 s; the salted two-level alternative measured 53% WORSE —
+    // the extra exchange buys nothing when multiplicity isn't
+    // reducer-concentrated). Precondition ids < 2³¹ is GUARDED: wider
+    // ids raise instead of silently corrupting keys (a 100 TB corpus
+    // with synthetic wide ids disables packing, it doesn't inherit a
+    // wrong answer).
     val scored = wedge
-      .groupBy(col("u").as("id1"), col("v").as("id2"))
+      .select(expr(
+        """CASE WHEN u < 2147483648 AND v < 2147483648
+          |THEN u * 4294967296 + v
+          |ELSE raise_error('linkPrediction: doc id >= 2^31; disable pair-key packing')
+          |END""".stripMargin).as("uv"), col("aa_micro"))
+      .groupBy(col("uv"))
       .agg(count(lit(1)).as("n_common"), sum(col("aa_micro")).as("score_micro"))
+      .select(expr("uv DIV 4294967296").as("id1"),
+        expr("uv % 4294967296").as("id2"),
+        col("n_common"), col("score_micro"))
       .join(pairs, Seq("id1", "id2"), "left_anti") // predicted, not present
     scored
       .orderBy(col("score_micro").desc, col("id1"), col("id2"))

@@ -44,35 +44,50 @@ def medians(path):
             out.update(o["queries"])
     return out
 
-def main(p001, p01, p1):
+def main(p001, p01, p1, psf1=None):
+    """Three mandatory artifacts (sf0.001/0.01/0.1) plus an optional
+    fourth (sf1, round-13): queries present in the sf1 artifact get a
+    third-decade exponent e_top = log10(t(1)/t(0.1)) and are flagged on
+    it with the same rule; the sf1 leg may cover only the MEASURABLE
+    subset (overhead-dominated queries have no meaningful exponent), so
+    absence from it is not an error."""
     m001, m01, m1 = medians(p001), medians(p01), medians(p1)
+    msf1 = medians(psf1) if psf1 else {}
     rows = []
     for q in sorted(m1):
         t0, t1, t2 = m001.get(q, -1), m01.get(q, -1), m1.get(q, -1)
+        t3 = msf1.get(q)
         if min(t0, t1, t2) < 0:
-            rows.append((q, t0, t1, t2, None, None, "FAILED-RUN"))
+            rows.append((q, t0, t1, t2, t3, None, None, None, "FAILED-RUN"))
             continue
         e_lo = math.log10(max(t1, 1e-3) / max(t0, 1e-3))
         e_hi = math.log10(max(t2, 1e-3) / max(t1, 1e-3))
+        e_top = None
+        if t3 is not None and t3 >= 0:
+            e_top = math.log10(max(t3, 1e-3) / max(t2, 1e-3))
         note = ""
-        if t2 < MIN_SECONDS:
-            note = "overhead-dominated (t(0.1) < %.1fs)" % MIN_SECONDS
-        elif e_hi > FLAG_E:
+        if t2 < MIN_SECONDS and (t3 is None or t3 < MIN_SECONDS):
+            note = "overhead-dominated (t < %.1fs)" % MIN_SECONDS
+        elif (e_top if e_top is not None else e_hi) > FLAG_E:
             note = "FLAG"
             if q in KNOWN:
                 note = "FLAG (known: %s)" % KNOWN[q]
-        rows.append((q, t0, t1, t2, e_lo, e_hi, note))
-    flags = [r for r in rows if r[6].startswith("FLAG")]
-    print("query,t_sf0.001,t_sf0.01,t_sf0.1,e_low_decade,e_high_decade,note")
+        rows.append((q, t0, t1, t2, t3, e_lo, e_hi, e_top, note))
+    flags = [r for r in rows if r[8].startswith("FLAG")]
+    print("query,t_sf0.001,t_sf0.01,t_sf0.1,t_sf1,e_low_decade,e_high_decade,e_top_decade,note")
     for r in rows:
-        print("%s,%.3f,%.3f,%.3f,%s,%s,%s" % (
+        print("%s,%.3f,%.3f,%.3f,%s,%s,%s,%s,%s" % (
             r[0], r[1], r[2], r[3],
-            "" if r[4] is None else "%.2f" % r[4],
-            "" if r[5] is None else "%.2f" % r[5], r[6]))
+            "" if r[4] is None else "%.3f" % r[4],
+            "" if r[5] is None else "%.2f" % r[5],
+            "" if r[6] is None else "%.2f" % r[6],
+            "" if r[7] is None else "%.2f" % r[7], r[8]))
     print("\n== %d queries, %d flagged ==" % (len(rows), len(flags)))
     for r in flags:
-        print("  %-32s t=%.2f/%.2f/%.2f  e_hi=%.2f  %s" %
-              (r[0], r[1], r[2], r[3], r[5], r[6]))
+        print("  %-32s t=%.2f/%.2f/%.2f/%s  e=%s  %s" %
+              (r[0], r[1], r[2], r[3],
+               "-" if r[4] is None else "%.2f" % r[4],
+               "%.2f" % (r[7] if r[7] is not None else r[6]), r[8]))
 
 if __name__ == "__main__":
-    main(*sys.argv[1:4])
+    main(*sys.argv[1:5])
