@@ -179,6 +179,27 @@ object AbBench {
         operators.GraphOps.linkPrediction(spark, sfDir, maxHubDeg = 64)),
       "lp_dropped_cap256" -> (() =>
         operators.GraphOps.linkPredictionDroppedHubs(spark, sfDir, maxHubDeg = 256)),
+      // r13 sf1-flag mitigations, one per mechanism class (the sf1
+      // decade exposed them; each arm measures the documented
+      // production knob actually flattening the curve):
+      //  - minhash bucket cap (class A): sf1 bucket sizes (~140 max)
+      //    sit under the 1024 default, so Σ size² grew ~quadratically;
+      //    cap 64 makes the cap bite
+      "lsh_pairs_cap64" -> (() =>
+        operators.Dedup.minhashNearDupPairs(spark, sfDir, maxBucketSize = 64)),
+      //  - hyperplane-LSH width (class B): pair mass ~n²/2^planes;
+      //    +4 planes should cut the purity candidate mass ~16×
+      "purity_planes4" -> (() =>
+        operators.Similarity.labelPurity(spark, sfDir)),
+      "purity_planes8" -> (() =>
+        operators.Similarity.labelPurity(spark, sfDir, planes = 8)),
+      //  - IVF centroid count (class C): stride 50 keeps CELL SIZE
+      //    constant so C = n/50 and the n×C assignment is n²/50;
+      //    stride 500 at sf1 restores the sf0.1 centroid count
+      "ivf_sweep_stride50" -> (() =>
+        operators.Similarity.annNprobeSweep(spark, sfDir)),
+      "ivf_sweep_stride500" -> (() =>
+        operators.Similarity.annNprobeSweep(spark, sfDir, stride = 500)),
       "lp_wagg_sum" -> { () =>
         wedge().groupBy(col("u"), col("v"))
           .agg(count(lit(1)).as("n_common"), sum(col("aa_micro")).as("score_micro"))

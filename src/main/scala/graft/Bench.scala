@@ -64,7 +64,8 @@ object Bench {
         System.err.println(s"[bench] $name failed: ${e.getClass.getSimpleName}: ${e.getMessage}")
         -1.0
     }
-    graft.operators.BuildOnce.releaseScoped(spark)
+    if (!sys.env.get("SPARK_GRAFT_BENCH_SWEEP").contains("0"))
+      graft.operators.BuildOnce.releaseScoped(spark)
     elapsed
   }
 
@@ -176,11 +177,19 @@ object Bench {
     // Optional override for ad-hoc sweeps: comma-separated names, or
     // "ALL" for every declared query. Default stays the headline set so
     // driver-recorded BENCH_r{N} numbers remain comparable across rounds.
-    val queryNames = sys.env.get("SPARK_GRAFT_BENCH_QUERIES") match {
+    // SPARK_GRAFT_BENCH_EXCLUDE drops names from whatever set was
+    // selected — the sf1 scaling leg runs ALL minus the queries whose
+    // documented contract is infeasible uncapped at that scale
+    // (graph_link_prediction's default-cap wedge is 124G rows there;
+    // its capped form is measured by the AbBench lp_full_cap* arms).
+    val exclude = sys.env.get("SPARK_GRAFT_BENCH_EXCLUDE")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .getOrElse(Set.empty[String])
+    val queryNames = (sys.env.get("SPARK_GRAFT_BENCH_QUERIES") match {
       case Some("ALL") => SparkEntry.queries.keys.toSeq.sorted
       case Some(list) => list.split(",").map(_.trim).filter(_.nonEmpty).toSeq
       case None => SparkEntry.benchQueries
-    }
+    }).filterNot(exclude)
 
     // JVM/codegen warm-up on the first query (not reported).
     once(spark, sfDir, queryNames.head)

@@ -190,7 +190,7 @@ object GenData {
           .when(col("lraw") < 14, "es").when(col("lraw") < 17, "fr")
           .otherwise("zh").as("lang"),
         concat(lit("src"), ui("src", 20, col("doc_id"))).as("source"),
-        length(col("text")).as("n_chars")))
+        length(col("text")).cast("long").as("n_chars")))
 
     // unit-norm 64-d Gaussian (Box–Muller from two keyed uniforms per
     // dim); the shipped embeddings have NO cluster structure (intra-

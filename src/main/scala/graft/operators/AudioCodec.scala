@@ -94,6 +94,14 @@ object AudioCodec {
     val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
     Tables.documents(spark, sfDir)
       .select(col("doc_id"), col("n_chars"))
+      // NOT repartitioned (r13 recorded A/B): the image/video blob
+      // sources spread their codec work by rows and won 10–20× at sf1,
+      // but the same repartition here measured NO stable win — the WAV
+      // encode's allocation pressure dominates and the 32-way medians
+      // (7.2–7.7 s) sat ABOVE the serial chain number with 2.7× repeat
+      // spread. Kept serial-split until a cleaner measurement; at real
+      // scale the blobs arrive as many files (splits), so the single-
+      // split artifact is test-data-shaped anyway.
       .mapPartitions { rows =>
         rows.map { r =>
           val docId = r.getLong(0)

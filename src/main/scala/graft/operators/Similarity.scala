@@ -94,9 +94,14 @@ object Similarity {
 
   /** [[lshSignatures]] over a caller-supplied embeddings slice — the
     * incremental path ([[indexRefresh]]) signs ONLY the day's new
-    * vectors, never the corpus. */
-  def lshSignaturesOf(emb: DataFrame): DataFrame = {
-    val sigBits = (0 until Planes).map { p =>
+    * vectors, never the corpus. `planes` is the scale knob (r13
+    * scaling audit): bucket count is 2^planes, so same-bucket pair
+    * mass is ~n²/2^planes — a deployment grows planes with log n to
+    * hold per-bucket population (and therefore every LSH consumer's
+    * candidate mass) constant; each +1 plane halves it. Default keeps
+    * the test-SF calibration. */
+  def lshSignaturesOf(emb: DataFrame, planes: Int = Planes): DataFrame = {
+    val sigBits = (0 until planes).map { p =>
       val proj = aggregate(
         zip_with(col("embedding").cast("array<double>"),
           sequence(lit(0), size(col("embedding")) - 1),
@@ -399,12 +404,13 @@ object Similarity {
     * neighbor-label lookup is one id-keyed equi-join against the
     * vectors table — never a second pass over candidates. Vectors
     * alone in their bucket have no evidence and drop out (inner). */
-  def labelPurity(spark: SparkSession, sfDir: String, k: Int = 5): DataFrame = {
+  def labelPurity(spark: SparkSession, sfDir: String, k: Int = 5,
+      planes: Int = Planes): DataFrame = {
     graft.plans.CosineSimilarity.register(spark)
     graft.plans.BoundedAggregates.register(spark)
     val emb = Tables.embeddings(spark, sfDir)
-      .join(lshSignatures(spark, sfDir).select(col("vec_id"), col("lsh_bucket")),
-        "vec_id")
+      .join(lshSignaturesOf(Tables.embeddings(spark, sfDir), planes)
+        .select(col("vec_id"), col("lsh_bucket")), "vec_id")
     val a = emb.select(col("lsh_bucket"), col("vec_id"), col("label"),
       col("embedding").as("ev"))
     val b = emb.select(col("lsh_bucket").as("b2"), col("vec_id").as("nid"),

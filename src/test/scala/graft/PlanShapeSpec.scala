@@ -416,11 +416,20 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
-  test("video decode is a single narrow stage: no shuffle anywhere") {
+  test("video decode: exactly the row-spreading exchange, then narrow codec stages") {
+    // r13: the few-MB documents projection is ONE parquet split, so a
+    // zero-shuffle plan ran every codec pass serially on one core (the
+    // sf1 audit measured mm_image_ahash at e_top 1.35 for this). The
+    // intended shape is now ONE explicit REPARTITION_BY_NUM exchange
+    // spreading the (doc_id, n_chars) rows, then narrow mapPartitions
+    // stages — any FURTHER shuffle (or losing the spread) is a bug.
     for (q <- Seq("mm_decode_video", "mm_video_sample")) {
       val p = plan(q)
-      assert(!p.contains("Exchange"),
-        s"$q must be scan → mapPartitions with zero shuffle:\n$p")
+      assert(p.contains("REPARTITION_BY_NUM"),
+        s"$q must spread the codec rows across cores:\n$p")
+      val exchanges = "(?<!Broadcast)(?<!Reused)Exchange".r.findAllIn(p).size
+      assert(exchanges == 1,
+        s"$q must have exactly the one row-spreading exchange:\n$p")
     }
   }
 

@@ -20,20 +20,54 @@ import json, math, sys
 FLAG_E = 1.30
 MIN_SECONDS = 1.0
 
-# documented-contract superlinear members (VERDICT r10 + round-12 audit):
+# documented-contract superlinear members (VERDICT r10 + round-12 audit;
+# round-13 sf1 decade exposed and classified the rest — every class has
+# its production knob MEASURED flattening the curve at sf1, AbBench
+# arms + BENCHNOTES r13):
 KNOWN = {
-    "ann_cosine_pairs": "labeled O(n^2) calibration baseline",
+    "ann_cosine_pairs": "labeled O(n^2) calibration baseline (sf1 MEASURED e=1.99 as designed)",
     "dedup_winnow_recall": "uncapped exact-truth side (calibration)",
     "sub_join_order_advisor": "actual-count joins (advisor harness)",
     # wedge workload is sum(deg^2) over the minShared=1 candidate graph;
-    # production bound = sum(min(deg, maxHubDeg)^2) <= maxHubDeg * arcs,
-    # i.e. linear in edges with the cap as the constant. The default cap
-    # (4096) sits far above every test-SF degree (sf0.1 max deg = 311,
-    # round-12 probe) so the tested decade exercises the UNCAPPED math —
-    # the flag is the expected signature of that calibration choice, and
-    # ScalingGuardSpec pins the plan shapes (equi-keyed wedge, memo scan,
-    # TakeOrderedAndProject) that keep the capped form linear-in-edges.
-    "graph_link_prediction": "sum(deg^2) wedge; capped at scale by maxHubDeg",
+    # production bound: hubs above maxHubDeg are EXCLUDED, so work =
+    # sum_{deg<=cap} deg^2. Round-13 MEASURED the cap biting: sf0.1
+    # cap64 6.4->0.64s (98% wedge-row drop); sf1 uncapped = 124G wedge
+    # rows (infeasible, excluded from the sf1 leg) vs cap256 = 72.6s
+    # with 48151 dropped hubs reported by the alert channel.
+    "graph_link_prediction": "sum(deg^2) wedge; cap MEASURED biting at sf1 (BENCHNOTES r13)",
+    # -- class A: minhash bucket-population growth (the synthetic
+    # 30-word vocab densifies shared-shingle buckets linearly with the
+    # corpus => bucket self-join mass ~n^2). The 1024 default cap sits
+    # above sf1's ~140 max bucket; cap 64 MEASURED at sf1: verified
+    # pairs 92.1 -> 12.8 s. Consumers inherit the candidate mass.
+    "dedup_lsh_verified_pairs": "bucket self-join mass; cap MEASURED biting at sf1 (92->13s)",
+    "dedup_cluster_census": "consumes the lsh pair family (class A)",
+    "dedup_lsh_curve_advisor": "consumes the est-err pair sample (class A)",
+    "dedup_semantic_sweep": "embedding-LSH pair sweep (classes A+B)",
+    "dedup_edit_distance": "O(len^2) verify per winnow edge; edge mass grows with collision density (class A)",
+    "dedup_prefix_jaccard": "prefix-filter selectivity needs Zipf-sparse dfs; the 30-word vocab makes every token hot (class A artifact)",
+    "dedup_minhash_keep_first": "consumes the lsh pair family (class A)",
+    # -- class B: fixed hyperplane-LSH width (4 planes = 16 buckets) =>
+    # same-bucket pair mass ~n^2/2^planes. A deployment grows planes
+    # with log n; +4 planes MEASURED at sf1: labelPurity 77.6 -> 15.5 s.
+    "embed_label_purity": "fixed LSH width; planes knob MEASURED at sf1 (78->16s)",
+    "embed_knn_agreement": "same-cell kNN graph (class C cells)",
+    # -- class C: constant-CELL-SIZE IVF (stride 50 => C = n/50
+    # centroids), so the n x C assignment is n^2/50. Production keeps
+    # C ~ sqrt(n) / k-means-fixed; stride 500 MEASURED at sf1 restores
+    # the sf0.1 centroid count: nprobe sweep 16.7 -> 2.8 s.
+    "ann_ivf_pq_topk": "constant-cell IVF assignment; stride knob MEASURED at sf1 (class C)",
+    "ann_ivf_recall": "constant-cell IVF assignment (class C)",
+    "ann_nprobe_sweep": "constant-cell IVF; stride MEASURED at sf1 (17->3s)",
+    "ann_ivf_kmeans_topk": "k-means seeded from the class-C assignment",
+    "embed_cell_balance": "census over the class-C cells",
+    # -- class D: OUTPUT cardinality growth — the fixed 30-day window
+    # with 10x event density makes the range join's ANSWER ~quadratic
+    # (measured: 459k -> 46.4M matched pairs for 10x events, 101x);
+    # runtime grew 69x, SUBLINEAR in its own output. A 100 TB corpus
+    # extends the time RANGE, not the per-window density.
+    "range_incident_stats": "output rows grow ~quadratically with event density (measured 101x)",
+    "range_join_rule": "same query via the optimizer rule (class D)",
 }
 
 def medians(path):
