@@ -277,15 +277,17 @@ object GraphOps {
     // fast path — measured 7% off the stage (lp_wagg_packed 6.61 s vs
     // 7.08 s; the salted two-level alternative measured 53% WORSE —
     // the extra exchange buys nothing when multiplicity isn't
-    // reducer-concentrated). Precondition ids < 2³¹ is GUARDED: wider
-    // ids raise instead of silently corrupting keys (a 100 TB corpus
-    // with synthetic wide ids disables packing, it doesn't inherit a
-    // wrong answer).
+    // reducer-concentrated). Precondition ids ∈ [0, 2³¹) is GUARDED
+    // on BOTH ends (r13 advice: a negative caller-supplied id would
+    // otherwise pack into an ambiguous key and unpack as the wrong
+    // pair): out-of-range ids raise instead of silently corrupting
+    // keys (a 100 TB corpus with synthetic wide ids disables packing,
+    // it doesn't inherit a wrong answer).
     val scored = wedge
       .select(expr(
-        """CASE WHEN u < 2147483648 AND v < 2147483648
+        """CASE WHEN u BETWEEN 0 AND 2147483647 AND v BETWEEN 0 AND 2147483647
           |THEN u * 4294967296 + v
-          |ELSE raise_error('linkPrediction: doc id >= 2^31; disable pair-key packing')
+          |ELSE raise_error('linkPrediction: doc id outside [0, 2^31); disable pair-key packing')
           |END""".stripMargin).as("uv"), col("aa_micro"))
       .groupBy(col("uv"))
       .agg(count(lit(1)).as("n_common"), sum(col("aa_micro")).as("score_micro"))

@@ -698,10 +698,18 @@ object StreamSources {
     * one corrupt far-future timestamp would otherwise spin millions
     * of pushes AND poison the monitor permanently (every later real
     * day lands behind the bogus anchor) — cap-and-alert, matching the
-    * capped-join discipline everywhere else. */
+    * capped-join discipline everywhere else. The FIRST row of a fresh
+    * key is held to the same standard (r13 advice): a day outside
+    * [0, `epochHorizonDays`] is dropped-and-counted instead of adopted
+    * as the anchor, closing the poison path where one corrupt
+    * far-future timestamp arriving FIRST misanchors the key forever
+    * (every later real day would route to `onLateDrop`). The horizon
+    * is a fixed config, not processing time, so replays stay
+    * deterministic and the batch twin needs no clock. */
   def acfUpdate(maxLag: Int = 7,
       onLateDrop: (String, Long) => Unit = (_, _) => (),
-      maxGapDays: Long = 3650L)(key: String,
+      maxGapDays: Long = 3650L,
+      epochHorizonDays: Long = 100000L)(key: String,
       rows: Iterator[(String, Long, Long)],
       state: GroupState[Array[Long]])
       : Iterator[(String, Long, Long, Long, Long, Option[Long])] = {
@@ -741,7 +749,8 @@ object StreamSources {
       while (k <= math.min(L.toLong, t - 1)) {
         val head = first.take(k).sum
         val tail = last.slice(L - k, L).sum
-        val num = tB * tB * p(k - 1) - tB * sB * (2 * s - tail - head) +
+        val num = tB * tB * p(k - 1) -
+          tB * sB * (2 * sB - BigInt(tail) - BigInt(head)) +
           BigInt(t - k) * sB * sB
         val acf = if (den == 0) None else Some((num * 1000 / den).toLong)
         out += ((key, a, k.toLong, num.toLong, den.toLong, acf))
@@ -749,7 +758,13 @@ object StreamSources {
       }
     }
     rows.toSeq.sortBy(_._2).foreach { case (et, day, n) =>
-      if (anchor == Long.MinValue) { anchor = day; pending = n }
+      if (anchor == Long.MinValue) {
+        // first row for a fresh key: plausibility-gate the candidate
+        // anchor too — a corrupt day outside the epoch horizon must
+        // not become the permanent reference point (r13 advice)
+        if (day < 0L || day > epochHorizonDays) onLateDrop(et, day)
+        else { anchor = day; pending = n }
+      }
       else if (day == anchor) pending += n
       // out-of-contract days — late, OR implausibly far future (a
       // corrupt timestamp would otherwise spin the O(gap) zero-fill
@@ -775,7 +790,8 @@ object StreamSources {
     * prefix. Late days AND days beyond the `maxGapDays` sanity horizon
     * count into the `acf_late_dropped` accumulator. */
   def acfMonitorStream(daily: Dataset[(String, Long, Long)],
-      maxLag: Int = 7, maxGapDays: Long = 3650L)
+      maxLag: Int = 7, maxGapDays: Long = 3650L,
+      epochHorizonDays: Long = 100000L)
       : Dataset[(String, Long, Long, Long, Long, Option[Long])] = {
     implicit val stateEnc: org.apache.spark.sql.Encoder[Array[Long]] =
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
@@ -789,7 +805,8 @@ object StreamSources {
       .flatMapGroupsWithState[Array[Long],
         (String, Long, Long, Long, Long, Option[Long])](
         OutputMode.Append, GroupStateTimeout.NoTimeout)(
-        acfUpdate(maxLag, (_, _) => late.add(1L), maxGapDays))
+        acfUpdate(maxLag, (_, _) => late.add(1L), maxGapDays,
+          epochHorizonDays))
   }
 
   /** Side-store contract bounding [[trendingUpdate]]'s per-item state

@@ -136,6 +136,27 @@ class GraphOpsSpec extends AnyFunSuite {
       "default-cap alert must be empty on this graph")
   }
 
+  test("packed-key guard raises on ids outside [0, 2^31) — including negatives") {
+    // r13 advice: the guard must reject NEGATIVE ids too — a negative
+    // id would pack into an ambiguous key and unpack as the wrong
+    // pair, exactly the silent corruption the raise exists to prevent
+    import spark.implicits._
+    def run(pairs: org.apache.spark.sql.DataFrame): Unit = {
+      GraphOps.linkPredictionOf(pairs, k = 20).collect(); ()
+    }
+    // a wide id (>= 2^31) on a closing wedge must raise
+    val wide = Seq((5000000000L, 1L), (1L, 2L)).toDF("id1", "id2")
+    val eWide = intercept[Exception] { run(wide) }
+    assert(eWide.getMessage.contains("disable pair-key packing"), eWide.getMessage)
+    // a NEGATIVE id on a closing wedge must raise, not corrupt
+    val neg = Seq((-7L, 1L), (1L, 2L)).toDF("id1", "id2")
+    val eNeg = intercept[Exception] { run(neg) }
+    assert(eNeg.getMessage.contains("disable pair-key packing"), eNeg.getMessage)
+    // in-range ids keep working
+    val ok = Seq((10L, 20L), (20L, 30L)).toDF("id1", "id2")
+    assert(GraphOps.linkPredictionOf(ok, k = 20).count() == 1L)
+  }
+
   test("simplified silhouette matches a brute-force recount") {
     val vecs = graft.Tables.embeddings(spark, sfDir)
       .select(col("vec_id"), col("label"),

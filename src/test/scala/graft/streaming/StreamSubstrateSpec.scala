@@ -1127,6 +1127,37 @@ class StreamSubstrateSpec extends AnyFunSuite {
     assert(s2.get(2) == 3L, "in-horizon gaps must still zero-fill the spine")
   }
 
+  test("acfUpdate: a corrupt FIRST day never becomes the anchor (r13 advice)") {
+    import org.apache.spark.sql.streaming.TestGroupState
+    def freshState(v: Option[Array[Long]]) = TestGroupState.create[Array[Long]](
+      optionalState = v.map(org.apache.spark.api.java.Optional.of[Array[Long]])
+        .getOrElse(org.apache.spark.api.java.Optional.empty[Array[Long]]()),
+      timeoutConf = org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout,
+      batchProcessingTimeMs = 1000L,
+      eventTimeWatermarkMs = org.apache.spark.api.java.Optional.empty[Long](),
+      hasTimedOut = false)
+    val dropped = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+    val count = (et: String, d: Long) => { dropped += (et -> d); () }
+    // the r13-advice poison path: the FIRST row for a fresh key is a
+    // corrupt far-future (or negative) timestamp — without the
+    // epoch-horizon gate it would be adopted as the anchor forever,
+    // turning every later REAL day into a permanent late-drop
+    val s1 = freshState(None)
+    StreamSources.acfUpdate(7, count)("a",
+      Iterator(("a", 999999L, 9L), ("a", -5L, 1L)), s1)
+    assert(dropped.toSeq.toSet == Set("a" -> 999999L, "a" -> -5L),
+      "both implausible first days must route to the drop channel")
+    assert(s1.get(0) == Long.MinValue,
+      "no anchor may be adopted from an out-of-horizon first day")
+    // recovery: the first PLAUSIBLE day anchors normally and the
+    // monitor proceeds as if the corrupt rows never arrived
+    val s2 = freshState(Some(s1.get))
+    StreamSources.acfUpdate(7, count)("a",
+      Iterator(("a", 10L, 3L), ("a", 11L, 5L)), s2)
+    assert(s2.get(0) == 11L, "a plausible day must anchor and advance normally")
+    assert(s2.get(1) == 5L)
+  }
+
   test("acfUpdate: emit-time BigInt assembly matches batch where Long intermediates would wrap") {
     import org.apache.spark.sql.streaming.TestGroupState
     // A 100-day series of ~5e6 daily counts: the emitted num/den are

@@ -100,7 +100,12 @@ def main(p001, p01, p1, psf1=None):
         if t3 is not None and t3 >= 0:
             e_top = math.log10(max(t3, 1e-3) / max(t2, 1e-3))
         note = ""
-        if t2 < MIN_SECONDS and (t3 is None or t3 < MIN_SECONDS):
+        if t3 is not None and t3 < 0:
+            # a query that ran at the lower SFs but FAILED at sf1 must
+            # surface as a failure, never fold into overhead-dominated
+            # (r13 advice)
+            note = "FLAG (FAILED-SF1)"
+        elif t2 < MIN_SECONDS and (t3 is None or t3 < MIN_SECONDS):
             note = "overhead-dominated (t < %.1fs)" % MIN_SECONDS
         elif (e_top if e_top is not None else e_hi) > FLAG_E:
             note = "FLAG"
