@@ -193,13 +193,52 @@ object AbBench {
         operators.Similarity.labelPurity(spark, sfDir)),
       "purity_planes8" -> (() =>
         operators.Similarity.labelPurity(spark, sfDir, planes = 8)),
-      //  - IVF centroid count (class C): stride 50 keeps CELL SIZE
-      //    constant so C = n/50 and the n×C assignment is n²/50;
-      //    stride 500 at sf1 restores the sf0.1 centroid count
-      "ivf_sweep_stride50" -> (() =>
-        operators.Similarity.annNprobeSweep(spark, sfDir)),
-      "ivf_sweep_stride500" -> (() =>
-        operators.Similarity.annNprobeSweep(spark, sfDir, stride = 500)),
+      //  - IVF centroid count (class C): the r13 knob (stride 500) is
+      //    now superseded by the ADOPTED fixed-k trained quantizer
+      //    default; the A/B pins the adopted win — the r13-era
+      //    constant-cell stride-50 policy, reconstructed inline,
+      //    against the shipping default
+      // fixed-k TRAINED, inline (no BuildOnce memo — a memoized thunk
+      // would time a cache hit on repeat passes): train + assign +
+      // probe + top-k, the annIvfTopK semantics end-to-end
+      "ivf_topk_fixedk_trained" -> (() =>
+        operators.Similarity.kmeansIvfTopK(spark, sfDir, iters = 2)),
+      "ivf_topk_legacy_stride50" -> { () =>
+        import org.apache.spark.sql.functions._
+        import org.apache.spark.sql.expressions.Window
+        graft.plans.CosineSimilarity.register(spark)
+        def cos(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+          call_function("cosine_sim", a.cast("array<double>"), b.cast("array<double>"))
+        val emb = Tables.embeddings(spark, sfDir)
+        val centroids = emb.filter(col("vec_id") % 50 === 0)
+          .select(col("vec_id").as("cent_id"), col("embedding").as("c_emb"))
+        val wv = Window.partitionBy(col("vec_id"))
+          .orderBy(col("cos_c").desc, col("cent_id"))
+        val assigned = emb.crossJoin(broadcast(centroids))
+          .select(col("vec_id"), col("embedding"), col("cent_id"),
+            cos(col("embedding"), col("c_emb")).as("cos_c"))
+          .withColumn("rn", row_number().over(wv)).filter(col("rn") === 1)
+          .select(col("vec_id"), col("embedding"), col("cent_id"))
+        val queries = emb.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+        val wq = Window.partitionBy(col("query_id"))
+          .orderBy(col("cos_c").desc, col("cent_id"))
+        val probed = queries.crossJoin(broadcast(centroids))
+          .select(col("query_id"), col("q_emb"), col("cent_id"),
+            cos(col("q_emb"), col("c_emb")).as("cos_c"))
+          .withColumn("rn", row_number().over(wq)).filter(col("rn") <= 2)
+          .select(col("query_id"), col("q_emb"), col("cent_id"))
+        val scored = probed.join(assigned, Seq("cent_id"))
+          .filter(col("vec_id") =!= col("query_id"))
+          .select(col("query_id"), col("vec_id").as("neighbor_id"),
+            operators.PortableRound.pround(
+              cos(col("q_emb"), col("embedding")), 4).as("cos_sim"))
+        val wt = Window.partitionBy(col("query_id"))
+          .orderBy(col("cos_sim").desc, col("neighbor_id"))
+        scored.withColumn("rank", row_number().over(wt))
+          .filter(col("rank") <= 5)
+          .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos_sim"))
+      },
       "lp_wagg_sum" -> { () =>
         wedge().groupBy(col("u"), col("v"))
           .agg(count(lit(1)).as("n_common"), sum(col("aa_micro")).as("score_micro"))

@@ -40,10 +40,15 @@ object Bench {
     * (VERDICT r10 "What's wrong" #3). Repeats of the build query each
     * pay a fresh build; consumers later in the same round-robin pass
     * hit the rebuilt memo. */
-  val coldStartFamilies: Map[String, String] = Map(
-    "graph_edges_build" -> graft.operators.Dedup.EdgesFamily,
-    "dedup_lsh_verified_pairs" -> graft.operators.Similarity.LshPairsFamily,
-    "graph_candidates_build" -> graft.operators.GraphOps.CandidatesFamily)
+  val coldStartFamilies: Map[String, Seq[String]] = Map(
+    "graph_edges_build" -> Seq(graft.operators.Dedup.EdgesFamily),
+    "dedup_lsh_verified_pairs" -> Seq(graft.operators.Similarity.LshPairsFamily),
+    "graph_candidates_build" -> Seq(graft.operators.GraphOps.CandidatesFamily),
+    // the trained-quantizer family: the cell census is its declared
+    // build row, so it reports the real train+assign cost (both memos
+    // cleared) and the other cell-family consumers report steady-state
+    "embed_cell_balance" -> Seq(graft.operators.Similarity.IvfCentroidsFamily,
+      graft.operators.Similarity.IvfCellsFamily))
 
   /** One timed, fully-materialized run; -1.0 on failure. After the
     * action completes (timing stopped), the per-invocation lazy
@@ -53,7 +58,7 @@ object Bench {
     * per run — the measured mechanism behind ALL-mode inflation. */
   def once(spark: SparkSession, sfDir: String, name: String): Double = {
     coldStartFamilies.get(name)
-      .foreach(graft.operators.BuildOnce.clearFamily)
+      .foreach(_.foreach(graft.operators.BuildOnce.clearFamily))
     val t0 = System.nanoTime()
     val elapsed = try {
       SparkEntry.queries(name)(spark, sfDir)
@@ -178,10 +183,9 @@ object Bench {
     // "ALL" for every declared query. Default stays the headline set so
     // driver-recorded BENCH_r{N} numbers remain comparable across rounds.
     // SPARK_GRAFT_BENCH_EXCLUDE drops names from whatever set was
-    // selected — the sf1 scaling leg runs ALL minus the queries whose
-    // documented contract is infeasible uncapped at that scale
-    // (graph_link_prediction's default-cap wedge is 124G rows there;
-    // its capped form is measured by the AbBench lp_full_cap* arms).
+    // selected — an escape hatch for ad-hoc sweeps (since r14 the sf1
+    // scaling leg runs the FULL set: graph_link_prediction's default
+    // cap is the sf1-measured 256, so nothing is infeasible there).
     val exclude = sys.env.get("SPARK_GRAFT_BENCH_EXCLUDE")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
       .getOrElse(Set.empty[String])

@@ -66,17 +66,32 @@ object GenData {
   private def pick(vals: Seq[String], idx: Column): Column =
     element_at(array(vals.map(lit): _*), idx.cast("int") + 1)
 
-  /** The document body as a pure function of a doc id: 10–100 words
-    * uniform over the 30-word vocabulary (the shipped corpus's exact
-    * vocab; `dup` is reserved for the near-dup marker). */
-  private def docText(id: Column): Column = {
+  /** The document body as a pure function of a doc id: 10–100 words.
+    * Default: uniform over the 30-word vocabulary (the shipped
+    * corpus's exact vocab; `dup` is reserved for the near-dup marker).
+    * Zipf mode (r13 verdict #4 — the class-A artifact separator): a
+    * 999-word vocabulary with Zipf(s=1) frequencies via the exact
+    * inverse-CDF identity rank = floor(V^u) (P(rank ≤ r) = ln r/ln V,
+    * so p(r) ∝ 1/r) — realistic text statistics, so shingle/bucket
+    * structures that only densify under the tiny uniform vocab reveal
+    * themselves as ARTIFACTS when their sf0.1→sf1 exponent flattens
+    * on this arm, while real mechanisms persist. */
+  private def docText(id: Column, zipf: Boolean): Column = {
     val nw = lit(10) + ui("nw", 91, id).cast("int")
-    array_join(transform(sequence(lit(0), nw - 1),
-      k => pick(Vocab, ui("w", Vocab.size, id, k))), " ")
+    def word(k: Column): Column =
+      if (zipf) concat(lit("zw"),
+        floor(pow(lit(999.0), u("zw", id, k))).cast("long"))
+      else pick(Vocab, ui("w", Vocab.size, id, k))
+    array_join(transform(sequence(lit(0), nw - 1), k => word(k)), " ")
   }
 
   def main(args: Array[String]): Unit = {
-    val Array(sfStr, outDir) = args
+    val (sfStr, outDir, zipf) = args match {
+      case Array(s, o) => (s, o, false)
+      case Array(s, o, "zipf") => (s, o, true)
+      case _ => throw new IllegalArgumentException(
+        "usage: GenData <sf> <outDir> [zipf]")
+    }
     val sf = sfStr.toDouble
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -182,8 +197,8 @@ object GenData {
         when(col("is_dup"), pmod(xxhash64(col("doc_id"), lit("base")), col("doc_id")))
           .otherwise(col("doc_id")))
       .withColumn("text",
-        when(col("is_dup"), concat(docText(col("base")), lit(" dup")))
-          .otherwise(docText(col("doc_id"))))
+        when(col("is_dup"), concat(docText(col("base"), zipf), lit(" dup")))
+          .otherwise(docText(col("doc_id"), zipf)))
       .withColumn("lraw", ui("lang", 20, col("doc_id")))
       .select(col("doc_id"), col("text"),
         when(col("lraw") < 8, "en").when(col("lraw") < 11, "de")
@@ -206,7 +221,7 @@ object GenData {
         ui("lab", 10, col("vec_id")).cast("int").as("label")))
 
     spark.stop()
-    println(s"[gendata] sf=$sf written to $outDir")
+    println(s"[gendata] sf=$sf${if (zipf) " (zipf vocab)" else ""} written to $outDir")
   }
 
   /** Write one table as a single parquet FILE `$dir/$name.parquet`

@@ -409,6 +409,12 @@ object SparkEntry {
     // CUSUM level-shift monitor (third detector class, prefix-sum form)
     "events_cusum_shift" -> ((s: SparkSession, d: String) =>
       Relational.eventsCusumShift(s, d)),
+    // class-B width alert: oversized hyperplane-LSH buckets (r13
+    // scaling audit — the pair-mass census that turns an undersized
+    // plane count into a queryable red row instead of a silent
+    // quadratic query; budget bites at every test SF by design)
+    "embed_bucket_overflow" -> ((s: SparkSession, d: String) =>
+      Similarity.lshBucketOverflow(s, d)),
   )
 
   /** Queries whose result may legitimately be empty at small scale
@@ -1244,21 +1250,31 @@ object SparkEntry {
        |sig AS (SELECT vec_id, emb, $sigBits AS lsh_bucket FROM e)""".stripMargin
   }
 
-  /** Trained-IVF replica: the two Lloyd iterations unroll into CTE
-    * pairs (assign via struct-max argmax — ties to the LARGEST
-    * cent_id, matching Spark's max(struct) — then exact DECIMAL
-    * per-dimension means), then the standard IVF probe over the
-    * final centroids. Mirrors [[graft.operators.Similarity.kmeansIvfTopK]]. */
-  private def ivfKmeansOracle: String = {
-    def cos(a: String, b: String) =
-      s"list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b)))"
-    val iters = 2
-    def assignCte(name: String, centCte: String) =
-      s"""$name AS (SELECT e.vec_id, any_value(e.emb) AS emb,
-         |  (max({'c': ${cos("e.emb", "cc.c")}, 'id': cc.cent_id})).id AS cent_id
+  private def duckCos(a: String, b: String) =
+    s"list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b)))"
+
+  /** TRAINED fixed-k IVF cell CTEs — the shared blocking of the whole
+    * cell family (mirrors [[graft.operators.Similarity.ivfCentroids]] /
+    * `ivfAssignments`): `e` (typed embeddings, + label when asked),
+    * `nn` (scalar spacing = n DIV k and nshards = n DIV (k·50)),
+    * spacing-seeded `c0`, `iters` unrolled Lloyd CTE pairs (assign via
+    * struct-max argmax — ties to the LARGEST cent_id, matching Spark's
+    * max(struct) — then exact DECIMAL(38,30) per-dimension means),
+    * `cents` = the trained set, and `assigned` (vec_id, emb[, label],
+    * cent_id, shard) — the final assignment with the deterministic
+    * Knuth-mix pair-join sub-shard. Callers append their own query
+    * after a comma. */
+  private def ivfCellCtes(k: Int = 40, iters: Int = 2,
+      withLabel: Boolean = false): String = {
+    val lbl = if (withLabel) ", label" else ""
+    def assignCte(name: String, centCte: String, carryLabel: Boolean) = {
+      val anyLbl = if (carryLabel) ", any_value(e.label) AS label" else ""
+      s"""$name AS (SELECT e.vec_id, any_value(e.emb) AS emb$anyLbl,
+         |  (max({'c': ${duckCos("e.emb", "cc.c")}, 'id': cc.cent_id})).id AS cent_id
          |  FROM e CROSS JOIN $centCte cc GROUP BY e.vec_id)""".stripMargin
+    }
     val training = (1 to iters).map { i =>
-      s"""${assignCte(s"a$i", s"c${i - 1}")},
+      s"""${assignCte(s"a$i", s"c${i - 1}", carryLabel = false)},
          |m$i AS (SELECT cent_id, pos,
          |  sum(CAST(x AS DECIMAL(38,30)))::DOUBLE / count(*) AS m
          |  FROM (SELECT a.cent_id, unnest(a.emb) AS x,
@@ -1266,24 +1282,40 @@ object SparkEntry {
          |  GROUP BY 1, 2),
          |c$i AS (SELECT cent_id, list(m ORDER BY pos) AS c FROM m$i GROUP BY 1)""".stripMargin
     }.mkString(",\n")
-    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
-       |c0 AS (SELECT vec_id AS cent_id, emb AS c FROM e WHERE vec_id % 50 = 0),
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb$lbl FROM embeddings),
+       |nn AS (SELECT greatest(1, count(*) // $k) AS spacing,
+       |  greatest(1, count(*) // ${k * 50}) AS nshards FROM e),
+       |c0 AS (SELECT vec_id AS cent_id, emb AS c FROM e, nn
+       |  WHERE vec_id % spacing = 0 AND vec_id // spacing < $k),
        |$training,
-       |${assignCte("af", s"c$iters")},
+       |cents AS (SELECT cent_id, c FROM c$iters),
+       |${assignCte("af", "cents", carryLabel = withLabel)},
+       |assigned AS (SELECT af.*,
+       |  (vec_id * 2654435761) % 1000003 % nshards AS shard FROM af, nn)""".stripMargin
+  }
+
+  /** Trained-IVF top-k replica over the shared cell CTEs: the standard
+    * probe (nprobe nearest trained cells per query) + in-cell exact
+    * cosine top-k. `iters = 2` mirrors `annIvfTopK` (the build-once
+    * quantizer default); `iters = 3` mirrors `kmeansIvfTopK`'s extra
+    * convergence step. */
+  private def ivfTopKOracle(iters: Int): String =
+    s"""${ivfCellCtes(iters = iters)},
        |q AS (SELECT vec_id AS query_id, emb AS q_emb FROM e WHERE vec_id < 10),
        |pr AS (SELECT query_id, q_emb, cent_id FROM (
        |  SELECT q.query_id, q.q_emb, cc.cent_id,
        |    row_number() OVER (PARTITION BY q.query_id
-       |      ORDER BY ${cos("q.q_emb", "cc.c")} DESC, cc.cent_id) AS rn
-       |  FROM q CROSS JOIN c$iters cc) WHERE rn <= 2),
+       |      ORDER BY ${duckCos("q.q_emb", "cc.c")} DESC, cc.cent_id) AS rn
+       |  FROM q CROSS JOIN cents cc) WHERE rn <= 2),
        |sc AS (SELECT pr.query_id, af.vec_id AS neighbor_id,
-       |    floor((${cos("pr.q_emb", "af.emb")}) * 10000 + 0.5) / 10000 AS cos_sim
+       |    floor((${duckCos("pr.q_emb", "af.emb")}) * 10000 + 0.5) / 10000 AS cos_sim
        |  FROM pr JOIN af USING (cent_id) WHERE af.vec_id <> pr.query_id)
        |SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, cos_sim FROM (
        |  SELECT query_id, neighbor_id, cos_sim,
        |    row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank
        |  FROM sc) WHERE rank <= 5""".stripMargin
-  }
+
+  private def ivfKmeansOracle: String = ivfTopKOracle(iters = 3)
 
   /** Hyperplane-LSH ANN replica: in-bucket cosine top-k. */
   private def annLshOracle: String = {
@@ -1610,35 +1642,9 @@ object SparkEntry {
       |    row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank
       |  FROM scored) WHERE rank <= 5""".stripMargin
 
-  private def annIvfOracle: String =
-    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
-      |c AS (SELECT vec_id AS cent_id, emb AS c_emb FROM e WHERE vec_id % 50 = 0),
-      |assigned AS (
-      |  SELECT vec_id, emb, cent_id FROM (
-      |    SELECT e.vec_id, e.emb, c.cent_id,
-      |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
-      |        list_dot_product(e.emb, c.c_emb) /
-      |          (sqrt(list_dot_product(e.emb, e.emb)) * sqrt(list_dot_product(c.c_emb, c.c_emb))) DESC,
-      |        c.cent_id) AS rn
-      |    FROM e CROSS JOIN c) WHERE rn = 1),
-      |q AS (SELECT vec_id AS query_id, emb AS q_emb FROM e WHERE vec_id < 10),
-      |probed AS (
-      |  SELECT query_id, q_emb, cent_id FROM (
-      |    SELECT q.query_id, q.q_emb, c.cent_id,
-      |      row_number() OVER (PARTITION BY q.query_id ORDER BY
-      |        list_dot_product(q.q_emb, c.c_emb) /
-      |          (sqrt(list_dot_product(q.q_emb, q.q_emb)) * sqrt(list_dot_product(c.c_emb, c.c_emb))) DESC,
-      |        c.cent_id) AS rn
-      |    FROM q CROSS JOIN c) WHERE rn <= 2),
-      |scored AS (
-      |  SELECT p.query_id, a.vec_id AS neighbor_id,
-      |    floor((list_dot_product(p.q_emb, a.emb) /
-      |      (sqrt(list_dot_product(p.q_emb, p.q_emb)) * sqrt(list_dot_product(a.emb, a.emb)))) * 10000 + 0.5) / 10000 AS cos_sim
-      |  FROM probed p JOIN assigned a ON p.cent_id = a.cent_id AND a.vec_id <> p.query_id)
-      |SELECT query_id, rank, neighbor_id, cos_sim FROM (
-      |  SELECT query_id, neighbor_id, cos_sim,
-      |    row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank
-      |  FROM scored) WHERE rank <= 5""".stripMargin
+  /** Trained fixed-k IVF probe replica (mirrors annIvfTopK over the
+    * build-once quantizer — iters = IvfIters = 2). */
+  private def annIvfOracle: String = ivfTopKOracle(iters = 2)
 
   /** Repo-local fixture path resolved at runtime (user.dir is the sbt
     * project root when Verify runs), overridable via system property —
@@ -2571,7 +2577,7 @@ object SparkEntry {
          |mids AS (SELECT e.dst AS w, e.src AS u,
          |    1000000000000 // ($plogDeg) AS aa_micro
          |  FROM e JOIN dg ON e.dst = dg.src
-         |  WHERE dg.deg BETWEEN 2 AND 4096),
+         |  WHERE dg.deg BETWEEN 2 AND 256),
          |w2 AS (SELECT a.u AS u, b.u AS v, a.aa_micro
          |  FROM mids a JOIN mids b ON a.w = b.w AND a.u < b.u),
          |sc AS (SELECT u AS id1, v AS id2,
@@ -3674,7 +3680,9 @@ object SparkEntry {
     // patterns already proven in ann_ivf_topk and ann_pq_adc_topk.
     "ann_ivf_pq_topk" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ed FROM embeddings),
-        |cent AS (SELECT vec_id AS cent_id, ed AS c FROM e WHERE vec_id % 50 = 0),
+        |nn AS (SELECT greatest(1, count(*) // 40) AS spacing FROM e),
+        |cent AS (SELECT vec_id AS cent_id, ed AS c FROM e, nn
+        |  WHERE vec_id % spacing = 0 AND vec_id // spacing < 40),
         |asg0 AS (SELECT e.vec_id, c.cent_id,
         |    list_dot_product(list_transform(range(1,65), i -> e.ed[i] - c.c[i]),
         |                     list_transform(range(1,65), i -> e.ed[i] - c.c[i])) AS d2
@@ -5099,23 +5107,14 @@ object SparkEntry {
         |    * 1000000 + 0.5) / 1000000 AS novelty
         |FROM perdoc p LEFT JOIN novel n ON p.doc_id = n.doc_id""".stripMargin,
     "dedup_semantic_keep_first" ->
-      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
-        |c AS (SELECT vec_id AS cent_id, emb AS c_emb FROM e WHERE vec_id % 50 = 0),
-        |assigned AS (
-        |  SELECT vec_id, emb, cent_id FROM (
-        |    SELECT e.vec_id, e.emb, c.cent_id,
-        |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
-        |        list_dot_product(e.emb, c.c_emb) /
-        |          (sqrt(list_dot_product(e.emb, e.emb)) * sqrt(list_dot_product(c.c_emb, c.c_emb))) DESC,
-        |        c.cent_id) AS rn
-        |    FROM e CROSS JOIN c) WHERE rn = 1),
-        |dups AS (
-        |  SELECT DISTINCT b.vec_id
-        |  FROM assigned a JOIN assigned b ON a.cent_id = b.cent_id AND a.vec_id < b.vec_id
-        |  WHERE list_dot_product(a.emb, b.emb) /
-        |    (sqrt(list_dot_product(a.emb, a.emb)) * sqrt(list_dot_product(b.emb, b.emb))) > 0.4)
-        |SELECT vec_id, cent_id FROM assigned
-        |WHERE vec_id NOT IN (SELECT vec_id FROM dups)""".stripMargin,
+      s"""${ivfCellCtes()},
+         |dups AS (
+         |  SELECT DISTINCT b.vec_id
+         |  FROM assigned a JOIN assigned b
+         |    ON a.cent_id = b.cent_id AND a.shard = b.shard AND a.vec_id < b.vec_id
+         |  WHERE ${duckCos("a.emb", "b.emb")} > 0.4)
+         |SELECT vec_id, cent_id FROM assigned
+         |WHERE vec_id NOT IN (SELECT vec_id FROM dups)""".stripMargin,
     "dedup_chunks_global" ->
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
         |ch AS (SELECT doc_id, unnest([{'pos': i, 'chunk': array_to_string(w[i*4+1:i*4+4], ' ')}
@@ -5659,29 +5658,19 @@ object SparkEntry {
     // Semantic leak audit: same IVF-cell blocking as the semanticDedup
     // oracle, per-eval argmax on the rounded score + train-id tie-break.
     "corpus_semantic_decontaminate" ->
-      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
-        |c AS (SELECT vec_id AS cent_id, emb AS c_emb FROM e WHERE vec_id % 50 = 0),
-        |assigned AS (
-        |  SELECT vec_id, emb, cent_id FROM (
-        |    SELECT e.vec_id, e.emb, c.cent_id,
-        |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
-        |        list_dot_product(e.emb, c.c_emb) /
-        |          (sqrt(list_dot_product(e.emb, e.emb)) * sqrt(list_dot_product(c.c_emb, c.c_emb))) DESC,
-        |        c.cent_id) AS rn
-        |    FROM e CROSS JOIN c) WHERE rn = 1),
-        |ev AS (SELECT cent_id, vec_id AS eval_id, emb AS e_emb
-        |  FROM assigned WHERE vec_id % 10 = 7),
-        |tr AS (SELECT cent_id, vec_id AS train_id, emb AS t_emb
-        |  FROM assigned WHERE vec_id % 10 <> 7),
-        |scored AS (SELECT eval_id, train_id,
-        |    floor((list_dot_product(e_emb, t_emb) /
-        |      (sqrt(list_dot_product(e_emb, e_emb)) * sqrt(list_dot_product(t_emb, t_emb)))) * 10000 + 0.5) / 10000 AS cos_sim
-        |  FROM ev JOIN tr USING (cent_id))
-        |SELECT eval_id, train_id AS nearest_train_id, cos_sim AS max_cos,
-        |  cos_sim >= 0.35 AS leaked
-        |FROM (SELECT *, row_number() OVER (PARTITION BY eval_id
-        |    ORDER BY cos_sim DESC, train_id) AS rn FROM scored)
-        |WHERE rn = 1""".stripMargin,
+      s"""${ivfCellCtes()},
+         |ev AS (SELECT cent_id, shard, vec_id AS eval_id, emb AS e_emb
+         |  FROM assigned WHERE vec_id % 10 = 7),
+         |tr AS (SELECT cent_id, shard, vec_id AS train_id, emb AS t_emb
+         |  FROM assigned WHERE vec_id % 10 <> 7),
+         |scored AS (SELECT eval_id, train_id,
+         |    floor((${duckCos("e_emb", "t_emb")}) * 10000 + 0.5) / 10000 AS cos_sim
+         |  FROM ev JOIN tr USING (cent_id, shard))
+         |SELECT eval_id, train_id AS nearest_train_id, cos_sim AS max_cos,
+         |  cos_sim >= 0.35 AS leaked
+         |FROM (SELECT *, row_number() OVER (PARTITION BY eval_id
+         |    ORDER BY cos_sim DESC, train_id) AS rn FROM scored)
+         |WHERE rn = 1""".stripMargin,
     // S-curve sweep over the est-err calibration pairs: repeated-squaring
     // power chains (no libm pow) + micro-unit sums, per the Spark twin.
     "dedup_lsh_curve_advisor" -> {
@@ -5857,22 +5846,13 @@ object SparkEntry {
     // kNN-graph label agreement: same IVF cell assignment as the ANN
     // oracles, edges ranked by the 4-decimal-rounded cosine.
     "embed_knn_agreement" ->
-      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb, label FROM embeddings),
-        |c AS (SELECT vec_id AS cent_id, emb AS c_emb FROM e WHERE vec_id % 50 = 0),
-        |assigned AS (
-        |  SELECT vec_id, emb, label, cent_id FROM (
-        |    SELECT e.vec_id, e.emb, e.label, c.cent_id,
-        |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
-        |        list_dot_product(e.emb, c.c_emb) /
-        |          (sqrt(list_dot_product(e.emb, e.emb)) * sqrt(list_dot_product(c.c_emb, c.c_emb))) DESC,
-        |        c.cent_id) AS rn
-        |    FROM e CROSS JOIN c) WHERE rn = 1),
+      s"""${ivfCellCtes(withLabel = true)},
         |edges AS (
         |  SELECT a.vec_id, a.label, b.vec_id AS nb_id, b.label AS nb_label,
-        |    floor((list_dot_product(a.emb, b.emb) /
-        |      (sqrt(list_dot_product(a.emb, a.emb)) * sqrt(list_dot_product(b.emb, b.emb)))) * 10000 + 0.5) / 10000 AS cos_sim
+        |    floor((${duckCos("a.emb", "b.emb")}) * 10000 + 0.5) / 10000 AS cos_sim
         |  FROM assigned a JOIN assigned b
-        |    ON a.cent_id = b.cent_id AND a.vec_id <> b.vec_id),
+        |    ON a.cent_id = b.cent_id AND a.shard = b.shard
+        |      AND a.vec_id <> b.vec_id),
         |topk AS (SELECT * FROM (SELECT vec_id, label, nb_id, nb_label, cos_sim,
         |    row_number() OVER (PARTITION BY vec_id ORDER BY cos_sim DESC, nb_id) AS rn
         |  FROM edges) WHERE rn <= 5),
@@ -5958,29 +5938,17 @@ object SparkEntry {
     // Nprobe sweep: the IVF probe replica ranked to the widest probe,
     // swept by a VALUES spine, against the brute-force replica.
     "ann_nprobe_sweep" ->
-      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
-         |c AS (SELECT vec_id AS cent_id, emb AS c_emb FROM e WHERE vec_id % 50 = 0),
-         |assigned AS (
-         |  SELECT vec_id, emb, cent_id FROM (
-         |    SELECT e.vec_id, e.emb, c.cent_id,
-         |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
-         |        list_dot_product(e.emb, c.c_emb) /
-         |          (sqrt(list_dot_product(e.emb, e.emb)) * sqrt(list_dot_product(c.c_emb, c.c_emb))) DESC,
-         |        c.cent_id) AS rn
-         |    FROM e CROSS JOIN c) WHERE rn = 1),
+      s"""${ivfCellCtes()},
          |q AS (SELECT vec_id AS query_id, emb AS q_emb FROM e WHERE vec_id < 10),
          |probed AS (
          |  SELECT query_id, q_emb, cent_id, rn AS probe_rank FROM (
-         |    SELECT q.query_id, q.q_emb, c.cent_id,
+         |    SELECT q.query_id, q.q_emb, cc.cent_id,
          |      row_number() OVER (PARTITION BY q.query_id ORDER BY
-         |        list_dot_product(q.q_emb, c.c_emb) /
-         |          (sqrt(list_dot_product(q.q_emb, q.q_emb)) * sqrt(list_dot_product(c.c_emb, c.c_emb))) DESC,
-         |        c.cent_id) AS rn
-         |    FROM q CROSS JOIN c) WHERE rn <= 4),
+         |        ${duckCos("q.q_emb", "cc.c")} DESC, cc.cent_id) AS rn
+         |    FROM q CROSS JOIN cents cc) WHERE rn <= 4),
          |cand AS (
          |  SELECT p.query_id, p.probe_rank, a.vec_id AS neighbor_id,
-         |    floor((list_dot_product(p.q_emb, a.emb) /
-         |      (sqrt(list_dot_product(p.q_emb, p.q_emb)) * sqrt(list_dot_product(a.emb, a.emb)))) * 10000 + 0.5) / 10000 AS cos_sim
+         |    floor((${duckCos("p.q_emb", "a.emb")}) * 10000 + 0.5) / 10000 AS cos_sim
          |  FROM probed p JOIN assigned a ON p.cent_id = a.cent_id AND a.vec_id <> p.query_id),
          |np AS (SELECT CAST(unnest([1, 2, 4]) AS BIGINT) AS nprobe),
          |swept AS (SELECT nprobe, query_id, neighbor_id,
@@ -6120,19 +6088,18 @@ object SparkEntry {
          |  CAST(coalesce(n_docs_removed, 0) AS BIGINT) AS n_docs_removed,
          |  CASE WHEN n_pairs IS NOT NULL THEN sj // n_pairs END AS mean_jac_x4
          |FROM t LEFT JOIN agg ON t.t10 = agg.t10""".stripMargin,
+    // Class-B width alert: per-bucket population census over the
+    // shared signature CTE; budget 24 bites at every test SF.
+    "embed_bucket_overflow" ->
+      s"""$lshSigCtes
+         |SELECT CAST(lsh_bucket AS BIGINT) AS lsh_bucket,
+         |  CAST(count(*) AS BIGINT) AS n_vecs,
+         |  (CAST(count(*) AS BIGINT) * (CAST(count(*) AS BIGINT) - 1)) // 2 AS pair_mass
+         |FROM sig GROUP BY 1 HAVING count(*) > 24""".stripMargin,
     // Cell balance: same IVF assignment CTE as the ANN oracles, then
     // a power-of-two size-class census with exact milli shares.
     "embed_cell_balance" ->
-      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
-        |c AS (SELECT vec_id AS cent_id, emb AS c_emb FROM e WHERE vec_id % 50 = 0),
-        |assigned AS (
-        |  SELECT vec_id, cent_id FROM (
-        |    SELECT e.vec_id, c.cent_id,
-        |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
-        |        list_dot_product(e.emb, c.c_emb) /
-        |          (sqrt(list_dot_product(e.emb, e.emb)) * sqrt(list_dot_product(c.c_emb, c.c_emb))) DESC,
-        |        c.cent_id) AS rn
-        |    FROM e CROSS JOIN c) WHERE rn = 1),
+      s"""${ivfCellCtes()},
         |cells AS (SELECT cent_id, CAST(count(*) AS BIGINT) AS sz
         |  FROM assigned GROUP BY 1),
         |tot AS (SELECT CAST(count(*) AS BIGINT) AS tot_cells,

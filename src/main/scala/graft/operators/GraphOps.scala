@@ -217,9 +217,13 @@ object GraphOps {
     * wedge generation with [[linkPredictionDroppedHubs]] as the alert
     * channel — the cap-and-alert discipline of every capped join here
     * (a boilerplate hub connecting 10⁵ docs contributes ~0 per AA
-    * weight yet 10¹⁰ wedges — cap, don't melt; default cap far above
-    * any test-SF degree so the oracle is unaffected). Existing edges
-    * drop via one anti-join against the materialized edge list;
+    * weight yet 10¹⁰ wedges — cap, don't melt). The default cap is the
+    * sf1-MEASURED production value 256 (r13 audit: uncapped at sf1 =
+    * 123.9 G wedge rows, infeasible; cap 256 = 72.6 s with the 48 k
+    * dropped hubs reported by the alert channel) and the oracle
+    * mirrors it — at sf0.1 the cap genuinely bites (max degree 311),
+    * so the capped semantics are themselves gate-proven. Existing
+    * edges drop via one anti-join against the materialized edge list;
     * ranking is the usual total-order top-k boundary.
     *
     * Graph choice: the ≥ 3-shared-fingerprint edge list is a union of
@@ -231,7 +235,7 @@ object GraphOps {
     * table behind it is the stored index of the refresh family
     * ([[Dedup.fpRefresh]]), not a rebuild. */
   def linkPrediction(spark: SparkSession, sfDir: String, k: Int = 20,
-      maxHubDeg: Int = 4096): DataFrame =
+      maxHubDeg: Int = 256): DataFrame =
     // the candidate-graph build feeds FIVE subtrees (both wedge sides,
     // the degree census, and the closing anti-join) AND re-ran per
     // invocation — it is now the [[candidatePairsMaterialized]]
@@ -246,7 +250,7 @@ object GraphOps {
     * synthetic graphs where the cap actually bites, which no test-SF
     * corpus reaches (sf0.1 max degree 311 vs the 4096 default). */
   def linkPredictionOf(pairs: DataFrame, k: Int = 20,
-      maxHubDeg: Int = 4096): DataFrame = {
+      maxHubDeg: Int = 256): DataFrame = {
     val und = pairs.union(
       pairs.select(col("id2").as("id1"), col("id1").as("id2")))
     val deg = und.groupBy(col("id1")).agg(count(lit(1)).as("deg"))
@@ -326,11 +330,11 @@ object GraphOps {
     * run reports these alongside the prediction table so a drop is a
     * visible, queryable fact rather than a silent recall loss. */
   def linkPredictionDroppedHubs(spark: SparkSession, sfDir: String,
-      maxHubDeg: Int = 4096): DataFrame =
+      maxHubDeg: Int = 256): DataFrame =
     droppedHubsOf(candidatePairsMaterialized(spark, sfDir), maxHubDeg)
 
   /** [[linkPredictionDroppedHubs]] over a caller-supplied edge list. */
-  def droppedHubsOf(pairs: DataFrame, maxHubDeg: Int = 4096): DataFrame = {
+  def droppedHubsOf(pairs: DataFrame, maxHubDeg: Int = 256): DataFrame = {
     val und = pairs.union(
       pairs.select(col("id2").as("id1"), col("id1").as("id2")))
     und.groupBy(col("id1").as("doc_id")).agg(count(lit(1)).as("deg"))

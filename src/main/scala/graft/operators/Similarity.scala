@@ -113,52 +113,166 @@ object Similarity {
       sigBits.reduce(_.bitwiseOR(_)).as("lsh_bucket"))
   }
 
-  /** IVF (inverted-file) ANN: deterministic "centroids" (every
-    * `stride`-th vector — a real build would k-means them), each vector
-    * assigned to its nearest centroid, queries probe the `nprobe`
-    * nearest cells. The candidate join is (cluster) equi-keyed — the
-    * IVF counterpart of the LSH bucket join; at 100 TB the assignment
-    * is a broadcast of the centroid set against one corpus scan.
-    */
-  def ivfAssignments(spark: SparkSession, sfDir: String, stride: Int = 50): DataFrame = {
-    graft.plans.CosineSimilarity.register(spark)
-    val emb = Tables.embeddings(spark, sfDir)
-    val centroids = emb.filter(col("vec_id") % stride === 0)
-      .select(col("vec_id").as("cent_id"), col("embedding").as("c_emb"))
-    val scored = emb.crossJoin(broadcast(centroids))
-      .select(col("vec_id"), col("embedding"), col("cent_id"),
-        cosine(col("embedding"), col("c_emb")).as("cos_c"))
-    val w = Window.partitionBy(col("vec_id"))
-      .orderBy(col("cos_c").desc, col("cent_id"))
-    scored.withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("embedding"), col("cent_id"))
+  /** FIXED cell count for the coarse IVF quantizer — the class-C scale
+    * fix (r13 scaling audit): the old seed policy ("every `stride`-th
+    * vector") grew the centroid set linearly with the corpus, so the
+    * broadcast assignment evaluated n × n/50 cosine folds — O(n²/50),
+    * measured ~32 s/query at sf1 and flagged on every cell-family row.
+    * A FIXED cell count makes assignment O(n·k) — one decade of data
+    * costs one decade of work — and the probed candidate FRACTION
+    * (nprobe/k) is scale-CONSTANT, so recall holds by construction
+    * ([[annIvfRecall]]/[[annNprobeSweep]] measure it). k = 40 keeps
+    * the sf0.1 cell census identical to the audited r13 shape
+    * (2000/50 = 40 cells). At 100 TB: k grows only with the desired
+    * cell GRANULARITY (thousands — still broadcast-sized), never with
+    * n; per-cell population on the pair-join side is bounded by
+    * [[IvfShardTarget]] sub-sharding instead. */
+  val IvfK = 40
+
+  /** Lloyd iterations for the default TRAINED quantizer. */
+  val IvfIters = 2
+
+  /** Target pair-block population for the cell-blocked PAIR joins
+    * ([[semanticDedup]], [[semanticDecontaminate]],
+    * [[knnLabelAgreement]]): cells are sub-sharded so a block holds
+    * ~this many vectors, bounding total pair mass to ~n·target instead
+    * of Σ|cell|² = n²/k — the same recall/cost dial as LSH bands
+    * (each vector is compared against 1/nshards of its cell). At the
+    * gated SFs (n ≤ 2000) nshards = 1, so the blocking is exact
+    * within-cell there; the sharded path is oracle-gated on the sf1
+    * slice. */
+  val IvfShardTarget = 50
+
+  val IvfCentroidsFamily = "ivf_centroids"
+  val IvfCellsFamily = "ivf_cells"
+
+  /** Embeddings projected to (vec_id, emb: array<double>) — the typed
+    * working form every quantizer path starts from. */
+  private def embDouble(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+
+  /** Evenly-spaced fixed-k seed set: the k vectors at id spacing
+    * n DIV k — an engine-portable Forgy start spread across the id
+    * space (never a prefix, which would inherit any id-correlated
+    * structure). The count is a 1-row broadcast, so the seed filter
+    * stays in-plan; the oracle replays it with a scalar subquery. */
+  private[operators] def seedCentroids(e: DataFrame, k: Int): DataFrame = {
+    val n = e.agg(count(lit(1)).as("n_all"))
+    e.crossJoin(broadcast(n))
+      .withColumn("spacing", greatest(lit(1L), expr(s"n_all DIV $k")))
+      .filter(col("vec_id") % col("spacing") === 0 &&
+        expr("vec_id DIV spacing") < k)
+      .select(col("vec_id").as("cent_id"), col("emb").as("c"))
   }
 
+  /** `iters` Lloyd iterations over a seed set: assign by cosine
+    * (map-side-collapsed struct-max argmax), recompute exact
+    * DECIMAL(38,30) per-dimension means (order-independent — what lets
+    * the DuckDB oracle replay the training bit-for-bit with unrolled
+    * CTEs). Clusters that lose all members drop out (both engines
+    * agree). Each iteration localCheckpoints to truncate the unrolled
+    * lineage (same values; measured ~40% wall cut at sf0.1). */
+  private def trainCentroids(e: DataFrame, seed: DataFrame, iters: Int): DataFrame = {
+    var cent = seed
+    for (_ <- 1 to iters) {
+      val assigned = kmeansAssign(e, cent)
+      cent = assigned
+        .select(col("cent_id"), posexplode(col("emb")).as(Seq("pos", "x")))
+        .groupBy(col("cent_id"), col("pos"))
+        .agg((sum(col("x").cast("decimal(38,30)")).cast("double") / count(lit(1))).as("m"))
+        .groupBy(col("cent_id"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+        .select(col("cent_id"), transform(col("pm"), s => s.getField("m")).as("c"))
+        .localCheckpoint()
+    }
+    cent
+  }
+
+  /** The TRAINED fixed-k coarse quantizer behind the whole cell family
+    * — [[IvfK]] spacing seeds + [[IvfIters]] Lloyd iterations, built
+    * ONCE per (application, sfDir) ([[BuildOnce]]) and shared by every
+    * assignment/probe consumer. k × dims rows — always broadcast-sized. */
+  def ivfCentroids(spark: SparkSession, sfDir: String): DataFrame =
+    BuildOnce.get(spark, IvfCentroidsFamily, sfDir) {
+      graft.plans.CosineSimilarity.register(spark)
+      val e = embDouble(spark, sfDir)
+      trainCentroids(e, seedCentroids(e, IvfK), IvfIters).localCheckpoint()
+    }
+
+  /** LSH WIDTH ALERT — the class-B scale guard (r13 audit): with a
+    * FIXED plane count the same-bucket pair mass grows ~n²/2^planes,
+    * so an undersized width degrades every LSH consumer
+    * ([[lshVerifiedPairs]], [[semanticSweep]], the purity census)
+    * quadratically and SILENTLY. This census makes it a queryable red
+    * row instead (the [[graft.operators.Dedup.oversizedKeys]] /
+    * dropped-hubs discipline, on the embedding side): every bucket
+    * whose population exceeds `maxBucket` — i.e. whose self-join
+    * contribution exceeds ~maxBucket²/2 pairs — with its exact pair
+    * mass. A production monitor reds on ANY row and the fix is the
+    * measured knob: +1 plane halves per-bucket population (the r13
+    * sf1 A/B: planes 4→8 cut the purity query 77.6 → 15.5 s). The
+    * budget deliberately bites at every test SF so the channel is
+    * proven to carry rows (an alert that is only ever empty is
+    * untested wiring).
+    *
+    * Scale: one signature scan + a (bucket)-keyed count — map-side
+    * combined to 2^planes rows; everything after is arithmetic. */
+  def lshBucketOverflow(spark: SparkSession, sfDir: String,
+      maxBucket: Long = 24): DataFrame =
+    lshSignatures(spark, sfDir)
+      .groupBy(col("lsh_bucket"))
+      .agg(count(lit(1)).as("n_vecs"))
+      .filter(col("n_vecs") > maxBucket)
+      .select(col("lsh_bucket"), col("n_vecs"),
+        expr("n_vecs * (n_vecs - 1) DIV 2").as("pair_mass"))
+
+  /** IVF (inverted-file) cell assignment over the TRAINED fixed-k
+    * quantizer: each vector to its nearest trained centroid by cosine,
+    * plus the deterministic pair-join sub-shard (Knuth-mix of vec_id
+    * mod nshards, nshards = max(1, n DIV (k·[[IvfShardTarget]]))).
+    * Build-once per (application, sfDir): columns (vec_id,
+    * embedding: array<double>, cent_id, shard). The candidate join is
+    * (cluster) equi-keyed — the IVF counterpart of the LSH bucket
+    * join; at 100 TB the assignment is a broadcast of the k-row
+    * centroid set against ONE corpus scan (O(n·k)), and this table is
+    * the stored, delta-refreshed cell index. */
+  def ivfAssignments(spark: SparkSession, sfDir: String): DataFrame =
+    BuildOnce.get(spark, IvfCellsFamily, sfDir) {
+      graft.plans.CosineSimilarity.register(spark)
+      val e = embDouble(spark, sfDir)
+      val n = e.agg(count(lit(1)).as("n_all"))
+      kmeansAssign(e, ivfCentroids(spark, sfDir))
+        .crossJoin(broadcast(n))
+        .select(col("vec_id"), col("emb").as("embedding"), col("cent_id"),
+          expr("(vec_id * 2654435761) % 1000003 % " +
+            s"greatest(1, n_all DIV ${IvfK * IvfShardTarget})").as("shard"))
+        .localCheckpoint()
+    }
+
   def annIvfTopK(spark: SparkSession, sfDir: String, k: Int = 5,
-      nprobe: Int = 2, stride: Int = 50): DataFrame = {
+      nprobe: Int = 2): DataFrame = {
     graft.plans.CosineSimilarity.register(spark)
-    val emb = Tables.embeddings(spark, sfDir)
-    val centroids = emb.filter(col("vec_id") % stride === 0)
-      .select(col("vec_id").as("cent_id"), col("embedding").as("c_emb"))
-    val assigned = ivfAssignments(spark, sfDir, stride)
-    val queries = emb.filter(col("vec_id") < 10)
-      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
-    // nprobe nearest cells per query
+    val cent = ivfCentroids(spark, sfDir)
+    val assigned = ivfAssignments(spark, sfDir)
+    val queries = embDouble(spark, sfDir).filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("emb").as("q_emb"))
+    // nprobe nearest trained cells per query
     val wq = Window.partitionBy(col("query_id"))
       .orderBy(col("cos_c").desc, col("cent_id"))
-    val probed = queries.crossJoin(broadcast(centroids))
+    val probed = queries.crossJoin(broadcast(cent))
       .select(col("query_id"), col("q_emb"), col("cent_id"),
-        cosine(col("q_emb"), col("c_emb")).as("cos_c"))
+        cosine(col("q_emb"), col("c")).as("cos_c"))
       .withColumn("rn", row_number().over(wq))
       .filter(col("rn") <= nprobe)
       .select(col("query_id"), col("q_emb"), col("cent_id"))
-    // candidates = vectors assigned to the probed cells
+    // candidates = vectors assigned to the probed cells; a vector lives
+    // in exactly ONE cell and the probed cells are distinct, so no
+    // (query, neighbor) pair can duplicate — no dedup pass needed
     val scored = probed.join(assigned, Seq("cent_id"))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         PortableRound.pround(cosine(col("q_emb"), col("embedding")), 4).as("cos_sim"))
-      .dropDuplicates("query_id", "neighbor_id")
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos_sim").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w))
@@ -173,10 +287,9 @@ object Similarity {
     * centroid side BROADCAST, all k candidate rows of a vector sit in
     * the same input partition, so partial aggregation collapses them
     * map-side and the shuffle carries ONE row per vector — strictly
-    * better than the window-rank formulation in [[ivfAssignments]],
-    * which shuffles all k rows per vector. Ties (only possible for
-    * duplicate centroids) go to the LARGEST cent_id, same as DuckDB's
-    * struct max. */
+    * better than a window-rank formulation, which would shuffle all k
+    * rows per vector. Ties (only possible for duplicate centroids) go
+    * to the LARGEST cent_id, same as DuckDB's struct max. */
   private def kmeansAssign(e: DataFrame, cent: DataFrame): DataFrame =
     e.crossJoin(broadcast(cent))
       .withColumn("cos_c", cosine(col("emb"), col("c")))
@@ -185,39 +298,23 @@ object Similarity {
         first(col("emb")).as("emb"))
       .select(col("vec_id"), col("emb"), col("b.cent_id").as("cent_id"))
 
-  /** IVF with a TRAINED coarse quantizer: `iters` unrolled Lloyd
-    * iterations (seed = every `stride`-th vector, assign by cosine,
-    * recompute means), then the standard IVF probe over the trained
-    * cells. Each iteration is one broadcast of the centroid set + one
-    * narrow corpus scan + a map-side-collapsed argmax + a
-    * (cent_id, pos)-keyed mean whose shuffle carries only cells × dims
-    * rows — the per-dimension sums are exact DECIMAL(38,30) (order-
-    * independent), which is what lets the DuckDB oracle replay the
-    * training bit-for-bit with unrolled CTEs. Clusters that lose all
-    * members simply drop out (both engines agree). */
+  /** IVF with an INLINE-trained coarse quantizer: [[seedCentroids]]
+    * fixed-k spacing seeds, `iters` unrolled Lloyd iterations
+    * ([[trainCentroids]] — exact DECIMAL(38,30) means, so the DuckDB
+    * oracle replays the training bit-for-bit with unrolled CTEs), then
+    * the standard IVF probe over the trained cells. Defaults to ONE
+    * MORE iteration than the build-once family ([[ivfCentroids]]),
+    * which keeps this declared query a distinct convergence point —
+    * and `iters = IvfIters` reproduces [[annIvfTopK]] exactly (the
+    * cross-validation pin in KmeansIvfSpec: two formulations, one
+    * quantizer). Each iteration is one broadcast of the k-row centroid
+    * set + one narrow corpus scan (O(n·k)) + a (cent_id, pos)-keyed
+    * mean whose shuffle carries only cells × dims rows. */
   def kmeansIvfTopK(spark: SparkSession, sfDir: String, k: Int = 5,
-      nprobe: Int = 2, stride: Int = 50, iters: Int = 2): DataFrame = {
+      nprobe: Int = 2, iters: Int = 3): DataFrame = {
     graft.plans.CosineSimilarity.register(spark)
-    val e = Tables.embeddings(spark, sfDir)
-      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
-    var cent = e.filter(col("vec_id") % stride === 0)
-      .select(col("vec_id").as("cent_id"), col("emb").as("c"))
-    for (_ <- 1 to iters) {
-      val assigned = kmeansAssign(e, cent)
-      cent = assigned
-        .select(col("cent_id"), posexplode(col("emb")).as(Seq("pos", "x")))
-        .groupBy(col("cent_id"), col("pos"))
-        .agg((sum(col("x").cast("decimal(38,30)")).cast("double") / count(lit(1))).as("m"))
-        .groupBy(col("cent_id"))
-        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
-        .select(col("cent_id"), transform(col("pm"), s => s.getField("m")).as("c"))
-        // truncate the per-iteration lineage: without this the trained
-        // centroid sub-plan re-executes for EVERY downstream consumer
-        // (probe ranking + final assignment), and the unrolled plan
-        // doubles per iteration; values are unchanged (measured: same
-        // oracle hash, ~40% wall cut at sf0.1)
-        .localCheckpoint()
-    }
+    val e = embDouble(spark, sfDir)
+    val cent = trainCentroids(e, seedCentroids(e, IvfK), iters)
     val assignedF = kmeansAssign(e, cent)
     val queries = e.filter(col("vec_id") < 10)
       .select(col("vec_id").as("query_id"), col("emb").as("q_emb"))
@@ -700,8 +797,10 @@ object Similarity {
       lit(0.0), (acc, v) => acc + v)
 
   /** IVF-PQ: the full billion-scale ANN serving architecture — a coarse
-    * inverted-file quantizer (stride-sampled centroids, L2 assignment)
-    * over RESIDUAL product-quantization codes, scored with asymmetric
+    * inverted-file quantizer (FIXED-k spacing-seeded centroids, L2
+    * assignment — the class-C fix: the old stride sampling made the
+    * coarse assignment O(n²/50); fixed k makes it O(n·k)) over
+    * RESIDUAL product-quantization codes, scored with asymmetric
     * distance against only the `nprobe` probed cells.
     *
     * Composition of the already-proven pieces: [[annIvfTopK]]'s cell
@@ -720,13 +819,13 @@ object Similarity {
     *    same-cell candidates ever meet the LUT, unprobed cells are
     *    never read. */
   def ivfPqTopK(spark: SparkSession, sfDir: String, k: Int = 5,
-      nprobe: Int = 2, centStride: Int = 50, subspaces: Int = 4,
+      nprobe: Int = 2, kCells: Int = IvfK, subspaces: Int = 4,
       subDim: Int = 16, codebook: Int = 16, cwStride: Int = 8): DataFrame = {
     graft.plans.L2Distance.register(spark)
     val e = Tables.embeddings(spark, sfDir)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("ed"))
-    val cent = e.filter(col("vec_id") % centStride === 0)
-      .select(col("vec_id").as("cent_id"), col("ed").as("c"))
+    val cent = seedCentroids(e.select(col("vec_id"), col("ed").as("emb")), kCells)
+      .select(col("cent_id"), col("c"))
     // coarse assignment: argmin L2 over the broadcast centroid set
     val asg = e.crossJoin(broadcast(cent))
       .groupBy(col("vec_id"))
@@ -1236,23 +1335,31 @@ object Similarity {
     * policy, the plan shape is identical).
     *
     * Scale shape (the paper's own argument): clustering makes the
-    * pair space Σ|cell|² instead of n² — cells are bounded by the
-    * centroid count, which scales with the corpus. Here:
-    *  - assignment reuses [[ivfAssignments]] (broadcast centroid set,
-    *    one corpus scan);
-    *  - the candidate join is (cent_id) EQUI-keyed self-join — no
-    *    nested loop (plan-shape-tested);
+    * pair space Σ|block|² instead of n². With the FIXED-k trained
+    * quantizer, cell population grows as n/k — so blocks are the
+    * (cent_id, shard) SUB-SHARDS of [[ivfAssignments]], whose target
+    * population is [[IvfShardTarget]] at every scale: total pair mass
+    * stays ~n·target (linear), and each vector is checked against
+    * 1/nshards of its cell — the same recall/cost dial as LSH bands
+    * (SemDeDup itself grows k with n; the deterministic shard is the
+    * engine-portable equivalent with a replayable oracle). At the
+    * gated SFs nshards = 1, i.e. exact within-cell. Here:
+    *  - assignment reuses [[ivfAssignments]] (broadcast trained
+    *    centroid set, one corpus scan, O(n·k));
+    *  - the candidate join is (cent_id, shard) EQUI-keyed self-join —
+    *    no nested loop (plan-shape-tested);
     *  - the survivor set is a LEFT ANTI join on vec_id: dup discovery
     *    shuffles only the (id1 < id2, cos > τ) pair ids, never the
     *    embeddings twice. */
   def semanticDedup(spark: SparkSession, sfDir: String,
-      threshold: Double = 0.4, stride: Int = 50): DataFrame = {
-    val assigned = ivfAssignments(spark, sfDir, stride)
-    val a = assigned.select(col("cent_id"), col("vec_id").as("id1"),
-      col("embedding").as("e1"))
-    val b = assigned.select(col("cent_id").as("c2"), col("vec_id").as("id2"),
-      col("embedding").as("e2"))
-    val dupIds = a.join(b, col("cent_id") === col("c2") && col("id1") < col("id2"))
+      threshold: Double = 0.4): DataFrame = {
+    val assigned = ivfAssignments(spark, sfDir)
+    val a = assigned.select(col("cent_id"), col("shard"),
+      col("vec_id").as("id1"), col("embedding").as("e1"))
+    val b = assigned.select(col("cent_id").as("c2"), col("shard").as("s2"),
+      col("vec_id").as("id2"), col("embedding").as("e2"))
+    val dupIds = a.join(b, col("cent_id") === col("c2") &&
+        col("shard") === col("s2") && col("id1") < col("id2"))
       .filter(cosine(col("e1"), col("e2")) > threshold)
       .select(col("id2").as("vec_id")).distinct()
     assigned.join(dupIds, Seq("vec_id"), "left_anti")
@@ -1271,21 +1378,24 @@ object Similarity {
     * no train member have no candidate row (nothing to audit).
     *
     * Scale: assignment is one broadcast-centroid corpus scan; the
-    * eval×train join is (cell) EQUI-keyed with the eval side a small
-    * slice, so the pair space is Σ|cell_eval|·|cell_train|, never
-    * n·m; the argmax window partitions by eval id over cell-sized
-    * candidate groups. */
+    * eval×train join is (cell, shard) EQUI-keyed with the eval side a
+    * small slice, so the pair space is Σ|block_eval|·|block_train| ~
+    * n·[[IvfShardTarget]], never n·m; the argmax window partitions by
+    * eval id over block-sized candidate groups. The shard bounds the
+    * candidate set exactly like [[semanticDedup]]'s (nshards = 1 at
+    * the gated SFs). */
   def semanticDecontaminate(spark: SparkSession, sfDir: String,
-      threshold: Double = 0.35, stride: Int = 50,
+      threshold: Double = 0.35,
       evalMod: Int = 10, evalResidue: Int = 7): DataFrame = {
-    val assigned = ivfAssignments(spark, sfDir, stride)
+    val assigned = ivfAssignments(spark, sfDir)
     val ev = assigned.filter(col("vec_id") % evalMod === evalResidue)
-      .select(col("cent_id"), col("vec_id").as("eval_id"),
+      .select(col("cent_id"), col("shard"), col("vec_id").as("eval_id"),
         col("embedding").as("e_emb"))
     val tr = assigned.filter(col("vec_id") % evalMod =!= evalResidue)
-      .select(col("cent_id").as("c2"), col("vec_id").as("train_id"),
-        col("embedding").as("t_emb"))
-    val scored = ev.join(tr, col("cent_id") === col("c2"))
+      .select(col("cent_id").as("c2"), col("shard").as("s2"),
+        col("vec_id").as("train_id"), col("embedding").as("t_emb"))
+    val scored = ev.join(tr, col("cent_id") === col("c2") &&
+        col("shard") === col("s2"))
       .select(col("eval_id"), col("train_id"),
         PortableRound.pround(cosine(col("e_emb"), col("t_emb")), 4)
           .as("cos_sim"))
@@ -1334,19 +1444,17 @@ object Similarity {
     * ≤3× nprobe explode on the tiny candidate table. The exact side
     * reuses [[annBruteForceTopK]] checkpointed once. */
   def annNprobeSweep(spark: SparkSession, sfDir: String, k: Int = 5,
-      stride: Int = 50, nprobes: Seq[Int] = Seq(1, 2, 4)): DataFrame = {
+      nprobes: Seq[Int] = Seq(1, 2, 4)): DataFrame = {
     graft.plans.CosineSimilarity.register(spark)
-    val emb = Tables.embeddings(spark, sfDir)
-    val centroids = emb.filter(col("vec_id") % stride === 0)
-      .select(col("vec_id").as("cent_id"), col("embedding").as("c_emb"))
-    val assigned = ivfAssignments(spark, sfDir, stride)
-    val queries = emb.filter(col("vec_id") < 10)
-      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val centroids = ivfCentroids(spark, sfDir)
+    val assigned = ivfAssignments(spark, sfDir)
+    val queries = embDouble(spark, sfDir).filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("emb").as("q_emb"))
     val wq = Window.partitionBy(col("query_id"))
       .orderBy(col("cos_c").desc, col("cent_id"))
     val probed = queries.crossJoin(broadcast(centroids))
       .select(col("query_id"), col("q_emb"), col("cent_id"),
-        cosine(col("q_emb"), col("c_emb")).as("cos_c"))
+        cosine(col("q_emb"), col("c")).as("cos_c"))
       .withColumn("probe_rank", row_number().over(wq))
       .filter(col("probe_rank") <= nprobes.max)
       .select(col("query_id"), col("q_emb"), col("cent_id"), col("probe_rank"))
@@ -1487,10 +1595,10 @@ object Similarity {
     * cell table is centroid-sized, everything after is arithmetic on
     * at most 64 class rows. Long headroom: the imbalance product
     * max_sz·tot_cells·1000 stays in Long while cells·vectors < ~10¹⁵
-    * (≈10⁹ vectors at this stride); past that widen the three factors
+    * (≈10⁹ vectors at k = [[IvfK]]); past that widen the three factors
     * to decimal(38,0) — same note as the k-means moment sums. */
-  def cellBalance(spark: SparkSession, sfDir: String, stride: Int = 50): DataFrame = {
-    val cells = ivfAssignments(spark, sfDir, stride)
+  def cellBalance(spark: SparkSession, sfDir: String): DataFrame = {
+    val cells = ivfAssignments(spark, sfDir)
       .groupBy(col("cent_id")).agg(count(lit(1)).as("sz"))
     val tot = cells.agg(count(lit(1)).as("tot_cells"), sum(col("sz")).as("tot_vecs"))
     cells.withColumn("size_class", expr("length(bin(sz)) - 1"))
@@ -1529,15 +1637,17 @@ object Similarity {
     * robust to missing cross-cell edges (documented estimator, same
     * contract as [[annIvfRecall]] which MEASURES that recall). */
   def knnLabelAgreement(spark: SparkSession, sfDir: String,
-      k: Int = 5, stride: Int = 50): DataFrame = {
+      k: Int = 5): DataFrame = {
     graft.plans.CosineSimilarity.register(spark)
     val labels = Tables.embeddings(spark, sfDir).select(col("vec_id"), col("label"))
-    val av = ivfAssignments(spark, sfDir, stride)
+    val av = ivfAssignments(spark, sfDir)
       .join(labels, "vec_id")
-      .select(col("vec_id"), col("cent_id"), col("label"), col("embedding"))
+      .select(col("vec_id"), col("cent_id"), col("shard"), col("label"),
+        col("embedding"))
       .localCheckpoint(eager = false)
     val edges = av.as("a").join(av.as("b"),
         col("a.cent_id") === col("b.cent_id") &&
+          col("a.shard") === col("b.shard") &&
           col("a.vec_id") =!= col("b.vec_id"))
       .select(col("a.vec_id").as("vec_id"), col("a.label").as("label"),
         col("b.vec_id").as("nb_id"), col("b.label").as("nb_label"),

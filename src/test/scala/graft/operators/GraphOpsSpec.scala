@@ -76,7 +76,7 @@ class GraphOpsSpec extends AnyFunSuite {
     val scored = scala.collection.mutable.Map.empty[(Long, Long), (Long, Long)]
     nbrs.foreach { case (w, ns) =>
       val d = ns.size.toLong
-      if (d >= 2 && d <= 4096) {
+      if (d >= 2 && d <= 256) {
         val aa = 1000000000000L / ImageCodec.plog2MicroJvm(d)
         val sorted = ns.toSeq.sorted
         for (i <- sorted.indices; j <- (i + 1) until sorted.size) {
