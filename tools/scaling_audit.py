@@ -30,37 +30,39 @@ KNOWN = {
     "sub_join_order_advisor": "actual-count joins (advisor harness)",
     # wedge workload is sum(deg^2) over the minShared=1 candidate graph;
     # production bound: hubs above maxHubDeg are EXCLUDED, so work =
-    # sum_{deg<=cap} deg^2. Round-13 MEASURED the cap biting: sf0.1
-    # cap64 6.4->0.64s (98% wedge-row drop); sf1 uncapped = 124G wedge
-    # rows (infeasible, excluded from the sf1 leg) vs cap256 = 72.6s
-    # with 48151 dropped hubs reported by the alert channel.
-    "graph_link_prediction": "sum(deg^2) wedge; cap MEASURED biting at sf1 (BENCHNOTES r13)",
+    # sum_{deg<=cap} deg^2. Since r14 the DEFAULT cap is the
+    # sf1-measured 256 (oracle mirrors it; bites at sf0.1 max deg 311),
+    # so the query runs on the sf1 leg at ~22-34 s instead of the
+    # 124G-row uncapped infeasibility r13 measured.
+    "graph_link_prediction": "sum(deg^2) wedge at the capped default (256, r14)",
     # -- class A: minhash bucket-population growth (the synthetic
     # 30-word vocab densifies shared-shingle buckets linearly with the
     # corpus => bucket self-join mass ~n^2). The 1024 default cap sits
     # above sf1's ~140 max bucket; cap 64 MEASURED at sf1: verified
     # pairs 92.1 -> 12.8 s. Consumers inherit the candidate mass.
-    "dedup_lsh_verified_pairs": "bucket self-join mass; cap MEASURED biting at sf1 (92->13s)",
+    # r14 zipf arm: e_top persists at 1.68 under the realistic-vocab
+    # corpus => REAL mechanism (not a vocab artifact); the cap is the
+    # production answer.
+    "dedup_lsh_verified_pairs": "bucket self-join mass (REAL per the r14 zipf arm); cap MEASURED biting at sf1 (92->13s)",
     "dedup_cluster_census": "consumes the lsh pair family (class A)",
     "dedup_lsh_curve_advisor": "consumes the est-err pair sample (class A)",
     "dedup_semantic_sweep": "embedding-LSH pair sweep (classes A+B)",
     "dedup_edit_distance": "O(len^2) verify per winnow edge; edge mass grows with collision density (class A)",
-    "dedup_prefix_jaccard": "prefix-filter selectivity needs Zipf-sparse dfs; the 30-word vocab makes every token hot (class A artifact)",
+    "dedup_prefix_jaccard": "MEASURED class A ARTIFACT (r14 zipf arm: e_top 1.52 uniform-vocab vs 0.88 zipf)",
+    "dedup_containment_pairs": "blocked pair join inherits the class-A bucket mass (r14 zipf arm: 1.38 -> 1.16; mostly vocab-driven)",
     "dedup_minhash_keep_first": "consumes the lsh pair family (class A)",
     # -- class B: fixed hyperplane-LSH width (4 planes = 16 buckets) =>
     # same-bucket pair mass ~n^2/2^planes. A deployment grows planes
     # with log n; +4 planes MEASURED at sf1: labelPurity 77.6 -> 15.5 s.
     "embed_label_purity": "fixed LSH width; planes knob MEASURED at sf1 (78->16s)",
-    "embed_knn_agreement": "same-cell kNN graph (class C cells)",
-    # -- class C: constant-CELL-SIZE IVF (stride 50 => C = n/50
-    # centroids), so the n x C assignment is n^2/50. Production keeps
-    # C ~ sqrt(n) / k-means-fixed; stride 500 MEASURED at sf1 restores
-    # the sf0.1 centroid count: nprobe sweep 16.7 -> 2.8 s.
-    "ann_ivf_pq_topk": "constant-cell IVF assignment; stride knob MEASURED at sf1 (class C)",
-    "ann_ivf_recall": "constant-cell IVF assignment (class C)",
-    "ann_nprobe_sweep": "constant-cell IVF; stride MEASURED at sf1 (17->3s)",
-    "ann_ivf_kmeans_topk": "k-means seeded from the class-C assignment",
-    "embed_cell_balance": "census over the class-C cells",
+    # -- class C: FIXED in r14. The constant-CELL-SIZE stride policy
+    # (C = n/50 centroids => n x C assignment = n^2/50) was replaced by
+    # the trained fixed-k quantizer (k=40 spacing seeds + 2 exact-
+    # decimal Lloyd iterations, build-once): assignment is O(n*k) and
+    # every former class-C row refits at e_top <= 1.15 at DEFAULTS
+    # (nprobe sweep 31.8 -> 1.8 s, pq 31.9 -> 4.8, recall 31.6 -> 1.1,
+    # cell balance 13.2 -> 13.7 incl. its cold-start training charge).
+    # Entries removed because the rows no longer flag.
     # -- class D: OUTPUT cardinality growth — the fixed 30-day window
     # with 10x event density makes the range join's ANSWER ~quadratic
     # (measured: 459k -> 46.4M matched pairs for 10x events, 101x);
