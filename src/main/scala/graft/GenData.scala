@@ -69,10 +69,13 @@ object GenData {
   /** The document body as a pure function of a doc id: 10–100 words.
     * Default: uniform over the 30-word vocabulary (the shipped
     * corpus's exact vocab; `dup` is reserved for the near-dup marker).
-    * Zipf mode (r13 verdict #4 — the class-A artifact separator): a
-    * 999-word vocabulary with Zipf(s=1) frequencies via the exact
-    * inverse-CDF identity rank = floor(V^u) (P(rank ≤ r) = ln r/ln V,
-    * so p(r) ∝ 1/r) — realistic text statistics, so shingle/bucket
+    * Zipf mode (r13 verdict #4 — the class-A artifact separator):
+    * Zipf(s=1)-distributed ranks via the inverse-CDF construction
+    * rank = floor(999^u) for u ∈ [0, 1) — i.e. ranks 1..998 (998
+    * effective words, since 999^u ∈ [1, 999)) with
+    * P(rank ≤ r) = ln(r+1)/ln 999, so
+    * p(r) ∝ ln(1 + 1/r) ≈ 1/r — realistic text statistics, so
+    * shingle/bucket
     * structures that only densify under the tiny uniform vocab reveal
     * themselves as ARTIFACTS when their sf0.1→sf1 exponent flattens
     * on this arm, while real mechanisms persist. */

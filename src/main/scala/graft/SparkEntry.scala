@@ -189,6 +189,7 @@ object SparkEntry {
     "dedup_incremental" -> ((s: SparkSession, d: String) => Dedup.incrementalDedup(s, d)),
     "dedup_bucket_refresh" -> ((s: SparkSession, d: String) => Dedup.bucketRefresh(s, d)),
     "embed_index_refresh" -> ((s: SparkSession, d: String) => Similarity.indexRefresh(s, d)),
+    "embed_cell_refresh" -> (Similarity.cellRefresh _),
     "dedup_fp_refresh" -> (Dedup.fpRefresh _),
     "corpus_daily_increment" -> (Dedup.dailyIncrement _),
     "events_mad_outliers" -> (Relational.eventsMadOutliers _),
@@ -341,6 +342,7 @@ object SparkEntry {
     "asof_nearest_native" -> (Temporal.asofNearestClickNative _),
     "range_incident_stats" -> (Temporal.rangeIncidentStats _),
     "range_join_rule" -> (Temporal.rangeIncidentStatsRule _),
+    "range_output_advisor" -> (Temporal.rangeOutputAdvisor _),
     // bounded-state custom aggregates (TypedImperativeAggregate)
     "sketch_kmv_distinct" -> (Sketches.kmvDistinct _),
     "sketch_cms_heavy" -> ((s: SparkSession, d: String) => Sketches.cmsHeavyHitters(s, d)),
@@ -567,7 +569,10 @@ object SparkEntry {
     "embed_mmr_select", "events_acf", "dedup_minhash_bbit",
     // round-13 additions (the alert channels — cheap censuses, but the
     // monitoring surface belongs in the headline set it guards):
-    "graph_dropped_hubs", "dedup_oversized_buckets")
+    "graph_dropped_hubs", "dedup_oversized_buckets",
+    // round-15 additions (cell-index IVM + class-D output advisor; the
+    // scale-aware-width pair queries are already in the set above):
+    "embed_cell_refresh", "range_output_advisor")
 
   // --- generated DuckDB replicas of the portable-hash queries ----------
 
@@ -741,6 +746,29 @@ object SparkEntry {
        |FROM sig s JOIN embeddings em ON s.vec_id = em.vec_id
        |WHERE s.vec_id % 10 >= 2
        |   OR s.vec_id NOT IN (SELECT new_id FROM dup)""".stripMargin
+
+  /** Trained-IVF cell-index IVM replica (r14 verdict #2) — the FULL
+    * REBUILD: quantizer trained on the day-0 corpus slice (`et`),
+    * assignment over corpus ∪ admitted (`ep`; admission = the SAME
+    * new×corpus bucket-collision + exact-cosine gate as the signature
+    * index), shard divisor frozen at the corpus count. Hash equality
+    * against the Spark side's incremental path proves
+    * refresh ≡ rebuild for frozen centroids. Shared by the declared
+    * refresh query and the day-2 increment's `cells_touched` stage. */
+  private def embedCellRefreshOracle: String = {
+    val cos = duckCos("a.emb", "b.emb")
+    val extra =
+      s"""sig AS (SELECT vec_id, emb, ${lshSigBitsSql(graft.operators.Similarity.Planes)} AS lsh_bucket FROM e),
+         |dup AS (SELECT DISTINCT a.vec_id AS new_id
+         |  FROM sig a JOIN sig b ON a.lsh_bucket = b.lsh_bucket
+         |    AND a.vec_id % 10 < 2 AND b.vec_id % 10 >= 2
+         |  WHERE $cos > 0.4),
+         |et AS (SELECT vec_id, emb FROM e WHERE vec_id % 10 >= 2),
+         |ep AS (SELECT vec_id, emb FROM e WHERE vec_id % 10 >= 2
+         |  OR vec_id NOT IN (SELECT new_id FROM dup))""".stripMargin
+    s"""${ivfCellCtes(trainSrc = "et", assignSrc = "ep", extraCtes = extra, hashSeeds = true)}
+       |SELECT vec_id, cent_id, shard FROM assigned""".stripMargin
+  }
 
   /** Winnow-recall replica, parameterized by the calibration-slice
     * predicate (shared by the full and sliced declared queries —
@@ -1241,13 +1269,36 @@ object SparkEntry {
 
   /** Shared WITH-prefix for the hyperplane-LSH replicas: same
     * integer-mix plane components, same sign-bit bucket. */
-  private def lshSigCtes: String = {
-    val sigBits = (0 until graft.operators.Similarity.Planes).map { p =>
+  /** The p-plane signature SUM expression over a column `emb` — shared
+    * by the fixed-width CTE, the scale-aware CTE, and the cell-refresh
+    * admission replica. */
+  private def lshSigBitsSql(planes: Int): String =
+    (0 until planes).map { p =>
       val comp = graft.operators.Similarity.sqlPlaneComponent(p, "i")
       s"CASE WHEN list_dot_product(emb, list_transform(range(0, len(emb)), i -> $comp)) >= 0 THEN ${1L << p} ELSE 0 END"
     }.mkString(" + ")
+
+  private def lshSigCtes: String =
     s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
-       |sig AS (SELECT vec_id, emb, $sigBits AS lsh_bucket FROM e)""".stripMargin
+       |sig AS (SELECT vec_id, emb, ${lshSigBitsSql(graft.operators.Similarity.Planes)} AS lsh_bucket FROM e)""".stripMargin
+
+  /** SCALE-AWARE signature CTEs — the oracle twin of
+    * [[graft.operators.Similarity.planesFor]] (r14 verdict #1): the
+    * full [[graft.operators.Similarity.MaxPlanes]]-bit signature is
+    * computed once and masked to 2^planes buckets with planes from
+    * the SAME integer CASE chain over count(*) the Spark side uses.
+    * Masking the low p bits equals the p-plane signature bit-for-bit
+    * because each plane's component depends only on (plane, dim) —
+    * so at the gated SFs (planes = 4) this CTE is value-identical to
+    * [[lshSigCtes]], and at sf1 it replays the widened signature. */
+  private def lshSigScaledCtes: String = {
+    import graft.operators.Similarity.{MaxPlanes, Planes, LshTargetBucket}
+    val whens = (Planes until MaxPlanes)
+      .map(p => s"WHEN n <= ${LshTargetBucket << p} THEN ${1L << p}").mkString(" ")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+       |np AS (SELECT CASE $whens ELSE ${1L << MaxPlanes} END AS nb
+       |  FROM (SELECT count(*) AS n FROM e)),
+       |sig AS (SELECT vec_id, emb, (${lshSigBitsSql(MaxPlanes)}) % nb AS lsh_bucket FROM e, np)""".stripMargin
   }
 
   private def duckCos(a: String, b: String) =
@@ -1263,15 +1314,27 @@ object SparkEntry {
     * `cents` = the trained set, and `assigned` (vec_id, emb[, label],
     * cent_id, shard) — the final assignment with the deterministic
     * Knuth-mix pair-join sub-shard. Callers append their own query
-    * after a comma. */
-  private def ivfCellCtes(k: Int = 40, iters: Int = 2,
-      withLabel: Boolean = false): String = {
+    * after a comma.
+    *
+    * `trainSrc`/`assignSrc` split the training population from the
+    * assigned one (both default to the whole corpus `e`) — the
+    * refresh ≡ rebuild oracle trains on the day-0 slice and assigns
+    * corpus ∪ admitted; `extraCtes` (inserted right after `e`) carries
+    * the slice definitions. `nn` (seed spacing AND the frozen shard
+    * divisor) is computed over `trainSrc`, mirroring the Spark side's
+    * frozen-at-build shard count. */
+  private def ivfCellCtes(k: Int = graft.operators.Similarity.IvfK,
+      iters: Int = graft.operators.Similarity.IvfIters,
+      withLabel: Boolean = false, trainSrc: String = "e",
+      assignSrc: String = "e", extraCtes: String = "",
+      hashSeeds: Boolean = false): String = {
     val lbl = if (withLabel) ", label" else ""
-    def assignCte(name: String, centCte: String, carryLabel: Boolean) = {
+    def assignCte(name: String, centCte: String, carryLabel: Boolean,
+        src: String = trainSrc) = {
       val anyLbl = if (carryLabel) ", any_value(e.label) AS label" else ""
       s"""$name AS (SELECT e.vec_id, any_value(e.emb) AS emb$anyLbl,
          |  (max({'c': ${duckCos("e.emb", "cc.c")}, 'id': cc.cent_id})).id AS cent_id
-         |  FROM e CROSS JOIN $centCte cc GROUP BY e.vec_id)""".stripMargin
+         |  FROM $src e CROSS JOIN $centCte cc GROUP BY e.vec_id)""".stripMargin
     }
     val training = (1 to iters).map { i =>
       s"""${assignCte(s"a$i", s"c${i - 1}", carryLabel = false)},
@@ -1282,14 +1345,24 @@ object SparkEntry {
          |  GROUP BY 1, 2),
          |c$i AS (SELECT cent_id, list(m ORDER BY pos) AS c FROM m$i GROUP BY 1)""".stripMargin
     }.mkString(",\n")
+    val extra = if (extraCtes.isEmpty) "" else extraCtes + ",\n"
+    // hash-minimum seeds (id-distribution-free — the refresh path's
+    // rule) vs the default dense-id spacing seeds; both deterministic
+    val c0 =
+      if (hashSeeds)
+        s"""c0 AS (SELECT vec_id AS cent_id, emb AS c FROM (
+           |  SELECT vec_id, emb FROM $trainSrc
+           |  ORDER BY (vec_id * 2654435761) % 1000003, vec_id LIMIT $k))""".stripMargin
+      else
+        s"""c0 AS (SELECT vec_id AS cent_id, emb AS c FROM $trainSrc, nn
+           |  WHERE vec_id % spacing = 0 AND vec_id // spacing < $k)""".stripMargin
     s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb$lbl FROM embeddings),
-       |nn AS (SELECT greatest(1, count(*) // $k) AS spacing,
-       |  greatest(1, count(*) // ${k * 50}) AS nshards FROM e),
-       |c0 AS (SELECT vec_id AS cent_id, emb AS c FROM e, nn
-       |  WHERE vec_id % spacing = 0 AND vec_id // spacing < $k),
+       |${extra}nn AS (SELECT greatest(1, count(*) // $k) AS spacing,
+       |  greatest(1, count(*) // ${k * graft.operators.Similarity.IvfShardTarget}) AS nshards FROM $trainSrc),
+       |$c0,
        |$training,
        |cents AS (SELECT cent_id, c FROM c$iters),
-       |${assignCte("af", "cents", carryLabel = withLabel)},
+       |${assignCte("af", "cents", carryLabel = withLabel, src = assignSrc)},
        |assigned AS (SELECT af.*,
        |  (vec_id * 2654435761) % 1000003 % nshards AS shard FROM af, nn)""".stripMargin
   }
@@ -1580,7 +1653,7 @@ object SparkEntry {
   /** Two-stage near-dup replica: same-bucket pairs, exact cosine over
     * candidates only (threshold on the RAW value, rounded for output). */
   private def lshVerifiedPairsOracle: String = {
-    s"""$lshSigCtes
+    s"""$lshSigScaledCtes
        |SELECT a.vec_id AS id1, b.vec_id AS id2,
        |  floor((list_dot_product(a.emb, b.emb) /
        |    (sqrt(list_dot_product(a.emb, a.emb)) * sqrt(list_dot_product(b.emb, b.emb)))) * 10000 + 0.5) / 10000 AS cos_sim
@@ -1592,7 +1665,7 @@ object SparkEntry {
   /** Connected-components replica: same verified-pair edges, transitive
     * closure via recursive reachability, cluster = min reachable id. */
   private def clusterLabelsOracle: String = {
-    val ctes = lshSigCtes.replaceFirst("WITH ", "WITH RECURSIVE ")
+    val ctes = lshSigScaledCtes.replaceFirst("WITH ", "WITH RECURSIVE ")
     s"""$ctes,
        |pairs AS (
        |  SELECT a.vec_id AS id1, b.vec_id AS id2
@@ -2716,6 +2789,13 @@ object SparkEntry {
     // admitted (admission = the new×corpus bucket-collision +
     // exact-cosine gate); hash equality proves refresh ≡ rebuild.
     "embed_index_refresh" -> embedIndexRefreshOracle,
+    // Trained-IVF cell-index IVM (r14 verdict #2): oracle = the FULL
+    // REBUILD — quantizer trained on the day-0 corpus slice (`et`),
+    // assignment over corpus ∪ admitted (`ep`; admission = the SAME
+    // new×corpus bucket-collision + exact-cosine gate as the signature
+    // index), shard divisor frozen at the corpus count. Hash equality
+    // proves refresh ≡ rebuild for frozen centroids.
+    "embed_cell_refresh" -> embedCellRefreshOracle,
     "mm_decode_stats" -> mmDecodeOracle,
     // blake2b-512 has no DuckDB builtin: the oracle joins expected
     // digests generated by an INDEPENDENT implementation (Python
@@ -3679,10 +3759,10 @@ object SparkEntry {
     // fixed-order ADC sum — every arithmetic step the bit-deterministic
     // patterns already proven in ann_ivf_topk and ann_pq_adc_topk.
     "ann_ivf_pq_topk" ->
-      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ed FROM embeddings),
-        |nn AS (SELECT greatest(1, count(*) // 40) AS spacing FROM e),
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ed FROM embeddings),
+        |nn AS (SELECT greatest(1, count(*) // ${graft.operators.Similarity.IvfK}) AS spacing FROM e),
         |cent AS (SELECT vec_id AS cent_id, ed AS c FROM e, nn
-        |  WHERE vec_id % spacing = 0 AND vec_id // spacing < 40),
+        |  WHERE vec_id % spacing = 0 AND vec_id // spacing < ${graft.operators.Similarity.IvfK}),
         |asg0 AS (SELECT e.vec_id, c.cent_id,
         |    list_dot_product(list_transform(range(1,65), i -> e.ed[i] - c.c[i]),
         |                     list_transform(range(1,65), i -> e.ed[i] - c.c[i])) AS d2
@@ -4103,6 +4183,9 @@ object SparkEntry {
          |UNION ALL
          |SELECT 'signatures_added', CAST(count(*) AS BIGINT)
          |FROM ($embedIndexRefreshOracle) WHERE vec_id % 10 < 2
+         |UNION ALL
+         |SELECT 'cells_touched', CAST(count(DISTINCT cent_id) AS BIGINT)
+         |FROM ($embedCellRefreshOracle) WHERE vec_id % 10 < 2
          |UNION ALL
          |SELECT 'edges_added', CAST(count(*) AS BIGINT)
          |FROM (WITH $admissionKeptCtes,
@@ -4697,7 +4780,7 @@ object SparkEntry {
     // kNN label purity: same LSH signature CTEs + top-5 in-bucket
     // neighbors (cos_x4 DESC, id tie-break), label agreement vote.
     "embed_label_purity" ->
-      s"""$lshSigCtes,
+      s"""$lshSigScaledCtes,
          |l AS (SELECT vec_id, label FROM embeddings),
          |sc AS (SELECT a.vec_id, b.vec_id AS nid,
          |    CAST(floor(list_dot_product(a.emb, b.emb) /
@@ -5441,6 +5524,29 @@ object SparkEntry {
         |FROM w JOIN events e
         |  ON e.ts >= w.start_ts AND e.ts < w.end_ts AND e.event_id <> w.incident_id
         |GROUP BY w.incident_id""".stripMargin,
+    // Class-D output advisor: per-bin censuses + the inequality join
+    // re-aggregated by the POINT's bin; est = the bin-blocked join's
+    // pre-filter pair bound. Integer micros throughout.
+    "range_output_advisor" ->
+      """WITH ev AS (SELECT event_id, epoch_us(ts) AS us FROM events),
+        |inc AS (SELECT event_id AS incident_id, epoch_us(ts) AS start_us,
+        |    epoch_us(ts) + 600000000 AS end_us
+        |  FROM events WHERE event_type = 'error'),
+        |pb AS (SELECT us // 600000000 AS bin,
+        |    CAST(count(*) AS BIGINT) AS n_points FROM ev GROUP BY 1),
+        |ib AS (SELECT bin, CAST(count(*) AS BIGINT) AS n_intervals FROM (
+        |  SELECT unnest(range(start_us // 600000000,
+        |    (end_us - 1) // 600000000 + 1)) AS bin FROM inc) GROUP BY 1),
+        |act AS (SELECT e.us // 600000000 AS bin,
+        |    CAST(count(*) AS BIGINT) AS n_act
+        |  FROM ev e JOIN inc i ON e.us >= i.start_us AND e.us < i.end_us
+        |    AND e.event_id <> i.incident_id
+        |  GROUP BY 1)
+        |SELECT pb.bin, n_points, n_intervals,
+        |  n_points * n_intervals AS est_pairs,
+        |  coalesce(n_act, 0) AS actual_pairs,
+        |  (coalesce(n_act, 0) * 1000) // (n_points * n_intervals) AS sel_milli
+        |FROM pb JOIN ib USING (bin) LEFT JOIN act USING (bin)""".stripMargin,
     // Same oracle for the optimizer-rule path: the rewrite of the naive
     // inequality join must be invisible in the results.
     "range_join_rule" ->
@@ -6027,7 +6133,7 @@ object SparkEntry {
     // threshold spine with the same left-join shape as the Jaccard
     // sweep.
     "dedup_semantic_sweep" -> {
-      s"""$lshSigCtes,
+      s"""$lshSigScaledCtes,
          |pr AS (SELECT a.vec_id AS id1, b.vec_id AS id2,
          |    CAST(floor((list_dot_product(a.emb, b.emb) /
          |      (sqrt(list_dot_product(a.emb, a.emb)) * sqrt(list_dot_product(b.emb, b.emb)))) * 10000 + 0.5) AS BIGINT) AS cos_x4

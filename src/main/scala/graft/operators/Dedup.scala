@@ -512,6 +512,12 @@ object Dedup {
     *                         index gains ([[Similarity.indexRefresh]]
     *                         delta — note the vector side has its OWN
     *                         cosine admission gate, per that operator);
+    *   - `cells_touched`     DISTINCT trained-IVF cells the admitted
+    *                         vectors land in ([[Similarity.cellRefresh]]
+    *                         delta — the posting lists a nightly job
+    *                         appends to; same admission gate as the
+    *                         signature index, so the two maintained
+    *                         vector indexes stay in lockstep);
     *   - `edges_added`       new near-dup edges: fingerprint pairs with
     *                         ≥ 3 shared fps and ≥ 1 admitted side —
     *                         exactly the edge-list delta, since
@@ -563,6 +569,9 @@ object Dedup {
       .unionByName(stage("fingerprints_added", fpDelta))
       .unionByName(stage("signatures_added",
         Similarity.indexRefresh(spark, sfDir).filter(col("vec_id") % 10 < 2)))
+      .unionByName(stage("cells_touched",
+        Similarity.cellRefresh(spark, sfDir).filter(col("vec_id") % 10 < 2)
+          .select(col("cent_id")).distinct()))
       .orderBy(col("stage"))
   }
 
@@ -766,50 +775,41 @@ object Dedup {
     votes.select(col("doc_id"), sim.as("simhash"))
   }
 
-  /** Connected components by iterative min-label propagation: every
-    * node starts as its own cluster, then repeatedly takes the minimum
-    * label over its neighborhood until fixpoint. The standard final
-    * step of a near-dup pipeline — candidate PAIRS are not enough, the
-    * pipeline needs one representative per transitive CLUSTER.
+  /** Connected components — one representative per transitive near-dup
+    * CLUSTER, the standard final step of a near-dup pipeline
+    * (candidate PAIRS are not enough).
     *
-    * Scale notes (100 TB):
-    *  - each iteration is one equi-join (edges × labels) + one
-    *    min-aggregate — both shuffle on node id and co-partition;
-    *  - iteration count = graph diameter, tiny for near-dup clusters
-    *    (dozens of docs, not chains of millions); the bound caps
-    *    pathological chains and the convergence check is O(1) driver
-    *    data (labels only ever DECREASE, so the label sum is a strictly
-    *    decreasing fixpoint witness — no row-wise diff join needed);
-    *  - `localCheckpoint` truncates the per-iteration lineage so the
-    *    loop doesn't compound plan depth (the classic iterative-Spark
-    *    trap); production at extreme diameters would switch to the
-    *    alternating large-star/small-star formulation, same join shape.
+    * Implementation history (the r15 scale lesson): this was
+    * min-label PROPAGATION (each round every node takes the min label
+    * over its neighborhood), whose round count is the graph DIAMETER —
+    * fine while the 4-plane LSH graph was dense, but the r15
+    * scale-aware 8-plane sf1 graph (8,559 edges / 20,000 nodes, one
+    * 1,087-node sparse component) needs 21 rounds and the 20-round
+    * bound returned un-converged labels SILENTLY (caught by the new
+    * sf1 oracle gate). A pointer-jump step
+    * (`cluster ← labels[cluster]`) does NOT fix the asymptotics: the
+    * probe measured the same long tail, because the component minimum
+    * still has to travel the graph one EDGE per round — jump targets
+    * are nodes that haven't heard the true min yet, so the front
+    * advances linearly no matter how labels are compressed.
     *
-    * `nodes` = single id column; `edges` = (id1, id2) undirected. */
-  def connectedComponents(nodes: DataFrame, edges: DataFrame, maxIter: Int = 20): DataFrame = {
-    val idCol = nodes.columns.head
-    val bidir = edges.toDF("a", "b")
-      .unionByName(edges.toDF("b", "a").select(col("a"), col("b")))
-      .localCheckpoint()
-    var labels = nodes.select(col(idCol).as("node"), col(idCol).cast("long").as("cluster"))
-      .localCheckpoint()
-    var prevSum = labels.agg(sum(col("cluster")).cast("decimal(38,0)")).head.getDecimal(0)
-    var converged = false
-    var iter = 0
-    while (!converged && iter < maxIter) {
-      val neighborMin = bidir.join(labels, col("b") === col("node"))
-        .groupBy(col("a")).agg(min(col("cluster")).as("nmin"))
-      labels = labels.join(neighborMin, col("node") === col("a"), "left")
-        .select(col("node"),
-          least(col("cluster"), coalesce(col("nmin"), col("cluster"))).as("cluster"))
-        .localCheckpoint()
-      val curSum = labels.agg(sum(col("cluster")).cast("decimal(38,0)")).head.getDecimal(0)
-      converged = curSum.compareTo(prevSum) == 0
-      prevSum = curSum
-      iter += 1
-    }
-    labels.select(col("node").as(idCol), col("cluster"))
-  }
+    * The fix is the formulation whose round count is provably
+    * O(log n) INDEPENDENT of diameter — alternating large-star/
+    * small-star contraction (Kiveris et al., "Connected Components in
+    * MapReduce and Beyond"), which rewires EDGES each round so the
+    * graph itself shrinks instead of waiting for labels to flow
+    * through it. The engine already carries the proven implementation
+    * ([[graft.operators.GraphOps.connectedComponentsStar]] — sf1
+    * oracle-gated); this delegates to it rather than keeping a
+    * diameter-bound variant as a production default. Each round is
+    * two (node)-keyed equi-join + min-aggregate passes — the same
+    * shuffle shape as one propagation round — and non-convergence
+    * throws instead of emitting wrong labels.
+    *
+    * `nodes` = single id column; `edges` = (id1, id2) undirected;
+    * singletons keep their own id as cluster. */
+  def connectedComponents(nodes: DataFrame, edges: DataFrame, maxIter: Int = 20): DataFrame =
+    GraphOps.connectedComponentsStar(nodes, edges, nodes.columns.head, maxIter)
 
   /** Near-dup cluster labels over the verified LSH pair graph
     * (the production two-stage path: bucket candidates → exact cosine →

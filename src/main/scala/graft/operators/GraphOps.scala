@@ -70,12 +70,13 @@ object GraphOps {
   /** Connected components by STAR CONTRACTION (Kiveris et al. 2014,
     * "Connected Components in MapReduce and Beyond": alternating
     * large-star / small-star rounds) — the O(log²) algorithm for
-    * 100 TB graphs, next to [[Dedup.connectedComponents]]' min-label
-    * propagation which needs O(diameter) rounds. On the near-dup
-    * graph the two agree exactly (same min-id labels; spec-pinned);
-    * the star path is the one to reach for when the graph is a long
-    * chain (citation graphs, web link graphs), where diameter-bound
-    * propagation degenerates to thousands of rounds.
+    * 100 TB graphs. Since r15 this is THE engine CC:
+    * [[Dedup.connectedComponents]] delegates here after its min-label
+    * propagation formulation (O(diameter) rounds) was measured
+    * needing 21 rounds on the sparse 8-plane sf1 near-dup graph — the
+    * diameter-bound degeneration this docstring always warned about
+    * (long chains: citation graphs, web link graphs), arriving
+    * earlier than expected.
     *
     * Per round, both stars are JOIN-SHAPED, never collect_list: the
     * per-node minimum reduces map-side, then one equi-join attaches
@@ -146,7 +147,10 @@ object GraphOps {
 
   /** The near-dup cluster labels via star contraction — same graph,
     * same (vec_id, cluster = component min) contract as
-    * [[Dedup.clusterLabels]], different round complexity. */
+    * [[Dedup.clusterLabels]]; since r15 the two run the SAME star
+    * algorithm (the propagation variant was retired — see
+    * [[Dedup.connectedComponents]]), so this declared query doubles
+    * as the direct regression pin on the shared implementation. */
   def ccStarLabels(spark: SparkSession, sfDir: String): DataFrame = {
     val nodes = Tables.embeddings(spark, sfDir).select(col("vec_id"))
     val edges = Similarity.lshPairsMaterialized(spark, sfDir)
@@ -246,9 +250,12 @@ object GraphOps {
 
   /** Same, over a caller-supplied (id1, id2) candidate edge list — the
     * prefix-factoring discipline ([[graft.operators.Relational
-    * .trendingDecayOf]]): the hub-cap semantics are spec-testable on
-    * synthetic graphs where the cap actually bites, which no test-SF
-    * corpus reaches (sf0.1 max degree 311 vs the 4096 default). */
+    * .trendingDecayOf]]): since r14 the default hub cap is the
+    * sf1-measured 256, which BITES at sf0.1 (max degree 311) and sf1 —
+    * the cap is therefore both spec-testable on synthetic graphs AND
+    * oracle-gated on the real corpus (the DuckDB replica mirrors the
+    * cap; `graph_dropped_hubs` is the alert channel for what it
+    * excludes). */
   def linkPredictionOf(pairs: DataFrame, k: Int = 20,
       maxHubDeg: Int = 256): DataFrame = {
     val und = pairs.union(

@@ -23,7 +23,7 @@ class CorpusSpec extends AnyFunSuite {
       5L -> 5L, 6L -> 5L, 7L -> 5L, 8L -> 8L, 9L -> 9L))
   }
 
-  test("connectedComponents converges within the diameter bound on a long chain") {
+  test("connectedComponents converges on a long chain well under maxIter (star rounds ~ log n)") {
     val n = 12L
     val nodes = (0L until n).toDF("id")
     val edges = (0L until n - 1).map(i => (i, i + 1)).toDF("id1", "id2")

@@ -41,7 +41,8 @@ class DailyIncrementSpec extends AnyFunSuite {
     val s = Dedup.dailyIncrement(spark, sfDir).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(s.keySet == Set("docs_admitted", "buckets_added",
-      "fingerprints_added", "signatures_added", "edges_added"))
+      "fingerprints_added", "signatures_added", "edges_added",
+      "cells_touched"))
 
     val kept = keptDf.count()
     assert(kept > 0, "need admitted docs at this SF for a meaningful census")
@@ -64,6 +65,31 @@ class DailyIncrementSpec extends AnyFunSuite {
     // edge delta equals full-minus-corpus edge counts
     assert(s("edges_added") ==
       edgeCount(corpusPlusKept) - edgeCount(corpusDocs))
+
+    // the cell-refresh delta touches exactly the distinct cells the
+    // standalone refresh assigns the admitted vectors to
+    assert(s("cells_touched") ==
+      Similarity.cellRefresh(spark, sfDir)
+        .filter(col("vec_id") % 10 < 2)
+        .select(col("cent_id")).distinct().count())
+  }
+
+  test("cellRefresh equals the frozen-centroid rebuild over corpus ∪ admitted") {
+    // refresh ≡ rebuild must hold WITHIN the engine too (the DuckDB
+    // gate proves it cross-engine): assigning the admitted delta to
+    // the frozen corpus-trained centroids in one pass over
+    // corpus ∪ admitted gives the same index as the incremental union
+    val refreshed = Similarity.cellRefresh(spark, sfDir)
+    val admittedIds = Similarity.indexRefresh(spark, sfDir)
+      .filter(col("vec_id") % 10 < 2).select(col("vec_id"))
+    val corpusIds = Tables.embeddings(spark, sfDir)
+      .filter(col("vec_id") % 10 >= 2).select(col("vec_id"))
+    assert(refreshed.select(col("vec_id")).collect().map(_.getLong(0)).sorted.toSeq ==
+      corpusIds.unionByName(admittedIds).collect().map(_.getLong(0)).sorted.toSeq)
+    // every admitted vector lands in a trained cell with a bounded shard
+    val delta = refreshed.filter(col("vec_id") % 10 < 2)
+    assert(delta.count() > 0, "need admitted vectors at this SF")
+    assert(delta.filter(col("shard") < 0).count() == 0)
   }
 
   test("fpRefresh equals the full rebuild over corpus ∪ admitted") {

@@ -40,6 +40,14 @@ class KmeansIvfSpec extends AnyFunSuite {
     val rUntrained = (untrained & brute).size.toDouble / brute.size
     assert(rTrained >= rUntrained - 0.1,
       s"training cratered recall: trained=$rTrained untrained=$rUntrained")
+    // r14 advice: the relative tolerance alone lets a training
+    // regression hide inside 0.1 (5 of 50 pairs); pin the exact
+    // deterministic value at this fixed seed/SF as well — recorded
+    // 0.26 (13/50) at r15 HEAD. A change here is not noise: the whole
+    // pipeline is deterministic, so any drop means the quantizer or
+    // probe semantics changed and must be re-justified.
+    assert(rTrained >= 0.26,
+      s"trained recall regressed below the recorded 0.26: $rTrained")
   }
 
   test("pq-adc: dense ranks, ascending distances, and the ADC estimate " +
