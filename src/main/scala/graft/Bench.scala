@@ -189,11 +189,25 @@ object Bench {
     val exclude = sys.env.get("SPARK_GRAFT_BENCH_EXCLUDE")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
       .getOrElse(Set.empty[String])
+    // SPARK_GRAFT_BENCH_GROUP narrows the selected set to a comma list
+    // of name PREFIXES — the per-family JVM-bounce arm of the
+    // chain-context A/B (r14 verdict #7; tools/bench_bounce.sh). The
+    // sentinel "REL" selects every query NOT matching the known family
+    // prefixes, so a group partition covers the full set exactly.
+    val familyPrefixes = Seq("dedup_", "embed_", "ann_", "graph_",
+      "corpus_", "text_", "mm_", "events_", "sketch_", "range_",
+      "asof_", "sub_", "stream", "tumbling")
+    val group = sys.env.get("SPARK_GRAFT_BENCH_GROUP")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+    def inGroup(name: String): Boolean = group.forall(_.exists {
+      case "REL" => !familyPrefixes.exists(name.startsWith)
+      case p => name.startsWith(p)
+    })
     val queryNames = (sys.env.get("SPARK_GRAFT_BENCH_QUERIES") match {
       case Some("ALL") => SparkEntry.queries.keys.toSeq.sorted
       case Some(list) => list.split(",").map(_.trim).filter(_.nonEmpty).toSeq
       case None => SparkEntry.benchQueries
-    }).filterNot(exclude)
+    }).filterNot(exclude).filter(inGroup)
 
     // JVM/codegen warm-up on the first query (not reported).
     once(spark, sfDir, queryNames.head)

@@ -5755,8 +5755,10 @@ object SparkEntry {
          |ov AS (SELECT CAST(count(*) AS BIGINT) AS topk_overlap
          |  FROM tq JOIN tm USING (doc_id))
          |SELECT n_docs,
-         |  floor(((n * sxy - sx * sy) /
-         |    sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))) * 10000 + 0.5) / 10000 AS pearson_r,
+         |  CASE WHEN (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0
+         |    THEN floor(((n * sxy - sx * sy) /
+         |      sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))) * 10000 + 0.5) / 10000
+         |  END AS pearson_r,
          |  CAST(50 AS BIGINT) AS topk, topk_overlap,
          |  floor(topk_overlap * 100.0 / 50 * 10000 + 0.5) / 10000 AS overlap_pct
          |FROM s, ov""".stripMargin

@@ -582,8 +582,17 @@ object Corpus {
         |    FROM (SELECT freq, string_split(trim(s), ' ') AS tk FROM w$r))
         |  GROUP BY 1)""".stripMargin
       ctes += s"b$r AS MATERIALIZED (SELECT pair, n FROM p$r ORDER BY n DESC, pair LIMIT 1)"
-      ctes += s"""w${r + 1} AS MATERIALIZED (SELECT w, freq, replace(s, ' ' || b.pair || ' ',
-        |  ' ' || replace(b.pair, ' ', '') || ' ') AS s FROM w$r, b$r b)""".stripMargin
+      // LEFT JOIN, not cross join: when the learner runs DRY before
+      // round k (no pair left — the zipf corpus reaches this at round
+      // 2, since only the 'dup' marker passes the [a-z]+ filter), b$r
+      // is EMPTY and a cross join would annihilate the word table —
+      // every downstream consumer went empty while Spark correctly
+      // carried the exhausted state forward (caught by the r15 zipf
+      // gate). An absent best pair must pass words through unchanged.
+      ctes += s"""w${r + 1} AS MATERIALIZED (SELECT w, freq,
+        |  CASE WHEN b.pair IS NULL THEN s ELSE replace(s, ' ' || b.pair || ' ',
+        |  ' ' || replace(b.pair, ' ', '') || ' ') END AS s
+        |  FROM w$r LEFT JOIN b$r b ON true)""".stripMargin
     }
     val fin = mode match {
       case "encode" =>

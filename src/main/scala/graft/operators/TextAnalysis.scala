@@ -374,12 +374,20 @@ object TextAnalysis {
       .agg(count(lit(1)).as("topk_overlap"))
     def d(c: String) = col(c).cast("double")
     val nD = d("n")
+    // Pearson is UNDEFINED when either score has zero variance — a
+    // real corpus state, not a corner case (the zipf arm scores every
+    // doc an identical heuristic x: no stopwords, distinct-ratio
+    // capped — caught r15 when ANSI turned the 0/0 into a runtime
+    // error). Exact-integer moments make the variance terms exact, so
+    // the > 0 guard is engine-portable; both engines emit NULL.
+    val varX = nD * d("sxx") - d("sx") * d("sx")
+    val varY = nD * d("syy") - d("sy") * d("sy")
     s.crossJoin(broadcast(overlap))
       .select(col("n").as("n_docs"),
-        PortableRound.pround(
-          (nD * d("sxy") - d("sx") * d("sy")) /
-            sqrt((nD * d("sxx") - d("sx") * d("sx")) *
-              (nD * d("syy") - d("sy") * d("sy"))), 4).as("pearson_r"),
+        when(varX > 0 && varY > 0,
+          PortableRound.pround(
+            (nD * d("sxy") - d("sx") * d("sy")) / sqrt(varX * varY), 4))
+          .as("pearson_r"),
         lit(topK.toLong).as("topk"), col("topk_overlap"),
         PortableRound.pround(col("topk_overlap") * 100.0 / topK, 4)
           .as("overlap_pct"))
