@@ -11,9 +11,9 @@ set -e
 cd /root/repo
 SFDIR=${1:-/root/testdata/sf0.1}
 PREFIX=${2:-bench_bounce}
-GROUPS="dedup_ embed_,ann_ graph_ corpus_ text_ mm_ events_,sketch_,stream,tumbling range_,asof_,sub_ REL"
+FAMS="dedup_ embed_,ann_ graph_ corpus_ text_ mm_ events_,sketch_,stream,tumbling range_,asof_,sub_ REL"
 i=0
-for g in $GROUPS; do
+for g in $FAMS; do
   i=$((i+1))
   echo "=== group $i ($g) start $(date -u +%H:%M:%S) loadavg $(cut -d' ' -f1 /proc/loadavg)"
   SPARK_GRAFT_BENCH_GROUP="$g" \
