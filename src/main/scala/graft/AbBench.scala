@@ -189,8 +189,11 @@ object AbBench {
         operators.Dedup.minhashNearDupPairs(spark, sfDir, maxBucketSize = 64)),
       //  - hyperplane-LSH width (class B): pair mass ~n²/2^planes;
       //    +4 planes should cut the purity candidate mass ~16×
+      // planes = 4 pinned explicitly: the method default became
+      // scale-aware (planesFor → 8 at sf1), which would silently turn
+      // this arm into an 8-vs-8 no-op (r15 ADVICE)
       "purity_planes4" -> (() =>
-        operators.Similarity.labelPurity(spark, sfDir)),
+        operators.Similarity.labelPurity(spark, sfDir, planes = 4)),
       "purity_planes8" -> (() =>
         operators.Similarity.labelPurity(spark, sfDir, planes = 8)),
       //  - IVF centroid count (class C): the r13 knob (stride 500) is

@@ -208,6 +208,9 @@ object Bench {
       case Some(list) => list.split(",").map(_.trim).filter(_.nonEmpty).toSeq
       case None => SparkEntry.benchQueries
     }).filterNot(exclude).filter(inGroup)
+    require(queryNames.nonEmpty,
+      s"no queries selected: group=${group.map(_.mkString(","))} matched nothing " +
+        "(check SPARK_GRAFT_BENCH_GROUP / SPARK_GRAFT_BENCH_QUERIES)")
 
     // JVM/codegen warm-up on the first query (not reported).
     once(spark, sfDir, queryNames.head)

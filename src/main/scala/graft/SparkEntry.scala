@@ -5748,6 +5748,9 @@ object SparkEntry {
          |    CAST(CAST(sum(x * x) AS BIGINT) AS DOUBLE) AS sxx,
          |    CAST(CAST(sum(y * y) AS BIGINT) AS DOUBLE) AS syy,
          |    CAST(CAST(sum(x * y) AS BIGINT) AS DOUBLE) AS sxy,
+         |    CAST(count(*) AS HUGEINT) AS n_i,
+         |    CAST(sum(x) AS HUGEINT) AS sx_i, CAST(sum(y) AS HUGEINT) AS sy_i,
+         |    CAST(sum(x * x) AS HUGEINT) AS sxx_i, CAST(sum(y * y) AS HUGEINT) AS syy_i,
          |    CAST(count(*) AS BIGINT) AS n_docs
          |  FROM j),
          |tq AS (SELECT doc_id FROM j ORDER BY x DESC, doc_id LIMIT 50),
@@ -5755,7 +5758,7 @@ object SparkEntry {
          |ov AS (SELECT CAST(count(*) AS BIGINT) AS topk_overlap
          |  FROM tq JOIN tm USING (doc_id))
          |SELECT n_docs,
-         |  CASE WHEN (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0
+         |  CASE WHEN (n_i * sxx_i - sx_i * sx_i) > 0 AND (n_i * syy_i - sy_i * sy_i) > 0
          |    THEN floor(((n * sxy - sx * sy) /
          |      sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))) * 10000 + 0.5) / 10000
          |  END AS pearson_r,

@@ -563,14 +563,21 @@ object Dedup {
       .distinct() // both-admitted pairs arrive once per side
       .groupBy(col("id1"), col("id2")).agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= 3)
+    // ONE vector-admission cascade (the LSH candidate join + cosine
+    // gate inside indexRefresh) feeds BOTH maintained vector indexes —
+    // the signature count and the cell delta (r15 ADVICE: cellRefresh's
+    // default path re-ran the cascade internally, doubling it per run)
+    val sigRefresh = Similarity.indexRefresh(spark, sfDir)
+      .localCheckpoint(eager = false)
     stage("docs_admitted", admitted)
       .unionByName(stage("buckets_added", bucketsDelta))
       .unionByName(stage("edges_added", edges))
       .unionByName(stage("fingerprints_added", fpDelta))
       .unionByName(stage("signatures_added",
-        Similarity.indexRefresh(spark, sfDir).filter(col("vec_id") % 10 < 2)))
+        sigRefresh.filter(col("vec_id") % 10 < 2)))
       .unionByName(stage("cells_touched",
-        Similarity.cellRefresh(spark, sfDir).filter(col("vec_id") % 10 < 2)
+        Similarity.cellRefresh(spark, sfDir, sigRefresh)
+          .filter(col("vec_id") % 10 < 2)
           .select(col("cent_id")).distinct()))
       .orderBy(col("stage"))
   }

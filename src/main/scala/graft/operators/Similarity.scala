@@ -468,7 +468,16 @@ object Similarity {
     * ingest job. Composition into the day-2 pipeline is the
     * `cells_touched` stage of
     * [[graft.operators.Dedup.dailyIncrement]]. */
-  def cellRefresh(spark: SparkSession, sfDir: String): DataFrame = {
+  def cellRefresh(spark: SparkSession, sfDir: String): DataFrame =
+    cellRefresh(spark, sfDir, indexRefresh(spark, sfDir))
+
+  /** Overload taking the already-refreshed signature index so a caller
+    * that ALSO consumes [[indexRefresh]] (the `dailyIncrement`
+    * composition) evaluates the admission cascade — the LSH candidate
+    * join + cosine gate — exactly once per run (r15 ADVICE: the
+    * default path re-ran it inside this method). */
+  def cellRefresh(spark: SparkSession, sfDir: String,
+      refreshedIndex: DataFrame): DataFrame = {
     graft.plans.CosineSimilarity.register(spark)
     val e = embDouble(spark, sfDir)
     val isNew = col("vec_id") % 10 < 2
@@ -496,7 +505,7 @@ object Similarity {
         .select(col("vec_id"), col("cent_id"),
           expr("(vec_id * 2654435761) % 1000003 % " +
             s"greatest(1, n_all DIV ${IvfK * IvfShardTarget})").as("shard"))
-    val admitted = indexRefresh(spark, sfDir).filter(isNew)
+    val admitted = refreshedIndex.filter(isNew)
       .select(col("vec_id"))
     assign(corpus).unionByName(
       assign(e.filter(isNew).join(admitted, Seq("vec_id"), "left_semi")))

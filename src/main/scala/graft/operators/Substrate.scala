@@ -618,7 +618,16 @@ object Substrate {
     * the locality the zone maps exploit. */
   def layoutSkipWorkload(spark: SparkSession, sfDir: String,
       blockRows: Int = 4096, nRects: Int = 12): DataFrame = {
-    val keys = layoutKeys(spark, sfDir)
+    // ONE scan feeds everything (r15 verdict #6): the three layouts
+    // need three DIFFERENT global sort orders — those ranking passes
+    // cannot share an exchange — but they CAN share the input: lineitem
+    // is read once with BOTH curve keys computed (zval from layoutKeys,
+    // hval here), checkpointed, and the bounds probe plus all three
+    // zoneMapsFor passes consume the stored rows instead of four
+    // parquet scans each re-deriving the interleave expressions.
+    val keys = withHilbert(layoutKeys(spark, sfDir),
+        col("l_partkey"), col("l_suppkey"), "hval")
+      .localCheckpoint(eager = false)
     val bounds = keys.agg(
       min(col("l_partkey")).as("pmn"), max(col("l_partkey")).as("pmx"),
       min(col("l_suppkey")).as("smn"), max(col("l_suppkey")).as("smx"))
@@ -629,11 +638,10 @@ object Substrate {
       .withColumn("s_lo", expr("smn + ((smx - smn) * ((rect_id * 53) % 80)) DIV 100"))
       .withColumn("s_hi", expr("s_lo + greatest(((smx - smn) * (5 + (rect_id * 29) % 20)) DIV 100, 1)"))
       .select(col("rect_id"), col("p_lo"), col("p_hi"), col("s_lo"), col("s_hi"))
-    val hkeys = withHilbert(keys, col("l_partkey"), col("l_suppkey"), "hval")
     val zm = zoneMapsFor(keys,
         Seq(col("zval"), col("l_orderkey"), col("l_linenumber")), blockRows)
       .withColumn("layout", lit("zorder"))
-      .unionByName(zoneMapsFor(hkeys,
+      .unionByName(zoneMapsFor(keys,
           Seq(col("hval"), col("l_orderkey"), col("l_linenumber")), blockRows)
         .withColumn("layout", lit("hilbert")))
       .unionByName(zoneMapsFor(keys,

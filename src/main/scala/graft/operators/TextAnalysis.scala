@@ -378,13 +378,18 @@ object TextAnalysis {
     // real corpus state, not a corner case (the zipf arm scores every
     // doc an identical heuristic x: no stopwords, distinct-ratio
     // capped — caught r15 when ANSI turned the 0/0 into a runtime
-    // error). Exact-integer moments make the variance terms exact, so
-    // the > 0 guard is engine-portable; both engines emit NULL.
+    // error). The POSITIVITY test runs on decimal(38,0) (HUGEINT in
+    // the oracle) so it stays exact past 2^53, where a double-rounded
+    // n·sxx − sx² could land on the wrong side of zero (r15 ADVICE);
+    // only the defined-branch value math is double.
+    def i(c: String) = col(c).cast("decimal(38,0)")
+    val varXi = i("n") * i("sxx") - i("sx") * i("sx")
+    val varYi = i("n") * i("syy") - i("sy") * i("sy")
     val varX = nD * d("sxx") - d("sx") * d("sx")
     val varY = nD * d("syy") - d("sy") * d("sy")
     s.crossJoin(broadcast(overlap))
       .select(col("n").as("n_docs"),
-        when(varX > 0 && varY > 0,
+        when(varXi > 0 && varYi > 0,
           PortableRound.pround(
             (nD * d("sxy") - d("sx") * d("sy")) / sqrt(varX * varY), 4))
           .as("pearson_r"),

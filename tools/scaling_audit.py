@@ -14,11 +14,20 @@ and are unmeasurable (reported, never flagged).
 
 Flag rule: e_hi > FLAG_E and t(0.1) >= MIN_SECONDS.
 Known-quadratic calibration baselines are annotated, not excused.
+
+Cross-round absolute guard (r15 verdict #1): a row inflated at BOTH
+upper decades looks scale-clean to the exponent fit (the r15
+graph_link_prediction escape: sf0.1 AND sf1 both ran in a dirty
+window, so e_top stayed 1.11 while the sf1 median read 6x its r14
+value). Pass `--prior <prev-round sf1 artifact>` and any query whose
+current sf1 median exceeds PRIOR_RATIO x its prior-round value (and
+is above MIN_SECONDS) is flagged CROSS-ROUND regardless of exponent.
 """
 import json, math, sys
 
 FLAG_E = 1.30
 MIN_SECONDS = 1.0
+PRIOR_RATIO = 2.0
 
 # documented-contract superlinear members (VERDICT r10 + round-12 audit;
 # round-13 sf1 decade exposed and classified the rest — every class has
@@ -80,7 +89,7 @@ def medians(path):
             out.update(o["queries"])
     return out
 
-def main(p001, p01, p1, psf1=None):
+def main(p001, p01, p1, psf1=None, prior_sf1=None):
     """Three mandatory artifacts (sf0.001/0.01/0.1) plus an optional
     fourth (sf1, round-13): queries present in the sf1 artifact get a
     third-decade exponent e_top = log10(t(1)/t(0.1)) and are flagged on
@@ -89,6 +98,7 @@ def main(p001, p01, p1, psf1=None):
     absence from it is not an error."""
     m001, m01, m1 = medians(p001), medians(p01), medians(p1)
     msf1 = medians(psf1) if psf1 else {}
+    mprior = medians(prior_sf1) if prior_sf1 else {}
     rows = []
     for q in sorted(m1):
         t0, t1, t2 = m001.get(q, -1), m01.get(q, -1), m1.get(q, -1)
@@ -113,6 +123,13 @@ def main(p001, p01, p1, psf1=None):
             note = "FLAG"
             if q in KNOWN:
                 note = "FLAG (known: %s)" % KNOWN[q]
+        # cross-round guard: exponent-blind, catches a row inflated at
+        # both decades of the same dirty window
+        pv = mprior.get(q)
+        if (pv is not None and pv > 0 and t3 is not None
+                and t3 >= MIN_SECONDS and t3 > PRIOR_RATIO * pv):
+            xr = "FLAG (CROSS-ROUND: sf1 %.1fx prior %.2fs)" % (t3 / pv, pv)
+            note = (note + "; " + xr) if note.startswith("FLAG") else xr
         rows.append((q, t0, t1, t2, t3, e_lo, e_hi, e_top, note))
     flags = [r for r in rows if r[8].startswith("FLAG")]
     print("query,t_sf0.001,t_sf0.01,t_sf0.1,t_sf1,e_low_decade,e_high_decade,e_top_decade,note")
@@ -131,4 +148,10 @@ def main(p001, p01, p1, psf1=None):
                "%.2f" % (r[7] if r[7] is not None else r[6]), r[8]))
 
 if __name__ == "__main__":
-    main(*sys.argv[1:5])
+    argv = sys.argv[1:]
+    prior = None
+    if "--prior" in argv:
+        i = argv.index("--prior")
+        prior = argv[i + 1]
+        argv = argv[:i] + argv[i + 2:]
+    main(*argv[:4], prior_sf1=prior)
