@@ -1264,15 +1264,18 @@ object Dedup {
     *
     * Scale: one token-census shuffle (map-side combined), one doc-keyed
     * window for the prefix rank, one equi-join keyed by rare prefix
-    * tokens, and the verify join keyed by (candidate, token) — shuffles
-    * scale with corpus + batch·avg_doc_len, never the pair space. */
+    * tokens with the PPJoin positional bound pruning pairs at the
+    * candidate groupBy, then two doc-keyed joins attaching packed
+    * token sets for the in-row intersect — shuffles scale with
+    * corpus + batch·avg_doc_len and surviving candidates, never the
+    * raw pair space. */
   def prefixJaccardPairs(spark: SparkSession, sfDir: String,
       tNum: Int = 9, tDen: Int = 10, batchMod: Int = 20): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val tok = Tables.documents(spark, sfDir)
       .select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("w"))
       .filter(col("w") =!= "")
-      .localCheckpoint() // consumed by census, prefix AND both verify sides
+      .localCheckpoint() // consumed by census, prefix AND the packed-set build
     val n = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val freq = tok.groupBy(col("w")).agg(count(lit(1)).as("df"))
     // prefix length for Jaccard t: n - ceil(t*n) + 1 (exact integer
@@ -1282,25 +1285,51 @@ object Dedup {
       .withColumn("rk", row_number().over(
         Window.partitionBy(col("doc_id")).orderBy(col("df"), col("w"))))
       .filter(col("rk") <= prefixLen)
-      .select(col("w"), col("doc_id"), col("n"))
+      .select(col("w"), col("doc_id"), col("n"), col("rk"))
     val a = ranked.filter(col("doc_id") % batchMod === 0)
-      .select(col("w"), col("doc_id").as("id1"), col("n").as("n1"))
+      .select(col("w"), col("doc_id").as("id1"), col("n").as("n1"),
+        col("rk").as("rk1"))
     val b = ranked.filter(col("doc_id") % batchMod =!= 0)
-      .select(col("w").as("w2"), col("doc_id").as("id2"), col("n").as("n2"))
+      .select(col("w").as("w2"), col("doc_id").as("id2"), col("n").as("n2"),
+        col("rk").as("rk2"))
     // LENGTH filter rides the candidate join: J ≥ t forces
     // t·n1 ≤ n2 ≤ n1/t, an exact integer band that prunes candidates
     // before the (far costlier) verify join sees them
+    //
+    // POSITIONAL filter (PPJoin proper, r16): the prefix ranks sort by
+    // a GLOBAL (df, token) order, so any common token ordered before a
+    // both-prefix match is itself a both-prefix match — at the pair's
+    // FIRST observed match no common token precedes it, giving the
+    // lossless bound  |A∩B| ≤ 1 + min(n1 − rk1, n2 − rk2).  The
+    // max of that bound over the pair's matches dominates the
+    // first-match bound, so  max_ub·(tDen+tNum) < tNum·(n1+n2)  prunes
+    // the pair before the verify join ever sees it (set-based
+    // equivalent of PPJoin's sequential accumulator filter; the
+    // groupBy replaces the old distinct() — same shuffle, more work
+    // pruned). Losslessness is what keeps the brute-force oracle valid.
     val candidates = a.join(b, col("w") === col("w2") &&
         col("n2") * tDen >= col("n1") * tNum &&
         col("n1") * tDen >= col("n2") * tNum)
-      .select(col("id1"), col("id2"), col("n1"), col("n2")).distinct()
-    // exact verify: shared distinct tokens per candidate pair
-    val t1 = tok.select(col("doc_id").as("v_id1"), col("w").as("wv1"))
-    val t2 = tok.select(col("doc_id").as("v_id2"), col("w").as("wv2"))
-    candidates.join(t1, col("id1") === col("v_id1"))
-      .join(t2, col("id2") === col("v_id2") && col("wv1") === col("wv2"))
       .groupBy(col("id1"), col("id2"), col("n1"), col("n2"))
-      .agg(count(lit(1)).as("shared"))
+      .agg(max(least(col("n1") - col("rk1"), col("n2") - col("rk2")) + 1)
+        .as("max_ub"))
+      .filter(col("max_ub") * (tDen + tNum) >= lit(tNum) * (col("n1") + col("n2")))
+      .select(col("id1"), col("id2"), col("n1"), col("n2"))
+    // exact verify on PACKED token sets: each surviving candidate joins
+    // the per-doc distinct-token ARRAY once per side and counts the
+    // intersection in-row (codegen array_intersect) — the same
+    // n1 + n2 tokens per candidate move through the shuffle as before,
+    // but packed in 2 rows instead of exploded into n1 + overlap rows
+    // through two joins and a re-shuffle groupBy. (At extreme doc
+    // lengths the packed rows grow — the knob is hashing tokens to
+    // longs first; token identity is all the intersect needs.)
+    val sets = tok.groupBy(col("doc_id")).agg(collect_list(col("w")).as("ws"))
+      .localCheckpoint(eager = false) // both verify sides
+    candidates
+      .join(sets.select(col("doc_id").as("id1"), col("ws").as("ws1")), Seq("id1"))
+      .join(sets.select(col("doc_id").as("id2"), col("ws").as("ws2")), Seq("id2"))
+      .withColumn("shared",
+        size(array_intersect(col("ws1"), col("ws2"))).cast("long"))
       .filter(col("shared") * (tDen + tNum) >= lit(tNum) * (col("n1") + col("n2")))
       .select(col("id1"), col("id2"), col("n1"), col("n2"), col("shared"),
         expr("shared * 1000000 DIV (n1 + n2 - shared)").as("jac_micro"))
