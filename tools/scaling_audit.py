@@ -57,7 +57,10 @@ KNOWN = {
     "dedup_lsh_curve_advisor": "consumes the est-err pair sample (class A)",
     "dedup_semantic_sweep": "embedding-LSH pair sweep (classes A+B)",
     "dedup_edit_distance": "O(len^2) verify per winnow edge; edge mass grows with collision density (class A)",
-    "dedup_prefix_jaccard": "MEASURED class A ARTIFACT (r14 zipf arm: e_top 1.52 uniform-vocab vs 0.88 zipf)",
+    # r16: positional filter + packed-set verify completed the PPJoin;
+    # e_top 1.52 -> 1.10 on the uniform fixture itself — should no
+    # longer flag. Entry retained so any future re-flag carries history.
+    "dedup_prefix_jaccard": "was class A fixture artifact; PPJoin completed r16 (e_top 1.10)",
     "dedup_containment_pairs": "blocked pair join inherits the class-A bucket mass (r14 zipf arm: 1.38 -> 1.16; mostly vocab-driven)",
     "dedup_minhash_keep_first": "consumes the lsh pair family (class A)",
     # -- class B: fixed hyperplane-LSH width (4 planes = 16 buckets) =>
