@@ -107,6 +107,8 @@ object SparkEntry {
     "dedup_semantic_keep_first" -> ((s: SparkSession, d: String) => Similarity.semanticDedup(s, d)),
     // training-data ops: corpus preparation
     "corpus_split" -> (Corpus.stratifiedSplit _),
+    "corpus_split_leakage" -> (Corpus.splitLeakage _),
+    "corpus_split_clustered" -> (Corpus.clusteredSplit _),
     "corpus_pack_bins" -> ((s: SparkSession, d: String) => Corpus.packTokenBins(s, d)),
     "corpus_clean" -> (Corpus.cleanPipeline _),
     "corpus_decontaminate" -> ((s: SparkSession, d: String) => Corpus.decontaminate(s, d)),
@@ -572,7 +574,10 @@ object SparkEntry {
     "graph_dropped_hubs", "dedup_oversized_buckets",
     // round-15 additions (cell-index IVM + class-D output advisor; the
     // scale-aware-width pair queries are already in the set above):
-    "embed_cell_refresh", "range_output_advisor")
+    "embed_cell_refresh", "range_output_advisor",
+    // round-16 additions (split-leakage audit + the cluster-aware split
+    // that zeroes it — both ride the winnow edge memo built above):
+    "corpus_split_leakage", "corpus_split_clustered")
 
   // --- generated DuckDB replicas of the portable-hash queries ----------
 
@@ -1765,6 +1770,65 @@ object SparkEntry {
          |       WHEN split_bucket < 90 THEN 'validation'
          |       ELSE 'test' END AS split
          |FROM b""".stripMargin
+    },
+    // Near-dup edges (the graph_edges_build replica) joined onto the
+    // doc-hash split: edges crossing splits ARE the contamination
+    // channel; example pair via the portable packed-struct argmin.
+    "corpus_split_leakage" -> {
+      val h = graft.functions.PortableHash.sqlH48("concat('split:', CAST(doc_id AS VARCHAR))")
+      s"""${winnowCte()},
+         |fp AS (SELECT DISTINCT doc_id, wmin // 32768 AS fp_hash
+         |  FROM m WHERE cnt = 4),
+         |ed0 AS (SELECT a.doc_id AS id1, b.doc_id AS id2
+         |  FROM fp a JOIN fp b ON a.fp_hash = b.fp_hash AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2 HAVING count(*) >= 3),
+         |sp AS (SELECT doc_id,
+         |    CASE WHEN bucket < 80 THEN 'train'
+         |         WHEN bucket < 90 THEN 'validation' ELSE 'test' END AS split
+         |  FROM (SELECT doc_id, $h % 100 AS bucket FROM documents)),
+         |le AS (SELECT least(s1.split, s2.split) AS split_a,
+         |    greatest(s1.split, s2.split) AS split_b, ed0.id1, ed0.id2
+         |  FROM ed0 JOIN sp s1 ON ed0.id1 = s1.doc_id
+         |           JOIN sp s2 ON ed0.id2 = s2.doc_id)
+         |SELECT split_a, split_b, CAST(count(*) AS BIGINT) AS n_edges,
+         |  split_a <> split_b AS is_leak,
+         |  (min({'i1': id1, 'i2': id2})).i1 AS example_id1,
+         |  (min({'i1': id1, 'i2': id2})).i2 AS example_id2
+         |FROM le GROUP BY 1, 2""".stripMargin
+    },
+    // Cluster-aware split: CC labels via recursive reachability + min
+    // (the clusterLabelsOracle pattern over the winnow doc graph),
+    // split hashed on the LABEL, census + the crossing recount whose
+    // replayed zero is the leakage-free proof.
+    "corpus_split_clustered" -> {
+      val ctes = winnowCte().replaceFirst("WITH ", "WITH RECURSIVE ")
+      val hc = graft.functions.PortableHash.sqlH48("concat('csplit:', CAST(cluster AS VARCHAR))")
+      s"""$ctes,
+         |fp AS (SELECT DISTINCT doc_id, wmin // 32768 AS fp_hash
+         |  FROM m WHERE cnt = 4),
+         |ed0 AS (SELECT a.doc_id AS id1, b.doc_id AS id2
+         |  FROM fp a JOIN fp b ON a.fp_hash = b.fp_hash AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2 HAVING count(*) >= 3),
+         |eds AS (SELECT id1 AS a, id2 AS b FROM ed0
+         |  UNION ALL SELECT id2 AS a, id1 AS b FROM ed0),
+         |reach AS (
+         |  SELECT doc_id AS src, doc_id AS dst FROM documents
+         |  UNION
+         |  SELECT r.src, eds.b AS dst FROM reach r JOIN eds ON r.dst = eds.a),
+         |lab AS (SELECT src AS doc_id, CAST(min(dst) AS BIGINT) AS cluster
+         |  FROM reach GROUP BY src),
+         |spl AS (SELECT doc_id, cluster,
+         |    CASE WHEN bucket < 80 THEN 'train'
+         |         WHEN bucket < 90 THEN 'validation' ELSE 'test' END AS split
+         |  FROM (SELECT doc_id, cluster, $hc % 100 AS bucket FROM lab)),
+         |crossed AS (SELECT CAST(coalesce(sum(
+         |      CASE WHEN s1.split <> s2.split THEN 1 ELSE 0 END), 0) AS BIGINT)
+         |    AS n_cross_edges
+         |  FROM ed0 JOIN spl s1 ON ed0.id1 = s1.doc_id
+         |           JOIN spl s2 ON ed0.id2 = s2.doc_id)
+         |SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(count(DISTINCT cluster) AS BIGINT) AS n_clusters, n_cross_edges
+         |FROM spl, crossed GROUP BY split, n_cross_edges""".stripMargin
     },
     "corpus_pack_bins" ->
       """WITH t AS (SELECT doc_id, lang, doc_id % 8 AS shard,

@@ -36,6 +36,79 @@ object Corpus {
           .otherwise("test").as("split"))
   }
 
+  /** SPLIT-LEAKAGE AUDIT — the check run before trusting any
+    * doc-level split: near-duplicate pairs whose endpoints land in
+    * DIFFERENT splits leak training text into evaluation (the
+    * contamination mechanism behind the post-GPT-3 dedup-your-eval
+    * lesson — a doc-hash split is deterministic but near-dup-blind by
+    * construction). Per unordered split pair: edge count, a leak flag,
+    * and an example pair to drill into (argmin via the portable
+    * packed-struct min, the OHLC pattern).
+    *
+    * Edges are the PROVEN winnow near-dup list
+    * ([[Dedup.winnowEdgesMaterialized]] — build-once, oracle-gated as
+    * `graph_edges_build`); the audit itself is two doc-keyed broadcast
+    * joins of the split labels onto the edge list plus one
+    * split-pair-sized aggregate — output is ≤ |splits|² rows at any
+    * corpus size. */
+  def splitLeakage(spark: SparkSession, sfDir: String): DataFrame = {
+    val split = stratifiedSplit(spark, sfDir).select(col("doc_id"), col("split"))
+    val edges = Dedup.winnowEdgesMaterialized(spark, sfDir)
+      .select(col("id1"), col("id2"))
+    edges
+      .join(split.select(col("doc_id").as("id1"), col("split").as("s1")), Seq("id1"))
+      .join(split.select(col("doc_id").as("id2"), col("split").as("s2")), Seq("id2"))
+      .select(least(col("s1"), col("s2")).as("split_a"),
+        greatest(col("s1"), col("s2")).as("split_b"), col("id1"), col("id2"))
+      .groupBy(col("split_a"), col("split_b"))
+      .agg(count(lit(1)).as("n_edges"),
+        min(struct(col("id1"), col("id2"))).as("x"))
+      .select(col("split_a"), col("split_b"), col("n_edges"),
+        (col("split_a") =!= col("split_b")).as("is_leak"),
+        col("x.id1").as("example_id1"), col("x.id2").as("example_id2"))
+  }
+
+  /** LEAKAGE-FREE SPLIT — the fix the audit motivates: hash the
+    * near-dup CLUSTER label instead of the doc id, so every connected
+    * component of the near-dup graph lands wholly in one split and
+    * cross-split edges are ZERO by construction (both endpoints of any
+    * edge share a cluster, hence a bucket, hence a split). The output
+    * census carries `n_cross_edges` computed the hard way — the
+    * oracle's replay of the same count is the machine-checked proof of
+    * the zero, not an assertion.
+    *
+    * Scale shape: cluster labels come from the O(log n) star
+    * contraction over the materialized edge list (the
+    * `dedup_cluster_labels` path); the split is a pure map over the
+    * label hash (no RNG, re-run-stable — the [[stratifiedSplit]]
+    * property lifted from docs to clusters); the census is one
+    * map-side-combined aggregate to |splits| rows plus one edge-keyed
+    * recount of crossings. Trade-off vs the doc split, stated: bucket
+    * proportions hold over CLUSTERS, so a mega-cluster drags its whole
+    * mass into one split — which is exactly why [[Dedup.clusterCensus]]
+    * audits the size tail first. */
+  def clusteredSplit(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir).select(col("doc_id"))
+    val edges = Dedup.winnowEdgesMaterialized(spark, sfDir)
+      .select(col("id1"), col("id2"))
+    val bucket = PortableHash.md5Hash48(
+      concat(lit("csplit:"), col("cluster").cast("string"))) % 100
+    val assigned = Dedup.connectedComponents(docs, edges)
+      .select(col("doc_id"), col("cluster"),
+        when(bucket < 80, "train").when(bucket < 90, "validation")
+          .otherwise("test").as("split"))
+      .localCheckpoint(eager = false) // census + both crossing sides
+    val cross = edges
+      .join(assigned.select(col("doc_id").as("id1"), col("split").as("s1")), Seq("id1"))
+      .join(assigned.select(col("doc_id").as("id2"), col("split").as("s2")), Seq("id2"))
+      .agg(coalesce(sum(when(col("s1") =!= col("s2"), 1L).otherwise(0L)), lit(0L))
+        .as("n_cross_edges"))
+    assigned.groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("cluster")).as("n_clusters"))
+      .crossJoin(broadcast(cross))
+  }
+
   /** The composed cleaning pipeline a corpus release actually runs:
     * language filter → quality gate (length + lexical diversity) →
     * exact dedup keep-first → redaction, in one DataFrame program.

@@ -32,6 +32,30 @@ class CorpusSpec extends AnyFunSuite {
     assert(labels.toSeq == Seq(0L)) // one component, min label 0
   }
 
+  test("split leakage audit reconciles with the edge list; clustered split is leak-free and total") {
+    // audit totals = the materialized near-dup edge count, exactly
+    val edges = Dedup.winnowEdgesMaterialized(spark, sfDir)
+      .select(col("id1"), col("id2")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val audit = Corpus.splitLeakage(spark, sfDir).collect()
+    assert(audit.map(_.getLong(2)).sum == edges.length,
+      "per-split-pair edge counts must sum to the full edge list")
+    // recount the leaking edges brute-force from the doc-hash split
+    val split = Corpus.stratifiedSplit(spark, sfDir)
+      .select(col("doc_id"), col("split")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val leaks = edges.count { case (a, b) => split(a) != split(b) }
+    assert(audit.filter(_.getBoolean(3)).map(_.getLong(2)).sum == leaks,
+      "flagged rows must carry exactly the cross-split edges")
+    // clustered split: every doc assigned once, crossings exactly zero
+    val cs = Corpus.clusteredSplit(spark, sfDir).collect()
+    assert(cs.map(_.getLong(3)).distinct.sameElements(Array(0L)),
+      "cluster-hashed split must produce zero cross-split edges")
+    val nDocs = graft.Tables.documents(spark, sfDir).count()
+    assert(cs.map(_.getLong(1)).sum == nDocs,
+      "every document lands in exactly one split")
+  }
+
   test("lang balance: every language downsamples to ≈ the smallest one") {
     import org.apache.spark.sql.functions.col
     val docs = graft.Tables.documents(spark, sfDir)
