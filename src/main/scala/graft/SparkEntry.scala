@@ -109,6 +109,7 @@ object SparkEntry {
     "corpus_split" -> (Corpus.stratifiedSplit _),
     "corpus_split_leakage" -> (Corpus.splitLeakage _),
     "corpus_split_clustered" -> (Corpus.clusteredSplit _),
+    "corpus_split_balance" -> (Corpus.splitBalance _),
     "corpus_pack_bins" -> ((s: SparkSession, d: String) => Corpus.packTokenBins(s, d)),
     "corpus_clean" -> (Corpus.cleanPipeline _),
     "corpus_decontaminate" -> ((s: SparkSession, d: String) => Corpus.decontaminate(s, d)),
@@ -193,6 +194,7 @@ object SparkEntry {
     "embed_index_refresh" -> ((s: SparkSession, d: String) => Similarity.indexRefresh(s, d)),
     "embed_cell_refresh" -> (Similarity.cellRefresh _),
     "dedup_fp_refresh" -> (Dedup.fpRefresh _),
+    "dedup_cluster_refresh" -> (Dedup.clusterRefresh _),
     "corpus_daily_increment" -> (Dedup.dailyIncrement _),
     "events_mad_outliers" -> (Relational.eventsMadOutliers _),
     "embed_hard_negatives" -> ((s: SparkSession, d: String) => Similarity.hardNegatives(s, d)),
@@ -577,7 +579,11 @@ object SparkEntry {
     "embed_cell_refresh", "range_output_advisor",
     // round-16 additions (split-leakage audit + the cluster-aware split
     // that zeroes it — both ride the winnow edge memo built above):
-    "corpus_split_leakage", "corpus_split_clustered")
+    "corpus_split_leakage", "corpus_split_clustered",
+    // round-17 additions (cluster-label IVM closing the maintained-index
+    // family, and the split-balance alert declaring the mega-cluster
+    // trade-off — both ride the edge memo / label machinery above):
+    "dedup_cluster_refresh", "corpus_split_balance")
 
   // --- generated DuckDB replicas of the portable-hash queries ----------
 
@@ -734,6 +740,56 @@ object SparkEntry {
            " WHERE doc_id % 10 >= 2 OR doc_id IN (SELECT doc_id FROM kept)")}
        |SELECT DISTINCT doc_id, wmin // 32768 AS fp_hash
        |FROM m WHERE cnt = 4""".stripMargin
+
+  /** Cluster-label IVM oracle: the FULL connected-components REBUILD
+    * over the maintained edge table — day-1 edges (hot-fp cap on the
+    * day-1 fingerprint table) ∪ the day's edge delta (≥ 1 admitted
+    * side, cap on the refreshed table; the append-only contract) —
+    * via recursive reachability + min, replayed against the Spark
+    * side's incremental label merge. Hash equality IS the
+    * refresh ≡ rebuild proof.
+    *
+    * HAZARD (r16 ADVICE, noted by design): `reach` holds one row per
+    * (node, reachable node) — O(n × component size). Fine at gated
+    * SFs; a fixture with a mega near-dup cluster would blow the DuckDB
+    * side's memory LOUDLY rather than silently passing (the Spark star
+    * contraction stays bounded). `dedup_cluster_census` fronts the
+    * size tail before anything trusts the labels. */
+  private def clusterRefreshOracle: String =
+    s"""WITH RECURSIVE $admissionKeptCtes,
+       |${winnowChain(
+           " WHERE doc_id % 10 >= 2 OR doc_id IN (SELECT doc_id FROM kept)")},
+       |fp AS (SELECT DISTINCT doc_id, wmin // 32768 AS fp_hash
+       |  FROM m WHERE cnt = 4),
+       |fpo0 AS (SELECT * FROM fp WHERE doc_id % 10 >= 2),
+       |hoto AS (SELECT fp_hash FROM fpo0 GROUP BY 1 HAVING count(*) > 4096),
+       |fpo AS (SELECT * FROM fpo0 WHERE fp_hash NOT IN
+       |  (SELECT fp_hash FROM hoto)),
+       |hotr AS (SELECT fp_hash FROM fp GROUP BY 1 HAVING count(*) > 4096),
+       |fpr AS (SELECT * FROM fp WHERE fp_hash NOT IN
+       |  (SELECT fp_hash FROM hotr)),
+       |edo AS (SELECT a.doc_id AS id1, b.doc_id AS id2
+       |  FROM fpo a JOIN fpo b ON a.fp_hash = b.fp_hash
+       |    AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2 HAVING count(*) >= 3),
+       |edd AS (SELECT id1, id2 FROM (
+       |    SELECT DISTINCT least(a.doc_id, b.doc_id) AS id1,
+       |      greatest(a.doc_id, b.doc_id) AS id2, a.fp_hash
+       |    FROM fpr a JOIN fpr b ON a.fp_hash = b.fp_hash
+       |      AND a.doc_id <> b.doc_id
+       |    WHERE a.doc_id % 10 < 2)
+       |  GROUP BY 1, 2 HAVING count(*) >= 3),
+       |alle AS (SELECT id1, id2 FROM edo UNION SELECT id1, id2 FROM edd),
+       |eds AS (SELECT id1 AS a, id2 AS b FROM alle
+       |  UNION ALL SELECT id2 AS a, id1 AS b FROM alle),
+       |nodes AS (SELECT doc_id FROM documents
+       |  WHERE doc_id % 10 >= 2 OR doc_id IN (SELECT doc_id FROM kept)),
+       |reach AS (
+       |  SELECT doc_id AS src, doc_id AS dst FROM nodes
+       |  UNION
+       |  SELECT r.src, eds.b AS dst FROM reach r JOIN eds ON r.dst = eds.a)
+       |SELECT src AS doc_id, CAST(min(dst) AS BIGINT) AS cluster
+       |FROM reach GROUP BY src""".stripMargin
 
   /** Vector-index IVM replica (the FULL REBUILD over corpus ∪ admitted;
     * admission = new×corpus bucket-collision + exact-cosine gate) —
@@ -1800,6 +1856,12 @@ object SparkEntry {
     // (the clusterLabelsOracle pattern over the winnow doc graph),
     // split hashed on the LABEL, census + the crossing recount whose
     // replayed zero is the leakage-free proof.
+    // HAZARD (r16 ADVICE, noted by design): the recursive `reach` CTE
+    // is O(n × component size) rows — fine at gated SFs, but a fixture
+    // with a mega near-dup cluster would blow the DuckDB side's memory
+    // LOUDLY rather than silently passing (the Spark star contraction
+    // stays bounded); `dedup_cluster_census` + `corpus_split_balance`
+    // front the size tail.
     "corpus_split_clustered" -> {
       val ctes = winnowCte().replaceFirst("WITH ", "WITH RECURSIVE ")
       val hc = graft.functions.PortableHash.sqlH48("concat('csplit:', CAST(cluster AS VARCHAR))")
@@ -1829,6 +1891,57 @@ object SparkEntry {
          |SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
          |  CAST(count(DISTINCT cluster) AS BIGINT) AS n_clusters, n_cross_edges
          |FROM spl, crossed GROUP BY split, n_cross_edges""".stripMargin
+    },
+    // Split-balance alert: same label + split CTE chain as the
+    // clustered split, then per-(split, cluster) token mass, the
+    // |splits|-row census, and all-integer micro-unit shares (BIGINT
+    // casts keep every emitted column inside the driver's 64-bit hash
+    // domain — DuckDB sum() would otherwise widen to HUGEINT).
+    "corpus_split_balance" -> {
+      val ctes = winnowCte().replaceFirst("WITH ", "WITH RECURSIVE ")
+      val hc = graft.functions.PortableHash.sqlH48("concat('csplit:', CAST(cluster AS VARCHAR))")
+      s"""$ctes,
+         |fp AS (SELECT DISTINCT doc_id, wmin // 32768 AS fp_hash
+         |  FROM m WHERE cnt = 4),
+         |ed0 AS (SELECT a.doc_id AS id1, b.doc_id AS id2
+         |  FROM fp a JOIN fp b ON a.fp_hash = b.fp_hash AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2 HAVING count(*) >= 3),
+         |eds AS (SELECT id1 AS a, id2 AS b FROM ed0
+         |  UNION ALL SELECT id2 AS a, id1 AS b FROM ed0),
+         |reach AS (
+         |  SELECT doc_id AS src, doc_id AS dst FROM documents
+         |  UNION
+         |  SELECT r.src, eds.b AS dst FROM reach r JOIN eds ON r.dst = eds.a),
+         |lab AS (SELECT src AS doc_id, CAST(min(dst) AS BIGINT) AS cluster
+         |  FROM reach GROUP BY src),
+         |spl AS (SELECT doc_id, cluster,
+         |    CASE WHEN bucket < 80 THEN 'train'
+         |         WHEN bucket < 90 THEN 'validation' ELSE 'test' END AS split
+         |  FROM (SELECT doc_id, cluster, $hc % 100 AS bucket FROM lab)),
+         |tk AS (SELECT doc_id,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+         |  FROM documents),
+         |bc AS (SELECT split, cluster, count(*) AS nd,
+         |    CAST(sum(n_tokens) AS BIGINT) AS mass
+         |  FROM spl JOIN tk USING (doc_id) GROUP BY 1, 2),
+         |bs AS (SELECT split, CAST(sum(nd) AS BIGINT) AS n_docs,
+         |    CAST(count(*) AS BIGINT) AS n_clusters,
+         |    CAST(sum(mass) AS BIGINT) AS token_mass,
+         |    CAST(max(mass) AS BIGINT) AS top_cluster_mass
+         |  FROM bc GROUP BY 1),
+         |tt AS (SELECT CAST(sum(token_mass) AS BIGINT) AS total_mass FROM bs)
+         |SELECT split, n_docs, n_clusters, token_mass,
+         |  CAST(token_mass * 1000000 // total_mass AS BIGINT) AS share_micro,
+         |  CAST(top_cluster_mass * 1000000 // token_mass AS BIGINT)
+         |    AS top_cluster_share_micro,
+         |  CAST(CASE WHEN split = 'train' THEN 800000 ELSE 100000 END AS BIGINT)
+         |    AS target_micro,
+         |  abs(token_mass * 1000000 // total_mass -
+         |    CASE WHEN split = 'train' THEN 800000 ELSE 100000 END) > 50000
+         |    AS is_skewed,
+         |  top_cluster_mass * 1000000 // token_mass > 500000
+         |    AS is_cluster_dominated
+         |FROM bs, tt""".stripMargin
     },
     "corpus_pack_bins" ->
       """WITH t AS (SELECT doc_id, lang, doc_id % 8 AS shard,
@@ -2933,21 +3046,26 @@ object SparkEntry {
     // The oracle is the BRUTE-FORCE inverted-index Jaccard join over
     // the same batch/corpus split: the engine's PPJoin prefix filter is
     // lossless, so the gate proves the prefix plan equals the
-    // exhaustive one byte-for-byte.
-    "dedup_prefix_jaccard" ->
-      """WITH tok AS (SELECT DISTINCT doc_id, w FROM (
-        |    SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
-        |  WHERE w <> ''),
-        |nn AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY 1),
-        |sh AS (SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS shared
-        |  FROM tok a JOIN tok b ON a.w = b.w
-        |  WHERE a.doc_id % 20 = 0 AND b.doc_id % 20 <> 0
-        |  GROUP BY 1, 2)
-        |SELECT id1, id2, n1.n AS n1, n2.n AS n2, shared,
-        |  shared * 1000000 // (n1.n + n2.n - shared) AS jac_micro
-        |FROM sh JOIN nn n1 ON sh.id1 = n1.doc_id
-        |  JOIN nn n2 ON sh.id2 = n2.doc_id
-        |WHERE shared * 19 >= 9 * (n1.n + n2.n)""".stripMargin,
+    // exhaustive one byte-for-byte. Both engines hash tokens to the
+    // portable 48-bit value BEFORE set arithmetic (the engine's verify
+    // arrays pack longs, not strings), so the mirrored hash keeps the
+    // comparison exact even in the ~2⁻⁴⁸ collision corner.
+    "dedup_prefix_jaccard" -> {
+      val h = graft.functions.PortableHash.sqlH48("tk")
+      s"""WITH tok AS (SELECT DISTINCT doc_id, $h AS w FROM (
+         |    SELECT doc_id, unnest(string_split(text, ' ')) AS tk FROM documents)
+         |  WHERE tk <> ''),
+         |nn AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY 1),
+         |sh AS (SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS shared
+         |  FROM tok a JOIN tok b ON a.w = b.w
+         |  WHERE a.doc_id % 20 = 0 AND b.doc_id % 20 <> 0
+         |  GROUP BY 1, 2)
+         |SELECT id1, id2, n1.n AS n1, n2.n AS n2, shared,
+         |  shared * 1000000 // (n1.n + n2.n - shared) AS jac_micro
+         |FROM sh JOIN nn n1 ON sh.id1 = n1.doc_id
+         |  JOIN nn n2 ON sh.id2 = n2.doc_id
+         |WHERE shared * 19 >= 9 * (n1.n + n2.n)""".stripMargin
+    },
     // Repeated 5-gram spans: exact integer counts, (total desc, gram)
     // total order at the LIMIT boundary.
     "corpus_dup_ngrams" ->
@@ -4224,6 +4342,7 @@ object SparkEntry {
     // delta pass over only the admitted slice. Hash equality proves
     // refresh ≡ rebuild (completes the maintained-index trio).
     "dedup_fp_refresh" -> fpRefreshOracle,
+    "dedup_cluster_refresh" -> clusterRefreshOracle,
     // Day-2 incremental integration: each stage's already-proven
     // replica scoped in its own derived table (DuckDB allows WITH
     // inside a derived table), counted. The edge delta counts
@@ -4250,6 +4369,9 @@ object SparkEntry {
          |UNION ALL
          |SELECT 'cells_touched', CAST(count(DISTINCT cent_id) AS BIGINT)
          |FROM ($embedCellRefreshOracle) WHERE vec_id % 10 < 2
+         |UNION ALL
+         |SELECT 'clusters_touched', CAST(count(DISTINCT cluster) AS BIGINT)
+         |FROM ($clusterRefreshOracle) WHERE doc_id % 10 < 2
          |UNION ALL
          |SELECT 'edges_added', CAST(count(*) AS BIGINT)
          |FROM (WITH $admissionKeptCtes,

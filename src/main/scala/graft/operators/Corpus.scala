@@ -47,10 +47,12 @@ object Corpus {
     *
     * Edges are the PROVEN winnow near-dup list
     * ([[Dedup.winnowEdgesMaterialized]] — build-once, oracle-gated as
-    * `graph_edges_build`); the audit itself is two doc-keyed broadcast
-    * joins of the split labels onto the edge list plus one
-    * split-pair-sized aggregate — output is ≤ |splits|² rows at any
-    * corpus size. */
+    * `graph_edges_build`); the audit itself is two doc-keyed equi-joins
+    * attaching the split labels to the edge endpoints (the split table
+    * is corpus-sized, so these shuffle on the doc key; at 100 TB the
+    * EDGE list is the smaller side and is the broadcast candidate if
+    * it is bounded) plus one split-pair-sized aggregate — output is
+    * ≤ |splits|² rows at any corpus size. */
   def splitLeakage(spark: SparkSession, sfDir: String): DataFrame = {
     val split = stratifiedSplit(spark, sfDir).select(col("doc_id"), col("split"))
     val edges = Dedup.winnowEdgesMaterialized(spark, sfDir)
@@ -107,6 +109,60 @@ object Corpus {
       .agg(count(lit(1)).as("n_docs"),
         countDistinct(col("cluster")).as("n_clusters"))
       .crossJoin(broadcast(cross))
+  }
+
+  /** SPLIT-BALANCE ALERT (r16 verdict item #2) — DECLARES the
+    * mega-cluster trade-off [[clusteredSplit]] only documented: bucket
+    * proportions hold over CLUSTERS, so one giant near-dup component
+    * can drag its whole token mass into a single split and pull the
+    * realized proportions off the 80/10/10 target. Per split: docs,
+    * clusters, token mass, the split's token-mass SHARE in integer
+    * micro-units (portable — no float division anywhere), the single
+    * largest cluster's share of the split's own mass, and two flags —
+    * `is_skewed` (share more than 5 points off its target) and
+    * `is_cluster_dominated` (one cluster holds over half the split).
+    * The cap family's discipline (`graph_dropped_hubs`,
+    * `dedup_oversized_buckets`): pathologies surface as alert-query
+    * rows, not docstring caveats.
+    *
+    * Scale: rides the same build-once edge memo and star-contraction
+    * labels as the split itself; after the label join everything is two
+    * map-side-combined aggregates (per-(split, cluster) mass, then the
+    * |splits|-row census) plus one 1-row broadcast total — output is
+    * |splits| rows at any corpus size. */
+  def splitBalance(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val edges = Dedup.winnowEdgesMaterialized(spark, sfDir)
+      .select(col("id1"), col("id2"))
+    val bucket = PortableHash.md5Hash48(
+      concat(lit("csplit:"), col("cluster").cast("string"))) % 100
+    val toks = docs.select(col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("n_tokens"))
+    val assigned = Dedup.connectedComponents(docs.select(col("doc_id")), edges)
+      .select(col("doc_id"), col("cluster"),
+        when(bucket < 80, "train").when(bucket < 90, "validation")
+          .otherwise("test").as("split"))
+      .join(toks, Seq("doc_id"))
+    val byCluster = assigned.groupBy(col("split"), col("cluster"))
+      .agg(count(lit(1)).as("nd"), sum(col("n_tokens")).as("mass"))
+    val bySplit = byCluster.groupBy(col("split"))
+      .agg(sum(col("nd")).as("n_docs"), count(lit(1)).as("n_clusters"),
+        sum(col("mass")).as("token_mass"),
+        max(col("mass")).as("top_cluster_mass"))
+      .localCheckpoint(eager = false) // census rows + the 1-row total
+    val total = bySplit.agg(sum(col("token_mass")).as("total_mass"))
+    bySplit.crossJoin(broadcast(total))
+      .select(col("split"), col("n_docs"), col("n_clusters"),
+        col("token_mass"),
+        expr("token_mass * 1000000 DIV total_mass").as("share_micro"),
+        expr("top_cluster_mass * 1000000 DIV token_mass")
+          .as("top_cluster_share_micro"))
+      .withColumn("target_micro",
+        when(col("split") === "train", 800000L).otherwise(100000L))
+      .withColumn("is_skewed",
+        abs(col("share_micro") - col("target_micro")) > 50000L)
+      .withColumn("is_cluster_dominated",
+        col("top_cluster_share_micro") > 500000L)
   }
 
   /** The composed cleaning pipeline a corpus release actually runs:

@@ -497,6 +497,138 @@ object Dedup {
     existing.unionByName(delta)
   }
 
+  /** The day's near-dup EDGE DELTA: fingerprint pairs with ≥ 3 shared
+    * fps and ≥ 1 admitted side over the refreshed (hot-capped)
+    * fingerprint table — |delta|·f work, never corpus×corpus, since
+    * corpus↔corpus shared counts cannot change when docs are only
+    * ADDED. Factored out of [[dailyIncrement]] so the label refresh
+    * ([[clusterRefresh]]) and the census share one definition; callers
+    * that already hold the refreshed fingerprint table pass it in
+    * (`refreshedFp`) so the corpus never re-fingerprints. */
+  def deltaEdgesOf(spark: SparkSession, sfDir: String, admitted: DataFrame,
+      refreshedFp: Option[DataFrame] = None): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val isNew = col("doc_id") % 10 < 2
+    val fp = refreshedFp.getOrElse {
+      TextAnalysis.winnowFingerprints(docs.filter(!isNew), 4)
+        .select(col("doc_id"), col("fp_hash")).distinct()
+        .unionByName(TextAnalysis
+          .winnowFingerprints(docs.join(admitted, Seq("doc_id"), "left_semi"), 4)
+          .select(col("doc_id"), col("fp_hash")).distinct())
+        .localCheckpoint(eager = false) // both sides of the edge join
+    }
+    val capped = capHotKeys(fp, Seq("fp_hash"), 4096)
+    capped.filter(isNew)
+      .select(col("fp_hash"), col("doc_id").as("ida"))
+      .join(capped.select(col("fp_hash").as("h2"), col("doc_id").as("idb")),
+        col("fp_hash") === col("h2") && col("ida") =!= col("idb"))
+      .select(least(col("ida"), col("idb")).as("id1"),
+        greatest(col("ida"), col("idb")).as("id2"), col("fp_hash"))
+      .distinct() // both-admitted pairs arrive once per side
+      .groupBy(col("id1"), col("id2")).agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= 3)
+  }
+
+  /** CLUSTER-LABEL IVM (r16 verdict item #1) — completes the
+    * maintained-index family at its CONSUMER end: [[bucketRefresh]],
+    * [[fpRefresh]] and the vector-index refreshes maintain the
+    * candidate structures, but the component labels that
+    * [[graft.operators.Corpus.clusteredSplit]] and
+    * [[keepBestRepresentative]] consume still implied a full
+    * star-contraction rebuild on every daily increment. This is the
+    * incremental form. Components only ever UNION when documents are
+    * added, so the day's delta edges collapse into a LABEL-level merge
+    * graph — one node per delta-touched label, one edge per delta edge
+    * whose endpoints currently carry different labels — whose star
+    * contraction is bounded by the DELTA, never the corpus. The merged
+    * super-label is the min over merged labels, which equals the min
+    * doc id of the merged component: every stored label is already its
+    * component's min, and every admitted doc enters as its own
+    * singleton label. Relabeling is one broadcast join of the (tiny)
+    * merge map onto the stored label table.
+    *
+    * Maintained-table semantics (the edge memo's 100 TB contract): the
+    * stored edge table is APPEND-ONLY — day-1 edges were built with the
+    * hot-fp cap evaluated on the day-1 fingerprint table, the delta
+    * with the cap on the refreshed table ([[deltaEdgesOf]], the
+    * `edges_added` definition verbatim). The DuckDB oracle rebuilds
+    * connected components FROM SCRATCH over that same union edge set,
+    * so hash equality proves refresh ≡ rebuild for the label
+    * maintenance itself (the `embed_cell_refresh` proof pattern);
+    * ClusterRefreshSpec additionally proves it in-engine on a
+    * constructed corpus where delta edges genuinely MERGE distinct
+    * day-1 components. */
+  def clusterRefresh(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val isNew = col("doc_id") % 10 < 2
+    val admitted = incrementalDedup(spark, sfDir)
+      .filter(col("outcome") === "kept").select(col("doc_id"))
+      .localCheckpoint()
+    // ONE winnow pass over the day-1 corpus feeds BOTH the stored-state
+    // reconstruction (old edges → stored labels) and the refreshed
+    // table the delta edges join against — the corpus fingerprints
+    // never compute twice in one refresh
+    val oldFpRaw = TextAnalysis.winnowFingerprints(docs.filter(!isNew), 4)
+      .select(col("doc_id"), col("fp_hash")).distinct()
+      .localCheckpoint(eager = false)
+    val refreshedFp = oldFpRaw.unionByName(TextAnalysis
+        .winnowFingerprints(docs.join(admitted, Seq("doc_id"), "left_semi"), 4)
+        .select(col("doc_id"), col("fp_hash")).distinct())
+      .localCheckpoint(eager = false)
+    clusterRefreshOf(spark, sfDir, admitted,
+      deltaEdgesOf(spark, sfDir, admitted, Some(refreshedFp)),
+      Some(oldFpRaw))
+  }
+
+  /** [[clusterRefresh]] with the admission cascade's output and the
+    * edge delta supplied by the caller — [[dailyIncrement]] pays each
+    * exactly once across all its stages (the r15-ADVICE single-cascade
+    * pattern, as in [[Similarity.cellRefresh]]); `oldFpRaw` optionally
+    * shares the day-1 fingerprint scan the same way. */
+  def clusterRefreshOf(spark: SparkSession, sfDir: String,
+      admitted: DataFrame, deltaEdges: DataFrame,
+      oldFpRaw: Option[DataFrame] = None): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val isNew = col("doc_id") % 10 < 2
+    // the stored day-1 state, recomputed here for the self-contained
+    // declared query (at scale: the persisted label + edge tables)
+    val oldFp = capHotKeys(
+      oldFpRaw.getOrElse(
+        TextAnalysis.winnowFingerprints(docs.filter(!isNew), 4)
+          .select(col("doc_id"), col("fp_hash")).distinct()),
+      Seq("fp_hash"), 4096)
+    val oldEdges = oldFp.select(col("fp_hash"), col("doc_id").as("id1"))
+      .join(oldFp.select(col("fp_hash").as("h2"), col("doc_id").as("id2")),
+        col("fp_hash") === col("h2") && col("id1") < col("id2"))
+      .groupBy(col("id1"), col("id2")).agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= 3)
+      .select(col("id1"), col("id2"))
+    val stored = GraphOps.connectedComponentsStar(
+      docs.filter(!isNew).select(col("doc_id")), oldEdges, "doc_id")
+    // every current node's label BEFORE the merge: the stored table
+    // plus each admitted doc as its own singleton
+    val labels = stored.unionByName(
+        admitted.select(col("doc_id"), col("doc_id").cast("long").as("cluster")))
+      .localCheckpoint(eager = false) // merge-map build + relabel read
+    val le = deltaEdges
+      .join(labels.select(col("doc_id").as("id1"), col("cluster").as("c1")),
+        Seq("id1"))
+      .join(labels.select(col("doc_id").as("id2"), col("cluster").as("c2")),
+        Seq("id2"))
+      .filter(col("c1") =!= col("c2"))
+      .select(col("c1"), col("c2"))
+    val touched = le.select(col("c1").as("label"))
+      .unionByName(le.select(col("c2").as("label"))).distinct()
+    val merged = GraphOps.connectedComponentsStar(touched, le, "label")
+      .select(col("label"), col("cluster").as("merged"))
+    // the merge map is delta-bounded → broadcast; untouched components
+    // (the overwhelming mass at 100 TB) keep their stored label
+    labels.join(broadcast(merged), labels("cluster") === merged("label"),
+        "left")
+      .select(col("doc_id"),
+        coalesce(col("merged"), labels("cluster")).as("cluster"))
+  }
+
   /** DAY-2 INCREMENTAL INTEGRATION (round-10 verdict item #5) — the
     * daily-ingest twin of `corpus_release_funnel`, proving the IVM
     * family COMPOSES: one declared query runs the admission cascade
@@ -522,7 +654,13 @@ object Dedup {
     *                         ≥ 3 shared fps and ≥ 1 admitted side —
     *                         exactly the edge-list delta, since
     *                         corpus×corpus shared counts cannot change
-    *                         when docs are only ADDED.
+    *                         when docs are only ADDED ([[deltaEdgesOf]]);
+    *   - `clusters_touched`  DISTINCT component labels the admitted
+    *                         docs land in after the incremental label
+    *                         merge ([[clusterRefreshOf]] — the edge
+    *                         delta above feeds it directly, so the
+    *                         cascade and the edge join are both paid
+    *                         once across all stages).
     *
     * Each stage count filters the corresponding refresh output to its
     * new slice (delta rows are the `% 10 < 2` side by construction), so
@@ -548,21 +686,17 @@ object Dedup {
     val fpDelta = TextAnalysis.winnowFingerprints(newDocs, 4)
       .select(col("doc_id"), col("fp_hash")).distinct()
       .localCheckpoint(eager = false) // stage count + refreshed union
-    val refreshedFp = TextAnalysis
+    // day-1 corpus fingerprints, shared by the refreshed table AND the
+    // label stage's stored-state reconstruction (one winnow pass)
+    val oldFpRaw = TextAnalysis
       .winnowFingerprints(docs.filter(!isNew), 4)
       .select(col("doc_id"), col("fp_hash")).distinct()
+      .localCheckpoint(eager = false)
+    val refreshedFp = oldFpRaw
       .unionByName(fpDelta)
       .localCheckpoint(eager = false) // both sides of the edge join
-    val capped = capHotKeys(refreshedFp, Seq("fp_hash"), 4096)
-    val edges = capped.filter(isNew)
-      .select(col("fp_hash"), col("doc_id").as("ida"))
-      .join(capped.select(col("fp_hash").as("h2"), col("doc_id").as("idb")),
-        col("fp_hash") === col("h2") && col("ida") =!= col("idb"))
-      .select(least(col("ida"), col("idb")).as("id1"),
-        greatest(col("ida"), col("idb")).as("id2"), col("fp_hash"))
-      .distinct() // both-admitted pairs arrive once per side
-      .groupBy(col("id1"), col("id2")).agg(count(lit(1)).as("n_shared"))
-      .filter(col("n_shared") >= 3)
+    val edges = deltaEdgesOf(spark, sfDir, admitted, Some(refreshedFp))
+      .localCheckpoint(eager = false) // stage count + the label merge
     // ONE vector-admission cascade (the LSH candidate join + cosine
     // gate inside indexRefresh) feeds BOTH maintained vector indexes —
     // the signature count and the cell delta (r15 ADVICE: cellRefresh's
@@ -579,6 +713,9 @@ object Dedup {
         Similarity.cellRefresh(spark, sfDir, sigRefresh)
           .filter(col("vec_id") % 10 < 2)
           .select(col("cent_id")).distinct()))
+      .unionByName(stage("clusters_touched",
+        clusterRefreshOf(spark, sfDir, admitted, edges, Some(oldFpRaw))
+          .filter(isNew).select(col("cluster")).distinct()))
       .orderBy(col("stage"))
   }
 
@@ -1266,15 +1403,27 @@ object Dedup {
     * window for the prefix rank, one equi-join keyed by rare prefix
     * tokens with the PPJoin positional bound pruning pairs at the
     * candidate groupBy, then two doc-keyed joins attaching packed
-    * token sets for the in-row intersect — shuffles scale with
-    * corpus + batch·avg_doc_len and surviving candidates, never the
-    * raw pair space. */
+    * hashed-token sets (built only for docs that SURVIVE the filters,
+    * via a semi-join on the candidate ids) for the in-row intersect —
+    * shuffles scale with corpus + batch·avg_doc_len and surviving
+    * candidates, never the raw pair space or whole-corpus token mass. */
   def prefixJaccardPairs(spark: SparkSession, sfDir: String,
       tNum: Int = 9, tDen: Int = 10, batchMod: Int = 20): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // The whole screen runs on the HASHED-token domain (r16 verdict
+    // #5): tokens become portable 48-bit hashes IN-ROW (array_distinct
+    // before the explode keeps set semantics without a dedup shuffle),
+    // so the verify arrays carry longs instead of raw strings — ~8×
+    // narrower packed rows at prose-length tokens. Set identity is all
+    // the prefix theory and the intersect need, so every bound holds
+    // verbatim on hash sets; a 48-bit collision inside one pair's
+    // union (< |A|·|B|·2⁻⁴⁸ — never at any gated corpus) would only
+    // merge two tokens on BOTH engines, since the oracle mirrors the
+    // same hash before counting.
     val tok = Tables.documents(spark, sfDir)
-      .select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("w"))
-      .filter(col("w") =!= "")
+      .select(col("doc_id"), explode(array_distinct(
+        transform(filter(split(col("text"), " "), w => w =!= ""),
+          w => graft.functions.PortableHash.md5Hash48(w)))).as("w"))
       .localCheckpoint() // consumed by census, prefix AND the packed-set build
     val n = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val freq = tok.groupBy(col("w")).agg(count(lit(1)).as("df"))
@@ -1315,15 +1464,21 @@ object Dedup {
         .as("max_ub"))
       .filter(col("max_ub") * (tDen + tNum) >= lit(tNum) * (col("n1") + col("n2")))
       .select(col("id1"), col("id2"), col("n1"), col("n2"))
-    // exact verify on PACKED token sets: each surviving candidate joins
-    // the per-doc distinct-token ARRAY once per side and counts the
-    // intersection in-row (codegen array_intersect) — the same
-    // n1 + n2 tokens per candidate move through the shuffle as before,
-    // but packed in 2 rows instead of exploded into n1 + overlap rows
-    // through two joins and a re-shuffle groupBy. (At extreme doc
-    // lengths the packed rows grow — the knob is hashing tokens to
-    // longs first; token identity is all the intersect needs.)
-    val sets = tok.groupBy(col("doc_id")).agg(collect_list(col("w")).as("ws"))
+      .localCheckpoint(eager = false) // semi-join probe + final verify join
+    // exact verify on PACKED hashed-token sets: each surviving
+    // candidate joins the per-doc distinct-hash ARRAY once per side and
+    // counts the intersection in-row (codegen array_intersect) — the
+    // same n1 + n2 set elements per candidate move through the shuffle
+    // as before, but packed in 2 rows of longs instead of exploded
+    // string rows through two joins and a re-shuffle groupBy. The
+    // packed build is SEMI-JOINED to the docs that actually survive the
+    // positional filter (r16 ADVICE: the unfiltered build collected an
+    // array for every doc in the corpus, bounding verify storage by
+    // whole-corpus token mass instead of surviving candidates).
+    val candIds = candidates.select(col("id1").as("doc_id"))
+      .unionByName(candidates.select(col("id2").as("doc_id"))).distinct()
+    val sets = tok.join(candIds, Seq("doc_id"), "left_semi")
+      .groupBy(col("doc_id")).agg(collect_list(col("w")).as("ws"))
       .localCheckpoint(eager = false) // both verify sides
     candidates
       .join(sets.select(col("doc_id").as("id1"), col("ws").as("ws1")), Seq("id1"))

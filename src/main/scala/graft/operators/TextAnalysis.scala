@@ -382,6 +382,13 @@ object TextAnalysis {
     // the oracle) so it stays exact past 2^53, where a double-rounded
     // n·sxx − sx² could land on the wrong side of zero (r15 ADVICE);
     // only the defined-branch value math is double.
+    // HEADROOM (r16 ADVICE): Spark caps the decimal product at
+    // precision 38, so under ANSI the n·sxx term itself overflows —
+    // the r15 failure class — once n·sxx ≥ 1e38. With x ≤ 1e6 micro
+    // and y ≤ 1e3 milli, sxx ≤ n·1e12, so the bound is n ≥ ~1e13
+    // DOCS (five decades past the ~10^8-doc note above, and DuckDB's
+    // HUGEINT side would itself wrap at ~1.7e38 soon after). A corpus
+    // beyond that must pre-aggregate per shard before this evaluator.
     def i(c: String) = col(c).cast("decimal(38,0)")
     val varXi = i("n") * i("sxx") - i("sx") * i("sx")
     val varYi = i("n") * i("syy") - i("sy") * i("sy")

@@ -14,7 +14,8 @@ class BenchSpec extends AnyFunSuite {
   test("buildLine emits a BOUNDED driver-parseable final line: metric/value/n_queries/failed/sf/loadavg") {
     val line = Bench.buildLine(
       Seq("q1_pricing" -> Seq(1.5, 1.25, 1.3), "bad_query" -> Seq(0.4, -1.0, 0.5)),
-      sfDir, loadStart = Seq(1.0, 2.0, 3.0), loadEnd = Seq(4.0, 5.0, 6.0))
+      sfDir, loadStart = Seq(1.0, 2.0, 3.0), loadEnd = Seq(4.0, 5.0, 6.0),
+      loadLaunch = Seq(0.25, 0.5, 0.75))
     assert(!line.contains("\n"))
     // Parse with the JSON parser that ships in the Spark jars.
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
@@ -36,12 +37,16 @@ class BenchSpec extends AnyFunSuite {
     assert(node.get("sf").asText() == sfDir)
     assert(node.get("loadavg_start").get(0).asDouble() == 1.0)
     assert(node.get("loadavg_end").get(2).asDouble() == 6.0)
+    // pre-warm-up launch load rides the line so the artifact itself
+    // distinguishes co-tenant load from self-load (r16 verdict #3)
+    assert(node.get("loadavg_launch").get(0).asDouble() == 0.25)
   }
 
   test("buildLine stays <=300 bytes even at 200 queries with zero failures") {
     val many = (1 to 200).map(i => f"query_with_a_long_name_$i%03d" -> Seq(1.234567891, 2.3456789, 3.456789))
     val line = Bench.buildLine(many, "/root/testdata/sf0.1",
-      loadStart = Seq(11.234, 22.345, 33.456), loadEnd = Seq(44.567, 55.678, 66.789))
+      loadStart = Seq(11.234, 22.345, 33.456), loadEnd = Seq(44.567, 55.678, 66.789),
+      loadLaunch = Seq(77.891, 88.912, 99.123))
     assert(line.getBytes("UTF-8").length <= 300,
       s"final line must fit the driver's tail capture, was ${line.length}B: $line")
     val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(line)

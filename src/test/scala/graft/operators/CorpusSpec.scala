@@ -56,6 +56,51 @@ class CorpusSpec extends AnyFunSuite {
       "every document lands in exactly one split")
   }
 
+  test("split balance reconciles with a brute-force recount over the cluster labels") {
+    import org.apache.spark.sql.functions.{concat, lit}
+    val docs = graft.Tables.documents(spark, sfDir)
+    val edges = Dedup.winnowEdgesMaterialized(spark, sfDir)
+      .select(col("id1"), col("id2"))
+    val lab = Dedup.connectedComponents(docs.select(col("doc_id")), edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val toks = docs.select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ", -1).length.toLong).toMap
+    // split-of-cluster via the same portable hash, evaluated as data
+    val bucketOf = lab.values.toSeq.distinct.toDF("cluster")
+      .select(col("cluster"),
+        (graft.functions.PortableHash.md5Hash48(
+          concat(lit("csplit:"), col("cluster").cast("string"))) % 100).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def splitOf(c: Long): String = {
+      val b = bucketOf(c)
+      if (b < 80) "train" else if (b < 90) "validation" else "test"
+    }
+    val byDoc = lab.toSeq.map { case (d, c) => (splitOf(c), c, toks(d)) }
+    val grouped = byDoc.groupBy(_._1)
+    val totalMass = byDoc.map(_._3).sum
+    val rows = Corpus.splitBalance(spark, sfDir).collect()
+    assert(rows.map(_.getString(0)).toSet == grouped.keySet)
+    for (r <- rows) {
+      val g = grouped(r.getString(0))
+      val mass = g.map(_._3).sum
+      val top = g.groupBy(_._2).map(_._2.map(_._3).sum).max
+      assert(r.getLong(1) == g.size, s"n_docs ${r.getString(0)}")
+      assert(r.getLong(2) == g.map(_._2).distinct.size, s"n_clusters ${r.getString(0)}")
+      assert(r.getLong(3) == mass, s"token_mass ${r.getString(0)}")
+      assert(r.getLong(4) == mass * 1000000L / totalMass, s"share ${r.getString(0)}")
+      assert(r.getLong(5) == top * 1000000L / mass, s"top share ${r.getString(0)}")
+      val target = if (r.getString(0) == "train") 800000L else 100000L
+      assert(r.getLong(6) == target)
+      assert(r.getBoolean(7) == (math.abs(r.getLong(4) - target) > 50000L))
+      assert(r.getBoolean(8) == (r.getLong(5) > 500000L))
+    }
+    // floor-division shares: sum to 1e6 minus at most |splits| units
+    val shareSum = rows.map(_.getLong(4)).sum
+    assert(shareSum <= 1000000L && shareSum >= 1000000L - rows.length)
+    assert(rows.map(_.getLong(1)).sum == lab.size,
+      "every document lands in exactly one split")
+  }
+
   test("lang balance: every language downsamples to ≈ the smallest one") {
     import org.apache.spark.sql.functions.col
     val docs = graft.Tables.documents(spark, sfDir)

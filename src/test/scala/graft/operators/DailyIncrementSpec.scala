@@ -42,7 +42,7 @@ class DailyIncrementSpec extends AnyFunSuite {
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(s.keySet == Set("docs_admitted", "buckets_added",
       "fingerprints_added", "signatures_added", "edges_added",
-      "cells_touched"))
+      "cells_touched", "clusters_touched"))
 
     val kept = keptDf.count()
     assert(kept > 0, "need admitted docs at this SF for a meaningful census")
@@ -72,6 +72,25 @@ class DailyIncrementSpec extends AnyFunSuite {
       Similarity.cellRefresh(spark, sfDir)
         .filter(col("vec_id") % 10 < 2)
         .select(col("cent_id")).distinct().count())
+
+    // label-IVM composition (r16 verdict #1): the touched-cluster count
+    // must equal the distinct labels a ONE-SHOT star-contraction
+    // rebuild over the union edge set assigns the admitted docs —
+    // derived here without the incremental merge path, so a merge bug
+    // cannot self-certify
+    val rebuilt = {
+      val fp = distinctFps(corpusPlusKept)
+      val edges = fp.select(col("fp_hash"), col("doc_id").as("id1"))
+        .join(fp.select(col("fp_hash").as("h2"), col("doc_id").as("id2")),
+          col("fp_hash") === col("h2") && col("id1") < col("id2"))
+        .groupBy(col("id1"), col("id2")).agg(count(lit(1)).as("n_shared"))
+        .filter(col("n_shared") >= 3).select(col("id1"), col("id2"))
+      GraphOps.connectedComponentsStar(
+          corpusPlusKept.select(col("doc_id")), edges, "doc_id")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    }
+    val keptIds = keptDf.collect().map(_.getLong(0))
+    assert(s("clusters_touched") == keptIds.map(rebuilt).distinct.length)
   }
 
   test("cellRefresh equals the frozen-centroid rebuild over corpus ∪ admitted") {

@@ -92,6 +92,21 @@ def medians(path):
             out.update(o["queries"])
     return out
 
+
+def loads_line(path):
+    """Per-artifact load context: (loadavg_launch, loadavg_start).
+    launch is sampled BEFORE the session/warm-up (co-tenant load of the
+    window); start is after warm-up and includes self-load (r16 #3)."""
+    launch, start = None, None
+    try:
+        for line in open(path):
+            o = json.loads(line)
+            if o.get("metric") == "total":
+                launch, start = o.get("loadavg_launch"), o.get("loadavg_start")
+    except OSError:
+        pass
+    return launch, start
+
 def main(p001, p01, p1, psf1=None, prior_sf1=None):
     """Three mandatory artifacts (sf0.001/0.01/0.1) plus an optional
     fourth (sf1, round-13): queries present in the sf1 artifact get a
@@ -102,6 +117,12 @@ def main(p001, p01, p1, psf1=None, prior_sf1=None):
     m001, m01, m1 = medians(p001), medians(p01), medians(p1)
     msf1 = medians(psf1) if psf1 else {}
     mprior = medians(prior_sf1) if prior_sf1 else {}
+    for label, path in (("sf0.001", p001), ("sf0.01", p01),
+                        ("sf0.1", p1), ("sf1", psf1)):
+        if path:
+            launch, start = loads_line(path)
+            print("# %s: loadavg_launch=%s loadavg_start=%s" %
+                  (label, launch, start))
     rows = []
     for q in sorted(m1):
         t0, t1, t2 = m001.get(q, -1), m01.get(q, -1), m1.get(q, -1)
