@@ -110,6 +110,7 @@ object SparkEntry {
     "corpus_split_leakage" -> (Corpus.splitLeakage _),
     "corpus_split_clustered" -> (Corpus.clusteredSplit _),
     "corpus_split_balance" -> (Corpus.splitBalance _),
+    "corpus_split_churn" -> (Corpus.splitChurn _),
     "corpus_pack_bins" -> ((s: SparkSession, d: String) => Corpus.packTokenBins(s, d)),
     "corpus_clean" -> (Corpus.cleanPipeline _),
     "corpus_decontaminate" -> ((s: SparkSession, d: String) => Corpus.decontaminate(s, d)),
@@ -581,9 +582,10 @@ object SparkEntry {
     // that zeroes it — both ride the winnow edge memo built above):
     "corpus_split_leakage", "corpus_split_clustered",
     // round-17 additions (cluster-label IVM closing the maintained-index
-    // family, and the split-balance alert declaring the mega-cluster
-    // trade-off — both ride the edge memo / label machinery above):
-    "dedup_cluster_refresh", "corpus_split_balance")
+    // family, the split-balance alert declaring the mega-cluster
+    // trade-off, and the day-2 split-churn audit the IVM enables):
+    "dedup_cluster_refresh", "corpus_split_balance",
+    "corpus_split_churn")
 
   // --- generated DuckDB replicas of the portable-hash queries ----------
 
@@ -696,14 +698,14 @@ object SparkEntry {
     * shingle CTEs prefixed `a_` so the block composes with the winnow
     * chain (which owns ws/g/gr/k/m). */
   private def admissionKeptCtes: String =
-    s"""bk0 AS (
+    s"""bk0 AS MATERIALIZED (
        |$minhashOracle),
        |hot AS (SELECT band, bucket FROM bk0 GROUP BY 1, 2
        |  HAVING count(*) > 1024),
-       |bk AS (SELECT * FROM bk0 WHERE NOT EXISTS (
+       |bk AS MATERIALIZED (SELECT * FROM bk0 WHERE NOT EXISTS (
        |  SELECT 1 FROM hot h
        |  WHERE h.band = bk0.band AND h.bucket = bk0.bucket)),
-       |ex AS (SELECT doc_id, md5(text) AS h FROM documents),
+       |ex AS MATERIALIZED (SELECT doc_id, md5(text) AS h FROM documents),
        |exact AS (SELECT n.doc_id, min(c.doc_id) AS exact_of
        |  FROM ex n JOIN ex c ON n.h = c.h AND c.doc_id % 10 >= 2
        |  WHERE n.doc_id % 10 < 2 GROUP BY 1),
@@ -711,10 +713,10 @@ object SparkEntry {
        |  FROM bk x JOIN bk y ON x.band = y.band AND x.bucket = y.bucket
        |  WHERE x.doc_id % 10 < 2 AND y.doc_id % 10 >= 2),
        |a_ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-       |a_shs AS (SELECT doc_id, unnest(list_distinct(
+       |a_shs AS MATERIALIZED (SELECT doc_id, unnest(list_distinct(
        |  [array_to_string(w[i:i+2], ' ') for i in range(1, len(w) - 1)])) AS s
        |  FROM a_ws WHERE len(w) >= 3),
-       |a_szs AS (SELECT doc_id, count(*) AS n_sh FROM a_shs GROUP BY 1),
+       |a_szs AS MATERIALIZED (SELECT doc_id, count(*) AS n_sh FROM a_shs GROUP BY 1),
        |ints AS (SELECT c.new_id, c.corp_id, count(*) AS n_int
        |  FROM cand c JOIN a_shs p ON p.doc_id = c.new_id
        |  JOIN a_shs q ON q.doc_id = c.corp_id AND p.s = q.s
@@ -724,7 +726,7 @@ object SparkEntry {
        |  JOIN a_szs s2 ON s2.doc_id = i.corp_id
        |  WHERE i.n_int * 10 >= 7 * (s1.n_sh + s2.n_sh - i.n_int)
        |  GROUP BY 1),
-       |kept AS (SELECT d.doc_id FROM documents d
+       |kept AS MATERIALIZED (SELECT d.doc_id FROM documents d
        |  LEFT JOIN exact e ON e.doc_id = d.doc_id
        |  LEFT JOIN near nr ON nr.new_id = d.doc_id
        |  WHERE d.doc_id % 10 < 2
@@ -755,20 +757,20 @@ object SparkEntry {
     * side's memory LOUDLY rather than silently passing (the Spark star
     * contraction stays bounded). `dedup_cluster_census` fronts the
     * size tail before anything trusts the labels. */
-  private def clusterRefreshOracle: String =
+  private def clusterRefreshCtes: String =
     s"""WITH RECURSIVE $admissionKeptCtes,
        |${winnowChain(
            " WHERE doc_id % 10 >= 2 OR doc_id IN (SELECT doc_id FROM kept)")},
-       |fp AS (SELECT DISTINCT doc_id, wmin // 32768 AS fp_hash
+       |fp AS MATERIALIZED (SELECT DISTINCT doc_id, wmin // 32768 AS fp_hash
        |  FROM m WHERE cnt = 4),
        |fpo0 AS (SELECT * FROM fp WHERE doc_id % 10 >= 2),
        |hoto AS (SELECT fp_hash FROM fpo0 GROUP BY 1 HAVING count(*) > 4096),
-       |fpo AS (SELECT * FROM fpo0 WHERE fp_hash NOT IN
+       |fpo AS MATERIALIZED (SELECT * FROM fpo0 WHERE fp_hash NOT IN
        |  (SELECT fp_hash FROM hoto)),
        |hotr AS (SELECT fp_hash FROM fp GROUP BY 1 HAVING count(*) > 4096),
-       |fpr AS (SELECT * FROM fp WHERE fp_hash NOT IN
+       |fpr AS MATERIALIZED (SELECT * FROM fp WHERE fp_hash NOT IN
        |  (SELECT fp_hash FROM hotr)),
-       |edo AS (SELECT a.doc_id AS id1, b.doc_id AS id2
+       |edo AS MATERIALIZED (SELECT a.doc_id AS id1, b.doc_id AS id2
        |  FROM fpo a JOIN fpo b ON a.fp_hash = b.fp_hash
        |    AND a.doc_id < b.doc_id
        |  GROUP BY 1, 2 HAVING count(*) >= 3),
@@ -779,7 +781,8 @@ object SparkEntry {
        |      AND a.doc_id <> b.doc_id
        |    WHERE a.doc_id % 10 < 2)
        |  GROUP BY 1, 2 HAVING count(*) >= 3),
-       |alle AS (SELECT id1, id2 FROM edo UNION SELECT id1, id2 FROM edd),
+       |alle AS MATERIALIZED (SELECT id1, id2 FROM edo
+       |  UNION SELECT id1, id2 FROM edd),
        |eds AS (SELECT id1 AS a, id2 AS b FROM alle
        |  UNION ALL SELECT id2 AS a, id1 AS b FROM alle),
        |nodes AS (SELECT doc_id FROM documents
@@ -787,9 +790,47 @@ object SparkEntry {
        |reach AS (
        |  SELECT doc_id AS src, doc_id AS dst FROM nodes
        |  UNION
-       |  SELECT r.src, eds.b AS dst FROM reach r JOIN eds ON r.dst = eds.a)
+       |  SELECT r.src, eds.b AS dst FROM reach r JOIN eds ON r.dst = eds.a)""".stripMargin
+
+  private def clusterRefreshOracle: String =
+    s"""$clusterRefreshCtes
        |SELECT src AS doc_id, CAST(min(dst) AS BIGINT) AS cluster
        |FROM reach GROUP BY src""".stripMargin
+
+  /** Split-churn replica: the refresh-CC labels (shared CTE chain
+    * above) PLUS a second recursive CC over the day-1-only edges
+    * (`edo`), both label sets hashed to splits, migration matrix with
+    * admitted docs entering as old_split='new'. Same reach-blowup
+    * hazard note as [[clusterRefreshOracle]]. */
+  private def splitChurnOracle: String = {
+    val hc = graft.functions.PortableHash.sqlH48(
+      "concat('csplit:', CAST(cluster AS VARCHAR))")
+    def splitCase(src: String, alias: String) =
+      s"""SELECT doc_id, CASE WHEN b < 80 THEN 'train'
+         |    WHEN b < 90 THEN 'validation' ELSE 'test' END AS $alias
+         |  FROM (SELECT doc_id, $hc % 100 AS b FROM $src)""".stripMargin
+    s"""$clusterRefreshCtes,
+       |lab2 AS (SELECT src AS doc_id, CAST(min(dst) AS BIGINT) AS cluster
+       |  FROM reach GROUP BY src),
+       |eds1 AS (SELECT id1 AS a, id2 AS b FROM edo
+       |  UNION ALL SELECT id2 AS a, id1 AS b FROM edo),
+       |reach1 AS (
+       |  SELECT doc_id AS src, doc_id AS dst FROM documents
+       |  WHERE doc_id % 10 >= 2
+       |  UNION
+       |  SELECT r.src, eds1.b AS dst FROM reach1 r JOIN eds1 ON r.dst = eds1.a),
+       |lab1 AS (SELECT src AS doc_id, CAST(min(dst) AS BIGINT) AS cluster
+       |  FROM reach1 GROUP BY src),
+       |s2 AS (${splitCase("lab2", "new_split")}),
+       |s1 AS (${splitCase("lab1", "old_split")})
+       |SELECT old_split, new_split, CAST(count(*) AS BIGINT) AS n_docs,
+       |  old_split <> new_split AND old_split <> 'new' AS is_churn,
+       |  CAST(min(doc_id) AS BIGINT) AS example_doc
+       |FROM (SELECT s2.doc_id, s2.new_split,
+       |    coalesce(s1.old_split, 'new') AS old_split
+       |  FROM s2 LEFT JOIN s1 ON s2.doc_id = s1.doc_id)
+       |GROUP BY 1, 2""".stripMargin
+  }
 
   /** Vector-index IVM replica (the FULL REBUILD over corpus ∪ admitted;
     * admission = new×corpus bucket-collision + exact-cosine gate) —
@@ -836,12 +877,12 @@ object SparkEntry {
     * byte-identical chains except the corpus restriction). */
   private def winnowRecallOracle(where: String = ""): String =
     s"""${winnowCte(where)},
-      |fp AS (SELECT DISTINCT doc_id, wmin // 32768 AS fp_hash
+      |fp AS MATERIALIZED (SELECT DISTINCT doc_id, wmin // 32768 AS fp_hash
       |  FROM m WHERE cnt = 4),
       |cand AS (SELECT a.doc_id AS id1, b.doc_id AS id2
       |  FROM fp a JOIN fp b ON a.fp_hash = b.fp_hash AND a.doc_id < b.doc_id
       |  GROUP BY 1, 2 HAVING count(*) >= 3),
-      |sh AS (SELECT doc_id, unnest(list_distinct(
+      |sh AS MATERIALIZED (SELECT doc_id, unnest(list_distinct(
       |  [array_to_string(w[i:i+2], ' ') for i in range(1, len(w) - 1)])) AS s
       |  FROM ws WHERE len(w) >= 3),
       |ns AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
@@ -869,21 +910,21 @@ object SparkEntry {
     * intermediate rank is bit-identical. */
   private def pagerankOracle(iters: Int = 3): String = {
     val iterCtes = (1 to iters).map { k =>
-      s"""r$k AS (SELECT d.doc_id, 150000 + (85 * coalesce(s.s, 0)) // 100 AS r
+      s"""r$k AS MATERIALIZED (SELECT d.doc_id, 150000 + (85 * coalesce(s.s, 0)) // 100 AS r
          |  FROM documents d LEFT JOIN (
          |    SELECT e.dst AS doc_id, CAST(sum(r.r // dg.deg) AS BIGINT) AS s
          |    FROM e JOIN dg ON e.src = dg.src JOIN r${k - 1} r ON e.src = r.doc_id
          |    GROUP BY 1) s ON d.doc_id = s.doc_id)""".stripMargin
     }.mkString(",\n")
     s"""${winnowCte()},
-       |fp AS (SELECT DISTINCT doc_id, wmin // 32768 AS fp_hash
+       |fp AS MATERIALIZED (SELECT DISTINCT doc_id, wmin // 32768 AS fp_hash
        |  FROM m WHERE cnt = 4),
-       |p AS (SELECT a.doc_id AS id1, b.doc_id AS id2
+       |p AS MATERIALIZED (SELECT a.doc_id AS id1, b.doc_id AS id2
        |  FROM fp a JOIN fp b ON a.fp_hash = b.fp_hash AND a.doc_id < b.doc_id
        |  GROUP BY 1, 2 HAVING count(*) >= 3),
-       |e AS (SELECT id1 AS src, id2 AS dst FROM p
+       |e AS MATERIALIZED (SELECT id1 AS src, id2 AS dst FROM p
        |  UNION ALL SELECT id2, id1 FROM p),
-       |dg AS (SELECT src, count(*) AS deg FROM e GROUP BY 1),
+       |dg AS MATERIALIZED (SELECT src, count(*) AS deg FROM e GROUP BY 1),
        |r0 AS (SELECT doc_id, CAST(1000000 AS BIGINT) AS r FROM documents),
        |$iterCtes
        |SELECT r$iters.doc_id, r AS rank_micro,
@@ -1246,26 +1287,30 @@ object SparkEntry {
     val exact = "CAST(coalesce(i.n_int, 0) AS DOUBLE) / (s1.n_sh + s2.n_sh - coalesce(i.n_int, 0))"
     val est = s"CAST(pr.n_equal AS DOUBLE) / $MinhashPerm"
     s"""WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-       |sh AS (SELECT doc_id, unnest(list_distinct(
+       |sh AS MATERIALIZED (SELECT doc_id, unnest(list_distinct(
        |  [array_to_string(w[i:i+2], ' ') for i in range(1, len(w) - 1)])) AS s
        |  FROM ws WHERE len(w) >= 3),
        |hh AS (SELECT doc_id, $h48 AS h FROM sh),
-       |sig AS (SELECT doc_id, $mins FROM hh GROUP BY doc_id),
-       |bk0 AS (SELECT doc_id, band, CASE band $bandCase END AS bucket
+       |sig AS MATERIALIZED (SELECT doc_id, $mins FROM hh GROUP BY doc_id),
+       |bk0 AS MATERIALIZED (SELECT doc_id, band, CASE band $bandCase END AS bucket
        |  FROM sig CROSS JOIN (VALUES ${(0 until Bands).map(b => s"($b)").mkString(",")}) AS t(band)),
        |hot AS (SELECT band, bucket FROM bk0 GROUP BY 1, 2
        |  HAVING count(*) > 1024),
-       |bk AS (SELECT * FROM bk0 WHERE NOT EXISTS (
+       |bk AS MATERIALIZED (SELECT * FROM bk0 WHERE NOT EXISTS (
        |  SELECT 1 FROM hot h
        |  WHERE h.band = bk0.band AND h.bucket = bk0.bucket)),
-       |cand AS (SELECT DISTINCT x.doc_id AS doc1, y.doc_id AS doc2
+       |cand AS MATERIALIZED (SELECT DISTINCT x.doc_id AS doc1, y.doc_id AS doc2
        |  FROM bk x JOIN bk y ON x.band = y.band AND x.bucket = y.bucket
        |    AND x.doc_id < y.doc_id),
        |pairs AS (SELECT c.doc1, c.doc2, ($eq) AS n_equal
        |  FROM cand c JOIN sig a ON a.doc_id = c.doc1 JOIN sig b ON b.doc_id = c.doc2),
        |szs AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
-       |ints AS (SELECT p.doc_id AS doc1, q.doc_id AS doc2, count(*) AS n_int
-       |  FROM sh p JOIN sh q ON p.s = q.s AND p.doc_id < q.doc_id GROUP BY 1, 2)
+       |-- candidate-scoped intersections: only ever read via cand, and
+       |-- the unrestricted s=s self-join is f-squared on a zipf corpus
+       |ints AS (SELECT c.doc1, c.doc2, count(*) AS n_int
+       |  FROM cand c JOIN sh p ON p.doc_id = c.doc1
+       |  JOIN sh q ON q.doc_id = c.doc2 AND p.s = q.s
+       |  GROUP BY 1, 2)
        |SELECT pr.doc1, pr.doc2, CAST(pr.n_equal AS BIGINT) AS n_equal,
        |  floor($est * 10000 + 0.5) / 10000 AS est_jaccard,
        |  floor($exact * 10000 + 0.5) / 10000 AS jaccard,
@@ -1320,9 +1365,19 @@ object SparkEntry {
   /** SimHash banded-candidates replica: same 48-bit simhash, same
     * 3×16-bit hamming-blocking bands, same `<` pair ordering. */
   private def simhashPairsOracle: String = {
+    // capHotKeys(1024) mirrored: at zipf-sf1 the simhash band buckets
+    // genuinely exceed the cap (measured band-2 max 4115 docs), so an
+    // uncapped replica both diverges AND goes O(bucket²) — the exact
+    // defect class the sf1 cap gate exists to catch (r16 verdict #4).
     s"""WITH sims AS ($simhashOracle),
-       |banded AS (SELECT doc_id, band, (simhash >> (band * 16)) & 65535 AS bucket
-       |  FROM sims CROSS JOIN (VALUES (0),(1),(2)) AS b(band))
+       |banded0 AS MATERIALIZED (SELECT doc_id, band,
+       |    (simhash >> (band * 16)) & 65535 AS bucket
+       |  FROM sims CROSS JOIN (VALUES (0),(1),(2)) AS b(band)),
+       |hotb AS (SELECT band, bucket FROM banded0 GROUP BY 1, 2
+       |  HAVING count(*) > 1024),
+       |banded AS MATERIALIZED (SELECT * FROM banded0 WHERE NOT EXISTS (
+       |  SELECT 1 FROM hotb h
+       |  WHERE h.band = banded0.band AND h.bucket = banded0.bucket))
        |SELECT DISTINCT x.doc_id AS doc1, y.doc_id AS doc2
        |FROM banded x JOIN banded y
        |  ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id""".stripMargin
@@ -1541,26 +1596,30 @@ object SparkEntry {
     val eqB = (0 until MinhashPerm).map(i =>
       s"CASE WHEN a.m$i % $twoB = b.m$i % $twoB THEN 1 ELSE 0 END").mkString(" + ")
     s"""WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-       |sh AS (SELECT doc_id, unnest(list_distinct(
+       |sh AS MATERIALIZED (SELECT doc_id, unnest(list_distinct(
        |  [array_to_string(w[i:i+2], ' ') for i in range(1, len(w) - 1)])) AS s
        |  FROM ws WHERE len(w) >= 3),
        |hh AS (SELECT doc_id, $h48 AS h FROM sh),
-       |sig AS (SELECT doc_id, $mins FROM hh GROUP BY doc_id),
-       |bk0 AS (SELECT doc_id, band, CASE band $bandCase END AS bucket
+       |sig AS MATERIALIZED (SELECT doc_id, $mins FROM hh GROUP BY doc_id),
+       |bk0 AS MATERIALIZED (SELECT doc_id, band, CASE band $bandCase END AS bucket
        |  FROM sig CROSS JOIN (VALUES ${(0 until Bands).map(b => s"($b)").mkString(",")}) AS t(band)),
        |hot AS (SELECT band, bucket FROM bk0 GROUP BY 1, 2
        |  HAVING count(*) > 1024),
-       |bk AS (SELECT * FROM bk0 WHERE NOT EXISTS (
+       |bk AS MATERIALIZED (SELECT * FROM bk0 WHERE NOT EXISTS (
        |  SELECT 1 FROM hot h
        |  WHERE h.band = bk0.band AND h.bucket = bk0.bucket)),
-       |cand AS (SELECT DISTINCT x.doc_id AS doc1, y.doc_id AS doc2
+       |cand AS MATERIALIZED (SELECT DISTINCT x.doc_id AS doc1, y.doc_id AS doc2
        |  FROM bk x JOIN bk y ON x.band = y.band AND x.bucket = y.bucket
        |    AND x.doc_id < y.doc_id),
        |pairs AS (SELECT c.doc1, c.doc2, ($eqF) AS nf, ($eqB) AS nb
        |  FROM cand c JOIN sig a ON a.doc_id = c.doc1 JOIN sig b ON b.doc_id = c.doc2),
        |szs AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
-       |ints AS (SELECT p.doc_id AS doc1, q.doc_id AS doc2, count(*) AS n_int
-       |  FROM sh p JOIN sh q ON p.s = q.s AND p.doc_id < q.doc_id GROUP BY 1, 2),
+       |-- candidate-scoped intersections (read only via cand; the
+       |-- unrestricted s=s self-join is f-squared on a zipf corpus)
+       |ints AS (SELECT c.doc1, c.doc2, count(*) AS n_int
+       |  FROM cand c JOIN sh p ON p.doc_id = c.doc1
+       |  JOIN sh q ON q.doc_id = c.doc2 AND p.s = q.s
+       |  GROUP BY 1, 2),
        |t AS (SELECT pr.doc1, pr.doc2,
        |  CAST(pr.nf AS BIGINT) AS n_equal_full, CAST(pr.nb AS BIGINT) AS n_equal_bbit,
        |  CAST((1000 * pr.nf) // $MinhashPerm AS BIGINT) AS est_full_milli,
@@ -1794,7 +1853,7 @@ object SparkEntry {
     // Keep-first at the minhash level: dominated = any band-bucket
     // collision with a smaller doc_id; survivors via anti-join.
     "dedup_minhash_keep_first" ->
-      s"""WITH bk AS (
+      s"""WITH bk AS MATERIALIZED (
          |$minhashOracle),
          |dom AS (SELECT DISTINCT x.doc_id FROM bk x
          |  JOIN bk y ON x.band = y.band AND x.bucket = y.bucket
@@ -1833,9 +1892,9 @@ object SparkEntry {
     "corpus_split_leakage" -> {
       val h = graft.functions.PortableHash.sqlH48("concat('split:', CAST(doc_id AS VARCHAR))")
       s"""${winnowCte()},
-         |fp AS (SELECT DISTINCT doc_id, wmin // 32768 AS fp_hash
+         |fp AS MATERIALIZED (SELECT DISTINCT doc_id, wmin // 32768 AS fp_hash
          |  FROM m WHERE cnt = 4),
-         |ed0 AS (SELECT a.doc_id AS id1, b.doc_id AS id2
+         |ed0 AS MATERIALIZED (SELECT a.doc_id AS id1, b.doc_id AS id2
          |  FROM fp a JOIN fp b ON a.fp_hash = b.fp_hash AND a.doc_id < b.doc_id
          |  GROUP BY 1, 2 HAVING count(*) >= 3),
          |sp AS (SELECT doc_id,
@@ -1866,9 +1925,9 @@ object SparkEntry {
       val ctes = winnowCte().replaceFirst("WITH ", "WITH RECURSIVE ")
       val hc = graft.functions.PortableHash.sqlH48("concat('csplit:', CAST(cluster AS VARCHAR))")
       s"""$ctes,
-         |fp AS (SELECT DISTINCT doc_id, wmin // 32768 AS fp_hash
+         |fp AS MATERIALIZED (SELECT DISTINCT doc_id, wmin // 32768 AS fp_hash
          |  FROM m WHERE cnt = 4),
-         |ed0 AS (SELECT a.doc_id AS id1, b.doc_id AS id2
+         |ed0 AS MATERIALIZED (SELECT a.doc_id AS id1, b.doc_id AS id2
          |  FROM fp a JOIN fp b ON a.fp_hash = b.fp_hash AND a.doc_id < b.doc_id
          |  GROUP BY 1, 2 HAVING count(*) >= 3),
          |eds AS (SELECT id1 AS a, id2 AS b FROM ed0
@@ -1879,7 +1938,7 @@ object SparkEntry {
          |  SELECT r.src, eds.b AS dst FROM reach r JOIN eds ON r.dst = eds.a),
          |lab AS (SELECT src AS doc_id, CAST(min(dst) AS BIGINT) AS cluster
          |  FROM reach GROUP BY src),
-         |spl AS (SELECT doc_id, cluster,
+         |spl AS MATERIALIZED (SELECT doc_id, cluster,
          |    CASE WHEN bucket < 80 THEN 'train'
          |         WHEN bucket < 90 THEN 'validation' ELSE 'test' END AS split
          |  FROM (SELECT doc_id, cluster, $hc % 100 AS bucket FROM lab)),
@@ -1901,9 +1960,9 @@ object SparkEntry {
       val ctes = winnowCte().replaceFirst("WITH ", "WITH RECURSIVE ")
       val hc = graft.functions.PortableHash.sqlH48("concat('csplit:', CAST(cluster AS VARCHAR))")
       s"""$ctes,
-         |fp AS (SELECT DISTINCT doc_id, wmin // 32768 AS fp_hash
+         |fp AS MATERIALIZED (SELECT DISTINCT doc_id, wmin // 32768 AS fp_hash
          |  FROM m WHERE cnt = 4),
-         |ed0 AS (SELECT a.doc_id AS id1, b.doc_id AS id2
+         |ed0 AS MATERIALIZED (SELECT a.doc_id AS id1, b.doc_id AS id2
          |  FROM fp a JOIN fp b ON a.fp_hash = b.fp_hash AND a.doc_id < b.doc_id
          |  GROUP BY 1, 2 HAVING count(*) >= 3),
          |eds AS (SELECT id1 AS a, id2 AS b FROM ed0
@@ -1924,7 +1983,7 @@ object SparkEntry {
          |bc AS (SELECT split, cluster, count(*) AS nd,
          |    CAST(sum(n_tokens) AS BIGINT) AS mass
          |  FROM spl JOIN tk USING (doc_id) GROUP BY 1, 2),
-         |bs AS (SELECT split, CAST(sum(nd) AS BIGINT) AS n_docs,
+         |bs AS MATERIALIZED (SELECT split, CAST(sum(nd) AS BIGINT) AS n_docs,
          |    CAST(count(*) AS BIGINT) AS n_clusters,
          |    CAST(sum(mass) AS BIGINT) AS token_mass,
          |    CAST(max(mass) AS BIGINT) AS top_cluster_mass
@@ -2222,13 +2281,13 @@ object SparkEntry {
     // r a pure rational — sign-safe floor division on both engines.
     "graph_assortativity" ->
       s"""${winnowCte()},
-         |fp2 AS (SELECT DISTINCT doc_id, wmin // 32768 AS fp_hash
+         |fp2 AS MATERIALIZED (SELECT DISTINCT doc_id, wmin // 32768 AS fp_hash
          |  FROM m WHERE cnt = 4),
-         |p AS (SELECT a.doc_id AS id1, b.doc_id AS id2
+         |p AS MATERIALIZED (SELECT a.doc_id AS id1, b.doc_id AS id2
          |  FROM fp2 a JOIN fp2 b ON a.fp_hash = b.fp_hash
          |    AND a.doc_id < b.doc_id
          |  GROUP BY 1, 2 HAVING count(*) >= 3),
-         |deg AS (SELECT doc_id, count(*) AS d FROM (
+         |deg AS MATERIALIZED (SELECT doc_id, count(*) AS d FROM (
          |    SELECT id1 AS doc_id FROM p UNION ALL SELECT id2 FROM p)
          |  GROUP BY 1),
          |arcs AS (SELECT u, v FROM (
@@ -2593,7 +2652,7 @@ object SparkEntry {
     // metric itself is exact on both engines.
     "dedup_edit_distance" ->
       s"""${winnowCte()},
-         |tfp AS (SELECT DISTINCT doc_id, wmin // 32768 AS fp_hash
+         |tfp AS MATERIALIZED (SELECT DISTINCT doc_id, wmin // 32768 AS fp_hash
          |  FROM m WHERE cnt = 4),
          |tp AS (SELECT x.doc_id AS id1, y.doc_id AS id2,
          |    count(*) AS n_shared
@@ -2763,7 +2822,7 @@ object SparkEntry {
         |FROM m WHERE cnt = 4""".stripMargin,
     "dedup_winnow_pairs" ->
       s"""${winnowCte()},
-        |fp AS (SELECT DISTINCT doc_id, wmin // 32768 AS fp_hash
+        |fp AS MATERIALIZED (SELECT DISTINCT doc_id, wmin // 32768 AS fp_hash
         |  FROM m WHERE cnt = 4),
         |p AS (SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS n_shared
         |  FROM fp a JOIN fp b ON a.fp_hash = b.fp_hash AND a.doc_id < b.doc_id
@@ -2773,7 +2832,7 @@ object SparkEntry {
     // Full (un-limited) edge list — the graph family's build step.
     "graph_edges_build" ->
       s"""${winnowCte()},
-        |fp AS (SELECT DISTINCT doc_id, wmin // 32768 AS fp_hash
+        |fp AS MATERIALIZED (SELECT DISTINCT doc_id, wmin // 32768 AS fp_hash
         |  FROM m WHERE cnt = 4)
         |SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS n_shared
         |FROM fp a JOIN fp b ON a.fp_hash = b.fp_hash AND a.doc_id < b.doc_id
@@ -2783,7 +2842,7 @@ object SparkEntry {
     // step): the graph_edges_build replica with the HAVING floor at 1.
     "graph_candidates_build" ->
       s"""${winnowCte()},
-         |fp AS (SELECT DISTINCT doc_id, wmin // 32768 AS fp_hash
+         |fp AS MATERIALIZED (SELECT DISTINCT doc_id, wmin // 32768 AS fp_hash
          |  FROM m WHERE cnt = 4)
          |SELECT a.doc_id AS id1, b.doc_id AS id2
          |FROM fp a JOIN fp b ON a.fp_hash = b.fp_hash AND a.doc_id < b.doc_id
@@ -2794,9 +2853,9 @@ object SparkEntry {
     // rows at every test SF.
     "graph_dropped_hubs" ->
       s"""${winnowCte()},
-         |fp AS (SELECT DISTINCT doc_id, wmin // 32768 AS fp_hash
+         |fp AS MATERIALIZED (SELECT DISTINCT doc_id, wmin // 32768 AS fp_hash
          |  FROM m WHERE cnt = 4),
-         |p AS (SELECT a.doc_id AS id1, b.doc_id AS id2
+         |p AS MATERIALIZED (SELECT a.doc_id AS id1, b.doc_id AS id2
          |  FROM fp a JOIN fp b ON a.fp_hash = b.fp_hash AND a.doc_id < b.doc_id
          |  GROUP BY 1, 2),
          |e AS (SELECT id1 AS src FROM p UNION ALL SELECT id2 FROM p)
@@ -4033,12 +4092,20 @@ object SparkEntry {
       """SELECT md5(text) AS content_hash, count(*) AS n_copies,
         |  list_sort(list(doc_id)) AS doc_ids
         |FROM documents GROUP BY 1 HAVING count(*) > 1""".stripMargin,
+    // Mirrors the Spark side's stop-shingle cap (capHotKeys 4096):
+    // shingles above the cap leave the UNIVERSE — sizes and
+    // intersection alike — so a zipf-hot boilerplate gram shifts the
+    // Jaccard identically on both engines instead of blowing the
+    // oracle's self-join f-squared.
     "dedup_ngram_top_pairs" ->
       """WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-        |sh AS (
+        |sh0 AS MATERIALIZED (
         |  SELECT doc_id, unnest(list_distinct(
         |    [array_to_string(w[i:i+2], ' ') for i in range(1, len(w) - 1)])) AS shingle
         |  FROM ws WHERE len(w) >= 3),
+        |hotsh AS (SELECT shingle FROM sh0 GROUP BY 1 HAVING count(*) > 4096),
+        |sh AS MATERIALIZED (SELECT * FROM sh0
+        |  WHERE shingle NOT IN (SELECT shingle FROM hotsh)),
         |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
         |inter AS (
         |  SELECT a.doc_id AS doc1, b.doc_id AS doc2, count(*) AS n_inter
@@ -4258,14 +4325,14 @@ object SparkEntry {
     // SAME capped LSH bucket table as dedup_threshold_sweep restricted
     // to new×corpus collisions, verified by exact 3-gram Jaccard >= .7.
     "dedup_incremental" ->
-      s"""WITH bk0 AS (
+      s"""WITH bk0 AS MATERIALIZED (
          |$minhashOracle),
          |hot AS (SELECT band, bucket FROM bk0 GROUP BY 1, 2
          |  HAVING count(*) > 1024),
-         |bk AS (SELECT * FROM bk0 WHERE NOT EXISTS (
+         |bk AS MATERIALIZED (SELECT * FROM bk0 WHERE NOT EXISTS (
          |  SELECT 1 FROM hot h
          |  WHERE h.band = bk0.band AND h.bucket = bk0.bucket)),
-         |ex AS (SELECT doc_id, md5(text) AS h FROM documents),
+         |ex AS MATERIALIZED (SELECT doc_id, md5(text) AS h FROM documents),
          |exact AS (SELECT n.doc_id, min(c.doc_id) AS exact_of
          |  FROM ex n JOIN ex c ON n.h = c.h AND c.doc_id % 10 >= 2
          |  WHERE n.doc_id % 10 < 2 GROUP BY 1),
@@ -4273,10 +4340,10 @@ object SparkEntry {
          |  FROM bk x JOIN bk y ON x.band = y.band AND x.bucket = y.bucket
          |  WHERE x.doc_id % 10 < 2 AND y.doc_id % 10 >= 2),
          |ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-         |shs AS (SELECT doc_id, unnest(list_distinct(
+         |shs AS MATERIALIZED (SELECT doc_id, unnest(list_distinct(
          |  [array_to_string(w[i:i+2], ' ') for i in range(1, len(w) - 1)])) AS s
          |  FROM ws WHERE len(w) >= 3),
-         |szs AS (SELECT doc_id, count(*) AS n_sh FROM shs GROUP BY 1),
+         |szs AS MATERIALIZED (SELECT doc_id, count(*) AS n_sh FROM shs GROUP BY 1),
          |ints AS (SELECT c.new_id, c.corp_id, count(*) AS n_int
          |  FROM cand c JOIN shs p ON p.doc_id = c.new_id
          |  JOIN shs q ON q.doc_id = c.corp_id AND p.s = q.s
@@ -4301,14 +4368,14 @@ object SparkEntry {
     // unions the stored corpus index with a delta banding pass over
     // ONLY the admitted slice. Hash equality == refresh ≡ rebuild.
     "dedup_bucket_refresh" ->
-      s"""WITH bk0 AS (
+      s"""WITH bk0 AS MATERIALIZED (
          |$minhashOracle),
          |hot AS (SELECT band, bucket FROM bk0 GROUP BY 1, 2
          |  HAVING count(*) > 1024),
-         |bk AS (SELECT * FROM bk0 WHERE NOT EXISTS (
+         |bk AS MATERIALIZED (SELECT * FROM bk0 WHERE NOT EXISTS (
          |  SELECT 1 FROM hot h
          |  WHERE h.band = bk0.band AND h.bucket = bk0.bucket)),
-         |ex AS (SELECT doc_id, md5(text) AS h FROM documents),
+         |ex AS MATERIALIZED (SELECT doc_id, md5(text) AS h FROM documents),
          |exact AS (SELECT n.doc_id, min(c.doc_id) AS exact_of
          |  FROM ex n JOIN ex c ON n.h = c.h AND c.doc_id % 10 >= 2
          |  WHERE n.doc_id % 10 < 2 GROUP BY 1),
@@ -4316,10 +4383,10 @@ object SparkEntry {
          |  FROM bk x JOIN bk y ON x.band = y.band AND x.bucket = y.bucket
          |  WHERE x.doc_id % 10 < 2 AND y.doc_id % 10 >= 2),
          |ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-         |shs AS (SELECT doc_id, unnest(list_distinct(
+         |shs AS MATERIALIZED (SELECT doc_id, unnest(list_distinct(
          |  [array_to_string(w[i:i+2], ' ') for i in range(1, len(w) - 1)])) AS s
          |  FROM ws WHERE len(w) >= 3),
-         |szs AS (SELECT doc_id, count(*) AS n_sh FROM shs GROUP BY 1),
+         |szs AS MATERIALIZED (SELECT doc_id, count(*) AS n_sh FROM shs GROUP BY 1),
          |ints AS (SELECT c.new_id, c.corp_id, count(*) AS n_int
          |  FROM cand c JOIN shs p ON p.doc_id = c.new_id
          |  JOIN shs q ON q.doc_id = c.corp_id AND p.s = q.s
@@ -4343,6 +4410,7 @@ object SparkEntry {
     // refresh ≡ rebuild (completes the maintained-index trio).
     "dedup_fp_refresh" -> fpRefreshOracle,
     "dedup_cluster_refresh" -> clusterRefreshOracle,
+    "corpus_split_churn" -> splitChurnOracle,
     // Day-2 incremental integration: each stage's already-proven
     // replica scoped in its own derived table (DuckDB allows WITH
     // inside a derived table), counted. The edge delta counts
@@ -5070,11 +5138,12 @@ object SparkEntry {
     // with the 4096 hot-fingerprint cap mirrored.
     "graph_triangles" ->
       s"""${winnowCte()},
-         |fp0 AS (SELECT DISTINCT doc_id, wmin // 32768 AS fp_hash
+         |fp0 AS MATERIALIZED (SELECT DISTINCT doc_id, wmin // 32768 AS fp_hash
          |  FROM m WHERE cnt = 4),
          |hot AS (SELECT fp_hash FROM fp0 GROUP BY 1 HAVING count(*) > 4096),
-         |fp AS (SELECT * FROM fp0 WHERE fp_hash NOT IN (SELECT fp_hash FROM hot)),
-         |p AS (SELECT a.doc_id AS id1, b.doc_id AS id2
+         |fp AS MATERIALIZED (SELECT * FROM fp0
+         |  WHERE fp_hash NOT IN (SELECT fp_hash FROM hot)),
+         |p AS MATERIALIZED (SELECT a.doc_id AS id1, b.doc_id AS id2
          |  FROM fp a JOIN fp b ON a.fp_hash = b.fp_hash AND a.doc_id < b.doc_id
          |  GROUP BY 1, 2 HAVING count(*) >= 3),
          |t AS (SELECT x.id1 AS a, x.id2 AS b, y.id2 AS c
@@ -6347,7 +6416,7 @@ object SparkEntry {
     // estimation-error oracle's shape), thresholds as a VALUES spine
     // left-joined so empty thresholds still report zeros.
     "dedup_threshold_sweep" ->
-      s"""WITH bk0 AS (
+      s"""WITH bk0 AS MATERIALIZED (
          |$minhashOracle),
          |-- mirror the Spark side's capHotKeys(1024): a bucket over the
          |-- cap is excluded from candidate generation on BOTH engines,
@@ -6355,19 +6424,25 @@ object SparkEntry {
          |-- of surfacing as an unexplained oracle mismatch
          |hot AS (SELECT band, bucket FROM bk0 GROUP BY 1, 2
          |  HAVING count(*) > 1024),
-         |bk AS (SELECT * FROM bk0 WHERE NOT EXISTS (
+         |bk AS MATERIALIZED (SELECT * FROM bk0 WHERE NOT EXISTS (
          |  SELECT 1 FROM hot h
          |  WHERE h.band = bk0.band AND h.bucket = bk0.bucket)),
-         |cand AS (SELECT DISTINCT x.doc_id AS doc1, y.doc_id AS doc2
+         |cand AS MATERIALIZED (SELECT DISTINCT x.doc_id AS doc1, y.doc_id AS doc2
          |  FROM bk x JOIN bk y ON x.band = y.band AND x.bucket = y.bucket
          |    AND x.doc_id < y.doc_id),
          |ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-         |shs AS (SELECT doc_id, unnest(list_distinct(
+         |shs AS MATERIALIZED (SELECT doc_id, unnest(list_distinct(
          |  [array_to_string(w[i:i+2], ' ') for i in range(1, len(w) - 1)])) AS s
          |  FROM ws WHERE len(w) >= 3),
-         |szs AS (SELECT doc_id, count(*) AS n_sh FROM shs GROUP BY 1),
-         |ints AS (SELECT p.doc_id AS doc1, q.doc_id AS doc2, count(*) AS n_int
-         |  FROM shs p JOIN shs q ON p.s = q.s AND p.doc_id < q.doc_id GROUP BY 1, 2),
+         |szs AS MATERIALIZED (SELECT doc_id, count(*) AS n_sh FROM shs GROUP BY 1),
+         |-- candidate-scoped intersections (the dedup_incremental shape):
+         |-- a zipf-hot shingle would make the unrestricted s=s self-join
+         |-- f-squared; ints is only ever read through cand, so scoping it
+         |-- to candidate pairs is semantics-preserving
+         |ints AS (SELECT c.doc1, c.doc2, count(*) AS n_int
+         |  FROM cand c JOIN shs p ON p.doc_id = c.doc1
+         |  JOIN shs q ON q.doc_id = c.doc2 AND p.s = q.s
+         |  GROUP BY 1, 2),
          |sc AS (SELECT c.doc1, c.doc2,
          |    CAST(coalesce(i.n_int, 0) AS BIGINT) AS inter,
          |    CAST(s1.n_sh + s2.n_sh - coalesce(i.n_int, 0) AS BIGINT) AS uni

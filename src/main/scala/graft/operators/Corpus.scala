@@ -165,6 +165,60 @@ object Corpus {
         col("top_cluster_share_micro") > 500000L)
   }
 
+  /** SPLIT-CHURN AUDIT — the day-2 stability twin of
+    * [[clusteredSplit]], enabled by the cluster-label IVM
+    * ([[Dedup.clusterRefresh]]): when the day's admitted docs merge
+    * near-dup components, the merged component's label becomes the
+    * UNION MIN — so the label hash, and therefore the split, of every
+    * doc in the absorbed components can FLIP. That is the documented
+    * instability of cluster-hashed splits (a doc that silently moves
+    * train→test between releases invalidates eval history), and this
+    * query DECLARES it: the (old_split → new_split) migration matrix
+    * over day-1 docs, with admitted docs entering as old_split='new',
+    * a churn flag on off-diagonal day-1 rows, and an example doc per
+    * cell to drill into.
+    *
+    * Scale shape: one shared day-1 fingerprint scan feeds the stored
+    * labels AND the refreshed table ([[Dedup.clusterRefreshOf]]'s
+    * single-scan contract); the refresh itself is delta-bounded; the
+    * matrix is one map-side-combined aggregate to
+    * ≤ (|splits|+1)·|splits| rows. */
+  def splitChurn(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val isNew = col("doc_id") % 10 < 2
+    val admitted = Dedup.incrementalDedup(spark, sfDir)
+      .filter(col("outcome") === "kept").select(col("doc_id"))
+      .localCheckpoint()
+    val oldFpRaw = TextAnalysis
+      .winnowFingerprints(docs.filter(!isNew), 4)
+      .select(col("doc_id"), col("fp_hash")).distinct()
+      .localCheckpoint(eager = false) // stored labels + refreshed table
+    val refreshedFp = oldFpRaw.unionByName(TextAnalysis
+        .winnowFingerprints(docs.join(admitted, Seq("doc_id"), "left_semi"), 4)
+        .select(col("doc_id"), col("fp_hash")).distinct())
+      .localCheckpoint(eager = false)
+    val stored = Dedup.storedClusterLabels(spark, sfDir, Some(oldFpRaw))
+      .localCheckpoint(eager = false) // old-split read + the merge input
+    val refreshed = Dedup.clusterRefreshOf(spark, sfDir, admitted,
+      Dedup.deltaEdgesOf(spark, sfDir, admitted, Some(refreshedFp)),
+      storedLabels = Some(stored))
+    def splitOf(c: Column): Column = {
+      val b = PortableHash.md5Hash48(concat(lit("csplit:"), c.cast("string"))) % 100
+      when(b < 80, "train").when(b < 90, "validation").otherwise("test")
+    }
+    refreshed.select(col("doc_id"), splitOf(col("cluster")).as("new_split"))
+      .join(stored.select(col("doc_id"),
+        splitOf(col("cluster")).as("old_split")), Seq("doc_id"), "left")
+      .select(col("doc_id"), col("new_split"),
+        coalesce(col("old_split"), lit("new")).as("old_split"))
+      .groupBy(col("old_split"), col("new_split"))
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("example_doc"))
+      .select(col("old_split"), col("new_split"), col("n_docs"),
+        (col("old_split") =!= col("new_split") &&
+          col("old_split") =!= "new").as("is_churn"),
+        col("example_doc"))
+  }
+
   /** The composed cleaning pipeline a corpus release actually runs:
     * language filter → quality gate (length + lexical diversity) →
     * exact dedup keep-first → redaction, in one DataFrame program.

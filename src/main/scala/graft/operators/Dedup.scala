@@ -585,13 +585,15 @@ object Dedup {
     * exactly once across all its stages (the r15-ADVICE single-cascade
     * pattern, as in [[Similarity.cellRefresh]]); `oldFpRaw` optionally
     * shares the day-1 fingerprint scan the same way. */
-  def clusterRefreshOf(spark: SparkSession, sfDir: String,
-      admitted: DataFrame, deltaEdges: DataFrame,
+  /** The DAY-1 stored label table: star CC over the day-1 corpus with
+    * day-1-capped winnow edges — what a production deployment persists
+    * and [[clusterRefreshOf]] merges into. Recomputed here for
+    * self-contained declared queries; `oldFpRaw` shares the day-1
+    * fingerprint scan when the caller already holds it. */
+  def storedClusterLabels(spark: SparkSession, sfDir: String,
       oldFpRaw: Option[DataFrame] = None): DataFrame = {
     val docs = Tables.documents(spark, sfDir)
     val isNew = col("doc_id") % 10 < 2
-    // the stored day-1 state, recomputed here for the self-contained
-    // declared query (at scale: the persisted label + edge tables)
     val oldFp = capHotKeys(
       oldFpRaw.getOrElse(
         TextAnalysis.winnowFingerprints(docs.filter(!isNew), 4)
@@ -603,8 +605,18 @@ object Dedup {
       .groupBy(col("id1"), col("id2")).agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= 3)
       .select(col("id1"), col("id2"))
-    val stored = GraphOps.connectedComponentsStar(
+    GraphOps.connectedComponentsStar(
       docs.filter(!isNew).select(col("doc_id")), oldEdges, "doc_id")
+  }
+
+  def clusterRefreshOf(spark: SparkSession, sfDir: String,
+      admitted: DataFrame, deltaEdges: DataFrame,
+      oldFpRaw: Option[DataFrame] = None,
+      storedLabels: Option[DataFrame] = None): DataFrame = {
+    // the stored day-1 state, recomputed here for the self-contained
+    // declared query (at scale: the persisted label + edge tables)
+    val stored = storedLabels.getOrElse(
+      storedClusterLabels(spark, sfDir, oldFpRaw))
     // every current node's label BEFORE the merge: the stored table
     // plus each admitted doc as its own singleton
     val labels = stored.unionByName(

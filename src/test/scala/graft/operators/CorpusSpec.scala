@@ -101,6 +101,38 @@ class CorpusSpec extends AnyFunSuite {
       "every document lands in exactly one split")
   }
 
+  test("split churn matrix reconciles with the stored→refreshed label recount") {
+    import org.apache.spark.sql.functions.{concat, lit}
+    val stored = Dedup.storedClusterLabels(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val refreshed = Dedup.clusterRefresh(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(refreshed.size >= stored.size, "refresh keeps every day-1 doc")
+    val clusters = (stored.values ++ refreshed.values).toSeq.distinct
+    val bucketOf = clusters.toDF("cluster")
+      .select(col("cluster"),
+        (graft.functions.PortableHash.md5Hash48(
+          concat(lit("csplit:"), col("cluster").cast("string"))) % 100).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def splitOf(c: Long): String = {
+      val b = bucketOf(c)
+      if (b < 80) "train" else if (b < 90) "validation" else "test"
+    }
+    val cells = refreshed.toSeq.map { case (d, c2) =>
+      (stored.get(d).map(splitOf).getOrElse("new"), splitOf(c2), d)
+    }
+    val expected = cells.groupBy(c => (c._1, c._2))
+      .map { case (k, v) => k -> (v.size.toLong, v.map(_._3).min) }
+    val rows = Corpus.splitChurn(spark, sfDir).collect()
+    assert(rows.map(r => (r.getString(0), r.getString(1)) ->
+      (r.getLong(2), r.getLong(4))).toMap == expected)
+    for (r <- rows)
+      assert(r.getBoolean(3) ==
+        (r.getString(0) != r.getString(1) && r.getString(0) != "new"))
+    assert(rows.map(_.getLong(2)).sum == refreshed.size,
+      "matrix covers every refreshed doc exactly once")
+  }
+
   test("lang balance: every language downsamples to ≈ the smallest one") {
     import org.apache.spark.sql.functions.col
     val docs = graft.Tables.documents(spark, sfDir)
