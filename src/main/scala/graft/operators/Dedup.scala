@@ -1468,7 +1468,14 @@ object Dedup {
     // equivalent of PPJoin's sequential accumulator filter; the
     // groupBy replaces the old distinct() — same shuffle, more work
     // pruned). Losslessness is what keeps the brute-force oracle valid.
-    val candidates = a.join(b, col("w") === col("w2") &&
+    // the batch-side prefix index is |batch|·prefix_len rows — tiny by
+    // the operator's own framing (screen a daily batch against the
+    // corpus) — so BROADCAST it: the candidate join becomes a
+    // shuffle-free broadcast-hash scan of the corpus prefixes, and the
+    // plan stops flip-flopping between strategies on a degenerate
+    // near-boundary corpus (the uniform 31-word sf1 fixture measured
+    // bimodal 25–179 s under AQE's choice; broadcast pins it)
+    val candidates = broadcast(a).join(b, col("w") === col("w2") &&
         col("n2") * tDen >= col("n1") * tNum &&
         col("n1") * tDen >= col("n2") * tNum)
       .groupBy(col("id1"), col("id2"), col("n1"), col("n2"))
@@ -1487,9 +1494,17 @@ object Dedup {
     // positional filter (r16 ADVICE: the unfiltered build collected an
     // array for every doc in the corpus, bounding verify storage by
     // whole-corpus token mass instead of surviving candidates).
-    val candIds = candidates.select(col("id1").as("doc_id"))
-      .unionByName(candidates.select(col("id2").as("doc_id"))).distinct()
-    val sets = tok.join(candIds, Seq("doc_id"), "left_semi")
+    // A/B knob for the sf1 instability hunt (r17): "1" (default) =
+    // candidate-scoped packed build; "0" = whole-corpus packed build
+    val semiJoinSets = spark.conf.getOption("graft.ppj.semijoinSets")
+      .orElse(sys.props.get("graft.ppj.semijoinSets"))
+      .forall(_.toBoolean)
+    val setsBase = if (semiJoinSets) {
+      val candIds = candidates.select(col("id1").as("doc_id"))
+        .unionByName(candidates.select(col("id2").as("doc_id"))).distinct()
+      tok.join(candIds, Seq("doc_id"), "left_semi")
+    } else tok
+    val sets = setsBase
       .groupBy(col("doc_id")).agg(collect_list(col("w")).as("ws"))
       .localCheckpoint(eager = false) // both verify sides
     candidates
