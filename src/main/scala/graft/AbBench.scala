@@ -128,7 +128,7 @@ object AbBench {
       mids.join(mids.select(col("w"), col("u").as("v")), Seq("w"))
         .filter(col("u") < col("v"))
         .groupBy(col("u"), col("v")).agg(count(lit(1)).as("n"))
-    }) ++ wedgeAggCases(spark, sfDir)
+    }) ++ wedgeAggCases(spark, sfDir) ++ ccStarCases(spark, sfDir)
 
   /** r13 wedge-AGGREGATE A/B (VERDICT r12 ask #4): the measured 10 s of
     * graph_link_prediction is the (u, v) aggregate over 56.4 M wedge
@@ -262,6 +262,57 @@ object AbBench {
           .groupBy(col("u"), col("v"))
           .agg(sum(col("n1")).as("n_common"), sum(col("s1")).as("score_micro"))
       })
+  }
+
+  /** r17 star-CC round-shape A/B (the optimization round's shared-
+    * primitive target: storedClusterLabels, split churn/balance/
+    * clustered, cluster census, cc_star, keep_best all pay the star
+    * loop). All arms share ONE eagerly-materialized day-1 winnow edge
+    * table + node list, so the timed region is ONLY the contraction
+    * loop: per round, "base" = r16 shape (eager large-star checkpoint,
+    * groupBy+join both stars), "lazyls" = large-star checkpoint LAZY
+    * (one fewer driver-synchronized job per round; the small-star
+    * checkpoint job materializes it), "window" = large-star min via a
+    * partition window (one exchange + sort replaces agg + join). */
+  private def ccStarCases(spark: SparkSession, sfDir: String)
+      : Map[String, () => org.apache.spark.sql.DataFrame] = {
+    import org.apache.spark.sql.functions._
+    lazy val day1 = Tables.documents(spark, sfDir)
+      .filter(col("doc_id") % 10 >= 2)
+    lazy val nodes = day1.select(col("doc_id")).localCheckpoint()
+    lazy val edges = {
+      val fp = operators.Dedup.capHotKeys(
+        operators.TextAnalysis.winnowFingerprints(day1, 4)
+          .select(col("doc_id"), col("fp_hash")).distinct(),
+        Seq("fp_hash"), 4096)
+      fp.select(col("fp_hash"), col("doc_id").as("id1"))
+        .join(fp.select(col("fp_hash").as("h2"), col("doc_id").as("id2")),
+          col("fp_hash") === col("h2") && col("id1") < col("id2"))
+        .groupBy(col("id1"), col("id2")).agg(count(lit(1)).as("n_shared"))
+        .filter(col("n_shared") >= 3).select(col("id1"), col("id2"))
+        .localCheckpoint()
+    }
+    def arm(variant: String) = () => {
+      spark.conf.set("graft.ccstar.variant", variant)
+      operators.GraphOps.connectedComponentsStar(nodes, edges, "doc_id")
+    }
+    Map("cc_day1_base" -> arm("base"),
+      "cc_day1_lazyls" -> arm("lazyls"),
+      "cc_day1_window" -> arm("window")) ++ {
+      // r17 wedge-shape A/B (full declared query; the candidate memo is
+      // shared, so arms time wedge + aggregate + anti-join + top-k):
+      // nockpt = r12 shape (probe side projects without aa_micro — its
+      // exchange subtree canonicalizes DIFFERENT, reuse doesn't fire in
+      // the initial plan), symmetric = both sides project aa_micro so
+      // the exchange subtrees are equal, ckpt = mids materialized once.
+      def lpArm(variant: String) = () => {
+        spark.conf.set("graft.lp.wedge", variant)
+        operators.GraphOps.linkPrediction(spark, sfDir)
+      }
+      Map("lp_wedge_nockpt" -> lpArm("nockpt"),
+        "lp_wedge_symmetric" -> lpArm("symmetric"),
+        "lp_wedge_ckpt" -> lpArm("ckpt"))
+    }
   }
 
   def main(args: Array[String]): Unit = {

@@ -69,8 +69,27 @@ object Bench {
         System.err.println(s"[bench] $name failed: ${e.getClass.getSimpleName}: ${e.getMessage}")
         -1.0
     }
-    if (!sys.env.get("SPARK_GRAFT_BENCH_SWEEP").contains("0"))
-      graft.operators.BuildOnce.releaseScoped(spark)
+    if (!sys.env.get("SPARK_GRAFT_BENCH_SWEEP").contains("0")) {
+      // r17 harness-boundary isolation — all OUTSIDE the timed region
+      // (timing stopped above). The r16 sweep was async
+      // (blocking=false): the previous query's checkpoint blocks were
+      // released concurrently WITH the next query's timed run, and the
+      // heavy r17 tail additions left enough garbage that neighbours
+      // paid their GC debt (broad chain inflation vs solo runs — the
+      // r16 ALL-mode mechanism, second act). Measurement hygiene, not
+      // result caching: every timed run still computes from parquet.
+      // SPARK_GRAFT_BENCH_GC: "0" = r16 async boundary, "block" =
+      // blocking sweep only, default = blocking sweep + System.gc()
+      // + a short settle so the ContextCleaner's post-GC storm
+      // (broadcast/RDD unpersist RPCs) drains before the next timed
+      // query instead of inside it.
+      val mode = sys.env.getOrElse("SPARK_GRAFT_BENCH_GC", "gc")
+      graft.operators.BuildOnce.releaseScoped(spark, blocking = mode != "0")
+      if (mode != "0" && mode != "block") {
+        System.gc()
+        Thread.sleep(300)
+      }
+    }
     elapsed
   }
 

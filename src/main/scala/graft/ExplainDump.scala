@@ -1,0 +1,42 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Dumps `.explain("formatted")` for a comma-separated list of declared
+  * queries (or ALL) to `<outDir>/<name>.txt` — the plan evidence the
+  * optimization rounds commit under plans/r{N}/. Mirrors [[Bench]]'s
+  * session config so the captured plan is the one the bench runs.
+  *
+  * Usage: runMain graft.ExplainDump <sfDir> <outDir> <q1,q2,...|ALL>
+  */
+object ExplainDump {
+  def main(args: Array[String]): Unit = {
+    val Array(sfDir, outDir, list) = args.take(3)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val names = if (list == "ALL") SparkEntry.queries.keys.toSeq.sorted
+      else list.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))
+    names.foreach { n =>
+      try {
+        val df = SparkEntry.queries(n)(spark, sfDir)
+        val plan = df.queryExecution.explainString(
+          org.apache.spark.sql.execution.FormattedMode)
+        java.nio.file.Files.writeString(
+          java.nio.file.Paths.get(outDir, s"$n.txt"), plan)
+        println(s"[explain] $n ok (${plan.length} chars)")
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"[explain] $n failed: ${e.getMessage}")
+      }
+    }
+    spark.stop()
+  }
+}

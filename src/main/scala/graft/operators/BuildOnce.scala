@@ -144,11 +144,11 @@ object BuildOnce {
     * materialized checkpoint fails re-execution rather than
     * recomputing. Bench/Verify call it between queries; library code
     * on the query path never may. */
-  def releaseScoped(spark: SparkSession): Unit = {
+  def releaseScoped(spark: SparkSession, blocking: Boolean = false): Unit = {
     val keep = memoRddIds
     spark.sparkContext.getPersistentRDDs.foreach { case (id, rdd) =>
       if (!keep.contains(id))
-        try rdd.unpersist(blocking = false) catch { case _: Throwable => () }
+        try rdd.unpersist(blocking = blocking) catch { case _: Throwable => () }
     }
   }
 

@@ -99,6 +99,17 @@ object GraphOps {
     * label read-off is one (node)-keyed min. */
   def connectedComponentsStar(nodes: DataFrame, edges: DataFrame,
       idCol: String, maxIter: Int = 20): DataFrame = {
+    // r17 A/B switch for the per-round plan shape (adopted winner is
+    // the default; the losers stay selectable so the measurement is
+    // reproducible): "base" = r16 shape (eager ls checkpoint,
+    // groupBy+join both stars), "lazyls" = ls checkpoint lazy (one
+    // fewer job per round; ss's checkpoint job materializes it),
+    // "window" = large-star min via a partition window (one exchange +
+    // sort instead of agg + join re-read).
+    val variant = nodes.sparkSession.conf
+      .getOption("graft.ccstar.variant").getOrElse("base")
+    val logRounds = nodes.sparkSession.conf
+      .getOption("graft.ccstar.log").exists(_.toBoolean)
     var e = edges.toDF("x", "y")
       .filter(col("x") =!= col("y"))
       .select(greatest(col("x"), col("y")).cast("long").as("u"),
@@ -111,12 +122,22 @@ object GraphOps {
       // large-star over the bidirected view
       val bidir = e.select(col("u").as("a"), col("v").as("b"))
         .unionByName(e.select(col("v").as("a"), col("u").as("b")))
-      val mA = bidir.groupBy(col("a"))
-        .agg(least(min(col("b")), first(col("a"))).as("m"))
-      val ls = bidir.join(mA, "a")
-        .filter(col("b") > col("a") && col("b") =!= col("m"))
-        .select(col("b").as("u"), col("m").as("v"))
-        .distinct().localCheckpoint()
+      val lsPlan = if (variant == "window") {
+        val w = org.apache.spark.sql.expressions.Window.partitionBy(col("a"))
+        bidir.withColumn("m", least(min(col("b")).over(w), col("a")))
+          .filter(col("b") > col("a") && col("b") =!= col("m"))
+          .select(col("b").as("u"), col("m").as("v"))
+          .distinct()
+      } else {
+        val mA = bidir.groupBy(col("a"))
+          .agg(least(min(col("b")), first(col("a"))).as("m"))
+        bidir.join(mA, "a")
+          .filter(col("b") > col("a") && col("b") =!= col("m"))
+          .select(col("b").as("u"), col("m").as("v"))
+          .distinct()
+      }
+      val ls = if (variant == "base") lsPlan.localCheckpoint()
+        else lsPlan.localCheckpoint(eager = false)
       // small-star over the (already canonical) large-star output
       val mS = ls.groupBy(col("u")).agg(min(col("v")).as("m"))
       val ss = ls.join(mS, "u")
@@ -130,6 +151,8 @@ object GraphOps {
       // so set equality; never collects the edges to the driver)
       val ssCount = ss.count()
       stable = ssCount == eCount && ss.exceptAll(e).isEmpty
+      if (logRounds)
+        System.err.println(s"[ccstar] iter=$iter edges=$eCount -> $ssCount stable=$stable")
       e = ss
       eCount = ssCount
       iter += 1
@@ -271,14 +294,37 @@ object GraphOps {
       .select(col("w"), col("u"),
         expr(s"1000000000000 DIV (${
           graft.operators.TextAnalysis.plog2MicroSql("deg")})").as("aa_micro"))
-    // NO checkpoint on mids (r12 A/B `lp_full_nockpt`, adopted): with
-    // `pairs` a memo scan, both wedge sides are the identical subplan
-    // and ReuseExchange dedupes the shuffle — measured 12.9 → 10.7 s
-    // at sf0.1, and repeats stop pinning one lazy checkpoint each
-    // (the in-session block pressure behind the ALL-mode slowdown)
-    val wedge = mids.select(col("w"), col("u"), col("aa_micro"))
-      .join(mids.select(col("w"), col("u").as("v")), Seq("w"))
-      .filter(col("u") < col("v"))
+    // r12 adopted `lp_full_nockpt` on the claim that both wedge sides
+    // are the identical subplan and ReuseExchange dedupes the shuffle.
+    // r17 re-audit: the FORMATTED plan shows it does NOT — the probe
+    // side projects (w, v) without aa_micro, so its canonical subtree
+    // differs and the whole mids pipeline (bidir union + degree
+    // aggregate + join, 2 Exchanges) computes TWICE; whether AQE's
+    // runtime stage reuse still catches it was nondeterministic (the
+    // measured 10–47 s in-chain swing). "symmetric" keeps aa_micro on
+    // BOTH projections so the exchange subtrees canonicalize equal and
+    // reuse fires deterministically; "ckpt" materializes mids once
+    // (lazy checkpoint) and self-joins the stored rows. A/B at sf0.1:
+    // see OPTIMIZATION_r17.md (symmetric adopted).
+    val wedgeVariant = pairs.sparkSession.conf
+      .getOption("graft.lp.wedge").getOrElse("symmetric")
+    val wedge = wedgeVariant match {
+      case "ckpt" =>
+        val m = mids.localCheckpoint(eager = false)
+        m.select(col("w"), col("u"), col("aa_micro"))
+          .join(m.select(col("w"), col("u").as("v")), Seq("w"))
+          .filter(col("u") < col("v"))
+      case "symmetric" =>
+        mids.select(col("w"), col("u"), col("aa_micro"))
+          .join(mids.select(col("w"), col("u").as("v"),
+            col("aa_micro").as("aa2")), Seq("w"))
+          .filter(col("u") < col("v"))
+          .select(col("w"), col("u"), col("aa_micro"), col("v"))
+      case _ => // "nockpt": the r12 shape
+        mids.select(col("w"), col("u"), col("aa_micro"))
+          .join(mids.select(col("w"), col("u").as("v")), Seq("w"))
+          .filter(col("u") < col("v"))
+    }
     // The (u, v) aggregate is the measured cost center (r12: 56.4 M
     // wedge rows → 10.7 M keys, ~10 s of the 13 s total; map-side
     // combine removes only 11% because one pair's wedges spread across
