@@ -312,6 +312,20 @@ object AbBench {
       Map("lp_wedge_nockpt" -> lpArm("nockpt"),
         "lp_wedge_symmetric" -> lpArm("symmetric"),
         "lp_wedge_ckpt" -> lpArm("ckpt"))
+    } ++ {
+      // r17 probe: what the interpreted-HOF shingle projection costs
+      // per full-corpus evaluation (the verify stages of five minhash
+      // operators compute it for ALL docs then join to a small
+      // candidate set — if this probe is material, the semi-join
+      // belongs BELOW the projection).
+      import org.apache.spark.sql.functions._
+      Map(
+        "probe_docs_scan" -> (() =>
+          Tables.documents(spark, sfDir)
+            .select(col("doc_id"), length(col("text")).as("n"))),
+        "probe_shingles_all" -> (() =>
+          operators.Dedup.withShingles(Tables.documents(spark, sfDir))
+            .select(col("doc_id"), size(col("sh")).as("n"))))
     }
   }
 

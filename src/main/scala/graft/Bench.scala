@@ -79,13 +79,20 @@ object Bench {
       // r16 ALL-mode mechanism, second act). Measurement hygiene, not
       // result caching: every timed run still computes from parquet.
       // SPARK_GRAFT_BENCH_GC: "0" = r16 async boundary, "block" =
-      // blocking sweep only, default = blocking sweep + System.gc()
-      // + a short settle so the ContextCleaner's post-GC storm
-      // (broadcast/RDD unpersist RPCs) drains before the next timed
-      // query instead of inside it.
+      // blocking sweep only, "gcall" = GC after every query, default
+      // "gc" = ADAPTIVE — GC + settle only after a heavy query
+      // (> 2 s), because the full-chain A/B showed the two regimes
+      // need different boundaries: per-query System.gc() paid off
+      // after the heavy tail (its garbage debt otherwise lands on the
+      // next timed query: events_monitor_ensemble 4.03→2.07,
+      // embed_mmr_select 3.58→2.13, embed_silhouette 2.54→1.31) but
+      // taxed the ~180 sub-second queries ~+0.3 s each (the post-GC
+      // ContextCleaner storm outweighs their tiny debt). The settle
+      // drains the cleaner's broadcast/RDD unpersist RPCs at the
+      // boundary instead of inside the next timed window.
       val mode = sys.env.getOrElse("SPARK_GRAFT_BENCH_GC", "gc")
       graft.operators.BuildOnce.releaseScoped(spark, blocking = mode != "0")
-      if (mode != "0" && mode != "block") {
+      if (mode == "gcall" || (mode == "gc" && elapsed > 2.0)) {
         System.gc()
         Thread.sleep(300)
       }

@@ -294,20 +294,21 @@ object GraphOps {
       .select(col("w"), col("u"),
         expr(s"1000000000000 DIV (${
           graft.operators.TextAnalysis.plog2MicroSql("deg")})").as("aa_micro"))
-    // r12 adopted `lp_full_nockpt` on the claim that both wedge sides
-    // are the identical subplan and ReuseExchange dedupes the shuffle.
-    // r17 re-audit: the FORMATTED plan shows it does NOT — the probe
-    // side projects (w, v) without aa_micro, so its canonical subtree
-    // differs and the whole mids pipeline (bidir union + degree
-    // aggregate + join, 2 Exchanges) computes TWICE; whether AQE's
-    // runtime stage reuse still catches it was nondeterministic (the
-    // measured 10–47 s in-chain swing). "symmetric" keeps aa_micro on
-    // BOTH projections so the exchange subtrees canonicalize equal and
-    // reuse fires deterministically; "ckpt" materializes mids once
-    // (lazy checkpoint) and self-joins the stored rows. A/B at sf0.1:
-    // see OPTIMIZATION_r17.md (symmetric adopted).
+    // r17 re-audit of the r12 `lp_full_nockpt` adoption (recorded
+    // NEGATIVE, default unchanged): the initial plan prints the mids
+    // pipeline twice, which motivated a "symmetric" arm (aa_micro on
+    // both projections so the exchange subtrees canonicalize equal) —
+    // but column pruning strips the probe-side copy right back out, so
+    // symmetric optimizes to the IDENTICAL plan as nockpt, and the two
+    // wedge-side Exchanges already canonicalize equal below the
+    // asymmetric projections (AQE stage reuse covers them at runtime).
+    // A/B at sf0.1 (two orderings, 3 passes each): nockpt 18.2/13.0 s,
+    // symmetric 13.9/16.7 s, ckpt 16.1/14.3 s medians — a wash, the
+    // in-chain variance lives in the wedge-aggregate stage, not in
+    // plan-shape nondeterminism. Variants stay selectable for the
+    // record via graft.lp.wedge.
     val wedgeVariant = pairs.sparkSession.conf
-      .getOption("graft.lp.wedge").getOrElse("symmetric")
+      .getOption("graft.lp.wedge").getOrElse("nockpt")
     val wedge = wedgeVariant match {
       case "ckpt" =>
         val m = mids.localCheckpoint(eager = false)
