@@ -31,5 +31,12 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 24g default (r18): local[32] runs 32 concurrent task threads in
+  // ONE JVM — at 8g the full 238-query chain spent seconds per query
+  // in young-GC stalls (stage probe: layout_skip_workload 5.3 s GC +
+  // 38 s of run-vs-cpu stall at 8g → 1.3 s GC at 24g; full-chain
+  // total 412 s → 310 s with NO other change). The env override
+  // stays; a cluster deployment sizes executor memory per core the
+  // same way (~0.75 GB/core here).
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
 )

@@ -292,10 +292,17 @@ object AbBench {
         .filter(col("n_shared") >= 3).select(col("id1"), col("id2"))
         .localCheckpoint()
     }
-    def arm(variant: String) = () => {
-      spark.conf.set("graft.ccstar.variant", variant)
-      operators.GraphOps.connectedComponentsStar(nodes, edges, "doc_id")
+    // Arms SET a session conf; build the DataFrame (the conf is read
+    // at construction) then UNSET so an interleaved run mixing a
+    // variant arm with a plain case measures the default, not the
+    // last-set variant (r17 ADVICE).
+    def withConf[A](key: String, value: String)(body: => A): A = {
+      spark.conf.set(key, value)
+      try body finally spark.conf.unset(key)
     }
+    def arm(variant: String) = () =>
+      withConf("graft.ccstar.variant", variant)(
+        operators.GraphOps.connectedComponentsStar(nodes, edges, "doc_id"))
     Map("cc_day1_base" -> arm("base"),
       "cc_day1_lazyls" -> arm("lazyls"),
       "cc_day1_window" -> arm("window")) ++ {
@@ -305,10 +312,9 @@ object AbBench {
       // exchange subtree canonicalizes DIFFERENT, reuse doesn't fire in
       // the initial plan), symmetric = both sides project aa_micro so
       // the exchange subtrees are equal, ckpt = mids materialized once.
-      def lpArm(variant: String) = () => {
-        spark.conf.set("graft.lp.wedge", variant)
-        operators.GraphOps.linkPrediction(spark, sfDir)
-      }
+      def lpArm(variant: String) = () =>
+        withConf("graft.lp.wedge", variant)(
+          operators.GraphOps.linkPrediction(spark, sfDir))
       Map("lp_wedge_nockpt" -> lpArm("nockpt"),
         "lp_wedge_symmetric" -> lpArm("symmetric"),
         "lp_wedge_ckpt" -> lpArm("ckpt"))

@@ -1,5 +1,8 @@
 package graft
 
+import java.util.concurrent.atomic.AtomicLong
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
 import org.apache.spark.sql.SparkSession
 
 /** Benchmark main: times the headline queries on SPARK_GRAFT_SF_DIR and
@@ -44,11 +47,51 @@ object Bench {
     "graph_edges_build" -> Seq(graft.operators.Dedup.EdgesFamily),
     "dedup_lsh_verified_pairs" -> Seq(graft.operators.Similarity.LshPairsFamily),
     "graph_candidates_build" -> Seq(graft.operators.GraphOps.CandidatesFamily),
+    // the day-1 cluster-state family (day-1 fingerprints + stored
+    // labels): corpus_daily_increment is first of the day-2 IVM family
+    // in the chain, so it is the declared build row — each of its
+    // repeats pays the full day-1 winnow + star-CC rebuild, and
+    // dedup_cluster_refresh / corpus_split_churn report steady-state
+    // marginal cost (r17 verdict #4)
+    "corpus_daily_increment" -> Seq(graft.operators.Dedup.Day1ClusterFamily),
     // the trained-quantizer family: the cell census is its declared
     // build row, so it reports the real train+assign cost (both memos
     // cleared) and the other cell-family consumers report steady-state
     "embed_cell_balance" -> Seq(graft.operators.Similarity.IvfCentroidsFamily,
       graft.operators.Similarity.IvfCellsFamily))
+
+  /** Aggregate stage-metric counters (diagnostic instrument, guide
+    * §7.1 "start with the UI" with the UI disabled): cumulative sums
+    * over all completed stages; [[once]] prints per-query deltas to
+    * STDERR when SPARK_GRAFT_BENCH_METRICS=1. Off by default — no
+    * change to the bench contract or the timed region. */
+  private final class MetricsListener extends SparkListener {
+    val runMs, cpuMs, gcMs, spillB, shufReadB, shufWriteB, tasks = new AtomicLong
+    override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
+      val m = sc.stageInfo.taskMetrics
+      if (m != null) {
+        runMs.addAndGet(m.executorRunTime)
+        cpuMs.addAndGet(m.executorCpuTime / 1000000L)
+        gcMs.addAndGet(m.jvmGCTime)
+        spillB.addAndGet(m.diskBytesSpilled)
+        shufReadB.addAndGet(m.shuffleReadMetrics.localBytesRead +
+          m.shuffleReadMetrics.remoteBytesRead)
+        shufWriteB.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+        tasks.addAndGet(sc.stageInfo.numTasks.toLong)
+      }
+    }
+    def snap(): Array[Long] = Array(runMs.get, cpuMs.get, gcMs.get,
+      spillB.get, shufReadB.get, shufWriteB.get, tasks.get)
+  }
+  private var metrics: Option[MetricsListener] = None
+
+  /** Install the stage-metrics listener (idempotent per call site —
+    * Bench.main calls it once when SPARK_GRAFT_BENCH_METRICS=1). */
+  private def installMetrics(spark: SparkSession): Unit = {
+    val l = new MetricsListener
+    spark.sparkContext.addSparkListener(l)
+    metrics = Some(l)
+  }
 
   /** One timed, fully-materialized run; -1.0 on failure. After the
     * action completes (timing stopped), the per-invocation lazy
@@ -59,6 +102,7 @@ object Bench {
   def once(spark: SparkSession, sfDir: String, name: String): Double = {
     coldStartFamilies.get(name)
       .foreach(_.foreach(graft.operators.BuildOnce.clearFamily))
+    val before = metrics.map(_.snap())
     val t0 = System.nanoTime()
     val elapsed = try {
       SparkEntry.queries(name)(spark, sfDir)
@@ -68,6 +112,14 @@ object Bench {
       case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getClass.getSimpleName}: ${e.getMessage}")
         -1.0
+    }
+    for (l <- metrics; b <- before) {
+      val a = l.snap()
+      val d = a.zip(b).map { case (x, y) => x - y }
+      System.err.println(f"[metrics] $name wall=$elapsed%.2f " +
+        f"run=${d(0) / 1e3}%.1f cpu=${d(1) / 1e3}%.1f gc=${d(2) / 1e3}%.1f " +
+        f"spillMB=${d(3) / 1e6}%.0f shufRdMB=${d(4) / 1e6}%.0f " +
+        f"shufWrMB=${d(5) / 1e6}%.0f tasks=${d(6)}%d")
     }
     if (!sys.env.get("SPARK_GRAFT_BENCH_SWEEP").contains("0")) {
       // r17 harness-boundary isolation — all OUTSIDE the timed region
@@ -92,7 +144,10 @@ object Bench {
       // boundary instead of inside the next timed window.
       val mode = sys.env.getOrElse("SPARK_GRAFT_BENCH_GC", "gc")
       graft.operators.BuildOnce.releaseScoped(spark, blocking = mode != "0")
-      if (mode == "gcall" || (mode == "gc" && elapsed > 2.0)) {
+      // a FAILED query reports elapsed = -1.0 but may have produced a
+      // heavy query's worth of garbage — treat it as heavy, or its GC
+      // debt lands on the next timed query (r17 ADVICE)
+      if (mode == "gcall" || (mode == "gc" && (elapsed > 2.0 || elapsed < 0))) {
         System.gc()
         Thread.sleep(300)
       }
@@ -215,6 +270,8 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    if (sys.env.get("SPARK_GRAFT_BENCH_METRICS").contains("1"))
+      installMetrics(spark)
 
     // Optional override for ad-hoc sweeps: comma-separated names, or
     // "ALL" for every declared query. Default stays the headline set so

@@ -11,6 +11,11 @@ import org.apache.spark.sql.SparkSession
   */
 object ExplainDump {
   def main(args: Array[String]): Unit = {
+    if (args.length < 3) {
+      System.err.println(
+        "usage: runMain graft.ExplainDump <sfDir> <outDir> <q1,q2,...|ALL>")
+      sys.exit(2)
+    }
     val Array(sfDir, outDir, list) = args.take(3)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -24,6 +29,7 @@ object ExplainDump {
     val names = if (list == "ALL") SparkEntry.queries.keys.toSeq.sorted
       else list.split(",").map(_.trim).filter(_.nonEmpty).toSeq
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))
+    var failed = 0
     names.foreach { n =>
       try {
         val df = SparkEntry.queries(n)(spark, sfDir)
@@ -34,9 +40,13 @@ object ExplainDump {
         println(s"[explain] $n ok (${plan.length} chars)")
       } catch {
         case e: Throwable =>
+          failed += 1
           System.err.println(s"[explain] $n failed: ${e.getMessage}")
       }
     }
     spark.stop()
+    // a scripted plan-dump step must not silently produce nothing
+    // (r17 ADVICE): any failed query exits nonzero
+    if (failed > 0) sys.exit(1)
   }
 }

@@ -42,6 +42,21 @@ import org.apache.spark.sql.execution.LogicalRDD
   *    consumer happened to run first).
   */
 object BuildOnce {
+  /** Scale-adaptive partition sizing for memo materialization (r18,
+    * guide §2): AQE coalesces the tail stage of a small build down to
+    * a handful of byte-sized partitions, and `localCheckpoint` FREEZES
+    * that layout — every consumer's compute-dense first stage then
+    * runs at that width no matter how many cores the session has
+    * (measured at sf0.1/local[32]: the 3-partition candidate memo put
+    * graph_link_prediction's wedge join on 10 tasks for 60 s of run
+    * time with 122 MB of spill while 22 cores idled; repartitioned,
+    * the same stage spreads to 32 tasks). Round-robin to the session's
+    * default parallelism is the single-JVM stand-in for the bucketed
+    * table's file-count sizing that the memo scaladocs already
+    * describe as the 100 TB shape. */
+  def sized(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
   private final case class Key(appId: String, family: String, k: String)
   private val memos = new ConcurrentHashMap[Key, DataFrame]()
   private val hooked = ConcurrentHashMap.newKeySet[String]()

@@ -185,20 +185,19 @@ object Corpus {
     * ≤ (|splits|+1)·|splits| rows. */
   def splitChurn(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.documents(spark, sfDir)
-    val isNew = col("doc_id") % 10 < 2
     val admitted = Dedup.incrementalDedup(spark, sfDir)
       .filter(col("outcome") === "kept").select(col("doc_id"))
       .localCheckpoint()
-    val oldFpRaw = TextAnalysis
-      .winnowFingerprints(docs.filter(!isNew), 4)
-      .select(col("doc_id"), col("fp_hash")).distinct()
-      .localCheckpoint(eager = false) // stored labels + refreshed table
+    // day-1 fingerprints + stored labels are the PERSISTED day-1 state
+    // — read from the build-once memo (Dedup.Day1ClusterFamily; bench
+    // charges the build to `corpus_daily_increment`), not rebuilt per
+    // query (r17 verdict #4)
+    val oldFpRaw = Dedup.day1FingerprintsMaterialized(spark, sfDir)
     val refreshedFp = oldFpRaw.unionByName(TextAnalysis
         .winnowFingerprints(docs.join(admitted, Seq("doc_id"), "left_semi"), 4)
         .select(col("doc_id"), col("fp_hash")).distinct())
       .localCheckpoint(eager = false)
-    val stored = Dedup.storedClusterLabels(spark, sfDir, Some(oldFpRaw))
-      .localCheckpoint(eager = false) // old-split read + the merge input
+    val stored = Dedup.storedClusterLabelsMaterialized(spark, sfDir)
     val refreshed = Dedup.clusterRefreshOf(spark, sfDir, admitted,
       Dedup.deltaEdgesOf(spark, sfDir, admitted, Some(refreshedFp)),
       storedLabels = Some(stored))

@@ -296,6 +296,25 @@ object Dedup {
     * unaffected — a real deployment tunes it to its cluster-size
     * distribution.
     */
+  /** Shingle sets restricted to the docs that actually appear in the
+    * candidate pair list `cand` (r17 verdict #5, guide §2.3 "don't
+    * compute what you throw away"): the minhash verify stages join
+    * per-doc shingle ARRAYS onto candidate pairs, so the projection
+    * semi-joins the corpus to the candidate ids BELOW the shingle
+    * transform — |candidates| shingling work at 100 TB instead of
+    * |corpus| (the delta ≪ corpus regime the refresh family targets).
+    * Lossless by construction: docs absent from `cand` could never
+    * survive the inner verify joins. Callers pass `cand` lazily
+    * checkpointed, since it now feeds the verify join AND this probe. */
+  private def candidateShingles(spark: SparkSession, sfDir: String,
+      cand: DataFrame, c1: String, c2: String): DataFrame = {
+    val ids = cand.select(col(c1).as("doc_id"))
+      .unionByName(cand.select(col(c2).as("doc_id"))).distinct()
+    withShingles(Tables.documents(spark, sfDir)
+        .join(ids, Seq("doc_id"), "left_semi"))
+      .select(col("doc_id"), col("sh"))
+  }
+
   def minhashNearDupPairs(spark: SparkSession, sfDir: String, threshold: Double = 0.7,
       maxBucketSize: Int = 1024): DataFrame = {
     // checkpoint BEFORE the cap: the census aggregate and the anti-join
@@ -307,8 +326,8 @@ object Dedup {
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc1"), col("y.doc_id").as("doc2"))
       .distinct()
-    val docs = withShingles(Tables.documents(spark, sfDir))
-      .select(col("doc_id"), col("sh"))
+      .localCheckpoint(eager = false) // verify join + the shingle semi-join
+    val docs = candidateShingles(spark, sfDir, cand, "doc1", "doc2")
     val verified = cand
       .join(docs.select(col("doc_id").as("doc1"), col("sh").as("sh1")), "doc1")
       .join(docs.select(col("doc_id").as("doc2"), col("sh").as("sh2")), "doc2")
@@ -349,8 +368,8 @@ object Dedup {
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc1"), col("y.doc_id").as("doc2"))
       .distinct()
-    val docs = withShingles(Tables.documents(spark, sfDir))
-      .select(col("doc_id"), col("sh"))
+      .localCheckpoint(eager = false) // verify join + the shingle semi-join
+    val docs = candidateShingles(spark, sfDir, cand, "doc1", "doc2")
     val scored = cand
       .join(docs.select(col("doc_id").as("doc1"), col("sh").as("sh1")), "doc1")
       .join(docs.select(col("doc_id").as("doc2"), col("sh").as("sh2")), "doc2")
@@ -417,7 +436,8 @@ object Dedup {
           col("doc_id").as("corp_id")),
         col("band") === col("b2") && col("bucket") === col("k2"))
       .select(col("new_id"), col("corp_id")).distinct()
-    val sh = withShingles(docs).select(col("doc_id"), col("sh"))
+      .localCheckpoint(eager = false) // verify join + the shingle semi-join
+    val sh = candidateShingles(spark, sfDir, cand, "new_id", "corp_id")
     val near = cand
       .join(sh.select(col("doc_id").as("new_id"), col("sh").as("sh1")), "new_id")
       .join(sh.select(col("doc_id").as("corp_id"), col("sh").as("sh2")), "corp_id")
@@ -560,24 +580,26 @@ object Dedup {
     * day-1 components. */
   def clusterRefresh(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.documents(spark, sfDir)
-    val isNew = col("doc_id") % 10 < 2
     val admitted = incrementalDedup(spark, sfDir)
       .filter(col("outcome") === "kept").select(col("doc_id"))
       .localCheckpoint()
-    // ONE winnow pass over the day-1 corpus feeds BOTH the stored-state
-    // reconstruction (old edges → stored labels) and the refreshed
-    // table the delta edges join against — the corpus fingerprints
-    // never compute twice in one refresh
-    val oldFpRaw = TextAnalysis.winnowFingerprints(docs.filter(!isNew), 4)
-      .select(col("doc_id"), col("fp_hash")).distinct()
-      .localCheckpoint(eager = false)
+    // The day-1 corpus fingerprints and the stored label table are the
+    // PERSISTED day-1 state a nightly refresh reads, not work the
+    // refresh performs — they come from the build-once memo
+    // ([[day1FingerprintsMaterialized]] / [[storedClusterLabelsMaterialized]]),
+    // whose build cost the bench charges to `corpus_daily_increment`
+    // (r17 verdict #4: the three day-2 queries each paid a full day-1
+    // winnow + star-CC rebuild; the repo-sanctioned BuildOnce pattern
+    // shares it exactly like the edge/candidate memos).
+    val oldFpRaw = day1FingerprintsMaterialized(spark, sfDir)
     val refreshedFp = oldFpRaw.unionByName(TextAnalysis
         .winnowFingerprints(docs.join(admitted, Seq("doc_id"), "left_semi"), 4)
         .select(col("doc_id"), col("fp_hash")).distinct())
       .localCheckpoint(eager = false)
     clusterRefreshOf(spark, sfDir, admitted,
       deltaEdgesOf(spark, sfDir, admitted, Some(refreshedFp)),
-      Some(oldFpRaw))
+      Some(oldFpRaw),
+      storedLabels = Some(storedClusterLabelsMaterialized(spark, sfDir)))
   }
 
   /** [[clusterRefresh]] with the admission cascade's output and the
@@ -590,6 +612,40 @@ object Dedup {
     * and [[clusterRefreshOf]] merges into. Recomputed here for
     * self-contained declared queries; `oldFpRaw` shares the day-1
     * fingerprint scan when the caller already holds it. */
+  /** BUILD-ONCE day-1 cluster state (r17 verdict #4) — the two tables a
+    * production deployment PERSISTS between days and every day-2 query
+    * reads: the day-1 winnow fingerprint table and the day-1 component
+    * labels. `dedup_cluster_refresh`, `corpus_split_churn` and
+    * `corpus_daily_increment` each consumed them via a full in-query
+    * rebuild (day-1 winnow scan + capped fp self-join + star CC ≈ a
+    * third of each query); now the rebuild runs EXACTLY ONCE per
+    * (application, sfDir) and is `localCheckpoint`ed, the same
+    * lifecycle as [[winnowEdgesMaterialized]]. The bench charges the
+    * build to `corpus_daily_increment` (first of the family in the
+    * chain; Bench cold-resets the family before each of its repeats),
+    * so the other day-2 queries report steady-state marginal cost.
+    * Refresh ≡ rebuild stays oracle-proven: the DuckDB replicas
+    * recompute the day-1 state from scratch and hash-compare. */
+  val Day1ClusterFamily = "day1_cluster_state"
+
+  /** Day-1 (standing corpus, `doc_id % 10 >= 2`) winnow fingerprints —
+    * memoized; see [[Day1ClusterFamily]]. */
+  def day1FingerprintsMaterialized(spark: SparkSession, sfDir: String): DataFrame =
+    BuildOnce.get(spark, Day1ClusterFamily, sfDir + "#fp")(
+      BuildOnce.sized(TextAnalysis.winnowFingerprints(
+          Tables.documents(spark, sfDir).filter(!(col("doc_id") % 10 < 2)), 4)
+        .select(col("doc_id"), col("fp_hash")).distinct())
+        .localCheckpoint())
+
+  /** Day-1 stored component labels — memoized; see
+    * [[Day1ClusterFamily]]. Built over the memoized day-1 fingerprints
+    * so the family shares one winnow pass. */
+  def storedClusterLabelsMaterialized(spark: SparkSession, sfDir: String): DataFrame =
+    BuildOnce.get(spark, Day1ClusterFamily, sfDir + "#labels")(
+      BuildOnce.sized(storedClusterLabels(spark, sfDir,
+          Some(day1FingerprintsMaterialized(spark, sfDir))))
+        .localCheckpoint())
+
   def storedClusterLabels(spark: SparkSession, sfDir: String,
       oldFpRaw: Option[DataFrame] = None): DataFrame = {
     val docs = Tables.documents(spark, sfDir)
@@ -699,11 +755,12 @@ object Dedup {
       .select(col("doc_id"), col("fp_hash")).distinct()
       .localCheckpoint(eager = false) // stage count + refreshed union
     // day-1 corpus fingerprints, shared by the refreshed table AND the
-    // label stage's stored-state reconstruction (one winnow pass)
-    val oldFpRaw = TextAnalysis
-      .winnowFingerprints(docs.filter(!isNew), 4)
-      .select(col("doc_id"), col("fp_hash")).distinct()
-      .localCheckpoint(eager = false)
+    // label stage's stored-state reconstruction — the build-once memo
+    // ([[Day1ClusterFamily]]); the bench charges THIS query with the
+    // family's cold build, so the full day-1 winnow + star-CC cost is
+    // paid (and reported) here, and the sibling day-2 queries read the
+    // stored state like the production nightly job they model
+    val oldFpRaw = day1FingerprintsMaterialized(spark, sfDir)
     val refreshedFp = oldFpRaw
       .unionByName(fpDelta)
       .localCheckpoint(eager = false) // both sides of the edge join
@@ -726,7 +783,8 @@ object Dedup {
           .filter(col("vec_id") % 10 < 2)
           .select(col("cent_id")).distinct()))
       .unionByName(stage("clusters_touched",
-        clusterRefreshOf(spark, sfDir, admitted, edges, Some(oldFpRaw))
+        clusterRefreshOf(spark, sfDir, admitted, edges, Some(oldFpRaw),
+            storedLabels = Some(storedClusterLabelsMaterialized(spark, sfDir)))
           .filter(isNew).select(col("cluster")).distinct()))
       .orderBy(col("stage"))
   }
@@ -760,14 +818,14 @@ object Dedup {
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc1"), col("y.doc_id").as("doc2"))
       .distinct()
+      .localCheckpoint(eager = false) // verify join + the shingle semi-join
     val s1 = sig.select(col("doc_id").as("doc1") +:
       (0 until MinhashPerm).map(i => col(s"m$i").as(s"a$i")): _*)
     val s2 = sig.select(col("doc_id").as("doc2") +:
       (0 until MinhashPerm).map(i => col(s"m$i").as(s"b$i")): _*)
     val nEq = (0 until MinhashPerm).map(i =>
       when(col(s"a$i") === col(s"b$i"), 1L).otherwise(0L)).reduce(_ + _)
-    val docs = withShingles(Tables.documents(spark, sfDir))
-      .select(col("doc_id"), col("sh"))
+    val docs = candidateShingles(spark, sfDir, cand, "doc1", "doc2")
     val est = col("n_equal").cast("double") / MinhashPerm
     val exact = size(array_intersect(col("sh1"), col("sh2"))).cast("double") /
       size(array_union(col("sh1"), col("sh2")))
@@ -814,6 +872,7 @@ object Dedup {
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc1"), col("y.doc_id").as("doc2"))
       .distinct()
+      .localCheckpoint(eager = false) // verify join + the shingle semi-join
     val s1 = sig.select(col("doc_id").as("doc1") +:
       (0 until MinhashPerm).map(i => col(s"m$i").as(s"a$i")): _*)
     val s2 = sig.select(col("doc_id").as("doc2") +:
@@ -826,8 +885,7 @@ object Dedup {
     val nEqB = (0 until MinhashPerm).map(i =>
       when(col(s"a$i") % twoB === col(s"b$i") % twoB, 1L).otherwise(0L))
       .reduce(_ + _)
-    val docs = withShingles(Tables.documents(spark, sfDir))
-      .select(col("doc_id"), col("sh"))
+    val docs = candidateShingles(spark, sfDir, cand, "doc1", "doc2")
     cand.join(s1, "doc1").join(s2, "doc2")
       .withColumn("n_equal_full", nEqFull)
       .withColumn("n_equal_bbit", nEqB)
@@ -1201,7 +1259,7 @@ object Dedup {
   val EdgesFamily = "winnow_edges"
   def winnowEdgesMaterialized(spark: SparkSession, sfDir: String): DataFrame =
     BuildOnce.get(spark, EdgesFamily, sfDir)(
-      winnowSharedPairsAll(spark, sfDir).localCheckpoint())
+      BuildOnce.sized(winnowSharedPairsAll(spark, sfDir)).localCheckpoint())
 
   /** Winnow-candidate CALIBRATION — the evaluation harness that
     * justifies replacing the exact shingle-Jaccard join with the
@@ -1474,8 +1532,22 @@ object Dedup {
     // shuffle-free broadcast-hash scan of the corpus prefixes, and the
     // plan stops flip-flopping between strategies on a degenerate
     // near-boundary corpus (the uniform 31-word sf1 fixture measured
-    // bimodal 25–179 s under AQE's choice; broadcast pins it)
-    val candidates = broadcast(a).join(b, col("w") === col("w2") &&
+    // bimodal 25–179 s under AQE's choice; broadcast pins it).
+    // SIZE-GATED (r17 verdict #2): the batch grows linearly with the
+    // corpus (doc_id % batchMod), so an unconditional hint would ship
+    // a hundreds-of-GB relation at 100 TB and OOM past AQE's checks.
+    // Gate on the scan-stats estimate of the batch's share of the raw
+    // corpus bytes — the prefix index is strictly narrower than the
+    // text it came from (≤ ~1/t of the distinct tokens, hashed to
+    // longs), so raw-bytes/batchMod bounds it from above; the estimate
+    // reads parquet footer stats only (no extra job). Above the
+    // threshold the hint is dropped and AQE picks the strategy.
+    val bcastMax = spark.conf.getOption("graft.ppj.broadcastMaxBytes")
+      .map(_.toLong).getOrElse(512L << 20)
+    val batchBytesUb = Tables.documents(spark, sfDir)
+      .queryExecution.optimizedPlan.stats.sizeInBytes / batchMod
+    val aSide = if (batchBytesUb <= bcastMax) broadcast(a) else a
+    val candidates = aSide.join(b, col("w") === col("w2") &&
         col("n2") * tDen >= col("n1") * tNum &&
         col("n1") * tDen >= col("n2") * tNum)
       .groupBy(col("id1"), col("id2"), col("n1"), col("n2"))

@@ -108,6 +108,10 @@ object GraphOps {
     // sort instead of agg + join re-read).
     val variant = nodes.sparkSession.conf
       .getOption("graft.ccstar.variant").getOrElse("base")
+    // unknown strings otherwise silently select the lazyls branch,
+    // changing per-round job structure with no signal (r17 ADVICE)
+    require(Set("base", "lazyls", "window")(variant),
+      s"graft.ccstar.variant must be base|lazyls|window, got '$variant'")
     val logRounds = nodes.sparkSession.conf
       .getOption("graft.ccstar.log").exists(_.toBoolean)
     var e = edges.toDF("x", "y")
@@ -307,8 +311,23 @@ object GraphOps {
     // in-chain variance lives in the wedge-aggregate stage, not in
     // plan-shape nondeterminism. Variants stay selectable for the
     // record via graft.lp.wedge.
+    // The wedge self-join EXPLODES ~30× (12 MB of mids → ~360 MB of
+    // partial-aggregate output at sf0.1): AQE sizes the join's reduce
+    // stage from its INPUT bytes and coalesced it to ~10 tasks, putting
+    // 40+ s of CPU and ~100 MB of aggregate spill on a third of the
+    // cores (r18 stage probe; the mechanism behind the 8-core chain
+    // matching the 32-core one). An EXPLICIT hash repartition on the
+    // join key is exempt from AQE coalescing, so the explode + partial
+    // aggregate runs at a width scaled to the session (4 waves per
+    // core by default, conf-able for cluster deployments); both wedge
+    // sides share the one exchange (same canonical subtree).
+    val wedgeParts = pairs.sparkSession.conf
+      .getOption("graft.lp.wedgeParts").map(_.toInt).getOrElse(
+        4 * pairs.sparkSession.sparkContext.defaultParallelism)
     val wedgeVariant = pairs.sparkSession.conf
       .getOption("graft.lp.wedge").getOrElse("nockpt")
+    require(Set("nockpt", "symmetric", "ckpt")(wedgeVariant),
+      s"graft.lp.wedge must be nockpt|symmetric|ckpt, got '$wedgeVariant'")
     val wedge = wedgeVariant match {
       case "ckpt" =>
         val m = mids.localCheckpoint(eager = false)
@@ -321,9 +340,10 @@ object GraphOps {
             col("aa_micro").as("aa2")), Seq("w"))
           .filter(col("u") < col("v"))
           .select(col("w"), col("u"), col("aa_micro"), col("v"))
-      case _ => // "nockpt": the r12 shape
-        mids.select(col("w"), col("u"), col("aa_micro"))
-          .join(mids.select(col("w"), col("u").as("v")), Seq("w"))
+      case _ => // "nockpt": the r12 shape, wedge exchange width pinned
+        val m = mids.repartition(wedgeParts, col("w"))
+        m.select(col("w"), col("u"), col("aa_micro"))
+          .join(m.select(col("w"), col("u").as("v")), Seq("w"))
           .filter(col("u") < col("v"))
     }
     // The (u, v) aggregate is the measured cost center (r12: 56.4 M
@@ -373,8 +393,8 @@ object GraphOps {
   val CandidatesFamily = "lp_candidates"
   def candidatePairsMaterialized(spark: SparkSession, sfDir: String): DataFrame =
     BuildOnce.get(spark, CandidatesFamily, sfDir)(
-      Dedup.winnowSharedPairsAll(spark, sfDir, minShared = 1)
-        .select(col("id1"), col("id2")).localCheckpoint())
+      BuildOnce.sized(Dedup.winnowSharedPairsAll(spark, sfDir, minShared = 1)
+        .select(col("id1"), col("id2"))).localCheckpoint())
 
   /** The ALERT channel for [[linkPrediction]]'s hub cap (cap, don't
     * silently melt — the [[Dedup.oversizedKeys]] discipline): nodes of
@@ -656,9 +676,14 @@ object GraphOps {
       val votes = edges
         .join(labels.withColumnRenamed("doc_id", "src"), "src")
         .groupBy(col("dst"), col("lbl")).agg(count(lit(1)).as("cnt"))
-      val mx = votes.groupBy(col("dst")).agg(max(col("cnt")).as("mx"))
-      val pick = votes.join(mx, "dst").filter(col("cnt") === col("mx"))
-        .groupBy(col("dst")).agg(min(col("lbl")).as("new_lbl"))
+      // argmax fused into ONE aggregate (r18, guide §2.4): the old
+      // shape was groupBy(dst).max + join back + filter + groupBy.min —
+      // two extra exchanges and a join PER ROUND. max(struct(cnt,
+      // -lbl)) picks the same winner: max count, ties broken by min
+      // label (labels are doc ids ≥ 0, so -lbl orders them reversed).
+      val pick = votes.groupBy(col("dst"))
+        .agg(max(struct(col("cnt"), (-col("lbl")).as("neg"))).as("top"))
+        .select(col("dst"), (-col("top.neg")).as("new_lbl"))
       labels = labels
         .join(pick.withColumnRenamed("dst", "doc_id"), Seq("doc_id"), "left")
         .select(col("doc_id"),

@@ -565,10 +565,24 @@ object Substrate {
       // gate exists ONLY so the plan guard can inspect the
       // un-truncated plan (a checkpoint hides the range exchange);
       // production leaves it on.
+      // In-partition rank WITHOUT the window's hash re-exchange (r18,
+      // guide §2.4): rows are already range-partitioned by `ordered`,
+      // but a row_number() window PARTITIONED BY _pid re-shuffles the
+      // full table by _pid (hashpartitioning ≠ the range partitioning
+      // Catalyst just produced) — one redundant full-data exchange per
+      // layout pass, 3 per skip-workload run. Sorting within the range
+      // partitions and taking monotonically_increasing_id's low 33
+      // bits (the per-partition row index, consecutive from 0) yields
+      // the IDENTICAL rank: `ordered` ends with the unique tie-break
+      // keys, so the sort order is total and the index equals the old
+      // row_number − 1. Both id-expressions are non-deterministic, so
+      // the optimizer cannot reorder them below the sort. (row_number
+      // is also an Int — mono_id keeps the rank a long at any scale.)
       val rankedPlan = keys.repartitionByRange(parts, ordered: _*)
+        .sortWithinPartitions(ordered: _*)
         .withColumn("_pid", spark_partition_id())
-        .withColumn("_rn", row_number().over(
-          Window.partitionBy(col("_pid")).orderBy(ordered: _*)).cast("long") - 1)
+        .withColumn("_rn",
+          monotonically_increasing_id().bitwiseAND(lit((1L << 33) - 1)))
       val ranked =
         if (keys.sparkSession.conf
             .getOption("graft.zorder.pinPartitioning").forall(_.toBoolean))
