@@ -194,8 +194,7 @@ object Corpus {
     // query (r17 verdict #4)
     val oldFpRaw = Dedup.day1FingerprintsMaterialized(spark, sfDir)
     val refreshedFp = oldFpRaw.unionByName(TextAnalysis
-        .winnowFingerprints(docs.join(admitted, Seq("doc_id"), "left_semi"), 4)
-        .select(col("doc_id"), col("fp_hash")).distinct())
+        .winnowDocFps(docs.join(admitted, Seq("doc_id"), "left_semi"), 4))
       .localCheckpoint(eager = false)
     val stored = Dedup.storedClusterLabelsMaterialized(spark, sfDir)
     val refreshed = Dedup.clusterRefreshOf(spark, sfDir, admitted,

@@ -507,13 +507,11 @@ object Dedup {
   def fpRefresh(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.documents(spark, sfDir)
     val isNew = col("doc_id") % 10 < 2
-    val existing = TextAnalysis.winnowFingerprints(docs.filter(!isNew), 4)
-      .select(col("doc_id"), col("fp_hash")).distinct()
+    val existing = TextAnalysis.winnowDocFps(docs.filter(!isNew), 4)
     val admitted = incrementalDedup(spark, sfDir)
       .filter(col("outcome") === "kept").select(col("doc_id"))
     val delta = TextAnalysis
-      .winnowFingerprints(docs.join(admitted, Seq("doc_id"), "left_semi"), 4)
-      .select(col("doc_id"), col("fp_hash")).distinct()
+      .winnowDocFps(docs.join(admitted, Seq("doc_id"), "left_semi"), 4)
     existing.unionByName(delta)
   }
 
@@ -530,11 +528,9 @@ object Dedup {
     val docs = Tables.documents(spark, sfDir)
     val isNew = col("doc_id") % 10 < 2
     val fp = refreshedFp.getOrElse {
-      TextAnalysis.winnowFingerprints(docs.filter(!isNew), 4)
-        .select(col("doc_id"), col("fp_hash")).distinct()
+      TextAnalysis.winnowDocFps(docs.filter(!isNew), 4)
         .unionByName(TextAnalysis
-          .winnowFingerprints(docs.join(admitted, Seq("doc_id"), "left_semi"), 4)
-          .select(col("doc_id"), col("fp_hash")).distinct())
+          .winnowDocFps(docs.join(admitted, Seq("doc_id"), "left_semi"), 4))
         .localCheckpoint(eager = false) // both sides of the edge join
     }
     val capped = capHotKeys(fp, Seq("fp_hash"), 4096)
@@ -593,8 +589,7 @@ object Dedup {
     // shares it exactly like the edge/candidate memos).
     val oldFpRaw = day1FingerprintsMaterialized(spark, sfDir)
     val refreshedFp = oldFpRaw.unionByName(TextAnalysis
-        .winnowFingerprints(docs.join(admitted, Seq("doc_id"), "left_semi"), 4)
-        .select(col("doc_id"), col("fp_hash")).distinct())
+        .winnowDocFps(docs.join(admitted, Seq("doc_id"), "left_semi"), 4))
       .localCheckpoint(eager = false)
     clusterRefreshOf(spark, sfDir, admitted,
       deltaEdgesOf(spark, sfDir, admitted, Some(refreshedFp)),
@@ -632,9 +627,8 @@ object Dedup {
     * memoized; see [[Day1ClusterFamily]]. */
   def day1FingerprintsMaterialized(spark: SparkSession, sfDir: String): DataFrame =
     BuildOnce.get(spark, Day1ClusterFamily, sfDir + "#fp")(
-      BuildOnce.sized(TextAnalysis.winnowFingerprints(
-          Tables.documents(spark, sfDir).filter(!(col("doc_id") % 10 < 2)), 4)
-        .select(col("doc_id"), col("fp_hash")).distinct())
+      BuildOnce.sized(TextAnalysis.winnowDocFps(
+          Tables.documents(spark, sfDir).filter(!(col("doc_id") % 10 < 2)), 4))
         .localCheckpoint())
 
   /** Day-1 stored component labels — memoized; see
@@ -652,8 +646,7 @@ object Dedup {
     val isNew = col("doc_id") % 10 < 2
     val oldFp = capHotKeys(
       oldFpRaw.getOrElse(
-        TextAnalysis.winnowFingerprints(docs.filter(!isNew), 4)
-          .select(col("doc_id"), col("fp_hash")).distinct()),
+        TextAnalysis.winnowDocFps(docs.filter(!isNew), 4)),
       Seq("fp_hash"), 4096)
     val oldEdges = oldFp.select(col("fp_hash"), col("doc_id").as("id1"))
       .join(oldFp.select(col("fp_hash").as("h2"), col("doc_id").as("id2")),
@@ -751,8 +744,7 @@ object Dedup {
       .localCheckpoint()
     val newDocs = docs.join(admitted, Seq("doc_id"), "left_semi")
     val bucketsDelta = bandSignature(minhashSignaturesOf(newDocs))
-    val fpDelta = TextAnalysis.winnowFingerprints(newDocs, 4)
-      .select(col("doc_id"), col("fp_hash")).distinct()
+    val fpDelta = TextAnalysis.winnowDocFps(newDocs, 4)
       .localCheckpoint(eager = false) // stage count + refreshed union
     // day-1 corpus fingerprints, shared by the refreshed table AND the
     // label stage's stored-state reconstruction — the build-once memo
@@ -1217,8 +1209,7 @@ object Dedup {
     // post-hoc filter over full-corpus fingerprints
     val docs = Tables.documents(spark, sfDir)
       .filter(pmod(col("doc_id"), lit(docIdModulus.toLong)) === docIdResidue.toLong)
-    val allFp = graft.operators.TextAnalysis.winnowFingerprints(docs, 4)
-      .select(col("doc_id"), col("fp_hash")).distinct()
+    val allFp = graft.operators.TextAnalysis.winnowDocFps(docs, 4)
       .localCheckpoint()
     // hot-fingerprint cap (license headers, site chrome): identical
     // cap-and-alert as the minhash/simhash/ngram paths — a fingerprint

@@ -487,33 +487,76 @@ object TextAnalysis {
   def winnowFingerprints(spark: SparkSession, sfDir: String, w: Int = 4): DataFrame =
     winnowFingerprints(Tables.documents(spark, sfDir), w)
 
+  /** Per-document winnow KEY ARRAY: keys(i) = md5Hash48(gram_i)·2^15 + i
+    * over positional word-3-grams, capped at 32768 positions — the
+    * shared derivation behind [[winnowFingerprints]], [[winnowDocFps]]
+    * and [[winnowDensity]]. Winnowing is a PER-DOCUMENT statistic, so
+    * the whole selection runs as one codegen'd array expression on the
+    * scan row — no gram explode, no doc-keyed window exchange + sort,
+    * no closing distinct exchange (r18: the window form cost every
+    * winnow consumer one full-gram-stream shuffle + sort; at 100 TB the
+    * gram stream is the corpus ×3). */
+  private def winnowKeyed(docs: DataFrame): DataFrame = {
+    val words = col("__w")
+    // The md5-dense projection runs IN the stage that produces `docs`.
+    // A small local fixture is one parquet row group = ONE scan task, so
+    // fan the raw doc rows out first (guide §2.5 "input skew: one huge
+    // unsplittable file — repartition immediately after the read").
+    // Scale-adaptive, decided at plan time with no job: a 100 TB scan
+    // (or a join-produced slice) already carries >= parallelism
+    // partitions and skips the exchange; when it does fire it moves the
+    // raw text once — ~3x fewer bytes than the gram-stream shuffle the
+    // r17 window form paid on every input.
+    val par = docs.sparkSession.sparkContext.defaultParallelism
+    val spread =
+      if (docs.rdd.getNumPartitions < par) docs.repartition(par) else docs
+    spread
+      .withColumn("__w", split(col("text"), " "))
+      .select(col("doc_id"),
+        when(size(words) >= 3,
+          transform(sequence(lit(0), least(size(words) - 3, lit(32767))), i =>
+            graft.functions.PortableHash.md5Hash48(
+              concat_ws(" ", element_at(words, i + 1),
+                element_at(words, i + 2), element_at(words, i + 3))) *
+              lit(32768L) + i))
+          .otherwise(array().cast("array<bigint>")).as("keys"))
+  }
+
+  /** Sliding-window minima over [[winnowKeyed]]'s key array: wmins(p) =
+    * min(keys(p..p+w-1)) for every FULL window p ∈ [0, n−w] — `least`
+    * over w positions, all inside one whole-stage-codegen projection. */
+  private def windowMins(keys: Column, w: Int): Column =
+    transform(sequence(lit(0), size(keys) - w), i =>
+      least((1 to w).map(j => element_at(keys, i + lit(j))): _*))
+
   /** Same, over a caller-supplied document slice — lets the sliced
     * recall eval push its calibration predicate BELOW the gram explode
     * instead of filtering fingerprints after the fact. */
   def winnowFingerprints(docs: DataFrame, w: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val words = col("__w")
-    val grams = docs
-      .withColumn("__w", split(col("text"), " "))
-      .select(col("doc_id"), posexplode(
-        when(size(words) >= 3,
-          transform(sequence(lit(0), size(words) - 3), i =>
-            concat_ws(" ", element_at(words, i + 1),
-              element_at(words, i + 2), element_at(words, i + 3))))
-          .otherwise(array())).as(Seq("pos", "gram")))
-      .filter(col("pos") < 32768)
-    val keyed = grams.select(col("doc_id"), col("pos"),
-      (graft.functions.PortableHash.md5Hash48(col("gram")) * lit(32768L) +
-        col("pos")).as("key"))
-    val win = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-      .rowsBetween(0, w - 1)
-    keyed
-      .withColumn("wmin", min(col("key")).over(win))
-      .withColumn("cnt", count(lit(1)).over(win))
-      .filter(col("cnt") === w) // full windows only
-      .select(col("doc_id"), col("wmin")).distinct()
+    val keys = col("keys")
+    winnowKeyed(docs)
+      .select(col("doc_id"),
+        explode(when(size(keys) >= w, array_distinct(windowMins(keys, w)))
+          .otherwise(array().cast("array<bigint>"))).as("wmin"))
       .select(col("doc_id"), (col("wmin") % 32768L).cast("int").as("pos"),
         expr("wmin DIV 32768").as("fp_hash"))
+  }
+
+  /** Document-level fingerprint SET — `winnowFingerprints(docs, w)
+    * .select(doc_id, fp_hash).distinct()` with the distinct folded into
+    * the per-document array (rows are unique by construction: one doc
+    * row in, array_distinct over the hash array out), so consumers that
+    * only join on the fp set skip the aggregate exchange entirely. */
+  def winnowDocFps(docs: DataFrame, w: Int): DataFrame = {
+    val keys = col("keys")
+    winnowKeyed(docs)
+      .select(col("doc_id"),
+        explode(when(size(keys) >= w,
+          // keys are non-negative, so >> 15 IS `DIV 32768` (exact —
+          // a double divide would round the 63-bit key's mantissa)
+          array_distinct(transform(windowMins(keys, w), m =>
+            shiftright(m, 15))))
+          .otherwise(array().cast("array<bigint>"))).as("fp_hash"))
   }
 
   /** WINNOW DENSITY AUDIT (Schleimer–Wilkerson–Aiken 2003's §3
@@ -530,30 +573,20 @@ object TextAnalysis {
     * deployed independently); output is one row per doc. */
   def winnowDensity(spark: SparkSession, sfDir: String,
       w: Int = 4): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val words = col("__w")
-    val grams = Tables.documents(spark, sfDir)
-      .withColumn("__w", split(col("text"), " "))
-      .select(col("doc_id"), posexplode(
-        when(size(words) >= 3,
-          transform(sequence(lit(0), size(words) - 3), i =>
-            concat_ws(" ", element_at(words, i + 1),
-              element_at(words, i + 2), element_at(words, i + 3))))
-          .otherwise(array())).as(Seq("pos", "gram")))
-      .filter(col("pos") < 32768)
-    val keyed = grams.select(col("doc_id"), col("pos"),
-      (graft.functions.PortableHash.md5Hash48(col("gram")) * lit(32768L) +
-        col("pos")).as("key"))
-    val win = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-      .rowsBetween(0, w - 1)
-    keyed
-      .withColumn("wmin", min(col("key")).over(win))
-      .withColumn("cnt", count(lit(1)).over(win))
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_grams"),
-        sum(when(col("cnt") === w, 1L).otherwise(0L)).as("n_windows"),
-        countDistinct(when(col("cnt") === w, col("wmin"))).as("n_fps"))
-      .filter(col("n_windows") >= 1)
+    val keys = col("keys")
+    // per-document statistic → pure projection over [[winnowKeyed]]:
+    // no gram explode, no window exchange, no groupBy (r18). The
+    // `n_windows >= 1` gate is applied as its CHEAP equivalent on the
+    // raw word count BEFORE the key derivation (n_windows ≥ 1 ⇔
+    // size(words) ≥ w + 2, cap-independent since w ≪ 32768) — a filter
+    // phrased on n_windows inlines the whole md5 key array and gets
+    // predicate-pushed into the scan stage, re-evaluating it there.
+    winnowKeyed(Tables.documents(spark, sfDir)
+        .filter(size(split(col("text"), " ")) >= w + 2))
+      .select(col("doc_id"),
+        size(keys).cast("long").as("n_grams"),
+        (size(keys) - (w - 1)).cast("long").as("n_windows"),
+        size(array_distinct(windowMins(keys, w))).cast("long").as("n_fps"))
       .withColumn("density_milli", expr("(n_fps * 1000) DIV n_windows"))
   }
 
