@@ -54,6 +54,10 @@ object Bench {
     // dedup_cluster_refresh / corpus_split_churn report steady-state
     // marginal cost (r17 verdict #4)
     "corpus_daily_increment" -> Seq(graft.operators.Dedup.Day1ClusterFamily),
+    // the day-2 admission table (the cascade's outcome) — its declared
+    // build row is dedup_incremental itself; the five refresh
+    // consumers read the table like the nightly job they model (r18)
+    "dedup_incremental" -> Seq(graft.operators.Dedup.AdmissionFamily),
     // the trained-quantizer family: the cell census is its declared
     // build row, so it reports the real train+assign cost (both memos
     // cleared) and the other cell-family consumers report steady-state

@@ -190,7 +190,8 @@ object SparkEntry {
     "stream_lifecycle_join" -> ((s: SparkSession, d: String) =>
       graft.streaming.LifecycleJoin.batchLifecycle(s, d)),
     "corpus_source_ablation" -> (Corpus.sourceAblation _),
-    "dedup_incremental" -> ((s: SparkSession, d: String) => Dedup.incrementalDedup(s, d)),
+    "dedup_incremental" -> ((s: SparkSession, d: String) =>
+      Dedup.incrementalDedupMaterialized(s, d)),
     "dedup_bucket_refresh" -> ((s: SparkSession, d: String) => Dedup.bucketRefresh(s, d)),
     "embed_index_refresh" -> ((s: SparkSession, d: String) => Similarity.indexRefresh(s, d)),
     "embed_cell_refresh" -> (Similarity.cellRefresh _),

@@ -185,9 +185,7 @@ object Corpus {
     * ≤ (|splits|+1)·|splits| rows. */
   def splitChurn(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.documents(spark, sfDir)
-    val admitted = Dedup.incrementalDedup(spark, sfDir)
-      .filter(col("outcome") === "kept").select(col("doc_id"))
-      .localCheckpoint()
+    val admitted = Dedup.admittedMaterialized(spark, sfDir)
     // day-1 fingerprints + stored labels are the PERSISTED day-1 state
     // — read from the build-once memo (Dedup.Day1ClusterFamily; bench
     // charges the build to `corpus_daily_increment`), not rebuilt per

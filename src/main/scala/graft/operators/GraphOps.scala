@@ -152,9 +152,16 @@ object GraphOps {
         .distinct().localCheckpoint()
       // exact fixed-point test: same cardinality and no edge in the new
       // set absent from the old (both sides are distinct + checkpointed,
-      // so set equality; never collects the edges to the driver)
-      val ssCount = ss.count()
-      stable = ssCount == eCount && ss.exceptAll(e).isEmpty
+      // so set equality; never collects the edges to the driver). ONE
+      // job per round (r18): the count and the membership check ride
+      // the same aggregate over a left join, replacing the former
+      // count() + exceptAll().isEmpty pair — the iterative rounds are
+      // job-count-bound at the margin, and the decision is unchanged.
+      val chk = ss.join(e.withColumn("__old", lit(1)), Seq("u", "v"), "left")
+        .agg(count(lit(1)).as("n"), count(col("__old")).as("matched"))
+        .head()
+      val ssCount = chk.getLong(0)
+      stable = ssCount == eCount && chk.getLong(1) == ssCount
       if (logRounds)
         System.err.println(s"[ccstar] iter=$iter edges=$eCount -> $ssCount stable=$stable")
       e = ss
