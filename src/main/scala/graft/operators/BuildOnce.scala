@@ -43,19 +43,47 @@ import org.apache.spark.sql.execution.LogicalRDD
   */
 object BuildOnce {
   /** Scale-adaptive partition sizing for memo materialization (r18,
-    * guide §2): AQE coalesces the tail stage of a small build down to
-    * a handful of byte-sized partitions, and `localCheckpoint` FREEZES
-    * that layout — every consumer's compute-dense first stage then
-    * runs at that width no matter how many cores the session has
-    * (measured at sf0.1/local[32]: the 3-partition candidate memo put
-    * graph_link_prediction's wedge join on 10 tasks for 60 s of run
-    * time with 122 MB of spill while 22 cores idled; repartitioned,
-    * the same stage spreads to 32 tasks). Round-robin to the session's
-    * default parallelism is the single-JVM stand-in for the bucketed
-    * table's file-count sizing that the memo scaladocs already
-    * describe as the 100 TB shape. */
-  def sized(df: DataFrame): DataFrame =
-    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    * guide §2): `localCheckpoint` FREEZES whatever layout the build's
+    * tail stage happened to have, and both failure modes were measured
+    * this round —
+    *   - too NARROW: AQE coalesced the 12 MB candidate memo to 3
+    *     byte-sized partitions, putting graph_link_prediction's
+    *     compute-dense wedge join on 10 tasks / 122 MB spill while 22
+    *     cores idled;
+    *   - too WIDE: a blanket repartition(defaultParallelism) spread the
+    *     25-row edge memo over 32 partitions, so every ROUND of every
+    *     iterative consumer (BFS, k-core peel, LPA, star CC) launched
+    *     32–64 near-empty tasks — task-launch overhead, not compute
+    *     (graph_core_distance: 533 tasks, run 58 s vs cpu 21 s).
+    * Fix: materialize at the natural layout, read the ACTUAL stored
+    * bytes from the block manager (no extra job), and re-lay-out only
+    * when the measured size disagrees — one partition per
+    * `graft.memo.partitionBytes` (default 1 MiB, AQE's own
+    * minPartitionSize), capped at the session parallelism. This is the
+    * single-JVM stand-in for the bucketed table's file-count sizing the
+    * memo scaladocs describe as the 100 TB shape: block count grows
+    * with the data, never with a constant. Returns the eager
+    * checkpoint — callers must NOT checkpoint again. */
+  def sized(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    val sc = spark.sparkContext
+    val targetBytes = spark.conf.getOption("graft.memo.partitionBytes")
+      .map(_.toLong).getOrElse(1L << 20)
+    val first = df.localCheckpoint()
+    val rddIds = first.queryExecution.analyzed
+      .collect { case lr: LogicalRDD => lr.rdd.id }.toSet
+    val bytes = sc.getRDDStorageInfo.filter(i => rddIds(i.id))
+      .map(i => i.memSize + i.diskSize).sum
+    val natural = first.rdd.getNumPartitions
+    val target = math.max(1L, math.min(sc.defaultParallelism.toLong,
+      (bytes + targetBytes - 1) / targetBytes)).toInt
+    if (natural == target) first
+    else {
+      val fitted = first.repartition(target).localCheckpoint()
+      release(first)
+      fitted
+    }
+  }
 
   private final case class Key(appId: String, family: String, k: String)
   private val memos = new ConcurrentHashMap[Key, DataFrame]()

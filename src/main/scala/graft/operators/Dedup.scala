@@ -470,7 +470,7 @@ object Dedup {
   val AdmissionFamily = "day2_admission"
   def incrementalDedupMaterialized(spark: SparkSession, sfDir: String): DataFrame =
     BuildOnce.get(spark, AdmissionFamily, sfDir)(
-      BuildOnce.sized(incrementalDedup(spark, sfDir)).localCheckpoint())
+      BuildOnce.sized(incrementalDedup(spark, sfDir)))
 
   /** The admitted (`kept`) doc ids off the shared admission table —
     * the projection every day-2 consumer starts from. */
@@ -657,8 +657,7 @@ object Dedup {
   def day1FingerprintsMaterialized(spark: SparkSession, sfDir: String): DataFrame =
     BuildOnce.get(spark, Day1ClusterFamily, sfDir + "#fp")(
       BuildOnce.sized(TextAnalysis.winnowDocFps(
-          Tables.documents(spark, sfDir).filter(!(col("doc_id") % 10 < 2)), 4))
-        .localCheckpoint())
+          Tables.documents(spark, sfDir).filter(!(col("doc_id") % 10 < 2)), 4)))
 
   /** Day-1 stored component labels — memoized; see
     * [[Day1ClusterFamily]]. Built over the memoized day-1 fingerprints
@@ -666,8 +665,7 @@ object Dedup {
   def storedClusterLabelsMaterialized(spark: SparkSession, sfDir: String): DataFrame =
     BuildOnce.get(spark, Day1ClusterFamily, sfDir + "#labels")(
       BuildOnce.sized(storedClusterLabels(spark, sfDir,
-          Some(day1FingerprintsMaterialized(spark, sfDir))))
-        .localCheckpoint())
+          Some(day1FingerprintsMaterialized(spark, sfDir)))))
 
   def storedClusterLabels(spark: SparkSession, sfDir: String,
       oldFpRaw: Option[DataFrame] = None): DataFrame = {
@@ -1277,7 +1275,7 @@ object Dedup {
   val EdgesFamily = "winnow_edges"
   def winnowEdgesMaterialized(spark: SparkSession, sfDir: String): DataFrame =
     BuildOnce.get(spark, EdgesFamily, sfDir)(
-      BuildOnce.sized(winnowSharedPairsAll(spark, sfDir)).localCheckpoint())
+      BuildOnce.sized(winnowSharedPairsAll(spark, sfDir)))
 
   /** Winnow-candidate CALIBRATION — the evaluation harness that
     * justifies replacing the exact shingle-Jaccard join with the

@@ -401,7 +401,7 @@ object GraphOps {
   def candidatePairsMaterialized(spark: SparkSession, sfDir: String): DataFrame =
     BuildOnce.get(spark, CandidatesFamily, sfDir)(
       BuildOnce.sized(Dedup.winnowSharedPairsAll(spark, sfDir, minShared = 1)
-        .select(col("id1"), col("id2"))).localCheckpoint())
+        .select(col("id1"), col("id2"))))
 
   /** The ALERT channel for [[linkPrediction]]'s hub cap (cap, don't
     * silently melt — the [[Dedup.oversizedKeys]] discipline): nodes of

@@ -401,7 +401,7 @@ object Similarity {
   val LshPairsFamily = "lsh_pairs"
   def lshPairsMaterialized(spark: SparkSession, sfDir: String): DataFrame =
     BuildOnce.get(spark, LshPairsFamily, sfDir)(
-      BuildOnce.sized(lshVerifiedPairs(spark, sfDir)).localCheckpoint())
+      BuildOnce.sized(lshVerifiedPairs(spark, sfDir)))
 
   /** IVM REFRESH of the hyperplane-LSH vector index — the embedding-
     * side twin of [[graft.operators.Dedup.bucketRefresh]], proving the
