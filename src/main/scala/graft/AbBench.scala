@@ -317,7 +317,10 @@ object AbBench {
           operators.GraphOps.linkPrediction(spark, sfDir))
       Map("lp_wedge_nockpt" -> lpArm("nockpt"),
         "lp_wedge_symmetric" -> lpArm("symmetric"),
-        "lp_wedge_ckpt" -> lpArm("ckpt"))
+        "lp_wedge_ckpt" -> lpArm("ckpt"),
+        // r18: pair generation via per-middle sorted neighbor arrays
+        // (no self-join; d(d-1)/2 rows materialized instead of d²)
+        "lp_wedge_grouped" -> lpArm("grouped"))
     } ++ {
       // r17 probe: what the interpreted-HOF shingle projection costs
       // per full-corpus evaluation (the verify stages of five minhash
@@ -350,10 +353,19 @@ object AbBench {
     def once(n: String): Double = {
       val t0 = System.nanoTime()
       cs(n)().write.format("noop").mode("overwrite").save()
-      (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      // Bench-boundary hygiene (r18): without the sweep + GC, lazy
+      // checkpoint blocks and garbage from pass N land inside pass
+      // N+1's timed window — observed as 7→40 s swings on unchanged
+      // arms, which drowns any A/B signal.
+      operators.BuildOnce.releaseScoped(spark, blocking = true)
+      System.gc()
+      Thread.sleep(200)
+      dt
     }
     names.foreach(once) // warm-up pass, unreported
-    val passes = 3
+    val passes =
+      sys.env.get("SPARK_GRAFT_AB_PASSES").map(_.toInt).getOrElse(3)
     val times = collection.mutable.Map.empty[String, Vector[Double]]
     for (_ <- 1 to passes; n <- names)
       times(n) = times.getOrElse(n, Vector.empty) :+ once(n)

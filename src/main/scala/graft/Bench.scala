@@ -270,6 +270,20 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
+      // Byte-driven post-shuffle sizing (guide §2.2, r17 verdict #2):
+      // with parallelismFirst (Spark's default) AQE coalesces only down
+      // to the session core count, so every kilobyte-sized exchange of
+      // a 238-query chain still ran `cpus` near-empty reduce tasks and
+      // 32 cores lost to 8. parallelismFirst=false sizes reduce stages
+      // from their measured bytes (advisoryPartitionSizeInBytes), which
+      // is the scale-correct rule on a cluster too — at 100 TB every
+      // healthy exchange carries far more than advisory×cores, so this
+      // flips nothing there, while here it stops the task storms.
+      // Env-overridable for A/B comparability with earlier rounds.
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
+        sys.env.getOrElse("SPARK_GRAFT_AQE_PARALLELISM_FIRST", "true"))
+      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        sys.env.getOrElse("SPARK_GRAFT_AQE_ADVISORY", "64m"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

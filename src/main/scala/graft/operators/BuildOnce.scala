@@ -85,6 +85,13 @@ object BuildOnce {
     }
   }
 
+  /** Release a `sized`/localCheckpoint'ed DataFrame's blocks eagerly —
+    * the public unpersist for NON-memo callers that use [[sized]] for a
+    * query-scoped materialization (e.g. the BPE learner's vocab) and
+    * must free it before the query returns rather than leaving it to
+    * the harness-boundary sweep. */
+  def releaseNow(df: DataFrame): Unit = release(df)
+
   private final case class Key(appId: String, family: String, k: String)
   private val memos = new ConcurrentHashMap[Key, DataFrame]()
   private val hooked = ConcurrentHashMap.newKeySet[String]()

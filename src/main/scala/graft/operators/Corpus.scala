@@ -474,7 +474,17 @@ object Corpus {
 
   private def learnBpeRulesUncached(spark: SparkSession, sfDir: String, k: Int,
       checkpointEvery: Int): Seq[(String, Long)] = {
-    val base = bpeWordFreq(spark, sfDir).withColumn("s", bpeSpaced).cache()
+    // The vocab working set is Heaps-bounded (a few MB at test SFs) but
+    // a plain .cache() freezes it at the aggregate's shuffle width —
+    // 32 partitions here — so every one of the k learning rounds paid a
+    // 32-task stage for kilobytes of work per task (measured run ≈ 3×
+    // cpu, pure task launch). BuildOnce.sized lays it out by MEASURED
+    // bytes (1 partition per graft.memo.partitionBytes, capped at the
+    // session parallelism), so round cost scales with vocab size, not
+    // core count; the every-`checkpointEvery` rewrite checkpoints
+    // inherit that layout through the narrow withColumn.
+    val base = BuildOnce.sized(
+      bpeWordFreq(spark, sfDir).withColumn("s", bpeSpaced))
     try {
       var words = base
       val rules = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
@@ -495,7 +505,7 @@ object Corpus {
         }
       }
       rules.toSeq
-    } finally base.unpersist()
+    } finally BuildOnce.releaseNow(base)
   }
 
   /** The learned BPE rule table as a query result: (rank, pair,

@@ -333,9 +333,27 @@ object GraphOps {
         4 * pairs.sparkSession.sparkContext.defaultParallelism)
     val wedgeVariant = pairs.sparkSession.conf
       .getOption("graft.lp.wedge").getOrElse("nockpt")
-    require(Set("nockpt", "symmetric", "ckpt")(wedgeVariant),
-      s"graft.lp.wedge must be nockpt|symmetric|ckpt, got '$wedgeVariant'")
+    require(Set("nockpt", "symmetric", "ckpt", "grouped")(wedgeVariant),
+      s"graft.lp.wedge must be nockpt|symmetric|ckpt|grouped, got '$wedgeVariant'")
     val wedge = wedgeVariant match {
+      case "grouped" =>
+        // Pair generation WITHOUT the self-join (r18 A/B arm): per
+        // middle, the sorted neighbor array generates each unordered
+        // pair exactly once via a codegen array expression — the join
+        // materialized d² rows per middle and filtered to d(d-1)/2,
+        // plus paid the SMJ sort of both sides. Same aggregate input
+        // (u < v pairs with the middle's constant aa_micro), so the
+        // result is identical; only the pair-stream construction
+        // changes. slice length is clamped by Spark, so size(us) is a
+        // safe upper bound for the tail slice.
+        val m = mids.repartition(wedgeParts, col("w"))
+        m.groupBy(col("w"), col("aa_micro"))
+          .agg(sort_array(collect_list(col("u"))).as("us"))
+          .select(col("aa_micro"), explode(expr(
+            "flatten(transform(us, (x, i) -> " +
+              "transform(slice(us, i + 2, size(us)), y -> struct(x, y))))"
+          )).as("p"))
+          .select(col("p.x").as("u"), col("p.y").as("v"), col("aa_micro"))
       case "ckpt" =>
         val m = mids.localCheckpoint(eager = false)
         m.select(col("w"), col("u"), col("aa_micro"))
