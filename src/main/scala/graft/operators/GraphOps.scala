@@ -386,12 +386,25 @@ object GraphOps {
     // pair): out-of-range ids raise instead of silently corrupting
     // keys (a 100 TB corpus with synthetic wide ids disables packing,
     // it doesn't inherit a wrong answer).
-    val scored = wedge
+    // The uv aggregate's width (r18): the session's byte-derived
+    // shuffle partitioning sizes this exchange from INPUT bytes, but
+    // the aggregate's cost is the 10.7 M-key hash build — CPU-bound,
+    // so its width should scale with cores like the wedge exchange.
+    // An explicit repartition on the packed key pins it (the groupBy
+    // reuses the exchange — same key, same count); the map-side
+    // partial aggregate moves above the exchange, which the r13 probe
+    // showed removes only 11% of rows anyway (pair multiplicity is not
+    // reducer-concentrated). 0 disables the pin (pre-r18 shape).
+    val aggParts = pairs.sparkSession.conf
+      .getOption("graft.lp.aggParts").map(_.toInt).getOrElse(wedgeParts)
+    val packed = wedge
       .select(expr(
         """CASE WHEN u BETWEEN 0 AND 2147483647 AND v BETWEEN 0 AND 2147483647
           |THEN u * 4294967296 + v
           |ELSE raise_error('linkPrediction: doc id outside [0, 2^31); disable pair-key packing')
           |END""".stripMargin).as("uv"), col("aa_micro"))
+    val scored = (if (aggParts > 0) packed.repartition(aggParts, col("uv"))
+      else packed)
       .groupBy(col("uv"))
       .agg(count(lit(1)).as("n_common"), sum(col("aa_micro")).as("score_micro"))
       .select(expr("uv DIV 4294967296").as("id1"),
