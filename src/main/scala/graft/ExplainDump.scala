@@ -18,12 +18,21 @@ object ExplainDump {
     }
     val Array(sfDir, outDir, list) = args.take(3)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
+    // ad-hoc conf overrides (SPARK_GRAFT_EXPLAIN_CONF="k=v;k2=v2") —
+    // e.g. graft.zorder.pinPartitioning=false to dump the ranking
+    // subtree a localCheckpoint otherwise hides as Scan ExistingRDD
+    val extra = sys.env.get("SPARK_GRAFT_EXPLAIN_CONF").toSeq
+      .flatMap(_.split(";")).map(_.trim).filter(_.contains("="))
+      .map { kv => val Array(k, v) = kv.split("=", 2); (k, v) }
+    val b0 = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      // mirror the bench session's input-byte-derived partitioning so
+      // dumped plans show the exchanges the bench actually runs
+      .config("spark.sql.shuffle.partitions", Bench.shufflePartitions(sfDir))
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+    val spark = extra.foldLeft(b0) { case (b, (k, v)) => b.config(k, v) }
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val names = if (list == "ALL") SparkEntry.queries.keys.toSeq.sorted
